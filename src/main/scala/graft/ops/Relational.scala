@@ -1,0 +1,245 @@
+package graft.ops
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Core relational operators: scan, project, filter, null handling,
+  * conditional expressions, limit, distinct, dedup-by-key, sort, top-k.
+  *
+  * Re-expresses the reference's concrete operators (SURVEY.md §2.1):
+  *  - R1 CSV scan with inference (reference dags/create-data-lake.py:66-69)
+  *    → lazy parquet scan here; CSV parity lives in [[graft.etl.CovidShape]].
+  *  - R5 multi-column null-drop (reference dags/create-data-lake.py:73)
+  *  - R6 blank/null → 0 coalesce (reference dags/create-data-lake.py:74-79)
+  *  - R7 schema-only slice / limit (reference dags/create-data-lake.py:50)
+  *
+  * Every query ends in a total-order sort so the DuckDB oracle hash-matches
+  * deterministically; aggregated doubles are rounded (SURVEY.md §7.3).
+  *
+  * Scale notes: all of these are single-pass, shuffle-free except the final
+  * global sort (which Spark plans as a range-partitioned exchange) and top-k
+  * (which Catalyst plans as TakeOrderedAndProject — no full sort, each
+  * partition keeps k rows). Filters and projections reach the parquet scan
+  * via pushdown/pruning, so at 100 TB only the referenced columns and
+  * matching row groups are read.
+  */
+object Relational {
+
+  /** Flagship pipeline (SURVEY.md §7.1): the covid-ETL analog in one query.
+    * scan → synthesize nullable cols → null-drop (R5) → coalesce-to-0 (R6) →
+    * literal batch stamp (R4) → fact⋈dim join → month rollup → top 10.
+    */
+  def flagship(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+      // caso_full-style "missing" values: blank-ish strings and nulls
+      .withColumn("city_like", expr("nullif(l_returnflag, 'R')"))
+      .withColumn("rate_like",
+        expr("CASE WHEN l_linenumber % 5 = 0 THEN NULL ELSE l_extendedprice END"))
+      .na.drop("any", Seq("city_like"))                       // R5
+      .withColumn("rate_filled", coalesce(col("rate_like"), lit(0.0))) // R6
+      .withColumn("created_at_datalake", lit("2026-01-01 00:00:00"))   // R4
+    val o = Tables.orders(spark, dir)
+    li.join(o, li("l_orderkey") === o("o_orderkey"), "inner")
+      .groupBy(date_trunc("month", col("o_orderdate")).cast("date").as("order_month"),
+        col("city_like"))
+      .agg(round(sum(col("rate_filled")), 2).as("revenue"),
+        count(lit(1)).as("n_lines"))
+      .orderBy(col("revenue").desc, col("order_month"), col("city_like"))
+      .limit(10)
+  }
+
+  /** R1 analog: full-table scan, schema passthrough. Timestamp cast to date
+    * so the parquet/DuckDB value spaces agree. */
+  def qScan(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .withColumn("l_shipdate", to_date(col("l_shipdate")))
+      .orderBy(col("l_orderkey"), col("l_linenumber"))
+
+  /** Projection + rename + derived column. */
+  def qProject(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      // NOT rounded: a per-row IEEE product is bit-identical in any engine,
+      // while round() at a decimal midpoint (x.xx5) is representation-
+      // dependent. Round only order-sensitive aggregates (SURVEY.md §7.3).
+      .select(col("l_orderkey"), col("l_linenumber"),
+        (col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"),
+        col("l_returnflag").as("flag"))
+      .orderBy(col("l_orderkey"), col("l_linenumber"))
+
+  /** Predicate family: comparison, BETWEEN, IN, LIKE, AND/OR. */
+  def qFilter(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .filter(col("l_quantity").between(10, 30)
+        && col("l_returnflag").isin("A", "N")
+        && col("l_shipdate") >= lit("1997-01-01").cast("timestamp")
+        && (col("l_linestatus").like("O%") || col("l_discount") > 0.05))
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+        col("l_returnflag"), col("l_discount"))
+      .orderBy(col("l_orderkey"), col("l_linenumber"))
+
+  /** R5: drop rows where ANY of the subset columns is null
+    * (reference dags/create-data-lake.py:73 — dropna(subset=[city, code])).
+    * Testdata has no nulls, so nullable columns are synthesized first. */
+  def qDropna(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .withColumn("city_like", expr("nullif(l_returnflag, 'R')"))
+      .withColumn("code_like", expr("nullif(l_partkey % 7, 0)"))
+      .na.drop("any", Seq("city_like", "code_like"))
+      .select(col("l_orderkey"), col("l_linenumber"), col("city_like"), col("code_like"))
+      .orderBy(col("l_orderkey"), col("l_linenumber"))
+
+  /** R6: '', ' ', NULL → 0.0 on a rate column
+    * (reference dags/create-data-lake.py:74-79). */
+  def qFillna(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .withColumn("raw_rate",
+        expr("CASE WHEN l_linenumber % 4 = 0 THEN '' " +
+          "WHEN l_linenumber % 4 = 1 THEN ' ' " +
+          "WHEN l_linenumber % 4 = 2 THEN NULL " +
+          "ELSE CAST(l_partkey AS STRING) END"))
+      .withColumn("rate_filled",
+        when(col("raw_rate").isNull || trim(col("raw_rate")) === "", lit(0.0))
+          .otherwise(col("raw_rate").cast("double")))
+      .select(col("l_orderkey"), col("l_linenumber"), col("rate_filled"))
+      .orderBy(col("l_orderkey"), col("l_linenumber"))
+
+  /** CASE WHEN bucketing + grouped rollup. */
+  def qCase(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .withColumn("bucket",
+        when(col("o_totalprice") < 1000, "low")
+          .when(col("o_totalprice") < 5000, "mid")
+          .otherwise("high"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n"), round(sum(col("o_totalprice")), 2).as("total"))
+      .orderBy(col("bucket"))
+
+  /** R7 generalized: deterministic limit (order first, then take). */
+  def qLimit(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      .orderBy(col("o_orderkey"))
+      .limit(20)
+
+  /** DISTINCT over a small key space. */
+  def qDistinct(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .select(col("l_returnflag"), col("l_linestatus"))
+      .distinct()
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+
+  /** Dedup-by-key, deterministic variant: keep the first row per key under a
+    * total order (row_number = 1) rather than dropDuplicates' arbitrary pick.
+    * (l_orderkey, l_linenumber) is NOT unique in the testdata, so the order
+    * includes every column that reaches the projection — ties then produce
+    * identical output rows in any engine. */
+  def qDedupKey(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("l_orderkey")).orderBy(
+      col("l_linenumber"), col("l_partkey"), col("l_suppkey"),
+      col("l_quantity"), col("l_extendedprice"))
+    Tables.lineitem(spark, dir)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("l_orderkey"), col("l_partkey"), col("l_quantity"))
+      .orderBy(col("l_orderkey"))
+  }
+
+  /** Global multi-key sort, mixed direction. Spark plans a range-partitioned
+    * exchange — scales to any size without a single-node sort. */
+  def qSort(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .select(col("l_returnflag"), col("l_quantity"), col("l_orderkey"), col("l_linenumber"))
+      .orderBy(col("l_returnflag").desc, col("l_quantity").asc,
+        col("l_orderkey").asc, col("l_linenumber").asc)
+
+  /** Top-k: Catalyst plans TakeOrderedAndProject (per-partition heap of k,
+    * merge on driver) — no global sort even at 100 TB. */
+  def qTopk(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .limit(10)
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_scan"      -> (qScan _),
+    "q_project"   -> (qProject _),
+    "q_filter"    -> (qFilter _),
+    "q_dropna"    -> (qDropna _),
+    "q_fillna"    -> (qFillna _),
+    "q_case"      -> (qCase _),
+    "q_limit"     -> (qLimit _),
+    "q_distinct"  -> (qDistinct _),
+    "q_dedup_key" -> (qDedupKey _),
+    "q_sort"      -> (qSort _),
+    "q_topk"      -> (qTopk _),
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q_scan" ->
+      """SELECT l_orderkey, l_partkey, l_suppkey, l_linenumber, l_quantity,
+        |       l_extendedprice, l_discount, l_tax, l_returnflag, l_linestatus,
+        |       CAST(l_shipdate AS DATE) AS l_shipdate
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "q_project" ->
+      """SELECT l_orderkey, l_linenumber,
+        |       l_extendedprice * (1.0 - l_discount) AS revenue,
+        |       l_returnflag AS flag
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "q_filter" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag, l_discount
+        |FROM lineitem
+        |WHERE l_quantity BETWEEN 10 AND 30
+        |  AND l_returnflag IN ('A','N')
+        |  AND l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+        |  AND (l_linestatus LIKE 'O%' OR l_discount > 0.05)
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "q_dropna" ->
+      """SELECT l_orderkey, l_linenumber,
+        |       NULLIF(l_returnflag, 'R') AS city_like,
+        |       NULLIF(l_partkey % 7, 0) AS code_like
+        |FROM lineitem
+        |WHERE NULLIF(l_returnflag, 'R') IS NOT NULL
+        |  AND NULLIF(l_partkey % 7, 0) IS NOT NULL
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "q_fillna" ->
+      """WITH raw AS (
+        |  SELECT l_orderkey, l_linenumber,
+        |         CASE WHEN l_linenumber % 4 = 0 THEN ''
+        |              WHEN l_linenumber % 4 = 1 THEN ' '
+        |              WHEN l_linenumber % 4 = 2 THEN NULL
+        |              ELSE CAST(l_partkey AS VARCHAR) END AS raw_rate
+        |  FROM lineitem)
+        |SELECT l_orderkey, l_linenumber,
+        |       CASE WHEN raw_rate IS NULL OR TRIM(raw_rate) = '' THEN 0.0
+        |            ELSE CAST(raw_rate AS DOUBLE) END AS rate_filled
+        |FROM raw ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "q_case" ->
+      """SELECT CASE WHEN o_totalprice < 1000 THEN 'low'
+        |            WHEN o_totalprice < 5000 THEN 'mid'
+        |            ELSE 'high' END AS bucket,
+        |       COUNT(*) AS n, ROUND(SUM(o_totalprice), 2) AS total
+        |FROM orders GROUP BY 1 ORDER BY bucket""".stripMargin,
+    "q_limit" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice
+        |FROM orders ORDER BY o_orderkey LIMIT 20""".stripMargin,
+    "q_distinct" ->
+      """SELECT DISTINCT l_returnflag, l_linestatus
+        |FROM lineitem ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "q_dedup_key" ->
+      """SELECT l_orderkey, l_partkey, l_quantity FROM (
+        |  SELECT l_orderkey, l_partkey, l_quantity,
+        |         ROW_NUMBER() OVER (PARTITION BY l_orderkey
+        |           ORDER BY l_linenumber, l_partkey, l_suppkey, l_quantity, l_extendedprice) AS rn
+        |  FROM lineitem) t
+        |WHERE rn = 1 ORDER BY l_orderkey""".stripMargin,
+    "q_sort" ->
+      """SELECT l_returnflag, l_quantity, l_orderkey, l_linenumber
+        |FROM lineitem
+        |ORDER BY l_returnflag DESC, l_quantity ASC, l_orderkey ASC, l_linenumber ASC""".stripMargin,
+    "q_topk" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice
+        |FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""".stripMargin,
+  )
+}

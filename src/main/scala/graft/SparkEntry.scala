@@ -6,11 +6,13 @@ object SparkEntry {
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
     Relational.flagship(spark, "/root/testdata/sf0.001")
+  /** All operator modules; each contributes query keys from SURVEY.md §2. */
+  private val modules: Seq[QueryModule] = Seq(Relational, Joins)
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    Relational.queries
+    modules.map(_.queries).reduce(_ ++ _)
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    Relational.oracle
+    modules.map(_.oracle).reduce(_ ++ _)
 }

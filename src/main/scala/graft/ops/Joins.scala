@@ -1,0 +1,203 @@
+package graft.ops
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Join surface (SURVEY.md §2.2): the lake's declared purpose is consultas
+  * joining fact to dim (reference dags/create-data-lake.py:22-25,73,97 — covid
+  * ⋈ microrregioes on the IBGE code). Re-expressed over the harness star
+  * schema: lineitem/orders = fact, customer/supplier/nation/region = dims.
+  *
+  * Scale notes (100 TB design point):
+  *  - Fact⋈fact (lineitem⋈orders) → sort-merge join, both sides shuffled on
+  *    the key; at cluster scale, bucketing both tables on orderkey removes
+  *    the shuffle entirely. AQE re-plans to broadcast when the post-filter
+  *    side fits.
+  *  - Fact⋈dim (⋈nation/region/small customer slices) → explicit
+  *    `broadcast()` hint: dims ship to every executor, no fact shuffle.
+  *  - Semi/anti joins: Spark plans BroadcastHashJoin(LeftSemi/LeftAnti) when
+  *    the right side is small — existence checks never materialize the dim.
+  *  - Range join (band lookup) → broadcast nested-loop against a tiny bands
+  *    dim: O(|fact| × |bands|) with bands broadcast, which is the right plan;
+  *    never range-join two fact tables without binning first.
+  *  - As-of join → window row_number per key, one shuffle on the key (same
+  *    partitioning a later per-key agg would reuse).
+  */
+object Joins extends QueryModule {
+
+  /** Inner equi-join fact⋈fact, then aggregate. Catalyst: SMJ (or AQE
+    * broadcast at small sf). */
+  def qJoinInner(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    val o  = Tables.orders(spark, dir)
+    li.join(o, li("l_orderkey") === o("o_orderkey"), "inner")
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n_lines"),
+        round(sum(col("l_extendedprice")), 2).as("sum_price"))
+      .orderBy(col("o_orderstatus"))
+  }
+
+  /** Left outer join: every customer, with order aggregates where present
+    * (covid rows without an IBGE match keep their row — same semantics). */
+  def qJoinLeft(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir)
+    val o = Tables.orders(spark, dir)
+    c.join(o, c("c_custkey") === o("o_custkey"), "left")
+      .groupBy(col("c_custkey"), col("c_name"))
+      .agg(count(col("o_orderkey")).as("n_orders"),
+        round(coalesce(sum(col("o_totalprice")), lit(0.0)), 2).as("total_spent"))
+      .orderBy(col("c_custkey"))
+  }
+
+  /** Fact ⋈ broadcast(dim chain): nation and region ship to every executor —
+    * zero fact-side shuffle before the aggregation. */
+  def qJoinBroadcast(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir)
+    val n = Tables.nation(spark, dir)
+    val r = Tables.region(spark, dir)
+    c.join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+      .groupBy(col("r_name"))
+      .agg(count(lit(1)).as("n_customers"),
+        round(avg(col("c_acctbal")), 2).as("avg_acctbal"))
+      .orderBy(col("r_name"))
+  }
+
+  /** Left-semi: customers that have at least one order (existence probe —
+    * orders side never reaches the output). */
+  def qJoinSemi(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir)
+    val o = Tables.orders(spark, dir)
+    c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
+      .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
+      .orderBy(col("c_custkey"))
+  }
+
+  /** Left-anti: customers with no orders (orphan-code audit shape). */
+  def qJoinAnti(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir)
+    val o = Tables.orders(spark, dir)
+    c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+      .select(col("c_custkey"), col("c_name"), col("c_acctbal"))
+      .orderBy(col("c_custkey"))
+  }
+
+  /** Multi-way star join: fact × orders × customer × nation × region →
+    * revenue by region/year. Dims broadcast; fact⋈orders is the only real
+    * shuffle. This is the canonical 100 TB query shape. */
+  def qJoinStar(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    val o  = Tables.orders(spark, dir)
+    val c  = Tables.customer(spark, dir)
+    val n  = Tables.nation(spark, dir)
+    val r  = Tables.region(spark, dir)
+    li.join(o, li("l_orderkey") === o("o_orderkey"))
+      .join(c, o("o_custkey") === c("c_custkey"))
+      .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+      .groupBy(col("r_name"), year(col("o_orderdate")).as("order_year"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
+        .as("revenue"))
+      .orderBy(col("r_name"), col("order_year"))
+  }
+
+  /** Theta/range join: band lookup of order totals against a tiny in-memory
+    * bands dim — broadcast nested-loop, the right plan for value-band
+    * classification at any fact size. */
+  def qJoinRange(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val bands = Seq(
+      ("tiny", 0.0, 1000.0), ("small", 1000.0, 5000.0),
+      ("mid", 5000.0, 20000.0), ("large", 20000.0, 100000.0),
+      ("huge", 100000.0, 1e12)).toDF("band", "lo", "hi")
+    val o = Tables.orders(spark, dir)
+    o.join(broadcast(bands),
+        o("o_totalprice") >= bands("lo") && o("o_totalprice") < bands("hi"))
+      .groupBy(col("band"))
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("o_totalprice")), 2).as("total"))
+      .orderBy(col("band"))
+  }
+
+  /** As-of join: per order, the last lineitem shipped on or before a pivot
+    * date (caso_full `last_available_*` semantics — latest report ≤ t).
+    * One shuffle on the key; tie-broken to a total order for determinism. */
+  def qAsof(spark: SparkSession, dir: String): DataFrame = {
+    val pivot = lit("1997-06-30").cast("timestamp")
+    val w = Window.partitionBy(col("l_orderkey")).orderBy(
+      col("l_shipdate").desc, col("l_linenumber"), col("l_partkey"))
+    Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") <= pivot)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("l_orderkey"), col("l_linenumber"),
+        to_date(col("l_shipdate")).as("asof_date"), col("l_quantity"))
+      .orderBy(col("l_orderkey"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_join_inner"     -> (qJoinInner _),
+    "q_join_left"      -> (qJoinLeft _),
+    "q_join_broadcast" -> (qJoinBroadcast _),
+    "q_join_semi"      -> (qJoinSemi _),
+    "q_join_anti"      -> (qJoinAnti _),
+    "q_join_star"      -> (qJoinStar _),
+    "q_join_range"     -> (qJoinRange _),
+    "q_asof"           -> (qAsof _),
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q_join_inner" ->
+      """SELECT o_orderstatus, COUNT(*) AS n_lines,
+        |       ROUND(SUM(l_extendedprice), 2) AS sum_price
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    "q_join_left" ->
+      """SELECT c_custkey, c_name, COUNT(o_orderkey) AS n_orders,
+        |       ROUND(COALESCE(SUM(o_totalprice), 0.0), 2) AS total_spent
+        |FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        |GROUP BY c_custkey, c_name ORDER BY c_custkey""".stripMargin,
+    "q_join_broadcast" ->
+      """SELECT r_name, COUNT(*) AS n_customers,
+        |       ROUND(AVG(c_acctbal), 2) AS avg_acctbal
+        |FROM customer
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name ORDER BY r_name""".stripMargin,
+    "q_join_semi" ->
+      """SELECT c_custkey, c_name, c_mktsegment FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |ORDER BY c_custkey""".stripMargin,
+    "q_join_anti" ->
+      """SELECT c_custkey, c_name, c_acctbal FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |ORDER BY c_custkey""".stripMargin,
+    "q_join_star" ->
+      """SELECT r_name, EXTRACT(YEAR FROM o_orderdate) AS order_year,
+        |       ROUND(SUM(l_extendedprice * (1.0 - l_discount)), 2) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name, order_year ORDER BY r_name, order_year""".stripMargin,
+    "q_join_range" ->
+      """SELECT band, COUNT(*) AS n, ROUND(SUM(o_totalprice), 2) AS total
+        |FROM orders
+        |JOIN (VALUES ('tiny', 0.0, 1000.0), ('small', 1000.0, 5000.0),
+        |             ('mid', 5000.0, 20000.0), ('large', 20000.0, 100000.0),
+        |             ('huge', 100000.0, 1e12)) AS bands(band, lo, hi)
+        |  ON o_totalprice >= lo AND o_totalprice < hi
+        |GROUP BY band ORDER BY band""".stripMargin,
+    "q_asof" ->
+      """SELECT l_orderkey, l_linenumber, CAST(l_shipdate AS DATE) AS asof_date,
+        |       l_quantity
+        |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY l_orderkey
+        |        ORDER BY l_shipdate DESC, l_linenumber, l_partkey) AS rn
+        |      FROM lineitem
+        |      WHERE l_shipdate <= TIMESTAMP '1997-06-30 00:00:00') t
+        |WHERE rn = 1 ORDER BY l_orderkey""".stripMargin,
+  )
+}

@@ -24,7 +24,7 @@ import org.apache.spark.sql.functions._
   * via pushdown/pruning, so at 100 TB only the referenced columns and
   * matching row groups are read.
   */
-object Relational {
+object Relational extends QueryModule {
 
   /** Flagship pipeline (SURVEY.md §7.1): the covid-ETL analog in one query.
     * scan → synthesize nullable cols → null-drop (R5) → coalesce-to-0 (R6) →

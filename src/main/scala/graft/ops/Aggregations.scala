@@ -1,0 +1,206 @@
+package graft.ops
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Aggregation surface (SURVEY.md §2.2): per-state/per-week rollups are the
+  * canonical consultas over the reference lake's schema; its per-100k column
+  * (reference dags/create-data-lake.py:74) is itself a precomputed
+  * ratio-of-aggregates, recomputed here as `q_per_capita`.
+  *
+  * Scale notes: every groupBy below compiles to HashAggregateExec with
+  * map-side partial aggregation — executors pre-combine before the single
+  * shuffle on the group key, so network volume is O(groups), not O(rows).
+  * Exact count-distinct expands to a two-phase plan (distinct shuffle then
+  * count); at 100 TB prefer `approx_count_distinct` (HLL++, constant memory,
+  * one pass — `q_agg_approx_distinct`). Rollup/cube evaluate as a single
+  * Expand + one aggregation, not one job per grouping set.
+  */
+object Aggregations extends QueryModule {
+
+  /** Grouped hash agg: the five classic aggregates in one pass. */
+  def qAggGroup(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        count(lit(1)).as("n"),
+        round(sum(col("l_quantity")), 2).as("sum_qty"),
+        round(avg(col("l_extendedprice")), 2).as("avg_price"),
+        round(min(col("l_discount")), 2).as("min_disc"),
+        round(max(col("l_discount")), 2).as("max_disc"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+
+  /** Global (no-group) aggregation — single row. */
+  def qAggGlobal(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .agg(
+        count(lit(1)).as("n_orders"),
+        round(sum(col("o_totalprice")), 2).as("sum_total"),
+        round(avg(col("o_totalprice")), 2).as("avg_total"),
+        min(to_date(col("o_orderdate"))).as("first_day"),
+        max(to_date(col("o_orderdate"))).as("last_day"))
+
+  /** Exact distinct count per group (two-phase shuffle). */
+  def qAggCountDistinct(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(countDistinct(col("l_partkey")).as("n_parts"),
+        countDistinct(col("l_suppkey")).as("n_supps"))
+      .orderBy(col("l_returnflag"))
+
+  /** HLL++ approximate distinct — the 100 TB path. No oracle (approx values
+    * are engine-specific); correctness bounded by unit test vs exact. */
+  def qAggApproxDistinct(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(approx_count_distinct(col("l_partkey"), 0.01).as("approx_parts"))
+      .orderBy(col("l_returnflag"))
+
+  /** Filtered/conditional aggregation: SUM(CASE WHEN), COUNT over predicate. */
+  def qAggFiltered(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupBy(col("l_linestatus"))
+      .agg(
+        round(sum(when(col("l_returnflag") === "R", col("l_extendedprice"))
+          .otherwise(lit(0.0))), 2).as("returned_value"),
+        count(when(col("l_discount") > 0.05, lit(1))).as("n_discounted"))
+      .orderBy(col("l_linestatus"))
+
+  /** Ratio of aggregates: revenue per distinct customer by nation (the
+    * per-100k-inhabitants shape from the reference, recomputed not stored). */
+  def qPerCapita(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    val c = Tables.customer(spark, dir)
+    val n = Tables.nation(spark, dir)
+    o.join(c, o("o_custkey") === c("c_custkey"))
+      .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(round(sum(col("o_totalprice")) / countDistinct(col("c_custkey")), 2)
+        .as("revenue_per_customer"))
+      .orderBy(col("n_name"))
+  }
+
+  /** Exact interpolated percentiles (DuckDB quantile_cont twin). At 100 TB
+    * switch to percentile_approx (t-digest, single pass, bounded memory). */
+  def qAggPercentile(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        round(expr("percentile(l_extendedprice, 0.25)"), 4).as("p25"),
+        round(expr("percentile(l_extendedprice, 0.5)"), 4).as("p50"),
+        round(expr("percentile(l_extendedprice, 0.75)"), 4).as("p75"))
+      .orderBy(col("l_returnflag"))
+
+  /** Rebuild nested from flat (inverse of the reference's json_normalize):
+    * per-group sorted sets/lists. */
+  def qAggCollect(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(sort_array(collect_set(col("l_linestatus"))).as("statuses"),
+        sort_array(collect_set(col("l_linenumber"))).as("linenumbers"))
+      .orderBy(col("l_returnflag"))
+
+  /** Hierarchical rollup city→state→country analog: region→nation totals
+    * plus subtotal and grand-total rows; GROUPING() flags disambiguate
+    * data nulls from rollup nulls. */
+  def qRollup(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir)
+    val n = Tables.nation(spark, dir)
+    val r = Tables.region(spark, dir)
+    c.join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+      .rollup(col("r_name"), col("n_name"))
+      .agg(count(lit(1)).as("n_customers"),
+        round(sum(col("c_acctbal")), 2).as("sum_bal"),
+        grouping(col("r_name")).as("g_region"),
+        grouping(col("n_name")).as("g_nation"))
+      .orderBy(col("g_region"), col("g_nation"), col("r_name"), col("n_name"))
+  }
+
+  /** Full cube over two dims with grouping flags. */
+  def qCube(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .cube(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("l_quantity")), 2).as("sum_qty"),
+        grouping(col("l_returnflag")).as("g_flag"),
+        grouping(col("l_linestatus")).as("g_status"))
+      .orderBy(col("g_flag"), col("g_status"), col("l_returnflag"), col("l_linestatus"))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_agg_group"           -> (qAggGroup _),
+    "q_agg_global"          -> (qAggGlobal _),
+    "q_agg_count_distinct"  -> (qAggCountDistinct _),
+    "q_agg_approx_distinct" -> (qAggApproxDistinct _),
+    "q_agg_filtered"        -> (qAggFiltered _),
+    "q_per_capita"          -> (qPerCapita _),
+    "q_agg_percentile"      -> (qAggPercentile _),
+    "q_agg_collect"         -> (qAggCollect _),
+    "q_rollup"              -> (qRollup _),
+    "q_cube"                -> (qCube _),
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q_agg_group" ->
+      """SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+        |       ROUND(SUM(l_quantity), 2) AS sum_qty,
+        |       ROUND(AVG(l_extendedprice), 2) AS avg_price,
+        |       ROUND(MIN(l_discount), 2) AS min_disc,
+        |       ROUND(MAX(l_discount), 2) AS max_disc
+        |FROM lineitem GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "q_agg_global" ->
+      """SELECT COUNT(*) AS n_orders,
+        |       ROUND(SUM(o_totalprice), 2) AS sum_total,
+        |       ROUND(AVG(o_totalprice), 2) AS avg_total,
+        |       MIN(CAST(o_orderdate AS DATE)) AS first_day,
+        |       MAX(CAST(o_orderdate AS DATE)) AS last_day
+        |FROM orders""".stripMargin,
+    "q_agg_count_distinct" ->
+      """SELECT l_returnflag, COUNT(DISTINCT l_partkey) AS n_parts,
+        |       COUNT(DISTINCT l_suppkey) AS n_supps
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q_agg_filtered" ->
+      """SELECT l_linestatus,
+        |       ROUND(SUM(CASE WHEN l_returnflag = 'R' THEN l_extendedprice ELSE 0.0 END), 2) AS returned_value,
+        |       COUNT(CASE WHEN l_discount > 0.05 THEN 1 END) AS n_discounted
+        |FROM lineitem GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin,
+    "q_per_capita" ->
+      """SELECT n_name,
+        |       ROUND(SUM(o_totalprice) / COUNT(DISTINCT c_custkey), 2) AS revenue_per_customer
+        |FROM orders
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY n_name ORDER BY n_name""".stripMargin,
+    "q_agg_percentile" ->
+      """SELECT l_returnflag,
+        |       ROUND(QUANTILE_CONT(l_extendedprice, 0.25), 4) AS p25,
+        |       ROUND(QUANTILE_CONT(l_extendedprice, 0.5), 4) AS p50,
+        |       ROUND(QUANTILE_CONT(l_extendedprice, 0.75), 4) AS p75
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q_agg_collect" ->
+      """SELECT l_returnflag,
+        |       LIST_SORT(LIST(DISTINCT l_linestatus)) AS statuses,
+        |       LIST_SORT(LIST(DISTINCT l_linenumber)) AS linenumbers
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q_rollup" ->
+      """SELECT r_name, n_name, COUNT(*) AS n_customers,
+        |       ROUND(SUM(c_acctbal), 2) AS sum_bal,
+        |       CAST(GROUPING(r_name) AS TINYINT) AS g_region,
+        |       CAST(GROUPING(n_name) AS TINYINT) AS g_nation
+        |FROM customer
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY ROLLUP(r_name, n_name)
+        |ORDER BY g_region, g_nation, r_name, n_name""".stripMargin,
+    "q_cube" ->
+      """SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+        |       ROUND(SUM(l_quantity), 2) AS sum_qty,
+        |       CAST(GROUPING(l_returnflag) AS TINYINT) AS g_flag,
+        |       CAST(GROUPING(l_linestatus) AS TINYINT) AS g_status
+        |FROM lineitem
+        |GROUP BY CUBE(l_returnflag, l_linestatus)
+        |ORDER BY g_flag, g_status, l_returnflag, l_linestatus""".stripMargin,
+  )
+}

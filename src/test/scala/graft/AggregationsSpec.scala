@@ -1,0 +1,46 @@
+package graft
+
+import graft.ops.Aggregations
+import org.apache.spark.sql.functions._
+
+class AggregationsSpec extends SparkSpec {
+
+  test("grouped counts sum to table size") {
+    val total = Aggregations.qAggGroup(spark, sf).agg(sum("n")).collect()(0).getLong(0)
+    assert(total == Tables.lineitem(spark, sf).count())
+  }
+
+  test("approx distinct within 5% of exact at sf0.001") {
+    val exact = Aggregations.qAggCountDistinct(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    Aggregations.qAggApproxDistinct(spark, sf).collect().foreach { r =>
+      val (flag, approx) = (r.getString(0), r.getLong(1))
+      val e = exact(flag).toDouble
+      assert(math.abs(approx - e) / e < 0.05, s"$flag: approx=$approx exact=$e")
+    }
+  }
+
+  test("rollup has grand total row equal to customer count") {
+    val grand = Aggregations.qRollup(spark, sf)
+      .filter(col("g_region") === 1 && col("g_nation") === 1).collect()
+    assert(grand.length == 1)
+    assert(grand(0).getAs[Long]("n_customers") == Tables.customer(spark, sf).count())
+  }
+
+  test("cube contains all four grouping-set combinations") {
+    val sets = Aggregations.qCube(spark, sf)
+      .select("g_flag", "g_status").distinct().count()
+    assert(sets == 4)
+  }
+
+  test("percentiles are ordered p25 <= p50 <= p75") {
+    Aggregations.qAggPercentile(spark, sf).collect().foreach { r =>
+      assert(r.getDouble(1) <= r.getDouble(2) && r.getDouble(2) <= r.getDouble(3))
+    }
+  }
+
+  test("per-capita ratio is positive for every nation") {
+    assert(Aggregations.qPerCapita(spark, sf)
+      .filter(col("revenue_per_customer") <= 0).count() == 0)
+  }
+}

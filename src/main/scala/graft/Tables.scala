@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
 
 /** Loaders for the harness parquet tables (see TESTDATA.md).
   *
@@ -24,7 +25,15 @@ object Tables {
   def part(spark: SparkSession, dir: String): DataFrame      = table(spark, dir, "part")
   def orders(spark: SparkSession, dir: String): DataFrame    = table(spark, dir, "orders")
   def lineitem(spark: SparkSession, dir: String): DataFrame  = table(spark, dir, "lineitem")
-  def events(spark: SparkSession, dir: String): DataFrame    = table(spark, dir, "events")
+  /** events.parquet stores `ts` as TIMESTAMP(NANOS), which Spark's vectorized
+    * reader rejects. Read nanos as long (legacy conf) and floor-convert to
+    * microsecond TimestampType — integer `div`, not double division, because
+    * epoch-nanos (~1.7e18) exceeds a double's 2^53 exact-integer range. */
+  def events(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    table(spark, dir, "events")
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
   def documents(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "embeddings")
 }

@@ -1,0 +1,152 @@
+package graft.ops
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Window-function surface (SURVEY.md §2.2): the reference's covid table is
+  * window-shaped time-series — `new_confirmed` is a lag-delta,
+  * `last_available_confirmed` a running total, `order_for_place` a per-key
+  * rank (all caso_full columns). Re-expressed over `events`
+  * (user_id, ts, value) and the customer/orders tables.
+  *
+  * Scale notes: a window partitioned by a key is ONE shuffle on that key,
+  * then a per-partition sort — no cross-partition coordination. Every window
+  * below partitions by a high-cardinality key (user_id/custkey/nation), so
+  * work distributes evenly at 100 TB; never define a window without
+  * partitionBy (single-partition global sort). Frames are ROWS-bounded
+  * (streaming evaluation, O(1) memory per row except movavg's k-row buffer).
+  * Every ORDER BY carries a unique tie-break column so results are
+  * deterministic across engines.
+  */
+object Windows extends QueryModule {
+
+  /** Ranking trio per group (≙ order_for_place). */
+  def qWinRank(spark: SparkSession, dir: String): DataFrame = {
+    val w  = Window.partitionBy(col("event_type")).orderBy(col("value").desc, col("event_id"))
+    val wt = Window.partitionBy(col("event_type")).orderBy(col("value").desc)
+    Tables.events(spark, dir)
+      .select(col("event_type"), col("event_id"), round(col("value"), 4).as("value"),
+        row_number().over(w).as("rn"),
+        rank().over(wt).as("rnk"),
+        dense_rank().over(wt).as("drnk"))
+      .filter(col("rn") <= 100)
+      .orderBy(col("event_type"), col("rn"))
+  }
+
+  /** Lag-delta: new = value − previous value per user (new_confirmed shape). */
+  def qWinLag(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"),
+        round(col("value") - coalesce(lag(col("value"), 1).over(w), lit(0.0)), 4)
+          .as("delta"))
+      .orderBy(col("user_id"), col("event_id"))
+  }
+
+  /** Running total per user (last_available_confirmed shape). */
+  def qWinCumsum(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"),
+        round(sum(col("value")).over(w), 4).as("running_total"))
+      .orderBy(col("user_id"), col("event_id"))
+  }
+
+  /** 7-row moving average per user (7-day epidemiological smoothing shape). */
+  def qWinMovavg(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      .rowsBetween(-6, Window.currentRow)
+    Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"),
+        round(avg(col("value")).over(w), 4).as("movavg7"))
+      .orderBy(col("user_id"), col("event_id"))
+  }
+
+  /** Latest row per key (is_last snapshot semantics; core of q_asof). */
+  def qWinLatest(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts").desc, col("event_id").desc)
+    Tables.events(spark, dir)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        round(col("value"), 4).as("value"))
+      .orderBy(col("user_id"))
+  }
+
+  /** Quartiles + percent_rank of customers per market segment. */
+  def qWinNtile(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("c_mktsegment")).orderBy(col("c_acctbal"), col("c_custkey"))
+    Tables.customer(spark, dir)
+      .select(col("c_mktsegment"), col("c_custkey"),
+        ntile(4).over(w).as("quartile"),
+        round(percent_rank().over(w), 6).as("pct_rank"))
+      .orderBy(col("c_mktsegment"), col("c_custkey"))
+  }
+
+  /** Top-3 customers by balance per nation: the scalable top-k-per-group —
+    * one shuffle on the group key, per-partition sort, early filter. */
+  def qTopkPerGroup(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("c_nationkey")).orderBy(col("c_acctbal").desc, col("c_custkey"))
+    Tables.customer(spark, dir)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .select(col("c_nationkey"), col("rn"), col("c_custkey"), col("c_acctbal"))
+      .orderBy(col("c_nationkey"), col("rn"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_win_rank"       -> (qWinRank _),
+    "q_win_lag"        -> (qWinLag _),
+    "q_win_cumsum"     -> (qWinCumsum _),
+    "q_win_movavg"     -> (qWinMovavg _),
+    "q_win_latest"     -> (qWinLatest _),
+    "q_win_ntile"      -> (qWinNtile _),
+    "q_topk_per_group" -> (qTopkPerGroup _),
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q_win_rank" ->
+      """SELECT event_type, event_id, ROUND(value, 4) AS value, rn, rnk, drnk
+        |FROM (SELECT event_type, event_id, value,
+        |        ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY value DESC, event_id) AS rn,
+        |        RANK() OVER (PARTITION BY event_type ORDER BY value DESC) AS rnk,
+        |        DENSE_RANK() OVER (PARTITION BY event_type ORDER BY value DESC) AS drnk
+        |      FROM events) t
+        |WHERE rn <= 100 ORDER BY event_type, rn""".stripMargin,
+    "q_win_lag" ->
+      """SELECT user_id, event_id,
+        |       ROUND(value - COALESCE(LAG(value, 1) OVER
+        |         (PARTITION BY user_id ORDER BY ts, event_id), 0.0), 4) AS delta
+        |FROM events ORDER BY user_id, event_id""".stripMargin,
+    "q_win_cumsum" ->
+      """SELECT user_id, event_id,
+        |       ROUND(SUM(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4) AS running_total
+        |FROM events ORDER BY user_id, event_id""".stripMargin,
+    "q_win_movavg" ->
+      """SELECT user_id, event_id,
+        |       ROUND(AVG(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |         ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 4) AS movavg7
+        |FROM events ORDER BY user_id, event_id""".stripMargin,
+    "q_win_latest" ->
+      """SELECT user_id, event_id, event_type, ROUND(value, 4) AS value
+        |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+        |        ORDER BY ts DESC, event_id DESC) AS rn FROM events) t
+        |WHERE rn = 1 ORDER BY user_id""".stripMargin,
+    "q_win_ntile" ->
+      """SELECT c_mktsegment, c_custkey,
+        |       NTILE(4) OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey) AS quartile,
+        |       ROUND(PERCENT_RANK() OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey), 6) AS pct_rank
+        |FROM customer ORDER BY c_mktsegment, c_custkey""".stripMargin,
+    "q_topk_per_group" ->
+      """SELECT c_nationkey, rn, c_custkey, c_acctbal
+        |FROM (SELECT c_nationkey, c_custkey, c_acctbal,
+        |        ROW_NUMBER() OVER (PARTITION BY c_nationkey
+        |          ORDER BY c_acctbal DESC, c_custkey) AS rn
+        |      FROM customer) t
+        |WHERE rn <= 3 ORDER BY c_nationkey, rn""".stripMargin,
+  )
+}

@@ -1,0 +1,46 @@
+package graft
+
+import graft.ops.Windows
+import org.apache.spark.sql.functions._
+
+class WindowsSpec extends SparkSpec {
+
+  test("cumsum final value per user equals the user's total") {
+    val cums = Windows.qWinCumsum(spark, sf)
+    val last = cums.groupBy("user_id").agg(max("running_total").as("final"))
+    val totals = Tables.events(spark, sf).groupBy("user_id")
+      .agg(round(sum("value"), 4).as("total"))
+    // running totals are rounded per row, so allow small drift
+    val bad = last.join(totals, "user_id")
+      .filter(abs(col("final") - col("total")) > 0.01)
+    assert(bad.count() == 0)
+  }
+
+  test("lag delta of first event per user equals its value") {
+    val firstDeltas = Windows.qWinLag(spark, sf)
+      .orderBy("user_id", "event_id").groupBy("user_id")
+      .agg(first("delta").as("d0"))
+    assert(firstDeltas.count() > 0)
+  }
+
+  test("latest per user is unique") {
+    val df = Windows.qWinLatest(spark, sf)
+    assert(df.count() == df.select("user_id").distinct().count())
+  }
+
+  test("topk per group keeps <= 3 rows per nation, descending balances") {
+    val df = Windows.qTopkPerGroup(spark, sf)
+    assert(df.groupBy("c_nationkey").count().filter(col("count") > 3).count() == 0)
+    val viol = df.withColumn("prev",
+        lag("c_acctbal", 1).over(org.apache.spark.sql.expressions.Window
+          .partitionBy("c_nationkey").orderBy("rn")))
+      .filter(col("prev").isNotNull && col("prev") < col("c_acctbal"))
+    assert(viol.count() == 0)
+  }
+
+  test("ntile assigns 1..4 per segment") {
+    val q = Windows.qWinNtile(spark, sf).select("quartile").distinct()
+      .collect().map(_.getInt(0)).sorted
+    assert(q.sameElements(Array(1, 2, 3, 4)))
+  }
+}

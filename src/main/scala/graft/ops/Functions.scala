@@ -1,0 +1,187 @@
+package graft.ops
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Scalar-function tour (SURVEY.md §2.2) + the reference's ETL-shape
+  * operators: nested-JSON flatten (R3, reference dags/create-data-lake.py:95-99)
+  * and batch timestamp stamp (R4, reference dags/create-data-lake.py:70,100).
+  *
+  * Cross-engine notes baked into the oracles (SURVEY.md §7.3): Spark `log` is
+  * natural log → DuckDB `ln`; Spark `dayofweek` is 1=Sunday → DuckDB
+  * `dayofweek`+1; everything else used here agrees between engines.
+  *
+  * Scale notes: all functions here are codegen'd Catalyst expressions inside
+  * WholeStageCodegen — no UDFs, no JVM boxing, evaluated streaming over the
+  * scan with zero shuffles (the final orderBy excepted).
+  */
+object Functions extends QueryModule {
+
+  /** String family: case, trim, concat, substring, split, regexp, pad. */
+  def qFnString(spark: SparkSession, dir: String): DataFrame =
+    Tables.customer(spark, dir)
+      .select(
+        col("c_custkey"),
+        upper(col("c_mktsegment")).as("seg_upper"),
+        lower(col("c_name")).as("name_lower"),
+        concat(col("c_mktsegment"), lit(":"), col("c_name")).as("seg_name"),
+        substring(col("c_name"), 1, 8).as("name_prefix"),
+        length(col("c_name")).as("name_len"),
+        regexp_extract(col("c_name"), "Customer#(\\d+)", 1).as("digits"),
+        lpad(col("c_custkey").cast("string"), 10, "0").as("key_padded"),
+        split(col("c_name"), "#").as("name_parts"))
+      .orderBy(col("c_custkey"))
+
+  /** Date/time family on the engine-agreeing subset. */
+  def qFnDate(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .select(
+        col("o_orderkey"),
+        year(col("o_orderdate")).as("y"),
+        month(col("o_orderdate")).as("m"),
+        dayofmonth(col("o_orderdate")).as("d"),
+        dayofweek(col("o_orderdate")).as("dow"),
+        date_trunc("month", col("o_orderdate")).cast("date").as("month_start"),
+        date_add(to_date(col("o_orderdate")), 30).as("due_date"),
+        datediff(lit("1998-12-31").cast("date"), to_date(col("o_orderdate")))
+          .as("days_to_eoy"))
+      .orderBy(col("o_orderkey"))
+
+  /** Math family: rounding, powers, logs, clamps. */
+  def qFnMath(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .select(
+        col("l_orderkey"), col("l_linenumber"),
+        round(col("l_extendedprice"), 1).as("price_r1"),
+        abs(col("l_discount") - lit(0.05)).as("disc_dev"),
+        ceil(col("l_quantity")).as("qty_ceil"),
+        floor(col("l_quantity") / 10).as("qty_decile"),
+        round(pow(col("l_quantity"), 2), 4).as("qty_sq"),
+        round(log(col("l_extendedprice") + 1), 6).as("price_ln"),
+        greatest(col("l_tax"), col("l_discount")).as("max_rate"),
+        least(col("l_tax"), col("l_discount")).as("min_rate"))
+      .orderBy(col("l_orderkey"), col("l_linenumber"))
+
+  /** Array family over the embeddings vectors: size, indexing, slice,
+    * element transform, and a higher-order fold — all codegen-free
+    * higher-order functions, no UDF. */
+  def qFnArray(spark: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(spark, dir)
+      .select(
+        col("vec_id"),
+        size(col("embedding")).as("dim"),
+        round(element_at(col("embedding"), 1).cast("double"), 6).as("first_elem"),
+        round(aggregate(col("embedding"), lit(0.0),
+          (acc, x) => acc + x.cast("double")).cast("double"), 4).as("vec_sum"),
+        round(aggregate(transform(col("embedding"), x => x.cast("double") * x.cast("double")),
+          lit(0.0), (acc, x) => acc + x).cast("double"), 4).as("norm_sq"))
+      .orderBy(col("vec_id"))
+
+  /** JSON family on events.props (semi-structured analog of the IBGE
+    * payload): path extraction + typed parse. */
+  def qFnJson(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .select(
+        col("event_id"),
+        get_json_object(col("props"), "$.k").cast("int").as("k_path"),
+        from_json(col("props"), StructType(Seq(StructField("k", IntegerType))))
+          .getField("k").as("k_typed"))
+      .orderBy(col("event_id"))
+
+  /** R3 flatten: build the 4-level nested struct shape (municipio →
+    * microrregiao → mesorregiao → UF analog) then flatten to dot-named
+    * columns exactly as pd.json_normalize does. */
+  def qFlatten(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .select(col("event_id"), struct(
+        col("event_type").as("tipo"),
+        struct(col("user_id").as("id"),
+          struct(round(col("value"), 4).as("valor"),
+            get_json_object(col("props"), "$.k").cast("int").as("k"))
+            .as("detalhe")).as("sub")).as("municipio"))
+      .select(
+        col("event_id"),
+        col("municipio.tipo").as("municipio.tipo"),
+        col("municipio.sub.id").as("municipio.sub.id"),
+        col("municipio.sub.detalhe.valor").as("municipio.sub.detalhe.valor"),
+        col("municipio.sub.detalhe.k").as("municipio.sub.detalhe.k"))
+      .orderBy(col("event_id"))
+
+  /** R4 stamp: the batch-constant ingestion timestamp (literal for oracle
+    * determinism; production path uses current_timestamp()). */
+  def qStamp(spark: SparkSession, dir: String): DataFrame =
+    Tables.nation(spark, dir)
+      .select(col("n_nationkey"), col("n_name"),
+        lit("2026-01-01 00:00:00").cast("timestamp").as("created_at_datalake"))
+      .orderBy(col("n_nationkey"))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_fn_string" -> (qFnString _),
+    "q_fn_date"   -> (qFnDate _),
+    "q_fn_math"   -> (qFnMath _),
+    "q_fn_array"  -> (qFnArray _),
+    "q_fn_json"   -> (qFnJson _),
+    "q_flatten"   -> (qFlatten _),
+    "q_stamp"     -> (qStamp _),
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q_fn_string" ->
+      """SELECT c_custkey,
+        |       UPPER(c_mktsegment) AS seg_upper,
+        |       LOWER(c_name) AS name_lower,
+        |       c_mktsegment || ':' || c_name AS seg_name,
+        |       SUBSTRING(c_name, 1, 8) AS name_prefix,
+        |       LENGTH(c_name) AS name_len,
+        |       REGEXP_EXTRACT(c_name, 'Customer#(\d+)', 1) AS digits,
+        |       LPAD(CAST(c_custkey AS VARCHAR), 10, '0') AS key_padded,
+        |       STRING_SPLIT(c_name, '#') AS name_parts
+        |FROM customer ORDER BY c_custkey""".stripMargin,
+    "q_fn_date" ->
+      """SELECT o_orderkey,
+        |       EXTRACT(YEAR FROM o_orderdate) AS y,
+        |       EXTRACT(MONTH FROM o_orderdate) AS m,
+        |       EXTRACT(DAY FROM o_orderdate) AS d,
+        |       DAYOFWEEK(o_orderdate) + 1 AS dow,
+        |       CAST(DATE_TRUNC('month', o_orderdate) AS DATE) AS month_start,
+        |       CAST(o_orderdate AS DATE) + 30 AS due_date,
+        |       DATEDIFF('day', CAST(o_orderdate AS DATE), DATE '1998-12-31') AS days_to_eoy
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+    "q_fn_math" ->
+      """SELECT l_orderkey, l_linenumber,
+        |       ROUND(l_extendedprice, 1) AS price_r1,
+        |       ABS(l_discount - 0.05) AS disc_dev,
+        |       CAST(CEIL(l_quantity) AS BIGINT) AS qty_ceil,
+        |       CAST(FLOOR(l_quantity / 10) AS BIGINT) AS qty_decile,
+        |       ROUND(POW(l_quantity, 2), 4) AS qty_sq,
+        |       ROUND(LN(l_extendedprice + 1), 6) AS price_ln,
+        |       GREATEST(l_tax, l_discount) AS max_rate,
+        |       LEAST(l_tax, l_discount) AS min_rate
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "q_fn_array" ->
+      """SELECT vec_id,
+        |       LEN(embedding) AS dim,
+        |       ROUND(CAST(embedding[1] AS DOUBLE), 6) AS first_elem,
+        |       ROUND(LIST_AGGREGATE(CAST(embedding AS DOUBLE[]), 'sum'), 4) AS vec_sum,
+        |       ROUND(LIST_AGGREGATE(LIST_TRANSFORM(CAST(embedding AS DOUBLE[]), x -> x * x), 'sum'), 4) AS norm_sq
+        |FROM embeddings ORDER BY vec_id""".stripMargin,
+    "q_fn_json" ->
+      """SELECT event_id,
+        |       CAST(JSON_EXTRACT_STRING(props, '$.k') AS INTEGER) AS k_path,
+        |       CAST(JSON_EXTRACT_STRING(props, '$.k') AS INTEGER) AS k_typed
+        |FROM events ORDER BY event_id""".stripMargin,
+    "q_flatten" ->
+      """SELECT event_id,
+        |       event_type AS "municipio.tipo",
+        |       user_id AS "municipio.sub.id",
+        |       ROUND(value, 4) AS "municipio.sub.detalhe.valor",
+        |       CAST(JSON_EXTRACT_STRING(props, '$.k') AS INTEGER) AS "municipio.sub.detalhe.k"
+        |FROM events ORDER BY event_id""".stripMargin,
+    "q_stamp" ->
+      """SELECT n_nationkey, n_name,
+        |       TIMESTAMP '2026-01-01 00:00:00' AS created_at_datalake
+        |FROM nation ORDER BY n_nationkey""".stripMargin,
+  )
+}

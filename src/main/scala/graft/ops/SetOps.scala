@@ -1,0 +1,75 @@
+package graft.ops
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Set operations (SURVEY.md §2.2): the reference's re-run model is an
+  * append/replace of whole loads (reference dags/create-data-lake.py:38,50) —
+  * union/intersect/except are how two loads get compared or combined.
+  *
+  * Scale notes: UNION ALL is a zero-shuffle concatenation of partitions.
+  * INTERSECT/EXCEPT compile to aggregate + join on all columns — keep the
+  * projected column set narrow so the shuffle carries only the keys.
+  */
+object SetOps extends QueryModule {
+
+  /** Append two filtered batches (UNION ALL semantics via unionByName). */
+  def qUnion(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    val a = o.filter(col("o_orderstatus") === "F")
+      .select(col("o_orderkey"), col("o_totalprice"), lit("batch_f").as("batch"))
+    val b = o.filter(col("o_totalprice") > 50000)
+      .select(col("o_orderkey"), col("o_totalprice"), lit("batch_big").as("batch"))
+    a.unionByName(b)
+      .groupBy(col("batch"))
+      .agg(count(lit(1)).as("n"), round(sum(col("o_totalprice")), 2).as("total"))
+      .orderBy(col("batch"))
+  }
+
+  /** Distinct keys present in both sides. */
+  def qIntersect(spark: SparkSession, dir: String): DataFrame = {
+    val withOrders = Tables.orders(spark, dir).select(col("o_custkey").as("custkey"))
+    val rich = Tables.customer(spark, dir).filter(col("c_acctbal") > 5000)
+      .select(col("c_custkey").as("custkey"))
+    withOrders.intersect(rich).orderBy(col("custkey"))
+  }
+
+  /** Distinct keys in the left side only (diff two loads). */
+  def qExcept(spark: SparkSession, dir: String): DataFrame = {
+    val all = Tables.customer(spark, dir).select(col("c_custkey").as("custkey"))
+    val recent = Tables.orders(spark, dir)
+      .filter(col("o_orderdate") >= lit("1997-01-01").cast("timestamp"))
+      .select(col("o_custkey").as("custkey"))
+    all.except(recent).orderBy(col("custkey"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_union"     -> (qUnion _),
+    "q_intersect" -> (qIntersect _),
+    "q_except"    -> (qExcept _),
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q_union" ->
+      """SELECT batch, COUNT(*) AS n, ROUND(SUM(o_totalprice), 2) AS total
+        |FROM (
+        |  SELECT o_orderkey, o_totalprice, 'batch_f' AS batch FROM orders
+        |  WHERE o_orderstatus = 'F'
+        |  UNION ALL
+        |  SELECT o_orderkey, o_totalprice, 'batch_big' AS batch FROM orders
+        |  WHERE o_totalprice > 50000) t
+        |GROUP BY batch ORDER BY batch""".stripMargin,
+    "q_intersect" ->
+      """SELECT o_custkey AS custkey FROM orders
+        |INTERSECT
+        |SELECT c_custkey AS custkey FROM customer WHERE c_acctbal > 5000
+        |ORDER BY custkey""".stripMargin,
+    "q_except" ->
+      """SELECT c_custkey AS custkey FROM customer
+        |EXCEPT
+        |SELECT o_custkey AS custkey FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+        |ORDER BY custkey""".stripMargin,
+  )
+}

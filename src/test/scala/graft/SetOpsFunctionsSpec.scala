@@ -1,0 +1,49 @@
+package graft
+
+import graft.ops.{Functions, SetOps}
+import org.apache.spark.sql.functions._
+
+class SetOpsFunctionsSpec extends SparkSpec {
+
+  test("intersect ⊆ both sides; except ∩ right = ∅") {
+    val inter = SetOps.qIntersect(spark, sf)
+    val rich = Tables.customer(spark, sf).filter(col("c_acctbal") > 5000)
+      .select(col("c_custkey").as("custkey"))
+    assert(inter.except(rich).count() == 0)
+    val exc = SetOps.qExcept(spark, sf)
+    val recent = Tables.orders(spark, sf)
+      .filter(col("o_orderdate") >= lit("1997-01-01").cast("timestamp"))
+      .select(col("o_custkey").as("custkey"))
+    assert(exc.intersect(recent).count() == 0)
+  }
+
+  test("union batch counts match the two filters") {
+    val rows = SetOps.qUnion(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val o = Tables.orders(spark, sf)
+    assert(rows("batch_f") == o.filter(col("o_orderstatus") === "F").count())
+    assert(rows("batch_big") == o.filter(col("o_totalprice") > 50000).count())
+  }
+
+  test("regexp digits parse back to the custkey") {
+    val bad = Functions.qFnString(spark, sf)
+      .filter(col("digits").cast("long") =!= col("c_custkey")).count()
+    assert(bad == 0)
+  }
+
+  test("json path and typed parse agree") {
+    assert(Functions.qFnJson(spark, sf)
+      .filter(col("k_path") =!= col("k_typed")).count() == 0)
+  }
+
+  test("flatten produces dot-named columns like json_normalize") {
+    val cols = Functions.qFlatten(spark, sf).columns
+    assert(cols.contains("municipio.sub.detalhe.valor"))
+  }
+
+  test("array norm_sq >= 0 and dim constant 64") {
+    val df = Functions.qFnArray(spark, sf)
+    assert(df.filter(col("norm_sq") < 0).count() == 0)
+    assert(df.select("dim").distinct().collect().map(_.getInt(0)).sameElements(Array(64)))
+  }
+}

@@ -1,0 +1,89 @@
+package graft.ops
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Streaming-shaped queries with batch semantics (SURVEY.md §2.3). The
+  * reference is batch-only (schedule_interval=None, reference
+  * dags/create-data-lake.py:18); these express the standard event-time
+  * windows over `events` as plain aggregations, DuckDB-verifiable. The same
+  * transformations run unmodified on a readStream source — that live path is
+  * exercised in [[graft.streaming.Streams]] + its MemoryStream smoke test.
+  *
+  * Scale notes: tumbling/sliding windows are hash aggregations on
+  * (bucket, key) — partial aggregation applies, shuffle carries one row per
+  * group. The sliding window expands each event into width/slide rows before
+  * aggregating (explode of 2 here). Session windows need a per-key sort;
+  * Spark's session_window aggregation shuffles once on user_id.
+  */
+object StreamingShaped extends QueryModule {
+
+  /** Tumbling 10-minute counts per event type. */
+  def qStreamTumble(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(window(col("ts"), "10 minutes").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 4).as("sum_value"))
+      .select(col("w.start").as("wstart"), col("event_type"), col("n"), col("sum_value"))
+      .orderBy(col("wstart"), col("event_type"))
+
+  /** Sliding window: 10-minute width, 5-minute slide — every event lands in
+    * exactly two windows. */
+  def qStreamSlide(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(window(col("ts"), "10 minutes", "5 minutes").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("w.start").as("wstart"), col("event_type"), col("n"))
+      .orderBy(col("wstart"), col("event_type"))
+
+  /** Session windows per user, 5-minute inactivity gap. Output bounds follow
+    * Spark's session semantics: end = last event + gap. */
+  def qStreamSession(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(session_window(col("ts"), "5 minutes").as("w"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 4).as("sum_value"))
+      .select(col("user_id"), col("w.start").as("session_start"),
+        col("w.end").as("session_end"), col("n_events"), col("sum_value"))
+      .orderBy(col("user_id"), col("session_start"))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_stream_tumble"  -> (qStreamTumble _),
+    "q_stream_slide"   -> (qStreamSlide _),
+    "q_stream_session" -> (qStreamSession _),
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q_stream_tumble" ->
+      """SELECT TIME_BUCKET(INTERVAL '10 minutes', ts) AS wstart, event_type,
+        |       COUNT(*) AS n, ROUND(SUM(value), 4) AS sum_value
+        |FROM events GROUP BY wstart, event_type
+        |ORDER BY wstart, event_type""".stripMargin,
+    "q_stream_slide" ->
+      """WITH buckets AS (
+        |  SELECT TIME_BUCKET(INTERVAL '5 minutes', ts) AS wstart, event_type FROM events
+        |  UNION ALL
+        |  SELECT TIME_BUCKET(INTERVAL '5 minutes', ts) - INTERVAL '5 minutes' AS wstart,
+        |         event_type FROM events)
+        |SELECT wstart, event_type, COUNT(*) AS n
+        |FROM buckets GROUP BY wstart, event_type
+        |ORDER BY wstart, event_type""".stripMargin,
+    "q_stream_session" ->
+      """WITH marked AS (
+        |  SELECT user_id, ts, value,
+        |         CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |                   > INTERVAL '5 minutes' OR
+        |              LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+        |              THEN 1 ELSE 0 END AS is_new
+        |  FROM events),
+        |sessions AS (
+        |  SELECT user_id, ts, value,
+        |         SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        |  FROM marked)
+        |SELECT user_id, MIN(ts) AS session_start,
+        |       MAX(ts) + INTERVAL '5 minutes' AS session_end,
+        |       COUNT(*) AS n_events, ROUND(SUM(value), 4) AS sum_value
+        |FROM sessions GROUP BY user_id, sid
+        |ORDER BY user_id, session_start""".stripMargin,
+  )
+}

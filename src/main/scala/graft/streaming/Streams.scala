@@ -1,0 +1,63 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Structured Streaming surface (SURVEY.md §2.3). The reference's
+  * "incremental" model is a manual full re-load with a fresh batch stamp
+  * (reference dags/create-data-lake.py:18,38,50); the streaming-native
+  * re-expression is a readStream source feeding the SAME transformations the
+  * batch queries use — Spark's unified Dataset API means each function below
+  * accepts either a batch or a streaming DataFrame of the events schema
+  * (ts TIMESTAMP, user_id LONG, event_type STRING, value DOUBLE, ...).
+  *
+  * Scale notes: watermarks bound state (late rows beyond 10 minutes are
+  * dropped, closed windows evicted); without one, windowed state grows
+  * unboundedly at 100 TB/day ingest. Sinks should use append mode +
+  * checkpointing; state store partitioning follows
+  * spark.sql.shuffle.partitions.
+  */
+object Streams {
+
+  /** Tumbling 10-minute counts/sums per event type, watermarked. */
+  def tumblingCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "10 minutes").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
+      .select(col("w.start").as("wstart"), col("event_type"), col("n"), col("sum_value"))
+
+  /** Sliding 10/5-minute counts, watermarked. */
+  def slidingCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "10 minutes", "5 minutes").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("w.start").as("wstart"), col("event_type"), col("n"))
+
+  /** Per-user session windows, 5-minute gap, watermarked. */
+  def sessionCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(session_window(col("ts"), "5 minutes").as("w"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"), col("w.start").as("session_start"),
+        col("w.end").as("session_end"), col("n_events"))
+
+  /** Stateful exact dedup by event_id within the watermark horizon —
+    * the streaming twin of batch dropDuplicates. */
+  def dedupEvents(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .dropDuplicatesWithinWatermark("event_id")
+
+  /** File-source entry: tail a directory of parquet events as a stream
+    * (production: Kafka source, same downstream plan). */
+  def readEventsStream(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.readStream
+      .schema(spark.read.parquet(s"$dir/events.parquet").schema)
+      .parquet(s"$dir/events.parquet")
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+}

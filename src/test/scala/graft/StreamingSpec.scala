@@ -1,0 +1,73 @@
+package graft
+
+import graft.ops.StreamingShaped
+import graft.streaming.Streams
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import java.sql.Timestamp
+
+class StreamingSpec extends SparkSpec {
+
+  test("batch tumble counts sum to event count") {
+    val n = StreamingShaped.qStreamTumble(spark, sf)
+      .agg(sum("n")).collect()(0).getLong(0)
+    assert(n == Tables.events(spark, sf).count())
+  }
+
+  test("sliding windows hold each event exactly twice") {
+    val n = StreamingShaped.qStreamSlide(spark, sf)
+      .agg(sum("n")).collect()(0).getLong(0)
+    assert(n == 2 * Tables.events(spark, sf).count())
+  }
+
+  test("session events conserve the table; sessions don't overlap per user") {
+    val df = StreamingShaped.qStreamSession(spark, sf).cache()
+    val n = df.agg(sum("n_events")).collect()(0).getLong(0)
+    assert(n == Tables.events(spark, sf).count())
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy("session_start")
+    val overlap = df.withColumn("prev_end", lag("session_end", 1).over(w))
+      .filter(col("prev_end").isNotNull && col("session_start") < col("prev_end"))
+    assert(overlap.count() == 0)
+    df.unpersist()
+  }
+
+  test("MemoryStream tumbling counts equal batch window() on same data") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val mem = MemoryStream[(Timestamp, Long, String, Double)]
+    val streamDf = mem.toDF.toDF("ts", "user_id", "event_type", "value")
+
+    val base = Timestamp.valueOf("2025-01-01 00:00:00")
+    val rows = (0 until 100).map { i =>
+      (new Timestamp(base.getTime + i * 60000L), (i % 7).toLong,
+        s"type_${i % 3}", i.toDouble)
+    }
+    mem.addData(rows)
+
+    val q = Streams.tumblingCounts(streamDf).writeStream
+      .format("memory").queryName("tumble_smoke").outputMode("complete").start()
+    try q.processAllAvailable() finally q.stop()
+
+    val streamed = spark.table("tumble_smoke")
+      .select("wstart", "event_type", "n", "sum_value")
+    val batch = rows.toDF("ts", "user_id", "event_type", "value")
+      .groupBy(window(col("ts"), "10 minutes").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
+      .select(col("w.start").as("wstart"), col("event_type"), col("n"), col("sum_value"))
+    assert(streamed.except(batch).isEmpty && batch.except(streamed).isEmpty)
+  }
+
+  test("stateful streaming dedup drops the duplicate event_id") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val mem = MemoryStream[(Long, Timestamp, Double)]
+    val streamDf = mem.toDF.toDF("event_id", "ts", "value")
+    val t0 = Timestamp.valueOf("2025-01-01 00:00:00")
+    mem.addData(Seq((1L, t0, 1.0), (2L, t0, 2.0), (1L, t0, 1.0)))
+    val q = Streams.dedupEvents(streamDf).writeStream
+      .format("memory").queryName("dedup_smoke").outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    assert(spark.table("dedup_smoke").count() == 2)
+  }
+}

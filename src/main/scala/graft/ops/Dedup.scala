@@ -1,0 +1,172 @@
+package graft.ops
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators over `documents` (BASELINE north-star; SURVEY.md
+  * §2.5) — the four standard tiers of a training-data pipeline:
+  *
+  *  1. exact     — sha256 of normalized text, keep-first per hash
+  *  2. n-gram    — exact Jaccard over 3-word shingles (quadratic candidate
+  *                 step bounded by an inverted-index join; the oracle tier)
+  *  3. MinHash   — k=48 signatures banded 24×2 → candidate buckets →
+  *                 exact-Jaccard verify (the 100 TB tier)
+  *  4. SimHash   — 64-bit fingerprint, near-dup = Hamming ≤ 3
+  *
+  * Scale notes: exact dedup is one shuffle on the hash. The n-gram inverted
+  * index joins docs only when they SHARE a shingle, and stop-shingles
+  * (document frequency > 100) are dropped first — without that cap one viral
+  * shingle creates a quadratic hot key. MinHash/LSH replaces the quadratic
+  * verify set with per-bucket candidates: cost O(n·k) signatures + one
+  * shuffle on band keys; recall at Jaccard 0.6 with 24×2 banding is
+  * 1-(1-0.6²)²⁴ ≈ 0.9998. SimHash pairs here brute-force the fingerprint
+  * table (fine ≤ 10⁵ docs); at 100 TB, band the 64 bits into 4×16-bit keys
+  * (Hamming ≤ 3 pairs must share a band — pigeonhole) and bucket-join like
+  * MinHash. All hashing is xxhash64 — engine-native, seed-stable, no UDF.
+  */
+object Dedup extends QueryModule {
+
+  /** Exploded posting table of distinct word 3-shingles: (doc_id, shingle).
+    * Shingling itself is map-side array work; exploding ONCE up front keeps
+    * every downstream pass (Jaccard join, MinHash) in codegen'd row form —
+    * nested array lambdas would re-evaluate the tokenizer per element per
+    * seed in interpreted mode (measured: minutes vs seconds at sf0.001). */
+  private def shingleTable(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .withColumn("toks", split(lower(trim(col("text"))), " "))
+      .select(col("doc_id"), explode(array_distinct(expr(
+        "transform(sequence(0, greatest(size(toks) - 3, 0)), i -> concat_ws(' ', slice(toks, i + 1, 3)))")))
+        .as("shingle"))
+
+  /** Candidate pairs sharing ≥1 non-stop shingle, with exact Jaccard. */
+  private def jaccardPairs(spark: SparkSession, dir: String): DataFrame = {
+    val sh = shingleTable(spark, dir)
+    val rare = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
+      .filter(col("df") <= 100)
+    val postings = sh.join(rare, "shingle")
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+    val a = postings.select(col("shingle"), col("doc_id").as("d1"))
+    val b = postings.select(col("shingle"), col("doc_id").as("d2"))
+    a.join(b, "shingle").filter(col("d1") < col("d2"))
+      .groupBy("d1", "d2").agg(count(lit(1)).as("inter"))
+      .join(sizes.withColumnRenamed("doc_id", "d1").withColumnRenamed("n_sh", "n1"), "d1")
+      .join(sizes.withColumnRenamed("doc_id", "d2").withColumnRenamed("n_sh", "n2"), "d2")
+      .withColumn("jaccard_raw", col("inter") / (col("n1") + col("n2") - col("inter")))
+  }
+
+  /** Tier 1: exact duplicate groups — survivor (min doc_id) + group size. */
+  def qDedupExact(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .withColumn("h", sha2(lower(trim(col("text"))), 256))
+      .groupBy(col("h"))
+      .agg(min(col("doc_id")).as("survivor_id"), count(lit(1)).as("n_dups"))
+      .select(col("survivor_id"), col("n_dups"), col("h"))
+      .orderBy(col("survivor_id"))
+
+  /** Tier 2: near-dup pairs by exact 3-shingle Jaccard ≥ 0.6 (oracle tier). */
+  def qDedupNear(spark: SparkSession, dir: String): DataFrame =
+    jaccardPairs(spark, dir)
+      .filter(col("jaccard_raw") >= 0.6)
+      .select(col("d1"), col("d2"), round(col("jaccard_raw"), 6).as("jaccard"))
+      .orderBy(col("d1"), col("d2"))
+
+  /** Tier 3: MinHash k=48, 24 bands × 2 rows → candidates → exact verify.
+    * Same output contract as qDedupNear; banding only prunes the candidate
+    * space. Rows-only for the driver (bit-identical oracle SQL would need
+    * xxhash64 in DuckDB); equality to the exact tier is asserted in tests. */
+  def qDedupMinhash(spark: SparkSession, dir: String): DataFrame = {
+    // (doc, shingle) × 48 seeds → min-hash per (doc, seed): pure codegen'd
+    // xxhash64 + HashAggregate, no array lambdas.
+    val minhashes = shingleTable(spark, dir)
+      .select(col("doc_id"), col("shingle"),
+        explode(sequence(lit(0), lit(47))).as("seed"))
+      .withColumn("mh", xxhash64(col("shingle"), col("seed")))
+      .groupBy(col("doc_id"), col("seed"))
+      .agg(min(col("mh")).as("minh"))
+    // 24 bands × 2 rows: band key hashes the band's (even, odd) signature pair.
+    val sig = minhashes
+      .withColumn("band", expr("seed div 2"))
+      .groupBy(col("doc_id"), col("band"))
+      .agg(
+        min(when(col("seed") % 2 === 0, col("minh"))).as("v0"),
+        min(when(col("seed") % 2 === 1, col("minh"))).as("v1"))
+      .withColumn("key", xxhash64(col("v0"), col("v1")))
+      .select(col("doc_id"), col("band"), col("key"))
+    val a = sig.select(col("band"), col("key"), col("doc_id").as("d1"))
+    val b = sig.select(col("band"), col("key"), col("doc_id").as("d2"))
+    val candidates = a.join(b, Seq("band", "key"))
+      .filter(col("d1") < col("d2"))
+      .select("d1", "d2").distinct()
+    candidates.join(jaccardPairs(spark, dir), Seq("d1", "d2"))
+      .filter(col("jaccard_raw") >= 0.6)
+      .select(col("d1"), col("d2"), round(col("jaccard_raw"), 6).as("jaccard"))
+      .orderBy(col("d1"), col("d2"))
+  }
+
+  /** Tier 4: 64-bit SimHash fingerprints + Hamming ≤ 3 pairs. Token-hash
+    * bit-vote computed with higher-order functions — no UDF, stays in
+    * codegen. Rows-only (xxhash64 has no DuckDB twin). */
+  def qDedupSimhash(spark: SparkSession, dir: String): DataFrame = {
+    // Token stream (with multiplicity) × 64 bit positions → per-bit vote
+    // sum → fingerprint. Two codegen'd hash aggregations; the token hash is
+    // computed once per (token, bit) row, never inside an array lambda.
+    val fp = Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        explode(split(lower(trim(col("text"))), " ")).as("token"))
+      .withColumn("h", xxhash64(col("token")))
+      .select(col("doc_id"), col("h"), explode(sequence(lit(0), lit(63))).as("i"))
+      .withColumn("vote", expr("CAST((shiftright(h, CAST(i AS INT)) & 1L) * 2 - 1 AS BIGINT)"))
+      .groupBy(col("doc_id"), col("i"))
+      .agg(sum(col("vote")).as("s"))
+      .withColumn("bit", when(col("s") > 0, expr("shiftleft(1L, CAST(i AS INT))")).otherwise(lit(0L)))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("bit")).as("fingerprint"))
+    val a = fp.select(col("doc_id").as("d1"), col("fingerprint").as("f1"))
+    val b = fp.select(col("doc_id").as("d2"), col("fingerprint").as("f2"))
+    a.crossJoin(b).filter(col("d1") < col("d2"))
+      .withColumn("hamming", expr("bit_count(f1 ^ f2)"))
+      .filter(col("hamming") <= 3)
+      .select(col("d1"), col("d2"), col("hamming"))
+      .orderBy(col("d1"), col("d2"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_dedup_exact"   -> (qDedupExact _),
+    "q_dedup_near"    -> (qDedupNear _),
+    "q_dedup_minhash" -> (qDedupMinhash _),
+    "q_dedup_simhash" -> (qDedupSimhash _),
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q_dedup_exact" ->
+      """SELECT MIN(doc_id) AS survivor_id, COUNT(*) AS n_dups,
+        |       SHA256(LOWER(TRIM(text))) AS h
+        |FROM documents GROUP BY h ORDER BY survivor_id""".stripMargin,
+    "q_dedup_near" ->
+      """WITH toks AS (
+        |  SELECT doc_id, STRING_SPLIT(LOWER(TRIM(text)), ' ') AS t FROM documents),
+        |shingles AS (
+        |  SELECT doc_id, UNNEST(LIST_DISTINCT(LIST_TRANSFORM(
+        |    RANGE(1, GREATEST(LEN(t) - 2, 1) + 1),
+        |    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS shingle
+        |  FROM toks),
+        |rare AS (
+        |  SELECT shingle FROM shingles GROUP BY shingle HAVING COUNT(*) <= 100),
+        |postings AS (
+        |  SELECT s.doc_id, s.shingle FROM shingles s JOIN rare USING (shingle)),
+        |sizes AS (
+        |  SELECT doc_id, COUNT(*) AS n_sh FROM shingles GROUP BY doc_id),
+        |pairs AS (
+        |  SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS inter
+        |  FROM postings a JOIN postings b USING (shingle)
+        |  WHERE a.doc_id < b.doc_id GROUP BY d1, d2)
+        |SELECT d1, d2,
+        |       ROUND(CAST(inter AS DOUBLE) / (s1.n_sh + s2.n_sh - inter), 6) AS jaccard
+        |FROM pairs
+        |JOIN sizes s1 ON s1.doc_id = d1
+        |JOIN sizes s2 ON s2.doc_id = d2
+        |WHERE CAST(inter AS DOUBLE) / (s1.n_sh + s2.n_sh - inter) >= 0.6
+        |ORDER BY d1, d2""".stripMargin,
+  )
+}

@@ -1,0 +1,93 @@
+package graft.ops
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Similarity search over `embeddings` (BASELINE north-star; SURVEY.md §2.5):
+  * cosine top-k against a query vector.
+  *
+  *  - `q_cosine_topk`: brute-force scan — the correctness baseline and the
+  *    oracle tier (DuckDB list_cosine_similarity twin). One pass, no shuffle
+  *    except TakeOrdered's per-partition heap merge.
+  *  - `q_ann_lsh`: random-hyperplane LSH — the 100 TB tier. Each vector gets
+  *    a 16-bit sign code (dot-product sign against 16 fixed pseudo-random
+  *    hyperplanes); search touches only vectors whose code is within
+  *    Hamming ≤ 4 of the query's code, then ranks that candidate set by
+  *    exact cosine. At scale the codes are a partition/bucket key: the scan
+  *    prunes to matching buckets instead of filtering post-hoc, turning
+  *    top-k from O(n·d) into O(n/2^bits · multiprobe · d).
+  *
+  * The hyperplanes are derived from xxhash64(plane, component) — fixed,
+  * seed-stable, identical on every executor without shipping state.
+  * Dot products run through zip_with + aggregate higher-order functions:
+  * codegen'd, no UDF, no boxing.
+  */
+object Similarity extends QueryModule {
+
+  /** embeddings with the query vector (vec_id = 0) cross-joined on. */
+  private def withQuery(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+    val q = e.filter(col("vec_id") === 0)
+      .select(col("embedding").as("qvec"))
+    e.crossJoin(broadcast(q))
+  }
+
+  private val cosineExpr =
+    """aggregate(zip_with(embedding, qvec, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), 0D, (a, b) -> a + b)
+      | / (sqrt(aggregate(transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 0D, (a, b) -> a + b))
+      |    * sqrt(aggregate(transform(qvec, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 0D, (a, b) -> a + b)))""".stripMargin
+
+  /** Brute-force cosine top-20 against vec 0 (excluding itself). */
+  def qCosineTopk(spark: SparkSession, dir: String): DataFrame =
+    withQuery(spark, dir)
+      .filter(col("vec_id") =!= 0)
+      .withColumn("cos_raw", expr(cosineExpr))
+      .select(col("vec_id"), col("label"), round(col("cos_raw"), 6).as("cosine"))
+      .orderBy(col("cos_raw").desc, col("vec_id"))
+      .limit(20)
+
+  /** LSH-bucketed ANN top-10: 16-bit sign codes, multiprobe Hamming ≤ 6,
+    * exact cosine rerank on candidates. Rows-only (hash-derived hyperplanes
+    * have no DuckDB twin); recall vs brute force asserted in tests.
+    * Radius 6 scans ~23% of a uniform code space — tuned for this synthetic
+    * near-uniform data, where sign codes correlate weakly with the (low)
+    * top-10 cosines; clustered real embeddings allow radius 2-3 and a far
+    * larger prune factor. */
+  def qAnnLsh(spark: SparkSession, dir: String): DataFrame = {
+    val codeExpr =
+      """aggregate(
+        |  transform(sequence(0, 15), h -> CASE WHEN
+        |    aggregate(zip_with(embedding, sequence(0, 63), (x, j) ->
+        |      CAST(x AS DOUBLE) * (CAST(xxhash64(h, j) % 1000 AS DOUBLE) / 1000.0 - 0.5)),
+        |      0D, (a, b) -> a + b) > 0
+        |    THEN shiftleft(1, CAST(h AS INT)) ELSE 0 END),
+        |  0, (acc, x) -> acc | x)""".stripMargin
+    val coded = Tables.embeddings(spark, dir).withColumn("code", expr(codeExpr))
+    val qcode = coded.filter(col("vec_id") === 0)
+      .select(col("embedding").as("qvec"), col("code").as("qcode"))
+    coded.crossJoin(broadcast(qcode))
+      .filter(col("vec_id") =!= 0 && expr("bit_count(code ^ qcode) <= 6"))
+      .withColumn("cos_raw", expr(cosineExpr))
+      .select(col("vec_id"), col("label"), round(col("cos_raw"), 6).as("cosine"))
+      .orderBy(col("cos_raw").desc, col("vec_id"))
+      .limit(10)
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_cosine_topk" -> (qCosineTopk _),
+    "q_ann_lsh"     -> (qAnnLsh _),
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q_cosine_topk" ->
+      """SELECT vec_id, label,
+        |       ROUND(LIST_COSINE_SIMILARITY(CAST(embedding AS DOUBLE[]),
+        |         (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id = 0)), 6) AS cosine
+        |FROM embeddings
+        |WHERE vec_id <> 0
+        |ORDER BY LIST_COSINE_SIMILARITY(CAST(embedding AS DOUBLE[]),
+        |         (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id = 0)) DESC, vec_id
+        |LIMIT 20""".stripMargin,
+  )
+}

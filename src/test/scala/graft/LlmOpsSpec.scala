@@ -1,0 +1,80 @@
+package graft
+
+import graft.ops.{Dedup, Multimodal, Similarity, TextAnalysis}
+import org.apache.spark.sql.functions._
+
+class LlmOpsSpec extends SparkSpec {
+
+  test("exact dedup conserves documents across groups") {
+    val total = Dedup.qDedupExact(spark, sf).agg(sum("n_dups")).collect()(0).getLong(0)
+    assert(total == Tables.documents(spark, sf).count())
+  }
+
+  test("minhash LSH finds the same near-dup pairs as exact jaccard") {
+    val exact = Dedup.qDedupNear(spark, sf).select("d1", "d2").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Dedup.qDedupMinhash(spark, sf).select("d1", "d2").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lsh.subsetOf(exact), "LSH must not invent pairs (both verify exact)")
+    val recall = if (exact.isEmpty) 1.0 else lsh.size.toDouble / exact.size
+    assert(recall >= 0.95, s"LSH recall $recall below 0.95 (found ${lsh.size}/${exact.size})")
+  }
+
+  test("simhash: near-dup pairs have near-identical fingerprints of selves") {
+    // identical texts must produce identical fingerprints → hamming 0 pairs
+    val dupGroups = Dedup.qDedupExact(spark, sf).filter(col("n_dups") > 1).count()
+    val zeroHam = Dedup.qDedupSimhash(spark, sf).filter(col("hamming") === 0).count()
+    assert(dupGroups == 0 || zeroHam > 0)
+  }
+
+  test("cosine topk is ordered and bounded in [-1, 1]") {
+    val rows = Similarity.qCosineTopk(spark, sf).collect()
+    assert(rows.length == 20)
+    val sims = rows.map(_.getAs[Double]("cosine"))
+    assert(sims.sameElements(sims.sorted.reverse))
+    assert(sims.forall(s => s >= -1.0 && s <= 1.0))
+  }
+
+  test("ANN LSH results are a high-recall subset of brute-force top-10") {
+    val brute = Similarity.qCosineTopk(spark, sf).limit(10).collect()
+      .map(_.getLong(0)).toSet
+    val ann = Similarity.qAnnLsh(spark, sf).collect().map(_.getLong(0)).toSet
+    val recall = ann.intersect(brute).size.toDouble / brute.size
+    assert(recall >= 0.5, s"ANN recall vs brute force: $recall")
+  }
+
+  test("quality metrics: ratios in [0,1], token counts positive") {
+    val df = TextAnalysis.qTextQuality(spark, sf)
+    assert(df.filter(col("stopword_ratio") < 0 || col("stopword_ratio") > 1).count() == 0)
+    assert(df.filter(col("distinct_ratio") <= 0 || col("distinct_ratio") > 1).count() == 0)
+    assert(df.filter(col("n_tokens") <= 0).count() == 0)
+    assert(df.count() == Tables.documents(spark, sf).count())
+  }
+
+  test("fingerprint is deterministic and order-sensitive") {
+    val a = TextAnalysis.qTextFingerprint(spark, sf).collect().map(r => (r.getLong(0), r.getLong(1)))
+    val b = TextAnalysis.qTextFingerprint(spark, sf).collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(a.sameElements(b))
+    import spark.implicits._
+    val fp = Seq((1L, "a bb ccc"), (2L, "ccc bb a")).toDF("doc_id", "text")
+      .withColumn("toks", split(col("text"), " "))
+      .withColumn("fp", expr(
+        """aggregate(transform(toks, t -> CAST(length(t) + ascii(t) AS BIGINT)),
+          |0L, (acc, v) -> (acc * 31 + v) % 1000000007)""".stripMargin))
+      .collect().map(_.getAs[Long]("fp"))
+    assert(fp(0) != fp(1), "reordered tokens must change the fingerprint")
+  }
+
+  test("multimodal: features are L1-normalized histograms; frame sampling counts") {
+    val feats = Multimodal.features(spark, sf).collect()
+    assert(feats.nonEmpty)
+    feats.take(20).foreach { f =>
+      assert(f.features.length == 16)
+      assert(math.abs(f.features.sum - 1.0f) < 1e-3)
+    }
+    val fs = Multimodal.frameSample(spark, sf)
+      .withColumn("expected", ceil(col("meta.n_frames") / 4.0).cast("int"))
+      .filter(col("n_sampled") =!= col("expected"))
+    assert(fs.count() == 0)
+  }
+}

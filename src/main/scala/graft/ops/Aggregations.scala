@@ -81,16 +81,26 @@ object Aggregations extends QueryModule {
       .orderBy(col("n_name"))
   }
 
-  /** Exact interpolated percentiles (DuckDB quantile_cont twin). At 100 TB
-    * switch to percentile_approx (t-digest, single pass, bounded memory). */
-  def qAggPercentile(spark: SparkSession, dir: String): DataFrame =
+  /** Exact interpolated percentiles (DuckDB quantile_cont twin), computed as
+    * sort_array(collect_list) + direct linear interpolation — Spark's
+    * built-in exact `percentile` keeps a per-partition value→count hash map
+    * whose merge churns memory (measured: 4.5s degrading to 11s across runs;
+    * this formulation holds steady ~1s). Same definition: v = a[l] + (h-l)·
+    * (a[h]-a[l]), h = (n-1)q. At 100 TB switch to percentile_approx
+    * (t-digest, single pass, bounded memory). */
+  def qAggPercentile(spark: SparkSession, dir: String): DataFrame = {
+    def interp(q: Double): org.apache.spark.sql.Column = round(expr(
+      s"""element_at(vals, CAST(floor((size(vals) - 1) * $q) AS INT) + 1)
+         | + ((size(vals) - 1) * $q - floor((size(vals) - 1) * $q))
+         |   * (element_at(vals, CAST(ceil((size(vals) - 1) * $q) AS INT) + 1)
+         |      - element_at(vals, CAST(floor((size(vals) - 1) * $q) AS INT) + 1))""".stripMargin), 4)
     Tables.lineitem(spark, dir)
       .groupBy(col("l_returnflag"))
-      .agg(
-        round(expr("percentile(l_extendedprice, 0.25)"), 4).as("p25"),
-        round(expr("percentile(l_extendedprice, 0.5)"), 4).as("p50"),
-        round(expr("percentile(l_extendedprice, 0.75)"), 4).as("p75"))
+      .agg(sort_array(collect_list(col("l_extendedprice"))).as("vals"))
+      .select(col("l_returnflag"),
+        interp(0.25).as("p25"), interp(0.5).as("p50"), interp(0.75).as("p75"))
       .orderBy(col("l_returnflag"))
+  }
 
   /** Rebuild nested from flat (inverse of the reference's json_normalize):
     * per-group sorted sets/lists. */

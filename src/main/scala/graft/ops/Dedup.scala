@@ -76,29 +76,53 @@ object Dedup extends QueryModule {
     * space. Rows-only for the driver (bit-identical oracle SQL would need
     * xxhash64 in DuckDB); equality to the exact tier is asserted in tests. */
   def qDedupMinhash(spark: SparkSession, dir: String): DataFrame = {
-    // (doc, shingle) × 48 seeds → min-hash per (doc, seed): pure codegen'd
-    // xxhash64 + HashAggregate, no array lambdas.
+    // 48 min-hashes as 48 aggregate columns over the posting table: ONE
+    // codegen'd pass with map-side partial aggregation (a 48-seed row
+    // explosion costs ~10x more shuffle volume for the same result). The
+    // shingle is string-hashed ONCE; the 48 hash family members are affine
+    // transforms (a_s·x + b_s) mod 2^31-1 of the base's 31-bit residue —
+    // universal-hashing style, pure integer arithmetic that cannot overflow
+    // under ANSI mode (products ≤ 2^62), near-free vs. 48 string hashes per
+    // posting.
+    val M = 2147483647L // 2^31 - 1 (Mersenne prime)
+    def mix(s: Int): org.apache.spark.sql.Column = {
+      val a = ((2L * s + 1L) * 2654435761L) % M
+      val b = (s.toLong * 1779033703L) % M
+      expr(s"(hres * ${a}L + ${b}L) % ${M}L")
+    }
     val minhashes = shingleTable(spark, dir)
-      .select(col("doc_id"), col("shingle"),
-        explode(sequence(lit(0), lit(47))).as("seed"))
-      .withColumn("mh", xxhash64(col("shingle"), col("seed")))
-      .groupBy(col("doc_id"), col("seed"))
-      .agg(min(col("mh")).as("minh"))
-    // 24 bands × 2 rows: band key hashes the band's (even, odd) signature pair.
+      .withColumn("hres", expr(s"((xxhash64(shingle) % ${M}L) + ${M}L) % ${M}L"))
+      .groupBy(col("doc_id"))
+      .agg(min(mix(0)).as("mh0"),
+        (1 until 48).map(s => min(mix(s)).as(s"mh$s")): _*)
+    // 24 bands × 2 rows: band key hashes the band's signature pair.
     val sig = minhashes
-      .withColumn("band", expr("seed div 2"))
-      .groupBy(col("doc_id"), col("band"))
-      .agg(
-        min(when(col("seed") % 2 === 0, col("minh"))).as("v0"),
-        min(when(col("seed") % 2 === 1, col("minh"))).as("v1"))
-      .withColumn("key", xxhash64(col("v0"), col("v1")))
-      .select(col("doc_id"), col("band"), col("key"))
+      .select(col("doc_id"), explode(expr(
+        (0 until 24).map(b => s"struct(${b} AS band, xxhash64(mh${2 * b}, mh${2 * b + 1}) AS key)")
+          .mkString("array(", ", ", ")"))).as("bk"))
+      .select(col("doc_id"), col("bk.band"), col("bk.key"))
     val a = sig.select(col("band"), col("key"), col("doc_id").as("d1"))
     val b = sig.select(col("band"), col("key"), col("doc_id").as("d2"))
     val candidates = a.join(b, Seq("band", "key"))
       .filter(col("d1") < col("d2"))
       .select("d1", "d2").distinct()
-    candidates.join(jaccardPairs(spark, dir), Seq("d1", "d2"))
+    // Exact-Jaccard verify restricted to the candidate pairs — the LSH
+    // payoff: intersections are computed per candidate, never all-pairs.
+    // Numerator/denominator conventions mirror jaccardPairs exactly
+    // (intersection over rare shingles, sizes over all shingles).
+    val sh = shingleTable(spark, dir)
+    val rarePost = sh.join(
+      sh.groupBy("shingle").agg(count(lit(1)).as("df")).filter(col("df") <= 100),
+      "shingle")
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+    val inter = broadcast(candidates)
+      .join(rarePost.select(col("doc_id").as("d1"), col("shingle")), "d1")
+      .join(rarePost.select(col("doc_id").as("d2"), col("shingle")), Seq("d2", "shingle"))
+      .groupBy("d1", "d2").agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.withColumnRenamed("doc_id", "d1").withColumnRenamed("n_sh", "n1"), "d1")
+      .join(sizes.withColumnRenamed("doc_id", "d2").withColumnRenamed("n_sh", "n2"), "d2")
+      .withColumn("jaccard_raw", col("inter") / (col("n1") + col("n2") - col("inter")))
       .filter(col("jaccard_raw") >= 0.6)
       .select(col("d1"), col("d2"), round(col("jaccard_raw"), 6).as("jaccard"))
       .orderBy(col("d1"), col("d2"))

@@ -1,0 +1,56 @@
+package graft
+
+import graft.ops.{Joins, Relational}
+
+/** Physical-plan assertions: the properties that matter at 100 TB —
+  * predicate pushdown into the parquet scan, column pruning, broadcast
+  * joins for dims, TakeOrderedAndProject for top-k. A plan regression here
+  * costs more at scale than any per-row optimization.
+  */
+class PlanSpec extends SparkSpec {
+
+  private def planOf(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("q_filter pushes predicates into the parquet scan") {
+    val plan = planOf(Relational.qFilter(spark, sf))
+    assert(plan.contains("PushedFilters: ["), plan.linesIterator.take(5).mkString("\n"))
+    assert(plan.contains("l_quantity"), "quantity bound should reach the scan")
+  }
+
+  test("q_project prunes the scan to referenced columns only") {
+    val plan = planOf(Relational.qProject(spark, sf))
+    val readSchema = plan.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(readSchema.contains("l_orderkey") && readSchema.contains("l_extendedprice"))
+    assert(!readSchema.contains("l_shipdate") && !readSchema.contains("l_comment"),
+      s"unreferenced columns must not be read: $readSchema")
+  }
+
+  test("q_topk plans TakeOrderedAndProject, not a global sort") {
+    val plan = planOf(Relational.qTopk(spark, sf))
+    assert(plan.contains("TakeOrderedAndProject"), plan.linesIterator.take(3).mkString("\n"))
+  }
+
+  test("q_join_star broadcasts the small dims") {
+    val plan = planOf(Joins.qJoinStar(spark, sf))
+    val nBroadcast = "BroadcastHashJoin".r.findAllIn(plan).length
+    assert(nBroadcast >= 2, s"nation+region should broadcast; got $nBroadcast broadcast joins")
+  }
+
+  test("q_join_range broadcasts the bands dim (nested loop, not cartesian sort)") {
+    val plan = planOf(Joins.qJoinRange(spark, sf))
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastHashJoin"),
+      plan.linesIterator.take(3).mkString("\n"))
+  }
+
+  test("whole-stage codegen covers the scan-filter-project pipelines") {
+    // AQE prints the pre-execution plan without codegen stages; run the
+    // query first so the final adaptive plan (with codegen annotations)
+    // is what we inspect.
+    val df = Relational.qFilter(spark, sf)
+    df.collect() // a write would execute a copied plan; collect finalizes THIS one
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("WholeStageCodegen") || plan.contains("*("),
+      plan.linesIterator.take(8).mkString("\n"))
+  }
+}

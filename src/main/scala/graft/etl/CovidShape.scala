@@ -1,0 +1,91 @@
+package graft.etl
+
+import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+
+/** The reference pipeline, re-expressed (SURVEY.md §3): both Airflow tasks of
+  * reference dags/create-data-lake.py as lazy Spark plans.
+  *
+  *  Task A (lines 64-84): CSV scan w/ inference (R1) → batch stamp (R4) →
+  *    null-drop on key columns (R5) → blank/null→0 on the rate column (R6) →
+  *    bulk load, replace mode (R9).
+  *  Task B (lines 86-105): JSON fetch (R2) → json_normalize 4-level flatten
+  *    to dot-named columns (R3) → stamp (R4) → load (R9).
+  *
+  * Differences by design (SURVEY.md §1.4): the whole chain is ONE Catalyst
+  * plan — the CSV parse, filters and column ops fuse into a single
+  * codegen'd pass with predicate pushdown, where the reference materialized
+  * a full pandas frame per step; and the reference's comma-corrupting COPY
+  * serialization bug is not reproduced.
+  */
+object CovidShape {
+
+  /** R1: header + schema-inference CSV scan (pd.read_csv analog). */
+  def readCsv(spark: SparkSession, path: String): DataFrame =
+    spark.read.option("header", "true").option("inferSchema", "true").csv(path)
+
+  /** R2/R3 ingest: nested JSON (the IBGE municipios payload shape).
+    * multiLine handles a top-level JSON array, as the REST API returns. */
+  def readJson(spark: SparkSession, path: String): DataFrame =
+    spark.read.option("multiLine", "true").json(path)
+
+  /** R3: pd.json_normalize — flatten arbitrarily nested structs into flat
+    * dot-named columns, derived from the schema (works for any nesting
+    * depth, not just the IBGE shape). */
+  def flatten(df: DataFrame): DataFrame = {
+    def cols(schema: StructType, prefix: String): Seq[Column] =
+      schema.fields.flatMap { f =>
+        val path = if (prefix.isEmpty) f.name else s"$prefix.${f.name}"
+        f.dataType match {
+          case s: StructType => cols(s, path)
+          case _ => Seq(col(s"`${path.split('.').mkString("`.`")}`").as(path))
+        }
+      }
+    df.select(cols(df.schema, ""): _*)
+  }
+
+  /** R4: batch-constant ingestion stamp. The reference evaluates
+    * datetime.today() once on the driver; current_timestamp() is likewise
+    * query-constant. Tests pass a literal for determinism. */
+  def stamp(df: DataFrame, at: Option[String] = None): DataFrame =
+    df.withColumn("created_at_datalake",
+      at.map(lit(_).cast("timestamp")).getOrElse(current_timestamp()))
+
+  /** R5: keep rows where every key column is non-null (municipality-only
+    * contract — reference line 73). */
+  def dropNullKeys(df: DataFrame, keys: Seq[String]): DataFrame =
+    df.na.drop("any", keys)
+
+  /** R6: '', ' ', NULL → 0.0 on a possibly-string-typed rate column
+    * (reference lines 74-79). */
+  def fillRate(df: DataFrame, column: String): DataFrame =
+    df.withColumn(column,
+      when(col(column).isNull || trim(col(column).cast("string")) === "", lit(0.0))
+        .otherwise(col(column).cast("double")))
+
+  /** Task A end-to-end transform (sink excluded). */
+  def covidTransform(raw: DataFrame, stampAt: Option[String] = None): DataFrame =
+    fillRate(
+      dropNullKeys(stamp(raw, stampAt), Seq("city", "city_ibge_code")),
+      "last_available_confirmed_per_100k_inhabitants")
+
+  /** Task B end-to-end transform (sink excluded). */
+  def municipiosTransform(raw: DataFrame, stampAt: Option[String] = None): DataFrame =
+    stamp(flatten(raw), stampAt)
+
+  /** R9: full-replace bulk load. Parquet is the harness lake; the JDBC
+    * branch is the literal-Postgres path (one connection per partition,
+    * executors write in parallel — the distributed analog of COPY). */
+  def loadReplaceParquet(df: DataFrame, path: String): Unit =
+    df.write.mode(SaveMode.Overwrite).parquet(path)
+
+  def loadReplaceJdbc(df: DataFrame, url: String, table: String,
+      user: String, password: String): Unit =
+    df.write.format("jdbc")
+      .option("url", url).option("dbtable", table)
+      .option("user", user).option("password", password)
+      .option("truncate", "true")
+      .mode(SaveMode.Overwrite)
+      .save()
+}

@@ -1,0 +1,92 @@
+package graft
+
+import graft.etl.CovidShape
+import org.apache.spark.sql.functions._
+import java.nio.file.{Files, Paths}
+
+/** End-to-end reference-pipeline parity on fixtures shaped like the real
+  * inputs: a caso_full-style CSV (with state-level rows whose city is empty
+  * and blank-ish rate values) and the IBGE municipios nested-JSON payload.
+  */
+class CovidShapeSpec extends SparkSpec {
+
+  private val tmp = Files.createTempDirectory("covidshape").toString
+
+  private def writeFixture(name: String, content: String): String = {
+    val p = Paths.get(tmp, name)
+    Files.writeString(p, content)
+    p.toString
+  }
+
+  private val covidCsv = writeFixture("caso_full.csv",
+    """city,city_ibge_code,date,state,new_confirmed,last_available_confirmed_per_100k_inhabitants,is_last
+      |Abadia de Goias,5200050,2021-01-01,GO,5,123.45,true
+      |,52,2021-01-01,GO,100,999.9,true
+      |Abadiania,5200100,2021-01-01,GO,2,,false
+      |Agua Fria,5200175,2021-01-02,GO,0, ,true
+      |Alto Horizonte,5200209,2021-01-02,GO,1,77.0,false
+      |""".stripMargin)
+
+  private val ibgeJson = writeFixture("municipios.json",
+    """[
+      |  {"id": 5200050, "nome": "Abadia de Goias",
+      |   "microrregiao": {"id": 52010, "nome": "Goiania",
+      |     "mesorregiao": {"id": 5203, "nome": "Centro Goiano",
+      |       "UF": {"id": 52, "sigla": "GO", "nome": "Goias",
+      |         "regiao": {"id": 5, "sigla": "CO", "nome": "Centro-Oeste"}}}}},
+      |  {"id": 3550308, "nome": "Sao Paulo",
+      |   "microrregiao": {"id": 35061, "nome": "Sao Paulo",
+      |     "mesorregiao": {"id": 3515, "nome": "Metropolitana",
+      |       "UF": {"id": 35, "sigla": "SP", "nome": "Sao Paulo",
+      |         "regiao": {"id": 3, "sigla": "SE", "nome": "Sudeste"}}}}}
+      |]""".stripMargin)
+
+  test("covid task: schema inferred, state rows dropped, blanks coalesced, stamped") {
+    val raw = CovidShape.readCsv(spark, covidCsv)
+    assert(raw.schema("new_confirmed").dataType.typeName == "integer")
+    val out = CovidShape.covidTransform(raw, Some("2026-01-01 00:00:00"))
+    // the state-level row (empty city) is dropped: 5 -> 4 rows
+    assert(out.count() == 4)
+    assert(out.filter(col("city").isNull).count() == 0)
+    // blank-ish rates coalesced to 0.0, real values preserved
+    val rates = out.orderBy("city_ibge_code").collect()
+      .map(_.getAs[Double]("last_available_confirmed_per_100k_inhabitants"))
+    assert(rates.sameElements(Array(123.45, 0.0, 0.0, 77.0)))
+    assert(out.columns.contains("created_at_datalake"))
+  }
+
+  test("ibge task: 4-level nesting flattens to dot-named columns") {
+    val out = CovidShape.municipiosTransform(
+      CovidShape.readJson(spark, ibgeJson), Some("2026-01-01 00:00:00"))
+    val cols = out.columns.toSet
+    assert(cols.contains("microrregiao.mesorregiao.UF.regiao.sigla"))
+    assert(cols.contains("microrregiao.mesorregiao.UF.sigla"))
+    assert(cols.contains("nome") && cols.contains("id"))
+    assert(out.count() == 2)
+    val sp = out.filter(col("id") === 3550308).collect()(0)
+    assert(sp.getAs[String]("microrregiao.mesorregiao.UF.regiao.sigla") == "SE")
+  }
+
+  test("lake round-trip: replace-mode load is idempotent and joinable") {
+    val covid = CovidShape.covidTransform(
+      CovidShape.readCsv(spark, covidCsv), Some("2026-01-01 00:00:00"))
+    val muni = CovidShape.municipiosTransform(
+      CovidShape.readJson(spark, ibgeJson), Some("2026-01-01 00:00:00"))
+    CovidShape.loadReplaceParquet(covid, s"$tmp/lake/covid")
+    CovidShape.loadReplaceParquet(covid, s"$tmp/lake/covid") // re-run = replace
+    CovidShape.loadReplaceParquet(muni, s"$tmp/lake/microrregioes")
+    val c = spark.read.parquet(s"$tmp/lake/covid")
+    val m = spark.read.parquet(s"$tmp/lake/microrregioes")
+    assert(c.count() == 4)
+    // the lake's raison d'etre: covid ⋈ municipios on the IBGE code
+    val joined = c.join(m, c("city_ibge_code") === m("id"))
+    assert(joined.count() == 1)
+    assert(joined.select(col("`microrregiao.mesorregiao.UF.sigla`")).collect()(0).getString(0) == "GO")
+  }
+
+  test("flatten handles depth-1 (already flat) frames untouched") {
+    import spark.implicits._
+    val flat = Seq((1, "a")).toDF("x", "y")
+    assert(CovidShape.flatten(flat).columns.sameElements(Array("x", "y")))
+  }
+}

@@ -63,24 +63,39 @@ object Similarity extends QueryModule {
         |      0D, (a, b) -> a + b) > 0
         |    THEN shiftleft(1, CAST(h AS INT)) ELSE 0 END),
         |  0, (acc, x) -> acc | x)""".stripMargin
+    graft.functions.CosineSimilarity.register(spark)
     val coded = Tables.embeddings(spark, dir).withColumn("code", expr(codeExpr))
     val qcode = coded.filter(col("vec_id") === 0)
       .select(col("embedding").as("qvec"), col("code").as("qcode"))
     coded.crossJoin(broadcast(qcode))
       .filter(col("vec_id") =!= 0 && expr("bit_count(code ^ qcode) <= 6"))
-      .withColumn("cos_raw", expr(cosineExpr))
+      .withColumn("cos_raw", expr("cosine_sim(embedding, qvec)"))
       .select(col("vec_id"), col("label"), round(col("cos_raw"), 6).as("cosine"))
       .orderBy(col("cos_raw").desc, col("vec_id"))
       .limit(10)
   }
 
+  /** qCosineTopk through the native codegen'd [[graft.functions.CosineSimilarity]]
+    * expression instead of the HOF chain — same math, same accumulation
+    * order, bit-identical output (shares the brute-force oracle), one fused
+    * primitive loop per row instead of ~192 interpreted lambda evals. */
+  def qCosineTopkNative(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.CosineSimilarity.register(spark)
+    withQuery(spark, dir)
+      .filter(col("vec_id") =!= 0)
+      .withColumn("cos_raw", expr("cosine_sim(embedding, qvec)"))
+      .select(col("vec_id"), col("label"), round(col("cos_raw"), 6).as("cosine"))
+      .orderBy(col("cos_raw").desc, col("vec_id"))
+      .limit(20)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q_cosine_topk" -> (qCosineTopk _),
-    "q_ann_lsh"     -> (qAnnLsh _),
+    "q_cosine_topk"        -> (qCosineTopk _),
+    "q_cosine_topk_native" -> (qCosineTopkNative _),
+    "q_ann_lsh"            -> (qAnnLsh _),
   )
 
-  val oracle: Map[String, String] = Map(
-    "q_cosine_topk" ->
+  private val cosineTopkOracle =
       """SELECT vec_id, label,
         |       ROUND(LIST_COSINE_SIMILARITY(CAST(embedding AS DOUBLE[]),
         |         (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id = 0)), 6) AS cosine
@@ -88,6 +103,10 @@ object Similarity extends QueryModule {
         |WHERE vec_id <> 0
         |ORDER BY LIST_COSINE_SIMILARITY(CAST(embedding AS DOUBLE[]),
         |         (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id = 0)) DESC, vec_id
-        |LIMIT 20""".stripMargin,
+        |LIMIT 20""".stripMargin
+
+  val oracle: Map[String, String] = Map(
+    "q_cosine_topk"        -> cosineTopkOracle,
+    "q_cosine_topk_native" -> cosineTopkOracle,
   )
 }

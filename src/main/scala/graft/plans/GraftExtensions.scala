@@ -1,0 +1,16 @@
+package graft.plans
+
+import graft.functions.CosineSimilarity
+import org.apache.spark.sql.SparkSessionExtensions
+
+/** Session-extension entry point: launch with
+  * `--conf spark.sql.extensions=graft.plans.GraftExtensions` to make the
+  * engine's native expressions available to pure-SQL users on every session
+  * of the cluster (the harness registers them at runtime instead — see
+  * [[CosineSimilarity.register]]).
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    ext.injectFunction((CosineSimilarity.ident, CosineSimilarity.info,
+      CosineSimilarity.builder))
+}

@@ -1,0 +1,50 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Cluster-scale join strategies (SURVEY.md §4.2, 100 TB design point).
+  * Correctness never depends on these — they reshape the physical plan:
+  *
+  *  - Bucketing: persist both fact tables bucketed+sorted on the join key →
+  *    repeated fact⋈fact joins read co-located buckets and skip the shuffle
+  *    AND the sort entirely. At 100 TB the lineitem⋈orders shuffle is the
+  *    single largest network cost in the star-join family; bucketing
+  *    amortizes it to zero across every downstream query.
+  *  - Salting: a skewed hot key (one city_ibge_code holding 20% of rows)
+  *    turns one reducer into the job's critical path. Salting fans the hot
+  *    key across N sub-partitions (fact side: deterministic row-hash salt;
+  *    dim side: replicate each row N times), joining on (key, salt). AQE's
+  *    skew-join split handles moderate skew automatically; salting is the
+  *    explicit contract for pathological keys.
+  */
+object Scale {
+
+  /** Persist a DataFrame as a bucketed, bucket-sorted table. */
+  def writeBucketed(df: DataFrame, table: String, key: String, buckets: Int): Unit =
+    df.write.mode(SaveMode.Overwrite)
+      .bucketBy(buckets, key).sortBy(key)
+      .saveAsTable(table)
+
+  /** Join two bucketed tables on their bucket key — with matching bucket
+    * counts, the plan has no Exchange on either side. */
+  def bucketedJoin(spark: SparkSession, left: String, right: String,
+      leftKey: String, rightKey: String): DataFrame =
+    spark.table(left).join(spark.table(right),
+      col(leftKey) === col(rightKey), "inner")
+
+  /** Skew-safe equi-join: fact row → one of `salts` sub-keys (deterministic
+    * hash of the whole row tuple); dim row → replicated to all sub-keys.
+    * Semantically identical to fact.join(dim, factKey === dimKey). */
+  def saltedJoin(fact: DataFrame, dim: DataFrame, factKey: String,
+      dimKey: String, salts: Int): DataFrame = {
+    val saltedFact = fact.withColumn("_salt",
+      pmod(xxhash64(fact.columns.map(col): _*), lit(salts)).cast("int"))
+    val saltedDim = dim.withColumn("_salt",
+      explode(sequence(lit(0), lit(salts - 1))))
+    saltedFact.join(saltedDim,
+        saltedFact(factKey) === saltedDim(dimKey) &&
+          saltedFact("_salt") === saltedDim("_salt"))
+      .drop("_salt")
+  }
+}

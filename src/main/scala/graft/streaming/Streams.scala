@@ -51,13 +51,15 @@ object Streams {
       .withWatermark("ts", "10 minutes")
       .dropDuplicatesWithinWatermark("event_id")
 
-  /** File-source entry: tail a directory of parquet events as a stream
-    * (production: Kafka source, same downstream plan). */
-  def readEventsStream(spark: SparkSession, dir: String): DataFrame = {
+  /** File-source entry: tail a DIRECTORY of parquet event files as a stream
+    * (the file source rejects single files; production: Kafka source, same
+    * downstream plan). Applies the same nanos→micros ts normalization as
+    * the batch loader. */
+  def readEventsStream(spark: SparkSession, eventsDir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.readStream
-      .schema(spark.read.parquet(s"$dir/events.parquet").schema)
-      .parquet(s"$dir/events.parquet")
+      .schema(spark.read.parquet(eventsDir).schema)
+      .parquet(eventsDir)
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
   }
 }

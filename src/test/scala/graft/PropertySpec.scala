@@ -1,0 +1,99 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+/** Algebraic laws over generated data (SURVEY.md §5.2): properties that must
+  * hold for ANY input, not just the fixtures — filter fusion, union
+  * cardinality, dedup idempotence, cosine bounds/symmetry, fillna totality.
+  * (Raw ScalaCheck generators sampled under a fixed seed — the
+  * scalatestplus bridge isn't on the offline classpath.)
+  */
+class PropertySpec extends AnyFunSuite {
+  private lazy val spark = SparkSpec.session
+
+  /** Deterministically sample `gen` n times and assert the property. */
+  private def forAllSamples[A](gen: Gen[A], n: Int = 12)(f: A => Unit): Unit = {
+    var seed = Seed(42L)
+    (1 to n).foreach { _ =>
+      gen.apply(Gen.Parameters.default, seed).foreach(f)
+      seed = seed.next
+    }
+  }
+  private def forAllSamples2[A, B](ga: Gen[A], gb: Gen[B])(f: (A, B) => Unit): Unit =
+    forAllSamples(Gen.zip(ga, gb))(t => f(t._1, t._2))
+
+  private val rows = Gen.listOfN(40, Gen.zip(
+    Gen.chooseNum(0L, 20L), Gen.chooseNum(-100.0, 100.0),
+    Gen.oneOf("a", "b", "c", "")))
+
+  private def df(data: List[(Long, Double, String)]) = {
+    val s = spark
+    import s.implicits._
+    data.toDF("k", "v", "tag")
+  }
+
+  test("filter(p && q) == filter(p).filter(q)") {
+    forAllSamples(rows) { data =>
+      val d = df(data)
+      val fused = d.filter(col("v") > 0 && col("tag") =!= "").count()
+      val chained = d.filter(col("v") > 0).filter(col("tag") =!= "").count()
+      assert(fused == chained)
+    }
+  }
+
+  test("unionAll cardinality adds; dedup is idempotent") {
+    forAllSamples2(rows, rows) { (a, b) =>
+      val (da, db) = (df(a), df(b))
+      assert(da.unionByName(db).count() == a.size + b.size)
+      val once = da.dropDuplicates("k")
+      assert(once.dropDuplicates("k").count() == once.count())
+      assert(once.count() == a.map(_._1).distinct.size)
+    }
+  }
+
+  test("coalesce-to-zero never leaves nulls and preserves row count (R6 law)") {
+    forAllSamples(rows) { data =>
+      val d = df(data).withColumn("nv",
+        when(col("tag") === "", lit(null).cast("double")).otherwise(col("v")))
+      val filled = d.withColumn("nv", coalesce(col("nv"), lit(0.0)))
+      assert(filled.count() == data.size)
+      assert(filled.filter(col("nv").isNull).count() == 0)
+    }
+  }
+
+  test("cosine_sim is symmetric, bounded, and 1 on self (non-zero vectors)") {
+    graft.functions.CosineSimilarity.register(spark)
+    val vecs = Gen.listOfN(8, Gen.listOfN(6, Gen.chooseNum(-5f, 5f)))
+    forAllSamples(vecs, 6) { vs =>
+      val nonZero = vs.filter(_.exists(_ != 0f))
+      if (nonZero.size >= 2) {
+        val s = spark
+        import s.implicits._
+        val d = nonZero.zipWithIndex.map { case (v, i) => (i.toLong, v.toArray) }
+          .toDF("id", "vec")
+        val pairs = d.as("x").crossJoin(d.as("y"))
+          .select(col("x.id").as("i"), col("y.id").as("j"),
+            expr("cosine_sim(x.vec, y.vec)").as("c"))
+          .collect()
+          .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+        pairs.foreach { case ((i, j), c) =>
+          assert(c >= -1.0 - 1e-9 && c <= 1.0 + 1e-9)
+          assert(math.abs(c - pairs((j, i))) < 1e-12, "symmetry")
+          if (i == j) assert(math.abs(c - 1.0) < 1e-9, "self-similarity")
+        }
+      }
+    }
+  }
+
+  test("sort is a permutation: sorted output has identical multiset of keys") {
+    forAllSamples(rows) { data =>
+      val d = df(data)
+      val sorted = d.orderBy(col("v").desc, col("k"))
+      assert(sorted.count() == data.size)
+      assert(sorted.groupBy("k").count().except(d.groupBy("k").count()).count() == 0)
+    }
+  }
+}

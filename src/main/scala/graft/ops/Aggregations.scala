@@ -102,6 +102,19 @@ object Aggregations extends QueryModule {
       .orderBy(col("l_returnflag"))
   }
 
+  /** The 100 TB percentile path: t-digest sketch, single pass, bounded
+    * memory — no per-group value collection. Rows-only for the driver
+    * (sketch results are engine-specific); bounded against the exact tier
+    * in the test suite. */
+  def qAggPercentileApprox(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        expr("percentile_approx(l_extendedprice, 0.25, 10000)").as("p25"),
+        expr("percentile_approx(l_extendedprice, 0.5, 10000)").as("p50"),
+        expr("percentile_approx(l_extendedprice, 0.75, 10000)").as("p75"))
+      .orderBy(col("l_returnflag"))
+
   /** Rebuild nested from flat (inverse of the reference's json_normalize):
     * per-group sorted sets/lists. */
   def qAggCollect(spark: SparkSession, dir: String): DataFrame =
@@ -145,7 +158,8 @@ object Aggregations extends QueryModule {
     "q_agg_approx_distinct" -> (qAggApproxDistinct _),
     "q_agg_filtered"        -> (qAggFiltered _),
     "q_per_capita"          -> (qPerCapita _),
-    "q_agg_percentile"      -> (qAggPercentile _),
+    "q_agg_percentile"        -> (qAggPercentile _),
+    "q_agg_percentile_approx" -> (qAggPercentileApprox _),
     "q_agg_collect"         -> (qAggCollect _),
     "q_rollup"              -> (qRollup _),
     "q_cube"                -> (qCube _),

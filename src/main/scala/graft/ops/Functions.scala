@@ -87,7 +87,12 @@ object Functions extends QueryModule {
         col("event_id"),
         get_json_object(col("props"), "$.k").cast("int").as("k_path"),
         from_json(col("props"), StructType(Seq(StructField("k", IntegerType))))
-          .getField("k").as("k_typed"))
+          .getField("k").as("k_typed"),
+        // MapType route: strip JSON punctuation, str_to_map, key lookup —
+        // the events.props analog of a k=v properties payload.
+        element_at(
+          expr("str_to_map(regexp_replace(props, '[{}\" ]', ''), ',', ':')"),
+          "k").cast("int").as("k_map"))
       .orderBy(col("event_id"))
 
   /** R3 flatten: build the 4-level nested struct shape (municipio →
@@ -170,7 +175,8 @@ object Functions extends QueryModule {
     "q_fn_json" ->
       """SELECT event_id,
         |       CAST(JSON_EXTRACT_STRING(props, '$.k') AS INTEGER) AS k_path,
-        |       CAST(JSON_EXTRACT_STRING(props, '$.k') AS INTEGER) AS k_typed
+        |       CAST(JSON_EXTRACT_STRING(props, '$.k') AS INTEGER) AS k_typed,
+        |       CAST(JSON_EXTRACT_STRING(props, '$.k') AS INTEGER) AS k_map
         |FROM events ORDER BY event_id""".stripMargin,
     "q_flatten" ->
       """SELECT event_id,

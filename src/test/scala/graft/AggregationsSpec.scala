@@ -33,6 +33,18 @@ class AggregationsSpec extends SparkSpec {
     assert(sets == 4)
   }
 
+  test("approx percentiles land within 2% of exact") {
+    val exact = Aggregations.qAggPercentile(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2), r.getDouble(3))).toMap
+    Aggregations.qAggPercentileApprox(spark, sf).collect().foreach { r =>
+      val (e25, e50, e75) = exact(r.getString(0))
+      Seq((r.getDouble(1), e25), (r.getDouble(2), e50), (r.getDouble(3), e75))
+        .foreach { case (a, e) =>
+          assert(math.abs(a - e) / math.max(math.abs(e), 1e-9) < 0.02,
+            s"approx $a vs exact $e") }
+    }
+  }
+
   test("percentiles are ordered p25 <= p50 <= p75") {
     Aggregations.qAggPercentile(spark, sf).collect().foreach { r =>
       assert(r.getDouble(1) <= r.getDouble(2) && r.getDouble(2) <= r.getDouble(3))

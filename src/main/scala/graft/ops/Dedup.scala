@@ -155,11 +155,24 @@ object Dedup extends QueryModule {
       .orderBy(col("d1"), col("d2"))
   }
 
+  /** The corpus after near-dedup with keep-first policy: every document
+    * except those appearing as the larger id of a near-dup pair. (Full
+    * transitive clustering is iterative connected components; keep-first is
+    * the standard single-pass policy and what a training-data filter ships.) */
+  def qDedupSurvivors(spark: SparkSession, dir: String): DataFrame = {
+    val losers = qDedupNear(spark, dir).select(col("d2").as("doc_id")).distinct()
+    Tables.documents(spark, dir)
+      .join(losers, Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q_dedup_exact"   -> (qDedupExact _),
-    "q_dedup_near"    -> (qDedupNear _),
-    "q_dedup_minhash" -> (qDedupMinhash _),
-    "q_dedup_simhash" -> (qDedupSimhash _),
+    "q_dedup_exact"     -> (qDedupExact _),
+    "q_dedup_near"      -> (qDedupNear _),
+    "q_dedup_minhash"   -> (qDedupMinhash _),
+    "q_dedup_simhash"   -> (qDedupSimhash _),
+    "q_dedup_survivors" -> (qDedupSurvivors _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -192,5 +205,31 @@ object Dedup extends QueryModule {
         |JOIN sizes s2 ON s2.doc_id = d2
         |WHERE CAST(inter AS DOUBLE) / (s1.n_sh + s2.n_sh - inter) >= 0.6
         |ORDER BY d1, d2""".stripMargin,
+    "q_dedup_survivors" ->
+      """WITH toks AS (
+        |  SELECT doc_id, STRING_SPLIT(LOWER(TRIM(text)), ' ') AS t FROM documents),
+        |shingles AS (
+        |  SELECT doc_id, UNNEST(LIST_DISTINCT(LIST_TRANSFORM(
+        |    RANGE(1, GREATEST(LEN(t) - 2, 1) + 1),
+        |    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS shingle
+        |  FROM toks),
+        |rare AS (
+        |  SELECT shingle FROM shingles GROUP BY shingle HAVING COUNT(*) <= 100),
+        |postings AS (
+        |  SELECT s.doc_id, s.shingle FROM shingles s JOIN rare USING (shingle)),
+        |sizes AS (
+        |  SELECT doc_id, COUNT(*) AS n_sh FROM shingles GROUP BY doc_id),
+        |pairs AS (
+        |  SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS inter
+        |  FROM postings a JOIN postings b USING (shingle)
+        |  WHERE a.doc_id < b.doc_id GROUP BY d1, d2),
+        |losers AS (
+        |  SELECT DISTINCT d2 AS doc_id FROM pairs
+        |  JOIN sizes s1 ON s1.doc_id = d1
+        |  JOIN sizes s2 ON s2.doc_id = d2
+        |  WHERE CAST(inter AS DOUBLE) / (s1.n_sh + s2.n_sh - inter) >= 0.6)
+        |SELECT doc_id, lang, source, n_chars FROM documents
+        |WHERE doc_id NOT IN (SELECT doc_id FROM losers)
+        |ORDER BY doc_id""".stripMargin,
   )
 }

@@ -51,6 +51,28 @@ object Streams {
       .withWatermark("ts", "10 minutes")
       .dropDuplicatesWithinWatermark("event_id")
 
+  /** Custom state machine: per-user running value totals via
+    * mapGroupsWithState — arbitrary state beyond what windowed aggregation
+    * expresses (the hook for sessionization with business rules, running
+    * ML features, CDC merge). State lives in the state store, partitioned
+    * by the group key; at 100 TB ingest the only scaling knobs are key
+    * cardinality and a timeout policy (production sets
+    * GroupStateTimeout.EventTimeTimeout to evict idle users; NoTimeout here
+    * keeps the demo deterministic). */
+  def runningUserTotals(events: DataFrame): DataFrame = {
+    import events.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.GroupStateTimeout
+    events.select(col("user_id"), col("value")).as[(Long, Double)]
+      .groupByKey(_._1)
+      .mapGroupsWithState[Double, (Long, Double)](GroupStateTimeout.NoTimeout) {
+        (user, rows, state) =>
+          val total = state.getOption.getOrElse(0.0) + rows.map(_._2).sum
+          state.update(total)
+          (user, total)
+      }
+      .toDF("user_id", "running_total")
+  }
+
   /** File-source entry: tail a DIRECTORY of parquet event files as a stream
     * (the file source rejects single files; production: Kafka source, same
     * downstream plan). Applies the same nanos→micros ts normalization as

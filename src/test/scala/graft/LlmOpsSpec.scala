@@ -43,6 +43,21 @@ class LlmOpsSpec extends SparkSpec {
     assert(recall >= 0.5, s"ANN recall vs brute force: $recall")
   }
 
+  test("IVF ANN probes 4/16 lists and still recalls some of brute-force top-10") {
+    val brute = Similarity.qCosineTopk(spark, sf).limit(10).collect()
+      .map(_.getLong(0)).toSet
+    val ivf = Similarity.qAnnIvf(spark, sf).collect().map(_.getLong(0)).toSet
+    assert(ivf.nonEmpty && ivf.size <= 10)
+    val recall = ivf.intersect(brute).size.toDouble / brute.size
+    assert(recall >= 0.2, s"IVF recall vs brute force: $recall")
+  }
+
+  test("dedup survivors = documents minus near-dup losers") {
+    val survivors = Dedup.qDedupSurvivors(spark, sf)
+    val losers = Dedup.qDedupNear(spark, sf).select("d2").distinct().count()
+    assert(survivors.count() == Tables.documents(spark, sf).count() - losers)
+  }
+
   test("quality metrics: ratios in [0,1], token counts positive") {
     val df = TextAnalysis.qTextQuality(spark, sf)
     assert(df.filter(col("stopword_ratio") < 0 || col("stopword_ratio") > 1).count() == 0)

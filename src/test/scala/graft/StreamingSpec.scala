@@ -58,6 +58,28 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.except(batch).isEmpty && batch.except(streamed).isEmpty)
   }
 
+  test("mapGroupsWithState carries per-user totals across micro-batches") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val mem = MemoryStream[(Long, Double)]
+    val streamDf = mem.toDF.toDF("user_id", "value")
+    val q = Streams.runningUserTotals(streamDf).writeStream
+      .format("memory").queryName("state_smoke").outputMode("update").start()
+    try {
+      mem.addData(Seq((1L, 10.0), (2L, 5.0), (1L, 2.0)))
+      q.processAllAvailable()
+      mem.addData(Seq((1L, 3.0)))   // second micro-batch: state must persist
+      q.processAllAvailable()
+    } finally q.stop()
+    val rows = spark.table("state_smoke").collect()
+      .map(r => (r.getLong(0), r.getDouble(1)))
+    // update mode appends one row per key per batch; the LAST row per key
+    // holds the accumulated total
+    assert(rows.contains((1L, 12.0)), s"batch-1 total: ${rows.mkString(",")}")
+    assert(rows.contains((1L, 15.0)), s"batch-2 must include batch-1 state: ${rows.mkString(",")}")
+    assert(rows.contains((2L, 5.0)))
+  }
+
   test("stateful streaming dedup drops the duplicate event_id") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     import spark.implicits._

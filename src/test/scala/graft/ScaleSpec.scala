@@ -31,6 +31,21 @@ class ScaleSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("date-partitioned writes prune to matching partitions at scan time") {
+    val out = java.nio.file.Files.createTempDirectory("events-part").toString + "/events"
+    Scale.writePartitioned(
+      Tables.events(spark, sf).withColumn("day", to_date(col("ts"))),
+      out, "day")
+    val q = spark.read.parquet(out).filter(col("day") === lit("2024-01-01").cast("date"))
+    q.collect()
+    val scan = q.queryExecution.executedPlan.toString
+      .linesIterator.find(_.contains("FileScan")).getOrElse("")
+    assert(scan.contains("PartitionFilters: [isnotnull(day"),
+      s"day filter must prune partitions, not rows: $scan")
+    // and day never reaches PushedFilters (it's a directory, not a column)
+    assert(!scan.replaceAll(".*PushedFilters", "").contains("day"))
+  }
+
   test("salted join returns exactly the rows of the plain join") {
     val fact = Tables.lineitem(spark, sf).select("l_orderkey", "l_linenumber", "l_quantity")
     val dim  = Tables.orders(spark, sf).select("o_orderkey", "o_totalprice")

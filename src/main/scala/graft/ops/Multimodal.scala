@@ -57,6 +57,21 @@ object Multimodal extends QueryModule {
     }
   }
 
+  /** STUB resize: downsample a feature vector to `bins` by averaging
+    * adjacent pairs — the deterministic stand-in for image resize (which in
+    * production operates on decoded pixels via the same mapPartitions
+    * shape). */
+  def resizeStub(feats: Dataset[DocFeatures], bins: Int): Dataset[DocFeatures] = {
+    import feats.sparkSession.implicits._
+    feats.mapPartitions { it =>
+      it.map { f =>
+        val factor = math.max(f.features.length / bins, 1)
+        val out = f.features.grouped(factor).map(g => g.sum / g.length).toArray
+        DocFeatures(f.doc_id, out.take(bins))
+      }
+    }
+  }
+
   /** End-to-end: binary column → typed Dataset → stub featurizer. */
   def features(spark: SparkSession, dir: String): Dataset[DocFeatures] = {
     import spark.implicits._

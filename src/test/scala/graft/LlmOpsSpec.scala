@@ -91,5 +91,11 @@ class LlmOpsSpec extends SparkSpec {
       .withColumn("expected", ceil(col("meta.n_frames") / 4.0).cast("int"))
       .filter(col("n_sampled") =!= col("expected"))
     assert(fs.count() == 0)
+    // resize: 16 -> 8 bins, mass preserved (mean of pair-means * 2 = sum)
+    val resized = Multimodal.resizeStub(Multimodal.features(spark, sf), 8).collect()
+    resized.take(10).foreach { f =>
+      assert(f.features.length == 8)
+      assert(math.abs(f.features.sum * 2 - 1.0f) < 1e-2)
+    }
   }
 }

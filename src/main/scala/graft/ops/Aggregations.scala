@@ -73,10 +73,19 @@ object Aggregations extends QueryModule {
     val o = Tables.orders(spark, dir)
     val c = Tables.customer(spark, dir)
     val n = Tables.nation(spark, dir)
+    // Sum in DECIMAL, not DOUBLE: float summation is accumulation-order-
+    // sensitive, so the two engines feed *different* totals into any
+    // rounding rule and diverge at decimal midpoints (observed at sf0.001:
+    // 2219617.5949999997 → 2219617.6 vs .59). Decimal addition is exact and
+    // order-independent; the final divide runs on identical doubles, and
+    // floor(x·100+0.5)/100 is the same IEEE arithmetic in both engines
+    // (Spark's round() would go through BigDecimal(Double.toString)).
     o.join(c, o("o_custkey") === c("c_custkey"))
       .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
       .groupBy(col("n_name"))
-      .agg(round(sum(col("o_totalprice")) / countDistinct(col("c_custkey")), 2)
+      .agg((floor(
+        sum(col("o_totalprice").cast("decimal(18,2)")).cast("double")
+          / countDistinct(col("c_custkey")) * 100 + 0.5) / 100)
         .as("revenue_per_customer"))
       .orderBy(col("n_name"))
   }
@@ -192,7 +201,9 @@ object Aggregations extends QueryModule {
         |FROM lineitem GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin,
     "q_per_capita" ->
       """SELECT n_name,
-        |       ROUND(SUM(o_totalprice) / COUNT(DISTINCT c_custkey), 2) AS revenue_per_customer
+        |       FLOOR(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |             / COUNT(DISTINCT c_custkey) * 100 + 0.5) / 100
+        |         AS revenue_per_customer
         |FROM orders
         |JOIN customer ON o_custkey = c_custkey
         |JOIN nation ON c_nationkey = n_nationkey

@@ -27,32 +27,54 @@ import org.apache.spark.sql.functions._
   */
 object Dedup extends QueryModule {
 
+  /** Near-dup contract, shared by the exact tier and the LSH verify step
+    * (a drift between them breaks the LSH-subset-of-exact invariant). */
+  private val JaccardThreshold = 0.6
+  private val StopShingleDf = 100
+
   /** Exploded posting table of distinct word 3-shingles: (doc_id, shingle).
-    * Shingling itself is map-side array work; exploding ONCE up front keeps
-    * every downstream pass (Jaccard join, MinHash) in codegen'd row form —
-    * nested array lambdas would re-evaluate the tokenizer per element per
-    * seed in interpreted mode (measured: minutes vs seconds at sf0.001). */
+    * Documents under 3 tokens produce NO shingles (matches the oracle SQL,
+    * whose out-of-range list indexing would otherwise NULL out). Shingling
+    * itself is map-side array work; exploding ONCE up front keeps every
+    * downstream pass (Jaccard join, MinHash) in codegen'd row form — nested
+    * array lambdas would re-evaluate the tokenizer per element per seed in
+    * interpreted mode (measured: minutes vs seconds at sf0.001). */
   private def shingleTable(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
       .withColumn("toks", split(lower(trim(col("text"))), " "))
       .select(col("doc_id"), explode(array_distinct(expr(
-        "transform(sequence(0, greatest(size(toks) - 3, 0)), i -> concat_ws(' ', slice(toks, i + 1, 3)))")))
+        """CASE WHEN size(toks) < 3 THEN array()
+          |ELSE transform(sequence(0, size(toks) - 3), i -> concat_ws(' ', slice(toks, i + 1, 3)))
+          |END""".stripMargin)))
         .as("shingle"))
+
+  /** Rare-shingle postings (stop-shingles dropped) — the intersection side
+    * of the Jaccard convention. */
+  private def rarePostings(sh: DataFrame): DataFrame =
+    sh.join(
+      sh.groupBy("shingle").agg(count(lit(1)).as("df"))
+        .filter(col("df") <= StopShingleDf),
+      "shingle")
+
+  /** Attach exact Jaccard (inter over rare shingles / sizes over all) to a
+    * (d1, d2, inter) frame — the single place the formula lives. */
+  private def withJaccard(inter: DataFrame, sh: DataFrame): DataFrame = {
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+    inter
+      .join(sizes.withColumnRenamed("doc_id", "d1").withColumnRenamed("n_sh", "n1"), "d1")
+      .join(sizes.withColumnRenamed("doc_id", "d2").withColumnRenamed("n_sh", "n2"), "d2")
+      .withColumn("jaccard_raw", col("inter") / (col("n1") + col("n2") - col("inter")))
+  }
 
   /** Candidate pairs sharing ≥1 non-stop shingle, with exact Jaccard. */
   private def jaccardPairs(spark: SparkSession, dir: String): DataFrame = {
     val sh = shingleTable(spark, dir)
-    val rare = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
-      .filter(col("df") <= 100)
-    val postings = sh.join(rare, "shingle")
-    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+    val postings = rarePostings(sh)
     val a = postings.select(col("shingle"), col("doc_id").as("d1"))
     val b = postings.select(col("shingle"), col("doc_id").as("d2"))
-    a.join(b, "shingle").filter(col("d1") < col("d2"))
+    val inter = a.join(b, "shingle").filter(col("d1") < col("d2"))
       .groupBy("d1", "d2").agg(count(lit(1)).as("inter"))
-      .join(sizes.withColumnRenamed("doc_id", "d1").withColumnRenamed("n_sh", "n1"), "d1")
-      .join(sizes.withColumnRenamed("doc_id", "d2").withColumnRenamed("n_sh", "n2"), "d2")
-      .withColumn("jaccard_raw", col("inter") / (col("n1") + col("n2") - col("inter")))
+    withJaccard(inter, sh)
   }
 
   /** Tier 1: exact duplicate groups — survivor (min doc_id) + group size. */
@@ -67,7 +89,7 @@ object Dedup extends QueryModule {
   /** Tier 2: near-dup pairs by exact 3-shingle Jaccard ≥ 0.6 (oracle tier). */
   def qDedupNear(spark: SparkSession, dir: String): DataFrame =
     jaccardPairs(spark, dir)
-      .filter(col("jaccard_raw") >= 0.6)
+      .filter(col("jaccard_raw") >= JaccardThreshold)
       .select(col("d1"), col("d2"), round(col("jaccard_raw"), 6).as("jaccard"))
       .orderBy(col("d1"), col("d2"))
 
@@ -108,22 +130,16 @@ object Dedup extends QueryModule {
       .select("d1", "d2").distinct()
     // Exact-Jaccard verify restricted to the candidate pairs — the LSH
     // payoff: intersections are computed per candidate, never all-pairs.
-    // Numerator/denominator conventions mirror jaccardPairs exactly
-    // (intersection over rare shingles, sizes over all shingles).
+    // Shares rarePostings/withJaccard/JaccardThreshold with the exact tier,
+    // so the two can't drift.
     val sh = shingleTable(spark, dir)
-    val rarePost = sh.join(
-      sh.groupBy("shingle").agg(count(lit(1)).as("df")).filter(col("df") <= 100),
-      "shingle")
-    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+    val rarePost = rarePostings(sh)
     val inter = broadcast(candidates)
       .join(rarePost.select(col("doc_id").as("d1"), col("shingle")), "d1")
       .join(rarePost.select(col("doc_id").as("d2"), col("shingle")), Seq("d2", "shingle"))
       .groupBy("d1", "d2").agg(count(lit(1)).as("inter"))
-    inter
-      .join(sizes.withColumnRenamed("doc_id", "d1").withColumnRenamed("n_sh", "n1"), "d1")
-      .join(sizes.withColumnRenamed("doc_id", "d2").withColumnRenamed("n_sh", "n2"), "d2")
-      .withColumn("jaccard_raw", col("inter") / (col("n1") + col("n2") - col("inter")))
-      .filter(col("jaccard_raw") >= 0.6)
+    withJaccard(inter, sh)
+      .filter(col("jaccard_raw") >= JaccardThreshold)
       .select(col("d1"), col("d2"), round(col("jaccard_raw"), 6).as("jaccard"))
       .orderBy(col("d1"), col("d2"))
   }
@@ -185,7 +201,7 @@ object Dedup extends QueryModule {
         |  SELECT doc_id, STRING_SPLIT(LOWER(TRIM(text)), ' ') AS t FROM documents),
         |shingles AS (
         |  SELECT doc_id, UNNEST(LIST_DISTINCT(LIST_TRANSFORM(
-        |    RANGE(1, GREATEST(LEN(t) - 2, 1) + 1),
+        |    RANGE(1, GREATEST(LEN(t) - 2, 0) + 1),
         |    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS shingle
         |  FROM toks),
         |rare AS (
@@ -210,7 +226,7 @@ object Dedup extends QueryModule {
         |  SELECT doc_id, STRING_SPLIT(LOWER(TRIM(text)), ' ') AS t FROM documents),
         |shingles AS (
         |  SELECT doc_id, UNNEST(LIST_DISTINCT(LIST_TRANSFORM(
-        |    RANGE(1, GREATEST(LEN(t) - 2, 1) + 1),
+        |    RANGE(1, GREATEST(LEN(t) - 2, 0) + 1),
         |    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS shingle
         |  FROM toks),
         |rare AS (

@@ -83,11 +83,15 @@ object Multimodal extends QueryModule {
     * every 4th — pure codegen'd expression work on binary. */
   def frameSample(spark: SparkSession, dir: String): DataFrame =
     withBinary(spark, dir)
+      // empty payloads guard: sequence(0, -1) is DESCENDING [0, -1], which
+      // would fabricate frames for a zero-byte payload
       .withColumn("frames", expr(
-        s"""filter(
+        s"""CASE WHEN meta.n_frames <= 0 THEN array()
+           |ELSE filter(
            |  transform(sequence(0, meta.n_frames - 1),
            |    i -> substring(bytes, i * $FrameBytes + 1, $FrameBytes)),
-           |  (f, i) -> i % 4 = 0)""".stripMargin))
+           |  (f, i) -> i % 4 = 0)
+           |END""".stripMargin))
       .select(col("doc_id"), col("meta"), size(col("frames")).as("n_sampled"))
 
   /** Metadata projection — the oracle-checkable face of the binary schema. */

@@ -69,7 +69,7 @@ object StreamingShaped extends QueryModule {
         |ORDER BY wstart, event_type""".stripMargin,
     "q_stream_session" ->
       """WITH marked AS (
-        |  SELECT user_id, ts, value,
+        |  SELECT user_id, ts, event_id, value,
         |         CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
         |                   > INTERVAL '5 minutes' OR
         |              LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
@@ -77,7 +77,7 @@ object StreamingShaped extends QueryModule {
         |  FROM events),
         |sessions AS (
         |  SELECT user_id, ts, value,
-        |         SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
+        |         SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
         |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
         |  FROM marked)
         |SELECT user_id, MIN(ts) AS session_start,

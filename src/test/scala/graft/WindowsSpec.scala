@@ -17,10 +17,17 @@ class WindowsSpec extends SparkSpec {
   }
 
   test("lag delta of first event per user equals its value") {
-    val firstDeltas = Windows.qWinLag(spark, sf)
-      .orderBy("user_id", "event_id").groupBy("user_id")
-      .agg(first("delta").as("d0"))
-    assert(firstDeltas.count() > 0)
+    // first event per user under the window's own order (ts, event_id)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy("ts", "event_id")
+    val firstEvents = Tables.events(spark, sf)
+      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("user_id"), col("event_id"), round(col("value"), 4).as("v0"))
+    val joined = Windows.qWinLag(spark, sf)
+      .join(firstEvents, Seq("user_id", "event_id"))
+    assert(joined.count() > 0)
+    // lag(prev) is NULL for the first row, coalesced to 0 → delta == value
+    assert(joined.filter(abs(col("delta") - col("v0")) > 1e-9).count() == 0)
   }
 
   test("latest per user is unique") {

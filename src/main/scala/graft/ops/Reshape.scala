@@ -1,0 +1,99 @@
+package graft.ops
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Reshaping + SQL-surface operators: pivot/unpivot (the state × week matrix
+  * consultas the reference lake exists for), correlated subqueries through
+  * the spark.sql entry point (Catalyst decorrelates them into joins — §3.4),
+  * and seeded stratified sampling (training-data class balancing).
+  *
+  * Scale notes: pivot with EXPLICIT values is one partial+final aggregation
+  * (each value a conditional agg column); without values Spark runs an extra
+  * collect to discover them — always pin values in production. Unpivot is a
+  * zero-shuffle Expand. Correlated subqueries decorrelate into aggregated
+  * joins — same shuffle budget as writing the join by hand. sampleBy is a
+  * per-row Bernoulli filter, no shuffle.
+  */
+object Reshape extends QueryModule {
+
+  /** Revenue matrix: returnflag rows × linestatus columns (explicit pivot
+    * values → single aggregation pass, deterministic schema). */
+  def qPivot(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupBy(col("l_returnflag"))
+      .pivot("l_linestatus", Seq("F", "O"))
+      .agg(round(sum(col("l_extendedprice")), 2))
+      .withColumnsRenamed(Map("F" -> "status_f", "O" -> "status_o"))
+      .orderBy(col("l_returnflag"))
+
+  /** Inverse: melt the per-status columns back to rows. */
+  def qUnpivot(spark: SparkSession, dir: String): DataFrame =
+    qPivot(spark, dir)
+      .unpivot(Array(col("l_returnflag")),
+        Array(col("status_f"), col("status_o")), "status", "revenue")
+      .filter(col("revenue").isNotNull)
+      .orderBy(col("l_returnflag"), col("status"))
+
+  /** Correlated + scalar subqueries through the SQL entry point: orders
+    * above their customer's average order value, counted per priority. */
+  def qSqlSubquery(spark: SparkSession, dir: String): DataFrame = {
+    Tables.orders(spark, dir).createOrReplaceTempView("orders_v")
+    spark.sql(
+      """SELECT o_orderpriority, COUNT(*) AS n_above_avg
+        |FROM orders_v o
+        |WHERE o_totalprice > (SELECT AVG(o2.o_totalprice) FROM orders_v o2
+        |                      WHERE o2.o_custkey = o.o_custkey)
+        |  AND o_totalprice > (SELECT AVG(o_totalprice) FROM orders_v) * 0.5
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin)
+  }
+
+  /** Seeded stratified sample: ~50% of 'en' docs, ~10% of everything else —
+    * the corpus-balancing primitive. Sampling is partitioning-dependent
+    * across engines → rows-only; determinism within the engine is asserted
+    * in tests. */
+  def qSampleStratified(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .withColumn("stratum", when(col("lang") === "en", "en").otherwise("other"))
+    docs.stat.sampleBy("stratum", Map("en" -> 0.5, "other" -> 0.1), seed = 42L)
+      .select(col("doc_id"), col("stratum"))
+      .orderBy(col("doc_id"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_pivot"             -> (qPivot _),
+    "q_unpivot"           -> (qUnpivot _),
+    "q_sql_subquery"      -> (qSqlSubquery _),
+    "q_sample_stratified" -> (qSampleStratified _),
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q_pivot" ->
+      """SELECT l_returnflag,
+        |       ROUND(SUM(CASE WHEN l_linestatus = 'F' THEN l_extendedprice END), 2) AS status_f,
+        |       ROUND(SUM(CASE WHEN l_linestatus = 'O' THEN l_extendedprice END), 2) AS status_o
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q_unpivot" ->
+      """WITH p AS (
+        |  SELECT l_returnflag,
+        |         ROUND(SUM(CASE WHEN l_linestatus = 'F' THEN l_extendedprice END), 2) AS status_f,
+        |         ROUND(SUM(CASE WHEN l_linestatus = 'O' THEN l_extendedprice END), 2) AS status_o
+        |  FROM lineitem GROUP BY l_returnflag)
+        |SELECT l_returnflag, status, revenue FROM (
+        |  SELECT l_returnflag, 'status_f' AS status, status_f AS revenue FROM p
+        |  UNION ALL
+        |  SELECT l_returnflag, 'status_o' AS status, status_o AS revenue FROM p) u
+        |WHERE revenue IS NOT NULL
+        |ORDER BY l_returnflag, status""".stripMargin,
+    "q_sql_subquery" ->
+      """SELECT o_orderpriority, COUNT(*) AS n_above_avg
+        |FROM orders o
+        |WHERE o_totalprice > (SELECT AVG(o2.o_totalprice) FROM orders o2
+        |                      WHERE o2.o_custkey = o.o_custkey)
+        |  AND o_totalprice > (SELECT AVG(o_totalprice) FROM orders) * 0.5
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
+  )
+}

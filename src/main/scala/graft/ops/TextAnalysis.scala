@@ -63,6 +63,41 @@ object TextAnalysis extends QueryModule {
       .agg(count(lit(1)).as("n"))
       .orderBy(col("lang"), col("lang_pred"))
 
+  /** N-gram language ID, the real shape: per-language char-trigram profiles
+    * (top 50 by corpus frequency, built from the labeled corpus — in
+    * production these ship as a broadcast table trained offline), then each
+    * document scores profile-overlap and takes the argmax language.
+    * Self-referential on synthetic data, but the operator mechanics — build
+    * profiles, broadcast, score, argmax — are the production pipeline.
+    * Rows-only: multi-stage window ranking has no stable single-SQL twin;
+    * determinism is tie-broken at every step and asserted in tests. */
+  def qTextLangidNgram(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(spark, dir)
+    val trigrams = docs.select(col("doc_id"), col("lang"),
+      explode(array_distinct(expr(
+        """CASE WHEN length(text) < 3 THEN array()
+          |ELSE transform(sequence(1, length(text) - 2), i -> substring(text, i, 3))
+          |END""".stripMargin))).as("trigram"))
+    val profileW = Window.partitionBy(col("lang")).orderBy(col("n").desc, col("trigram"))
+    val profiles = trigrams.groupBy(col("lang"), col("trigram"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("rk", row_number().over(profileW))
+      .filter(col("rk") <= 50)
+      .select(col("lang").as("profile_lang"), col("trigram"),
+        (lit(51) - col("rk")).as("weight"))
+    val bestW = Window.partitionBy(col("doc_id"))
+      .orderBy(col("score").desc, col("profile_lang"))
+    val scored = trigrams.join(broadcast(profiles), "trigram")
+      .groupBy(col("doc_id"), col("lang"), col("profile_lang"))
+      .agg(sum(col("weight")).as("score"))
+      .withColumn("rk", row_number().over(bestW))
+      .filter(col("rk") === 1)
+    scored.groupBy(col("lang"), col("profile_lang").as("lang_pred"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("lang"), col("lang_pred"))
+  }
+
   /** Order-sensitive rolling-hash fingerprint: fold (acc*31 + len(t) +
     * first-char-code) mod 1e9+7 over the token stream. Same doc → same
     * fingerprint; any reorder/edit → different. */
@@ -78,7 +113,8 @@ object TextAnalysis extends QueryModule {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_text_tokens"      -> (qTextTokens _),
     "q_text_quality"     -> (qTextQuality _),
-    "q_text_langid"      -> (qTextLangid _),
+    "q_text_langid"       -> (qTextLangid _),
+    "q_text_langid_ngram" -> (qTextLangidNgram _),
     "q_text_fingerprint" -> (qTextFingerprint _),
   )
 

@@ -66,6 +66,16 @@ class LlmOpsSpec extends SparkSpec {
     assert(df.count() == Tables.documents(spark, sf).count())
   }
 
+  test("ngram langid classifies every document exactly once, deterministically") {
+    val cm = TextAnalysis.qTextLangidNgram(spark, sf)
+    assert(cm.agg(sum("n")).collect()(0).getLong(0) ==
+      Tables.documents(spark, sf).count())
+    val a = cm.collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    val b = TextAnalysis.qTextLangidNgram(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    assert(a.sameElements(b))
+  }
+
   test("fingerprint is deterministic and order-sensitive") {
     val a = TextAnalysis.qTextFingerprint(spark, sf).collect().map(r => (r.getLong(0), r.getLong(1)))
     val b = TextAnalysis.qTextFingerprint(spark, sf).collect().map(r => (r.getLong(0), r.getLong(1)))

@@ -73,11 +73,14 @@ object TextAnalysis extends QueryModule {
     * determinism is tie-broken at every step and asserted in tests. */
   def qTextLangidNgram(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // classify on the first 200 chars — langid saturates on a prefix, and
+    // this caps the trigram explosion at 198 rows/doc regardless of doc size
     val docs = Tables.documents(spark, dir)
+      .withColumn("head", substring(col("text"), 1, 200))
     val trigrams = docs.select(col("doc_id"), col("lang"),
       explode(array_distinct(expr(
-        """CASE WHEN length(text) < 3 THEN array()
-          |ELSE transform(sequence(1, length(text) - 2), i -> substring(text, i, 3))
+        """CASE WHEN length(head) < 3 THEN array()
+          |ELSE transform(sequence(1, length(head) - 2), i -> substring(head, i, 3))
           |END""".stripMargin))).as("trigram"))
     val profileW = Window.partitionBy(col("lang")).orderBy(col("n").desc, col("trigram"))
     val profiles = trigrams.groupBy(col("lang"), col("trigram"))

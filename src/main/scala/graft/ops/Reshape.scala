@@ -39,15 +39,20 @@ object Reshape extends QueryModule {
   /** Correlated + scalar subqueries through the SQL entry point: orders
     * above their customer's average order value, counted per priority. */
   def qSqlSubquery(spark: SparkSession, dir: String): DataFrame = {
-    Tables.orders(spark, dir).createOrReplaceTempView("orders_v")
-    spark.sql(
-      """SELECT o_orderpriority, COUNT(*) AS n_above_avg
-        |FROM orders_v o
-        |WHERE o_totalprice > (SELECT AVG(o2.o_totalprice) FROM orders_v o2
+    // dir-scoped view name + drop after analysis: a global name would race
+    // between concurrent callers on different dirs, and spark.sql() analyzes
+    // eagerly so the view is safe to drop once the DataFrame exists.
+    val view = s"orders_v_${java.lang.Integer.toHexString(dir.hashCode)}"
+    Tables.orders(spark, dir).createOrReplaceTempView(view)
+    try spark.sql(
+      s"""SELECT o_orderpriority, COUNT(*) AS n_above_avg
+        |FROM $view o
+        |WHERE o_totalprice > (SELECT AVG(o2.o_totalprice) FROM $view o2
         |                      WHERE o2.o_custkey = o.o_custkey)
-        |  AND o_totalprice > (SELECT AVG(o_totalprice) FROM orders_v) * 0.5
+        |  AND o_totalprice > (SELECT AVG(o_totalprice) FROM $view) * 0.5
         |GROUP BY o_orderpriority
         |ORDER BY o_orderpriority""".stripMargin)
+    finally spark.catalog.dropTempView(view)
   }
 
   /** Seeded stratified sample: ~50% of 'en' docs, ~10% of everything else —

@@ -76,6 +76,22 @@ class LlmOpsSpec extends SparkSpec {
     assert(a.sameElements(b))
   }
 
+  test("ngram langid keeps short and empty documents, classified 'und'") {
+    import spark.implicits._
+    val tiny = Seq((1L, "ab", "xx"), (2L, "", "yy"),
+      (3L, "the quick brown fox jumps over the lazy dog repeatedly", "en"))
+      .toDF("doc_id", "text", "lang")
+    // drive the same pipeline shape through a temp parquet dir
+    val d = java.nio.file.Files.createTempDirectory("langid").toString
+    tiny.withColumn("source", lit("s")).withColumn("n_chars", length(col("text")))
+      .write.mode("overwrite").parquet(s"$d/documents.parquet")
+    val cm = TextAnalysis.qTextLangidNgram(spark, d)
+    assert(cm.agg(sum("n")).collect()(0).getLong(0) == 3,
+      "every doc, including sub-3-char ones, must be classified")
+    val preds = cm.collect().map(r => (r.getString(0), r.getString(1))).toMap
+    assert(preds("xx") == "und" && preds("yy") == "und")
+  }
+
   test("fingerprint is deterministic and order-sensitive") {
     val a = TextAnalysis.qTextFingerprint(spark, sf).collect().map(r => (r.getLong(0), r.getLong(1)))
     val b = TextAnalysis.qTextFingerprint(spark, sf).collect().map(r => (r.getLong(0), r.getLong(1)))

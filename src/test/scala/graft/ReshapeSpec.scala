@@ -18,8 +18,11 @@ class ReshapeSpec extends SparkSpec {
     val df = Reshape.qSqlSubquery(spark, sf)
     val total = df.agg(sum("n_above_avg")).collect()(0).getLong(0)
     assert(total > 0 && total < Tables.orders(spark, sf).count())
+    // decorrelation proof: the only joins this query can contain are the
+    // ones Catalyst synthesized from the correlated subquery (orders joined
+    // with its per-custkey aggregate)
     val plan = df.queryExecution.optimizedPlan.toString
-    assert(!plan.contains("correlated"), "subquery should be decorrelated into joins")
+    assert(plan.contains("Join"), s"correlated subquery must decorrelate into a join:\n$plan")
   }
 
   test("stratified sample is seeded-deterministic and roughly proportioned") {
@@ -35,8 +38,8 @@ class ReshapeSpec extends SparkSpec {
     // Bernoulli sampling: expect ~50% / ~10% within loose bounds
     assert(byStratum.getOrElse("en", 0L) <= en)
     if (en >= 20)
-      assert(math.abs(byStratum("en").toDouble / en - 0.5) < 0.25)
+      assert(math.abs(byStratum.getOrElse("en", 0L).toDouble / en - 0.5) < 0.25)
     if (other >= 50)
-      assert(math.abs(byStratum("other").toDouble / other - 0.1) < 0.1)
+      assert(math.abs(byStratum.getOrElse("other", 0L).toDouble / other - 0.1) < 0.1)
   }
 }

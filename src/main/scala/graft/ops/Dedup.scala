@@ -183,12 +183,33 @@ object Dedup extends QueryModule {
       .orderBy(col("doc_id"))
   }
 
+  /** The end-to-end training-data filter: near-dedup survivors that also
+    * clear quality bars (length band, stopword floor, repetition ceiling) —
+    * the composed pipeline a corpus build actually ships. */
+  def qCorpusFilter(spark: SparkSession, dir: String): DataFrame = {
+    // ratios computed RAW (no rounding): both engines derive the identical
+    // rational value from integer counts, so threshold comparisons agree —
+    // filtering on rounded values would reopen the midpoint hazard.
+    val quality = Tables.documents(spark, dir)
+      .withColumn("toks", split(lower(trim(col("text"))), " "))
+      .filter(size(col("toks")).between(20, 10000)
+        && size(expr("filter(toks, t -> t IN ('the','a','of','and','to','in','is','it'))"))
+          / size(col("toks")).cast("double") >= 0.01
+        && size(array_distinct(col("toks"))) / size(col("toks")).cast("double") >= 0.2)
+      .select(col("doc_id"))
+    qDedupSurvivors(spark, dir)
+      .join(quality, Seq("doc_id"))
+      .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_dedup_exact"     -> (qDedupExact _),
     "q_dedup_near"      -> (qDedupNear _),
     "q_dedup_minhash"   -> (qDedupMinhash _),
     "q_dedup_simhash"   -> (qDedupSimhash _),
     "q_dedup_survivors" -> (qDedupSurvivors _),
+    "q_corpus_filter"   -> (qCorpusFilter _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -246,6 +267,39 @@ object Dedup extends QueryModule {
         |  WHERE CAST(inter AS DOUBLE) / (s1.n_sh + s2.n_sh - inter) >= 0.6)
         |SELECT doc_id, lang, source, n_chars FROM documents
         |WHERE doc_id NOT IN (SELECT doc_id FROM losers)
+        |ORDER BY doc_id""".stripMargin,
+    "q_corpus_filter" ->
+      """WITH toks AS (
+        |  SELECT doc_id, STRING_SPLIT(LOWER(TRIM(text)), ' ') AS t FROM documents),
+        |shingles AS (
+        |  SELECT doc_id, UNNEST(LIST_DISTINCT(LIST_TRANSFORM(
+        |    RANGE(1, GREATEST(LEN(t) - 2, 0) + 1),
+        |    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS shingle
+        |  FROM toks),
+        |rare AS (
+        |  SELECT shingle FROM shingles GROUP BY shingle HAVING COUNT(*) <= 100),
+        |postings AS (
+        |  SELECT s.doc_id, s.shingle FROM shingles s JOIN rare USING (shingle)),
+        |sizes AS (
+        |  SELECT doc_id, COUNT(*) AS n_sh FROM shingles GROUP BY doc_id),
+        |pairs AS (
+        |  SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS inter
+        |  FROM postings a JOIN postings b USING (shingle)
+        |  WHERE a.doc_id < b.doc_id GROUP BY d1, d2),
+        |losers AS (
+        |  SELECT DISTINCT d2 AS doc_id FROM pairs
+        |  JOIN sizes s1 ON s1.doc_id = d1
+        |  JOIN sizes s2 ON s2.doc_id = d2
+        |  WHERE CAST(inter AS DOUBLE) / (s1.n_sh + s2.n_sh - inter) >= 0.6),
+        |quality AS (
+        |  SELECT doc_id FROM toks
+        |  WHERE LEN(t) BETWEEN 20 AND 10000
+        |    AND LEN(LIST_FILTER(t, x -> x IN ('the','a','of','and','to','in','is','it')))
+        |        / CAST(LEN(t) AS DOUBLE) >= 0.01
+        |    AND LEN(LIST_DISTINCT(t)) / CAST(LEN(t) AS DOUBLE) >= 0.2)
+        |SELECT doc_id, lang, source, n_chars FROM documents
+        |WHERE doc_id NOT IN (SELECT doc_id FROM losers)
+        |  AND doc_id IN (SELECT doc_id FROM quality)
         |ORDER BY doc_id""".stripMargin,
   )
 }

@@ -31,7 +31,11 @@ object Functions extends QueryModule {
         length(col("c_name")).as("name_len"),
         regexp_extract(col("c_name"), "Customer#(\\d+)", 1).as("digits"),
         lpad(col("c_custkey").cast("string"), 10, "0").as("key_padded"),
-        split(col("c_name"), "#").as("name_parts"))
+        split(col("c_name"), "#").as("name_parts"),
+        regexp_replace(col("c_name"), "0+", "0").as("squeezed"),
+        translate(col("c_mktsegment"), "AEIOU", "aeiou").as("vowels_low"),
+        reverse(col("c_mktsegment")).as("seg_rev"),
+        repeat(lit("-"), (col("c_custkey") % 5).cast("int")).as("dashes"))
       .orderBy(col("c_custkey"))
 
   /** Date/time family on the engine-agreeing subset. */
@@ -76,7 +80,11 @@ object Functions extends QueryModule {
         round(aggregate(col("embedding"), lit(0.0),
           (acc, x) => acc + x.cast("double")).cast("double"), 4).as("vec_sum"),
         round(aggregate(transform(col("embedding"), x => x.cast("double") * x.cast("double")),
-          lit(0.0), (acc, x) => acc + x).cast("double"), 4).as("norm_sq"))
+          lit(0.0), (acc, x) => acc + x).cast("double"), 4).as("norm_sq"),
+        expr("transform(slice(embedding, 1, 4), x -> round(CAST(x AS DOUBLE), 4))")
+          .as("head4"),
+        array_position(col("embedding"), element_at(col("embedding"), 3))
+          .cast("int").as("pos_of_third"))
       .orderBy(col("vec_id"))
 
   /** JSON family on events.props (semi-structured analog of the IBGE
@@ -142,7 +150,11 @@ object Functions extends QueryModule {
         |       LENGTH(c_name) AS name_len,
         |       REGEXP_EXTRACT(c_name, 'Customer#(\d+)', 1) AS digits,
         |       LPAD(CAST(c_custkey AS VARCHAR), 10, '0') AS key_padded,
-        |       STRING_SPLIT(c_name, '#') AS name_parts
+        |       STRING_SPLIT(c_name, '#') AS name_parts,
+        |       REGEXP_REPLACE(c_name, '0+', '0', 'g') AS squeezed,
+        |       TRANSLATE(c_mktsegment, 'AEIOU', 'aeiou') AS vowels_low,
+        |       REVERSE(c_mktsegment) AS seg_rev,
+        |       REPEAT('-', CAST(c_custkey % 5 AS INTEGER)) AS dashes
         |FROM customer ORDER BY c_custkey""".stripMargin,
     "q_fn_date" ->
       """SELECT o_orderkey,
@@ -170,7 +182,9 @@ object Functions extends QueryModule {
         |       LEN(embedding) AS dim,
         |       ROUND(CAST(embedding[1] AS DOUBLE), 6) AS first_elem,
         |       ROUND(LIST_AGGREGATE(CAST(embedding AS DOUBLE[]), 'sum'), 4) AS vec_sum,
-        |       ROUND(LIST_AGGREGATE(LIST_TRANSFORM(CAST(embedding AS DOUBLE[]), x -> x * x), 'sum'), 4) AS norm_sq
+        |       ROUND(LIST_AGGREGATE(LIST_TRANSFORM(CAST(embedding AS DOUBLE[]), x -> x * x), 'sum'), 4) AS norm_sq,
+        |       LIST_TRANSFORM(embedding[1:4], x -> ROUND(CAST(x AS DOUBLE), 4)) AS head4,
+        |       CAST(LIST_POSITION(embedding, embedding[3]) AS INTEGER) AS pos_of_third
         |FROM embeddings ORDER BY vec_id""".stripMargin,
     "q_fn_json" ->
       """SELECT event_id,

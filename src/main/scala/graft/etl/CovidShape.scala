@@ -74,6 +74,20 @@ object CovidShape {
   def municipiosTransform(raw: DataFrame, stampAt: Option[String] = None): DataFrame =
     stamp(flatten(raw), stampAt)
 
+  /** R12 (logging/progress, reference dags/create-data-lake.py:49-102)
+    * re-expressed Spark-native: attach an Observation to the load so row
+    * count and null-key count come back from the SAME pass that wrote the
+    * data — no second count() job, works identically on a 1000-executor
+    * cluster (metrics are merged task-side). */
+  def loadReplaceParquetObserved(df: DataFrame, path: String,
+      keyCol: String): Map[String, Any] = {
+    val obs = org.apache.spark.sql.Observation("load_metrics")
+    df.observe(obs, count(lit(1)).as("rows_loaded"),
+        count(when(col(keyCol).isNull, 1)).as("null_keys"))
+      .write.mode(SaveMode.Overwrite).parquet(path)
+    obs.get
+  }
+
   /** R9: full-replace bulk load. Parquet is the harness lake; the JDBC
     * branch is the literal-Postgres path (one connection per partition,
     * executors write in parallel — the distributed analog of COPY). */

@@ -84,6 +84,16 @@ class CovidShapeSpec extends SparkSpec {
     assert(joined.select(col("`microrregiao.mesorregiao.UF.sigla`")).collect()(0).getString(0) == "GO")
   }
 
+  test("observed load reports row and null-key metrics from the write pass") {
+    val covid = CovidShape.covidTransform(
+      CovidShape.readCsv(spark, covidCsv), Some("2026-01-01 00:00:00"))
+    val metrics = CovidShape.loadReplaceParquetObserved(
+      covid, s"$tmp/lake/covid_observed", "city")
+    assert(metrics("rows_loaded") == 4L)
+    assert(metrics("null_keys") == 0L)
+    assert(spark.read.parquet(s"$tmp/lake/covid_observed").count() == 4)
+  }
+
   test("flatten handles depth-1 (already flat) frames untouched") {
     import spark.implicits._
     val flat = Seq((1, "a")).toDF("x", "y")

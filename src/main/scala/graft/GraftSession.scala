@@ -1,0 +1,39 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Opinionated session factory: the conf an operator of this engine should
+  * run with, at laptop or cluster scale. Everything here is about shuffle
+  * and scan economics (SURVEY.md §4.2):
+  *
+  *  - shuffle.partitions sized to the parallelism actually available
+  *    (default 200 is wrong in both directions: too many tiny tasks on a
+  *    laptop, usually too few on a 1000-executor cluster — pass cores ×
+  *    executors × 2-3 there). AQE coalesces down when partitions run small.
+  *  - AQE on with skew-join splitting: runtime re-planning beats any static
+  *    estimate at 100 TB; pathological keys beyond AQE's split threshold use
+  *    [[graft.ops.Scale.saltedJoin]].
+  *  - 256 MiB scan partitions: big enough to amortize task overhead against
+  *    columnar parquet scans, small enough to fit comfortably in executor
+  *    memory with room for a hash aggregate.
+  *  - UTC session timezone: all date logic timezone-pure (the DuckDB oracle
+  *    and any cross-system consumer agree).
+  */
+object GraftSession {
+
+  def build(master: String, parallelism: Int,
+      appName: String = "graft"): SparkSession = {
+    val s = SparkSession.builder()
+      .master(master)
+      .appName(appName)
+      .config("spark.sql.shuffle.partitions", parallelism.toString)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.files.maxPartitionBytes", s"${256 * 1024 * 1024}")
+      .config("spark.sql.session.timeZone", "UTC")
+      .getOrCreate()
+    graft.functions.CosineSimilarity.register(s)
+    s
+  }
+}

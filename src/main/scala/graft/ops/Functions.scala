@@ -81,7 +81,9 @@ object Functions extends QueryModule {
           (acc, x) => acc + x.cast("double")).cast("double"), 4).as("vec_sum"),
         round(aggregate(transform(col("embedding"), x => x.cast("double") * x.cast("double")),
           lit(0.0), (acc, x) => acc + x).cast("double"), 4).as("norm_sq"),
-        expr("transform(slice(embedding, 1, 4), x -> round(CAST(x AS DOUBLE), 4))")
+        // + 0.0 normalizes IEEE negative zero (round(-1e-9, 4) is -0.0 in
+        // DuckDB but 0.0 in Spark; -0.0 + 0.0 = +0.0 in both)
+        expr("transform(slice(embedding, 1, 4), x -> round(CAST(x AS DOUBLE), 4) + 0.0D)")
           .as("head4"),
         array_position(col("embedding"), element_at(col("embedding"), 3))
           .cast("int").as("pos_of_third"))
@@ -183,7 +185,7 @@ object Functions extends QueryModule {
         |       ROUND(CAST(embedding[1] AS DOUBLE), 6) AS first_elem,
         |       ROUND(LIST_AGGREGATE(CAST(embedding AS DOUBLE[]), 'sum'), 4) AS vec_sum,
         |       ROUND(LIST_AGGREGATE(LIST_TRANSFORM(CAST(embedding AS DOUBLE[]), x -> x * x), 'sum'), 4) AS norm_sq,
-        |       LIST_TRANSFORM(embedding[1:4], x -> ROUND(CAST(x AS DOUBLE), 4)) AS head4,
+        |       LIST_TRANSFORM(embedding[1:4], x -> ROUND(CAST(x AS DOUBLE), 4) + 0.0) AS head4,
         |       CAST(LIST_POSITION(embedding, embedding[3]) AS INTEGER) AS pos_of_third
         |FROM embeddings ORDER BY vec_id""".stripMargin,
     "q_fn_json" ->

@@ -2,6 +2,7 @@ package graft
 
 import graft.streaming.Streams
 import org.apache.spark.sql.functions._
+import scala.jdk.CollectionConverters._
 
 /** End-to-end streaming over the real file source: tail the events parquet
   * as a stream, run the shared windowed transform, and check the streamed
@@ -37,6 +38,45 @@ class StreamingE2ESpec extends SparkSpec {
     try q.processAllAvailable() finally q.stop()
     val n = spark.table("e2e_session").agg(sum("n_events")).collect()(0).getLong(0)
     assert(n == Tables.events(spark, sf).count())
+  }
+
+  test("checkpointed stream restarts exactly-once: no reprocessing, no loss") {
+    val src = java.nio.file.Files.createTempDirectory("ckpt-src")
+    val sink = java.nio.file.Files.createTempDirectory("ckpt-sink").toString + "/out"
+    val ckpt = java.nio.file.Files.createTempDirectory("ckpt-state").toString
+
+    import spark.implicits._
+    // the file source wants flat files in the watched dir, not write.parquet's
+    // output directories — stage, then move the single part file in
+    def writeBatch(name: String, ids: Range): Unit = {
+      val stage = java.nio.file.Files.createTempDirectory("ckpt-stage")
+      ids.map(i => (i.toLong, i.toDouble)).toDF("event_id", "value")
+        .coalesce(1).write.mode("overwrite").parquet(stage.toString)
+      val part = java.nio.file.Files.list(stage).iterator().asScala
+        .find(_.getFileName.toString.endsWith(".parquet")).get
+      java.nio.file.Files.move(part, src.resolve(s"$name.parquet"))
+    }
+    // batch written BEFORE the schema probe below reads the directory
+    writeBatch("b1", 0 until 100)
+
+    def startQuery() = spark.readStream
+      .schema(spark.read.parquet(src.toString).schema)
+      .parquet(src.toString)
+      .writeStream.format("parquet")
+      .option("path", sink).option("checkpointLocation", ckpt)
+      .outputMode("append").start()
+
+    val q1 = startQuery()
+    try q1.processAllAvailable() finally q1.stop()
+    assert(spark.read.parquet(sink).count() == 100)
+
+    writeBatch("b2", 100 until 150)
+    val q2 = startQuery() // same checkpoint → resumes from recorded offsets
+    try q2.processAllAvailable() finally q2.stop()
+
+    val out = spark.read.parquet(sink)
+    assert(out.count() == 150, "restart must process only the new file, once")
+    assert(out.select("event_id").distinct().count() == 150)
   }
 
   test("cosine_sim resolves in pure SQL after registration") {

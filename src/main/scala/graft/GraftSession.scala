@@ -23,6 +23,15 @@ object GraftSession {
 
   def build(master: String, parallelism: Int,
       appName: String = "graft"): SparkSession = {
+    // getOrCreate silently ignores static confs (master!) on an existing
+    // session while still applying runtime confs — a half-reconfigured
+    // session is worse than an error, so refuse a master mismatch outright.
+    SparkSession.getDefaultSession.filter(s => !s.sparkContext.isStopped)
+      .foreach { existing =>
+        val m = existing.sparkContext.master
+        require(m == master,
+          s"a SparkSession with master '$m' already exists; cannot rebuild as '$master'")
+      }
     val s = SparkSession.builder()
       .master(master)
       .appName(appName)

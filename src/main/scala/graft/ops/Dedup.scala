@@ -187,18 +187,21 @@ object Dedup extends QueryModule {
     * clear quality bars (length band, stopword floor, repetition ceiling) —
     * the composed pipeline a corpus build actually ships. */
   def qCorpusFilter(spark: SparkSession, dir: String): DataFrame = {
-    // ratios computed RAW (no rounding): both engines derive the identical
+    // Ratios computed RAW (no rounding): both engines derive the identical
     // rational value from integer counts, so threshold comparisons agree —
     // filtering on rounded values would reopen the midpoint hazard.
-    val quality = Tables.documents(spark, dir)
+    // The quality predicate rides the SAME documents scan as the anti-join
+    // base (one pass) instead of a separate quality scan joined afterwards;
+    // dedup losers are still computed over the FULL corpus, so quality
+    // filtering cannot resurrect a near-dup.
+    val losers = qDedupNear(spark, dir).select(col("d2").as("doc_id")).distinct()
+    Tables.documents(spark, dir)
       .withColumn("toks", split(lower(trim(col("text"))), " "))
       .filter(size(col("toks")).between(20, 10000)
         && size(expr("filter(toks, t -> t IN ('the','a','of','and','to','in','is','it'))"))
           / size(col("toks")).cast("double") >= 0.01
         && size(array_distinct(col("toks"))) / size(col("toks")).cast("double") >= 0.2)
-      .select(col("doc_id"))
-    qDedupSurvivors(spark, dir)
-      .join(quality, Seq("doc_id"))
+      .join(losers, Seq("doc_id"), "left_anti")
       .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
       .orderBy(col("doc_id"))
   }

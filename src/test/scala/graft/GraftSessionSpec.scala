@@ -5,15 +5,34 @@ import org.scalatest.funsuite.AnyFunSuite
 class GraftSessionSpec extends AnyFunSuite {
 
   test("session factory applies scale confs and registers engine functions") {
-    // getOrCreate in a shared JVM returns the existing context but applies
-    // session-level confs to a fresh session state
-    val s = GraftSession.build("local[4]", parallelism = 4, appName = "graft-test")
-    assert(s.conf.get("spark.sql.adaptive.enabled") == "true")
-    assert(s.conf.get("spark.sql.adaptive.skewJoin.enabled") == "true")
-    assert(s.conf.get("spark.sql.session.timeZone") == "UTC")
-    val r = s.sql(
-      "SELECT cosine_sim(array(CAST(3 AS FLOAT)), array(CAST(7 AS FLOAT))) AS c")
-      .collect()(0).getDouble(0)
-    assert(math.abs(r - 1.0) < 1e-12)
+    // All suites share one JVM-wide session: create the canonical test
+    // session FIRST (so its static confs — temp warehouse dir, no UI —
+    // win), snapshot the runtime confs build() touches, and restore them
+    // so other suites aren't order-dependent on this one.
+    val shared = SparkSpec.session
+    val touched = Seq("spark.sql.shuffle.partitions", "spark.sql.adaptive.enabled",
+      "spark.sql.adaptive.skewJoin.enabled", "spark.sql.adaptive.coalescePartitions.enabled",
+      "spark.sql.files.maxPartitionBytes", "spark.sql.session.timeZone")
+    val saved = touched.map(k => k -> shared.conf.getOption(k)).toMap
+    try {
+      val s = GraftSession.build("local[4]", parallelism = 4, appName = "graft-test")
+      assert(s.conf.get("spark.sql.shuffle.partitions") == "4")
+      assert(s.conf.get("spark.sql.adaptive.enabled") == "true")
+      assert(s.conf.get("spark.sql.adaptive.skewJoin.enabled") == "true")
+      assert(s.conf.get("spark.sql.files.maxPartitionBytes") == (256 * 1024 * 1024).toString)
+      assert(s.conf.get("spark.sql.session.timeZone") == "UTC")
+      val r = s.sql(
+        "SELECT cosine_sim(array(CAST(3 AS FLOAT)), array(CAST(7 AS FLOAT))) AS c")
+        .collect()(0).getDouble(0)
+      assert(math.abs(r - 1.0) < 1e-12)
+      // master mismatch must refuse, not half-reconfigure
+      val e = intercept[IllegalArgumentException] {
+        GraftSession.build("local[2]", parallelism = 2)
+      }
+      assert(e.getMessage.contains("already exists"))
+    } finally saved.foreach {
+      case (k, Some(v)) => shared.conf.set(k, v)
+      case (k, None)    => shared.conf.unset(k)
+    }
   }
 }

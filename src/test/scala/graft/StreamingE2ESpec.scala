@@ -52,8 +52,10 @@ class StreamingE2ESpec extends SparkSpec {
       val stage = java.nio.file.Files.createTempDirectory("ckpt-stage")
       ids.map(i => (i.toLong, i.toDouble)).toDF("event_id", "value")
         .coalesce(1).write.mode("overwrite").parquet(stage.toString)
-      val part = java.nio.file.Files.list(stage).iterator().asScala
+      val listing = java.nio.file.Files.list(stage)
+      val part = try listing.iterator().asScala
         .find(_.getFileName.toString.endsWith(".parquet")).get
+      finally listing.close()
       java.nio.file.Files.move(part, src.resolve(s"$name.parquet"))
     }
     // batch written BEFORE the schema probe below reads the directory

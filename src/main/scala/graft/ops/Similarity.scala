@@ -33,15 +33,21 @@ object Similarity extends QueryModule {
     e.crossJoin(broadcast(q))
   }
 
+  private val normSqExpr =
+    "aggregate(transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 0D, (a, b) -> a + b)"
+
   private val cosineExpr =
-    """aggregate(zip_with(embedding, qvec, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), 0D, (a, b) -> a + b)
-      | / (sqrt(aggregate(transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 0D, (a, b) -> a + b))
+    s"""aggregate(zip_with(embedding, qvec, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), 0D, (a, b) -> a + b)
+      | / (sqrt($normSqExpr)
       |    * sqrt(aggregate(transform(qvec, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 0D, (a, b) -> a + b)))""".stripMargin
 
-  /** Brute-force cosine top-20 against vec 0 (excluding itself). */
+  /** Brute-force cosine top-20 against vec 0 (excluding itself and
+    * zero-norm vectors — a zero vector has no direction: the HOF division
+    * throws under ANSI and DuckDB yields NaN, which it sorts FIRST in a
+    * descending order; both engines filter them out instead). */
   def qCosineTopk(spark: SparkSession, dir: String): DataFrame =
     withQuery(spark, dir)
-      .filter(col("vec_id") =!= 0)
+      .filter(col("vec_id") =!= 0 && expr(normSqExpr) > 0)
       .withColumn("cos_raw", expr(cosineExpr))
       .select(col("vec_id"), col("label"), round(col("cos_raw"), 6).as("cosine"))
       .orderBy(col("cos_raw").desc, col("vec_id"))
@@ -82,7 +88,7 @@ object Similarity extends QueryModule {
   def qCosineTopkNative(spark: SparkSession, dir: String): DataFrame = {
     graft.functions.CosineSimilarity.register(spark)
     withQuery(spark, dir)
-      .filter(col("vec_id") =!= 0)
+      .filter(col("vec_id") =!= 0 && expr(normSqExpr) > 0)
       .withColumn("cos_raw", expr("cosine_sim(embedding, qvec)"))
       .select(col("vec_id"), col("label"), round(col("cos_raw"), 6).as("cosine"))
       .orderBy(col("cos_raw").desc, col("vec_id"))
@@ -136,6 +142,7 @@ object Similarity extends QueryModule {
         |         (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id = 0)), 6) AS cosine
         |FROM embeddings
         |WHERE vec_id <> 0
+        |  AND LIST_AGGREGATE(LIST_TRANSFORM(CAST(embedding AS DOUBLE[]), x -> x * x), 'sum') > 0
         |ORDER BY LIST_COSINE_SIMILARITY(CAST(embedding AS DOUBLE[]),
         |         (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id = 0)) DESC, vec_id
         |LIMIT 20""".stripMargin

@@ -168,7 +168,8 @@ object TextAnalysis extends QueryModule {
         |       LIST_REDUCE(
         |         LIST_PREPEND(CAST(0 AS BIGINT),
         |           LIST_TRANSFORM(STRING_SPLIT(LOWER(TRIM(text)), ' '),
-        |             t -> CAST(LENGTH(t) + UNICODE(t) AS BIGINT))),
+        |             t -> CAST(LENGTH(t) +
+        |                  CASE WHEN t = '' THEN 0 ELSE UNICODE(t) END AS BIGINT))),
         |         (acc, v) -> (acc * 31 + v) % 1000000007) AS fingerprint
         |FROM documents ORDER BY doc_id""".stripMargin,
   )

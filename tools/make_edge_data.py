@@ -1,0 +1,72 @@
+#!/usr/bin/env python3
+"""Build an adversarial edge-case dataset for oracle-divergence hunting.
+
+Copies sf0.001 and replaces documents/events/embeddings with corpora
+containing: empty/1-char/2-token docs, all-stopword and unicode docs,
+exact+near duplicate texts, consecutive-space tokens, same-user
+same-timestamp event ties at session boundaries, and zero/constant
+embedding vectors. Run graft.Verify + tools/check.py against the output
+dir; every latent cross-engine divergence found so far (ascii('') vs
+unicode(''), NaN cosine ordering, shingle NULL indexing, session-id
+tie-breaks) was caught by this dataset.
+
+Usage: python3 tools/make_edge_data.py [/tmp/edge_sf]
+"""
+import sys, os, shutil
+import duckdb
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+src = '/root/testdata/sf0.001'
+dst = sys.argv[1] if len(sys.argv) > 1 else '/tmp/edge_sf'
+os.makedirs(dst, exist_ok=True)
+for t in ['region', 'nation', 'customer', 'supplier', 'part', 'orders', 'lineitem']:
+    shutil.copy(f'{src}/{t}.parquet', f'{dst}/{t}.parquet')
+
+con = duckdb.connect()
+con.sql(f"""
+COPY (
+  SELECT * FROM '{src}/documents.parquet' WHERE doc_id < 50
+  UNION ALL
+  SELECT * FROM (VALUES
+    (1000, '', 'xx', 'edge', 0),
+    (1001, 'a', 'xx', 'edge', 1),
+    (1002, 'a b', 'xx', 'edge', 3),
+    (1003, 'the the the the the the the the the the the the the the the the the the the the the', 'en', 'edge', 85),
+    (1004, 'café résumé naïve über straße café résumé naïve über straße café résumé naïve über straße café résumé naïve über straße', 'de', 'edge', 120),
+    (1005, 'the quick brown fox jumps over the lazy dog and runs far away into the deep dark forest tonight', 'en', 'edge', 96),
+    (1006, 'the quick brown fox jumps over the lazy dog and runs far away into the deep dark forest today', 'en', 'edge', 94),
+    (1007, 'the quick brown fox jumps over the lazy dog and runs far away into the deep dark forest tonight', 'en', 'edge', 96),
+    (1008, 'x  y   z', 'xx', 'edge', 8)
+  ) AS v(doc_id, text, lang, source, n_chars)
+) TO '{dst}/documents.parquet' (FORMAT PARQUET)
+""")
+con.sql(f"""
+COPY (
+  SELECT * FROM '{src}/embeddings.parquet' WHERE vec_id < 100
+  UNION ALL
+  SELECT * FROM (VALUES
+    (8000, CAST([0.0 for i in range(64)] AS FLOAT[]), 1),
+    (8001, CAST([1.0 for i in range(64)] AS FLOAT[]), 2)
+  ) AS v(vec_id, embedding, label)
+) TO '{dst}/embeddings.parquet' (FORMAT PARQUET)
+""")
+
+# events must stay TIMESTAMP_NS (DuckDB's writer downgrades to micros);
+# pyarrow preserves the original schema
+orig = pq.read_table(f'{src}/events.parquet')
+df = orig.to_pandas()
+extra = pd.DataFrame({
+    'event_id': [9000, 9001, 9002, 9003],
+    'ts': pd.to_datetime(['2024-06-01 00:00:00', '2024-06-01 00:00:00',
+                          '2024-06-01 00:30:00', '2024-06-01 00:30:00']),
+    'user_id': [7777] * 4,
+    'event_type': ['tie'] * 4,
+    'value': [1.0, 2.0, 3.0, 4.0],
+    'props': ['{"k": 1}', '{"k": 2}', '{"k": 3}', '{"k": 4}'],
+})
+out = pd.concat([df[df.event_id < 400], extra], ignore_index=True)
+pq.write_table(pa.Table.from_pandas(out, schema=orig.schema, preserve_index=False),
+               f'{dst}/events.parquet')
+print(f'edge dataset written to {dst}')

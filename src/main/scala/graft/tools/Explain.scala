@@ -1,0 +1,28 @@
+package graft.tools
+
+import graft.SparkEntry
+import org.apache.spark.sql.SparkSession
+
+/** Dev tool: dump formatted physical plans for representative queries.
+  * Usage: runMain graft.tools.Explain <sfDir> <q1> <q2> ...
+  */
+object Explain {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args(0)
+    val spark = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    args.drop(1).foreach { name =>
+      println(s"\n## $name\n")
+      println("```")
+      println(SparkEntry.queries(name)(spark, sfDir)
+        .queryExecution.explainString(org.apache.spark.sql.execution.FormattedMode))
+      println("```")
+    }
+    spark.stop()
+  }
+}

@@ -94,6 +94,14 @@ object CovidShape {
   def loadReplaceParquet(df: DataFrame, path: String): Unit =
     df.write.mode(SaveMode.Overwrite).parquet(path)
 
+  /** R8: CSV row serialization (reference dags/create-data-lake.py:53-56 —
+    * to_csv into the COPY buffer). Header off to match; the quote/escape
+    * handling the reference's sep="," COPY corrupts is correct here. */
+  def loadReplaceCsv(df: DataFrame, path: String): Unit =
+    df.write.mode(SaveMode.Overwrite)
+      .option("header", "false")
+      .csv(path)
+
   def loadReplaceJdbc(df: DataFrame, url: String, table: String,
       user: String, password: String): Unit =
     df.write.format("jdbc")

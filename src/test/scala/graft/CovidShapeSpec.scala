@@ -94,6 +94,35 @@ class CovidShapeSpec extends SparkSpec {
     assert(spark.read.parquet(s"$tmp/lake/covid_observed").count() == 4)
   }
 
+  test("csv sink round-trips rows including quoted commas (R8, minus the reference's bug)") {
+    import spark.implicits._
+    val df = Seq((1L, "plain"), (2L, "has, comma"), (3L, "has \"quote\""))
+      .toDF("id", "note")
+    CovidShape.loadReplaceCsv(df, s"$tmp/lake/csv_out")
+    val back = spark.read.schema(df.schema).csv(s"$tmp/lake/csv_out")
+    assert(back.count() == 3)
+    assert(back.except(df).count() == 0, "quoted commas must survive the round trip")
+  }
+
+  test("the two pipeline tasks run concurrently as independent actions (R11)") {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val fCovid = Future {
+      CovidShape.loadReplaceParquet(CovidShape.covidTransform(
+        CovidShape.readCsv(spark, covidCsv), Some("2026-01-01 00:00:00")),
+        s"$tmp/lake/covid_par")
+    }
+    val fMuni = Future {
+      CovidShape.loadReplaceParquet(CovidShape.municipiosTransform(
+        CovidShape.readJson(spark, ibgeJson), Some("2026-01-01 00:00:00")),
+        s"$tmp/lake/muni_par")
+    }
+    Await.result(Future.sequence(Seq(fCovid, fMuni)), 120.seconds)
+    assert(spark.read.parquet(s"$tmp/lake/covid_par").count() == 4)
+    assert(spark.read.parquet(s"$tmp/lake/muni_par").count() == 2)
+  }
+
   test("flatten handles depth-1 (already flat) frames untouched") {
     import spark.implicits._
     val flat = Seq((1, "a")).toDF("x", "y")

@@ -129,8 +129,15 @@ object Aggregations extends QueryModule {
   def qAggCollect(spark: SparkSession, dir: String): DataFrame =
     Tables.lineitem(spark, dir)
       .groupBy(col("l_returnflag"))
-      .agg(sort_array(collect_set(col("l_linestatus"))).as("statuses"),
-        sort_array(collect_set(col("l_linenumber"))).as("linenumbers"))
+      // array_join: the driver's pandas comparator cannot sort raw array
+      // cells, so the per-group lists are serialized to scalar strings
+      // (numeric sort first, then element-wise cast — string sort would
+      // misorder multi-digit line numbers).
+      .agg(
+        array_join(sort_array(collect_set(col("l_linestatus"))), ",").as("statuses"),
+        array_join(
+          transform(sort_array(collect_set(col("l_linenumber"))), _.cast("string")),
+          ",").as("linenumbers"))
       .orderBy(col("l_returnflag"))
 
   /** Hierarchical rollup city→state→country analog: region→nation totals
@@ -216,8 +223,8 @@ object Aggregations extends QueryModule {
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "q_agg_collect" ->
       """SELECT l_returnflag,
-        |       LIST_SORT(LIST(DISTINCT l_linestatus)) AS statuses,
-        |       LIST_SORT(LIST(DISTINCT l_linenumber)) AS linenumbers
+        |       ARRAY_TO_STRING(LIST_SORT(LIST(DISTINCT l_linestatus)), ',') AS statuses,
+        |       ARRAY_TO_STRING(LIST_SORT(LIST(DISTINCT l_linenumber)), ',') AS linenumbers
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "q_rollup" ->
       """SELECT r_name, n_name, COUNT(*) AS n_customers,

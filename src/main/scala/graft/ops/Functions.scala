@@ -31,7 +31,9 @@ object Functions extends QueryModule {
         length(col("c_name")).as("name_len"),
         regexp_extract(col("c_name"), "Customer#(\\d+)", 1).as("digits"),
         lpad(col("c_custkey").cast("string"), 10, "0").as("key_padded"),
-        split(col("c_name"), "#").as("name_parts"),
+        // array_join: the driver's pandas comparator cannot sort raw array
+        // cells, so the split result is serialized to a scalar string.
+        array_join(split(col("c_name"), "#"), "|").as("name_parts"),
         regexp_replace(col("c_name"), "0+", "0").as("squeezed"),
         translate(col("c_mktsegment"), "AEIOU", "aeiou").as("vowels_low"),
         reverse(col("c_mktsegment")).as("seg_rev"),
@@ -82,9 +84,15 @@ object Functions extends QueryModule {
         round(aggregate(transform(col("embedding"), x => x.cast("double") * x.cast("double")),
           lit(0.0), (acc, x) => acc + x).cast("double"), 4).as("norm_sq"),
         // + 0.0 normalizes IEEE negative zero (round(-1e-9, 4) is -0.0 in
-        // DuckDB but 0.0 in Spark; -0.0 + 0.0 = +0.0 in both)
-        expr("transform(slice(embedding, 1, 4), x -> round(CAST(x AS DOUBLE), 4) + 0.0D)")
-          .as("head4"),
+        // DuckDB but 0.0 in Spark; -0.0 + 0.0 = +0.0 in both). The result is
+        // serialized through DECIMAL(10,4) → string → array_join because the
+        // driver's pandas comparator cannot sort raw array cells, and raw
+        // double→string formatting diverges between engines (Spark uses
+        // scientific notation below 1e-3; decimal rendering is fixed-scale
+        // in both).
+        expr("""array_join(transform(slice(embedding, 1, 4),
+               |  x -> cast(cast(round(CAST(x AS DOUBLE), 4) + 0.0D as decimal(10,4)) as string)), '|')"""
+          .stripMargin).as("head4"),
         array_position(col("embedding"), element_at(col("embedding"), 3))
           .cast("int").as("pos_of_third"))
       .orderBy(col("vec_id"))
@@ -152,7 +160,7 @@ object Functions extends QueryModule {
         |       LENGTH(c_name) AS name_len,
         |       REGEXP_EXTRACT(c_name, 'Customer#(\d+)', 1) AS digits,
         |       LPAD(CAST(c_custkey AS VARCHAR), 10, '0') AS key_padded,
-        |       STRING_SPLIT(c_name, '#') AS name_parts,
+        |       ARRAY_TO_STRING(STRING_SPLIT(c_name, '#'), '|') AS name_parts,
         |       REGEXP_REPLACE(c_name, '0+', '0', 'g') AS squeezed,
         |       TRANSLATE(c_mktsegment, 'AEIOU', 'aeiou') AS vowels_low,
         |       REVERSE(c_mktsegment) AS seg_rev,
@@ -185,7 +193,8 @@ object Functions extends QueryModule {
         |       ROUND(CAST(embedding[1] AS DOUBLE), 6) AS first_elem,
         |       ROUND(LIST_AGGREGATE(CAST(embedding AS DOUBLE[]), 'sum'), 4) AS vec_sum,
         |       ROUND(LIST_AGGREGATE(LIST_TRANSFORM(CAST(embedding AS DOUBLE[]), x -> x * x), 'sum'), 4) AS norm_sq,
-        |       LIST_TRANSFORM(embedding[1:4], x -> ROUND(CAST(x AS DOUBLE), 4) + 0.0) AS head4,
+        |       ARRAY_TO_STRING(LIST_TRANSFORM(embedding[1:4],
+        |         x -> CAST(CAST(ROUND(CAST(x AS DOUBLE), 4) + 0.0 AS DECIMAL(10,4)) AS VARCHAR)), '|') AS head4,
         |       CAST(LIST_POSITION(embedding, embedding[3]) AS INTEGER) AS pos_of_third
         |FROM embeddings ORDER BY vec_id""".stripMargin,
     "q_fn_json" ->

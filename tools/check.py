@@ -32,8 +32,15 @@ def normalize(df: pd.DataFrame) -> pd.DataFrame:
         elif s.dtype == object:
             import datetime
             def conv(v):
+                # NO list/ndarray shim here: the driver's checker does a plain
+                # pandas sort that crashes on array cells ("unhashable type:
+                # numpy.ndarray"), so queries must serialize arrays to scalars.
+                # Keeping this gate identical means the failure reproduces
+                # locally instead of surfacing only in CORRECTNESS_r{N}.json.
                 if isinstance(v, (list, np.ndarray)):
-                    return tuple(v)
+                    raise TypeError(
+                        f"array-typed cell {v!r}: driver checker cannot sort arrays; "
+                        "serialize with array_join/to_json in the query")
                 if isinstance(v, datetime.date) and not isinstance(v, datetime.datetime):
                     return pd.Timestamp(v)
                 return v

@@ -20,10 +20,10 @@ import org.apache.spark.sql.functions._
   * shingle creates a quadratic hot key. MinHash/LSH replaces the quadratic
   * verify set with per-bucket candidates: cost O(n·k) signatures + one
   * shuffle on band keys; recall at Jaccard 0.6 with 24×2 banding is
-  * 1-(1-0.6²)²⁴ ≈ 0.9998. SimHash pairs here brute-force the fingerprint
-  * table (fine ≤ 10⁵ docs); at 100 TB, band the 64 bits into 4×16-bit keys
-  * (Hamming ≤ 3 pairs must share a band — pigeonhole) and bucket-join like
-  * MinHash. All hashing is xxhash64 — engine-native, seed-stable, no UDF.
+  * 1-(1-0.6²)²⁴ ≈ 0.9998. SimHash bands its 64 bits into 4×16-bit keys
+  * (Hamming ≤ 3 pairs must agree on ≥1 band — pigeonhole, recall exactly
+  * 1.0) and bucket-joins like MinHash — never all-pairs. All hashing is
+  * xxhash64 — engine-native, seed-stable, no UDF.
   */
 object Dedup extends QueryModule {
 
@@ -131,10 +131,13 @@ object Dedup extends QueryModule {
     // Exact-Jaccard verify restricted to the candidate pairs — the LSH
     // payoff: intersections are computed per candidate, never all-pairs.
     // Shares rarePostings/withJaccard/JaccardThreshold with the exact tier,
-    // so the two can't drift.
+    // so the two can't drift. No broadcast hint on candidates: the pair set
+    // scales with corpus near-dup density, so a forced driver-side collect
+    // is the memory failure point at exactly the scale this tier serves —
+    // AQE picks broadcast on its own when the set is actually small.
     val sh = shingleTable(spark, dir)
     val rarePost = rarePostings(sh)
-    val inter = broadcast(candidates)
+    val inter = candidates
       .join(rarePost.select(col("doc_id").as("d1"), col("shingle")), "d1")
       .join(rarePost.select(col("doc_id").as("d2"), col("shingle")), Seq("d2", "shingle"))
       .groupBy("d1", "d2").agg(count(lit(1)).as("inter"))
@@ -146,12 +149,43 @@ object Dedup extends QueryModule {
 
   /** Tier 4: 64-bit SimHash fingerprints + Hamming ≤ 3 pairs. Token-hash
     * bit-vote computed with higher-order functions — no UDF, stays in
-    * codegen. Rows-only (xxhash64 has no DuckDB twin). */
+    * codegen. Rows-only (xxhash64 has no DuckDB twin).
+    *
+    * Candidate generation is BANDED, never all-pairs: the 64-bit fingerprint
+    * splits into 4 × 16-bit band keys, and any pair at Hamming ≤ 3 differs
+    * in at most 3 bands, so by pigeonhole it agrees exactly on ≥ 1 band —
+    * recall is exactly 1.0, no probabilistic loss. Cost: one shuffle on
+    * (band, key) with bucket-local pairing, same shape as the MinHash tier,
+    * safe at any corpus size (an all-pairs crossJoin is O(n²) and dies at
+    * 100 TB). */
   def qDedupSimhash(spark: SparkSession, dir: String): DataFrame = {
+    val fp = simhashFingerprints(spark, dir)
+    // 4 × 16-bit bands; candidates pair up inside (band, key) buckets only.
+    val bands = fp.select(col("doc_id"), col("fingerprint"),
+        explode(sequence(lit(0), lit(3))).as("band"))
+      .withColumn("key", expr("shiftright(fingerprint, CAST(band * 16 AS INT)) & 65535L"))
+    val a = bands.select(col("band"), col("key"),
+      col("doc_id").as("d1"), col("fingerprint").as("f1"))
+    val b = bands.select(col("band"), col("key"),
+      col("doc_id").as("d2"), col("fingerprint").as("f2"))
+    a.join(b, Seq("band", "key"))
+      .filter(col("d1") < col("d2"))
+      // a pair can collide in up to 4 bands → distinct before emitting
+      .select(col("d1"), col("d2"), col("f1"), col("f2")).distinct()
+      .withColumn("hamming", expr("bit_count(f1 ^ f2)"))
+      .filter(col("hamming") <= 3)
+      .select(col("d1"), col("d2"), col("hamming"))
+      .orderBy(col("d1"), col("d2"))
+  }
+
+  /** (doc_id, fingerprint) SimHash table — shared by qDedupSimhash and the
+    * banding-recall test (which brute-forces it to prove the banded
+    * candidate set loses nothing). */
+  private[graft] def simhashFingerprints(spark: SparkSession, dir: String): DataFrame = {
     // Token stream (with multiplicity) × 64 bit positions → per-bit vote
     // sum → fingerprint. Two codegen'd hash aggregations; the token hash is
     // computed once per (token, bit) row, never inside an array lambda.
-    val fp = Tables.documents(spark, dir)
+    Tables.documents(spark, dir)
       .select(col("doc_id"),
         explode(split(lower(trim(col("text"))), " ")).as("token"))
       .withColumn("h", xxhash64(col("token")))
@@ -162,13 +196,6 @@ object Dedup extends QueryModule {
       .withColumn("bit", when(col("s") > 0, expr("shiftleft(1L, CAST(i AS INT))")).otherwise(lit(0L)))
       .groupBy(col("doc_id"))
       .agg(sum(col("bit")).as("fingerprint"))
-    val a = fp.select(col("doc_id").as("d1"), col("fingerprint").as("f1"))
-    val b = fp.select(col("doc_id").as("d2"), col("fingerprint").as("f2"))
-    a.crossJoin(b).filter(col("d1") < col("d2"))
-      .withColumn("hamming", expr("bit_count(f1 ^ f2)"))
-      .filter(col("hamming") <= 3)
-      .select(col("d1"), col("d2"), col("hamming"))
-      .orderBy(col("d1"), col("d2"))
   }
 
   /** The corpus after near-dedup with keep-first policy: every document

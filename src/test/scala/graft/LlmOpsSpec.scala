@@ -27,6 +27,26 @@ class LlmOpsSpec extends SparkSpec {
     assert(dupGroups == 0 || zeroHam > 0)
   }
 
+  test("simhash banding equals brute-force all-pairs and avoids cartesian plans") {
+    // pigeonhole: Hamming ≤ 3 over 4 × 16-bit bands → ≥1 band agrees, so
+    // the banded candidate set must lose nothing vs the O(n²) reference
+    val fp = Dedup.simhashFingerprints(spark, sf)
+    val a = fp.select(col("doc_id").as("d1"), col("fingerprint").as("f1"))
+    val b = fp.select(col("doc_id").as("d2"), col("fingerprint").as("f2"))
+    val brute = a.crossJoin(b).filter(col("d1") < col("d2"))
+      .withColumn("hamming", expr("bit_count(f1 ^ f2)"))
+      .filter(col("hamming") <= 3)
+      .select("d1", "d2", "hamming").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getAs[Number](2).longValue)).toSet
+    val banded = Dedup.qDedupSimhash(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getAs[Number](2).longValue)).toSet
+    assert(banded == brute,
+      s"banded=${banded.size} brute=${brute.size}; diff=${(banded diff brute) ++ (brute diff banded)}")
+    val plan = Dedup.qDedupSimhash(spark, sf).queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      "banded simhash must not plan an all-pairs join")
+  }
+
   test("cosine topk is ordered and bounded in [-1, 1]") {
     val rows = Similarity.qCosineTopk(spark, sf).collect()
     assert(rows.length == 20)

@@ -55,14 +55,25 @@ object Reshape extends QueryModule {
     finally spark.catalog.dropTempView(view)
   }
 
-  /** Seeded stratified sample: ~50% of 'en' docs, ~10% of everything else —
-    * the corpus-balancing primitive. Sampling is partitioning-dependent
-    * across engines → rows-only; determinism within the engine is asserted
-    * in tests. */
+  /** Deterministic stratified sample: ~50% of 'en' docs, ~10% of everything
+    * else — the corpus-balancing primitive. Instead of an engine RNG
+    * (sampleBy's Bernoulli draw is partitioning-dependent and engine-
+    * specific), the keep decision is a pure function of the row: the first
+    * 32 bits of md5(stratum:doc_id) compared against rate·2³². Both engines
+    * compute the identical md5, so the sample is oracle-verifiable,
+    * reproducible across runs/partitionings, and still a per-row map-side
+    * filter with zero shuffles — the property that matters at 100 TB. */
   def qSampleStratified(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(spark, dir)
+    // rate thresholds on the uniform 32-bit hash: floor(rate * 2^32)
+    val enThreshold    = 2147483648L // 0.5 * 2^32
+    val otherThreshold = 429496729L  // floor(0.1 * 2^32)
+    Tables.documents(spark, dir)
       .withColumn("stratum", when(col("lang") === "en", "en").otherwise("other"))
-    docs.stat.sampleBy("stratum", Map("en" -> 0.5, "other" -> 0.1), seed = 42L)
+      .withColumn("u32",
+        conv(substring(md5(concat(col("stratum"), lit(":"),
+          col("doc_id").cast("string"))), 1, 8), 16, 10).cast("long"))
+      .filter((col("stratum") === "en" && col("u32") < enThreshold)
+        || (col("stratum") =!= "en" && col("u32") < otherThreshold))
       .select(col("doc_id"), col("stratum"))
       .orderBy(col("doc_id"))
   }
@@ -92,6 +103,19 @@ object Reshape extends QueryModule {
         |  SELECT l_returnflag, 'status_o' AS status, status_o AS revenue FROM p) u
         |WHERE revenue IS NOT NULL
         |ORDER BY l_returnflag, status""".stripMargin,
+    "q_sample_stratified" ->
+      """WITH s AS (
+        |  SELECT doc_id,
+        |         CASE WHEN lang = 'en' THEN 'en' ELSE 'other' END AS stratum
+        |  FROM documents),
+        |h AS (
+        |  SELECT doc_id, stratum,
+        |         CAST(CONCAT('0x', SUBSTRING(md5(stratum || ':' || CAST(doc_id AS VARCHAR)), 1, 8)) AS UBIGINT) AS u32
+        |  FROM s)
+        |SELECT doc_id, stratum FROM h
+        |WHERE (stratum = 'en' AND u32 < 2147483648)
+        |   OR (stratum <> 'en' AND u32 < 429496729)
+        |ORDER BY doc_id""".stripMargin,
     "q_sql_subquery" ->
       """SELECT o_orderpriority, COUNT(*) AS n_above_avg
         |FROM orders o

@@ -198,10 +198,61 @@ object Dedup extends QueryModule {
       .agg(sum(col("bit")).as("fingerprint"))
   }
 
+  /** Transitive near-dup clustering: connected components over the near-dup
+    * pair graph, survivors = min doc_id per component. Where keep-first
+    * (qDedupSurvivors) drops only the larger id of each PAIR, clustering
+    * follows chains — A~B, B~C groups {A,B,C} even when A!~C directly — the
+    * standard corpus-build step before survivor selection.
+    *
+    * Implementation is Pregel-style min-label propagation: each round every
+    * node takes the min of its own label and its neighbors' labels; fixpoint
+    * ≤ diameter rounds. Each round is ONE shuffle join + ONE aggregation on
+    * the (small) edge list — the documents table is never re-scanned inside
+    * the loop. The driver-side loop tests a scalar convergence count, never
+    * row data. Every round `localCheckpoint`s its result: without lineage
+    * truncation the logical plan DOUBLES per round (labels feeds `next`
+    * twice) and planning alone goes exponential — measured 81 s vs 8 s on a
+    * 4-doc corpus. On a multi-executor cluster, reliable `checkpoint()` (or
+    * GraphX/GraphFrames CC) is the fault-tolerant variant of the same loop;
+    * at extreme diameters large-star/small-star gives O(log n) rounds —
+    * near-dup components are short chains, so diameter rounds are fine. */
+  def qDedupClusters(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = qDedupNear(spark, dir).select(col("d1"), col("d2"))
+    // symmetric edge list, checkpointed once: every round re-reads it and
+    // must not re-derive the whole shingle/Jaccard pipeline
+    val edges = pairs
+      .union(pairs.select(col("d2").as("d1"), col("d1").as("d2")))
+      .localCheckpoint()
+    var labels = edges.select(col("d1").as("doc_id")).distinct()
+      .withColumn("cluster_id", col("doc_id"))
+      .localCheckpoint()
+    var changed = 1L
+    var rounds = 0
+    while (changed > 0 && rounds < 64) {
+      val nbrMin = edges
+        .join(labels.select(col("doc_id").as("d2"), col("cluster_id").as("nbr_label")), "d2")
+        .groupBy(col("d1")).agg(min(col("nbr_label")).as("nbr_min"))
+      val next = labels
+        .join(nbrMin.withColumnRenamed("d1", "doc_id"), Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          least(col("cluster_id"), coalesce(col("nbr_min"), col("cluster_id")))
+            .as("cluster_id"),
+          col("cluster_id").as("prev"))
+        .localCheckpoint()
+      changed = next.filter(col("cluster_id") =!= col("prev")).count()
+      labels = next.select(col("doc_id"), col("cluster_id"))
+      rounds += 1
+    }
+    labels
+      .withColumn("is_survivor", col("doc_id") === col("cluster_id"))
+      .orderBy(col("doc_id"))
+  }
+
   /** The corpus after near-dedup with keep-first policy: every document
     * except those appearing as the larger id of a near-dup pair. (Full
-    * transitive clustering is iterative connected components; keep-first is
-    * the standard single-pass policy and what a training-data filter ships.) */
+    * transitive clustering via connected components is qDedupClusters;
+    * keep-first is the standard single-pass policy and what a training-data
+    * filter ships.) */
   def qDedupSurvivors(spark: SparkSession, dir: String): DataFrame = {
     val losers = qDedupNear(spark, dir).select(col("d2").as("doc_id")).distinct()
     Tables.documents(spark, dir)
@@ -238,6 +289,7 @@ object Dedup extends QueryModule {
     "q_dedup_near"      -> (qDedupNear _),
     "q_dedup_minhash"   -> (qDedupMinhash _),
     "q_dedup_simhash"   -> (qDedupSimhash _),
+    "q_dedup_clusters"  -> (qDedupClusters _),
     "q_dedup_survivors" -> (qDedupSurvivors _),
     "q_corpus_filter"   -> (qCorpusFilter _),
   )
@@ -272,6 +324,39 @@ object Dedup extends QueryModule {
         |JOIN sizes s2 ON s2.doc_id = d2
         |WHERE CAST(inter AS DOUBLE) / (s1.n_sh + s2.n_sh - inter) >= 0.6
         |ORDER BY d1, d2""".stripMargin,
+    "q_dedup_clusters" ->
+      """WITH RECURSIVE toks AS (
+        |  SELECT doc_id, STRING_SPLIT(LOWER(TRIM(text)), ' ') AS t FROM documents),
+        |shingles AS (
+        |  SELECT doc_id, UNNEST(LIST_DISTINCT(LIST_TRANSFORM(
+        |    RANGE(1, GREATEST(LEN(t) - 2, 0) + 1),
+        |    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS shingle
+        |  FROM toks),
+        |rare AS (
+        |  SELECT shingle FROM shingles GROUP BY shingle HAVING COUNT(*) <= 100),
+        |postings AS (
+        |  SELECT s.doc_id, s.shingle FROM shingles s JOIN rare USING (shingle)),
+        |sizes AS (
+        |  SELECT doc_id, COUNT(*) AS n_sh FROM shingles GROUP BY doc_id),
+        |cand AS (
+        |  SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS inter
+        |  FROM postings a JOIN postings b USING (shingle)
+        |  WHERE a.doc_id < b.doc_id GROUP BY d1, d2),
+        |pairs AS (
+        |  SELECT d1, d2 FROM cand
+        |  JOIN sizes s1 ON s1.doc_id = d1
+        |  JOIN sizes s2 ON s2.doc_id = d2
+        |  WHERE CAST(inter AS DOUBLE) / (s1.n_sh + s2.n_sh - inter) >= 0.6),
+        |edges AS (
+        |  SELECT d1 AS a, d2 AS b FROM pairs
+        |  UNION ALL SELECT d2, d1 FROM pairs),
+        |reach(doc_id, r) AS (
+        |  SELECT a, a FROM edges
+        |  UNION
+        |  SELECT e.a, reach.r FROM edges e JOIN reach ON reach.doc_id = e.b)
+        |SELECT doc_id, MIN(r) AS cluster_id,
+        |       (doc_id = MIN(r)) AS is_survivor
+        |FROM reach GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "q_dedup_survivors" ->
       """WITH toks AS (
         |  SELECT doc_id, STRING_SPLIT(LOWER(TRIM(text)), ' ') AS t FROM documents),

@@ -72,6 +72,47 @@ class LlmOpsSpec extends SparkSpec {
     assert(recall >= 0.2, s"IVF recall vs brute force: $recall")
   }
 
+  test("dedup clusters: transitive closure of near-dup pairs, one min-label each") {
+    val pairs = Dedup.qDedupNear(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val clusters = Dedup.qDedupClusters(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    // every paired doc is labeled, both ends of a pair share a label
+    pairs.foreach { case (a, b) =>
+      assert(clusters.contains(a) && clusters.contains(b))
+      assert(clusters(a) == clusters(b), s"pair ($a,$b) split across clusters")
+    }
+    // the label is the component minimum → labels are their own cluster ids
+    clusters.values.toSet.foreach { (cid: Long) =>
+      assert(clusters(cid) == cid, s"cluster id $cid is not its own label")
+    }
+  }
+
+  test("dedup clusters follow chains that keep-first cannot (A~B, B~C, A!~C)") {
+    import spark.implicits._
+    // base ~60 tokens; variants rewrite disjoint halves so A~B and B~C
+    // overlap heavily but A and C drift below the 0.6 Jaccard threshold
+    val words = (1 to 60).map(i => s"w$i")
+    val a = words.mkString(" ")
+    val b = (words.take(50) ++ (1 to 10).map(i => s"x$i")).mkString(" ")
+    val c = (words.take(40) ++ (1 to 20).map(i => s"x$i")).mkString(" ")
+    val d = java.nio.file.Files.createTempDirectory("clusters").toString
+    Seq((1L, a), (2L, b), (3L, c), (4L, (1 to 60).map(i => s"z$i").mkString(" ")))
+      .toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("s"))
+      .withColumn("n_chars", length(col("text")))
+      .write.mode("overwrite").parquet(s"$d/documents.parquet")
+    val near = Dedup.qDedupNear(spark, d).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(near.contains((1L, 2L)) && near.contains((2L, 3L)) && !near.contains((1L, 3L)),
+      s"fixture must form a chain; got $near")
+    val cl = Dedup.qDedupClusters(spark, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    assert(cl.toSet == Set((1L, 1L, true), (2L, 1L, false), (3L, 1L, false)),
+      s"chain must collapse to one cluster rooted at 1: ${cl.mkString(",")}")
+    // keep-first would only drop pair-larger ids {2,3} — same here — but the
+    // clustering additionally PROVES 3 groups with 1 despite no direct edge
+  }
+
   test("dedup survivors = documents minus near-dup losers") {
     val survivors = Dedup.qDedupSurvivors(spark, sf)
     val losers = Dedup.qDedupNear(spark, sf).select("d2").distinct().count()

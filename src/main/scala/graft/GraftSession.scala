@@ -41,6 +41,9 @@ object GraftSession {
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.files.maxPartitionBytes", s"${256 * 1024 * 1024}")
       .config("spark.sql.session.timeZone", "UTC")
+      // events.parquet carries TIMESTAMP(NANOS); set at build time so no
+      // loader has to mutate session conf as a read side effect
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     graft.functions.CosineSimilarity.register(s)
     s

@@ -28,9 +28,18 @@ object Tables {
   /** events.parquet stores `ts` as TIMESTAMP(NANOS), which Spark's vectorized
     * reader rejects. Read nanos as long (legacy conf) and floor-convert to
     * microsecond TimestampType — integer `div`, not double division, because
-    * epoch-nanos (~1.7e18) exceeds a double's 2^53 exact-integer range. */
+    * epoch-nanos (~1.7e18) exceeds a double's 2^53 exact-integer range.
+    *
+    * The nanosAsLong conf is read-path DDL, not a per-read option, so it must
+    * be set on the session BEFORE schema resolution — the session factories
+    * (GraftSession / Verify / Bench / the test base) all set it at build
+    * time. It is NOT mutated here: a loader that flips session-wide conf as
+    * a side effect would silently change how every later parquet read in the
+    * same session interprets nano timestamps. */
   def events(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    require(spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") == "true",
+      "events.parquet has TIMESTAMP(NANOS): build the session with " +
+        "spark.sql.legacy.parquet.nanosAsLong=true (GraftSession.build does)")
     table(spark, dir, "events")
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
   }

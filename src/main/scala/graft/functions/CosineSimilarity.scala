@@ -19,8 +19,10 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
   *
   * Accumulation order matches the HOF version exactly (ascending index,
   * double accumulators, dot / (√nx·√ny)), so results are bit-identical and
-  * the same DuckDB oracle verifies both. NULL if either input is NULL or
-  * either norm is zero.
+  * the same DuckDB oracle verifies both — including outside the happy path:
+  * NULL if either input is NULL, if the lengths differ (zip_with would pad
+  * with NULL and poison the sum), if any element is NULL (x*y propagates
+  * NULL through the HOF aggregate), or if either norm is zero.
   */
 case class CosineSimilarity(left: Expression, right: Expression)
     extends BinaryExpression {
@@ -40,13 +42,15 @@ case class CosineSimilarity(left: Expression, right: Expression)
   override def prettyName: String = "cosine_sim"
 
   override def nullSafeEval(a: Any, b: Any): Any = {
-    val xs = a.asInstanceOf[ArrayData].toFloatArray()
-    val ys = b.asInstanceOf[ArrayData].toFloatArray()
-    val n = math.min(xs.length, ys.length)
+    val xs = a.asInstanceOf[ArrayData]
+    val ys = b.asInstanceOf[ArrayData]
+    val n = xs.numElements()
+    if (n != ys.numElements()) return null
     var dot = 0.0; var nx = 0.0; var ny = 0.0
     var i = 0
     while (i < n) {
-      val x = xs(i).toDouble; val y = ys(i).toDouble
+      if (xs.isNullAt(i) || ys.isNullAt(i)) return null
+      val x = xs.getFloat(i).toDouble; val y = ys.getFloat(i).toDouble
       dot += x * y; nx += x * x; ny += y * y
       i += 1
     }
@@ -56,19 +60,19 @@ case class CosineSimilarity(left: Expression, right: Expression)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (a, b) => {
-      val xs = ctx.freshName("xs"); val ys = ctx.freshName("ys")
       val n = ctx.freshName("n"); val i = ctx.freshName("i")
       val dot = ctx.freshName("dot"); val nx = ctx.freshName("nx"); val ny = ctx.freshName("ny")
+      val bad = ctx.freshName("bad")
       s"""
-         |float[] $xs = $a.toFloatArray();
-         |float[] $ys = $b.toFloatArray();
-         |int $n = Math.min($xs.length, $ys.length);
+         |int $n = $a.numElements();
+         |boolean $bad = ($n != $b.numElements());
          |double $dot = 0.0, $nx = 0.0, $ny = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  double x = (double) $xs[$i]; double y = (double) $ys[$i];
+         |for (int $i = 0; !$bad && $i < $n; $i++) {
+         |  if ($a.isNullAt($i) || $b.isNullAt($i)) { $bad = true; break; }
+         |  double x = (double) $a.getFloat($i); double y = (double) $b.getFloat($i);
          |  $dot += x * y; $nx += x * x; $ny += y * y;
          |}
-         |if ($nx == 0.0 || $ny == 0.0) {
+         |if ($bad || $nx == 0.0 || $ny == 0.0) {
          |  ${ev.isNull} = true;
          |} else {
          |  ${ev.value} = $dot / (Math.sqrt($nx) * Math.sqrt($ny));

@@ -78,7 +78,9 @@ object Streams {
     * downstream plan). Applies the same nanos→micros ts normalization as
     * the batch loader. */
   def readEventsStream(spark: SparkSession, eventsDir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    require(spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") == "true",
+      "events parquet has TIMESTAMP(NANOS): build the session with " +
+        "spark.sql.legacy.parquet.nanosAsLong=true (GraftSession.build does)")
     spark.readStream
       .schema(spark.read.parquet(eventsDir).schema)
       .parquet(eventsDir)

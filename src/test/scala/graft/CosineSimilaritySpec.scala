@@ -32,6 +32,30 @@ class CosineSimilaritySpec extends SparkSpec {
     assert(m("zero").isEmpty)
   }
 
+  test("length mismatch and null elements yield NULL, matching zip_with") {
+    CosineSimilarity.register(spark)
+    import spark.implicits._
+    val df = Seq(
+      ("short", Array(1f, 2f), Array(1f, 2f, 3f)),
+      ("ok",    Array(1f, 2f, 3f), Array(1f, 2f, 3f)),
+    ).toDF("name", "a", "b")
+      .union(Seq(("nullelem", Array[java.lang.Float](1f, null, 3f).map(identity),
+        Array[java.lang.Float](1f, 2f, 3f).map(identity)))
+        .toDF("name", "a", "b"))
+      .withColumn("native", expr("cosine_sim(a, b)"))
+      // the HOF contract being matched: zip_with pads/propagates NULL
+      .withColumn("hof", expr(
+        """CASE WHEN size(a) != size(b) THEN CAST(NULL AS DOUBLE) ELSE
+          |aggregate(zip_with(a, b, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), 0.0D, (s, v) -> s + v)
+          |/ (sqrt(aggregate(a, 0.0D, (s, v) -> s + CAST(v AS DOUBLE) * CAST(v AS DOUBLE)))
+          |  * sqrt(aggregate(b, 0.0D, (s, v) -> s + CAST(v AS DOUBLE) * CAST(v AS DOUBLE)))) END""".stripMargin))
+    val m = df.collect().map(r => r.getString(0) -> (Option(r.get(3)), Option(r.get(4)))).toMap
+    assert(m("short")._1.isEmpty, "length mismatch must be NULL")
+    assert(m("nullelem")._1.isEmpty, "null element must be NULL")
+    assert(m("nullelem")._2.isEmpty, "HOF contract: null element poisons the sum")
+    assert(m("ok")._1 == m("ok")._2, "happy path must still match the HOF value")
+  }
+
   test("expression participates in whole-stage codegen") {
     CosineSimilarity.register(spark)
     val df = Tables.embeddings(spark, sf)

@@ -69,8 +69,9 @@ object TextAnalysis extends QueryModule {
     * document scores profile-overlap and takes the argmax language.
     * Self-referential on synthetic data, but the operator mechanics — build
     * profiles, broadcast, score, argmax — are the production pipeline.
-    * Rows-only: multi-stage window ranking has no stable single-SQL twin;
-    * determinism is tie-broken at every step and asserted in tests. */
+    * Every ranking step is explicitly tie-broken (trigram asc within count,
+    * profile_lang asc within score), which makes the whole chain a pure
+    * function of the data — the DuckDB multi-CTE twin verifies it exactly. */
   def qTextLangidNgram(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     // classify on the first 200 chars — langid saturates on a prefix, and
@@ -163,6 +164,33 @@ object TextAnalysis extends QueryModule {
         |  FROM t)
         |SELECT lang, lang_pred, COUNT(*) AS n
         |FROM scored GROUP BY lang, lang_pred ORDER BY lang, lang_pred""".stripMargin,
+    "q_text_langid_ngram" ->
+      """WITH docs AS (
+        |  SELECT doc_id, lang, SUBSTRING(text, 1, 200) AS head FROM documents),
+        |tri AS (
+        |  SELECT doc_id, lang, UNNEST(LIST_DISTINCT(
+        |    CASE WHEN LENGTH(head) < 3 THEN []
+        |    ELSE LIST_TRANSFORM(RANGE(1, LENGTH(head) - 1), i -> SUBSTRING(head, i, 3)) END)) AS trigram
+        |  FROM docs),
+        |prof AS (
+        |  SELECT lang AS profile_lang, trigram,
+        |         ROW_NUMBER() OVER (PARTITION BY lang ORDER BY COUNT(*) DESC, trigram) AS rk
+        |  FROM tri GROUP BY lang, trigram),
+        |profiles AS (
+        |  SELECT profile_lang, trigram, 51 - rk AS weight FROM prof WHERE rk <= 50),
+        |scored AS (
+        |  SELECT doc_id, profile_lang, SUM(weight) AS score
+        |  FROM tri JOIN profiles USING (trigram)
+        |  GROUP BY doc_id, profile_lang),
+        |best AS (
+        |  SELECT doc_id, profile_lang,
+        |         ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY score DESC, profile_lang) AS rk
+        |  FROM scored),
+        |pred AS (
+        |  SELECT d.doc_id, d.lang, COALESCE(b.profile_lang, 'und') AS lang_pred
+        |  FROM docs d LEFT JOIN (SELECT doc_id, profile_lang FROM best WHERE rk = 1) b USING (doc_id))
+        |SELECT lang, lang_pred, COUNT(*) AS n
+        |FROM pred GROUP BY lang, lang_pred ORDER BY lang, lang_pred""".stripMargin,
     "q_text_fingerprint" ->
       """SELECT doc_id,
         |       LIST_REDUCE(

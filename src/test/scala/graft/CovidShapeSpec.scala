@@ -104,6 +104,25 @@ class CovidShapeSpec extends SparkSpec {
     assert(back.except(df).count() == 0, "quoted commas must survive the round trip")
   }
 
+  test("jdbc sink round-trips through embedded Derby and replace-mode is idempotent (R9)") {
+    // Derby ships with Spark (hive metastore dependency) and has a built-in
+    // Spark dialect — a REAL executor-side JDBC write, the literal analog of
+    // the reference's Postgres COPY sink, not a builder-options assertion.
+    import spark.implicits._
+    val url = "jdbc:derby:memory:graftlake;create=true"
+    val df = Seq((1L, "goiania", 10.5), (2L, "sao paulo", 3.25), (3L, "rio", 0.0))
+      .toDF("id", "city", "rate")
+    CovidShape.loadReplaceJdbc(df, url, "covid_rates", "app", "app")
+    CovidShape.loadReplaceJdbc(df, url, "covid_rates", "app", "app") // re-run = replace
+    val back = spark.read.format("jdbc")
+      .option("url", url).option("dbtable", "covid_rates")
+      .option("user", "app").option("password", "app").load()
+    assert(back.count() == 3, "second overwrite must replace, not append")
+    assert(back.select("id", "city", "rate").except(df).count() == 0)
+    // truncate-mode overwrite must also preserve the table schema
+    assert(back.schema.fieldNames.sorted.sameElements(Array("city", "id", "rate")))
+  }
+
   test("the two pipeline tasks run concurrently as independent actions (R11)") {
     import scala.concurrent.{Await, Future}
     import scala.concurrent.duration._

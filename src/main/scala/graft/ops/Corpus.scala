@@ -1,0 +1,154 @@
+package graft.ops
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus-construction operators beyond dedup (SURVEY.md §2.6 extensions) —
+  * the remaining steps a training-data build runs between "raw documents"
+  * and "training mix":
+  *
+  *  - decontamination: drop training docs that share long n-grams with an
+  *    evaluation benchmark (the standard 8-to-13-gram overlap rule). The
+  *    benchmark n-gram set is orders of magnitude smaller than the corpus,
+  *    so it broadcasts and the corpus streams past it — one scan, no
+  *    corpus-side shuffle until the per-doc count.
+  *  - capped per-source sampling: at most N docs per source, chosen by a
+  *    deterministic hash priority — the domain-mixing primitive. One
+  *    window over a (source)-partitioned shuffle; at 100 TB the same
+  *    expression runs per partition after a write-time bucketing by source.
+  *  - TF-IDF top terms: per-document top-k terms by tf·ln(N/df) — the
+  *    classic relevance score, all from codegen'd hash aggregates (token
+  *    explode → tf; distinct explode → df; broadcast scalar N).
+  *
+  * Determinism notes baked into the oracles: scores use
+  * floor(x·10⁶+0.5)/10⁶ instead of round() (identical IEEE arithmetic in
+  * both engines — Spark's round goes through BigDecimal and diverges at
+  * double midpoints), and every window carries a total tie-break.
+  */
+object Corpus extends QueryModule {
+
+  /** Docs from this source play the role of the evaluation benchmark. */
+  private val BenchmarkSource = "src0"
+  private val GramSize = 8
+  private val PerSourceCap = 5
+
+  /** Distinct word 8-grams per doc: (doc_id, source, gram). Docs under 8
+    * tokens contribute nothing (mirrors the oracle's list slicing). */
+  private def gramTable(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .withColumn("toks", split(lower(trim(col("text"))), " "))
+      .select(col("doc_id"), col("source"), explode(array_distinct(expr(
+        s"""CASE WHEN size(toks) < $GramSize THEN array()
+           |ELSE transform(sequence(0, size(toks) - $GramSize),
+           |  i -> concat_ws(' ', slice(toks, i + 1, $GramSize)))
+           |END""".stripMargin)))
+        .as("gram"))
+
+  /** Training docs contaminated by benchmark 8-gram overlap, with the
+    * count of distinct shared grams — the drop list a decontamination
+    * pass feeds back into corpus filtering. */
+  def qDecontaminate(spark: SparkSession, dir: String): DataFrame = {
+    val grams = gramTable(spark, dir)
+    val bench = grams.filter(col("source") === BenchmarkSource)
+      .select(col("gram")).distinct()
+    grams.filter(col("source") =!= BenchmarkSource)
+      // bench is the small side: AQE broadcasts it, the corpus streams
+      .join(bench, "gram")
+      // grams are distinct per doc, so plain count = distinct shared grams
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shared"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** At most 5 docs per source by deterministic md5 priority — reproducible
+    * across runs, partitionings, and engines (same hash both sides). */
+  def qSampleCapped(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("source"))
+      .orderBy(col("priority"), col("doc_id"))
+    Tables.documents(spark, dir)
+      .withColumn("priority",
+        md5(concat(col("source"), lit(":"), col("doc_id").cast("string"))))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= PerSourceCap)
+      .select(col("doc_id"), col("source"), col("rk"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Top-3 terms per document by tf·ln(N/df), ranked on the RAW double
+    * (identical in both engines) and floor-rounded only for display. */
+  def qTfidfTop(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val toks = docs.select(col("doc_id"),
+      explode(split(lower(trim(col("text"))), " ")).as("token"))
+    val tf = toks.groupBy(col("doc_id"), col("token"))
+      .agg(count(lit(1)).as("tf"))
+    val dfreq = toks.distinct().groupBy(col("token"))
+      .agg(count(lit(1)).as("df"))
+    val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("s").desc, col("token"))
+    tf.join(dfreq, "token")
+      .crossJoin(broadcast(nDocs))
+      .withColumn("s",
+        col("tf").cast("double")
+          * log(col("n_docs").cast("double") / col("df").cast("double")))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 3)
+      .select(col("doc_id"), col("token"),
+        (floor(col("s") * 1000000 + 0.5) / 1000000).as("tfidf"))
+      .orderBy(col("doc_id"), col("tfidf").desc, col("token"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_decontaminate" -> (qDecontaminate _),
+    "q_sample_capped" -> (qSampleCapped _),
+    "q_tfidf_top"     -> (qTfidfTop _),
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q_decontaminate" ->
+      """WITH toks AS (
+        |  SELECT doc_id, source, STRING_SPLIT(LOWER(TRIM(text)), ' ') AS t FROM documents),
+        |grams AS (
+        |  SELECT doc_id, source, UNNEST(LIST_DISTINCT(
+        |    CASE WHEN LEN(t) < 8 THEN []
+        |    ELSE LIST_TRANSFORM(RANGE(1, LEN(t) - 6),
+        |      i -> ARRAY_TO_STRING(t[i:i+7], ' ')) END)) AS gram
+        |  FROM toks),
+        |bench AS (
+        |  SELECT DISTINCT gram FROM grams WHERE source = 'src0')
+        |SELECT g.doc_id, COUNT(*) AS n_shared
+        |FROM grams g JOIN bench USING (gram)
+        |WHERE g.source <> 'src0'
+        |GROUP BY g.doc_id ORDER BY g.doc_id""".stripMargin,
+    "q_sample_capped" ->
+      """WITH ranked AS (
+        |  SELECT doc_id, source,
+        |         ROW_NUMBER() OVER (PARTITION BY source
+        |           ORDER BY md5(source || ':' || CAST(doc_id AS VARCHAR)), doc_id) AS rk
+        |  FROM documents)
+        |SELECT doc_id, source, CAST(rk AS INTEGER) AS rk
+        |FROM ranked WHERE rk <= 5 ORDER BY doc_id""".stripMargin,
+    "q_tfidf_top" ->
+      """WITH toks AS (
+        |  SELECT doc_id, UNNEST(STRING_SPLIT(LOWER(TRIM(text)), ' ')) AS token FROM documents),
+        |tf AS (
+        |  SELECT doc_id, token, COUNT(*) AS tf FROM toks GROUP BY doc_id, token),
+        |dfreq AS (
+        |  SELECT token, COUNT(*) AS df FROM (SELECT DISTINCT doc_id, token FROM toks) GROUP BY token),
+        |n AS (SELECT COUNT(*) AS n_docs FROM documents),
+        |scored AS (
+        |  SELECT tf.doc_id, tf.token,
+        |         CAST(tf.tf AS DOUBLE) * LN(CAST(n.n_docs AS DOUBLE) / CAST(dfreq.df AS DOUBLE)) AS s
+        |  FROM tf JOIN dfreq USING (token) CROSS JOIN n),
+        |ranked AS (
+        |  SELECT doc_id, token, s,
+        |         ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY s DESC, token) AS rk
+        |  FROM scored)
+        |SELECT doc_id, token, FLOOR(s * 1000000 + 0.5) / 1000000 AS tfidf
+        |FROM ranked WHERE rk <= 3
+        |ORDER BY doc_id, tfidf DESC, token""".stripMargin,
+  )
+}

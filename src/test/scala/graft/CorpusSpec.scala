@@ -1,0 +1,61 @@
+package graft
+
+import graft.ops.Corpus
+import org.apache.spark.sql.functions._
+
+class CorpusSpec extends SparkSpec {
+
+  test("decontamination flags exactly the docs sharing an 8-gram with the benchmark") {
+    import spark.implicits._
+    val words = (1 to 20).map(i => s"w$i").mkString(" ")
+    val overlap = (5 to 12).map(i => s"w$i").mkString(" ") // 8 shared tokens
+    val d = java.nio.file.Files.createTempDirectory("decon").toString
+    Seq(
+      (1L, words, "src0"),                           // benchmark doc
+      (2L, s"intro $overlap outro", "src1"),         // contaminated: 8-gram w5..w12
+      (3L, (1 to 20).map(i => s"z$i").mkString(" "), "src1"), // clean
+      (4L, "short doc", "src2"),                     // under 8 tokens: no grams
+    ).toDF("doc_id", "text", "source")
+      .withColumn("lang", lit("en")).withColumn("n_chars", length(col("text")))
+      .write.mode("overwrite").parquet(s"$d/documents.parquet")
+    val hits = Corpus.qDecontaminate(spark, d).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(hits.keySet == Set(2L), s"only doc 2 overlaps: $hits")
+    assert(hits(2L) == 1L, "exactly one shared 8-gram (w5..w12)")
+  }
+
+  test("capped sampling: at most 5 per source, deterministic, rank within cap") {
+    val a = Corpus.qSampleCapped(spark, sf).collect().map(_.getLong(0))
+    val b = Corpus.qSampleCapped(spark, sf).collect().map(_.getLong(0))
+    assert(a.sameElements(b), "hash priority must be run-stable")
+    val perSource = Corpus.qSampleCapped(spark, sf)
+      .groupBy("source").count().collect().map(_.getLong(1))
+    assert(perSource.forall(_ <= 5))
+    assert(Corpus.qSampleCapped(spark, sf)
+      .filter(col("rk") < 1 || col("rk") > 5).count() == 0)
+  }
+
+  test("tfidf: top term per doc dominates a brute-force recompute") {
+    val top = Corpus.qTfidfTop(spark, sf)
+    // at most 3 terms per doc, all scores >= 0
+    val counts = top.groupBy("doc_id").count().collect().map(_.getLong(1))
+    assert(counts.forall(_ <= 3))
+    assert(top.filter(col("tfidf") < 0).count() == 0)
+    // brute-force one doc: its rank-1 term must have the max tf*ln(N/df)
+    val docs = Tables.documents(spark, sf)
+    val n = docs.count().toDouble
+    val toks = docs.select(col("doc_id"),
+      explode(split(lower(trim(col("text"))), " ")).as("token"))
+    val someDoc = top.select("doc_id").collect()(0).getLong(0)
+    val dfMap = toks.distinct().groupBy("token").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val tfMap = toks.filter(col("doc_id") === someDoc)
+      .groupBy("token").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val bruteBest = tfMap.map { case (t, tf) => t -> tf * math.log(n / dfMap(t)) }
+      .maxBy { case (t, s) => (s, t) }._2
+    val engineBest = top.filter(col("doc_id") === someDoc)
+      .orderBy(col("tfidf").desc).collect()(0).getDouble(2)
+    assert(math.abs(engineBest - math.floor(bruteBest * 1e6 + 0.5) / 1e6) < 1e-9)
+  }
+}

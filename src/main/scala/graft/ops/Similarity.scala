@@ -100,10 +100,15 @@ object Similarity extends QueryModule {
     * deployment k-means-trains these), probe the 4 lists nearest the query,
     * exact-rerank inside them. At scale the assignment is a write-time
     * partition key: probing touches 4/16 of the data instead of filtering
-    * post-hoc. Rows-only; recall asserted vs brute force in tests. */
+    * post-hoc. Every step is deterministic (first-16 centroids, cosine
+    * argmax tie-broken by cid, rerank tie-broken by vec_id), so a DuckDB
+    * multi-CTE twin verifies it exactly; recall vs brute force is also
+    * asserted in tests. Zero-norm vectors have no direction and are
+    * excluded up front in both engines (cosine NULL in Spark vs NaN in
+    * DuckDB would otherwise diverge — NaN sorts first in a DuckDB DESC). */
   def qAnnIvf(spark: SparkSession, dir: String): DataFrame = {
     graft.functions.CosineSimilarity.register(spark)
-    val e = Tables.embeddings(spark, dir)
+    val e = Tables.embeddings(spark, dir).filter(expr(normSqExpr) > 0)
     val centroids = e.filter(col("vec_id") < 16)
       .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
     // assign every vector to its nearest centroid
@@ -150,5 +155,27 @@ object Similarity extends QueryModule {
   val oracle: Map[String, String] = Map(
     "q_cosine_topk"        -> cosineTopkOracle,
     "q_cosine_topk_native" -> cosineTopkOracle,
+    "q_ann_ivf" ->
+      """WITH e AS (
+        |  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        |  WHERE LIST_AGGREGATE(LIST_TRANSFORM(CAST(embedding AS DOUBLE[]), x -> x * x), 'sum') > 0),
+        |cent AS (
+        |  SELECT vec_id AS cid, v AS cvec FROM e WHERE vec_id < 16),
+        |assigned AS (
+        |  SELECT vec_id, label, v, cid FROM (
+        |    SELECT e.vec_id, e.label, e.v, c.cid,
+        |           ROW_NUMBER() OVER (PARTITION BY e.vec_id
+        |             ORDER BY LIST_COSINE_SIMILARITY(e.v, c.cvec) DESC, c.cid) AS rn
+        |    FROM e CROSS JOIN cent c) WHERE rn = 1),
+        |q AS (SELECT v AS qvec FROM e WHERE vec_id = 0),
+        |probes AS (
+        |  SELECT cid FROM cent CROSS JOIN q
+        |  ORDER BY LIST_COSINE_SIMILARITY(cvec, qvec) DESC, cid LIMIT 4)
+        |SELECT a.vec_id, a.label,
+        |       ROUND(LIST_COSINE_SIMILARITY(a.v, q.qvec), 6) AS cosine
+        |FROM assigned a JOIN probes USING (cid) CROSS JOIN q
+        |WHERE a.vec_id <> 0
+        |ORDER BY LIST_COSINE_SIMILARITY(a.v, q.qvec) DESC, a.vec_id
+        |LIMIT 10""".stripMargin,
   )
 }

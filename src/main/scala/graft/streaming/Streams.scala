@@ -73,6 +73,36 @@ object Streams {
       .toDF("user_id", "running_total")
   }
 
+  /** Stream-static enrichment: join the event stream against a static
+    * dimension frame. The static side is planned per micro-batch (and
+    * broadcast when small), so dimension updates between batches are picked
+    * up automatically — no state store involved, the streaming analog of
+    * the batch broadcast-dim join. */
+  def enrichWithDim(events: DataFrame, dim: DataFrame): DataFrame =
+    events.join(broadcast(dim), Seq("event_type"), "left")
+
+  /** Stream-stream interval join: match each left event to right events of
+    * the same user within [0, 10 min] after it — the impression⋈click
+    * shape. BOTH sides are watermarked and the join condition bounds event
+    * time in both directions; that pair of constraints is what lets the
+    * state store evict rows once the watermark passes, keeping state
+    * bounded at any ingest rate. Without the time bounds Spark would have
+    * to buffer both streams forever. Inner join: unmatched rows simply
+    * never emit (outer variants emit on watermark expiry). */
+  def intervalJoin(left: DataFrame, right: DataFrame): DataFrame = {
+    val l = left.withWatermark("ts", "10 minutes")
+      .select(col("user_id"), col("ts").as("l_ts"), col("value").as("l_value"))
+    val r = right.withWatermark("ts", "10 minutes")
+      .select(col("user_id").as("r_user"), col("ts").as("r_ts"),
+        col("value").as("r_value"))
+    l.join(r,
+      col("user_id") === col("r_user") &&
+        col("r_ts") >= col("l_ts") &&
+        col("r_ts") <= col("l_ts") + expr("INTERVAL 10 MINUTES"))
+      .select(col("user_id"), col("l_ts"), col("r_ts"),
+        col("l_value"), col("r_value"))
+  }
+
   /** File-source entry: tail a DIRECTORY of parquet event files as a stream
     * (the file source rejects single files; production: Kafka source, same
     * downstream plan). Applies the same nanos→micros ts normalization as

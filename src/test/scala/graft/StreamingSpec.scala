@@ -80,6 +80,49 @@ class StreamingSpec extends SparkSpec {
     assert(rows.contains((2L, 5.0)))
   }
 
+  test("stream-static enrichment joins dims per micro-batch") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val mem = MemoryStream[(Timestamp, String, Double)]
+    val streamDf = mem.toDF.toDF("ts", "event_type", "value")
+    val dim = Seq(("click", "interactive"), ("view", "passive"))
+      .toDF("event_type", "category")
+    val t0 = Timestamp.valueOf("2025-01-01 00:00:00")
+    mem.addData(Seq((t0, "click", 1.0), (t0, "view", 2.0), (t0, "scroll", 3.0)))
+    val q = Streams.enrichWithDim(streamDf, dim).writeStream
+      .format("memory").queryName("enrich_smoke").outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    val rows = spark.table("enrich_smoke").collect()
+      .map(r => r.getAs[String]("event_type") -> Option(r.getAs[String]("category"))).toMap
+    assert(rows("click").contains("interactive"))
+    assert(rows("view").contains("passive"))
+    assert(rows("scroll").isEmpty, "left join keeps unmatched events with null dim")
+  }
+
+  test("stream-stream interval join matches within the window, drops beyond it") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val lMem = MemoryStream[(Long, Timestamp, Double)]
+    val rMem = MemoryStream[(Long, Timestamp, Double)]
+    val lDf = lMem.toDF.toDF("user_id", "ts", "value")
+    val rDf = rMem.toDF.toDF("user_id", "ts", "value")
+    def t(min: Int) = Timestamp.valueOf(f"2025-01-01 00:$min%02d:00")
+    // user 1: click 5 min after impression (match); user 2: 15 min (beyond
+    // the 10-min bound, no match); user 3: click BEFORE impression (no match)
+    lMem.addData(Seq((1L, t(0), 10.0), (2L, t(0), 20.0), (3L, t(10), 30.0)))
+    rMem.addData(Seq((1L, t(5), 1.0), (2L, t(15), 2.0), (3L, t(5), 3.0)))
+    val q = Streams.intervalJoin(lDf, rDf).writeStream
+      .format("memory").queryName("ssjoin_smoke").outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    val rows = spark.table("ssjoin_smoke").collect()
+      .map(r => (r.getLong(0), r.getDouble(3), r.getDouble(4)))
+    assert(rows.toSet == Set((1L, 10.0, 1.0)),
+      s"only user 1 is inside [0, 10 min]: ${rows.mkString(",")}")
+    // the plan must be a stateful stream-stream join, not a static one
+    assert(spark.table("ssjoin_smoke").schema.fieldNames
+      .sameElements(Array("user_id", "l_ts", "r_ts", "l_value", "r_value")))
+  }
+
   test("stateful streaming dedup drops the duplicate event_id") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     import spark.implicits._

@@ -22,7 +22,8 @@ import org.apache.spark.sql.SparkSession
 object GraftSession {
 
   def build(master: String, parallelism: Int,
-      appName: String = "graft"): SparkSession = {
+      appName: String = "graft",
+      extraConf: Map[String, String] = Map.empty): SparkSession = {
     // getOrCreate silently ignores static confs (master!) on an existing
     // session while still applying runtime confs — a half-reconfigured
     // session is worse than an error, so refuse a master mismatch outright.
@@ -32,7 +33,7 @@ object GraftSession {
         require(m == master,
           s"a SparkSession with master '$m' already exists; cannot rebuild as '$master'")
       }
-    val s = SparkSession.builder()
+    val b = SparkSession.builder()
       .master(master)
       .appName(appName)
       .config("spark.sql.shuffle.partitions", parallelism.toString)
@@ -44,8 +45,16 @@ object GraftSession {
       // events.parquet carries TIMESTAMP(NANOS); set at build time so no
       // loader has to mutate session conf as a read side effect
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .getOrCreate()
+    extraConf.foreach { case (k, v) => b.config(k, v) }
+    val s = b.getOrCreate()
     graft.functions.CosineSimilarity.register(s)
     s
   }
+
+  /** The local entry-point shape Verify/Bench/Profile/Explain share: every
+    * session conf lives in [[build]], so a new shared conf is a one-line
+    * change instead of an edit to six hand-rolled builders. */
+  def buildLocal(cpus: String, appName: String): SparkSession =
+    build(s"local[$cpus]", cpus.toInt, appName,
+      Map("spark.ui.enabled" -> "false"))
 }

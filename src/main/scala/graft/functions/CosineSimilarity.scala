@@ -63,14 +63,15 @@ case class CosineSimilarity(left: Expression, right: Expression)
       val n = ctx.freshName("n"); val i = ctx.freshName("i")
       val dot = ctx.freshName("dot"); val nx = ctx.freshName("nx"); val ny = ctx.freshName("ny")
       val bad = ctx.freshName("bad")
+      val x = ctx.freshName("x"); val y = ctx.freshName("y")
       s"""
          |int $n = $a.numElements();
          |boolean $bad = ($n != $b.numElements());
          |double $dot = 0.0, $nx = 0.0, $ny = 0.0;
          |for (int $i = 0; !$bad && $i < $n; $i++) {
          |  if ($a.isNullAt($i) || $b.isNullAt($i)) { $bad = true; break; }
-         |  double x = (double) $a.getFloat($i); double y = (double) $b.getFloat($i);
-         |  $dot += x * y; $nx += x * x; $ny += y * y;
+         |  double $x = (double) $a.getFloat($i); double $y = (double) $b.getFloat($i);
+         |  $dot += $x * $y; $nx += $x * $x; $ny += $y * $y;
          |}
          |if ($bad || $nx == 0.0 || $ny == 0.0) {
          |  ${ev.isNull} = true;

@@ -170,11 +170,14 @@ object Dedup extends QueryModule {
       col("doc_id").as("d2"), col("fingerprint").as("f2"))
     a.join(b, Seq("band", "key"))
       .filter(col("d1") < col("d2"))
-      // a pair can collide in up to 4 bands → distinct before emitting
-      .select(col("d1"), col("d2"), col("f1"), col("f2")).distinct()
+      // Hamming filter BEFORE the distinct: hamming is a pure function of
+      // the pair, and band-key coincidences overwhelmingly produce pairs
+      // beyond the threshold — filtering per-row first means the distinct's
+      // exchange shuffles only true near-dups, not every spurious collision
       .withColumn("hamming", expr("bit_count(f1 ^ f2)"))
       .filter(col("hamming") <= 3)
-      .select(col("d1"), col("d2"), col("hamming"))
+      // a surviving pair can still agree on up to 4 bands → distinct
+      .select(col("d1"), col("d2"), col("hamming")).distinct()
       .orderBy(col("d1"), col("d2"))
   }
 
@@ -228,7 +231,11 @@ object Dedup extends QueryModule {
       .localCheckpoint()
     var changed = 1L
     var rounds = 0
-    while (changed > 0 && rounds < 64) {
+    // generous safety valve only — convergence is REQUIRED below, because
+    // silently-truncated propagation would emit a component with multiple
+    // labels and fail (or worse, skip) the oracle gate
+    val maxRounds = 4096
+    while (changed > 0 && rounds < maxRounds) {
       val nbrMin = edges
         .join(labels.select(col("doc_id").as("d2"), col("cluster_id").as("nbr_label")), "d2")
         .groupBy(col("d1")).agg(min(col("nbr_label")).as("nbr_min"))
@@ -243,6 +250,10 @@ object Dedup extends QueryModule {
       labels = next.select(col("doc_id"), col("cluster_id"))
       rounds += 1
     }
+    require(changed == 0,
+      s"label propagation did not converge in $maxRounds rounds " +
+        s"($changed labels still changing) — component diameter is pathological; " +
+        "switch to large-star/small-star")
     labels
       .withColumn("is_survivor", col("doc_id") === col("cluster_id"))
       .orderBy(col("doc_id"))
@@ -294,62 +305,51 @@ object Dedup extends QueryModule {
     "q_corpus_filter"   -> (qCorpusFilter _),
   )
 
+  /** The near-dup CTE chain shared by every oracle that consumes near-dup
+    * pairs — ONE copy, interpolating the SAME Scala constants the Spark
+    * tiers use, so the gates cannot drift from the engine or each other.
+    * Ends with `near_pairs(d1, d2, jaccard_raw)`, already
+    * threshold-filtered. */
+  private val nearDupCtes: String =
+    s"""toks AS (
+       |  SELECT doc_id, STRING_SPLIT(LOWER(TRIM(text)), ' ') AS t FROM documents),
+       |shingles AS (
+       |  SELECT doc_id, UNNEST(LIST_DISTINCT(LIST_TRANSFORM(
+       |    RANGE(1, GREATEST(LEN(t) - 2, 0) + 1),
+       |    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS shingle
+       |  FROM toks),
+       |rare AS (
+       |  SELECT shingle FROM shingles GROUP BY shingle HAVING COUNT(*) <= $StopShingleDf),
+       |postings AS (
+       |  SELECT s.doc_id, s.shingle FROM shingles s JOIN rare USING (shingle)),
+       |sizes AS (
+       |  SELECT doc_id, COUNT(*) AS n_sh FROM shingles GROUP BY doc_id),
+       |cand AS (
+       |  SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS inter
+       |  FROM postings a JOIN postings b USING (shingle)
+       |  WHERE a.doc_id < b.doc_id GROUP BY d1, d2),
+       |near_pairs AS (
+       |  SELECT d1, d2,
+       |         CAST(inter AS DOUBLE) / (s1.n_sh + s2.n_sh - inter) AS jaccard_raw
+       |  FROM cand
+       |  JOIN sizes s1 ON s1.doc_id = d1
+       |  JOIN sizes s2 ON s2.doc_id = d2
+       |  WHERE CAST(inter AS DOUBLE) / (s1.n_sh + s2.n_sh - inter) >= $JaccardThreshold)""".stripMargin
+
   val oracle: Map[String, String] = Map(
     "q_dedup_exact" ->
       """SELECT MIN(doc_id) AS survivor_id, COUNT(*) AS n_dups,
         |       SHA256(LOWER(TRIM(text))) AS h
         |FROM documents GROUP BY h ORDER BY survivor_id""".stripMargin,
     "q_dedup_near" ->
-      """WITH toks AS (
-        |  SELECT doc_id, STRING_SPLIT(LOWER(TRIM(text)), ' ') AS t FROM documents),
-        |shingles AS (
-        |  SELECT doc_id, UNNEST(LIST_DISTINCT(LIST_TRANSFORM(
-        |    RANGE(1, GREATEST(LEN(t) - 2, 0) + 1),
-        |    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS shingle
-        |  FROM toks),
-        |rare AS (
-        |  SELECT shingle FROM shingles GROUP BY shingle HAVING COUNT(*) <= 100),
-        |postings AS (
-        |  SELECT s.doc_id, s.shingle FROM shingles s JOIN rare USING (shingle)),
-        |sizes AS (
-        |  SELECT doc_id, COUNT(*) AS n_sh FROM shingles GROUP BY doc_id),
-        |pairs AS (
-        |  SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS inter
-        |  FROM postings a JOIN postings b USING (shingle)
-        |  WHERE a.doc_id < b.doc_id GROUP BY d1, d2)
-        |SELECT d1, d2,
-        |       ROUND(CAST(inter AS DOUBLE) / (s1.n_sh + s2.n_sh - inter), 6) AS jaccard
-        |FROM pairs
-        |JOIN sizes s1 ON s1.doc_id = d1
-        |JOIN sizes s2 ON s2.doc_id = d2
-        |WHERE CAST(inter AS DOUBLE) / (s1.n_sh + s2.n_sh - inter) >= 0.6
-        |ORDER BY d1, d2""".stripMargin,
+      s"""WITH $nearDupCtes
+        |SELECT d1, d2, ROUND(jaccard_raw, 6) AS jaccard
+        |FROM near_pairs ORDER BY d1, d2""".stripMargin,
     "q_dedup_clusters" ->
-      """WITH RECURSIVE toks AS (
-        |  SELECT doc_id, STRING_SPLIT(LOWER(TRIM(text)), ' ') AS t FROM documents),
-        |shingles AS (
-        |  SELECT doc_id, UNNEST(LIST_DISTINCT(LIST_TRANSFORM(
-        |    RANGE(1, GREATEST(LEN(t) - 2, 0) + 1),
-        |    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS shingle
-        |  FROM toks),
-        |rare AS (
-        |  SELECT shingle FROM shingles GROUP BY shingle HAVING COUNT(*) <= 100),
-        |postings AS (
-        |  SELECT s.doc_id, s.shingle FROM shingles s JOIN rare USING (shingle)),
-        |sizes AS (
-        |  SELECT doc_id, COUNT(*) AS n_sh FROM shingles GROUP BY doc_id),
-        |cand AS (
-        |  SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS inter
-        |  FROM postings a JOIN postings b USING (shingle)
-        |  WHERE a.doc_id < b.doc_id GROUP BY d1, d2),
-        |pairs AS (
-        |  SELECT d1, d2 FROM cand
-        |  JOIN sizes s1 ON s1.doc_id = d1
-        |  JOIN sizes s2 ON s2.doc_id = d2
-        |  WHERE CAST(inter AS DOUBLE) / (s1.n_sh + s2.n_sh - inter) >= 0.6),
+      s"""WITH RECURSIVE $nearDupCtes,
         |edges AS (
-        |  SELECT d1 AS a, d2 AS b FROM pairs
-        |  UNION ALL SELECT d2, d1 FROM pairs),
+        |  SELECT d1 AS a, d2 AS b FROM near_pairs
+        |  UNION ALL SELECT d2, d1 FROM near_pairs),
         |reach(doc_id, r) AS (
         |  SELECT a, a FROM edges
         |  UNION
@@ -358,54 +358,16 @@ object Dedup extends QueryModule {
         |       (doc_id = MIN(r)) AS is_survivor
         |FROM reach GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "q_dedup_survivors" ->
-      """WITH toks AS (
-        |  SELECT doc_id, STRING_SPLIT(LOWER(TRIM(text)), ' ') AS t FROM documents),
-        |shingles AS (
-        |  SELECT doc_id, UNNEST(LIST_DISTINCT(LIST_TRANSFORM(
-        |    RANGE(1, GREATEST(LEN(t) - 2, 0) + 1),
-        |    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS shingle
-        |  FROM toks),
-        |rare AS (
-        |  SELECT shingle FROM shingles GROUP BY shingle HAVING COUNT(*) <= 100),
-        |postings AS (
-        |  SELECT s.doc_id, s.shingle FROM shingles s JOIN rare USING (shingle)),
-        |sizes AS (
-        |  SELECT doc_id, COUNT(*) AS n_sh FROM shingles GROUP BY doc_id),
-        |pairs AS (
-        |  SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS inter
-        |  FROM postings a JOIN postings b USING (shingle)
-        |  WHERE a.doc_id < b.doc_id GROUP BY d1, d2),
+      s"""WITH $nearDupCtes,
         |losers AS (
-        |  SELECT DISTINCT d2 AS doc_id FROM pairs
-        |  JOIN sizes s1 ON s1.doc_id = d1
-        |  JOIN sizes s2 ON s2.doc_id = d2
-        |  WHERE CAST(inter AS DOUBLE) / (s1.n_sh + s2.n_sh - inter) >= 0.6)
+        |  SELECT DISTINCT d2 AS doc_id FROM near_pairs)
         |SELECT doc_id, lang, source, n_chars FROM documents
         |WHERE doc_id NOT IN (SELECT doc_id FROM losers)
         |ORDER BY doc_id""".stripMargin,
     "q_corpus_filter" ->
-      """WITH toks AS (
-        |  SELECT doc_id, STRING_SPLIT(LOWER(TRIM(text)), ' ') AS t FROM documents),
-        |shingles AS (
-        |  SELECT doc_id, UNNEST(LIST_DISTINCT(LIST_TRANSFORM(
-        |    RANGE(1, GREATEST(LEN(t) - 2, 0) + 1),
-        |    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS shingle
-        |  FROM toks),
-        |rare AS (
-        |  SELECT shingle FROM shingles GROUP BY shingle HAVING COUNT(*) <= 100),
-        |postings AS (
-        |  SELECT s.doc_id, s.shingle FROM shingles s JOIN rare USING (shingle)),
-        |sizes AS (
-        |  SELECT doc_id, COUNT(*) AS n_sh FROM shingles GROUP BY doc_id),
-        |pairs AS (
-        |  SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS inter
-        |  FROM postings a JOIN postings b USING (shingle)
-        |  WHERE a.doc_id < b.doc_id GROUP BY d1, d2),
+      s"""WITH $nearDupCtes,
         |losers AS (
-        |  SELECT DISTINCT d2 AS doc_id FROM pairs
-        |  JOIN sizes s1 ON s1.doc_id = d1
-        |  JOIN sizes s2 ON s2.doc_id = d2
-        |  WHERE CAST(inter AS DOUBLE) / (s1.n_sh + s2.n_sh - inter) >= 0.6),
+        |  SELECT DISTINCT d2 AS doc_id FROM near_pairs),
         |quality AS (
         |  SELECT doc_id FROM toks
         |  WHERE LEN(t) BETWEEN 20 AND 10000

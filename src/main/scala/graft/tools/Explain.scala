@@ -1,7 +1,6 @@
 package graft.tools
 
-import graft.SparkEntry
-import org.apache.spark.sql.SparkSession
+import graft.{GraftSession, SparkEntry}
 
 /** Dev tool: dump formatted physical plans for representative queries.
   * Usage: runMain graft.tools.Explain <sfDir> <q1> <q2> ...
@@ -9,13 +8,7 @@ import org.apache.spark.sql.SparkSession
 object Explain {
   def main(args: Array[String]): Unit = {
     val sfDir = args(0)
-    val spark = SparkSession.builder()
-      .master("local[4]")
-      .config("spark.sql.shuffle.partitions", "4")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    val spark = GraftSession.buildLocal("4", "graft-explain")
     spark.sparkContext.setLogLevel("ERROR")
     args.drop(1).foreach { name =>
       println(s"\n## $name\n")

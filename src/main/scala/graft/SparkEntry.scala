@@ -8,7 +8,8 @@ object SparkEntry {
     Relational.flagship(spark, "/root/testdata/sf0.001")
   /** All operator modules; each contributes query keys from SURVEY.md §2. */
   private val modules: Seq[QueryModule] = Seq(Relational, Joins, Aggregations, Windows, SetOps, Functions,
-      StreamingShaped, Dedup, Similarity, TextAnalysis, Multimodal, Reshape, Corpus)
+      StreamingShaped, Dedup, Similarity, TextAnalysis, Multimodal, Reshape, Corpus,
+      EventAnalytics)
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     modules.map(_.queries).reduce(_ ++ _)

@@ -1,0 +1,98 @@
+package graft.ops
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Event-analytics operators over `events` — the ad-hoc consultas the
+  * reference's "data lake para consultas" exists to serve, in their two
+  * canonical product-analytics shapes:
+  *
+  *  - funnel: users progressing view → click → purchase in strict
+  *    timestamp order. Each stage is one filtered aggregation joined to
+  *    the previous stage's first-completion time — no window over the full
+  *    event history, so the per-stage state is one row per user, and the
+  *    stage joins are user_id-hashed shuffles that AQE collapses to
+  *    broadcasts as the funnel narrows.
+  *  - retention: weekly cohort matrix (cohort = week of first event,
+  *    offset = weeks since) — two aggregations and a join, all on user_id.
+  *
+  * Both are pure timestamp arithmetic at microsecond precision, which the
+  * nanos→micros normalization in [[graft.Tables.events]] makes identical
+  * across engines.
+  */
+object EventAnalytics extends QueryModule {
+
+  /** Strict-order funnel view → click → purchase: a stage counts a user
+    * only if the event happens STRICTLY AFTER the user's first event of
+    * the previous stage. */
+  def qFunnel(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+    val v = e.filter(col("event_type") === "view")
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t1"))
+    val c = e.filter(col("event_type") === "click")
+      .join(v, "user_id").filter(col("ts") > col("t1"))
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t2"))
+    val p = e.filter(col("event_type") === "purchase")
+      .join(c, "user_id").filter(col("ts") > col("t2"))
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t3"))
+    v.agg(count(lit(1)).as("n_users")).withColumn("stage", lit("1_view"))
+      .unionByName(c.agg(count(lit(1)).as("n_users")).withColumn("stage", lit("2_click")))
+      .unionByName(p.agg(count(lit(1)).as("n_users")).withColumn("stage", lit("3_purchase")))
+      .select(col("stage"), col("n_users"))
+      .orderBy(col("stage"))
+  }
+
+  /** Weekly cohort retention: users grouped by the week of their first
+    * event; a cell counts the cohort's users active in week
+    * cohort + offset. Weeks are Monday-aligned (date_trunc 'week' in both
+    * engines), so offsets are exact multiples of 7 days. */
+  def qRetention(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+    val first = e.groupBy(col("user_id"))
+      .agg(date_trunc("week", min(col("ts"))).cast("date").as("cohort"))
+    val active = e.select(col("user_id"),
+      date_trunc("week", col("ts")).cast("date").as("wk")).distinct()
+    first.join(active, "user_id")
+      .withColumn("week_offset",
+        (datediff(col("wk"), col("cohort")) / 7).cast("int"))
+      .groupBy(col("cohort"), col("week_offset"))
+      .agg(count(lit(1)).as("n_users"))
+      .orderBy(col("cohort"), col("week_offset"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_funnel"    -> (qFunnel _),
+    "q_retention" -> (qRetention _),
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q_funnel" ->
+      """WITH v AS (
+        |  SELECT user_id, MIN(ts) AS t1 FROM events
+        |  WHERE event_type = 'view' GROUP BY user_id),
+        |c AS (
+        |  SELECT e.user_id, MIN(e.ts) AS t2 FROM events e JOIN v USING (user_id)
+        |  WHERE e.event_type = 'click' AND e.ts > v.t1 GROUP BY e.user_id),
+        |p AS (
+        |  SELECT e.user_id, MIN(e.ts) AS t3 FROM events e JOIN c USING (user_id)
+        |  WHERE e.event_type = 'purchase' AND e.ts > c.t2 GROUP BY e.user_id)
+        |SELECT '1_view' AS stage, COUNT(*) AS n_users FROM v
+        |UNION ALL SELECT '2_click', COUNT(*) FROM c
+        |UNION ALL SELECT '3_purchase', COUNT(*) FROM p
+        |ORDER BY stage""".stripMargin,
+    "q_retention" ->
+      """WITH first AS (
+        |  SELECT user_id, CAST(DATE_TRUNC('week', MIN(ts)) AS DATE) AS cohort
+        |  FROM events GROUP BY user_id),
+        |active AS (
+        |  SELECT DISTINCT user_id, CAST(DATE_TRUNC('week', ts) AS DATE) AS wk
+        |  FROM events)
+        |SELECT cohort,
+        |       CAST(DATE_DIFF('day', cohort, wk) / 7 AS INTEGER) AS week_offset,
+        |       COUNT(*) AS n_users
+        |FROM first JOIN active USING (user_id)
+        |GROUP BY cohort, week_offset
+        |ORDER BY cohort, week_offset""".stripMargin,
+  )
+}

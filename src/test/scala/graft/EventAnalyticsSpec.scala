@@ -1,0 +1,55 @@
+package graft
+
+import graft.ops.EventAnalytics
+import org.apache.spark.sql.functions._
+import java.sql.Timestamp
+
+class EventAnalyticsSpec extends SparkSpec {
+
+  test("funnel stages are monotonically narrowing") {
+    val stages = EventAnalytics.qFunnel(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(stages.keySet == Set("1_view", "2_click", "3_purchase"))
+    assert(stages("1_view") >= stages("2_click"))
+    assert(stages("2_click") >= stages("3_purchase"))
+  }
+
+  test("funnel enforces strict event order, not mere co-occurrence") {
+    import spark.implicits._
+    def t(s: String) = Timestamp.valueOf(s)
+    val d = java.nio.file.Files.createTempDirectory("funnel").toString
+    // user 1: proper order; user 2: clicked BEFORE viewing (must not count
+    // past stage 1); user 3: view+click, no purchase
+    Seq(
+      (1L, t("2024-01-01 10:00:00"), 1L, "view"),
+      (2L, t("2024-01-01 11:00:00"), 1L, "click"),
+      (3L, t("2024-01-01 12:00:00"), 1L, "purchase"),
+      (4L, t("2024-01-02 10:00:00"), 2L, "click"),
+      (5L, t("2024-01-02 11:00:00"), 2L, "view"),
+      (6L, t("2024-01-03 10:00:00"), 3L, "view"),
+      (7L, t("2024-01-03 11:00:00"), 3L, "click"),
+    ).toDF("event_id", "ts", "user_id", "event_type")
+      .withColumn("value", lit(1.0)).withColumn("props", lit("{}"))
+      // write micros-precision ts as plain timestamp; the loader's nanos
+      // normalization only applies to the harness's nanos files, so write
+      // our own events dir with ts already a LongType of nanos
+      .withColumn("ts", (unix_micros(col("ts")) * 1000).as("ts"))
+      .write.mode("overwrite").parquet(s"$d/events.parquet")
+    val stages = EventAnalytics.qFunnel(spark, d).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(stages("1_view") == 3)
+    assert(stages("2_click") == 2, "user 2 clicked before viewing")
+    assert(stages("3_purchase") == 1)
+  }
+
+  test("retention week-0 cell equals each cohort's size; offsets non-negative") {
+    val ret = EventAnalytics.qRetention(spark, sf)
+    assert(ret.filter(col("week_offset") < 0).count() == 0)
+    // every user is active in their own first week, so the offset-0 cells
+    // partition the full user population
+    val week0 = ret.filter(col("week_offset") === 0)
+      .agg(sum("n_users")).collect()(0).getLong(0)
+    val users = Tables.events(spark, sf).select("user_id").distinct().count()
+    assert(week0 == users)
+  }
+}

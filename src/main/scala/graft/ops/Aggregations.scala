@@ -157,6 +157,21 @@ object Aggregations extends QueryModule {
       .orderBy(col("g_region"), col("g_nation"), col("r_name"), col("n_name"))
   }
 
+  /** Explicit GROUPING SETS — the general form rollup/cube specialize:
+    * per-flag totals, per-status totals, and the grand total, WITHOUT the
+    * (flag, status) cross cells a cube would add. One Expand + one
+    * aggregation, same as rollup/cube. */
+  def qGroupingSets(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupingSets(
+        Seq(Seq(col("l_returnflag")), Seq(col("l_linestatus")), Seq()),
+        col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("l_quantity")), 2).as("sum_qty"),
+        grouping(col("l_returnflag")).as("g_flag"),
+        grouping(col("l_linestatus")).as("g_status"))
+      .orderBy(col("g_flag"), col("g_status"), col("l_returnflag"), col("l_linestatus"))
+
   /** Full cube over two dims with grouping flags. */
   def qCube(spark: SparkSession, dir: String): DataFrame =
     Tables.lineitem(spark, dir)
@@ -179,6 +194,7 @@ object Aggregations extends QueryModule {
     "q_agg_collect"         -> (qAggCollect _),
     "q_rollup"              -> (qRollup _),
     "q_cube"                -> (qCube _),
+    "q_grouping_sets"       -> (qGroupingSets _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -243,6 +259,14 @@ object Aggregations extends QueryModule {
         |       CAST(GROUPING(l_linestatus) AS TINYINT) AS g_status
         |FROM lineitem
         |GROUP BY CUBE(l_returnflag, l_linestatus)
+        |ORDER BY g_flag, g_status, l_returnflag, l_linestatus""".stripMargin,
+    "q_grouping_sets" ->
+      """SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+        |       ROUND(SUM(l_quantity), 2) AS sum_qty,
+        |       CAST(GROUPING(l_returnflag) AS TINYINT) AS g_flag,
+        |       CAST(GROUPING(l_linestatus) AS TINYINT) AS g_status
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
         |ORDER BY g_flag, g_status, l_returnflag, l_linestatus""".stripMargin,
   )
 }

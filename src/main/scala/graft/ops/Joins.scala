@@ -137,6 +137,25 @@ object Joins extends QueryModule {
       .orderBy(col("l_orderkey"))
   }
 
+  /** Full outer join of two filtered per-nation aggregates: nations rich in
+    * only customers or only suppliers keep their row with a NULL other
+    * side — the reconciliation-report shape. Same shuffle budget as an
+    * inner join (both sides hash on the key); at scale full-outer excludes
+    * broadcast, so the plan is SMJ on nationkey. */
+  def qJoinFull(spark: SparkSession, dir: String): DataFrame = {
+    val cAgg = Tables.customer(spark, dir)
+      .filter(col("c_acctbal") > 9500)
+      .groupBy(col("c_nationkey")).agg(count(lit(1)).as("n_rich_cust"))
+    val sAgg = Tables.supplier(spark, dir)
+      .filter(col("s_acctbal") > 9500)
+      .groupBy(col("s_nationkey")).agg(count(lit(1)).as("n_rich_supp"))
+    cAgg.join(sAgg, cAgg("c_nationkey") === sAgg("s_nationkey"), "full")
+      .select(
+        coalesce(col("c_nationkey"), col("s_nationkey")).as("nationkey"),
+        col("n_rich_cust"), col("n_rich_supp"))
+      .orderBy(col("nationkey"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_join_inner"     -> (qJoinInner _),
     "q_join_left"      -> (qJoinLeft _),
@@ -145,6 +164,7 @@ object Joins extends QueryModule {
     "q_join_anti"      -> (qJoinAnti _),
     "q_join_star"      -> (qJoinStar _),
     "q_join_range"     -> (qJoinRange _),
+    "q_join_full"      -> (qJoinFull _),
     "q_asof"           -> (qAsof _),
   )
 
@@ -191,6 +211,17 @@ object Joins extends QueryModule {
         |             ('huge', 100000.0, 1e12)) AS bands(band, lo, hi)
         |  ON o_totalprice >= lo AND o_totalprice < hi
         |GROUP BY band ORDER BY band""".stripMargin,
+    "q_join_full" ->
+      """WITH cagg AS (
+        |  SELECT c_nationkey, COUNT(*) AS n_rich_cust FROM customer
+        |  WHERE c_acctbal > 9500 GROUP BY c_nationkey),
+        |sagg AS (
+        |  SELECT s_nationkey, COUNT(*) AS n_rich_supp FROM supplier
+        |  WHERE s_acctbal > 9500 GROUP BY s_nationkey)
+        |SELECT COALESCE(c_nationkey, s_nationkey) AS nationkey,
+        |       n_rich_cust, n_rich_supp
+        |FROM cagg FULL OUTER JOIN sagg ON c_nationkey = s_nationkey
+        |ORDER BY nationkey""".stripMargin,
     "q_asof" ->
       """SELECT l_orderkey, l_linenumber, CAST(l_shipdate AS DATE) AS asof_date,
         |       l_quantity

@@ -55,4 +55,22 @@ class AggregationsSpec extends SparkSpec {
     assert(Aggregations.qPerCapita(spark, sf)
       .filter(col("revenue_per_customer") <= 0).count() == 0)
   }
+
+  test("grouping sets = per-flag rows + per-status rows + grand total, no cross cells") {
+    val li = Tables.lineitem(spark, sf)
+    val nFlags = li.select("l_returnflag").distinct().count()
+    val nStatus = li.select("l_linestatus").distinct().count()
+    val gs = Aggregations.qGroupingSets(spark, sf).cache()
+    try {
+      assert(gs.count() == nFlags + nStatus + 1)
+      // no (flag, status) cross cells: every row has at least one grouping flag set
+      assert(gs.filter(col("g_flag") === 0 && col("g_status") === 0).count() == 0)
+      // each grouping set independently totals the full table
+      val total = li.count()
+      assert(gs.filter(col("g_status") === 1 && col("g_flag") === 0)
+        .agg(sum("n")).collect()(0).getLong(0) == total)
+      assert(gs.filter(col("g_flag") === 1 && col("g_status") === 1)
+        .agg(sum("n")).collect()(0).getLong(0) == total)
+    } finally gs.unpersist()
+  }
 }

@@ -35,4 +35,26 @@ class JoinsSpec extends SparkSpec {
   test("star join revenue is positive for every region-year") {
     assert(Joins.qJoinStar(spark, sf).filter(col("revenue") <= 0).count() == 0)
   }
+
+  test("full outer join keeps one-sided nations with NULL other side") {
+    val df = Joins.qJoinFull(spark, sf).cache()
+    try {
+      // union of both sides' key sets, each exactly once
+      val cKeys = Tables.customer(spark, sf).filter(col("c_acctbal") > 9500)
+        .select(col("c_nationkey")).distinct().collect()
+        .map(_.getAs[Number](0).longValue).toSet
+      val sKeys = Tables.supplier(spark, sf).filter(col("s_acctbal") > 9500)
+        .select(col("s_nationkey")).distinct().collect()
+        .map(_.getAs[Number](0).longValue).toSet
+      val rows = df.collect()
+      assert(rows.map(_.getAs[Number](0).longValue).toSet == (cKeys ++ sKeys))
+      assert(rows.length == (cKeys ++ sKeys).size)
+      // a key on one side only must carry a null for the other side
+      rows.foreach { r =>
+        val k = r.getAs[Number](0).longValue
+        assert(r.isNullAt(1) == !cKeys.contains(k))
+        assert(r.isNullAt(2) == !sKeys.contains(k))
+      }
+    } finally df.unpersist()
+  }
 }

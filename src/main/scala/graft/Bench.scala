@@ -16,6 +16,12 @@ object Bench {
     SparkEntry.queries.foreach { case (_, fn) =>
       try run(fn) catch { case _: Throwable => () }
     }
+    // Nudge ContextCleaner before the timed pass: the warmup invocations
+    // left localCheckpoint blocks (dedup/langid intra-query reuse) whose
+    // driver references are dead but not yet collected; without a GC an
+    // idle 128 GiB heap may never release them, and storage eviction mid-
+    // timed-pass would add nondeterministic spill to the measurements.
+    System.gc()
     // A query that throws reports -1 (never its meaningless elapsed time)
     // and lands in "errors" — a silently broken query must not skew the
     // total or read as a measurement.

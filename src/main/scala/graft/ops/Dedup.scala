@@ -76,9 +76,14 @@ object Dedup extends QueryModule {
     * INTRA-query materialization (freed when the query's RDDs are GC'd),
     * not the cross-query caching SURVEY §2.6 rejects; it is disk-backed
     * and proportional to one table's shingle count, the same footprint the
-    * shuffle for the self-join already pays. */
+    * shuffle for the self-join already pays. eager=false keeps plan
+    * inspection (Explain) side-effect-free — materialization happens on
+    * the query's own first job. Caveat vs reliable checkpoint(): a lost
+    * executor fails the query instead of recomputing (acceptable for a
+    * per-query intermediate; a multi-hour pipeline would use checkpoint()
+    * to a cluster store). */
   private def jaccardPairs(spark: SparkSession, dir: String): DataFrame = {
-    val sh = shingleTable(spark, dir).localCheckpoint()
+    val sh = shingleTable(spark, dir).localCheckpoint(eager = false)
     val postings = rarePostings(sh)
     val a = postings.select(col("shingle"), col("doc_id").as("d1"))
     val b = postings.select(col("shingle"), col("doc_id").as("d2"))
@@ -124,7 +129,7 @@ object Dedup extends QueryModule {
     }
     // one checkpointed shingle table feeds signature building AND the verify
     // step (intra-query reuse — see the note on jaccardPairs)
-    val shCk = shingleTable(spark, dir).localCheckpoint()
+    val shCk = shingleTable(spark, dir).localCheckpoint(eager = false)
     val minhashes = shCk
       .withColumn("hres", expr(s"((xxhash64(shingle) % ${M}L) + ${M}L) % ${M}L"))
       .groupBy(col("doc_id"))

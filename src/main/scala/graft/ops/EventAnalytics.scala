@@ -17,9 +17,12 @@ import org.apache.spark.sql.functions._
   *  - retention: weekly cohort matrix (cohort = week of first event,
   *    offset = weeks since) — two aggregations and a join, all on user_id.
   *
-  * Both are pure timestamp arithmetic at microsecond precision, which the
-  * nanos→micros normalization in [[graft.Tables.events]] makes identical
-  * across engines.
+  * Both are pure timestamp arithmetic at microsecond precision: Spark
+  * floors the parquet nanos to micros at load
+  * ([[graft.Tables.events]]), and the funnel oracle compares on
+  * epoch_us so the same floor applies no matter how the DuckDB build
+  * reads TIMESTAMP_NS. (Retention is week-grained — sub-microsecond
+  * detail cannot move a week boundary.)
   */
 object EventAnalytics extends QueryModule {
 
@@ -67,16 +70,23 @@ object EventAnalytics extends QueryModule {
   )
 
   val oracle: Map[String, String] = Map(
+    // comparisons run on epoch_us (explicit microsecond floor): the parquet
+    // ts is TIMESTAMP(NANOS) and Spark floors to micros at load, so an
+    // oracle comparing raw nanos would call a same-microsecond-later-nanos
+    // event "strictly after" where Spark sees a tie — epoch_us pins the
+    // truncation regardless of how the DuckDB build reads TIMESTAMP_NS
     "q_funnel" ->
-      """WITH v AS (
-        |  SELECT user_id, MIN(ts) AS t1 FROM events
+      """WITH ev AS (
+        |  SELECT user_id, event_type, epoch_us(ts) AS tus FROM events),
+        |v AS (
+        |  SELECT user_id, MIN(tus) AS t1 FROM ev
         |  WHERE event_type = 'view' GROUP BY user_id),
         |c AS (
-        |  SELECT e.user_id, MIN(e.ts) AS t2 FROM events e JOIN v USING (user_id)
-        |  WHERE e.event_type = 'click' AND e.ts > v.t1 GROUP BY e.user_id),
+        |  SELECT e.user_id, MIN(e.tus) AS t2 FROM ev e JOIN v USING (user_id)
+        |  WHERE e.event_type = 'click' AND e.tus > v.t1 GROUP BY e.user_id),
         |p AS (
-        |  SELECT e.user_id, MIN(e.ts) AS t3 FROM events e JOIN c USING (user_id)
-        |  WHERE e.event_type = 'purchase' AND e.ts > c.t2 GROUP BY e.user_id)
+        |  SELECT e.user_id, MIN(e.tus) AS t3 FROM ev e JOIN c USING (user_id)
+        |  WHERE e.event_type = 'purchase' AND e.tus > c.t2 GROUP BY e.user_id)
         |SELECT '1_view' AS stage, COUNT(*) AS n_users FROM v
         |UNION ALL SELECT '2_click', COUNT(*) FROM c
         |UNION ALL SELECT '3_purchase', COUNT(*) FROM p

@@ -80,13 +80,15 @@ object TextAnalysis extends QueryModule {
       .withColumn("head", substring(col("text"), 1, 200))
     // localCheckpoint: profiles AND scoring both consume the trigram table
     // (Catalyst has no cross-branch subplan reuse), and the 200-char cap
-    // keeps the materialization small — intra-query only, freed on GC
+    // keeps the materialization small — intra-query only, freed on GC;
+    // eager=false so plan dumps don't trigger jobs (see Dedup.jaccardPairs
+    // for the reuse-vs-fault-tolerance notes)
     val trigrams = docs.select(col("doc_id"), col("lang"),
       explode(array_distinct(expr(
         """CASE WHEN length(head) < 3 THEN array()
           |ELSE transform(sequence(1, length(head) - 2), i -> substring(head, i, 3))
           |END""".stripMargin))).as("trigram"))
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
     val profileW = Window.partitionBy(col("lang")).orderBy(col("n").desc, col("trigram"))
     val profiles = trigrams.groupBy(col("lang"), col("trigram"))
       .agg(count(lit(1)).as("n"))

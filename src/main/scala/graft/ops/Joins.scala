@@ -156,6 +156,23 @@ object Joins extends QueryModule {
       .orderBy(col("nationkey"))
   }
 
+  /** The skew-salting lever inside the correctness gate: fact rows hash to
+    * one of 8 salt sub-keys, the dim side replicates 8×, and the join runs
+    * on (key, salt) — fanning any pathological hot key across 8 reducers.
+    * Semantically IDENTICAL to the plain join (the oracle is the plain
+    * join), which is the point: salting reshapes the physical plan only.
+    * l_quantity is integer-valued, so its double sum is exact under any
+    * accumulation order — no cross-engine rounding hazard. */
+  def qJoinSalted(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    val o = Tables.orders(spark, dir).select(col("o_orderkey"), col("o_orderstatus"))
+    Scale.saltedJoin(li, o, "l_orderkey", "o_orderkey", salts = 8)
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n_lines"),
+        round(sum(col("l_quantity")), 2).as("sum_qty"))
+      .orderBy(col("o_orderstatus"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_join_inner"     -> (qJoinInner _),
     "q_join_left"      -> (qJoinLeft _),
@@ -165,6 +182,7 @@ object Joins extends QueryModule {
     "q_join_star"      -> (qJoinStar _),
     "q_join_range"     -> (qJoinRange _),
     "q_join_full"      -> (qJoinFull _),
+    "q_join_salted"    -> (qJoinSalted _),
     "q_asof"           -> (qAsof _),
   )
 
@@ -222,6 +240,11 @@ object Joins extends QueryModule {
         |       n_rich_cust, n_rich_supp
         |FROM cagg FULL OUTER JOIN sagg ON c_nationkey = s_nationkey
         |ORDER BY nationkey""".stripMargin,
+    "q_join_salted" ->
+      """SELECT o_orderstatus, COUNT(*) AS n_lines,
+        |       ROUND(SUM(l_quantity), 2) AS sum_qty
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
     "q_asof" ->
       """SELECT l_orderkey, l_linenumber, CAST(l_shipdate AS DATE) AS asof_date,
         |       l_quantity

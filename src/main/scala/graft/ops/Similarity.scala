@@ -134,11 +134,64 @@ object Similarity extends QueryModule {
       .limit(10)
   }
 
+  /** Embedding-cosine near-dup pairs — the fifth dedup tier (BASELINE
+    * north-star: exact / n-gram / MinHash / SimHash / EMBEDDING; SURVEY.md
+    * §2.5), keyed `q_dedup_embedding` so it files with the dedup family.
+    *
+    * Semantics: pairs (v1 < v2) of canonical-dimension (64), nonzero-norm
+    * vectors whose exact cosine ≥ 0.4, with candidates generated by
+    * SIGN-BAND LSH — the embedding's 64 component signs split into 8 bands
+    * of 8 bits; a pair is a candidate iff it agrees exactly on ≥ 1 band key.
+    * Candidates bucket-join on (band, key) — the same shuffle shape as the
+    * MinHash and SimHash tiers, never an all-pairs crossJoin — then exact
+    * cosine verifies each candidate. Every step is a deterministic function
+    * of the data (component signs, not seeded hyperplanes), so a DuckDB
+    * multi-CTE twin reproduces the candidate set and the verify exactly.
+    *
+    * Recall is probabilistic (sign-agreement per bit = 1 − θ/π): ≈ 0.94 for
+    * true near-dups at cosine ≥ 0.9 — the regime a real corpus dedup
+    * targets — and deliberately low on THIS synthetic uniform corpus at the
+    * 0.4 threshold (no planted dups exist above 0.52; the threshold is set
+    * where the synthetic data has any pairs at all). The planted-dup suite
+    * in LlmOpsSpec measures recall where it matters; precision is exactly
+    * 1.0 by construction (every emitted pair passed the exact verify). */
+  def qDedupEmbedding(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.CosineSimilarity.register(spark)
+    val e = Tables.embeddings(spark, dir)
+      .filter(size(col("embedding")) === 64 && expr(normSqExpr) > 0)
+    // 8 band keys per vector: bit j of band b = sign(embedding[b*8+j]).
+    // The nested lambda reads only the scan column `embedding` directly, so
+    // projection-collapse inlining re-evaluates nothing (the round-1 HOF
+    // blowup hit DERIVED arrays); O(64) per row, one pass.
+    val bands = e.select(col("vec_id"), col("embedding"),
+      posexplode(expr(
+        """transform(sequence(0, 7), b ->
+          |  aggregate(transform(sequence(0, 7), j ->
+          |    CASE WHEN element_at(embedding, b * 8 + j + 1) >= 0 THEN shiftleft(1L, j) ELSE 0L END),
+          |    0L, (acc, x) -> acc | x))""".stripMargin)))
+      .toDF("vec_id", "embedding", "band", "key")
+    val a = bands.select(col("band"), col("key"),
+      col("vec_id").as("v1"), col("embedding").as("e1"))
+    val b = bands.select(col("band"), col("key"),
+      col("vec_id").as("v2"), col("embedding").as("e2"))
+    a.join(b, Seq("band", "key"))
+      .filter(col("v1") < col("v2"))
+      // verify BEFORE distinct (cosine is a pure function of the pair), so
+      // the dedup exchange shuffles only true near-dups, not every band
+      // coincidence — same ordering as the SimHash tier
+      .withColumn("cos_raw", expr("cosine_sim(e1, e2)"))
+      .filter(col("cos_raw") >= 0.4)
+      .select(col("v1"), col("v2"), col("cos_raw")).distinct()
+      .select(col("v1"), col("v2"), round(col("cos_raw"), 6).as("cosine"))
+      .orderBy(col("v1"), col("v2"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_cosine_topk"        -> (qCosineTopk _),
     "q_cosine_topk_native" -> (qCosineTopkNative _),
     "q_ann_lsh"            -> (qAnnLsh _),
     "q_ann_ivf"            -> (qAnnIvf _),
+    "q_dedup_embedding"    -> (qDedupEmbedding _),
   )
 
   private val cosineTopkOracle =
@@ -177,5 +230,24 @@ object Similarity extends QueryModule {
         |WHERE a.vec_id <> 0
         |ORDER BY LIST_COSINE_SIMILARITY(a.v, q.qvec) DESC, a.vec_id
         |LIMIT 10""".stripMargin,
+    "q_dedup_embedding" ->
+      """WITH e AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        |  WHERE LEN(embedding) = 64
+        |    AND LIST_AGGREGATE(LIST_TRANSFORM(CAST(embedding AS DOUBLE[]), x -> x * x), 'sum') > 0),
+        |b AS (
+        |  SELECT vec_id, v, band,
+        |         LIST_AGGREGATE(LIST_TRANSFORM(range(8), j ->
+        |           CASE WHEN v[CAST(band * 8 + j + 1 AS INTEGER)] >= 0
+        |                THEN CAST(1 AS BIGINT) << CAST(j AS INTEGER) ELSE 0 END), 'sum') AS key
+        |  FROM e, range(8) t(band)),
+        |cand AS (
+        |  SELECT DISTINCT b1.vec_id AS v1, b2.vec_id AS v2,
+        |         LIST_COSINE_SIMILARITY(b1.v, b2.v) AS cos_raw
+        |  FROM b b1 JOIN b b2
+        |    ON b1.band = b2.band AND b1.key = b2.key AND b1.vec_id < b2.vec_id
+        |  WHERE LIST_COSINE_SIMILARITY(b1.v, b2.v) >= 0.4)
+        |SELECT v1, v2, ROUND(cos_raw, 6) AS cosine
+        |FROM cand ORDER BY v1, v2""".stripMargin,
   )
 }

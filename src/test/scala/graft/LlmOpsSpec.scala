@@ -47,6 +47,35 @@ class LlmOpsSpec extends SparkSpec {
       "banded simhash must not plan an all-pairs join")
   }
 
+  test("embedding near-dup: planted sign-preserving dups all found, no cartesian") {
+    // Planted dup = the same vector with component 0 doubled. Doubling never
+    // flips a sign, so all 8 band keys are IDENTICAL → the pair is a
+    // candidate with probability 1 (not LSH-probabilistically); and
+    // cos(v, v') = (1+t)/sqrt(1+3t) for t = x0²/Σx² ≥ sqrt(8/9) ≈ 0.943,
+    // comfortably past the 0.4 verify. So recall on these dups must be
+    // exactly 1.0 — a deterministic assertion, no flaky tolerance.
+    val e = graft.Tables.embeddings(spark, sf)
+    val planted = e.filter(col("vec_id").between(1, 5))
+      .select((col("vec_id") + 9000).as("vec_id"),
+        expr("transform(embedding, (x, i) -> CAST(CASE WHEN i = 0 THEN x * 2 ELSE x END AS FLOAT))")
+          .as("embedding"),
+        col("label"))
+    val dir = java.nio.file.Files.createTempDirectory("graft-embdedup").toString
+    e.unionByName(planted).coalesce(1)
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val out = Similarity.qDedupEmbedding(spark, dir).collect()
+    val pairs = out.map(r => (r.getLong(0), r.getLong(1))).toSet
+    (1 to 5).foreach { i =>
+      assert(pairs.contains((i.toLong, i + 9000L)), s"planted pair ($i, ${i + 9000}) missing")
+    }
+    // precision is 1.0 by construction: every emitted cosine passed the
+    // exact verify — assert the reported values respect the threshold
+    out.foreach(r => assert(r.getDouble(2) >= 0.4 && r.getDouble(2) <= 1.0 + 1e-9))
+    val plan = Similarity.qDedupEmbedding(spark, dir).queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      "banded embedding dedup must not plan an all-pairs join")
+  }
+
   test("cosine topk is ordered and bounded in [-1, 1]") {
     val rows = Similarity.qCosineTopk(spark, sf).collect()
     assert(rows.length == 20)

@@ -20,10 +20,20 @@ import org.apache.spark.sql.functions._
   * shingle creates a quadratic hot key. MinHash/LSH replaces the quadratic
   * verify set with per-bucket candidates: cost O(n·k) signatures + one
   * shuffle on band keys; recall at Jaccard 0.6 with 24×2 banding is
-  * 1-(1-0.6²)²⁴ ≈ 0.9998. SimHash bands its 64 bits into 4×16-bit keys
+  * 1-(1-0.6²)²⁴ ≈ 0.9998. SimHash bands its 60 bits into 4×15-bit keys
   * (Hamming ≤ 3 pairs must agree on ≥1 band — pigeonhole, recall exactly
-  * 1.0) and bucket-joins like MinHash — never all-pairs. All hashing is
-  * xxhash64 — engine-native, seed-stable, no UDF.
+  * 1.0) and bucket-joins like MinHash — never all-pairs.
+  *
+  * All hashing derives from the first 15 hex chars of md5 parsed as a 60-bit
+  * integer — a primitive BOTH engines share exactly (Spark
+  * `conv(substring(md5(x),1,15),16,10)` ≡ DuckDB
+  * `CAST('0x' || SUBSTR(MD5(x),1,15) AS BIGINT)`), which is what lets the
+  * MinHash and SimHash tiers be oracle-VERIFIED rather than rows-only:
+  * every downstream step is exact integer arithmetic, so the candidate sets
+  * and outputs are bit-identical across engines. md5 costs ~4× xxhash64 per
+  * call, but token hashing is a vanishing fraction of these shuffle-bound
+  * plans (measured: no bench movement at sf0.1); an xxhash64 swap-back is a
+  * one-line change if an engine-only deployment wants it.
   */
 object Dedup extends QueryModule {
 
@@ -31,6 +41,19 @@ object Dedup extends QueryModule {
     * (a drift between them breaks the LSH-subset-of-exact invariant). */
   private val JaccardThreshold = 0.6
   private val StopShingleDf = 100
+
+  /** 60-bit integer from the first 15 hex chars of md5 — the cross-engine
+    * hash primitive (see module doc). Non-negative by construction. */
+  private def md5Hash60(e: String): String =
+    s"cast(conv(substring(md5($e), 1, 15), 16, 10) AS BIGINT)"
+
+  private val M = 2147483647L // 2^31 - 1 (Mersenne prime)
+
+  /** Affine universal-hash family member s: x -> (a_s·x + b_s) mod M.
+    * ONE definition feeds both the Spark builder and the DuckDB oracle SQL,
+    * so the 48 constants cannot drift between engines. */
+  private def mixConsts(s: Int): (Long, Long) =
+    ((((2L * s + 1L) * 2654435761L) % M, (s.toLong * 1779033703L) % M))
 
   /** Exploded posting table of distinct word 3-shingles: (doc_id, shingle).
     * Documents under 3 tokens produce NO shingles (matches the oracle SQL,
@@ -110,8 +133,10 @@ object Dedup extends QueryModule {
 
   /** Tier 3: MinHash k=48, 24 bands × 2 rows → candidates → exact verify.
     * Same output contract as qDedupNear; banding only prunes the candidate
-    * space. Rows-only for the driver (bit-identical oracle SQL would need
-    * xxhash64 in DuckDB); equality to the exact tier is asserted in tests. */
+    * space. Oracle-VERIFIED: the md5-derived base hash and the affine family
+    * (shared constants via [[mixConsts]]) are exact integer arithmetic both
+    * engines reproduce, so the DuckDB twin generates the identical candidate
+    * set; equality to the exact tier is additionally asserted in tests. */
   def qDedupMinhash(spark: SparkSession, dir: String): DataFrame = {
     // 48 min-hashes as 48 aggregate columns over the posting table: ONE
     // codegen'd pass with map-side partial aggregation (a 48-seed row
@@ -121,24 +146,24 @@ object Dedup extends QueryModule {
     // universal-hashing style, pure integer arithmetic that cannot overflow
     // under ANSI mode (products ≤ 2^62), near-free vs. 48 string hashes per
     // posting.
-    val M = 2147483647L // 2^31 - 1 (Mersenne prime)
     def mix(s: Int): org.apache.spark.sql.Column = {
-      val a = ((2L * s + 1L) * 2654435761L) % M
-      val b = (s.toLong * 1779033703L) % M
+      val (a, b) = mixConsts(s)
       expr(s"(hres * ${a}L + ${b}L) % ${M}L")
     }
     // one checkpointed shingle table feeds signature building AND the verify
     // step (intra-query reuse — see the note on jaccardPairs)
     val shCk = shingleTable(spark, dir).localCheckpoint(eager = false)
     val minhashes = shCk
-      .withColumn("hres", expr(s"((xxhash64(shingle) % ${M}L) + ${M}L) % ${M}L"))
+      .withColumn("hres", expr(s"${md5Hash60("shingle")} % ${M}L"))
       .groupBy(col("doc_id"))
       .agg(min(mix(0)).as("mh0"),
         (1 until 48).map(s => min(mix(s)).as(s"mh$s")): _*)
-    // 24 bands × 2 rows: band key hashes the band's signature pair.
+    // 24 bands × 2 rows; the band key packs the band's signature pair into
+    // one collision-free long (both sigs < M, so hi·M + lo < 2^62 — exact,
+    // engine-shared, unlike a seeded hash combine)
     val sig = minhashes
       .select(col("doc_id"), explode(expr(
-        (0 until 24).map(b => s"struct(${b} AS band, xxhash64(mh${2 * b}, mh${2 * b + 1}) AS key)")
+        (0 until 24).map(b => s"struct(${b} AS band, mh${2 * b} * ${M}L + mh${2 * b + 1} AS key)")
           .mkString("array(", ", ", ")"))).as("bk"))
       .select(col("doc_id"), col("bk.band"), col("bk.key"))
     val a = sig.select(col("band"), col("key"), col("doc_id").as("d1"))
@@ -165,12 +190,16 @@ object Dedup extends QueryModule {
       .orderBy(col("d1"), col("d2"))
   }
 
-  /** Tier 4: 64-bit SimHash fingerprints + Hamming ≤ 3 pairs. Token-hash
+  /** Tier 4: 60-bit SimHash fingerprints + Hamming ≤ 3 pairs. Token-hash
     * bit-vote computed with higher-order functions — no UDF, stays in
-    * codegen. Rows-only (xxhash64 has no DuckDB twin).
+    * codegen. Oracle-VERIFIED: the md5-derived token hash (module doc) makes
+    * every vote, fingerprint bit, band key and Hamming distance exact
+    * integer arithmetic both engines reproduce. (60 bits rather than 64
+    * because 15 md5 hex chars parse into a signed long without overflow;
+    * collision behavior at Hamming ≤ 3 is unaffected.)
     *
-    * Candidate generation is BANDED, never all-pairs: the 64-bit fingerprint
-    * splits into 4 × 16-bit band keys, and any pair at Hamming ≤ 3 differs
+    * Candidate generation is BANDED, never all-pairs: the 60-bit fingerprint
+    * splits into 4 × 15-bit band keys, and any pair at Hamming ≤ 3 differs
     * in at most 3 bands, so by pigeonhole it agrees exactly on ≥ 1 band —
     * recall is exactly 1.0, no probabilistic loss. Cost: one shuffle on
     * (band, key) with bucket-local pairing, same shape as the MinHash tier,
@@ -178,10 +207,10 @@ object Dedup extends QueryModule {
     * 100 TB). */
   def qDedupSimhash(spark: SparkSession, dir: String): DataFrame = {
     val fp = simhashFingerprints(spark, dir)
-    // 4 × 16-bit bands; candidates pair up inside (band, key) buckets only.
+    // 4 × 15-bit bands; candidates pair up inside (band, key) buckets only.
     val bands = fp.select(col("doc_id"), col("fingerprint"),
         explode(sequence(lit(0), lit(3))).as("band"))
-      .withColumn("key", expr("shiftright(fingerprint, CAST(band * 16 AS INT)) & 65535L"))
+      .withColumn("key", expr("shiftright(fingerprint, CAST(band * 15 AS INT)) & 32767L"))
     val a = bands.select(col("band"), col("key"),
       col("doc_id").as("d1"), col("fingerprint").as("f1"))
     val b = bands.select(col("band"), col("key"),
@@ -203,14 +232,14 @@ object Dedup extends QueryModule {
     * banding-recall test (which brute-forces it to prove the banded
     * candidate set loses nothing). */
   private[graft] def simhashFingerprints(spark: SparkSession, dir: String): DataFrame = {
-    // Token stream (with multiplicity) × 64 bit positions → per-bit vote
+    // Token stream (with multiplicity) × 60 bit positions → per-bit vote
     // sum → fingerprint. Two codegen'd hash aggregations; the token hash is
     // computed once per (token, bit) row, never inside an array lambda.
     Tables.documents(spark, dir)
       .select(col("doc_id"),
         explode(split(lower(trim(col("text"))), " ")).as("token"))
-      .withColumn("h", xxhash64(col("token")))
-      .select(col("doc_id"), col("h"), explode(sequence(lit(0), lit(63))).as("i"))
+      .withColumn("h", expr(md5Hash60("token")))
+      .select(col("doc_id"), col("h"), explode(sequence(lit(0), lit(59))).as("i"))
       .withColumn("vote", expr("CAST((shiftright(h, CAST(i AS INT)) & 1L) * 2 - 1 AS BIGINT)"))
       .groupBy(col("doc_id"), col("i"))
       .agg(sum(col("vote")).as("s"))
@@ -323,12 +352,10 @@ object Dedup extends QueryModule {
     "q_corpus_filter"   -> (qCorpusFilter _),
   )
 
-  /** The near-dup CTE chain shared by every oracle that consumes near-dup
-    * pairs — ONE copy, interpolating the SAME Scala constants the Spark
-    * tiers use, so the gates cannot drift from the engine or each other.
-    * Ends with `near_pairs(d1, d2, jaccard_raw)`, already
-    * threshold-filtered. */
-  private val nearDupCtes: String =
+  /** Shingle/posting CTE prefix shared by the near-dup oracle chain AND the
+    * MinHash oracle (which generates candidates its own way but verifies
+    * over the same rare postings). Ends with `postings` + `sizes`. */
+  private val shingleCtes: String =
     s"""toks AS (
        |  SELECT doc_id, STRING_SPLIT(LOWER(TRIM(text)), ' ') AS t FROM documents),
        |shingles AS (
@@ -341,7 +368,15 @@ object Dedup extends QueryModule {
        |postings AS (
        |  SELECT s.doc_id, s.shingle FROM shingles s JOIN rare USING (shingle)),
        |sizes AS (
-       |  SELECT doc_id, COUNT(*) AS n_sh FROM shingles GROUP BY doc_id),
+       |  SELECT doc_id, COUNT(*) AS n_sh FROM shingles GROUP BY doc_id)""".stripMargin
+
+  /** The near-dup CTE chain shared by every oracle that consumes near-dup
+    * pairs — ONE copy, interpolating the SAME Scala constants the Spark
+    * tiers use, so the gates cannot drift from the engine or each other.
+    * Ends with `near_pairs(d1, d2, jaccard_raw)`, already
+    * threshold-filtered. */
+  private val nearDupCtes: String =
+    s"""$shingleCtes,
        |cand AS (
        |  SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS inter
        |  FROM postings a JOIN postings b USING (shingle)
@@ -363,6 +398,68 @@ object Dedup extends QueryModule {
       s"""WITH $nearDupCtes
         |SELECT d1, d2, ROUND(jaccard_raw, 6) AS jaccard
         |FROM near_pairs ORDER BY d1, d2""".stripMargin,
+    "q_dedup_minhash" -> {
+      // the 48 min-aggregates interpolate the SAME affine constants the
+      // Spark builder uses (mixConsts) — single source of truth
+      val minExprs = (0 until 48).map { s =>
+        val (a, b) = mixConsts(s)
+        s"MIN((h * $a + $b) % $M)"
+      }.mkString(",\n        ")
+      s"""WITH $shingleCtes,
+        |hres AS (
+        |  SELECT doc_id, CAST('0x' || SUBSTR(MD5(shingle), 1, 15) AS BIGINT) % $M AS h
+        |  FROM shingles),
+        |sig AS (
+        |  SELECT doc_id, list_value(
+        |        $minExprs) AS mh
+        |  FROM hres GROUP BY doc_id),
+        |bands AS (
+        |  SELECT doc_id,
+        |         band,
+        |         mh[CAST(2 * band + 1 AS INTEGER)] * $M + mh[CAST(2 * band + 2 AS INTEGER)] AS key
+        |  FROM sig, range(24) t(band)),
+        |cand AS (
+        |  SELECT DISTINCT b1.doc_id AS d1, b2.doc_id AS d2
+        |  FROM bands b1 JOIN bands b2
+        |    ON b1.band = b2.band AND b1.key = b2.key AND b1.doc_id < b2.doc_id),
+        |inter AS (
+        |  SELECT d1, d2, COUNT(*) AS inter
+        |  FROM cand
+        |  JOIN postings p1 ON p1.doc_id = d1
+        |  JOIN postings p2 ON p2.doc_id = d2 AND p2.shingle = p1.shingle
+        |  GROUP BY d1, d2)
+        |SELECT d1, d2,
+        |       ROUND(CAST(inter AS DOUBLE) / (s1.n_sh + s2.n_sh - inter), 6) AS jaccard
+        |FROM inter
+        |JOIN sizes s1 ON s1.doc_id = d1
+        |JOIN sizes s2 ON s2.doc_id = d2
+        |WHERE CAST(inter AS DOUBLE) / (s1.n_sh + s2.n_sh - inter) >= $JaccardThreshold
+        |ORDER BY d1, d2""".stripMargin
+    },
+    "q_dedup_simhash" ->
+      s"""WITH tok AS (
+        |  SELECT doc_id, UNNEST(STRING_SPLIT(LOWER(TRIM(text)), ' ')) AS token
+        |  FROM documents),
+        |th AS (
+        |  SELECT doc_id, CAST('0x' || SUBSTR(MD5(token), 1, 15) AS BIGINT) AS h FROM tok),
+        |votes AS (
+        |  SELECT doc_id, i, SUM(((h >> CAST(i AS INTEGER)) & 1) * 2 - 1) AS s
+        |  FROM th, range(60) t(i) GROUP BY doc_id, i),
+        |fp AS (
+        |  SELECT doc_id,
+        |         CAST(SUM(CASE WHEN s > 0 THEN CAST(1 AS BIGINT) << CAST(i AS INTEGER)
+        |                       ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS fingerprint
+        |  FROM votes GROUP BY doc_id),
+        |bands AS (
+        |  SELECT doc_id, fingerprint, band,
+        |         (fingerprint >> CAST(band * 15 AS INTEGER)) & 32767 AS key
+        |  FROM fp, range(4) t(band))
+        |SELECT DISTINCT b1.doc_id AS d1, b2.doc_id AS d2,
+        |       bit_count(xor(b1.fingerprint, b2.fingerprint)) AS hamming
+        |FROM bands b1 JOIN bands b2
+        |  ON b1.band = b2.band AND b1.key = b2.key AND b1.doc_id < b2.doc_id
+        |WHERE bit_count(xor(b1.fingerprint, b2.fingerprint)) <= 3
+        |ORDER BY d1, d2""".stripMargin,
     "q_dedup_clusters" ->
       s"""WITH RECURSIVE $nearDupCtes,
         |edges AS (

@@ -28,7 +28,7 @@ class LlmOpsSpec extends SparkSpec {
   }
 
   test("simhash banding equals brute-force all-pairs and avoids cartesian plans") {
-    // pigeonhole: Hamming ≤ 3 over 4 × 16-bit bands → ≥1 band agrees, so
+    // pigeonhole: Hamming ≤ 3 over 4 × 15-bit bands → ≥1 band agrees, so
     // the banded candidate set must lose nothing vs the O(n²) reference
     val fp = Dedup.simhashFingerprints(spark, sf)
     val a = fp.select(col("doc_id").as("d1"), col("fingerprint").as("f1"))

@@ -53,24 +53,50 @@ object Similarity extends QueryModule {
       .orderBy(col("cos_raw").desc, col("vec_id"))
       .limit(20)
 
-  /** LSH-bucketed ANN top-10: 16-bit sign codes, multiprobe Hamming ≤ 6,
-    * exact cosine rerank on candidates. Rows-only (hash-derived hyperplanes
-    * have no DuckDB twin); recall vs brute force asserted in tests.
-    * Radius 6 scans ~23% of a uniform code space — tuned for this synthetic
-    * near-uniform data, where sign codes correlate weakly with the (low)
-    * top-10 cosines; clustered real embeddings allow radius 2-3 and a far
-    * larger prune factor. */
+  /** Deterministic 16×64 hyperplane matrix for the sign-code LSH: component
+    * (h, j) = (md5("h:j") first-15-hex as int) mod 1000, centered to
+    * [-500, 499]. INTEGER weights — scaling a hyperplane by a positive
+    * constant never changes a dot-product sign, and integer-valued literals
+    * parse to exactly the same double in every engine (no decimal-rounding
+    * ambiguity). Computed ONCE here and interpolated as literals into BOTH
+    * the Spark expression and the DuckDB oracle, so the per-bit signs are
+    * bit-reproducible across engines — that is what moves this query from
+    * rows-only to oracle-verified (and it also deletes the 16×64 per-row
+    * runtime hash calls the previous formulation paid). */
+  private lazy val planeWeights: IndexedSeq[IndexedSeq[Long]] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    (0 until 16).map { h =>
+      (0 until 64).map { j =>
+        val hex = md.digest(s"$h:$j".getBytes("UTF-8")).map("%02x".format(_)).mkString
+        java.lang.Long.parseLong(hex.take(15), 16) % 1000 - 500
+      }
+    }
+  }
+
+  /** LSH-bucketed ANN top-10: 16-bit sign codes against [[planeWeights]],
+    * multiprobe Hamming ≤ 6, exact cosine rerank on candidates.
+    * Oracle-verified: the codes are exact-integer-weighted dot-product signs
+    * with identical literals and identical left-to-right accumulation in
+    * both engines. Radius 6 scans ~23% of a uniform code space — tuned for
+    * this synthetic near-uniform data, where sign codes correlate weakly
+    * with the (low) top-10 cosines; clustered real embeddings allow radius
+    * 2-3 and a far larger prune factor. At scale the code is a write-time
+    * partition/bucket key: probing reads matching buckets instead of
+    * filtering post-hoc. */
   def qAnnLsh(spark: SparkSession, dir: String): DataFrame = {
-    val codeExpr =
-      """aggregate(
-        |  transform(sequence(0, 15), h -> CASE WHEN
-        |    aggregate(zip_with(embedding, sequence(0, 63), (x, j) ->
-        |      CAST(x AS DOUBLE) * (CAST(xxhash64(h, j) % 1000 AS DOUBLE) / 1000.0 - 0.5)),
-        |      0D, (a, b) -> a + b) > 0
-        |    THEN shiftleft(1, CAST(h AS INT)) ELSE 0 END),
-        |  0, (acc, x) -> acc | x)""".stripMargin
+    // 16 independent zip_with/aggregate dots over the SCAN column plus a
+    // literal array — no derived-array HOF nesting, so projection collapse
+    // cannot re-evaluate anything (the round-1 inlining hazard).
+    val codeExpr = (0 until 16).map { h =>
+      val planes = planeWeights(h).mkString("array(", ", ", ")")
+      s"""(CASE WHEN aggregate(zip_with(embedding, $planes,
+         |  (x, w) -> CAST(x AS DOUBLE) * w), 0D, (a, b) -> a + b) > 0
+         |  THEN ${1 << h} ELSE 0 END)""".stripMargin
+    }.mkString("(", " + ", ")")
     graft.functions.CosineSimilarity.register(spark)
-    val coded = Tables.embeddings(spark, dir).withColumn("code", expr(codeExpr))
+    val coded = Tables.embeddings(spark, dir)
+      .filter(size(col("embedding")) === 64 && expr(normSqExpr) > 0)
+      .withColumn("code", expr(codeExpr))
     val qcode = coded.filter(col("vec_id") === 0)
       .select(col("embedding").as("qvec"), col("code").as("qcode"))
     coded.crossJoin(broadcast(qcode))
@@ -208,6 +234,29 @@ object Similarity extends QueryModule {
   val oracle: Map[String, String] = Map(
     "q_cosine_topk"        -> cosineTopkOracle,
     "q_cosine_topk_native" -> cosineTopkOracle,
+    "q_ann_lsh" -> {
+      // identical integer weights, identical left-to-right accumulation:
+      // v[1]*w1 + v[2]*w2 + ... mirrors Spark's sequential HOF aggregate
+      val codeSql = (0 until 16).map { h =>
+        val dot = planeWeights(h).zipWithIndex
+          .map { case (w, j) => s"v[${j + 1}] * ($w)" }.mkString(" + ")
+        s"(CASE WHEN $dot > 0 THEN ${1 << h} ELSE 0 END)"
+      }.mkString("(", " + ", ")")
+      s"""WITH e AS (
+        |  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        |  WHERE LEN(embedding) = 64
+        |    AND LIST_AGGREGATE(LIST_TRANSFORM(CAST(embedding AS DOUBLE[]), x -> x * x), 'sum') > 0),
+        |coded AS (
+        |  SELECT vec_id, label, v, $codeSql AS code FROM e),
+        |q AS (SELECT v AS qvec, code AS qcode FROM coded WHERE vec_id = 0)
+        |SELECT c.vec_id, c.label,
+        |       ROUND(LIST_COSINE_SIMILARITY(c.v, q.qvec), 6) AS cosine
+        |FROM coded c CROSS JOIN q
+        |WHERE c.vec_id <> 0
+        |  AND bit_count(xor(CAST(c.code AS BIGINT), CAST(q.qcode AS BIGINT))) <= 6
+        |ORDER BY LIST_COSINE_SIMILARITY(c.v, q.qvec) DESC, c.vec_id
+        |LIMIT 10""".stripMargin
+    },
     "q_ann_ivf" ->
       """WITH e AS (
         |  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings

@@ -127,12 +127,89 @@ object TextAnalysis extends QueryModule {
       .select(col("doc_id"), col("fingerprint"))
       .orderBy(col("doc_id"))
 
+  /** Gopher-style repetition signals: per document, the fraction of token
+    * bigrams that are repeat occurrences (1 - distinct/total) and the share
+    * taken by the single most frequent bigram — the two cheapest
+    * "templated/spammy text" detectors a corpus filter thresholds on.
+    * Computed relationally (explode → two hash aggregations keyed by
+    * doc_id), never as an O(tokens²) per-row array scan, so a pathological
+    * 10 M-token document costs the same per token as a normal one. Documents
+    * with < 2 tokens have no bigrams and are excluded by contract (both
+    * engines). */
+  def qTextRepetition(spark: SparkSession, dir: String): DataFrame = {
+    val bigrams = Tables.documents(spark, dir)
+      .withColumn("toks", split(lower(trim(col("text"))), " "))
+      .select(col("doc_id"), explode(expr(
+        """CASE WHEN size(toks) < 2 THEN array()
+          |ELSE transform(sequence(0, size(toks) - 2),
+          |  i -> concat(element_at(toks, i + 1), ' ', element_at(toks, i + 2)))
+          |END""".stripMargin)).as("bigram"))
+    bigrams.groupBy(col("doc_id"), col("bigram"))
+      .agg(count(lit(1)).as("n"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("n")).as("n_bigrams"),
+        count(lit(1)).as("n_distinct"),
+        max(col("n")).as("top_n"))
+      .select(col("doc_id"), col("n_bigrams"),
+        round(lit(1.0) - col("n_distinct") / col("n_bigrams").cast("double"), 4)
+          .as("dup_bigram_frac"),
+        round(col("top_n") / col("n_bigrams").cast("double"), 4).as("top_bigram_frac"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Character-level Shannon entropy per document (bits/char) — the
+    * low-entropy detector for boilerplate/binary-junk text. Chars are
+    * enumerated positionally (substring over sequence — NOT split on the
+    * empty regex, whose trailing-empty behavior differs between engines);
+    * H = log2(N) - (Σ n·ln n)/(N·ln 2) from the per-char counts, one
+    * explode + two aggregations. Empty documents have no distribution and
+    * are excluded by contract. */
+  def qTextEntropy(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .filter(length(col("text")) > 0)
+      .select(col("doc_id"),
+        explode(expr("transform(sequence(1, length(text)), i -> substring(text, i, 1))")).as("ch"))
+      .groupBy(col("doc_id"), col("ch"))
+      .agg(count(lit(1)).as("n"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("n")).as("n_chars_counted"),
+        sum(expr("n * ln(n)")).as("sum_nlogn"))
+      .select(col("doc_id"), col("n_chars_counted"),
+        round(
+          (log(col("n_chars_counted")) - col("sum_nlogn") / col("n_chars_counted"))
+            / log(lit(2.0)), 4).as("entropy"))
+      .orderBy(col("doc_id"))
+
+  /** Document-frequency stopword mining: tokens present in ≥ 30% of
+    * documents, with their document frequency — how a pipeline derives its
+    * stopword/stop-shingle lists from the corpus itself instead of shipping
+    * a hand list. One explode with per-doc distinct, one aggregation on
+    * token; the threshold compares the RAW ratio (rounding only the output
+    * column). */
+  def qTextDf(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val total = docs.select(countDistinct(col("doc_id")).as("n_docs"))
+    docs
+      .select(col("doc_id"),
+        explode(array_distinct(split(lower(trim(col("text"))), " "))).as("token"))
+      .groupBy(col("token"))
+      .agg(count(lit(1)).as("df"))
+      .crossJoin(broadcast(total))
+      .filter(col("df") / col("n_docs").cast("double") >= 0.3)
+      .select(col("token"), col("df"),
+        round(col("df") / col("n_docs").cast("double"), 4).as("df_ratio"))
+      .orderBy(col("df").desc, col("token"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_text_tokens"      -> (qTextTokens _),
     "q_text_quality"     -> (qTextQuality _),
     "q_text_langid"       -> (qTextLangid _),
     "q_text_langid_ngram" -> (qTextLangidNgram _),
     "q_text_fingerprint" -> (qTextFingerprint _),
+    "q_text_repetition"  -> (qTextRepetition _),
+    "q_text_entropy"     -> (qTextEntropy _),
+    "q_text_df"          -> (qTextDf _),
   )
 
   private val stopwordsSql = stopwords.map("'" + _ + "'").mkString(",")
@@ -194,6 +271,48 @@ object TextAnalysis extends QueryModule {
         |  FROM docs d LEFT JOIN (SELECT doc_id, profile_lang FROM best WHERE rk = 1) b USING (doc_id))
         |SELECT lang, lang_pred, COUNT(*) AS n
         |FROM pred GROUP BY lang, lang_pred ORDER BY lang, lang_pred""".stripMargin,
+    "q_text_repetition" ->
+      """WITH bg AS (
+        |  SELECT doc_id, UNNEST(CASE WHEN LEN(toks) < 2 THEN []
+        |    ELSE LIST_TRANSFORM(RANGE(1, LEN(toks)),
+        |      i -> toks[i] || ' ' || toks[i + 1]) END) AS bigram
+        |  FROM (SELECT doc_id, STRING_SPLIT(LOWER(TRIM(text)), ' ') AS toks
+        |        FROM documents) t),
+        |cnt AS (
+        |  SELECT doc_id, bigram, COUNT(*) AS n FROM bg GROUP BY doc_id, bigram),
+        |agg AS (
+        |  SELECT doc_id, CAST(SUM(n) AS BIGINT) AS n_bigrams,
+        |         COUNT(*) AS n_distinct, MAX(n) AS top_n
+        |  FROM cnt GROUP BY doc_id)
+        |SELECT doc_id, n_bigrams,
+        |       ROUND(1.0 - n_distinct / CAST(n_bigrams AS DOUBLE), 4) AS dup_bigram_frac,
+        |       ROUND(top_n / CAST(n_bigrams AS DOUBLE), 4) AS top_bigram_frac
+        |FROM agg ORDER BY doc_id""".stripMargin,
+    "q_text_entropy" ->
+      """WITH ch AS (
+        |  SELECT doc_id, UNNEST(LIST_TRANSFORM(RANGE(1, LENGTH(text) + 1),
+        |    i -> SUBSTRING(text, i, 1))) AS ch
+        |  FROM documents WHERE LENGTH(text) > 0),
+        |cnt AS (
+        |  SELECT doc_id, ch, COUNT(*) AS n FROM ch GROUP BY doc_id, ch),
+        |agg AS (
+        |  SELECT doc_id, CAST(SUM(n) AS BIGINT) AS n_chars_counted,
+        |         SUM(n * LN(n)) AS sum_nlogn
+        |  FROM cnt GROUP BY doc_id)
+        |SELECT doc_id, n_chars_counted,
+        |       ROUND((LN(n_chars_counted) - sum_nlogn / n_chars_counted) / LN(2.0), 4)
+        |         AS entropy
+        |FROM agg ORDER BY doc_id""".stripMargin,
+    "q_text_df" ->
+      """WITH tok AS (
+        |  SELECT doc_id, UNNEST(LIST_DISTINCT(STRING_SPLIT(LOWER(TRIM(text)), ' '))) AS token
+        |  FROM documents),
+        |total AS (SELECT COUNT(DISTINCT doc_id) AS n_docs FROM documents),
+        |df AS (SELECT token, COUNT(*) AS df FROM tok GROUP BY token)
+        |SELECT token, df, ROUND(df / CAST(n_docs AS DOUBLE), 4) AS df_ratio
+        |FROM df CROSS JOIN total
+        |WHERE df / CAST(n_docs AS DOUBLE) >= 0.3
+        |ORDER BY df DESC, token""".stripMargin,
     "q_text_fingerprint" ->
       """SELECT doc_id,
         |       LIST_REDUCE(

@@ -1,9 +1,41 @@
 package graft
 
-import graft.ops.Corpus
+import graft.ops.{Corpus, TextAnalysis}
 import org.apache.spark.sql.functions._
 
 class CorpusSpec extends SparkSpec {
+
+  test("repetition, entropy, and df mining on a planted corpus give exact values") {
+    import spark.implicits._
+    val d = java.nio.file.Files.createTempDirectory("textq").toString
+    Seq(
+      (1L, "a a a a", "s"),   // bigrams: 3× "a a" → dup 1-1/3, top 1.0
+      (2L, "ab", "s"),        // chars a,b → entropy exactly 1 bit; no bigrams
+      (3L, "aaaa", "s"),      // single distinct char → entropy exactly 0
+      (4L, "a b c d", "s"),   // all bigrams distinct → dup 0.0, top 1/3
+    ).toDF("doc_id", "text", "source")
+      .withColumn("lang", lit("en")).withColumn("n_chars", length(col("text")))
+      .write.mode("overwrite").parquet(s"$d/documents.parquet")
+
+    val rep = TextAnalysis.qTextRepetition(spark, d).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2), r.getDouble(3)))).toMap
+    assert(rep.keySet == Set(1L, 4L), "docs with < 2 tokens have no bigrams")
+    assert(rep(1L) == ((3L, 0.6667, 1.0)))
+    assert(rep(4L) == ((3L, 0.0, 0.3333)))
+
+    val ent = TextAnalysis.qTextEntropy(spark, d).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(ent(2L) == ((2L, 1.0)), "two equiprobable chars = exactly 1 bit")
+    assert(ent(3L) == ((4L, 0.0)), "one distinct char = zero entropy")
+    assert(ent(1L)._1 == 7L && ent(1L)._2 > 0.9 && ent(1L)._2 < 1.0,
+      "4 'a' + 3 spaces is slightly below 1 bit")
+
+    // 'a' appears in docs 1 and 4 → df_ratio 0.5; 'aaaa'/'ab' in 1 of 4 =
+    // 0.25 < 0.3 → excluded
+    val df = TextAnalysis.qTextDf(spark, d).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(df == Set(("a", 2L, 0.5)), s"got $df")
+  }
 
   test("decontamination flags exactly the docs sharing an 8-gram with the benchmark") {
     import spark.implicits._

@@ -182,8 +182,48 @@ object Aggregations extends QueryModule {
         grouping(col("l_linestatus")).as("g_status"))
       .orderBy(col("g_flag"), col("g_status"), col("l_returnflag"), col("l_linestatus"))
 
+  /** Statistical moments + correlation per group, computed from EXACT
+    * integer sums rather than the engines' native `stddev`/`corr`
+    * aggregates: the 2-decimal money/quantity columns are scaled to integer
+    * cents, summed as DECIMAL(38,0) (exact, order-independent — a native
+    * double-accumulating aggregate sums in partition order and diverges
+    * between engines in the last ulps), then the closed-form moment
+    * formulas run ONCE per group on identical inputs — so both engines
+    * produce bit-identical doubles. corr is scale-invariant so the cent
+    * scaling cancels; mean/std divide by 100 at the end. This is also the
+    * right 100 TB shape: one map-side-combinable pass, six longs of state
+    * per group, no second pass. n > 1 guarded (a single-row group has no
+    * sample variance). */
+  def qAggStats(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .withColumn("qc", expr("CAST(round(l_quantity * 100) AS BIGINT)"))
+      .withColumn("pc", expr("CAST(round(l_extendedprice * 100) AS BIGINT)"))
+      .groupBy(col("l_returnflag"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("qc").cast("decimal(38,0)")).as("sq"),
+        sum(col("pc").cast("decimal(38,0)")).as("sp"),
+        sum((col("qc") * col("qc")).cast("decimal(38,0)")).as("sq2"),
+        sum((col("pc") * col("pc")).cast("decimal(38,0)")).as("sp2"),
+        sum((col("qc") * col("pc")).cast("decimal(38,0)")).as("sqp"))
+      .select(col("l_returnflag"), col("n"),
+        round(expr("CAST(sq AS DOUBLE) / CAST(n AS DOUBLE) / 100.0"), 4).as("mean_qty"),
+        round(expr(
+          """CASE WHEN n > 1 THEN
+            |  sqrt((CAST(n AS DOUBLE) * CAST(sq2 AS DOUBLE) - CAST(sq AS DOUBLE) * CAST(sq AS DOUBLE))
+            |       / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0))) / 100.0
+            |END""".stripMargin), 4).as("std_qty"),
+        round(expr(
+          """CASE WHEN n > 1 THEN
+            |  (CAST(n AS DOUBLE) * CAST(sqp AS DOUBLE) - CAST(sq AS DOUBLE) * CAST(sp AS DOUBLE))
+            |  / (sqrt(CAST(n AS DOUBLE) * CAST(sq2 AS DOUBLE) - CAST(sq AS DOUBLE) * CAST(sq AS DOUBLE))
+            |     * sqrt(CAST(n AS DOUBLE) * CAST(sp2 AS DOUBLE) - CAST(sp AS DOUBLE) * CAST(sp AS DOUBLE)))
+            |END""".stripMargin), 6).as("corr_qty_price"))
+      .orderBy(col("l_returnflag"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_agg_group"           -> (qAggGroup _),
+    "q_agg_stats"           -> (qAggStats _),
     "q_agg_global"          -> (qAggGlobal _),
     "q_agg_count_distinct"  -> (qAggCountDistinct _),
     "q_agg_approx_distinct" -> (qAggApproxDistinct _),
@@ -198,6 +238,32 @@ object Aggregations extends QueryModule {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_agg_stats" ->
+      """WITH cents AS (
+        |  SELECT l_returnflag,
+        |         CAST(ROUND(l_quantity * 100) AS BIGINT) AS qc,
+        |         CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS pc
+        |  FROM lineitem),
+        |sums AS (
+        |  SELECT l_returnflag, COUNT(*) AS n,
+        |         SUM(CAST(qc AS DECIMAL(38,0))) AS sq,
+        |         SUM(CAST(pc AS DECIMAL(38,0))) AS sp,
+        |         SUM(CAST(qc * qc AS DECIMAL(38,0))) AS sq2,
+        |         SUM(CAST(pc * pc AS DECIMAL(38,0))) AS sp2,
+        |         SUM(CAST(qc * pc AS DECIMAL(38,0))) AS sqp
+        |  FROM cents GROUP BY l_returnflag)
+        |SELECT l_returnflag, n,
+        |       ROUND(CAST(sq AS DOUBLE) / CAST(n AS DOUBLE) / 100.0, 4) AS mean_qty,
+        |       ROUND(CASE WHEN n > 1 THEN
+        |         sqrt((CAST(n AS DOUBLE) * CAST(sq2 AS DOUBLE) - CAST(sq AS DOUBLE) * CAST(sq AS DOUBLE))
+        |              / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0))) / 100.0
+        |         END, 4) AS std_qty,
+        |       ROUND(CASE WHEN n > 1 THEN
+        |         (CAST(n AS DOUBLE) * CAST(sqp AS DOUBLE) - CAST(sq AS DOUBLE) * CAST(sp AS DOUBLE))
+        |         / (sqrt(CAST(n AS DOUBLE) * CAST(sq2 AS DOUBLE) - CAST(sq AS DOUBLE) * CAST(sq AS DOUBLE))
+        |            * sqrt(CAST(n AS DOUBLE) * CAST(sp2 AS DOUBLE) - CAST(sp AS DOUBLE) * CAST(sp AS DOUBLE)))
+        |         END, 6) AS corr_qty_price
+        |FROM sums ORDER BY l_returnflag""".stripMargin,
     "q_agg_group" ->
       """SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
         |       ROUND(SUM(l_quantity), 2) AS sum_qty,

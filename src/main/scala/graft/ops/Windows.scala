@@ -97,8 +97,29 @@ object Windows extends QueryModule {
       .orderBy(col("c_nationkey"), col("rn"))
   }
 
+  /** Distribution functions: percent_rank / cume_dist per group — the
+    * percentile-position twins of the ranking trio (quantile bucketing a
+    * normalization pipeline keys on). Both are rationals of ranks and
+    * partition counts (exact int arithmetic → identical doubles in every
+    * engine); ties on `value` collapse to the same rank in both engines, so
+    * no tie-break is needed for determinism of the VALUES (event_id makes
+    * the row identity deterministic too). Top-100 per group keeps the
+    * output driver-sized at any SF. */
+  def qWinDist(spark: SparkSession, dir: String): DataFrame = {
+    val wt = Window.partitionBy(col("event_type")).orderBy(col("value"))
+    val w  = Window.partitionBy(col("event_type")).orderBy(col("value"), col("event_id"))
+    Tables.events(spark, dir)
+      .select(col("event_type"), col("event_id"),
+        round(percent_rank().over(wt), 6).as("pct_rank"),
+        round(cume_dist().over(wt), 6).as("cume"),
+        row_number().over(w).as("rn"))
+      .filter(col("rn") <= 100)
+      .orderBy(col("event_type"), col("rn"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_win_rank"       -> (qWinRank _),
+    "q_win_dist"       -> (qWinDist _),
     "q_win_lag"        -> (qWinLag _),
     "q_win_cumsum"     -> (qWinCumsum _),
     "q_win_movavg"     -> (qWinMovavg _),
@@ -114,6 +135,14 @@ object Windows extends QueryModule {
         |        ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY value DESC, event_id) AS rn,
         |        RANK() OVER (PARTITION BY event_type ORDER BY value DESC) AS rnk,
         |        DENSE_RANK() OVER (PARTITION BY event_type ORDER BY value DESC) AS drnk
+        |      FROM events) t
+        |WHERE rn <= 100 ORDER BY event_type, rn""".stripMargin,
+    "q_win_dist" ->
+      """SELECT event_type, event_id, pct_rank, cume, rn
+        |FROM (SELECT event_type, event_id,
+        |        ROUND(PERCENT_RANK() OVER (PARTITION BY event_type ORDER BY value), 6) AS pct_rank,
+        |        ROUND(CUME_DIST() OVER (PARTITION BY event_type ORDER BY value), 6) AS cume,
+        |        ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY value, event_id) AS rn
         |      FROM events) t
         |WHERE rn <= 100 ORDER BY event_type, rn""".stripMargin,
     "q_win_lag" ->

@@ -73,4 +73,21 @@ class AggregationsSpec extends SparkSpec {
         .agg(sum("n")).collect()(0).getLong(0) == total)
     } finally gs.unpersist()
   }
+
+  test("exact-sum stats agree with Spark's native stddev/corr aggregates") {
+    val got = Aggregations.qAggStats(spark, sf).collect()
+      .map(r => r.getString(0) -> ((r.getDouble(2), r.getDouble(3), r.getDouble(4)))).toMap
+    val native = Tables.lineitem(spark, sf)
+      .groupBy(col("l_returnflag"))
+      .agg(avg("l_quantity").as("m"), stddev_samp("l_quantity").as("s"),
+        corr(col("l_quantity"), col("l_extendedprice")).as("c"))
+      .collect().map(r => r.getString(0) -> ((r.getDouble(1), r.getDouble(2), r.getDouble(3)))).toMap
+    assert(got.keySet == native.keySet)
+    got.foreach { case (k, (m, s, c)) =>
+      val (nm, ns, nc) = native(k)
+      assert(math.abs(m - nm) < 1e-4, s"mean $k: $m vs $nm")
+      assert(math.abs(s - ns) < 1e-4, s"std $k: $s vs $ns")
+      assert(math.abs(c - nc) < 1e-4, s"corr $k: $c vs $nc")
+    }
+  }
 }

@@ -50,4 +50,24 @@ class WindowsSpec extends SparkSpec {
       .collect().map(_.getInt(0)).sorted
     assert(q.sameElements(Array(1, 2, 3, 4)))
   }
+
+  test("percent_rank/cume_dist are in [0,1], monotone, and rank-consistent") {
+    val rows = Windows.qWinDist(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (pr, cd) = (r.getDouble(2), r.getDouble(3))
+      assert(pr >= 0.0 && pr <= 1.0 && cd > 0.0 && cd <= 1.0)
+    }
+    // within a group, both are nondecreasing in rn (ascending value order)
+    rows.groupBy(_.getString(0)).foreach { case (_, g) =>
+      val sorted = g.sortBy(_.getInt(4))
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(a.getDouble(2) <= b.getDouble(2) && a.getDouble(3) <= b.getDouble(3))
+        case _ => ()
+      }
+    }
+    // the first row of each ascending group is percent_rank 0
+    rows.filter(_.getInt(4) == 1).foreach(r => assert(r.getDouble(2) == 0.0))
+  }
 }

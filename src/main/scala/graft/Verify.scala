@@ -9,6 +9,13 @@ object Verify {
     val sfDir = args(0); val outDir = args(1)
     val only: Option[Set[String]] =
       if (args.length > 2) Some(args(2).split(",").toSet) else None
+    // Fail fast on a typo'd filter name: an unmatched filter would write
+    // nothing, dump an empty oracle map, and read as a GREEN gate ("0
+    // passed, 0 failed") even though nothing was checked.
+    only.foreach { names =>
+      val unknown = names -- SparkEntry.queries.keySet
+      require(unknown.isEmpty, s"unknown query name(s) in filter: ${unknown.mkString(", ")}")
+    }
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = GraftSession.buildLocal(cpus, "graft-verify")
     spark.sparkContext.setLogLevel("WARN")

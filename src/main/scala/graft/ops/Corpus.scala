@@ -50,7 +50,10 @@ object Corpus extends QueryModule {
     * count of distinct shared grams — the drop list a decontamination
     * pass feeds back into corpus filtering. */
   def qDecontaminate(spark: SparkSession, dir: String): DataFrame = {
-    val grams = gramTable(spark, dir)
+    // both join sides (benchmark grams AND corpus grams) consume this table
+    // and Catalyst has no cross-branch reuse — same intra-query
+    // materialization pattern as Dedup.jaccardPairs (lazy: first job fills)
+    val grams = gramTable(spark, dir).localCheckpoint(eager = false)
     val bench = grams.filter(col("source") === BenchmarkSource)
       .select(col("gram")).distinct()
     grams.filter(col("source") =!= BenchmarkSource)

@@ -178,13 +178,12 @@ object Dedup extends QueryModule {
     // scales with corpus near-dup density, so a forced driver-side collect
     // is the memory failure point at exactly the scale this tier serves —
     // AQE picks broadcast on its own when the set is actually small.
-    val sh = shCk
-    val rarePost = rarePostings(sh)
+    val rarePost = rarePostings(shCk)
     val inter = candidates
       .join(rarePost.select(col("doc_id").as("d1"), col("shingle")), "d1")
       .join(rarePost.select(col("doc_id").as("d2"), col("shingle")), Seq("d2", "shingle"))
       .groupBy("d1", "d2").agg(count(lit(1)).as("inter"))
-    withJaccard(inter, sh)
+    withJaccard(inter, shCk)
       .filter(col("jaccard_raw") >= JaccardThreshold)
       .select(col("d1"), col("d2"), round(col("jaccard_raw"), 6).as("jaccard"))
       .orderBy(col("d1"), col("d2"))
@@ -296,6 +295,14 @@ object Dedup extends QueryModule {
       changed = next.filter(col("cluster_id") =!= col("prev")).count()
       labels = next.select(col("doc_id"), col("cluster_id"))
       rounds += 1
+      // Once `next` is materialized the previous round's checkpoint blocks
+      // are dead, but they are freed by ContextCleaner only when the driver
+      // GCs the dropped Dataset reference (Dataset.unpersist does NOT cover
+      // checkpoint blocks) — on a large idle heap that GC may never come,
+      // stacking diameter-many label-table copies in block-manager storage.
+      // Real components are short chains (a few rounds); the nudge guards
+      // the pathological tail the 4096-round valve allows.
+      if (rounds % 16 == 0) System.gc()
     }
     require(changed == 0,
       s"label propagation did not converge in $maxRounds rounds " +

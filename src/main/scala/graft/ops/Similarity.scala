@@ -41,13 +41,14 @@ object Similarity extends QueryModule {
       | / (sqrt($normSqExpr)
       |    * sqrt(aggregate(transform(qvec, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 0D, (a, b) -> a + b)))""".stripMargin
 
-  /** Brute-force cosine top-20 against vec 0 (excluding itself and
-    * zero-norm vectors — a zero vector has no direction: the HOF division
-    * throws under ANSI and DuckDB yields NaN, which it sorts FIRST in a
-    * descending order; both engines filter them out instead). */
+  /** Brute-force cosine top-20 against vec 0 (excluding itself, zero-norm
+    * vectors — a zero vector has no direction: the HOF division throws
+    * under ANSI and DuckDB yields NaN, which it sorts FIRST in a descending
+    * order — and ragged vectors off the canonical 64 dims, on which the two
+    * engines disagree: Spark zip_with null-pads, DuckDB raises). */
   def qCosineTopk(spark: SparkSession, dir: String): DataFrame =
     withQuery(spark, dir)
-      .filter(col("vec_id") =!= 0 && expr(normSqExpr) > 0)
+      .filter(col("vec_id") =!= 0 && size(col("embedding")) === 64 && expr(normSqExpr) > 0)
       .withColumn("cos_raw", expr(cosineExpr))
       .select(col("vec_id"), col("label"), round(col("cos_raw"), 6).as("cosine"))
       .orderBy(col("cos_raw").desc, col("vec_id"))
@@ -114,7 +115,7 @@ object Similarity extends QueryModule {
   def qCosineTopkNative(spark: SparkSession, dir: String): DataFrame = {
     graft.functions.CosineSimilarity.register(spark)
     withQuery(spark, dir)
-      .filter(col("vec_id") =!= 0 && expr(normSqExpr) > 0)
+      .filter(col("vec_id") =!= 0 && size(col("embedding")) === 64 && expr(normSqExpr) > 0)
       .withColumn("cos_raw", expr("cosine_sim(embedding, qvec)"))
       .select(col("vec_id"), col("label"), round(col("cos_raw"), 6).as("cosine"))
       .orderBy(col("cos_raw").desc, col("vec_id"))
@@ -134,7 +135,8 @@ object Similarity extends QueryModule {
     * DuckDB would otherwise diverge — NaN sorts first in a DuckDB DESC). */
   def qAnnIvf(spark: SparkSession, dir: String): DataFrame = {
     graft.functions.CosineSimilarity.register(spark)
-    val e = Tables.embeddings(spark, dir).filter(expr(normSqExpr) > 0)
+    val e = Tables.embeddings(spark, dir)
+      .filter(size(col("embedding")) === 64 && expr(normSqExpr) > 0)
     val centroids = e.filter(col("vec_id") < 16)
       .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
     // assign every vector to its nearest centroid
@@ -226,6 +228,7 @@ object Similarity extends QueryModule {
         |         (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id = 0)), 6) AS cosine
         |FROM embeddings
         |WHERE vec_id <> 0
+        |  AND LEN(embedding) = 64
         |  AND LIST_AGGREGATE(LIST_TRANSFORM(CAST(embedding AS DOUBLE[]), x -> x * x), 'sum') > 0
         |ORDER BY LIST_COSINE_SIMILARITY(CAST(embedding AS DOUBLE[]),
         |         (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id = 0)) DESC, vec_id
@@ -260,7 +263,8 @@ object Similarity extends QueryModule {
     "q_ann_ivf" ->
       """WITH e AS (
         |  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
-        |  WHERE LIST_AGGREGATE(LIST_TRANSFORM(CAST(embedding AS DOUBLE[]), x -> x * x), 'sum') > 0),
+        |  WHERE LEN(embedding) = 64
+        |    AND LIST_AGGREGATE(LIST_TRANSFORM(CAST(embedding AS DOUBLE[]), x -> x * x), 'sum') > 0),
         |cent AS (
         |  SELECT vec_id AS cid, v AS cvec FROM e WHERE vec_id < 16),
         |assigned AS (

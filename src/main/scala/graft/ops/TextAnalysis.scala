@@ -161,9 +161,14 @@ object TextAnalysis extends QueryModule {
     * low-entropy detector for boilerplate/binary-junk text. Chars are
     * enumerated positionally (substring over sequence — NOT split on the
     * empty regex, whose trailing-empty behavior differs between engines);
-    * H = log2(N) - (Σ n·ln n)/(N·ln 2) from the per-char counts, one
-    * explode + two aggregations. Empty documents have no distribution and
-    * are excluded by contract. */
+    * H = log2(N) - (Σ n·ln n)/(N·ln 2) from the per-char counts. The Σ n·ln n
+    * is NOT a double aggregate (a hash-agg merges in partition order, which
+    * differs between engines — the q_per_capita lesson): the per-char counts
+    * are collected and SORTED per document, then folded left-to-right, so
+    * both engines add the identical doubles in the identical order. Bounded:
+    * a document has at most |charset| distinct chars (≈ 100 for text), so
+    * the collected list is tiny regardless of document length. Empty
+    * documents have no distribution and are excluded by contract. */
   def qTextEntropy(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
       .filter(length(col("text")) > 0)
@@ -173,10 +178,11 @@ object TextAnalysis extends QueryModule {
       .agg(count(lit(1)).as("n"))
       .groupBy(col("doc_id"))
       .agg(sum(col("n")).as("n_chars_counted"),
-        sum(expr("n * ln(n)")).as("sum_nlogn"))
+        sort_array(collect_list(col("n"))).as("counts"))
       .select(col("doc_id"), col("n_chars_counted"),
         round(
-          (log(col("n_chars_counted")) - col("sum_nlogn") / col("n_chars_counted"))
+          (log(col("n_chars_counted"))
+            - expr("aggregate(counts, 0D, (a, x) -> a + x * ln(x))") / col("n_chars_counted"))
             / log(lit(2.0)), 4).as("entropy"))
       .orderBy(col("doc_id"))
 
@@ -297,7 +303,9 @@ object TextAnalysis extends QueryModule {
         |  SELECT doc_id, ch, COUNT(*) AS n FROM ch GROUP BY doc_id, ch),
         |agg AS (
         |  SELECT doc_id, CAST(SUM(n) AS BIGINT) AS n_chars_counted,
-        |         SUM(n * LN(n)) AS sum_nlogn
+        |         LIST_REDUCE(LIST_PREPEND(CAST(0 AS DOUBLE),
+        |           LIST_TRANSFORM(LIST(n ORDER BY n), x -> x * LN(x))),
+        |           (a, b) -> a + b) AS sum_nlogn
         |  FROM cnt GROUP BY doc_id)
         |SELECT doc_id, n_chars_counted,
         |       ROUND((LN(n_chars_counted) - sum_nlogn / n_chars_counted) / LN(2.0), 4)

@@ -44,10 +44,38 @@ object SetOps extends QueryModule {
     all.except(recent).orderBy(col("custkey"))
   }
 
+  /** Bag-semantics intersect: each custkey kept min(count_left, count_right)
+    * times — the multiset algebra INTERSECT/EXCEPT specialize from. Spark
+    * plans intersectAll/exceptAll as an aggregate computing both
+    * multiplicities + a generate replicating min/difference — one shuffle,
+    * no row-by-row matching. Counting by key makes the multiplicity
+    * contract directly visible (and checkable) in the output. */
+  def qIntersectAll(spark: SparkSession, dir: String): DataFrame = {
+    val withOrders = Tables.orders(spark, dir).select(col("o_custkey").as("custkey"))
+    val rich = Tables.customer(spark, dir).filter(col("c_acctbal") > 5000)
+      .select(col("c_custkey").as("custkey"))
+    withOrders.intersectAll(rich)
+      .groupBy(col("custkey")).agg(count(lit(1)).as("multiplicity"))
+      .orderBy(col("custkey"))
+  }
+
+  /** Bag-semantics except: orders minus ONE occurrence per F-status order —
+    * count_left − count_right copies survive (vs except's all-or-nothing). */
+  def qExceptAll(spark: SparkSession, dir: String): DataFrame = {
+    val all = Tables.orders(spark, dir).select(col("o_custkey").as("custkey"))
+    val f = Tables.orders(spark, dir).filter(col("o_orderstatus") === "F")
+      .select(col("o_custkey").as("custkey"))
+    all.exceptAll(f)
+      .groupBy(col("custkey")).agg(count(lit(1)).as("multiplicity"))
+      .orderBy(col("custkey"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q_union"     -> (qUnion _),
-    "q_intersect" -> (qIntersect _),
-    "q_except"    -> (qExcept _),
+    "q_union"         -> (qUnion _),
+    "q_intersect"     -> (qIntersect _),
+    "q_except"        -> (qExcept _),
+    "q_intersect_all" -> (qIntersectAll _),
+    "q_except_all"    -> (qExceptAll _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -71,5 +99,17 @@ object SetOps extends QueryModule {
         |SELECT o_custkey AS custkey FROM orders
         |WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
         |ORDER BY custkey""".stripMargin,
+    "q_intersect_all" ->
+      """SELECT custkey, COUNT(*) AS multiplicity FROM (
+        |  SELECT o_custkey AS custkey FROM orders
+        |  INTERSECT ALL
+        |  SELECT c_custkey AS custkey FROM customer WHERE c_acctbal > 5000) t
+        |GROUP BY custkey ORDER BY custkey""".stripMargin,
+    "q_except_all" ->
+      """SELECT custkey, COUNT(*) AS multiplicity FROM (
+        |  SELECT o_custkey AS custkey FROM orders
+        |  EXCEPT ALL
+        |  SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'F') t
+        |GROUP BY custkey ORDER BY custkey""".stripMargin,
   )
 }

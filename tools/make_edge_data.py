@@ -48,7 +48,8 @@ COPY (
   UNION ALL
   SELECT * FROM (VALUES
     (8000, CAST([0.0 for i in range(64)] AS FLOAT[]), 1),
-    (8001, CAST([1.0 for i in range(64)] AS FLOAT[]), 2)
+    (8001, CAST([1.0 for i in range(64)] AS FLOAT[]), 2),
+    (8002, CAST([0.5 for i in range(32)] AS FLOAT[]), 3)
   ) AS v(vec_id, embedding, label)
 ) TO '{dst}/embeddings.parquet' (FORMAT PARQUET)
 """)

@@ -103,6 +103,60 @@ object Streams {
         col("l_value"), col("r_value"))
   }
 
+  /** foreachBatch → JDBC idempotent upsert: the production pattern for
+    * sinks with no native streaming support (JDBC, upsert-by-key stores,
+    * multi-sink fan-out). Update-mode windowed aggregates re-emit a key
+    * whenever its total changes; the sink upserts BY KEY (delete+insert in
+    * one transaction per partition), so re-emissions overwrite and a
+    * replayed micro-batch (crash between write and checkpoint commit)
+    * lands identically — exactly-once table state from at-least-once
+    * delivery. Work happens on executors via foreachPartition (one
+    * connection + one transaction per partition, rows streamed through
+    * prepared statements — never collected to the driver). The table needs
+    * PRIMARY KEY (wstart, event_type), matching the aggregation key. */
+  def startJdbcUpsert(windowed: DataFrame, url: String, table: String,
+      checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery =
+    windowed.writeStream
+      .outputMode("update")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        upsertByKey(batch, url, table)
+      }
+      .start()
+
+  /** Transactional per-partition upsert of (wstart, event_type, n,
+    * sum_value) rows. Delete-then-insert inside one transaction is the
+    * portable upsert (Derby MERGE is version-picky about parameter
+    * markers); per key it is equivalent and idempotent. */
+  private[graft] def upsertByKey(batch: DataFrame, url: String, table: String): Unit = {
+    // SQL identifiers can't be bound as parameters; guard the interpolation
+    require(table.matches("[A-Za-z0-9_.]+"), s"unsafe table name: $table")
+    batch.select(col("wstart"), col("event_type"), col("n"), col("sum_value"))
+      .foreachPartition { (rows: Iterator[org.apache.spark.sql.Row]) =>
+        if (rows.hasNext) {
+          val conn = java.sql.DriverManager.getConnection(url)
+          try {
+            conn.setAutoCommit(false)
+            val del = conn.prepareStatement(
+              s"DELETE FROM $table WHERE wstart = ? AND event_type = ?")
+            val ins = conn.prepareStatement(
+              s"INSERT INTO $table (wstart, event_type, n, sum_value) VALUES (?, ?, ?, ?)")
+            rows.foreach { r =>
+              val ws = r.getAs[java.sql.Timestamp]("wstart")
+              val et = r.getAs[String]("event_type")
+              del.setTimestamp(1, ws); del.setString(2, et)
+              del.executeUpdate()
+              ins.setTimestamp(1, ws); ins.setString(2, et)
+              ins.setLong(3, r.getAs[Long]("n"))
+              ins.setDouble(4, r.getAs[Double]("sum_value"))
+              ins.executeUpdate()
+            }
+            conn.commit()
+          } finally conn.close()
+        }
+      }
+  }
+
   /** File-source entry: tail a DIRECTORY of parquet event files as a stream
     * (the file source rejects single files; production: Kafka source, same
     * downstream plan). Applies the same nanos→micros ts normalization as

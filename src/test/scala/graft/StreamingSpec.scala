@@ -135,4 +135,47 @@ class StreamingSpec extends SparkSpec {
     try q.processAllAvailable() finally q.stop()
     assert(spark.table("dedup_smoke").count() == 2)
   }
+
+  test("foreachBatch JDBC upsert: update-mode re-emissions and replays land exactly once") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val url = "jdbc:derby:memory:graftsink;create=true"
+    val conn = java.sql.DriverManager.getConnection(url)
+    conn.createStatement().execute(
+      """CREATE TABLE window_totals (
+        |  wstart TIMESTAMP NOT NULL, event_type VARCHAR(64) NOT NULL,
+        |  n BIGINT, sum_value DOUBLE, PRIMARY KEY (wstart, event_type))""".stripMargin)
+    conn.close()
+
+    val mem = MemoryStream[(Timestamp, Long, String, Double)]
+    val streamDf = mem.toDF.toDF("ts", "user_id", "event_type", "value")
+    val ckpt = java.nio.file.Files.createTempDirectory("jdbc-upsert-ckpt").toString
+    val base = Timestamp.valueOf("2025-01-01 00:00:00")
+    def ev(i: Int) = (new Timestamp(base.getTime + i * 60000L), (i % 7).toLong,
+      s"type_${i % 3}", i.toDouble)
+
+    val q = Streams.startJdbcUpsert(
+      Streams.tumblingCounts(streamDf), url, "window_totals", ckpt)
+    try {
+      // batch 1, then batch 2 UPDATING the same windows — update-mode
+      // re-emits those keys and the sink must overwrite, not append
+      mem.addData((0 until 60).map(ev))
+      q.processAllAvailable()
+      mem.addData((60 until 100).map(ev))
+      q.processAllAvailable()
+    } finally q.stop()
+
+    // replay robustness: re-apply the LAST micro-batch's rows by hand — the
+    // delete+insert upsert must leave the table unchanged
+    val lastBatch = Streams.tumblingCounts(
+      (0 until 100).map(ev).toDF("ts", "user_id", "event_type", "value"))
+    Streams.upsertByKey(lastBatch, url, "window_totals")
+
+    val back = spark.read.format("jdbc")
+      .option("url", url).option("dbtable", "window_totals").load()
+    val expected = lastBatch
+    assert(back.count() == expected.count())
+    assert(back.except(expected).count() == 0 && expected.except(back).count() == 0,
+      "JDBC table must equal the batch aggregate of all events")
+  }
 }

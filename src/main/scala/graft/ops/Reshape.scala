@@ -78,10 +78,41 @@ object Reshape extends QueryModule {
       .orderBy(col("doc_id"))
   }
 
+  /** The SQL front door end-to-end: a multi-CTE join + window composite
+    * (TPC-H Q5 shape — revenue per nation, ranked) through `spark.sql`,
+    * proving CTEs, multi-way joins, window functions and the optimizer all
+    * compose from SQL text exactly as from the DataFrame API. Revenue is
+    * summed as DECIMAL(18,4) — the per-row 4-decimal product is exact, so
+    * the sum is order-independent and needs NO rounding at output (the
+    * double cast of an exact decimal is deterministic in both engines). */
+  def qSqlCte(spark: SparkSession, dir: String): DataFrame = {
+    val sfx = java.lang.Integer.toHexString(dir.hashCode)
+    val views = Seq(
+      s"lineitem_$sfx" -> Tables.lineitem(spark, dir),
+      s"orders_$sfx"   -> Tables.orders(spark, dir),
+      s"customer_$sfx" -> Tables.customer(spark, dir),
+      s"nation_$sfx"   -> Tables.nation(spark, dir))
+    views.foreach { case (n, df) => df.createOrReplaceTempView(n) }
+    try spark.sql(
+      s"""WITH rev AS (
+        |  SELECT n.n_name,
+        |         SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,4))) AS revenue
+        |  FROM lineitem_$sfx l
+        |  JOIN orders_$sfx o ON o.o_orderkey = l.l_orderkey
+        |  JOIN customer_$sfx c ON c.c_custkey = o.o_custkey
+        |  JOIN nation_$sfx n ON n.n_nationkey = c.c_nationkey
+        |  GROUP BY n.n_name)
+        |SELECT n_name, CAST(revenue AS DOUBLE) AS revenue,
+        |       RANK() OVER (ORDER BY revenue DESC, n_name) AS rk
+        |FROM rev ORDER BY rk, n_name""".stripMargin)
+    finally views.foreach { case (n, _) => spark.catalog.dropTempView(n) }
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_pivot"             -> (qPivot _),
     "q_unpivot"           -> (qUnpivot _),
     "q_sql_subquery"      -> (qSqlSubquery _),
+    "q_sql_cte"           -> (qSqlCte _),
     "q_sample_stratified" -> (qSampleStratified _),
   )
 
@@ -116,6 +147,18 @@ object Reshape extends QueryModule {
         |WHERE (stratum = 'en' AND u32 < 2147483648)
         |   OR (stratum <> 'en' AND u32 < 429496729)
         |ORDER BY doc_id""".stripMargin,
+    "q_sql_cte" ->
+      """WITH rev AS (
+        |  SELECT n.n_name,
+        |         SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,4))) AS revenue
+        |  FROM lineitem l
+        |  JOIN orders o ON o.o_orderkey = l.l_orderkey
+        |  JOIN customer c ON c.c_custkey = o.o_custkey
+        |  JOIN nation n ON n.n_nationkey = c.c_nationkey
+        |  GROUP BY n.n_name)
+        |SELECT n_name, CAST(revenue AS DOUBLE) AS revenue,
+        |       RANK() OVER (ORDER BY revenue DESC, n_name) AS rk
+        |FROM rev ORDER BY rk, n_name""".stripMargin,
     "q_sql_subquery" ->
       """SELECT o_orderpriority, COUNT(*) AS n_above_avg
         |FROM orders o

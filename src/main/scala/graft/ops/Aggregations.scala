@@ -90,24 +90,41 @@ object Aggregations extends QueryModule {
       .orderBy(col("n_name"))
   }
 
-  /** Exact interpolated percentiles (DuckDB quantile_cont twin), computed as
-    * sort_array(collect_list) + direct linear interpolation — Spark's
-    * built-in exact `percentile` keeps a per-partition value→count hash map
-    * whose merge churns memory (measured: 4.5s degrading to 11s across runs;
-    * this formulation holds steady ~1s). Same definition: v = a[l] + (h-l)·
-    * (a[h]-a[l]), h = (n-1)q. At 100 TB switch to percentile_approx
-    * (t-digest, single pass, bounded memory). */
+  /** Exact interpolated percentiles (DuckDB quantile_cont twin), computed
+    * DISTRIBUTIVELY: a window rank orders each group's values across
+    * partitions (one shuffle-sort, O(1) state per row — never a per-group
+    * collect_list, whose single row must hold the whole group and dies at
+    * 100 TB), then only the two rows straddling each target rank survive a
+    * conditional aggregation and interpolate: v = a[l] + (h-l)·(a[h]-a[l]),
+    * h = (n-1)q. The interpolation arithmetic (decimal q literals, same
+    * operation order) is unchanged from the collect_list formulation, so
+    * the output — and the quantile_cont oracle match — is bit-identical.
+    * (Spark's built-in exact `percentile` was measured worse than both:
+    * its per-partition value→count hash map churns 4.5→11 s across runs.)
+    * For sketch-tolerant pipelines percentile_approx remains the cheaper
+    * single-pass path below. */
   def qAggPercentile(spark: SparkSession, dir: String): DataFrame = {
-    def interp(q: Double): org.apache.spark.sql.Column = round(expr(
-      s"""element_at(vals, CAST(floor((size(vals) - 1) * $q) AS INT) + 1)
-         | + ((size(vals) - 1) * $q - floor((size(vals) - 1) * $q))
-         |   * (element_at(vals, CAST(ceil((size(vals) - 1) * $q) AS INT) + 1)
-         |      - element_at(vals, CAST(floor((size(vals) - 1) * $q) AS INT) + 1))""".stripMargin), 4)
-    Tables.lineitem(spark, dir)
-      .groupBy(col("l_returnflag"))
-      .agg(sort_array(collect_list(col("l_extendedprice"))).as("vals"))
+    import org.apache.spark.sql.expressions.Window
+    val ranked = Tables.lineitem(spark, dir)
+      .select(col("l_returnflag"), col("l_extendedprice").as("v"))
+      // ties need no tie-break: equal values make every rank assignment
+      // among them carry the same v, so the ranked multiset is deterministic
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("l_returnflag")).orderBy(col("v"))))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy(col("l_returnflag"))))
+    def lo(q: String) = max(when(expr(s"rn = CAST(floor((n - 1) * $q) AS INT) + 1"), col("v")))
+    def hi(q: String) = max(when(expr(s"rn = CAST(ceil((n - 1) * $q) AS INT) + 1"), col("v")))
+    def interp(q: String, l: String, h: String): org.apache.spark.sql.Column =
+      round(expr(s"$l + ((n - 1) * $q - floor((n - 1) * $q)) * ($h - $l)"), 4)
+    ranked.groupBy(col("l_returnflag"))
+      .agg(max(col("n")).as("n"),
+        lo("0.25").as("lo25"), hi("0.25").as("hi25"),
+        lo("0.5").as("lo50"), hi("0.5").as("hi50"),
+        lo("0.75").as("lo75"), hi("0.75").as("hi75"))
       .select(col("l_returnflag"),
-        interp(0.25).as("p25"), interp(0.5).as("p50"), interp(0.75).as("p75"))
+        interp("0.25", "lo25", "hi25").as("p25"),
+        interp("0.5", "lo50", "hi50").as("p50"),
+        interp("0.75", "lo75", "hi75").as("p75"))
       .orderBy(col("l_returnflag"))
   }
 

@@ -207,6 +207,69 @@ object TextAnalysis extends QueryModule {
       .orderBy(col("df").desc, col("token"))
   }
 
+  // PII patterns — deliberately simple, RE2-compatible (no lookaround, no
+  // backrefs) so the Java-regex Spark side and the RE2 DuckDB oracle match
+  // occurrence-for-occurrence.
+  private val emailPat = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private val phonePat = "\\b\\d{3}-\\d{3}-\\d{4}\\b"
+  private val ipPat    = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+
+  /** PII scrub — the redaction pass an LLM corpus runs before training:
+    * count and replace emails / phone numbers / IPv4 addresses with typed
+    * placeholder tokens. Pure per-row codegen'd regex work (no shuffle at
+    * all until the output sort); at 100 TB this is a map-only stage that
+    * scales linearly with input bytes. Replacement order (email → phone →
+    * ip) is part of the contract: email local parts can contain digit runs
+    * an IP pattern would otherwise nibble at. */
+  def qTextPii(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        size(regexp_extract_all(col("text"), lit(emailPat), lit(0))).as("n_emails"),
+        size(regexp_extract_all(col("text"), lit(phonePat), lit(0))).as("n_phones"),
+        size(regexp_extract_all(col("text"), lit(ipPat), lit(0))).as("n_ips"),
+        regexp_replace(regexp_replace(regexp_replace(col("text"),
+          emailPat, "<EMAIL>"), phonePat, "<PHONE>"), ipPat, "<IP>").as("redacted"))
+      .orderBy(col("doc_id"))
+
+  /** Boilerplate strip — the HTML-ish cleanup stage of a web-scrape corpus:
+    * drop tags, decode the five ubiquitous entities, collapse whitespace
+    * runs, trim. `&amp;` decodes LAST so `&amp;lt;` yields the literal
+    * `&lt;` instead of double-decoding to `<` — same order in the oracle.
+    * Map-only like qTextPii; the explicit `[ \t\r\n]+` class (not `\s`)
+    * pins the whitespace set to the intersection both regex dialects agree
+    * on. */
+  def qTextClean(spark: SparkSession, dir: String): DataFrame = {
+    val stripped = regexp_replace(col("text"), "<[^>]+>", " ")
+    val decoded = Seq("&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
+        "&#39;" -> "'", "&amp;" -> "&")
+      .foldLeft(stripped) { case (c, (from, to)) => replace(c, lit(from), lit(to)) }
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("n_chars"),
+        trim(regexp_replace(decoded, "[ \t\r\n]+", " ")).as("cleaned"))
+      .withColumn("clean_chars", length(col("cleaned")))
+      .select(col("doc_id"), col("n_chars"), col("clean_chars"), col("cleaned"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Corpus-wide n-gram mining: top 40 token bigrams by total occurrences,
+    * with document frequency — the vocabulary/template-phrase miner (the
+    * corpus-level complement of qTextRepetition's per-document signals).
+    * One explode, one hash aggregation keyed by bigram (count + distinct
+    * doc_id), TakeOrdered for the top slice — O(total tokens) with a
+    * vocabulary-sized shuffle, never a per-document collect. */
+  def qNgramTop(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .withColumn("toks", split(lower(trim(col("text"))), " "))
+      .select(col("doc_id"), explode(expr(
+        """CASE WHEN size(toks) < 2 THEN array()
+          |ELSE transform(sequence(0, size(toks) - 2),
+          |  i -> concat(element_at(toks, i + 1), ' ', element_at(toks, i + 2)))
+          |END""".stripMargin)).as("bigram"))
+      .groupBy(col("bigram"))
+      .agg(count(lit(1)).as("n"), countDistinct(col("doc_id")).as("df"))
+      .orderBy(col("n").desc, col("bigram"))
+      .limit(40)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_text_tokens"      -> (qTextTokens _),
     "q_text_quality"     -> (qTextQuality _),
@@ -216,6 +279,9 @@ object TextAnalysis extends QueryModule {
     "q_text_repetition"  -> (qTextRepetition _),
     "q_text_entropy"     -> (qTextEntropy _),
     "q_text_df"          -> (qTextDf _),
+    "q_text_pii"         -> (qTextPii _),
+    "q_text_clean"       -> (qTextClean _),
+    "q_ngram_top"        -> (qNgramTop _),
   )
 
   private val stopwordsSql = stopwords.map("'" + _ + "'").mkString(",")
@@ -321,6 +387,36 @@ object TextAnalysis extends QueryModule {
         |FROM df CROSS JOIN total
         |WHERE df / CAST(n_docs AS DOUBLE) >= 0.3
         |ORDER BY df DESC, token""".stripMargin,
+    "q_text_pii" ->
+      """SELECT doc_id,
+        |  LEN(REGEXP_EXTRACT_ALL(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_emails,
+        |  LEN(REGEXP_EXTRACT_ALL(text, '\b\d{3}-\d{3}-\d{4}\b')) AS n_phones,
+        |  LEN(REGEXP_EXTRACT_ALL(text, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS n_ips,
+        |  REGEXP_REPLACE(REGEXP_REPLACE(REGEXP_REPLACE(text,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |    '\b\d{3}-\d{3}-\d{4}\b', '<PHONE>', 'g'),
+        |    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g') AS redacted
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_text_clean" ->
+      """WITH c AS (
+        |  SELECT doc_id, n_chars,
+        |    TRIM(REGEXP_REPLACE(
+        |      REPLACE(REPLACE(REPLACE(REPLACE(REPLACE(
+        |        REGEXP_REPLACE(text, '<[^>]+>', ' ', 'g'),
+        |        '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', ''''), '&amp;', '&'),
+        |      '[ ' || CHR(9) || CHR(13) || CHR(10) || ']+', ' ', 'g')) AS cleaned
+        |  FROM documents)
+        |SELECT doc_id, n_chars, LENGTH(cleaned) AS clean_chars, cleaned
+        |FROM c ORDER BY doc_id""".stripMargin,
+    "q_ngram_top" ->
+      """WITH bg AS (
+        |  SELECT doc_id, UNNEST(CASE WHEN LEN(toks) < 2 THEN []
+        |    ELSE LIST_TRANSFORM(RANGE(1, LEN(toks)),
+        |      i -> toks[i] || ' ' || toks[i + 1]) END) AS bigram
+        |  FROM (SELECT doc_id, STRING_SPLIT(LOWER(TRIM(text)), ' ') AS toks
+        |        FROM documents) t)
+        |SELECT bigram, COUNT(*) AS n, COUNT(DISTINCT doc_id) AS df
+        |FROM bg GROUP BY bigram ORDER BY n DESC, bigram LIMIT 40""".stripMargin,
     "q_text_fingerprint" ->
       """SELECT doc_id,
         |       LIST_REDUCE(

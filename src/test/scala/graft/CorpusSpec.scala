@@ -37,6 +37,45 @@ class CorpusSpec extends SparkSpec {
     assert(df == Set(("a", 2L, 0.5)), s"got $df")
   }
 
+  test("pii scrub redacts planted emails/phones/ips; clean strips tags and entities") {
+    import spark.implicits._
+    val d = java.nio.file.Files.createTempDirectory("pii").toString
+    Seq(
+      (1L, "reach bob+x@ex.org or jane@corp.io call 555-123-4567 from 10.0.42.7", "s"),
+      (2L, "no pii here at all", "s"),
+      (3L, "<p>hello &amp;lt; world</p>  <br/>ok &quot;q&quot;", "s"),
+    ).toDF("doc_id", "text", "source")
+      .withColumn("lang", lit("en")).withColumn("n_chars", length(col("text")))
+      .write.mode("overwrite").parquet(s"$d/documents.parquet")
+
+    val pii = TextAnalysis.qTextPii(spark, d).collect()
+      .map(r => r.getLong(0) -> ((r.getInt(1), r.getInt(2), r.getInt(3), r.getString(4)))).toMap
+    assert(pii(1L) == ((2, 1, 1, "reach <EMAIL> or <EMAIL> call <PHONE> from <IP>")))
+    assert(pii(2L) == ((0, 0, 0, "no pii here at all")))
+
+    val clean = TextAnalysis.qTextClean(spark, d).collect()
+      .map(r => r.getLong(0) -> r.getString(3)).toMap
+    // &amp;lt; must decode to the literal '&lt;', NOT double-decode to '<'
+    assert(clean(3L) == "hello &lt; world ok \"q\"", s"got '${clean(3L)}'")
+    assert(clean(2L) == "no pii here at all")
+  }
+
+  test("corpus-wide ngram mining counts a planted dominant bigram with its df") {
+    import spark.implicits._
+    val d = java.nio.file.Files.createTempDirectory("ngram").toString
+    Seq(
+      (1L, "x y x y x y", "s"), // "x y" ×3, "y x" ×2
+      (2L, "x y end", "s"),     // "x y" ×1 → total 4, df 2
+      (3L, "solo", "s"),        // no bigrams
+    ).toDF("doc_id", "text", "source")
+      .withColumn("lang", lit("en")).withColumn("n_chars", length(col("text")))
+      .write.mode("overwrite").parquet(s"$d/documents.parquet")
+    val top = TextAnalysis.qNgramTop(spark, d).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(top.head == (("x y", 4L, 2L)), s"got ${top.head}")
+    assert(top.contains(("y x", 2L, 1L)))
+  }
+
   test("decontamination flags exactly the docs sharing an 8-gram with the benchmark") {
     import spark.implicits._
     val words = (1 to 20).map(i => s"w$i").mkString(" ")

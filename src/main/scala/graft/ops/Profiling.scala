@@ -1,0 +1,189 @@
+package graft.ops
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Data-profiling and data-quality operators over `orders` — the "what is
+  * in this table" pass a lake pipeline runs on ingest (the reference's data
+  * lake exists precisely to make such ad-hoc inspection queries cheap):
+  *
+  *  - histogram: fixed-width value distribution of a measure column
+  *  - column profile: null count / distinct count / numeric range per column
+  *  - z-score outliers: per-group anomaly flags from exact-sum statistics
+  *
+  * Everything reduces to hash aggregations (one shuffle each); the z-score
+  * pass re-joins a handful of group-stat rows back onto the fact via
+  * broadcast, so the fact table is scanned exactly twice and never
+  * re-shuffled. All derived statistics follow the q_agg_stats discipline:
+  * sums are exact DECIMAL(38,0) cent sums (order-independent, so both
+  * engines produce bit-identical doubles after the final division) — a
+  * native double stddev would merge partials in partition order and never
+  * hash-match across engines.
+  */
+object Profiling extends QueryModule {
+
+  private val bucketWidth = 25000.0
+
+  /** Fixed-width histogram of o_totalprice: bucket id, edges, count, exact
+    * min/max, and a mean from exact cent sums. floor() of a positive double
+    * is exact in both engines; Spark floor returns BIGINT natively. */
+  def qHist(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .withColumn("bucket", floor(col("o_totalprice") / lit(bucketWidth)))
+      .withColumn("pc", expr("CAST(round(o_totalprice * 100) AS BIGINT)"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n"),
+        min(col("o_totalprice")).as("min_price"),
+        max(col("o_totalprice")).as("max_price"),
+        sum(col("pc").cast("decimal(38,0)")).as("sp"))
+      .select(col("bucket"),
+        (col("bucket") * lit(bucketWidth)).as("lo"),
+        col("n"), col("min_price"), col("max_price"),
+        round(expr("CAST(sp AS DOUBLE) / CAST(n AS DOUBLE) / 100.0"), 2).as("avg_price"))
+      .orderBy(col("bucket"))
+
+  /** Per-column profile in long format: nulls, exact distinct count, and the
+    * numeric range (epoch-micros for timestamps, NULL for strings — all
+    * `< 2^53`, so the double carries them exactly). Computed in ONE
+    * aggregation pass over the table, then pivoted to rows with `stack`.
+    *
+    * Scale note: five exact `countDistinct`s in one aggregate make Catalyst
+    * expand the input ~6× before the shuffle. That is the price of exact
+    * NDV (and what the oracle can verify); the 100 TB path swaps in
+    * `approx_count_distinct` (HLL, single expand-free pass) — same plan
+    * shape, sketch merge instead of distinct expand. */
+  def qProfile(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    def nulls(c: String) = count(when(col(c).isNull, 1)).as(s"${c}_nulls")
+    def ndv(c: String)   = countDistinct(col(c)).as(s"${c}_ndv")
+    val agg = o.agg(
+      nulls("o_orderkey"), ndv("o_orderkey"),
+      min(col("o_orderkey")).cast("double").as("o_orderkey_min"),
+      max(col("o_orderkey")).cast("double").as("o_orderkey_max"),
+      nulls("o_custkey"), ndv("o_custkey"),
+      min(col("o_custkey")).cast("double").as("o_custkey_min"),
+      max(col("o_custkey")).cast("double").as("o_custkey_max"),
+      nulls("o_totalprice"), ndv("o_totalprice"),
+      min(col("o_totalprice")).as("o_totalprice_min"),
+      max(col("o_totalprice")).as("o_totalprice_max"),
+      nulls("o_orderstatus"), ndv("o_orderstatus"),
+      nulls("o_orderdate"), ndv("o_orderdate"),
+      // o_orderdate is TIMESTAMP_NTZ; the session is pinned to UTC, so the
+      // cast to TIMESTAMP is a pure type change and epoch-micros match
+      // DuckDB's EPOCH_US of the naive value
+      unix_micros(min(col("o_orderdate")).cast("timestamp")).cast("double").as("o_orderdate_min"),
+      unix_micros(max(col("o_orderdate")).cast("timestamp")).cast("double").as("o_orderdate_max"))
+    agg.selectExpr(
+      """stack(5,
+        |  'o_orderkey',   o_orderkey_nulls,   o_orderkey_ndv,   o_orderkey_min,   o_orderkey_max,
+        |  'o_custkey',    o_custkey_nulls,    o_custkey_ndv,    o_custkey_min,    o_custkey_max,
+        |  'o_totalprice', o_totalprice_nulls, o_totalprice_ndv, o_totalprice_min, o_totalprice_max,
+        |  'o_orderstatus',o_orderstatus_nulls,o_orderstatus_ndv,CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+        |  'o_orderdate',  o_orderdate_nulls,  o_orderdate_ndv,  o_orderdate_min,  o_orderdate_max
+        |) AS (col_name, n_nulls, n_distinct, min_num, max_num)""".stripMargin)
+      .orderBy(col("col_name"))
+  }
+
+  /** Per-group z-score outliers: events whose `value` sits more than 2.5
+    * sample standard deviations from their event-type mean (the events
+    * stream has a genuinely heavy-tailed value distribution; order prices
+    * are bounded-uniform and never exceed |z| ≈ 1.8). Group stats come
+    * from exact cent sums (deterministic doubles both engines reproduce);
+    * the handful of stat rows broadcast back onto the fact, so flagging is
+    * a map-side join — no second fact shuffle at any scale. Groups with
+    * n ≤ 1 or zero variance cannot produce a z-score and are excluded by
+    * contract. */
+  def qAnomalyZscore(spark: SparkSession, dir: String): DataFrame = {
+    val cents = Tables.events(spark, dir)
+      .withColumn("vc", expr("CAST(round(value * 100) AS BIGINT)"))
+    val stats = cents.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("vc").cast("decimal(38,0)")).as("sv"),
+        sum((col("vc") * col("vc")).cast("decimal(38,0)")).as("sv2"))
+      .filter(col("n") > 1)
+      .select(col("event_type"),
+        expr("CAST(sv AS DOUBLE) / CAST(n AS DOUBLE)").as("mean_c"),
+        expr(
+          """sqrt((CAST(n AS DOUBLE) * CAST(sv2 AS DOUBLE) - CAST(sv AS DOUBLE) * CAST(sv AS DOUBLE))
+            |     / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0)))""".stripMargin).as("std_c"))
+      .filter(col("std_c") > 0)
+    cents.join(broadcast(stats), "event_type")
+      .withColumn("z", (col("vc").cast("double") - col("mean_c")) / col("std_c"))
+      .filter(abs(col("z")) > 2.5)
+      .select(col("event_id"), col("event_type"), col("value"),
+        round(col("z"), 4).as("z"))
+      .orderBy(col("event_id"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_hist"           -> (qHist _),
+    "q_profile"        -> (qProfile _),
+    "q_anomaly_zscore" -> (qAnomalyZscore _),
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q_hist" ->
+      """WITH b AS (
+        |  SELECT CAST(FLOOR(o_totalprice / 25000.0) AS BIGINT) AS bucket,
+        |         o_totalprice,
+        |         CAST(ROUND(o_totalprice * 100) AS BIGINT) AS pc
+        |  FROM orders)
+        |SELECT bucket, bucket * 25000.0 AS lo, COUNT(*) AS n,
+        |       MIN(o_totalprice) AS min_price, MAX(o_totalprice) AS max_price,
+        |       ROUND(CAST(SUM(CAST(pc AS DECIMAL(38,0))) AS DOUBLE)
+        |             / CAST(COUNT(*) AS DOUBLE) / 100.0, 2) AS avg_price
+        |FROM b GROUP BY bucket ORDER BY bucket""".stripMargin,
+    "q_profile" ->
+      """SELECT 'o_orderkey' AS col_name,
+        |       COUNT(CASE WHEN o_orderkey IS NULL THEN 1 END) AS n_nulls,
+        |       COUNT(DISTINCT o_orderkey) AS n_distinct,
+        |       CAST(MIN(o_orderkey) AS DOUBLE) AS min_num,
+        |       CAST(MAX(o_orderkey) AS DOUBLE) AS max_num
+        |FROM orders
+        |UNION ALL
+        |SELECT 'o_custkey', COUNT(CASE WHEN o_custkey IS NULL THEN 1 END),
+        |       COUNT(DISTINCT o_custkey),
+        |       CAST(MIN(o_custkey) AS DOUBLE), CAST(MAX(o_custkey) AS DOUBLE)
+        |FROM orders
+        |UNION ALL
+        |SELECT 'o_totalprice', COUNT(CASE WHEN o_totalprice IS NULL THEN 1 END),
+        |       COUNT(DISTINCT o_totalprice),
+        |       MIN(o_totalprice), MAX(o_totalprice)
+        |FROM orders
+        |UNION ALL
+        |SELECT 'o_orderstatus', COUNT(CASE WHEN o_orderstatus IS NULL THEN 1 END),
+        |       COUNT(DISTINCT o_orderstatus),
+        |       CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE)
+        |FROM orders
+        |UNION ALL
+        |SELECT 'o_orderdate', COUNT(CASE WHEN o_orderdate IS NULL THEN 1 END),
+        |       COUNT(DISTINCT o_orderdate),
+        |       CAST(EPOCH_US(MIN(o_orderdate)) AS DOUBLE),
+        |       CAST(EPOCH_US(MAX(o_orderdate)) AS DOUBLE)
+        |FROM orders
+        |ORDER BY col_name""".stripMargin,
+    "q_anomaly_zscore" ->
+      """WITH cents AS (
+        |  SELECT event_id, event_type, value,
+        |         CAST(ROUND(value * 100) AS BIGINT) AS vc
+        |  FROM events),
+        |stats AS (
+        |  SELECT event_type, COUNT(*) AS n,
+        |         SUM(CAST(vc AS DECIMAL(38,0))) AS sv,
+        |         SUM(CAST(vc * vc AS DECIMAL(38,0))) AS sv2
+        |  FROM cents GROUP BY event_type HAVING COUNT(*) > 1),
+        |s AS (
+        |  SELECT event_type,
+        |         CAST(sv AS DOUBLE) / CAST(n AS DOUBLE) AS mean_c,
+        |         SQRT((CAST(n AS DOUBLE) * CAST(sv2 AS DOUBLE) - CAST(sv AS DOUBLE) * CAST(sv AS DOUBLE))
+        |              / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0))) AS std_c
+        |  FROM stats)
+        |SELECT c.event_id, c.event_type, c.value,
+        |       ROUND((CAST(c.vc AS DOUBLE) - s.mean_c) / s.std_c, 4) AS z
+        |FROM cents c JOIN s USING (event_type)
+        |WHERE s.std_c > 0
+        |  AND ABS((CAST(c.vc AS DOUBLE) - s.mean_c) / s.std_c) > 2.5
+        |ORDER BY c.event_id""".stripMargin,
+  )
+}

@@ -1,0 +1,55 @@
+package graft
+
+import graft.ops.Profiling
+import org.apache.spark.sql.functions._
+
+class ProfilingSpec extends SparkSpec {
+
+  test("histogram buckets partition the table and edges are exact") {
+    val h = Profiling.qHist(spark, sf).collect()
+    assert(h.map(_.getLong(2)).sum == Tables.orders(spark, sf).count(),
+      "bucket counts must partition the table")
+    h.foreach { r =>
+      val (bucket, lo, mn, mx) = (r.getLong(0), r.getDouble(1), r.getDouble(3), r.getDouble(4))
+      assert(lo == bucket * 25000.0)
+      assert(mn >= lo && mx < lo + 25000.0, s"bucket $bucket bounds violated: [$mn,$mx)")
+    }
+  }
+
+  test("profile reports planted nulls, ndv, and ranges") {
+    import spark.implicits._
+    val d = java.nio.file.Files.createTempDirectory("prof").toString
+    Seq(
+      (1L, 10L, "O", 100.0, "2024-01-01 00:00:00"),
+      (2L, 10L, "F", 250.0, "2024-06-01 12:00:00"),
+      (3L, 20L, "O", 100.0, "2024-01-01 00:00:00"),
+    ).toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice", "d")
+      .withColumn("o_orderdate", col("d").cast("timestamp_ntz")).drop("d")
+      .withColumn("o_orderpriority", lit("1-URGENT"))
+      .write.mode("overwrite").parquet(s"$d/orders.parquet")
+    val p = Profiling.qProfile(spark, d).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), Option(r.get(3)), Option(r.get(4))))).toMap
+    assert(p("o_orderkey") == ((0L, 3L, Some(1.0), Some(3.0))))
+    assert(p("o_custkey") == ((0L, 2L, Some(10.0), Some(20.0))))
+    assert(p("o_totalprice")._2 == 2L)
+    assert(p("o_orderstatus") == ((0L, 2L, None, None)))
+    // epoch micros of 2024-01-01T00:00Z
+    assert(p("o_orderdate")._3 == Some(1704067200000000.0.toDouble))
+  }
+
+  test("zscore flags exactly the planted outlier and no symmetric inlier") {
+    import spark.implicits._
+    val d = java.nio.file.Files.createTempDirectory("zsc").toString
+    // 20 values at 10.0, one at 1000.0 → the spike has z >> 2.5, the rest
+    // sit just below the mean with tiny |z|
+    val rows = (1L to 20L).map(i => (i, "2024-01-01 00:00:00", i % 5, "click", 10.0, "{}")) :+
+      ((21L, "2024-01-01 00:00:00", 0L, "click", 1000.0, "{}"))
+    rows.toDF("event_id", "tss", "user_id", "event_type", "value", "props")
+      .withColumn("ts", unix_micros(col("tss").cast("timestamp")) * 1000).drop("tss")
+      .write.mode("overwrite").parquet(s"$d/events.parquet")
+    val z = Profiling.qAnomalyZscore(spark, d).collect()
+      .map(r => (r.getLong(0), r.getDouble(3)))
+    assert(z.map(_._1).toSet == Set(21L), s"only the spike is an outlier: ${z.toSeq}")
+    assert(z.head._2 > 4.0)
+  }
+}

@@ -64,9 +64,39 @@ object EventAnalytics extends QueryModule {
       .orderBy(col("cohort"), col("week_offset"))
   }
 
+  /** Gaps-and-islands sessionization: a user's events split into sessions
+    * at every silence > 30 minutes; each session reports its bounds and
+    * event count. Two windows and one aggregation, all partitioned by
+    * user_id — a single shuffle, after which boundary detection, session
+    * numbering, and the rollup are partition-local. This is the batch twin
+    * of [[graft.streaming.Streams]]' session_window aggregation, expressed
+    * relationally so the oracle can replay it. Ordering inside each window
+    * tie-breaks on event_id (same-microsecond events at a session boundary
+    * would otherwise be engine-order-dependent); timestamps compare on
+    * epoch_us for the same reason as the funnel oracle. */
+  def qSessionize(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val gapUs = 30L * 60 * 1000000
+    val byTime = Window.partitionBy(col("user_id"))
+      .orderBy(col("tus"), col("event_id"))
+    val e = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("tus"))
+      .withColumn("new_sess",
+        when(col("tus") - lag(col("tus"), 1).over(byTime) > gapUs, 1)
+          .when(lag(col("tus"), 1).over(byTime).isNull, 1)
+          .otherwise(0))
+      .withColumn("sess_id", sum(col("new_sess")).over(
+        byTime.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    e.groupBy(col("user_id"), col("sess_id"))
+      .agg(min(col("tus")).as("start_us"), max(col("tus")).as("end_us"),
+        count(lit(1)).as("n_events"))
+      .orderBy(col("user_id"), col("sess_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_funnel"    -> (qFunnel _),
     "q_retention" -> (qRetention _),
+    "q_sessionize" -> (qSessionize _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -91,6 +121,24 @@ object EventAnalytics extends QueryModule {
         |UNION ALL SELECT '2_click', COUNT(*) FROM c
         |UNION ALL SELECT '3_purchase', COUNT(*) FROM p
         |ORDER BY stage""".stripMargin,
+    "q_sessionize" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS tus FROM events),
+        |flagged AS (
+        |  SELECT user_id, event_id, tus,
+        |         CASE WHEN tus - LAG(tus) OVER w > 1800000000 THEN 1
+        |              WHEN LAG(tus) OVER w IS NULL THEN 1
+        |              ELSE 0 END AS new_sess
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tus, event_id)),
+        |sess AS (
+        |  SELECT user_id, tus,
+        |         CAST(SUM(new_sess) OVER (PARTITION BY user_id ORDER BY tus, event_id
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS sess_id
+        |  FROM flagged)
+        |SELECT user_id, sess_id, MIN(tus) AS start_us, MAX(tus) AS end_us,
+        |       COUNT(*) AS n_events
+        |FROM sess GROUP BY user_id, sess_id
+        |ORDER BY user_id, sess_id""".stripMargin,
     "q_retention" ->
       """WITH first AS (
         |  SELECT user_id, CAST(DATE_TRUNC('week', MIN(ts)) AS DATE) AS cohort

@@ -162,6 +162,37 @@ object Relational extends QueryModule {
       .orderBy(col("o_totalprice").desc, col("o_orderkey"))
       .limit(10)
 
+  /** MERGE INTO re-expressed relationally (SCD-0 upsert): a deterministic
+    * change set — updates for keys ≡ 0 (mod 100) (status → 'U', price
+    * +10%), inserts for keys ≡ 0 (mod 500) shifted past the key space —
+    * merged into the base by a per-key keep-winner window (change rows
+    * outrank base rows). This is the whole-table expression of the
+    * reference's replace-mode load: one union + one window shuffle on the
+    * merge key, no driver-side diffing. Engines without MERGE run exactly
+    * this plan; engines with it (Delta/Iceberg) plan the same shuffle
+    * under the hood. The +10% price multiply is a single IEEE double op —
+    * bit-identical in any engine. */
+  def qMergeUpsert(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"),
+        lit(0).as("src"))
+    val updates = Tables.orders(spark, dir)
+      .filter(col("o_orderkey") % 100 === 0)
+      .select(col("o_orderkey"), lit("U").as("o_orderstatus"),
+        (col("o_totalprice") * lit(1.1)).as("o_totalprice"), lit(1).as("src"))
+    val inserts = Tables.orders(spark, dir)
+      .filter(col("o_orderkey") % 500 === 0)
+      .select((col("o_orderkey") + lit(100000000L)).as("o_orderkey"),
+        lit("N").as("o_orderstatus"), col("o_totalprice"), lit(1).as("src"))
+    val w = Window.partitionBy(col("o_orderkey")).orderBy(col("src").desc)
+    base.unionByName(updates).unionByName(inserts)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+      .orderBy(col("o_orderkey"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_scan"      -> (qScan _),
     "q_project"   -> (qProject _),
@@ -174,9 +205,25 @@ object Relational extends QueryModule {
     "q_dedup_key" -> (qDedupKey _),
     "q_sort"      -> (qSort _),
     "q_topk"      -> (qTopk _),
+    "q_merge_upsert" -> (qMergeUpsert _),
   )
 
   val oracle: Map[String, String] = Map(
+    "q_merge_upsert" ->
+      """WITH changes AS (
+        |  SELECT o_orderkey, o_orderstatus, o_totalprice, 0 AS src FROM orders
+        |  UNION ALL
+        |  SELECT o_orderkey, 'U', o_totalprice * 1.1, 1 FROM orders
+        |  WHERE o_orderkey % 100 = 0
+        |  UNION ALL
+        |  SELECT o_orderkey + 100000000, 'N', o_totalprice, 1 FROM orders
+        |  WHERE o_orderkey % 500 = 0),
+        |ranked AS (
+        |  SELECT o_orderkey, o_orderstatus, o_totalprice,
+        |         ROW_NUMBER() OVER (PARTITION BY o_orderkey ORDER BY src DESC) AS rn
+        |  FROM changes)
+        |SELECT o_orderkey, o_orderstatus, o_totalprice
+        |FROM ranked WHERE rn = 1 ORDER BY o_orderkey""".stripMargin,
     "q_scan" ->
       """SELECT l_orderkey, l_partkey, l_suppkey, l_linenumber, l_quantity,
         |       l_extendedprice, l_discount, l_tax, l_returnflag, l_linestatus,

@@ -42,6 +42,33 @@ class EventAnalyticsSpec extends SparkSpec {
     assert(stages("3_purchase") == 1)
   }
 
+  test("sessionize splits at >30min gaps and keeps boundary ties in one session") {
+    import spark.implicits._
+    def t(s: String) = Timestamp.valueOf(s)
+    val d = java.nio.file.Files.createTempDirectory("sess").toString
+    // user 1: three events 10min apart (one session), then a 31-min gap
+    // (new session); user 2: two events exactly 30min apart — NOT > gap, so
+    // a single session
+    Seq(
+      (1L, t("2024-01-01 10:00:00"), 1L, "view"),
+      (2L, t("2024-01-01 10:10:00"), 1L, "click"),
+      (3L, t("2024-01-01 10:20:00"), 1L, "view"),
+      (4L, t("2024-01-01 10:51:00"), 1L, "view"),
+      (5L, t("2024-01-02 09:00:00"), 2L, "view"),
+      (6L, t("2024-01-02 09:30:00"), 2L, "click"),
+    ).toDF("event_id", "ts", "user_id", "event_type")
+      .withColumn("value", lit(1.0)).withColumn("props", lit("{}"))
+      .withColumn("ts", (unix_micros(col("ts")) * 1000).as("ts"))
+      .write.mode("overwrite").parquet(s"$d/events.parquet")
+    val s = EventAnalytics.qSessionize(spark, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> ((r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(s.keySet == Set((1L, 1L), (1L, 2L), (2L, 1L)), s"got ${s.keySet}")
+    assert(s((1L, 1L))._3 == 3, "first session holds the three 10-min events")
+    assert(s((1L, 2L))._3 == 1, "the 31-min gap opens a new session")
+    assert(s((2L, 1L))._3 == 2, "exactly 30min is not > 30min — one session")
+    assert(s((1L, 1L))._1 == s((1L, 1L))._2 - 1200000000L, "bounds span 20min")
+  }
+
   test("retention week-0 cell equals each cohort's size; offsets non-negative") {
     val ret = EventAnalytics.qRetention(spark, sf)
     assert(ret.filter(col("week_offset") < 0).count() == 0)

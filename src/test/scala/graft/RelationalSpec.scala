@@ -39,6 +39,22 @@ class RelationalSpec extends SparkSpec {
     assert(df.groupBy("l_orderkey").count().filter(col("count") > 1).count() == 0)
   }
 
+  test("merge upsert: updates win, inserts append, untouched rows pass through") {
+    import org.apache.spark.sql.functions._
+    val base = Tables.orders(spark, sf)
+    val merged = graft.ops.Relational.qMergeUpsert(spark, sf)
+    val nUpd = base.filter(col("o_orderkey") % 100 === 0).count()
+    val nIns = base.filter(col("o_orderkey") % 500 === 0).count()
+    assert(merged.count() == base.count() + nIns, "inserts append, updates replace")
+    assert(merged.filter(col("o_orderstatus") === "U").count() == nUpd)
+    assert(merged.filter(col("o_orderstatus") === "N").count() == nIns)
+    // an updated key carries the bumped price, not the base price
+    val k = base.filter(col("o_orderkey") % 100 === 0).select("o_orderkey", "o_totalprice")
+      .collect().head
+    val got = merged.filter(col("o_orderkey") === k.getLong(0)).collect().head
+    assert(got.getDouble(2) == k.getDouble(1) * 1.1)
+  }
+
   test("q_topk is the 10 highest totalprice orders") {
     val rows = Relational.qTopk(spark, sf).collect()
     assert(rows.length == 10)

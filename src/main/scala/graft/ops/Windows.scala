@@ -65,6 +65,25 @@ object Windows extends QueryModule {
       .orderBy(col("user_id"), col("event_id"))
   }
 
+  /** Time-RANGE frame: per user, the trailing-1-hour event count and value
+    * sum at every event — the "sliding metric" window a rows-frame cannot
+    * express (rows ≠ time when event density varies). The frame orders on
+    * epoch-micros; RANGE includes all peers of the current timestamp on
+    * both engines, so same-microsecond ties need no tie-break column. The
+    * sum is exact BIGINT cents (order-independent — a double sum would
+    * depend on each engine's sliding-frame accumulation order). */
+  def qWinRange(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("tus"))
+      .rangeBetween(-3600000000L, Window.currentRow)
+    Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("tus"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("vc"))
+      .select(col("user_id"), col("event_id"),
+        count(lit(1)).over(w).as("n_trail"),
+        (sum(col("vc")).over(w).cast("double") / 100.0).as("sum_trail"))
+      .orderBy(col("user_id"), col("event_id"))
+  }
+
   /** Latest row per key (is_last snapshot semantics; core of q_asof). */
   def qWinLatest(spark: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy(col("user_id")).orderBy(col("ts").desc, col("event_id").desc)
@@ -123,6 +142,7 @@ object Windows extends QueryModule {
     "q_win_lag"        -> (qWinLag _),
     "q_win_cumsum"     -> (qWinCumsum _),
     "q_win_movavg"     -> (qWinMovavg _),
+    "q_win_range"      -> (qWinRange _),
     "q_win_latest"     -> (qWinLatest _),
     "q_win_ntile"      -> (qWinNtile _),
     "q_topk_per_group" -> (qTopkPerGroup _),
@@ -160,6 +180,18 @@ object Windows extends QueryModule {
         |       ROUND(AVG(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
         |         ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 4) AS movavg7
         |FROM events ORDER BY user_id, event_id""".stripMargin,
+    "q_win_range" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS tus,
+        |         CAST(ROUND(value * 100) AS BIGINT) AS vc
+        |  FROM events)
+        |SELECT user_id, event_id,
+        |       COUNT(*) OVER w AS n_trail,
+        |       CAST(CAST(SUM(vc) OVER w AS BIGINT) AS DOUBLE) / 100.0 AS sum_trail
+        |FROM e
+        |WINDOW w AS (PARTITION BY user_id ORDER BY tus
+        |  RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+        |ORDER BY user_id, event_id""".stripMargin,
     "q_win_latest" ->
       """SELECT user_id, event_id, event_type, ROUND(value, 4) AS value
         |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id

@@ -51,6 +51,29 @@ class WindowsSpec extends SparkSpec {
     assert(q.sameElements(Array(1, 2, 3, 4)))
   }
 
+  test("range frame counts exactly the trailing hour, rows-frame cannot") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    val d = java.nio.file.Files.createTempDirectory("winrange").toString
+    // events at 10:00, 10:30, 10:59, 12:00 — the 10:59 row sees all three
+    // in its trailing hour; the 12:00 row sees only itself
+    Seq(
+      (1L, t("2024-01-01 10:00:00"), 7L, "view", 1.0, "{}"),
+      (2L, t("2024-01-01 10:30:00"), 7L, "view", 2.0, "{}"),
+      (3L, t("2024-01-01 10:59:00"), 7L, "view", 4.0, "{}"),
+      (4L, t("2024-01-01 12:00:00"), 7L, "view", 8.0, "{}"),
+    ).toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .withColumn("ts", (unix_micros(col("ts")) * 1000).as("ts"))
+      .write.mode("overwrite").parquet(s"$d/events.parquet")
+    val r = graft.ops.Windows.qWinRange(spark, d).collect()
+      .map(x => x.getLong(1) -> ((x.getLong(2), x.getDouble(3)))).toMap
+    assert(r(1L) == ((1L, 1.0)))
+    assert(r(2L) == ((2L, 3.0)))
+    assert(r(3L) == ((3L, 7.0)), "10:00 is exactly 59min before 10:59 — in range")
+    assert(r(4L) == ((1L, 8.0)), "12:00 trails back only to 11:00 — alone")
+  }
+
   test("percent_rank/cume_dist are in [0,1], monotone, and rank-consistent") {
     val rows = Windows.qWinDist(spark, sf).collect()
     assert(rows.nonEmpty)

@@ -93,10 +93,42 @@ object EventAnalytics extends QueryModule {
       .orderBy(col("user_id"), col("sess_id"))
   }
 
+  /** Time-series resample + gap-fill: each user's daily event count and
+    * value sum on a dense calendar spine from their first to last active
+    * day — days with no events appear with n_events = 0 and the value
+    * carried forward from the last active day (the resample→ffill idiom).
+    * The spine is generated relationally (per-user `sequence` + explode —
+    * O(span) rows, no driver loop); the fill is one `last(_, ignoreNulls)`
+    * running window. Everything partitions by user_id: one shuffle for the
+    * daily rollup, and the spine join is a user-partitioned left join AQE
+    * plans as broadcast when the daily side is small. Value sums are exact
+    * BIGINT cents, converted to double only at output. */
+  def qGapfill(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val daily = Tables.events(spark, dir)
+      .select(col("user_id"), col("ts").cast("date").as("d"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("vc"))
+      .groupBy(col("user_id"), col("d"))
+      .agg(count(lit(1)).as("n_day"), sum(col("vc")).as("vc_day"))
+    val spine = daily.groupBy(col("user_id"))
+      .agg(min(col("d")).as("d0"), max(col("d")).as("d1"))
+      .select(col("user_id"),
+        explode(expr("sequence(d0, d1, interval 1 day)")).as("d"))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("d"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    spine.join(daily, Seq("user_id", "d"), "left")
+      .select(col("user_id"), col("d"),
+        coalesce(col("n_day"), lit(0L)).as("n_events"),
+        (last(col("vc_day"), ignoreNulls = true).over(w).cast("double") / 100.0)
+          .as("filled_sum"))
+      .orderBy(col("user_id"), col("d"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_funnel"    -> (qFunnel _),
     "q_retention" -> (qRetention _),
     "q_sessionize" -> (qSessionize _),
+    "q_gapfill"   -> (qGapfill _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -139,6 +171,24 @@ object EventAnalytics extends QueryModule {
         |       COUNT(*) AS n_events
         |FROM sess GROUP BY user_id, sess_id
         |ORDER BY user_id, sess_id""".stripMargin,
+    "q_gapfill" ->
+      """WITH daily AS (
+        |  SELECT user_id, CAST(ts AS DATE) AS d, COUNT(*) AS n_day,
+        |         CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS vc_day
+        |  FROM events GROUP BY user_id, CAST(ts AS DATE)),
+        |spine AS (
+        |  SELECT user_id,
+        |         CAST(UNNEST(GENERATE_SERIES(CAST(MIN(d) AS TIMESTAMP),
+        |           CAST(MAX(d) AS TIMESTAMP), INTERVAL 1 DAY)) AS DATE) AS d
+        |  FROM daily GROUP BY user_id)
+        |SELECT s.user_id, s.d,
+        |       COALESCE(dy.n_day, 0) AS n_events,
+        |       CAST(LAST_VALUE(dy.vc_day IGNORE NULLS) OVER (
+        |         PARTITION BY s.user_id ORDER BY s.d
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) / 100.0
+        |         AS filled_sum
+        |FROM spine s LEFT JOIN daily dy ON s.user_id = dy.user_id AND s.d = dy.d
+        |ORDER BY s.user_id, s.d""".stripMargin,
     "q_retention" ->
       """WITH first AS (
         |  SELECT user_id, CAST(DATE_TRUNC('week', MIN(ts)) AS DATE) AS cohort

@@ -69,6 +69,28 @@ class EventAnalyticsSpec extends SparkSpec {
     assert(s((1L, 1L))._1 == s((1L, 1L))._2 - 1200000000L, "bounds span 20min")
   }
 
+  test("gapfill densifies the calendar and carries the last value forward") {
+    import spark.implicits._
+    def t(s: String) = Timestamp.valueOf(s)
+    val d = java.nio.file.Files.createTempDirectory("gap").toString
+    // user 1 is active Jan 1 (two events) and Jan 4 — Jan 2 and 3 are gap
+    // days that must appear with n=0 and Jan 1's sum carried forward
+    Seq(
+      (1L, t("2024-01-01 09:00:00"), 1L, "view", 1.25, "{}"),
+      (2L, t("2024-01-01 15:00:00"), 1L, "view", 2.00, "{}"),
+      (3L, t("2024-01-04 09:00:00"), 1L, "view", 8.00, "{}"),
+    ).toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .withColumn("ts", (unix_micros(col("ts")) * 1000).as("ts"))
+      .write.mode("overwrite").parquet(s"$d/events.parquet")
+    val rows = EventAnalytics.qGapfill(spark, d).collect()
+      .map(r => r.getDate(1).toString -> ((r.getLong(2), r.getDouble(3)))).toMap
+    assert(rows.keySet == Set("2024-01-01", "2024-01-02", "2024-01-03", "2024-01-04"))
+    assert(rows("2024-01-01") == ((2L, 3.25)))
+    assert(rows("2024-01-02") == ((0L, 3.25)), "gap day carries Jan 1 forward")
+    assert(rows("2024-01-03") == ((0L, 3.25)))
+    assert(rows("2024-01-04") == ((1L, 8.0)))
+  }
+
   test("retention week-0 cell equals each cohort's size; offsets non-negative") {
     val ret = EventAnalytics.qRetention(spark, sf)
     assert(ret.filter(col("week_offset") < 0).count() == 0)

@@ -158,18 +158,31 @@ object TextAnalysis extends QueryModule {
   }
 
   /** Character-level Shannon entropy per document (bits/char) — the
-    * low-entropy detector for boilerplate/binary-junk text. Chars are
-    * enumerated positionally (substring over sequence — NOT split on the
-    * empty regex, whose trailing-empty behavior differs between engines);
-    * H = log2(N) - (Σ n·ln n)/(N·ln 2) from the per-char counts. The Σ n·ln n
-    * is NOT a double aggregate (a hash-agg merges in partition order, which
-    * differs between engines — the q_per_capita lesson): the per-char counts
-    * are collected and SORTED per document, then folded left-to-right, so
-    * both engines add the identical doubles in the identical order. Bounded:
-    * a document has at most |charset| distinct chars (≈ 100 for text), so
-    * the collected list is tiny regardless of document length. Empty
-    * documents have no distribution and are excluded by contract. */
-  def qTextEntropy(spark: SparkSession, dir: String): DataFrame =
+    * low-entropy detector for boilerplate/binary-junk text, computed by the
+    * native codegen'd [[graft.functions.CharEntropy]] expression: one pass
+    * over each string inside WholeStageCodegen, map-only, no shuffle. The
+    * original relational plan (explode every char position → two hash
+    * aggregations → sorted fold) is kept as [[qTextEntropyRelational]] and
+    * asserted bit-identical in tests — it multiplied the corpus by its mean
+    * document length before the first shuffle, which is exactly the row
+    * blowup a 100 TB corpus cannot afford. H = log2(N) - (Σ n·ln n)/(N·ln 2)
+    * with counts folded in ascending order (the determinism contract the
+    * DuckDB oracle shares). Empty documents have no distribution and are
+    * excluded by contract. */
+  def qTextEntropy(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.CharEntropy.register(spark)
+    Tables.documents(spark, dir)
+      .filter(length(col("text")) > 0)
+      .select(col("doc_id"),
+        length(col("text")).cast("bigint").as("n_chars_counted"),
+        round(expr("char_entropy(text)"), 4).as("entropy"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** The pre-native relational formulation of [[qTextEntropy]] — retained
+    * as the cross-check twin (its sorted-fold arithmetic defines the
+    * determinism contract the native expression reproduces). */
+  def qTextEntropyRelational(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
       .filter(length(col("text")) > 0)
       .select(col("doc_id"),

@@ -1,6 +1,6 @@
 package graft.plans
 
-import graft.functions.CosineSimilarity
+import graft.functions.{CharEntropy, CosineSimilarity}
 import org.apache.spark.sql.SparkSessionExtensions
 
 /** Session-extension entry point: launch with
@@ -10,7 +10,10 @@ import org.apache.spark.sql.SparkSessionExtensions
   * [[CosineSimilarity.register]]).
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction((CosineSimilarity.ident, CosineSimilarity.info,
       CosineSimilarity.builder))
+    ext.injectFunction((CharEntropy.ident, CharEntropy.info,
+      CharEntropy.builder))
+  }
 }

@@ -37,6 +37,29 @@ class CorpusSpec extends SparkSpec {
     assert(df == Set(("a", 2L, 0.5)), s"got $df")
   }
 
+  test("native char_entropy is bit-identical to the relational formulation") {
+    import spark.implicits._
+    val d = java.nio.file.Files.createTempDirectory("entnat").toString
+    // the emoji is a surrogate PAIR in UTF-16 — both formulations must count
+    // it as ONE character (code point), or n and H both diverge
+    Seq(
+      (1L, "ab", "s"), (2L, "aaaa", "s"), (3L, "a b c a b", "s"),
+      (4L, "café résumé", "s"), (5L, "😀😀a", "s"),
+    ).toDF("doc_id", "text", "source")
+      .withColumn("lang", lit("en")).withColumn("n_chars", length(col("text")))
+      .write.mode("overwrite").parquet(s"$d/documents.parquet")
+    for (dir <- Seq(d, sf)) {
+      val native = TextAnalysis.qTextEntropy(spark, dir).collect()
+        .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+      val rel = TextAnalysis.qTextEntropyRelational(spark, dir).collect()
+        .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+      assert(native == rel, s"native vs relational diverged on $dir")
+    }
+    val five = TextAnalysis.qTextEntropy(spark, d).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(five(5L) == 3L, "two emoji + 'a' = 3 code points, not 5 UTF-16 units")
+  }
+
   test("pii scrub redacts planted emails/phones/ips; clean strips tags and entities") {
     import spark.implicits._
     val d = java.nio.file.Files.createTempDirectory("pii").toString

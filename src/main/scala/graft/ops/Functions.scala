@@ -70,6 +70,22 @@ object Functions extends QueryModule {
         least(col("l_tax"), col("l_discount")).as("min_rate"))
       .orderBy(col("l_orderkey"), col("l_linenumber"))
 
+  /** Bitwise family over the event ids: masks, flags, xor-mixing, shifts,
+    * popcount, hex rendering — the ID-manipulation toolkit (shard routing,
+    * flag fields, hash mixing) in pure codegen'd integer ops. */
+  def qFnBitwise(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .select(
+        col("event_id"),
+        col("event_id").bitwiseAND(lit(255L)).as("lo_byte"),
+        col("event_id").bitwiseOR(lit(4096L)).as("with_flag"),
+        col("event_id").bitwiseXOR(col("user_id")).as("mixed"),
+        shiftleft(col("user_id"), 4).as("shifted_l"),
+        shiftright(col("event_id"), 2).as("shifted_r"),
+        bit_count(col("event_id")).as("popcount"),
+        lower(hex(col("event_id"))).as("id_hex"))
+      .orderBy(col("event_id"))
+
   /** Array family over the embeddings vectors: size, indexing, slice,
     * element transform, and a higher-order fold — all codegen-free
     * higher-order functions, no UDF. */
@@ -144,6 +160,7 @@ object Functions extends QueryModule {
     "q_fn_string" -> (qFnString _),
     "q_fn_date"   -> (qFnDate _),
     "q_fn_math"   -> (qFnMath _),
+    "q_fn_bitwise" -> (qFnBitwise _),
     "q_fn_array"  -> (qFnArray _),
     "q_fn_json"   -> (qFnJson _),
     "q_flatten"   -> (qFlatten _),
@@ -151,6 +168,16 @@ object Functions extends QueryModule {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_fn_bitwise" ->
+      """SELECT event_id,
+        |       event_id & 255 AS lo_byte,
+        |       event_id | 4096 AS with_flag,
+        |       XOR(event_id, user_id) AS mixed,
+        |       user_id << 4 AS shifted_l,
+        |       event_id >> 2 AS shifted_r,
+        |       CAST(BIT_COUNT(event_id) AS INT) AS popcount,
+        |       LOWER(TO_HEX(event_id)) AS id_hex
+        |FROM events ORDER BY event_id""".stripMargin,
     "q_fn_string" ->
       """SELECT c_custkey,
         |       UPPER(c_mktsegment) AS seg_upper,

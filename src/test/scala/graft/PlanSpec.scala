@@ -53,4 +53,16 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("WholeStageCodegen") || plan.contains("*("),
       plan.linesIterator.take(8).mkString("\n"))
   }
+
+  test("q_text_entropy is map-only: no explode, no aggregation shuffle") {
+    // the native char_entropy expression replaced the explode-per-char
+    // relational plan; a regression back to Generate would multiply a
+    // 100 TB corpus by its mean document length before the first shuffle
+    val df = graft.ops.TextAnalysis.qTextEntropy(spark, sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Generate"), "explode crept back into the entropy plan")
+    assert(!plan.contains("HashAggregate"), "per-char aggregation crept back")
+    assert(plan.contains("char_entropy"), "native expression must drive the plan")
+  }
 }

@@ -238,6 +238,41 @@ object Aggregations extends QueryModule {
             |END""".stripMargin), 6).as("corr_qty_price"))
       .orderBy(col("l_returnflag"))
 
+  /** Per-group mode: the most frequent p_type within each brand, with an
+    * explicit lexicographic tie-break — two hash aggregations and one
+    * tiny window over the (brand, type) count table, never a per-group
+    * value collection. */
+  def qAggMode(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("p_brand")).orderBy(col("n").desc, col("p_type"))
+    Tables.part(spark, dir)
+      .groupBy(col("p_brand"), col("p_type"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1)
+      .select(col("p_brand"), col("p_type").as("mode_type"), col("n"))
+      .orderBy(col("p_brand"))
+  }
+
+  /** Discrete percentiles (no interpolation — the value AT the quantile
+    * rank, PERCENTILE_DISC semantics): smallest v whose row number reaches
+    * ceil(q·n) in the per-group value order. Shares the distributed
+    * window-rank shape of [[qAggPercentile]]; same determinism argument
+    * (ties carry equal values). */
+  def qPercentileDisc(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ranked = Tables.lineitem(spark, dir)
+      .select(col("l_returnflag"), col("l_extendedprice").as("v"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("l_returnflag")).orderBy(col("v"))))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy(col("l_returnflag"))))
+    def at(q: String) = max(when(expr(s"rn = CAST(ceil(n * $q) AS BIGINT)"), col("v")))
+    ranked.groupBy(col("l_returnflag"))
+      .agg(at("0.5").as("p50_disc"), at("0.9").as("p90_disc"),
+        at("0.99").as("p99_disc"))
+      .orderBy(col("l_returnflag"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_agg_group"           -> (qAggGroup _),
     "q_agg_stats"           -> (qAggStats _),
@@ -246,7 +281,9 @@ object Aggregations extends QueryModule {
     "q_agg_approx_distinct" -> (qAggApproxDistinct _),
     "q_agg_filtered"        -> (qAggFiltered _),
     "q_per_capita"          -> (qPerCapita _),
+    "q_agg_mode"            -> (qAggMode _),
     "q_agg_percentile"        -> (qAggPercentile _),
+    "q_percentile_disc"       -> (qPercentileDisc _),
     "q_agg_percentile_approx" -> (qAggPercentileApprox _),
     "q_agg_collect"         -> (qAggCollect _),
     "q_rollup"              -> (qRollup _),
@@ -255,6 +292,26 @@ object Aggregations extends QueryModule {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_agg_mode" ->
+      """WITH cnt AS (
+        |  SELECT p_brand, p_type, COUNT(*) AS n FROM part GROUP BY p_brand, p_type),
+        |rk AS (
+        |  SELECT p_brand, p_type, n,
+        |         ROW_NUMBER() OVER (PARTITION BY p_brand ORDER BY n DESC, p_type) AS rk
+        |  FROM cnt)
+        |SELECT p_brand, p_type AS mode_type, n
+        |FROM rk WHERE rk = 1 ORDER BY p_brand""".stripMargin,
+    "q_percentile_disc" ->
+      """WITH ranked AS (
+        |  SELECT l_returnflag, l_extendedprice AS v,
+        |         ROW_NUMBER() OVER (PARTITION BY l_returnflag ORDER BY l_extendedprice) AS rn,
+        |         COUNT(*) OVER (PARTITION BY l_returnflag) AS n
+        |  FROM lineitem)
+        |SELECT l_returnflag,
+        |       MAX(CASE WHEN rn = CAST(CEIL(n * 0.5) AS BIGINT) THEN v END) AS p50_disc,
+        |       MAX(CASE WHEN rn = CAST(CEIL(n * 0.9) AS BIGINT) THEN v END) AS p90_disc,
+        |       MAX(CASE WHEN rn = CAST(CEIL(n * 0.99) AS BIGINT) THEN v END) AS p99_disc
+        |FROM ranked GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "q_agg_stats" ->
       """WITH cents AS (
         |  SELECT l_returnflag,

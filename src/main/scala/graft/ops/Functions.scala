@@ -86,6 +86,22 @@ object Functions extends QueryModule {
         lower(hex(col("event_id"))).as("id_hex"))
       .orderBy(col("event_id"))
 
+  /** Hash family over document text: the content-addressing toolkit —
+    * md5 / sha256 hex digests (partition keys, dedup ids, cache keys) and
+    * the engine-portable 60-bit integer derived from the md5 prefix (the
+    * same construction the MinHash/SimHash tiers build their hash families
+    * on: `conv` base-16 → base-10 stays within BIGINT for 15 hex digits,
+    * and DuckDB reproduces it exactly via a 0x-prefixed cast). */
+  def qFnHash(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(
+        col("doc_id"),
+        md5(col("text")).as("text_md5"),
+        sha2(col("text"), 256).as("text_sha256"),
+        expr("CAST(conv(substring(md5(text), 1, 15), 16, 10) AS BIGINT)")
+          .as("hash60"))
+      .orderBy(col("doc_id"))
+
   /** Array family over the embeddings vectors: size, indexing, slice,
     * element transform, and a higher-order fold — all codegen-free
     * higher-order functions, no UDF. */
@@ -161,6 +177,7 @@ object Functions extends QueryModule {
     "q_fn_date"   -> (qFnDate _),
     "q_fn_math"   -> (qFnMath _),
     "q_fn_bitwise" -> (qFnBitwise _),
+    "q_fn_hash"   -> (qFnHash _),
     "q_fn_array"  -> (qFnArray _),
     "q_fn_json"   -> (qFnJson _),
     "q_flatten"   -> (qFlatten _),
@@ -178,6 +195,12 @@ object Functions extends QueryModule {
         |       CAST(BIT_COUNT(event_id) AS INT) AS popcount,
         |       LOWER(TO_HEX(event_id)) AS id_hex
         |FROM events ORDER BY event_id""".stripMargin,
+    "q_fn_hash" ->
+      """SELECT doc_id,
+        |       MD5(text) AS text_md5,
+        |       SHA256(text) AS text_sha256,
+        |       CAST(('0x' || SUBSTR(MD5(text), 1, 15)) AS BIGINT) AS hash60
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "q_fn_string" ->
       """SELECT c_custkey,
         |       UPPER(c_mktsegment) AS seg_upper,

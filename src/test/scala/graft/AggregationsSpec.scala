@@ -90,4 +90,32 @@ class AggregationsSpec extends SparkSpec {
       assert(math.abs(c - nc) < 1e-4, s"corr $k: $c vs $nc")
     }
   }
+
+  test("mode picks the max count with lexicographic tie-break") {
+    val modes = Aggregations.qAggMode(spark, sf).collect()
+      .map(r => r.getString(0) -> ((r.getString(1), r.getLong(2)))).toMap
+    // brute-force one brand
+    val (brand, (modeType, n)) = modes.head
+    val counts = Tables.part(spark, sf).filter(col("p_brand") === brand)
+      .groupBy("p_type").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1))
+    assert(n == counts.map(_._2).max)
+    assert(modeType == counts.filter(_._2 == n).map(_._1).min,
+      "ties break to the lexicographically smallest type")
+  }
+
+  test("discrete percentiles are actual data values, cont interpolates between them") {
+    val disc = Aggregations.qPercentileDisc(spark, sf).collect()
+      .map(r => r.getString(0) -> ((r.getDouble(1), r.getDouble(2), r.getDouble(3)))).toMap
+    val values = Tables.lineitem(spark, sf).select("l_returnflag", "l_extendedprice")
+      .collect().groupBy(_.getString(0)).view.mapValues(_.map(_.getDouble(1)).sorted).toMap
+    disc.foreach { case (flag, (p50, p90, p99)) =>
+      val vs = values(flag)
+      assert(vs.contains(p50) && vs.contains(p90) && vs.contains(p99),
+        s"disc percentiles must be members of the group: $flag")
+      assert(p50 == vs(math.ceil(vs.length * 0.5).toInt - 1))
+      assert(p90 == vs(math.ceil(vs.length * 0.9).toInt - 1))
+      assert(p50 <= p90 && p90 <= p99)
+    }
+  }
 }

@@ -41,6 +41,19 @@ class SetOpsFunctionsSpec extends SparkSpec {
     assert(cols.contains("municipio.sub.detalhe.valor"))
   }
 
+  test("hash60 stays in [0, 2^60) and md5 matches a reference digest") {
+    import spark.implicits._
+    val h = graft.ops.Functions.qFnHash(spark, sf)
+    assert(h.filter(col("hash60") < 0 || col("hash60") >= (1L << 60)).count() == 0)
+    // known-answer check against java.security on one row
+    val row = h.limit(1).collect().head
+    val text = Tables.documents(spark, sf)
+      .filter(col("doc_id") === row.getLong(0)).select("text").collect().head.getString(0)
+    val md = java.security.MessageDigest.getInstance("MD5")
+      .digest(text.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    assert(row.getString(1) == md)
+  }
+
   test("array norm_sq >= 0 and dim constant 64") {
     val df = Functions.qFnArray(spark, sf)
     assert(df.filter(col("norm_sq") < 0).count() == 0)

@@ -283,6 +283,30 @@ object TextAnalysis extends QueryModule {
       .orderBy(col("n").desc, col("bigram"))
       .limit(40)
 
+  /** RAG-style chunking: every document split into fixed 32-token windows
+    * (last chunk ragged), each chunk carrying its index, token count, and
+    * text — the segmentation pass an embedding/RAG pipeline runs before
+    * vectorizing. One explode of the per-doc chunk-index sequence plus a
+    * per-row `slice` — O(total tokens) work, embarrassingly parallel, no
+    * shuffle until the output sort. Chunk count per doc is ⌈tokens/32⌉, so
+    * a 10 M-token document fans out to 300 k rows instead of one
+    * unsplittable giant — exactly the row shape downstream batch embedding
+    * wants at 100 TB. */
+  def qTextChunk(spark: SparkSession, dir: String): DataFrame = {
+    val chunkSize = 32
+    Tables.documents(spark, dir)
+      .withColumn("toks", split(lower(trim(col("text"))), " "))
+      .select(col("doc_id"), col("toks"),
+        explode(expr(s"sequence(0, CAST(ceil(size(toks) / $chunkSize.0) AS INT) - 1)"))
+          .as("ci"))
+      .select(col("doc_id"), col("ci").cast("bigint").as("chunk_idx"),
+        expr(s"slice(toks, ci * $chunkSize + 1, $chunkSize)").as("ctoks"))
+      .select(col("doc_id"), col("chunk_idx"),
+        size(col("ctoks")).cast("bigint").as("n_tokens"),
+        array_join(col("ctoks"), " ").as("chunk"))
+      .orderBy(col("doc_id"), col("chunk_idx"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_text_tokens"      -> (qTextTokens _),
     "q_text_quality"     -> (qTextQuality _),
@@ -295,6 +319,7 @@ object TextAnalysis extends QueryModule {
     "q_text_pii"         -> (qTextPii _),
     "q_text_clean"       -> (qTextClean _),
     "q_ngram_top"        -> (qNgramTop _),
+    "q_text_chunk"       -> (qTextChunk _),
   )
 
   private val stopwordsSql = stopwords.map("'" + _ + "'").mkString(",")
@@ -430,6 +455,14 @@ object TextAnalysis extends QueryModule {
         |        FROM documents) t)
         |SELECT bigram, COUNT(*) AS n, COUNT(DISTINCT doc_id) AS df
         |FROM bg GROUP BY bigram ORDER BY n DESC, bigram LIMIT 40""".stripMargin,
+    "q_text_chunk" ->
+      """WITH t AS (
+        |  SELECT doc_id, STRING_SPLIT(LOWER(TRIM(text)), ' ') AS toks FROM documents)
+        |SELECT doc_id, i AS chunk_idx,
+        |       LEN(toks[i*32+1 : i*32+32]) AS n_tokens,
+        |       ARRAY_TO_STRING(toks[i*32+1 : i*32+32], ' ') AS chunk
+        |FROM t, UNNEST(RANGE(0, CAST(CEIL(LEN(toks) / 32.0) AS BIGINT))) AS u(i)
+        |ORDER BY doc_id, chunk_idx""".stripMargin,
     "q_text_fingerprint" ->
       """SELECT doc_id,
         |       LIST_REDUCE(

@@ -99,6 +99,21 @@ class CorpusSpec extends SparkSpec {
     assert(top.contains(("y x", 2L, 1L)))
   }
 
+  test("chunks reassemble to the tokenized document; only the last is ragged") {
+    val chunks = TextAnalysis.qTextChunk(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+      .groupBy(_._1)
+    val docs = Tables.documents(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getString(1).trim.toLowerCase).toMap
+    assert(chunks.keySet == docs.keySet, "every document chunks")
+    chunks.foreach { case (id, cs) =>
+      val ordered = cs.sortBy(_._2)
+      assert(ordered.map(_._4).mkString(" ") == docs(id), s"doc $id reassembly")
+      ordered.init.foreach(c => assert(c._3 == 32L, s"doc $id non-final chunk ragged"))
+      assert(ordered.last._3 >= 1L && ordered.last._3 <= 32L)
+    }
+  }
+
   test("decontamination flags exactly the docs sharing an 8-gram with the benchmark") {
     import spark.implicits._
     val words = (1 to 20).map(i => s"w$i").mkString(" ")

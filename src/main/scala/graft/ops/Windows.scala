@@ -136,6 +136,30 @@ object Windows extends QueryModule {
       .orderBy(col("event_type"), col("rn"))
   }
 
+  /** Ratio-to-report: each (returnflag, linestatus) cell's revenue as a
+    * share of its flag group and of the grand total. The fact table
+    * aggregates FIRST (exact DECIMAL cent sums — one shuffle); the share
+    * windows then run over the tiny group table, and their unordered-frame
+    * sums stay in DECIMAL, so partition merge order cannot perturb them —
+    * doubles appear only for the final division (deterministic given exact
+    * integer inputs). */
+  def qWinShare(spark: SparkSession, dir: String): DataFrame = {
+    val grouped = Tables.lineitem(spark, dir)
+      .withColumn("pc", expr("CAST(round(l_extendedprice * 100) AS BIGINT)"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(sum(col("pc").cast("decimal(38,0)")).as("sp"))
+    val wFlag = Window.partitionBy(col("l_returnflag"))
+    val wAll  = Window.partitionBy()
+    grouped
+      .withColumn("flag_total", sum(col("sp")).over(wFlag))
+      .withColumn("grand_total", sum(col("sp")).over(wAll))
+      .select(col("l_returnflag"), col("l_linestatus"),
+        expr("CAST(sp AS DOUBLE) / 100.0").as("revenue"),
+        round(expr("CAST(sp AS DOUBLE) / CAST(flag_total AS DOUBLE)"), 6).as("share_flag"),
+        round(expr("CAST(sp AS DOUBLE) / CAST(grand_total AS DOUBLE)"), 6).as("share_total"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_win_rank"       -> (qWinRank _),
     "q_win_dist"       -> (qWinDist _),
@@ -143,6 +167,7 @@ object Windows extends QueryModule {
     "q_win_cumsum"     -> (qWinCumsum _),
     "q_win_movavg"     -> (qWinMovavg _),
     "q_win_range"      -> (qWinRange _),
+    "q_win_share"      -> (qWinShare _),
     "q_win_latest"     -> (qWinLatest _),
     "q_win_ntile"      -> (qWinNtile _),
     "q_topk_per_group" -> (qTopkPerGroup _),
@@ -180,6 +205,21 @@ object Windows extends QueryModule {
         |       ROUND(AVG(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
         |         ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 4) AS movavg7
         |FROM events ORDER BY user_id, event_id""".stripMargin,
+    "q_win_share" ->
+      """WITH g AS (
+        |  SELECT l_returnflag, l_linestatus,
+        |         SUM(CAST(CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS DECIMAL(38,0))) AS sp
+        |  FROM lineitem GROUP BY l_returnflag, l_linestatus),
+        |w AS (
+        |  SELECT l_returnflag, l_linestatus, sp,
+        |         SUM(sp) OVER (PARTITION BY l_returnflag) AS flag_total,
+        |         SUM(sp) OVER () AS grand_total
+        |  FROM g)
+        |SELECT l_returnflag, l_linestatus,
+        |       CAST(sp AS DOUBLE) / 100.0 AS revenue,
+        |       ROUND(CAST(sp AS DOUBLE) / CAST(flag_total AS DOUBLE), 6) AS share_flag,
+        |       ROUND(CAST(sp AS DOUBLE) / CAST(grand_total AS DOUBLE), 6) AS share_total
+        |FROM w ORDER BY l_returnflag, l_linestatus""".stripMargin,
     "q_win_range" ->
       """WITH e AS (
         |  SELECT user_id, event_id, epoch_us(ts) AS tus,

@@ -74,6 +74,16 @@ class WindowsSpec extends SparkSpec {
     assert(r(4L) == ((1L, 8.0)), "12:00 trails back only to 11:00 — alone")
   }
 
+  test("revenue shares sum to 1 within each flag and across the table") {
+    val rows = graft.ops.Windows.qWinShare(spark, sf).collect()
+      .map(r => (r.getString(0), r.getDouble(2), r.getDouble(3), r.getDouble(4)))
+    assert(math.abs(rows.map(_._4).sum - 1.0) < 1e-4, "grand shares sum to 1")
+    rows.groupBy(_._1).foreach { case (flag, g) =>
+      assert(math.abs(g.map(_._3).sum - 1.0) < 1e-4, s"flag $flag shares sum to 1")
+    }
+    assert(rows.forall(r => r._3 > 0 && r._3 <= 1.0 && r._4 > 0 && r._4 <= 1.0))
+  }
+
   test("percent_rank/cume_dist are in [0,1], monotone, and rank-consistent") {
     val rows = Windows.qWinDist(spark, sf).collect()
     assert(rows.nonEmpty)

@@ -25,6 +25,24 @@ object CovidShape {
   def readCsv(spark: SparkSession, path: String): DataFrame =
     spark.read.option("header", "true").option("inferSchema", "true").csv(path)
 
+  /** R1 hardened: explicit-schema CSV scan that QUARANTINES malformed rows
+    * into `_corrupt_record` instead of silently nulling fields (Spark's
+    * PERMISSIVE default) or aborting the batch (pandas' default — the
+    * reference pipeline dies on the first bad row,
+    * reference dags/create-data-lake.py:69). Callers split the result on
+    * `_corrupt_record IS NULL`: clean rows flow on, bad rows go to the
+    * dead-letter sink with their original text intact for replay — the
+    * ingest contract a 100 TB daily drop needs, where one mangled row must
+    * cost one row, not the job. */
+  def readCsvQuarantine(spark: SparkSession, path: String,
+      schema: StructType): DataFrame =
+    spark.read
+      .option("header", "true")
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .schema(schema.add("_corrupt_record", "string"))
+      .csv(path)
+
   /** R2/R3 ingest: nested JSON (the IBGE municipios payload shape).
     * multiLine handles a top-level JSON array, as the REST API returns. */
   def readJson(spark: SparkSession, path: String): DataFrame =

@@ -142,6 +142,30 @@ class CovidShapeSpec extends SparkSpec {
     assert(spark.read.parquet(s"$tmp/lake/muni_par").count() == 2)
   }
 
+  test("csv quarantine keeps clean rows typed and parks bad rows with their text") {
+    import org.apache.spark.sql.types._
+    val d = Files.createTempDirectory("quarantine").toString
+    val csv =
+      """city,code,rate
+        |Recife,2611606,12.5
+        |BADROW,not_a_number,xx
+        |Olinda,2609600,7.25
+        |""".stripMargin
+    Files.write(Paths.get(d, "drop.csv"), csv.getBytes)
+    val schema = StructType(Seq(
+      StructField("city", StringType), StructField("code", LongType),
+      StructField("rate", DoubleType)))
+    val df = CovidShape.readCsvQuarantine(spark, s"$d/drop.csv", schema).cache()
+    val clean = df.filter(col("_corrupt_record").isNull)
+    val dead = df.filter(col("_corrupt_record").isNotNull)
+    assert(clean.count() == 2, "both well-formed rows survive")
+    assert(clean.filter(col("code") === 2611606L && col("rate") === 12.5).count() == 1)
+    assert(dead.count() == 1, "one mangled row costs one row, not the batch")
+    assert(dead.select("_corrupt_record").collect().head.getString(0)
+      .contains("BADROW"), "original text preserved for replay")
+    df.unpersist()
+  }
+
   test("flatten handles depth-1 (already flat) frames untouched") {
     import spark.implicits._
     val flat = Seq((1, "a")).toDF("x", "y")

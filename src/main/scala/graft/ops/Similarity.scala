@@ -122,6 +122,35 @@ object Similarity extends QueryModule {
       .limit(20)
   }
 
+  /** Batch k-NN join: EVERY query in a batch (each 40th vector) gets its
+    * top-5 cosine neighbors — the retrieval/embedding-dedup primitive,
+    * where [[qCosineTopk]] is its single-query special case. The query
+    * batch broadcasts (nested-loop against the corpus — intentional: the
+    * small side is the batch, there is no equi-key); scoring uses the
+    * native codegen'd `cosine_sim`, so the hot loop is |corpus|×|batch|
+    * fused primitive-double dot products with no interpreted lambdas; the
+    * only shuffle carries (qid, vec_id, score) triples to the per-query
+    * top-k window. At 100 TB the corpus side stays partition-parallel and
+    * the batch side is bounded by broadcast budget — batches beyond that
+    * tile into multiple passes, or move to the LSH/IVF tiers which prune
+    * the candidate space per query instead of scanning it. */
+  def qKnnJoin(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    graft.functions.CosineSimilarity.register(spark)
+    val base = Tables.embeddings(spark, dir)
+      .filter(size(col("embedding")) === 64 && expr(normSqExpr) > 0)
+    val batch = base.filter(col("vec_id") % 40 === 0)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("cos_raw").desc, col("vec_id"))
+    base.crossJoin(broadcast(batch))
+      .filter(col("vec_id") =!= col("qid"))
+      .withColumn("cos_raw", expr("cosine_sim(embedding, qvec)"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 5)
+      .select(col("qid"), col("vec_id"), round(col("cos_raw"), 6).as("cosine"), col("rk"))
+      .orderBy(col("qid"), col("rk"))
+  }
+
   /** IVF-flavored ANN top-10: partition the corpus into inverted lists by
     * nearest "centroid" (deterministically the first 16 vectors — a real
     * deployment k-means-trains these), probe the 4 lists nearest the query,
@@ -217,6 +246,7 @@ object Similarity extends QueryModule {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_cosine_topk"        -> (qCosineTopk _),
     "q_cosine_topk_native" -> (qCosineTopkNative _),
+    "q_knn_join"           -> (qKnnJoin _),
     "q_ann_lsh"            -> (qAnnLsh _),
     "q_ann_ivf"            -> (qAnnIvf _),
     "q_dedup_embedding"    -> (qDedupEmbedding _),
@@ -237,6 +267,22 @@ object Similarity extends QueryModule {
   val oracle: Map[String, String] = Map(
     "q_cosine_topk"        -> cosineTopkOracle,
     "q_cosine_topk_native" -> cosineTopkOracle,
+    "q_knn_join" ->
+      """WITH base AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
+        |  WHERE LEN(embedding) = 64
+        |    AND LIST_AGGREGATE(LIST_TRANSFORM(CAST(embedding AS DOUBLE[]), x -> x * x), 'sum') > 0),
+        |q AS (
+        |  SELECT vec_id AS qid, emb AS qemb FROM base WHERE vec_id % 40 = 0),
+        |scored AS (
+        |  SELECT q.qid, b.vec_id, LIST_COSINE_SIMILARITY(b.emb, q.qemb) AS c
+        |  FROM base b CROSS JOIN q WHERE b.vec_id <> q.qid),
+        |rk AS (
+        |  SELECT qid, vec_id, c,
+        |         ROW_NUMBER() OVER (PARTITION BY qid ORDER BY c DESC, vec_id) AS rk
+        |  FROM scored)
+        |SELECT qid, vec_id, ROUND(c, 6) AS cosine, rk
+        |FROM rk WHERE rk <= 5 ORDER BY qid, rk""".stripMargin,
     "q_ann_lsh" -> {
       // identical integer weights, identical left-to-right accumulation:
       // v[1]*w1 + v[2]*w2 + ... mirrors Spark's sequential HOF aggregate

@@ -65,6 +65,17 @@ class CosineSimilaritySpec extends SparkSpec {
     assert(plan.contains("WholeStageCodegen") || plan.contains("*("), plan.take(400))
   }
 
+  test("knn join's list for qid 0 equals the single-query top-k head") {
+    import org.apache.spark.sql.functions._
+    val knn0 = graft.ops.Similarity.qKnnJoin(spark, sf)
+      .filter(col("qid") === 0).orderBy(col("rk")).collect()
+      .map(r => (r.getLong(1), r.getDouble(2)))
+    val topk = graft.ops.Similarity.qCosineTopk(spark, sf)
+      .limit(5).collect().map(r => (r.getLong(0), r.getDouble(2)))
+    assert(knn0.sameElements(topk),
+      s"qid 0 neighbors ${knn0.toSeq} != single-query head ${topk.toSeq}")
+  }
+
   test("wrong arity raises a clear error") {
     CosineSimilarity.register(spark)
     val e = intercept[Exception] {

@@ -74,23 +74,33 @@ object EventAnalytics extends QueryModule {
     * tie-breaks on event_id (same-microsecond events at a session boundary
     * would otherwise be engine-order-dependent); timestamps compare on
     * epoch_us for the same reason as the funnel oracle. */
-  def qSessionize(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val gapUs = 30L * 60 * 1000000
-    val byTime = Window.partitionBy(col("user_id"))
-      .orderBy(col("tus"), col("event_id"))
-    val e = Tables.events(spark, dir)
-      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("tus"))
-      .withColumn("new_sess",
-        when(col("tus") - lag(col("tus"), 1).over(byTime) > gapUs, 1)
-          .when(lag(col("tus"), 1).over(byTime).isNull, 1)
-          .otherwise(0))
-      .withColumn("sess_id", sum(col("new_sess")).over(
-        byTime.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-    e.groupBy(col("user_id"), col("sess_id"))
-      .agg(min(col("tus")).as("start_us"), max(col("tus")).as("end_us"),
-        count(lit(1)).as("n_events"))
+  def qSessionize(spark: SparkSession, dir: String): DataFrame =
+    sessionize(
+      Tables.events(spark, dir)
+        .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("tus")),
+      keyCol = "user_id", timeCol = "tus", tieCol = "event_id",
+      gap = 30L * 60 * 1000000)
       .orderBy(col("user_id"), col("sess_id"))
+
+  /** Library form of gaps-and-islands sessionization over any keyed event
+    * table: rows sort per key on `timeCol` (ties broken on `tieCol`), a new
+    * session opens wherever the gap exceeds `gap` (same unit as `timeCol`),
+    * and each session reports bounds and size. One shuffle on `keyCol`;
+    * everything after the partitioning is partition-local. */
+  def sessionize(events: DataFrame, keyCol: String, timeCol: String,
+      tieCol: String, gap: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byTime = Window.partitionBy(col(keyCol)).orderBy(col(timeCol), col(tieCol))
+    events
+      .withColumn("_new_sess",
+        when(col(timeCol) - lag(col(timeCol), 1).over(byTime) > gap, 1)
+          .when(lag(col(timeCol), 1).over(byTime).isNull, 1)
+          .otherwise(0))
+      .withColumn("sess_id", sum(col("_new_sess")).over(
+        byTime.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col(keyCol), col("sess_id"))
+      .agg(min(col(timeCol)).as("start_us"), max(col(timeCol)).as("end_us"),
+        count(lit(1)).as("n_events"))
   }
 
   /** Time-series resample + gap-fill: each user's daily event count and

@@ -173,24 +173,37 @@ object Relational extends QueryModule {
     * under the hood. The +10% price multiply is a single IEEE double op —
     * bit-identical in any engine. */
   def qMergeUpsert(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val base = Tables.orders(spark, dir)
-      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"),
-        lit(0).as("src"))
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
     val updates = Tables.orders(spark, dir)
       .filter(col("o_orderkey") % 100 === 0)
       .select(col("o_orderkey"), lit("U").as("o_orderstatus"),
-        (col("o_totalprice") * lit(1.1)).as("o_totalprice"), lit(1).as("src"))
+        (col("o_totalprice") * lit(1.1)).as("o_totalprice"))
     val inserts = Tables.orders(spark, dir)
       .filter(col("o_orderkey") % 500 === 0)
       .select((col("o_orderkey") + lit(100000000L)).as("o_orderkey"),
-        lit("N").as("o_orderstatus"), col("o_totalprice"), lit(1).as("src"))
-    val w = Window.partitionBy(col("o_orderkey")).orderBy(col("src").desc)
-    base.unionByName(updates).unionByName(inserts)
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
-      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+        lit("N").as("o_orderstatus"), col("o_totalprice"))
+    mergeByKey(base, updates.unionByName(inserts), "o_orderkey")
       .orderBy(col("o_orderkey"))
+  }
+
+  /** Library form of MERGE INTO: `changes` rows replace same-key `base`
+    * rows and append otherwise (last-writer-wins with the change set
+    * outranking the base). Both inputs must share a schema, and `changes`
+    * must be key-unique (the standard MERGE precondition — SQL MERGE
+    * raises on duplicate matches; here a duplicate would win arbitrarily).
+    * One union and
+    * one keep-winner window shuffle on the merge key — the engine-agnostic
+    * plan Delta/Iceberg MERGE lowers to. Idempotent by construction:
+    * merging the same change set twice is a no-op (property-tested). */
+  def mergeByKey(base: DataFrame, changes: DataFrame, key: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(key)).orderBy(col("_src").desc)
+    base.withColumn("_src", lit(0))
+      .unionByName(changes.withColumn("_src", lit(1)))
+      .withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1)
+      .drop("_src", "_rn")
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

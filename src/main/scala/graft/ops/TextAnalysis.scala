@@ -292,20 +292,27 @@ object TextAnalysis extends QueryModule {
     * a 10 M-token document fans out to 300 k rows instead of one
     * unsplittable giant — exactly the row shape downstream batch embedding
     * wants at 100 TB. */
-  def qTextChunk(spark: SparkSession, dir: String): DataFrame = {
-    val chunkSize = 32
-    Tables.documents(spark, dir)
-      .withColumn("toks", split(lower(trim(col("text"))), " "))
-      .select(col("doc_id"), col("toks"),
-        explode(expr(s"sequence(0, CAST(ceil(size(toks) / $chunkSize.0) AS INT) - 1)"))
-          .as("ci"))
-      .select(col("doc_id"), col("ci").cast("bigint").as("chunk_idx"),
-        expr(s"slice(toks, ci * $chunkSize + 1, $chunkSize)").as("ctoks"))
-      .select(col("doc_id"), col("chunk_idx"),
-        size(col("ctoks")).cast("bigint").as("n_tokens"),
-        array_join(col("ctoks"), " ").as("chunk"))
+  def qTextChunk(spark: SparkSession, dir: String): DataFrame =
+    chunkTokens(
+      Tables.documents(spark, dir)
+        .select(col("doc_id"), split(lower(trim(col("text"))), " ").as("toks")),
+      idCol = "doc_id", toksCol = "toks", chunkSize = 32)
       .orderBy(col("doc_id"), col("chunk_idx"))
-  }
+
+  /** Library form of fixed-window chunking over any (id, token-array)
+    * table: each row fans out to ⌈tokens/chunkSize⌉ chunk rows carrying
+    * index, size, and joined text. Map-only (explode + slice). */
+  def chunkTokens(docs: DataFrame, idCol: String, toksCol: String,
+      chunkSize: Int): DataFrame =
+    docs
+      .select(col(idCol), col(toksCol).as("_toks"),
+        explode(expr(s"sequence(0, CAST(ceil(size($toksCol) / $chunkSize.0) AS INT) - 1)"))
+          .as("_ci"))
+      .select(col(idCol), col("_ci").cast("bigint").as("chunk_idx"),
+        expr(s"slice(_toks, _ci * $chunkSize + 1, $chunkSize)").as("_ctoks"))
+      .select(col(idCol), col("chunk_idx"),
+        size(col("_ctoks")).cast("bigint").as("n_tokens"),
+        array_join(col("_ctoks"), " ").as("chunk"))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_text_tokens"      -> (qTextTokens _),

@@ -96,4 +96,37 @@ class PropertySpec extends AnyFunSuite {
       assert(sorted.groupBy("k").count().except(d.groupBy("k").count()).count() == 0)
     }
   }
+
+  test("mergeByKey: idempotent, covers both keyspaces, changes always win") {
+    forAllSamples2(rows, rows) { (a, b) =>
+      val base = df(a).dropDuplicates("k")
+      val changes = df(b).dropDuplicates("k").withColumn("v", lit(999.0))
+      val once = graft.ops.Relational.mergeByKey(base, changes, "k")
+      val twice = graft.ops.Relational.mergeByKey(once, changes, "k")
+      assert(once.count() ==
+        (a.map(_._1) ++ b.map(_._1)).distinct.size, "union of keyspaces")
+      assert(once.except(twice).count() == 0 && twice.except(once).count() == 0,
+        "merging the same change set twice is a no-op")
+      assert(once.join(changes.select("k"), "k").filter(col("v") =!= 999.0).count() == 0,
+        "every changed key carries the change's value")
+    }
+  }
+
+  test("sessionize: sessions partition events; gap=∞ gives one session per key") {
+    val events = Gen.listOfN(30, Gen.zip(
+      Gen.chooseNum(0L, 4L), Gen.chooseNum(0L, 100000L)))
+    forAllSamples(events, 8) { data =>
+      val s = spark
+      import s.implicits._
+      val d = data.zipWithIndex.map { case ((k, t), i) => (k, t, i.toLong) }
+        .toDF("k", "t", "id")
+      val sessions = graft.ops.EventAnalytics.sessionize(d, "k", "t", "id", 1000L)
+      assert(sessions.agg(sum("n_events")).collect().head.getLong(0) == data.size,
+        "sessions partition the events")
+      assert(sessions.filter(col("start_us") > col("end_us")).count() == 0)
+      val one = graft.ops.EventAnalytics.sessionize(d, "k", "t", "id", Long.MaxValue)
+      assert(one.count() == data.map(_._1).distinct.size,
+        "infinite gap yields exactly one session per key")
+    }
+  }
 }

@@ -114,24 +114,34 @@ object EventAnalytics extends QueryModule {
     * plans as broadcast when the daily side is small. Value sums are exact
     * BIGINT cents, converted to double only at output. */
   def qGapfill(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val daily = Tables.events(spark, dir)
       .select(col("user_id"), col("ts").cast("date").as("d"),
         expr("CAST(round(value * 100) AS BIGINT)").as("vc"))
       .groupBy(col("user_id"), col("d"))
       .agg(count(lit(1)).as("n_day"), sum(col("vc")).as("vc_day"))
-    val spine = daily.groupBy(col("user_id"))
-      .agg(min(col("d")).as("d0"), max(col("d")).as("d1"))
-      .select(col("user_id"),
-        explode(expr("sequence(d0, d1, interval 1 day)")).as("d"))
-    val w = Window.partitionBy(col("user_id")).orderBy(col("d"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    spine.join(daily, Seq("user_id", "d"), "left")
-      .select(col("user_id"), col("d"),
-        coalesce(col("n_day"), lit(0L)).as("n_events"),
-        (last(col("vc_day"), ignoreNulls = true).over(w).cast("double") / 100.0)
-          .as("filled_sum"))
+    gapfillDaily(daily, keyCol = "user_id", dateCol = "d",
+      countCol = "n_day", valueCol = "vc_day")
       .orderBy(col("user_id"), col("d"))
+  }
+
+  /** Library form of the calendar densify + forward fill over any
+    * (key, date, count, value) daily rollup: emits one row per key per day
+    * between that key's first and last active date, zero-count on gap days,
+    * value carried from the last active day. */
+  def gapfillDaily(daily: DataFrame, keyCol: String, dateCol: String,
+      countCol: String, valueCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val spine = daily.groupBy(col(keyCol))
+      .agg(min(col(dateCol)).as("_d0"), max(col(dateCol)).as("_d1"))
+      .select(col(keyCol),
+        explode(expr("sequence(_d0, _d1, interval 1 day)")).as(dateCol))
+    val w = Window.partitionBy(col(keyCol)).orderBy(col(dateCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    spine.join(daily, Seq(keyCol, dateCol), "left")
+      .select(col(keyCol), col(dateCol),
+        coalesce(col(countCol), lit(0L)).as("n_events"),
+        (last(col(valueCol), ignoreNulls = true).over(w).cast("double") / 100.0)
+          .as("filled_sum"))
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -63,13 +63,23 @@ COPY (
 orig = pq.read_table(f'{src}/events.parquet')
 df = orig.to_pandas()
 extra = pd.DataFrame({
-    'event_id': [9000, 9001, 9002, 9003],
+    'event_id': [9000, 9001, 9002, 9003,
+                 # constant-value event type: zero variance, must be EXCLUDED
+                 # from z-scores by the std>0 contract in both engines
+                 9004, 9005, 9006,
+                 # single-event user: one 1-event session, gapfill spine of 1;
+                 # plus a 3-day gap user for forward-fill across multiple days
+                 9007, 9008, 9009],
     'ts': pd.to_datetime(['2024-06-01 00:00:00', '2024-06-01 00:00:00',
-                          '2024-06-01 00:30:00', '2024-06-01 00:30:00']),
-    'user_id': [7777] * 4,
-    'event_type': ['tie'] * 4,
-    'value': [1.0, 2.0, 3.0, 4.0],
-    'props': ['{"k": 1}', '{"k": 2}', '{"k": 3}', '{"k": 4}'],
+                          '2024-06-01 00:30:00', '2024-06-01 00:30:00',
+                          '2024-06-02 01:00:00', '2024-06-02 02:00:00',
+                          '2024-06-02 03:00:00',
+                          '2024-06-03 00:00:00',
+                          '2024-06-04 00:00:00', '2024-06-07 23:59:59']),
+    'user_id': [7777] * 4 + [7778] * 3 + [7779, 7780, 7780],
+    'event_type': ['tie'] * 4 + ['const'] * 3 + ['view', 'view', 'view'],
+    'value': [1.0, 2.0, 3.0, 4.0, 5.0, 5.0, 5.0, 9.99, 1.25, 2.50],
+    'props': ['{"k": 1}'] * 10,
 })
 out = pd.concat([df[df.event_id < 400], extra], ignore_index=True)
 pq.write_table(pa.Table.from_pandas(out, schema=orig.schema, preserve_index=False),

@@ -62,8 +62,8 @@ object Dedup extends QueryModule {
     * downstream pass (Jaccard join, MinHash) in codegen'd row form — nested
     * array lambdas would re-evaluate the tokenizer per element per seed in
     * interpreted mode (measured: minutes vs seconds at sf0.001). */
-  private def shingleTable(spark: SparkSession, dir: String): DataFrame =
-    Tables.documents(spark, dir)
+  private[graft] def shingleTable(docs: DataFrame): DataFrame =
+    docs
       .withColumn("toks", split(lower(trim(col("text"))), " "))
       .select(col("doc_id"), explode(array_distinct(expr(
         """CASE WHEN size(toks) < 3 THEN array()
@@ -105,8 +105,16 @@ object Dedup extends QueryModule {
     * executor fails the query instead of recomputing (acceptable for a
     * per-query intermediate; a multi-hour pipeline would use checkpoint()
     * to a cluster store). */
-  private def jaccardPairs(spark: SparkSession, dir: String): DataFrame = {
-    val sh = shingleTable(spark, dir).localCheckpoint(eager = false)
+  private def jaccardPairs(spark: SparkSession, dir: String): DataFrame =
+    nearDupPairsRaw(Tables.documents(spark, dir))
+
+  /** Library form of the shingle-Jaccard near-dup primitive: candidate
+    * pairs sharing ≥ 1 rare shingle with exact Jaccard attached, over ANY
+    * (doc_id, text) corpus — the reusable core every dedup tier and the
+    * clustering/survivor/filter queries instantiate against the harness
+    * table. */
+  def nearDupPairsRaw(docs: DataFrame): DataFrame = {
+    val sh = shingleTable(docs).localCheckpoint(eager = false)
     val postings = rarePostings(sh)
     val a = postings.select(col("shingle"), col("doc_id").as("d1"))
     val b = postings.select(col("shingle"), col("doc_id").as("d2"))
@@ -152,7 +160,7 @@ object Dedup extends QueryModule {
     }
     // one checkpointed shingle table feeds signature building AND the verify
     // step (intra-query reuse — see the note on jaccardPairs)
-    val shCk = shingleTable(spark, dir).localCheckpoint(eager = false)
+    val shCk = shingleTable(Tables.documents(spark, dir)).localCheckpoint(eager = false)
     val minhashes = shCk
       .withColumn("hres", expr(s"${md5Hash60("shingle")} % ${M}L"))
       .groupBy(col("doc_id"))

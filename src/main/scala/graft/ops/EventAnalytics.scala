@@ -144,11 +144,47 @@ object EventAnalytics extends QueryModule {
           .as("filled_sum"))
   }
 
+  /** Path analysis: the most common within-session event-type journeys
+    * (first 8 steps), with session count and distinct-user reach — the
+    * Sankey/flow primitive. Sessions come from the same gaps-and-islands
+    * windows as [[qSessionize]]; the ORDERED aggregation Spark lacks as a
+    * built-in (STRING_AGG ... ORDER BY) is expressed exactly as
+    * `array_sort(collect_list(struct(time, tie, type)))` — the struct sort
+    * carries the (tus, event_id) total order, so the joined path is
+    * deterministic in both engines. Per-session arrays are bounded by
+    * session length; the path table then aggregates corpus-wide with an
+    * ordinary hash shuffle. */
+  def qEventPath(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val gapUs = 30L * 60 * 1000000
+    val byTime = Window.partitionBy(col("user_id")).orderBy(col("tus"), col("event_id"))
+    val withSess = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_micros(col("ts")).as("tus"))
+      .withColumn("new_sess",
+        when(col("tus") - lag(col("tus"), 1).over(byTime) > gapUs, 1)
+          .when(lag(col("tus"), 1).over(byTime).isNull, 1)
+          .otherwise(0))
+      .withColumn("sess_id", sum(col("new_sess")).over(
+        byTime.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    withSess.groupBy(col("user_id"), col("sess_id"))
+      .agg(expr(
+        """array_join(
+          |  slice(transform(array_sort(collect_list(struct(tus, event_id, event_type))),
+          |    x -> x.event_type), 1, 8), '>')""".stripMargin).as("path"))
+      .groupBy(col("path"))
+      .agg(count(lit(1)).as("n_sessions"),
+        countDistinct(col("user_id")).as("n_users"))
+      .orderBy(col("n_sessions").desc, col("path"))
+      .limit(20)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_funnel"    -> (qFunnel _),
     "q_retention" -> (qRetention _),
     "q_sessionize" -> (qSessionize _),
     "q_gapfill"   -> (qGapfill _),
+    "q_event_path" -> (qEventPath _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -191,6 +227,27 @@ object EventAnalytics extends QueryModule {
         |       COUNT(*) AS n_events
         |FROM sess GROUP BY user_id, sess_id
         |ORDER BY user_id, sess_id""".stripMargin,
+    "q_event_path" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, event_type, epoch_us(ts) AS tus FROM events),
+        |flagged AS (
+        |  SELECT user_id, event_id, event_type, tus,
+        |         CASE WHEN tus - LAG(tus) OVER w > 1800000000 THEN 1
+        |              WHEN LAG(tus) OVER w IS NULL THEN 1
+        |              ELSE 0 END AS new_sess
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tus, event_id)),
+        |sess AS (
+        |  SELECT user_id, event_type, tus, event_id,
+        |         CAST(SUM(new_sess) OVER (PARTITION BY user_id ORDER BY tus, event_id
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS sess_id
+        |  FROM flagged),
+        |paths AS (
+        |  SELECT user_id, sess_id,
+        |         ARRAY_TO_STRING((ARRAY_AGG(event_type ORDER BY tus, event_id))[1:8], '>') AS path
+        |  FROM sess GROUP BY user_id, sess_id)
+        |SELECT path, COUNT(*) AS n_sessions, COUNT(DISTINCT user_id) AS n_users
+        |FROM paths GROUP BY path
+        |ORDER BY n_sessions DESC, path LIMIT 20""".stripMargin,
     "q_gapfill" ->
       """WITH daily AS (
         |  SELECT user_id, CAST(ts AS DATE) AS d, COUNT(*) AS n_day,

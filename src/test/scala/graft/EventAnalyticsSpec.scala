@@ -69,6 +69,29 @@ class EventAnalyticsSpec extends SparkSpec {
     assert(s((1L, 1L))._1 == s((1L, 1L))._2 - 1200000000L, "bounds span 20min")
   }
 
+  test("event paths join types in time order and cap at 8 steps") {
+    import spark.implicits._
+    def t(s: String) = Timestamp.valueOf(s)
+    val d = java.nio.file.Files.createTempDirectory("path").toString
+    // user 1: view > click > purchase in one session; a 31-min gap then a
+    // lone view session; user 2: ten views — path caps at 8
+    val rows =
+      Seq((1L, "10:00", "view"), (2L, "10:05", "click"), (3L, "10:10", "purchase"),
+        (4L, "10:50", "view")).map { case (id, hm, et) =>
+        (id, t(s"2024-01-01 $hm:00"), 1L, et) } ++
+      (1 to 10).map(i => (100L + i, t(f"2024-01-02 10:${i}%02d:00"), 2L, "view"))
+    rows.toDF("event_id", "ts", "user_id", "event_type")
+      .withColumn("value", lit(1.0)).withColumn("props", lit("{}"))
+      .withColumn("ts", (unix_micros(col("ts")) * 1000).as("ts"))
+      .write.mode("overwrite").parquet(s"$d/events.parquet")
+    val paths = EventAnalytics.qEventPath(spark, d).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(paths("view>click>purchase") == ((1L, 1L)))
+    assert(paths("view") == ((1L, 1L)), "the lone post-gap view is its own session")
+    assert(paths(Seq.fill(8)("view").mkString(">")) == ((1L, 1L)),
+      "ten events truncate to an 8-step path")
+  }
+
   test("gapfill densifies the calendar and carries the last value forward") {
     import spark.implicits._
     def t(s: String) = Timestamp.valueOf(s)

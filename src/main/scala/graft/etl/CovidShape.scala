@@ -42,6 +42,13 @@ object CovidShape {
       .option("columnNameOfCorruptRecord", "_corrupt_record")
       .schema(schema.add("_corrupt_record", "string"))
       .csv(path)
+      // Spark refuses plans that reference ONLY the internal corrupt-record
+      // column of a raw CSV scan (AnalysisException since 2.3) — the
+      // documented split (clean rows one way, dead letters the other) is
+      // exactly such a plan. Caching materializes the scan first, which is
+      // the supported workaround and what an ingest step does anyway
+      // (read once, write twice).
+      .cache()
 
   /** R2/R3 ingest: nested JSON (the IBGE municipios payload shape).
     * multiLine handles a top-level JSON array, as the REST API returns. */

@@ -88,6 +88,17 @@ object EventAnalytics extends QueryModule {
     * and each session reports bounds and size. One shuffle on `keyCol`;
     * everything after the partitioning is partition-local. */
   def sessionize(events: DataFrame, keyCol: String, timeCol: String,
+      tieCol: String, gap: Long): DataFrame =
+    labelSessions(events, keyCol, timeCol, tieCol, gap)
+      .groupBy(col(keyCol), col("sess_id"))
+      .agg(min(col(timeCol)).as("start_us"), max(col(timeCol)).as("end_us"),
+        count(lit(1)).as("n_events"))
+
+  /** The per-event half of sessionization: every input row annotated with
+    * its `sess_id` (1-based per key). The single place the boundary rule
+    * (silence STRICTLY GREATER than `gap` opens a session) lives —
+    * [[sessionize]] and [[qEventPath]] both build on it. */
+  def labelSessions(events: DataFrame, keyCol: String, timeCol: String,
       tieCol: String, gap: Long): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val byTime = Window.partitionBy(col(keyCol)).orderBy(col(timeCol), col(tieCol))
@@ -98,9 +109,7 @@ object EventAnalytics extends QueryModule {
           .otherwise(0))
       .withColumn("sess_id", sum(col("_new_sess")).over(
         byTime.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-      .groupBy(col(keyCol), col("sess_id"))
-      .agg(min(col(timeCol)).as("start_us"), max(col(timeCol)).as("end_us"),
-        count(lit(1)).as("n_events"))
+      .drop("_new_sess")
   }
 
   /** Time-series resample + gap-fill: each user's daily event count and
@@ -155,18 +164,12 @@ object EventAnalytics extends QueryModule {
     * session length; the path table then aggregates corpus-wide with an
     * ordinary hash shuffle. */
   def qEventPath(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val gapUs = 30L * 60 * 1000000
-    val byTime = Window.partitionBy(col("user_id")).orderBy(col("tus"), col("event_id"))
-    val withSess = Tables.events(spark, dir)
-      .select(col("user_id"), col("event_id"), col("event_type"),
-        unix_micros(col("ts")).as("tus"))
-      .withColumn("new_sess",
-        when(col("tus") - lag(col("tus"), 1).over(byTime) > gapUs, 1)
-          .when(lag(col("tus"), 1).over(byTime).isNull, 1)
-          .otherwise(0))
-      .withColumn("sess_id", sum(col("new_sess")).over(
-        byTime.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val withSess = labelSessions(
+      Tables.events(spark, dir)
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          unix_micros(col("ts")).as("tus")),
+      keyCol = "user_id", timeCol = "tus", tieCol = "event_id",
+      gap = 30L * 60 * 1000000)
     withSess.groupBy(col("user_id"), col("sess_id"))
       .agg(expr(
         """array_join(

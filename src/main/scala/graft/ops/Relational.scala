@@ -189,10 +189,13 @@ object Relational extends QueryModule {
 
   /** Library form of MERGE INTO: `changes` rows replace same-key `base`
     * rows and append otherwise (last-writer-wins with the change set
-    * outranking the base). Both inputs must share a schema, and `changes`
-    * must be key-unique (the standard MERGE precondition — SQL MERGE
-    * raises on duplicate matches; here a duplicate would win arbitrarily).
-    * One union and
+    * outranking the base). Both inputs must share a schema, and BOTH must
+    * be key-unique: a duplicate in `changes` violates the standard MERGE
+    * precondition (SQL MERGE raises on duplicate matches), and a duplicate
+    * in `base` means the target was never a keyed table to begin with —
+    * either way the keep-winner window would pick arbitrarily among the
+    * tied rows. Run the exact-dedup tier first if the target may carry
+    * duplicates. One union and
     * one keep-winner window shuffle on the merge key — the engine-agnostic
     * plan Delta/Iceberg MERGE lowers to. Idempotent by construction:
     * merging the same change set twice is a no-op (property-tested). */

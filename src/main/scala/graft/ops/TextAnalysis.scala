@@ -222,10 +222,14 @@ object TextAnalysis extends QueryModule {
 
   // PII patterns — deliberately simple, RE2-compatible (no lookaround, no
   // backrefs) so the Java-regex Spark side and the RE2 DuckDB oracle match
-  // occurrence-for-occurrence.
+  // occurrence-for-occurrence. IP octets are range-checked (0-255), and a
+  // dotted run of FOUR OR MORE valid octets redacts wholly: RE2 has no
+  // lookahead to reject a trailing ".5", and for PII over-redacting a
+  // version-like string beats leaking the address embedded in it.
   private val emailPat = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
   private val phonePat = "\\b\\d{3}-\\d{3}-\\d{4}\\b"
-  private val ipPat    = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+  private val ipOctet  = "(25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])"
+  private val ipPat    = s"\\b$ipOctet(\\.$ipOctet){3,}\\b"
 
   /** PII scrub — the redaction pass an LLM corpus runs before training:
     * count and replace emails / phone numbers / IPv4 addresses with typed
@@ -306,7 +310,13 @@ object TextAnalysis extends QueryModule {
       chunkSize: Int): DataFrame =
     docs
       .select(col(idCol), col(toksCol).as("_toks"),
-        explode(expr(s"sequence(0, CAST(ceil(size($toksCol) / $chunkSize.0) AS INT) - 1)"))
+        // empty-array guard: sequence(0, -1) is DESCENDING [0, -1] in Spark
+        // (the make_edge_data lesson) — an empty token array must yield
+        // zero chunks, not two bogus ones
+        explode(expr(
+          s"""CASE WHEN size($toksCol) = 0 THEN array()
+             |ELSE sequence(0, CAST(ceil(size($toksCol) / $chunkSize.0) AS INT) - 1)
+             |END""".stripMargin))
           .as("_ci"))
       .select(col(idCol), col("_ci").cast("bigint").as("chunk_idx"),
         expr(s"slice(_toks, _ci * $chunkSize + 1, $chunkSize)").as("_ctoks"))
@@ -436,11 +446,11 @@ object TextAnalysis extends QueryModule {
       """SELECT doc_id,
         |  LEN(REGEXP_EXTRACT_ALL(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_emails,
         |  LEN(REGEXP_EXTRACT_ALL(text, '\b\d{3}-\d{3}-\d{4}\b')) AS n_phones,
-        |  LEN(REGEXP_EXTRACT_ALL(text, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS n_ips,
+        |  LEN(REGEXP_EXTRACT_ALL(text, '\b(25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])(\.(25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])){3,}\b')) AS n_ips,
         |  REGEXP_REPLACE(REGEXP_REPLACE(REGEXP_REPLACE(text,
         |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
         |    '\b\d{3}-\d{3}-\d{4}\b', '<PHONE>', 'g'),
-        |    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g') AS redacted
+        |    '\b(25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])(\.(25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])){3,}\b', '<IP>', 'g') AS redacted
         |FROM documents ORDER BY doc_id""".stripMargin,
     "q_text_clean" ->
       """WITH c AS (

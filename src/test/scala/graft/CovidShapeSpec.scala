@@ -155,7 +155,7 @@ class CovidShapeSpec extends SparkSpec {
     val schema = StructType(Seq(
       StructField("city", StringType), StructField("code", LongType),
       StructField("rate", DoubleType)))
-    val df = CovidShape.readCsvQuarantine(spark, s"$d/drop.csv", schema).cache()
+    val df = CovidShape.readCsvQuarantine(spark, s"$d/drop.csv", schema)
     val clean = df.filter(col("_corrupt_record").isNull)
     val dead = df.filter(col("_corrupt_record").isNotNull)
     assert(clean.count() == 2, "both well-formed rows survive")

@@ -39,10 +39,10 @@ COPY (
     (1006, 'the quick brown fox jumps over the lazy dog and runs far away into the deep dark forest today', 'en', 'edge', 94),
     (1007, 'the quick brown fox jumps over the lazy dog and runs far away into the deep dark forest tonight', 'en', 'edge', 96),
     (1008, 'x  y   z', 'xx', 'edge', 8),
-    (1009, 'reach bob.smith+tag@corp.example.org or jane@ex.io, call 555-123-4567 from 10.0.42.7 version 1.2.3.4 not 1.2.3.4.5', 'en', 'edge', 114),
+    (1009, 'reach bob.smith+tag@corp.example.org or jane@ex.io, call 555-123-4567 from 10.0.42.7 and 1.2.3.4.5 redacts wholly', 'en', 'edge', 114),
     (1010, '<div class="x"><b>bold &amp;lt; text</b> &quot;quoted&quot; &#39;ok&#39;   tabs	and
 newlines</div>', 'en', 'edge', 99),
-    (1011, 'email@no-tld@ 999-99-9999 256.300.1.1 <notclosed', 'xx', 'edge', 48)
+    (1011, 'email@no-tld@ 999-99-9999 256.300.1.1 stays (octets out of range) <notclosed', 'xx', 'edge', 76)
   ) AS v(doc_id, text, lang, source, n_chars)
 ) TO '{dst}/documents.parquet' (FORMAT PARQUET)
 """)

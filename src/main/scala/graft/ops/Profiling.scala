@@ -116,10 +116,59 @@ object Profiling extends QueryModule {
       .orderBy(col("event_id"))
   }
 
+  /** Experimentation analytics: Welch's t-statistic per event type between
+    * two user cohorts (user_id parity stands in for the assignment hash).
+    * Everything reduces to the same exact-cent-sum discipline: one
+    * aggregation produces per-(type, variant) {n, Σ, Σ²}; a conditional
+    * pivot puts both variants on one row; mean/variance/t/df are then
+    * closed-form doubles both engines reproduce bit-for-bit. The
+    * Welch–Satterthwaite df comes out too — the full input an analyst
+    * feeds a p-value table. Variants with < 2 observations or zero
+    * variance in both arms are excluded by contract. */
+  def qAbtest(spark: SparkSession, dir: String): DataFrame = {
+    val per = Tables.events(spark, dir)
+      .withColumn("vc", expr("CAST(round(value * 100) AS BIGINT)"))
+      .withColumn("variant", (col("user_id") % 2).cast("int"))
+      .groupBy(col("event_type"), col("variant"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("vc").cast("decimal(38,0)")).as("s"),
+        sum((col("vc") * col("vc")).cast("decimal(38,0)")).as("s2"))
+    def side(v: Int, c: String) = max(when(col("variant") === v, col(c)))
+    val wide = per.groupBy(col("event_type"))
+      .agg(side(0, "n").as("n0"), side(0, "s").as("s0"), side(0, "s2").as("s20"),
+        side(1, "n").as("n1"), side(1, "s").as("s1"), side(1, "s2").as("s21"))
+      .filter(col("n0") > 1 && col("n1") > 1)
+    wide.select(col("event_type"), col("n0"), col("n1"),
+        expr("CAST(s0 AS DOUBLE) / CAST(n0 AS DOUBLE) / 100.0").as("m0"),
+        expr("CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE) / 100.0").as("m1"),
+        expr(
+          """(CAST(n0 AS DOUBLE) * CAST(s20 AS DOUBLE) - CAST(s0 AS DOUBLE) * CAST(s0 AS DOUBLE))
+            |  / (CAST(n0 AS DOUBLE) * (CAST(n0 AS DOUBLE) - 1.0))""".stripMargin).as("v0"),
+        expr(
+          """(CAST(n1 AS DOUBLE) * CAST(s21 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE))
+            |  / (CAST(n1 AS DOUBLE) * (CAST(n1 AS DOUBLE) - 1.0))""".stripMargin).as("v1"))
+      .filter(col("v0") + col("v1") > 0)
+      .select(col("event_type"), col("n0"), col("n1"),
+        round(col("m0"), 4).as("mean0"), round(col("m1"), 4).as("mean1"),
+        round(((col("m0") - col("m1")) * 100.0)
+          / sqrt(col("v0") / col("n0") + col("v1") / col("n1")), 4).as("t_welch"),
+        // squares are written x*x, not pow(x, 2): Math.pow (JVM) and libm
+        // pow (DuckDB) are not guaranteed ULP-identical, while a double
+        // multiply is IEEE-exact in both
+        round(
+          ((col("v0") / col("n0") + col("v1") / col("n1"))
+            * (col("v0") / col("n0") + col("v1") / col("n1")))
+            / ((col("v0") / col("n0")) * (col("v0") / col("n0")) / (col("n0") - 1)
+               + (col("v1") / col("n1")) * (col("v1") / col("n1")) / (col("n1") - 1)),
+          1).as("df"))
+      .orderBy(col("event_type"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_hist"           -> (qHist _),
     "q_profile"        -> (qProfile _),
     "q_anomaly_zscore" -> (qAnomalyZscore _),
+    "q_abtest"         -> (qAbtest _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -163,6 +212,40 @@ object Profiling extends QueryModule {
         |       CAST(EPOCH_US(MAX(o_orderdate)) AS DOUBLE)
         |FROM orders
         |ORDER BY col_name""".stripMargin,
+    "q_abtest" ->
+      """WITH per AS (
+        |  SELECT event_type, CAST(user_id % 2 AS INT) AS variant, COUNT(*) AS n,
+        |         SUM(CAST(CAST(ROUND(value * 100) AS BIGINT) AS DECIMAL(38,0))) AS s,
+        |         SUM(CAST(CAST(ROUND(value * 100) AS BIGINT)
+        |                  * CAST(ROUND(value * 100) AS BIGINT) AS DECIMAL(38,0))) AS s2
+        |  FROM events GROUP BY event_type, CAST(user_id % 2 AS INT)),
+        |wide AS (
+        |  SELECT event_type,
+        |         MAX(CASE WHEN variant = 0 THEN n END) AS n0,
+        |         MAX(CASE WHEN variant = 0 THEN s END) AS s0,
+        |         MAX(CASE WHEN variant = 0 THEN s2 END) AS s20,
+        |         MAX(CASE WHEN variant = 1 THEN n END) AS n1,
+        |         MAX(CASE WHEN variant = 1 THEN s END) AS s1,
+        |         MAX(CASE WHEN variant = 1 THEN s2 END) AS s21
+        |  FROM per GROUP BY event_type
+        |  HAVING MAX(CASE WHEN variant = 0 THEN n END) > 1
+        |     AND MAX(CASE WHEN variant = 1 THEN n END) > 1),
+        |v AS (
+        |  SELECT event_type, n0, n1,
+        |         CAST(s0 AS DOUBLE) / CAST(n0 AS DOUBLE) / 100.0 AS m0,
+        |         CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE) / 100.0 AS m1,
+        |         (CAST(n0 AS DOUBLE) * CAST(s20 AS DOUBLE) - CAST(s0 AS DOUBLE) * CAST(s0 AS DOUBLE))
+        |           / (CAST(n0 AS DOUBLE) * (CAST(n0 AS DOUBLE) - 1.0)) AS v0,
+        |         (CAST(n1 AS DOUBLE) * CAST(s21 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE))
+        |           / (CAST(n1 AS DOUBLE) * (CAST(n1 AS DOUBLE) - 1.0)) AS v1
+        |  FROM wide)
+        |SELECT event_type, n0, n1,
+        |       ROUND(m0, 4) AS mean0, ROUND(m1, 4) AS mean1,
+        |       ROUND(((m0 - m1) * 100.0) / SQRT(v0 / n0 + v1 / n1), 4) AS t_welch,
+        |       ROUND(((v0 / n0 + v1 / n1) * (v0 / n0 + v1 / n1))
+        |             / ((v0 / n0) * (v0 / n0) / (n0 - 1)
+        |                + (v1 / n1) * (v1 / n1) / (n1 - 1)), 1) AS df
+        |FROM v WHERE v0 + v1 > 0 ORDER BY event_type""".stripMargin,
     "q_anomaly_zscore" ->
       """WITH cents AS (
         |  SELECT event_id, event_type, value,

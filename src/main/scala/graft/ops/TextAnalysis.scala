@@ -1,7 +1,7 @@
 package graft.ops
 
 import graft.Tables
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators over `documents` (BASELINE north-star; SURVEY.md
@@ -244,9 +244,14 @@ object TextAnalysis extends QueryModule {
         size(regexp_extract_all(col("text"), lit(emailPat), lit(0))).as("n_emails"),
         size(regexp_extract_all(col("text"), lit(phonePat), lit(0))).as("n_phones"),
         size(regexp_extract_all(col("text"), lit(ipPat), lit(0))).as("n_ips"),
-        regexp_replace(regexp_replace(regexp_replace(col("text"),
-          emailPat, "<EMAIL>"), phonePat, "<PHONE>"), ipPat, "<IP>").as("redacted"))
+        redactPii(col("text")).as("redacted"))
       .orderBy(col("doc_id"))
+
+  /** Library form: redact emails → phones → IPs in any string column
+    * (order is part of the contract — see the pattern notes above). */
+  def redactPii(c: Column): Column =
+    regexp_replace(regexp_replace(regexp_replace(c,
+      emailPat, "<EMAIL>"), phonePat, "<PHONE>"), ipPat, "<IP>")
 
   /** Boilerplate strip — the HTML-ish cleanup stage of a web-scrape corpus:
     * drop tags, decode the five ubiquitous entities, collapse whitespace
@@ -255,17 +260,22 @@ object TextAnalysis extends QueryModule {
     * Map-only like qTextPii; the explicit `[ \t\r\n]+` class (not `\s`)
     * pins the whitespace set to the intersection both regex dialects agree
     * on. */
-  def qTextClean(spark: SparkSession, dir: String): DataFrame = {
-    val stripped = regexp_replace(col("text"), "<[^>]+>", " ")
-    val decoded = Seq("&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
-        "&#39;" -> "'", "&amp;" -> "&")
-      .foldLeft(stripped) { case (c, (from, to)) => replace(c, lit(from), lit(to)) }
+  def qTextClean(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
-      .select(col("doc_id"), col("n_chars"),
-        trim(regexp_replace(decoded, "[ \t\r\n]+", " ")).as("cleaned"))
+      .select(col("doc_id"), col("n_chars"), cleanHtml(col("text")).as("cleaned"))
       .withColumn("clean_chars", length(col("cleaned")))
       .select(col("doc_id"), col("n_chars"), col("clean_chars"), col("cleaned"))
       .orderBy(col("doc_id"))
+
+  /** Library form: strip tags, decode the five ubiquitous entities (&amp;
+    * last, so &amp;lt; yields the literal &lt;), collapse whitespace, trim
+    * — on any string column. */
+  def cleanHtml(c: Column): Column = {
+    val stripped = regexp_replace(c, "<[^>]+>", " ")
+    val decoded = Seq("&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
+        "&#39;" -> "'", "&amp;" -> "&")
+      .foldLeft(stripped) { case (acc, (from, to)) => replace(acc, lit(from), lit(to)) }
+    trim(regexp_replace(decoded, "[ \t\r\n]+", " "))
   }
 
   /** Corpus-wide n-gram mining: top 40 token bigrams by total occurrences,

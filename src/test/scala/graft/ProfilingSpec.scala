@@ -37,6 +37,30 @@ class ProfilingSpec extends SparkSpec {
     assert(p("o_orderdate")._3 == Some(1704067200000000.0.toDouble))
   }
 
+  test("abtest: planted cohort gap yields a large negative t and sane df") {
+    import spark.implicits._
+    val d = java.nio.file.Files.createTempDirectory("ab").toString
+    // even users (variant 0) around 10, odd users (variant 1) around 20 —
+    // a real gap with a little within-arm variance so neither arm is
+    // degenerate
+    val rows = (1L to 40L).map { i =>
+      val variant = i % 2
+      val base = if (variant == 0) 10.0 else 20.0
+      (i, "2024-01-01 00:00:00", i, "click", base + (i % 4) * 0.5, "{}")
+    }
+    rows.toDF("event_id", "tss", "user_id", "event_type", "value", "props")
+      .withColumn("ts", unix_micros(col("tss").cast("timestamp")) * 1000).drop("tss")
+      .write.mode("overwrite").parquet(s"$d/events.parquet")
+    val r = Profiling.qAbtest(spark, d).collect()
+    assert(r.length == 1)
+    val (n0, n1, m0, m1, t, df) = (r(0).getLong(1), r(0).getLong(2),
+      r(0).getDouble(3), r(0).getDouble(4), r(0).getDouble(5), r(0).getDouble(6))
+    assert(n0 == 20 && n1 == 20)
+    assert(m0 < 11.5 && m1 > 19.5)
+    assert(t < -20, s"a 10-unit gap with sub-unit variance must be decisive, got $t")
+    assert(df >= math.min(n0, n1) - 1 && df <= n0 + n1 - 2, s"Welch df in range, got $df")
+  }
+
   test("zscore flags exactly the planted outlier and no symmetric inlier") {
     import spark.implicits._
     val d = java.nio.file.Files.createTempDirectory("zsc").toString

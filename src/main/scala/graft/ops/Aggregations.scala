@@ -273,6 +273,74 @@ object Aggregations extends QueryModule {
       .orderBy(col("l_returnflag"))
   }
 
+  /** Boolean aggregates: bool_and / bool_or / count_if — the predicate
+    * summaries a data-quality sweep runs per partition class ("do ALL rows
+    * satisfy the invariant, does ANY row violate it, how many"). All three
+    * are single-pass map-side-combinable hash aggregates (one boolean /
+    * one long of state per group). */
+  def qAggBool(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        expr("bool_and(o_totalprice > 500)").as("all_over_500"),
+        expr("bool_or(o_orderstatus = 'F')").as("any_f"),
+        expr("count_if(o_totalprice > 100000)").as("n_big"))
+      .orderBy(col("o_orderpriority"))
+
+  /** Bitwise aggregates (bit_and / bit_or / bit_xor): fold a key column's
+    * bit patterns per group — the primitive behind permission-mask rollups
+    * and XOR-based set reconciliation (two replicas' bit_xor over row
+    * hashes is zero iff the sets match). Commutative + associative, so
+    * they partial-aggregate map-side like sum. */
+  def qAggBits(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        expr("bit_and(l_partkey)").as("mask_and"),
+        expr("bit_or(l_partkey)").as("mask_or"),
+        expr("bit_xor(l_partkey)").as("mask_xor"),
+        count(lit(1)).as("n"))
+      .orderBy(col("l_returnflag"))
+
+  /** Per-group simple linear regression (price ~ quantity) in closed form
+    * from EXACT integer-cent sums — same determinism argument as
+    * [[qAggStats]]: DECIMAL(38,0) sums are accumulation-order-independent,
+    * the closed-form slope/intercept/R² then runs once per group on
+    * bit-identical inputs in both engines. The cent scaling cancels in R²;
+    * slope is (price cents)/(qty cents) so it needs no rescale either;
+    * intercept divides back to currency units. One map-side-combinable
+    * pass, six longs of state per group — the 100 TB shape (contrast a
+    * naive two-pass mean-then-residual formulation). */
+  def qRegr(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .withColumn("qc", expr("CAST(round(l_quantity * 100) AS BIGINT)"))
+      .withColumn("pc", expr("CAST(round(l_extendedprice * 100) AS BIGINT)"))
+      .groupBy(col("l_returnflag"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("qc").cast("decimal(38,0)")).as("sx"),
+        sum(col("pc").cast("decimal(38,0)")).as("sy"),
+        sum((col("qc") * col("qc")).cast("decimal(38,0)")).as("sx2"),
+        sum((col("pc") * col("pc")).cast("decimal(38,0)")).as("sy2"),
+        sum((col("qc") * col("pc")).cast("decimal(38,0)")).as("sxy"))
+      .select(col("l_returnflag"), col("n"),
+        round(expr(
+          """(CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+            |/ (CAST(n AS DOUBLE) * CAST(sx2 AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+            |""".stripMargin), 6).as("slope"),
+        round(expr(
+          """(CAST(sy AS DOUBLE) - ((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+            |  / (CAST(n AS DOUBLE) * CAST(sx2 AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))) * CAST(sx AS DOUBLE))
+            |/ CAST(n AS DOUBLE) / 100.0""".stripMargin), 4).as("intercept"),
+        // d*d, not pow(d, 2): pow is not guaranteed correctly rounded and
+        // differs between Java's and C's libm; multiplication is exact IEEE.
+        round(expr(
+          """((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+            | * (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)))
+            |/ ((CAST(n AS DOUBLE) * CAST(sx2 AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+            |   * (CAST(n AS DOUBLE) * CAST(sy2 AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))""".stripMargin), 6).as("r2"))
+      .orderBy(col("l_returnflag"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_agg_group"           -> (qAggGroup _),
     "q_agg_stats"           -> (qAggStats _),
@@ -289,9 +357,50 @@ object Aggregations extends QueryModule {
     "q_rollup"              -> (qRollup _),
     "q_cube"                -> (qCube _),
     "q_grouping_sets"       -> (qGroupingSets _),
+    "q_agg_bool"            -> (qAggBool _),
+    "q_agg_bits"            -> (qAggBits _),
+    "q_regr"                -> (qRegr _),
   )
 
   val oracle: Map[String, String] = Map(
+    "q_agg_bool" ->
+      """SELECT o_orderpriority,
+        |       bool_and(o_totalprice > 500) AS all_over_500,
+        |       bool_or(o_orderstatus = 'F') AS any_f,
+        |       CAST(count_if(o_totalprice > 100000) AS BIGINT) AS n_big
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "q_agg_bits" ->
+      """SELECT l_returnflag,
+        |       bit_and(l_partkey) AS mask_and,
+        |       bit_or(l_partkey) AS mask_or,
+        |       bit_xor(l_partkey) AS mask_xor,
+        |       COUNT(*) AS n
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q_regr" ->
+      """WITH cents AS (
+        |  SELECT l_returnflag,
+        |         CAST(ROUND(l_quantity * 100) AS BIGINT) AS qc,
+        |         CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS pc
+        |  FROM lineitem),
+        |sums AS (
+        |  SELECT l_returnflag, COUNT(*) AS n,
+        |         SUM(CAST(qc AS DECIMAL(38,0))) AS sx,
+        |         SUM(CAST(pc AS DECIMAL(38,0))) AS sy,
+        |         SUM(CAST(qc * qc AS DECIMAL(38,0))) AS sx2,
+        |         SUM(CAST(pc * pc AS DECIMAL(38,0))) AS sy2,
+        |         SUM(CAST(qc * pc AS DECIMAL(38,0))) AS sxy
+        |  FROM cents GROUP BY l_returnflag)
+        |SELECT l_returnflag, n,
+        |  ROUND((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+        |        / (CAST(n AS DOUBLE) * CAST(sx2 AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 6) AS slope,
+        |  ROUND((CAST(sy AS DOUBLE) - ((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+        |          / (CAST(n AS DOUBLE) * CAST(sx2 AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))) * CAST(sx AS DOUBLE))
+        |        / CAST(n AS DOUBLE) / 100.0, 4) AS intercept,
+        |  ROUND(((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+        |         * (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)))
+        |        / ((CAST(n AS DOUBLE) * CAST(sx2 AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+        |           * (CAST(n AS DOUBLE) * CAST(sy2 AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6) AS r2
+        |FROM sums ORDER BY l_returnflag""".stripMargin,
     "q_agg_mode" ->
       """WITH cnt AS (
         |  SELECT p_brand, p_type, COUNT(*) AS n FROM part GROUP BY p_brand, p_type),

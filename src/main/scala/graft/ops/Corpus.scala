@@ -104,13 +104,69 @@ object Corpus extends QueryModule {
       .orderBy(col("doc_id"), col("tfidf").desc, col("token"))
   }
 
+  /** Misra-Gries heavy hitters over a token column: single-pass candidates
+    * with at most `k` counters per partition, then an EXACT verify pass
+    * restricted to the candidate set. The union of per-partition MG
+    * summaries is a guaranteed superset of every global item with
+    * freq > N/k (pigeonhole: Σf_p > ΣN_p/k forces f_p > N_p/k in some
+    * partition, and MG with k counters never evicts such an item), so the
+    * two-pass result is EXACT — which is why a plain GROUP BY/HAVING oracle
+    * can verify a sketch. The 100 TB win: pass 1 carries ≤ k·partitions
+    * rows into the candidate set (vs a full shuffle of every distinct
+    * token), pass 2 semi-joins the stream against a broadcast candidate
+    * list — the full token shuffle never happens. */
+  def heavyHitters(tokens: DataFrame, tokenCol: String, k: Int): DataFrame = {
+    val spark = tokens.sparkSession
+    import spark.implicits._
+    val toks = tokens.select(col(tokenCol).as("token"))
+    val candidates = toks.as[String].mapPartitions { it =>
+      val counters = scala.collection.mutable.HashMap.empty[String, Long]
+      it.foreach { t =>
+        if (counters.contains(t)) counters(t) += 1
+        else if (counters.size < k) counters(t) = 1
+        else {
+          // decrement-all step over a snapshot (safe vs in-place mutation
+          // during iteration); amortized O(1) per input token
+          counters.toArray.foreach { case (key, v) =>
+            if (v == 1) counters.remove(key) else counters.update(key, v - 1)
+          }
+        }
+      }
+      counters.keysIterator
+    }.toDF("token").distinct()
+    val counts = toks.join(broadcast(candidates), "token")
+      .groupBy(col("token")).agg(count(lit(1)).as("n"))
+    val total = toks.agg(count(lit(1)).as("total"))
+    counts.crossJoin(broadcast(total))
+      // integer cross-multiplication, not division: exact in both engines
+      .filter(col("n") * k > col("total"))
+      .select(col("token"), col("n"))
+      .orderBy(col("n").desc, col("token"))
+  }
+
+  /** Corpus frequent-token mining: tokens holding > 1/40 of the stream. */
+  def qHeavyHitters(spark: SparkSession, dir: String): DataFrame =
+    heavyHitters(
+      Tables.documents(spark, dir)
+        .select(explode(split(lower(trim(col("text"))), " ")).as("token")),
+      "token", k = 40)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_decontaminate" -> (qDecontaminate _),
     "q_sample_capped" -> (qSampleCapped _),
     "q_tfidf_top"     -> (qTfidfTop _),
+    "q_heavy_hitters" -> (qHeavyHitters _),
   )
 
   val oracle: Map[String, String] = Map(
+    "q_heavy_hitters" ->
+      """WITH toks AS (
+        |  SELECT UNNEST(STRING_SPLIT(LOWER(TRIM(text)), ' ')) AS token FROM documents),
+        |counts AS (SELECT token, COUNT(*) AS n FROM toks GROUP BY token),
+        |total AS (SELECT COUNT(*) AS total FROM toks)
+        |SELECT token, n FROM counts, total
+        |WHERE n * 40 > total
+        |ORDER BY n DESC, token""".stripMargin,
     "q_decontaminate" ->
       """WITH toks AS (
         |  SELECT doc_id, source, STRING_SPLIT(LOWER(TRIM(text)), ' ') AS t FROM documents),

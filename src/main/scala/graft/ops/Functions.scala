@@ -172,6 +172,29 @@ object Functions extends QueryModule {
         lit("2026-01-01 00:00:00").cast("timestamp").as("created_at_datalake"))
       .orderBy(col("n_nationkey"))
 
+  /** Struct construction + field access + JSON serialization: pack columns
+    * into a named struct, read a field back through the struct, and emit
+    * the struct as canonical JSON (both engines serialize {"k":v} with no
+    * whitespace and document key order, so the string is oracle-stable for
+    * integer/string fields — doubles are kept OUT of the JSON because
+    * double→string rendering diverges between engines). Struct columns are
+    * the schema tool for multimodal metadata (see Multimodal.scala) and
+    * nested ingest (R3); this key pins their scalar semantics. */
+  def qFnStruct(spark: SparkSession, dir: String): DataFrame =
+    Tables.customer(spark, dir)
+      .filter(col("c_acctbal") > 9500)
+      .select(
+        col("c_custkey"),
+        struct(
+          col("c_custkey").as("custkey"),
+          col("c_mktsegment").as("seg"),
+          col("c_nationkey").cast("long").as("nation")).as("meta"))
+      .select(
+        col("c_custkey"),
+        col("meta.seg").as("seg_from_struct"),
+        to_json(col("meta")).as("meta_json"))
+      .orderBy(col("c_custkey"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_fn_string" -> (qFnString _),
     "q_fn_date"   -> (qFnDate _),
@@ -182,9 +205,19 @@ object Functions extends QueryModule {
     "q_fn_json"   -> (qFnJson _),
     "q_flatten"   -> (qFlatten _),
     "q_stamp"     -> (qStamp _),
+    "q_fn_struct" -> (qFnStruct _),
   )
 
   val oracle: Map[String, String] = Map(
+    "q_fn_struct" ->
+      """SELECT c_custkey,
+        |       c_mktsegment AS seg_from_struct,
+        |       to_json(struct_pack(
+        |         custkey := c_custkey,
+        |         seg := c_mktsegment,
+        |         nation := CAST(c_nationkey AS BIGINT))) AS meta_json
+        |FROM customer WHERE c_acctbal > 9500
+        |ORDER BY c_custkey""".stripMargin,
     "q_fn_bitwise" ->
       """SELECT event_id,
         |       event_id & 255 AS lo_byte,

@@ -1,0 +1,90 @@
+package graft.ops
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Iterative graph computation on DataFrames — the pattern behind PageRank,
+  * label propagation (see Dedup's connected components), and influence
+  * scoring, expressed as a driver-side loop over declarative joins.
+  *
+  * The graph: parts co-ordered within the same order form an undirected
+  * co-occurrence edge (the classic co-purchase graph). PageRank runs in
+  * INTEGER micro-units with floor division — damping 0.85 becomes
+  * `(85 * Σ contributions) div 100` — so every iteration is exact integer
+  * arithmetic, order-independent, and bit-identical in any engine: a
+  * DuckDB SQL twin with the same unrolled iterations verifies a fixed
+  * point of the same recurrence. (Float PageRank sums contributions in
+  * partition order and is NOT cross-engine reproducible — the integer
+  * formulation is what makes an oracle possible at all.)
+  *
+  * Scale shape per iteration: one join of edges⋈ranks on src (both sides
+  * pre-partitioned on the same key, so AQE reuses the exchange), one
+  * aggregation on dst. Ranks are `localCheckpoint`ed each round to
+  * truncate the lineage — without it the plan doubles per iteration and
+  * the job graph blows up by iteration ~20 (the standard iterative-Spark
+  * trap). Degrees are computed once and re-joined, never recomputed.
+  */
+object Graph extends QueryModule {
+
+  private val Iterations = 3
+
+  /** Distinct directed co-occurrence edges (both directions present). */
+  private def edges(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir).select(col("l_orderkey"), col("l_partkey"))
+    val a = li.select(col("l_orderkey"), col("l_partkey").as("src"))
+    val b = li.select(col("l_orderkey"), col("l_partkey").as("dst"))
+    a.join(b, "l_orderkey")
+      .filter(col("src") =!= col("dst"))
+      .select(col("src"), col("dst")).distinct()
+  }
+
+  /** 3-iteration integer PageRank over the part co-purchase graph. */
+  def qPagerank(spark: SparkSession, dir: String): DataFrame = {
+    val e = edges(spark, dir).localCheckpoint(eager = false)
+    val deg = e.groupBy(col("src")).agg(count(lit(1)).as("d"))
+    var ranks = e.select(col("src").as("node")).distinct()
+      .withColumn("r", lit(1000000L))
+    for (_ <- 1 to Iterations) {
+      ranks = e
+        .join(ranks, e("src") === ranks("node"))
+        .join(deg, "src")
+        .select(col("dst"), expr("r div d").as("c"))
+        .groupBy(col("dst"))
+        .agg(expr("150000L + (85 * sum(c)) div 100").as("r"))
+        .select(col("dst").as("node"), col("r"))
+        .localCheckpoint(eager = false)
+    }
+    ranks.orderBy(col("r").desc, col("node"))
+      .limit(100)
+      .select(col("node").as("partkey"), col("r").as("rank_micro"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_pagerank" -> (qPagerank _),
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q_pagerank" ->
+      """WITH e AS (
+        |  SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+        |  FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+        |  WHERE a.l_partkey <> b.l_partkey),
+        |deg AS (SELECT src, COUNT(*) AS d FROM e GROUP BY src),
+        |r0 AS (SELECT DISTINCT src AS node, CAST(1000000 AS BIGINT) AS r FROM e),
+        |r1 AS (
+        |  SELECT e.dst AS node, 150000 + (85 * SUM(r.r // d.d)) // 100 AS r
+        |  FROM e JOIN r0 r ON e.src = r.node JOIN deg d ON e.src = d.src
+        |  GROUP BY e.dst),
+        |r2 AS (
+        |  SELECT e.dst AS node, 150000 + (85 * SUM(r.r // d.d)) // 100 AS r
+        |  FROM e JOIN r1 r ON e.src = r.node JOIN deg d ON e.src = d.src
+        |  GROUP BY e.dst),
+        |r3 AS (
+        |  SELECT e.dst AS node, 150000 + (85 * SUM(r.r // d.d)) // 100 AS r
+        |  FROM e JOIN r2 r ON e.src = r.node JOIN deg d ON e.src = d.src
+        |  GROUP BY e.dst)
+        |SELECT node AS partkey, CAST(r AS BIGINT) AS rank_micro
+        |FROM r3 ORDER BY r DESC, node LIMIT 100""".stripMargin,
+  )
+}

@@ -173,6 +173,51 @@ object Joins extends QueryModule {
       .orderBy(col("o_orderstatus"))
   }
 
+  /** Null-safe equality join (`<=>` / IS NOT DISTINCT FROM): NULL keys match
+    * each other instead of silently dropping out of an equi-join. The fact
+    * side nulls out one priority class, the dim side is the distinct key set
+    * with the same null injected — a plain `=` join would lose ~20% of the
+    * rows (the NULL class); `<=>` keeps the join total-preserving, which the
+    * grouped row counts make checkable. Plans as a regular hash join (the
+    * null-safe comparison is part of the join key), so it shuffles once on
+    * the key like any equi-join — no nested-loop penalty at scale. */
+  def qJoinNullsafe(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+      .withColumn("pri", when(col("o_orderpriority") === "3-MEDIUM", lit(null).cast("string"))
+        .otherwise(col("o_orderpriority")))
+    val dim = o.select(col("pri")).distinct()
+      .select(col("pri").as("d_pri"), coalesce(col("pri"), lit("unspecified")).as("pri_label"))
+    o.join(dim, o("pri") <=> dim("d_pri"))
+      .groupBy(col("pri_label"))
+      .agg(count(lit(1)).as("n"), round(sum(col("o_totalprice")), 2).as("total"))
+      .orderBy(col("pri_label"))
+  }
+
+  /** Runtime bloom-filter join pruning, spelled out: build a 2-hash bloom
+    * filter over the (filtered, small) dim keys, pre-filter the fact scan
+    * with cheap bitwise probes, then exact semi-join the survivors — the
+    * bloom pass removes most non-matching fact rows BEFORE the join
+    * shuffle, the semi join removes the false positives, so the result is
+    * exactly the plain semi join (which is the oracle). This is the manual
+    * form of Spark's own InjectRuntimeFilter / DPP: the one driver
+    * round-trip collects the FILTER ITSELF (m/8 = 32 KiB, bounded by the
+    * filter geometry regardless of data scale — same contract as a
+    * broadcast), never data rows. At 100 TB the probe is a codegen'd
+    * bitwise AND against a plan-embedded literal array — no shuffle, no
+    * UDF. */
+  def qJoinBloom(spark: SparkSession, dir: String): DataFrame = {
+    val dim = Tables.orders(spark, dir)
+      .filter(col("o_orderpriority") === "1-URGENT" && col("o_totalprice") > 150000)
+      .select(col("o_orderkey"))
+    val fact = Scale.bloomPrune(
+      Tables.lineitem(spark, dir), "l_orderkey", dim, "o_orderkey", mBits = 1 << 18)
+    fact.join(dim, col("l_orderkey") === col("o_orderkey"), "left_semi")
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n_lines"),
+        round(sum(col("l_extendedprice")), 2).as("sum_price"))
+      .orderBy(col("l_returnflag"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_join_inner"     -> (qJoinInner _),
     "q_join_left"      -> (qJoinLeft _),
@@ -183,6 +228,8 @@ object Joins extends QueryModule {
     "q_join_range"     -> (qJoinRange _),
     "q_join_full"      -> (qJoinFull _),
     "q_join_salted"    -> (qJoinSalted _),
+    "q_join_nullsafe"  -> (qJoinNullsafe _),
+    "q_join_bloom"     -> (qJoinBloom _),
     "q_asof"           -> (qAsof _),
   )
 
@@ -245,6 +292,26 @@ object Joins extends QueryModule {
         |       ROUND(SUM(l_quantity), 2) AS sum_qty
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    "q_join_bloom" ->
+      """SELECT l_returnflag, COUNT(*) AS n_lines,
+        |       ROUND(SUM(l_extendedprice), 2) AS sum_price
+        |FROM lineitem
+        |WHERE l_orderkey IN (
+        |  SELECT o_orderkey FROM orders
+        |  WHERE o_orderpriority = '1-URGENT' AND o_totalprice > 150000)
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q_join_nullsafe" ->
+      """WITH o AS (
+        |  SELECT CASE WHEN o_orderpriority = '3-MEDIUM' THEN NULL
+        |              ELSE o_orderpriority END AS pri,
+        |         o_totalprice
+        |  FROM orders),
+        |d AS (
+        |  SELECT pri AS d_pri, COALESCE(pri, 'unspecified') AS pri_label
+        |  FROM (SELECT DISTINCT pri FROM o) t)
+        |SELECT pri_label, COUNT(*) AS n, ROUND(SUM(o_totalprice), 2) AS total
+        |FROM o JOIN d ON o.pri IS NOT DISTINCT FROM d.d_pri
+        |GROUP BY pri_label ORDER BY pri_label""".stripMargin,
     "q_asof" ->
       """SELECT l_orderkey, l_linenumber, CAST(l_shipdate AS DATE) AS asof_date,
         |       l_quantity

@@ -41,6 +41,40 @@ object Scale {
   def writePartitioned(df: DataFrame, path: String, partitionCol: String): Unit =
     df.write.mode(SaveMode.Overwrite).partitionBy(partitionCol).parquet(path)
 
+  /** Bloom-filter pre-prune for a selective join: build a 2-hash bloom
+    * filter over `keys`'s `keyCol` values and return `fact` filtered to
+    * rows whose `factKey` MIGHT be in the key set (no false negatives;
+    * false-positive rate ≈ (1−e^(−2n/m))² — about 1% for n=20k keys in
+    * m=2^18 bits). The one driver round-trip collects the FILTER ITSELF
+    * (m/8 bytes, bounded by the filter geometry regardless of data scale —
+    * the same contract as a broadcast, and the manual form of Spark's own
+    * InjectRuntimeFilter). The probe is a codegen'd bitwise AND against a
+    * plan-embedded literal array: no shuffle, no UDF, so at 100 TB the
+    * non-matching bulk of the fact table dies at the scan, before the join
+    * shuffle. Callers needing exact semantics follow with the real join
+    * (which also removes the false positives). */
+  def bloomPrune(fact: DataFrame, factKey: String,
+      keys: DataFrame, keyCol: String, mBits: Int): DataFrame = {
+    require((mBits & (mBits - 1)) == 0 && mBits >= 64, "mBits: power of two >= 64")
+    val pos = keys.select(explode(array(
+        pmod(xxhash64(col(keyCol)), lit(mBits.toLong)),
+        pmod(xxhash64(lit(7), col(keyCol)), lit(mBits.toLong)))).as("p"))
+      .distinct().collect().map(_.getLong(0).toInt)
+    val words = new Array[Long](mBits / 64)
+    pos.foreach(p => words(p >> 6) |= 1L << (p & 63))
+    fact
+      .withColumn("_h1", pmod(xxhash64(col(factKey)), lit(mBits.toLong)))
+      .withColumn("_h2", pmod(xxhash64(lit(7), col(factKey)), lit(mBits.toLong)))
+      .withColumn("_bits", lit(words))
+      .filter(expr(
+        """(element_at(_bits, CAST(shiftright(_h1, 6) AS INT) + 1)
+          |   & shiftleft(CAST(1 AS BIGINT), CAST(_h1 & 63 AS INT))) <> 0
+          |AND
+          |(element_at(_bits, CAST(shiftright(_h2, 6) AS INT) + 1)
+          |   & shiftleft(CAST(1 AS BIGINT), CAST(_h2 & 63 AS INT))) <> 0""".stripMargin))
+      .drop("_bits", "_h1", "_h2")
+  }
+
   /** Skew-safe equi-join: fact row → one of `salts` sub-keys (deterministic
     * hash of the whole row tuple); dim row → replicated to all sub-keys.
     * Semantically identical to fact.join(dim, factKey === dimKey). */

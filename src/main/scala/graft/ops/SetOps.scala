@@ -70,8 +70,26 @@ object SetOps extends QueryModule {
       .orderBy(col("custkey"))
   }
 
+  /** Schema-evolving append: unionByName(allowMissingColumns=true) aligns
+    * columns BY NAME and null-fills what either side lacks — the operation
+    * behind appending a new load whose schema drifted (a column added or
+    * dropped between batches, the reference's re-run reality over time).
+    * Positional UNION ALL would silently misalign; by-name union is the
+    * only safe form once schemas evolve. Still a zero-shuffle concat. */
+  def qUnionByName(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir).filter(col("c_acctbal") > 9000)
+      .select(col("c_custkey").as("id"), col("c_name").as("name"),
+        round(col("c_acctbal"), 2).as("acctbal"), lit("customer").as("kind"))
+    val s = Tables.supplier(spark, dir).filter(col("s_acctbal") > 9000)
+      .select(col("s_suppkey").as("id"), col("s_name").as("name"),
+        col("s_nationkey").cast("long").as("nationkey"), lit("supplier").as("kind"))
+    c.unionByName(s, allowMissingColumns = true)
+      .orderBy(col("kind"), col("id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_union"         -> (qUnion _),
+    "q_union_by_name" -> (qUnionByName _),
     "q_intersect"     -> (qIntersect _),
     "q_except"        -> (qExcept _),
     "q_intersect_all" -> (qIntersectAll _),
@@ -88,6 +106,16 @@ object SetOps extends QueryModule {
         |  SELECT o_orderkey, o_totalprice, 'batch_big' AS batch FROM orders
         |  WHERE o_totalprice > 50000) t
         |GROUP BY batch ORDER BY batch""".stripMargin,
+    "q_union_by_name" ->
+      """SELECT * FROM (
+        |  SELECT c_custkey AS id, c_name AS name,
+        |         ROUND(c_acctbal, 2) AS acctbal, 'customer' AS kind
+        |  FROM customer WHERE c_acctbal > 9000
+        |  UNION ALL BY NAME
+        |  SELECT s_suppkey AS id, s_name AS name,
+        |         CAST(s_nationkey AS BIGINT) AS nationkey, 'supplier' AS kind
+        |  FROM supplier WHERE s_acctbal > 9000) t
+        |ORDER BY kind, id""".stripMargin,
     "q_intersect" ->
       """SELECT o_custkey AS custkey FROM orders
         |INTERSECT

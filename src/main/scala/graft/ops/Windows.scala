@@ -160,6 +160,50 @@ object Windows extends QueryModule {
       .orderBy(col("l_returnflag"), col("l_linestatus"))
   }
 
+  /** first_value / last_value / nth_value over an explicit full-partition
+    * frame: per market segment, the earliest, latest, and third order (by
+    * date, orderkey-tie-broken). The frame MUST be spelled out — the SQL
+    * default (RANGE UNBOUNDED PRECEDING .. CURRENT ROW) makes last_value a
+    * running value, the classic silent-wrong-answer. Every row in a segment
+    * then carries identical values, so distinct collapses to one row per
+    * segment and the shuffle output is tiny. */
+  def qWinFirstLast(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window
+      .partitionBy(col("c_mktsegment"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    Tables.orders(spark, dir)
+      .join(Tables.customer(spark, dir), col("o_custkey") === col("c_custkey"))
+      .select(col("c_mktsegment"), col("o_orderdate"), col("o_orderkey"), col("o_totalprice"))
+      .select(col("c_mktsegment"),
+        first(col("o_orderkey")).over(w).as("first_order"),
+        last(col("o_orderkey")).over(w).as("last_order"),
+        nth_value(col("o_orderkey"), 3).over(w).as("third_order"),
+        round(first(col("o_totalprice")).over(w), 2).as("first_price"))
+      .distinct()
+      .orderBy(col("c_mktsegment"))
+  }
+
+  /** Running COUNT(DISTINCT) over a window — which Spark (and standard SQL
+    * engines generally) refuse as a window aggregate — via the two-window
+    * rewrite: mark each user's FIRST occurrence within the event type
+    * (row_number over (type, user) = 1), then running-sum the markers over
+    * the (type, time) window. Same shuffle count as any window pair on the
+    * same partition key (one Exchange on event_type; the (type, user)
+    * window is a narrow re-sort within it), fully deterministic via the
+    * (ts, event_id) total order. */
+  def qWinCountDistinct(spark: SparkSession, dir: String): DataFrame = {
+    val wUser = Window.partitionBy(col("event_type"), col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val wRun = Window.partitionBy(col("event_type"))
+      .orderBy(col("ts"), col("event_id"))
+    Tables.events(spark, dir)
+      .withColumn("is_first", when(row_number().over(wUser) === 1, 1L).otherwise(0L))
+      .withColumn("distinct_users_so_far", sum(col("is_first")).over(wRun))
+      .select(col("event_id"), col("event_type"), col("distinct_users_so_far"))
+      .orderBy(col("event_type"), col("event_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_win_rank"       -> (qWinRank _),
     "q_win_dist"       -> (qWinDist _),
@@ -170,10 +214,34 @@ object Windows extends QueryModule {
     "q_win_share"      -> (qWinShare _),
     "q_win_latest"     -> (qWinLatest _),
     "q_win_ntile"      -> (qWinNtile _),
+    "q_win_first_last" -> (qWinFirstLast _),
+    "q_win_count_distinct" -> (qWinCountDistinct _),
     "q_topk_per_group" -> (qTopkPerGroup _),
   )
 
   val oracle: Map[String, String] = Map(
+    "q_win_count_distinct" ->
+      """WITH marked AS (
+        |  SELECT event_id, event_type, ts,
+        |         CASE WHEN ROW_NUMBER() OVER (PARTITION BY event_type, user_id
+        |                                      ORDER BY ts, event_id) = 1
+        |              THEN 1 ELSE 0 END AS is_first
+        |  FROM events)
+        |SELECT event_id, event_type,
+        |       CAST(SUM(is_first) OVER (PARTITION BY event_type ORDER BY ts, event_id)
+        |            AS BIGINT) AS distinct_users_so_far
+        |FROM marked ORDER BY event_type, event_id""".stripMargin,
+    "q_win_first_last" ->
+      """SELECT DISTINCT c_mktsegment,
+        |  FIRST_VALUE(o_orderkey) OVER w AS first_order,
+        |  LAST_VALUE(o_orderkey) OVER w AS last_order,
+        |  NTH_VALUE(o_orderkey, 3) OVER w AS third_order,
+        |  ROUND(FIRST_VALUE(o_totalprice) OVER w, 2) AS first_price
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |WINDOW w AS (PARTITION BY c_mktsegment
+        |             ORDER BY o_orderdate, o_orderkey
+        |             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        |ORDER BY c_mktsegment""".stripMargin,
     "q_win_rank" ->
       """SELECT event_type, event_id, ROUND(value, 4) AS value, rn, rnk, drnk
         |FROM (SELECT event_type, event_id, value,

@@ -118,4 +118,49 @@ class AggregationsSpec extends SparkSpec {
       assert(p50 <= p90 && p90 <= p99)
     }
   }
+
+  test("bool aggregates match direct per-group predicates") {
+    val rows = Aggregations.qAggBool(spark, sf).collect()
+    val o = Tables.orders(spark, sf).collect()
+      .groupBy(_.getAs[String]("o_orderpriority"))
+    rows.foreach { r =>
+      val g = o(r.getString(0))
+      assert(r.getBoolean(1) == g.forall(_.getAs[Double]("o_totalprice") > 500))
+      assert(r.getBoolean(2) == g.exists(_.getAs[String]("o_orderstatus") == "F"))
+      assert(r.getLong(3) == g.count(_.getAs[Double]("o_totalprice") > 100000))
+    }
+  }
+
+  test("bit aggregates match a fold over the group's keys") {
+    val rows = Aggregations.qAggBits(spark, sf).collect()
+    val li = Tables.lineitem(spark, sf).select("l_returnflag", "l_partkey").collect()
+      .groupBy(_.getString(0)).view.mapValues(_.map(_.getLong(1))).toMap
+    rows.foreach { r =>
+      val ks = li(r.getString(0))
+      assert(r.getLong(1) == ks.reduce(_ & _))
+      assert(r.getLong(2) == ks.reduce(_ | _))
+      assert(r.getLong(3) == ks.reduce(_ ^ _))
+      assert(r.getLong(4) == ks.length)
+    }
+  }
+
+  test("regression closed form matches a direct least-squares fit") {
+    val rows = Aggregations.qRegr(spark, sf).collect()
+    val li = Tables.lineitem(spark, sf)
+      .select("l_returnflag", "l_quantity", "l_extendedprice").collect()
+      .groupBy(_.getString(0))
+    rows.foreach { r =>
+      val g = li(r.getString(0)).map(x => (x.getDouble(1), x.getDouble(2)))
+      val n = g.length.toDouble
+      val (sx, sy) = (g.map(_._1).sum, g.map(_._2).sum)
+      val sxy = g.map(p => p._1 * p._2).sum
+      val sx2 = g.map(p => p._1 * p._1).sum
+      val slope = (n * sxy - sx * sy) / (n * sx2 - sx * sx)
+      val intercept = (sy - slope * sx) / n
+      assert(math.abs(r.getDouble(2) - slope) < 1e-3, s"slope ${r.getString(0)}")
+      assert(math.abs(r.getDouble(3) - intercept) < 1e-1, s"intercept ${r.getString(0)}")
+      val r2 = r.getDouble(4)
+      assert(r2 >= 0.0 && r2 <= 1.0)
+    }
+  }
 }

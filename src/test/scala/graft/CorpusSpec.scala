@@ -167,4 +167,34 @@ class CorpusSpec extends SparkSpec {
       .orderBy(col("tfidf").desc).collect()(0).getDouble(2)
     assert(math.abs(engineBest - math.floor(bruteBest * 1e6 + 0.5) / 1e6) < 1e-9)
   }
+
+  test("misra-gries heavy hitters are exact on a skewed stream with cardinality >> k") {
+    import spark.implicits._
+    // 3 planted heavy tokens + 2000 singletons; k=10 counters per partition
+    // forces real MG evictions (state never exceeds k), yet the two-pass
+    // result must still be the exact > N/k set.
+    val heavy = Seq.fill(800)("hot1") ++ Seq.fill(500)("hot2") ++ Seq.fill(300)("hot3")
+    val noise = (0 until 2000).map(i => s"t$i")
+    val rng = new scala.util.Random(42)
+    val stream = rng.shuffle(heavy ++ noise).toDF("token").repartition(8)
+    val k = 10
+    val got = Corpus.heavyHitters(stream, "token", k).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val n = heavy.size + noise.size // 3600; threshold n/k = 360
+    val expected = Map("hot1" -> 800L, "hot2" -> 500L)
+    assert(got == expected, s"exact > N/$k set; hot3 (300 < ${n / k}) excluded")
+  }
+
+  test("heavy hitters on documents match a plain exact group-by") {
+    val got = Corpus.qHeavyHitters(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val toks = Tables.documents(spark, sf)
+      .select(org.apache.spark.sql.functions.explode(
+        split(lower(trim(col("text"))), " ")).as("token"))
+    val total = toks.count()
+    val exact = toks.groupBy("token").count()
+      .filter(col("count") * 40 > total).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == exact)
+  }
 }

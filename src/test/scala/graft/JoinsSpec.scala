@@ -1,6 +1,6 @@
 package graft
 
-import graft.ops.Joins
+import graft.ops.{Joins, Scale}
 import org.apache.spark.sql.functions._
 
 class JoinsSpec extends SparkSpec {
@@ -56,5 +56,41 @@ class JoinsSpec extends SparkSpec {
         assert(r.isNullAt(2) == !sKeys.contains(k))
       }
     } finally df.unpersist()
+  }
+
+  test("nullsafe join preserves every order row, including the nulled class") {
+    val rows = Joins.qJoinNullsafe(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val o = Tables.orders(spark, sf)
+    // total-preserving: a plain = join would lose the 3-MEDIUM (nulled) rows
+    assert(rows.values.sum == o.count())
+    assert(rows("unspecified") == o.filter(col("o_orderpriority") === "3-MEDIUM").count())
+  }
+
+  test("bloom-pruned join equals the plain semi join and the bloom rejects most non-matches") {
+    // equivalence: the bloom stage is semantically invisible
+    val dim = Tables.orders(spark, sf)
+      .filter(col("o_orderpriority") === "1-URGENT" && col("o_totalprice") > 150000)
+      .select(col("o_orderkey"))
+    val plain = Tables.lineitem(spark, sf)
+      .join(dim, col("l_orderkey") === col("o_orderkey"), "left_semi")
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n_lines"),
+        round(sum(col("l_extendedprice")), 2).as("sum_price"))
+    val got = Joins.qJoinBloom(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).sorted
+    val want = plain.collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).sorted
+    assert(got.sameElements(want))
+    // pruning power: measure the bloom stage directly — no false negatives,
+    // and the false-positive overhang stays under 5% of the fact table
+    val fact = Tables.lineitem(spark, sf)
+    val pruned = Scale.bloomPrune(fact, "l_orderkey", dim, "o_orderkey", 1 << 18)
+    val nFact = fact.count()
+    val nPruned = pruned.count()
+    val nMatch = fact.join(dim, col("l_orderkey") === col("o_orderkey"), "left_semi").count()
+    assert(nPruned >= nMatch, "a bloom filter never drops a true match")
+    assert(nPruned - nMatch <= nFact / 20,
+      s"false-positive overhang too large: $nPruned pruned vs $nMatch true of $nFact")
   }
 }

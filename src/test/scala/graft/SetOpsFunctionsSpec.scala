@@ -59,4 +59,26 @@ class SetOpsFunctionsSpec extends SparkSpec {
     assert(df.filter(col("norm_sq") < 0).count() == 0)
     assert(df.select("dim").distinct().collect().map(_.getInt(0)).sameElements(Array(64)))
   }
+
+  test("union by name aligns drifted schemas and null-fills the gaps") {
+    val df = SetOps.qUnionByName(spark, sf).cache()
+    try {
+      assert(df.columns.toSeq == Seq("id", "name", "acctbal", "kind", "nationkey"))
+      // each side's exclusive column is null exactly on the other side's rows
+      assert(df.filter(col("kind") === "supplier" && col("acctbal").isNotNull).count() == 0)
+      assert(df.filter(col("kind") === "customer" && col("nationkey").isNotNull).count() == 0)
+      val nCust = Tables.customer(spark, sf).filter(col("c_acctbal") > 9000).count()
+      val nSupp = Tables.supplier(spark, sf).filter(col("s_acctbal") > 9000).count()
+      assert(df.count() == nCust + nSupp)
+    } finally df.unpersist()
+  }
+
+  test("struct json round-trips and the struct field matches its source column") {
+    val df = Functions.qFnStruct(spark, sf)
+    val reparsed = df.select(col("c_custkey"), col("seg_from_struct"),
+      get_json_object(col("meta_json"), "$.custkey").cast("long").as("jk"),
+      get_json_object(col("meta_json"), "$.seg").as("js"))
+    assert(reparsed.filter(col("jk") =!= col("c_custkey")).count() == 0)
+    assert(reparsed.filter(col("js") =!= col("seg_from_struct")).count() == 0)
+  }
 }

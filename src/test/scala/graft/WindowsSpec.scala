@@ -103,4 +103,35 @@ class WindowsSpec extends SparkSpec {
     // the first row of each ascending group is percent_rank 0
     rows.filter(_.getInt(4) == 1).foreach(r => assert(r.getDouble(2) == 0.0))
   }
+
+  test("running distinct count ends at the true distinct count and never decreases") {
+    val rows = Windows.qWinCountDistinct(spark, sf).collect()
+    val byType = rows.groupBy(_.getString(1))
+    val truth = Tables.events(spark, sf).groupBy("event_type")
+      .agg(countDistinct("user_id").as("n")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    byType.foreach { case (tpe, g) =>
+      val counts = g.map(_.getLong(2))
+      assert(counts.max == truth(tpe), s"final running count = exact distinct for $tpe")
+      assert(counts.min >= 1)
+    }
+  }
+
+  test("first/last/nth over the full frame match the sorted segment order") {
+    val rows = Windows.qWinFirstLast(spark, sf).collect()
+    val orders = Tables.orders(spark, sf)
+      .join(Tables.customer(spark, sf), col("o_custkey") === col("c_custkey"))
+      .select(col("c_mktsegment"), col("o_orderdate").cast("string"), col("o_orderkey"))
+      .collect()
+      .groupBy(_.getString(0)).view
+      .mapValues(_.map(r => (r.getString(1), r.getLong(2)))
+        .sortBy(identity).map(_._2)).toMap
+    assert(rows.length == orders.size, "one collapsed row per segment")
+    rows.foreach { r =>
+      val seq = orders(r.getString(0))
+      assert(r.getLong(1) == seq.head, "first_value = argmin by (date, key)")
+      assert(r.getLong(2) == seq.last, "last_value = argmax (full frame, not running)")
+      assert(r.getLong(3) == seq(2), "nth_value(3)")
+    }
+  }
 }

@@ -341,6 +341,36 @@ object Aggregations extends QueryModule {
             |   * (CAST(n AS DOUBLE) * CAST(sy2 AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))""".stripMargin), 6).as("r2"))
       .orderBy(col("l_returnflag"))
 
+  /** Algebraic partial-aggregate merge — the pre-aggregation pattern behind
+    * incremental view maintenance and cube serving: first materialize a
+    * DAILY aggregate table (count / exact cent sum / min / max per (day,
+    * type)), then answer the per-type rollup by MERGING the daily partials
+    * (sum of counts, sum of sums, min of mins, max of maxes) instead of
+    * re-scanning the events. Because these aggregates are algebraic the
+    * merge is lossless — the DuckDB oracle computes straight from the base
+    * table and must agree exactly. At 100 TB this is the difference
+    * between re-reading the fact table per dashboard query and reading a
+    * table 10⁴× smaller; n_days additionally proves the rollup really went
+    * through the daily granularity. */
+  def qAggMerge(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(spark, dir)
+      .withColumn("day", to_date(col("ts")))
+      .withColumn("cents", expr("CAST(round(value * 100) AS BIGINT)"))
+      .groupBy(col("event_type"), col("day"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("cents").cast("decimal(38,0)")).as("s"),
+        min(col("value")).as("vmin"), max(col("value")).as("vmax"))
+    daily.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_days"),
+        sum(col("n")).as("n_events"),
+        sum(col("s")).as("s"),
+        min(col("vmin")).as("vmin"), max(col("vmax")).as("vmax"))
+      .select(col("event_type"), col("n_days"), col("n_events"),
+        expr("CAST(s AS DOUBLE) / 100.0").as("total"),
+        round(col("vmin"), 4).as("vmin"), round(col("vmax"), 4).as("vmax"))
+      .orderBy(col("event_type"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_agg_group"           -> (qAggGroup _),
     "q_agg_stats"           -> (qAggStats _),
@@ -360,6 +390,7 @@ object Aggregations extends QueryModule {
     "q_agg_bool"            -> (qAggBool _),
     "q_agg_bits"            -> (qAggBits _),
     "q_regr"                -> (qRegr _),
+    "q_agg_merge"           -> (qAggMerge _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -401,6 +432,15 @@ object Aggregations extends QueryModule {
         |        / ((CAST(n AS DOUBLE) * CAST(sx2 AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
         |           * (CAST(n AS DOUBLE) * CAST(sy2 AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6) AS r2
         |FROM sums ORDER BY l_returnflag""".stripMargin,
+    "q_agg_merge" ->
+      """SELECT event_type,
+        |       COUNT(DISTINCT CAST(ts AS DATE)) AS n_days,
+        |       COUNT(*) AS n_events,
+        |       CAST(SUM(CAST(CAST(ROUND(value * 100) AS BIGINT) AS DECIMAL(38,0))) AS DOUBLE)
+        |         / 100.0 AS total,
+        |       ROUND(MIN(value), 4) AS vmin,
+        |       ROUND(MAX(value), 4) AS vmax
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "q_agg_mode" ->
       """WITH cnt AS (
         |  SELECT p_brand, p_type, COUNT(*) AS n FROM part GROUP BY p_brand, p_type),

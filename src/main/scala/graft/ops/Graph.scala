@@ -41,14 +41,17 @@ object Graph extends QueryModule {
 
   /** 3-iteration integer PageRank over the part co-purchase graph. */
   def qPagerank(spark: SparkSession, dir: String): DataFrame = {
-    val e = edges(spark, dir).localCheckpoint(eager = false)
-    val deg = e.groupBy(col("src")).agg(count(lit(1)).as("d"))
+    // degree folded INTO the edge table once, before the loop — each
+    // iteration then runs exactly one join + one aggregation instead of two
+    // joins (measured ~1/3 of the per-iteration time at sf0.1)
+    val e0 = edges(spark, dir)
+    val deg = e0.groupBy(col("src")).agg(count(lit(1)).as("d"))
+    val e = e0.join(deg, "src").localCheckpoint(eager = false)
     var ranks = e.select(col("src").as("node")).distinct()
       .withColumn("r", lit(1000000L))
     for (_ <- 1 to Iterations) {
       ranks = e
         .join(ranks, e("src") === ranks("node"))
-        .join(deg, "src")
         .select(col("dst"), expr("r div d").as("c"))
         .groupBy(col("dst"))
         .agg(expr("150000L + (85 * sum(c)) div 100").as("r"))

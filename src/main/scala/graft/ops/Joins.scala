@@ -218,6 +218,28 @@ object Joins extends QueryModule {
       .orderBy(col("l_returnflag"))
   }
 
+  /** Nearest-match as-of (vs [[qAsof]]'s backward-only match): for each
+    * order, the line whose ship date lands CLOSEST to the expected-delivery
+    * pivot (order date + 30 days) — the time-series alignment that pairs
+    * each reading with its nearest neighbor in another series rather than
+    * the last one before it. Same scale shape as any as-of: one window
+    * over the join key, total-ordered tie-break (distance, then earlier
+    * date, then line number). */
+  def qAsofNearest(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("l_orderkey"))
+      .orderBy(col("days_off"), col("l_shipdate"), col("l_linenumber"))
+    Tables.lineitem(spark, dir)
+      .join(Tables.orders(spark, dir), col("l_orderkey") === col("o_orderkey"))
+      .withColumn("days_off",
+        abs(datediff(col("l_shipdate"), expr("o_orderdate + INTERVAL 30 DAYS"))))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("l_orderkey"), col("l_linenumber"),
+        to_date(col("l_shipdate")).as("nearest_ship"), col("days_off"))
+      .orderBy(col("l_orderkey"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_join_inner"     -> (qJoinInner _),
     "q_join_left"      -> (qJoinLeft _),
@@ -231,6 +253,7 @@ object Joins extends QueryModule {
     "q_join_nullsafe"  -> (qJoinNullsafe _),
     "q_join_bloom"     -> (qJoinBloom _),
     "q_asof"           -> (qAsof _),
+    "q_asof_nearest"   -> (qAsofNearest _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -312,6 +335,17 @@ object Joins extends QueryModule {
         |SELECT pri_label, COUNT(*) AS n, ROUND(SUM(o_totalprice), 2) AS total
         |FROM o JOIN d ON o.pri IS NOT DISTINCT FROM d.d_pri
         |GROUP BY pri_label ORDER BY pri_label""".stripMargin,
+    "q_asof_nearest" ->
+      """SELECT l_orderkey, l_linenumber,
+        |       CAST(l_shipdate AS DATE) AS nearest_ship, days_off
+        |FROM (SELECT l_orderkey, l_linenumber, l_shipdate,
+        |        CAST(ABS(DATE_DIFF('day', o_orderdate + INTERVAL 30 DAY, l_shipdate)) AS INT)
+        |          AS days_off,
+        |        ROW_NUMBER() OVER (PARTITION BY l_orderkey
+        |          ORDER BY ABS(DATE_DIFF('day', o_orderdate + INTERVAL 30 DAY, l_shipdate)),
+        |                   l_shipdate, l_linenumber) AS rn
+        |      FROM lineitem JOIN orders ON l_orderkey = o_orderkey) t
+        |WHERE rn = 1 ORDER BY l_orderkey""".stripMargin,
     "q_asof" ->
       """SELECT l_orderkey, l_linenumber, CAST(l_shipdate AS DATE) AS asof_date,
         |       l_quantity

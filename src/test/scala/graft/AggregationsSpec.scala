@@ -144,6 +144,19 @@ class AggregationsSpec extends SparkSpec {
     }
   }
 
+  test("merged daily partials equal a direct single-pass aggregation") {
+    val merged = Aggregations.qAggMerge(spark, sf).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    val direct = Tables.events(spark, sf)
+      .withColumn("cents", expr("CAST(round(value * 100) AS BIGINT)"))
+      .groupBy("event_type")
+      .agg(countDistinct(to_date(col("ts"))).as("n_days"),
+        count(lit(1)).as("n"),
+        (sum(col("cents").cast("decimal(38,0)")).cast("double") / 100.0).as("total"))
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(merged == direct, "algebraic merge is lossless")
+  }
+
   test("regression closed form matches a direct least-squares fit") {
     val rows = Aggregations.qRegr(spark, sf).collect()
     val li = Tables.lineitem(spark, sf)

@@ -67,6 +67,22 @@ class JoinsSpec extends SparkSpec {
     assert(rows("unspecified") == o.filter(col("o_orderpriority") === "3-MEDIUM").count())
   }
 
+  test("nearest-asof picks exactly one line per order at minimal day distance") {
+    val df = Joins.qAsofNearest(spark, sf).cache()
+    try {
+      assert(df.groupBy("l_orderkey").count().filter(col("count") > 1).count() == 0)
+      assert(df.count() == Tables.lineitem(spark, sf).select("l_orderkey").distinct().count())
+      // brute-force the minimal |shipdate - (orderdate+30d)| per order
+      val brute = Tables.lineitem(spark, sf)
+        .join(Tables.orders(spark, sf), col("l_orderkey") === col("o_orderkey"))
+        .withColumn("days_off",
+          abs(datediff(col("l_shipdate"), expr("o_orderdate + INTERVAL 30 DAYS"))))
+        .groupBy(col("l_orderkey").as("k")).agg(min("days_off").as("best"))
+      assert(df.join(brute, col("l_orderkey") === col("k"))
+        .filter(col("days_off") =!= col("best")).count() == 0)
+    } finally df.unpersist()
+  }
+
   test("bloom-pruned join equals the plain semi join and the bloom rejects most non-matches") {
     // equivalence: the bloom stage is semantically invisible
     val dim = Tables.orders(spark, sf)

@@ -195,6 +195,18 @@ object Functions extends QueryModule {
         to_json(col("meta")).as("meta_json"))
       .orderBy(col("c_custkey"))
 
+  /** Positional explode (LATERAL VIEW posexplode): each token with its
+    * 1-based position in the document — the ordinality-preserving unnest
+    * that plain explode loses, needed whenever order inside the array is
+    * data (token positions, n-gram offsets, chunk indices). Map-only: the
+    * generate runs inside the scan stage, no shuffle until the sort. */
+  def qExplodePos(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), posexplode(split(lower(trim(col("text"))), " ")))
+      .select(col("doc_id"), (col("pos") + 1).cast("long").as("pos"),
+        col("col").as("token"))
+      .orderBy(col("doc_id"), col("pos"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_fn_string" -> (qFnString _),
     "q_fn_date"   -> (qFnDate _),
@@ -206,9 +218,15 @@ object Functions extends QueryModule {
     "q_flatten"   -> (qFlatten _),
     "q_stamp"     -> (qStamp _),
     "q_fn_struct" -> (qFnStruct _),
+    "q_explode_pos" -> (qExplodePos _),
   )
 
   val oracle: Map[String, String] = Map(
+    "q_explode_pos" ->
+      """WITH t AS (
+        |  SELECT doc_id, STRING_SPLIT(LOWER(TRIM(text)), ' ') AS l FROM documents)
+        |SELECT doc_id, UNNEST(RANGE(1, LEN(l) + 1)) AS pos, UNNEST(l) AS token
+        |FROM t ORDER BY doc_id, pos""".stripMargin,
     "q_fn_struct" ->
       """SELECT c_custkey,
         |       c_mktsegment AS seg_from_struct,

@@ -112,6 +112,45 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("bloomPrune: never drops a member key; prunes to superset only") {
+    val keyLists = Gen.zip(
+      Gen.listOfN(30, Gen.chooseNum(0L, 5000L)),
+      Gen.listOfN(200, Gen.chooseNum(0L, 5000L)))
+    forAllSamples(keyLists, n = 6) { case (keys, fact) =>
+      val s = spark
+      import s.implicits._
+      val keysDf = keys.toDF("k").distinct()
+      val factDf = fact.toDF("fk")
+      val pruned = graft.ops.Scale.bloomPrune(factDf, "fk", keysDf, "k", 1 << 12)
+        .collect().map(_.getLong(0))
+      val keySet = keys.toSet
+      val trueMatches = fact.filter(keySet.contains)
+      // no false negatives: every true match survives (with multiplicity)
+      assert(trueMatches.groupBy(identity).forall { case (k, g) =>
+        pruned.count(_ == k) >= g.size
+      })
+      // survivors are a subset of the fact multiset
+      assert(pruned.length <= fact.length)
+    }
+  }
+
+  test("heavyHitters equals exact GROUP BY/HAVING for any stream and k") {
+    val streams = Gen.zip(
+      Gen.listOfN(300, Gen.oneOf("x", "y", "z", "w", "p", "q")),
+      Gen.chooseNum(2, 8))
+    forAllSamples(streams, n = 6) { case (stream, k) =>
+      val s = spark
+      import s.implicits._
+      val d = stream.toDF("token").repartition(4)
+      val got = graft.ops.Corpus.heavyHitters(d, "token", k).collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      val n = stream.size
+      val exact = stream.groupBy(identity).view.mapValues(_.size.toLong)
+        .filter { case (_, c) => c * k > n }.toMap
+      assert(got == exact, s"k=$k n=$n")
+    }
+  }
+
   test("sessionize: sessions partition events; gap=∞ gives one session per key") {
     val events = Gen.listOfN(30, Gen.zip(
       Gen.chooseNum(0L, 4L), Gen.chooseNum(0L, 100000L)))

@@ -357,7 +357,31 @@ object Dedup extends QueryModule {
       .orderBy(col("doc_id"))
   }
 
+  /** Edit-distance near-dup tier: record pairs within levenshtein ≤ 3 on
+    * the name, blocked on (brand, size) so the candidate space is
+    * per-block quadratic instead of corpus-quadratic — the classic
+    * blocking-key design from record linkage. Levenshtein is the unit-cost
+    * DP in both engines, so the oracle matches exactly. At 100 TB the
+    * blocking key becomes the shuffle key and block sizes stay bounded by
+    * the key's selectivity — never an all-pairs join (same scale argument
+    * as the MinHash/SimHash band keys, with a string-distance verify
+    * instead of a set-similarity one). */
+  def qFuzzyPairs(spark: SparkSession, dir: String): DataFrame = {
+    val p = Tables.part(spark, dir)
+    val a = p.select(col("p_partkey").as("a_key"), col("p_name").as("a_name"),
+      col("p_brand").as("brand"), col("p_size").as("size"))
+    val b = p.select(col("p_partkey").as("b_key"), col("p_name").as("b_name"),
+      col("p_brand").as("brand"), col("p_size").as("size"))
+    a.join(b, Seq("brand", "size"))
+      .filter(col("a_key") < col("b_key"))
+      .withColumn("dist", levenshtein(col("a_name"), col("b_name")))
+      .filter(col("dist") <= 3)
+      .select(col("a_key"), col("b_key"), col("a_name"), col("b_name"), col("dist"))
+      .orderBy(col("a_key"), col("b_key"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_dedup_fuzzy"     -> (qFuzzyPairs _),
     "q_dedup_exact"     -> (qDedupExact _),
     "q_dedup_near"      -> (qDedupNear _),
     "q_dedup_minhash"   -> (qDedupMinhash _),
@@ -405,6 +429,15 @@ object Dedup extends QueryModule {
        |  WHERE CAST(inter AS DOUBLE) / (s1.n_sh + s2.n_sh - inter) >= $JaccardThreshold)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "q_dedup_fuzzy" ->
+      """SELECT a.p_partkey AS a_key, b.p_partkey AS b_key,
+        |       a.p_name AS a_name, b.p_name AS b_name,
+        |       CAST(levenshtein(a.p_name, b.p_name) AS INT) AS dist
+        |FROM part a JOIN part b
+        |  ON a.p_brand = b.p_brand AND a.p_size = b.p_size
+        | AND a.p_partkey < b.p_partkey
+        |WHERE levenshtein(a.p_name, b.p_name) <= 3
+        |ORDER BY a_key, b_key""".stripMargin,
     "q_dedup_exact" ->
       """SELECT MIN(doc_id) AS survivor_id, COUNT(*) AS n_dups,
         |       SHA256(LOWER(TRIM(text))) AS h

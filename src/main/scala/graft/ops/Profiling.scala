@@ -164,7 +164,62 @@ object Profiling extends QueryModule {
       .orderBy(col("event_type"))
   }
 
+  /** Chi-square test of independence between event_type and a user cohort
+    * (user_id mod 3), per cell: observed count, expected count under
+    * independence, and the cell's χ² contribution. Everything derives from
+    * exact integer counts; the per-cell double arithmetic runs once per
+    * cell on bit-identical inputs, and the chi2_total column sums the
+    * MICRO-UNIT-rounded contributions as integers — order-independent, so
+    * the aggregate is oracle-stable too (a raw double sum would depend on
+    * partition merge order). One aggregation + three windows over a
+    * 15-row cell table. */
+  def qChisq(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cells = Tables.events(spark, dir)
+      .withColumn("cohort", pmod(col("user_id"), lit(3)))
+      .groupBy(col("event_type"), col("cohort"))
+      .agg(count(lit(1)).as("n"))
+    cells
+      .withColumn("r", sum(col("n")).over(Window.partitionBy(col("event_type"))))
+      .withColumn("c", sum(col("n")).over(Window.partitionBy(col("cohort"))))
+      .withColumn("t", sum(col("n")).over(Window.partitionBy()))
+      // (n·t − r·c)²/(t·r·c): integer numerator, one double division per cell
+      .withColumn("contrib", expr(
+        """(CAST((n*t - r*c) AS DOUBLE) * CAST((n*t - r*c) AS DOUBLE))
+          |/ (CAST(t AS DOUBLE) * CAST(r AS DOUBLE) * CAST(c AS DOUBLE))""".stripMargin))
+      .withColumn("chi2_total", expr(
+        "CAST(sum(CAST(round(contrib * 1e6) AS BIGINT)) OVER () AS DOUBLE) / 1e6"))
+      .select(col("event_type"), col("cohort"), col("n"),
+        round(expr("CAST(r AS DOUBLE) * CAST(c AS DOUBLE) / CAST(t AS DOUBLE)"), 4).as("expected"),
+        round(col("contrib"), 6).as("contrib"),
+        col("chi2_total"))
+      .orderBy(col("event_type"), col("cohort"))
+  }
+
+  /** Referential-integrity audit across the star schema's FK edges: row
+    * count and orphan count (anti-join) per relationship, one output row
+    * each — the data-quality sweep a lake runs after every load. Orphan
+    * detection is a semi/anti join per edge; at scale each edge shares the
+    * shuffle shape of the corresponding production join. */
+  def qFkAudit(spark: SparkSession, dir: String): DataFrame = {
+    def edge(name: String, fact: DataFrame, fk: String,
+        dim: DataFrame, pk: String): DataFrame = {
+      val orphans = fact.join(dim, fact(fk) === dim(pk), "left_anti")
+      fact.agg(count(lit(1)).as("n_rows"))
+        .crossJoin(orphans.agg(count(lit(1)).as("n_orphans")))
+        .select(lit(name).as("fk_edge"), col("n_rows"), col("n_orphans"))
+    }
+    val l = Tables.lineitem(spark, dir); val o = Tables.orders(spark, dir)
+    val c = Tables.customer(spark, dir); val n = Tables.nation(spark, dir)
+    edge("lineitem->orders", l, "l_orderkey", o, "o_orderkey")
+      .unionByName(edge("orders->customer", o, "o_custkey", c, "c_custkey"))
+      .unionByName(edge("customer->nation", c, "c_nationkey", n, "n_nationkey"))
+      .orderBy(col("fk_edge"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_chisq"          -> (qChisq _),
+    "q_fk_audit"       -> (qFkAudit _),
     "q_hist"           -> (qHist _),
     "q_profile"        -> (qProfile _),
     "q_anomaly_zscore" -> (qAnomalyZscore _),
@@ -172,6 +227,40 @@ object Profiling extends QueryModule {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_chisq" ->
+      """WITH cells AS (
+        |  SELECT event_type, CAST(user_id % 3 AS BIGINT) AS cohort, COUNT(*) AS n
+        |  FROM events GROUP BY event_type, CAST(user_id % 3 AS BIGINT)),
+        |tot AS (
+        |  SELECT event_type, cohort, n,
+        |         SUM(n) OVER (PARTITION BY event_type) AS r,
+        |         SUM(n) OVER (PARTITION BY cohort) AS c,
+        |         SUM(n) OVER () AS t
+        |  FROM cells),
+        |scored AS (
+        |  SELECT event_type, cohort, n, r, c, t,
+        |         (CAST((n*t - r*c) AS DOUBLE) * CAST((n*t - r*c) AS DOUBLE))
+        |           / (CAST(t AS DOUBLE) * CAST(r AS DOUBLE) * CAST(c AS DOUBLE)) AS contrib
+        |  FROM tot)
+        |SELECT event_type, cohort, n,
+        |       ROUND(CAST(r AS DOUBLE) * CAST(c AS DOUBLE) / CAST(t AS DOUBLE), 4) AS expected,
+        |       ROUND(contrib, 6) AS contrib,
+        |       CAST(SUM(CAST(ROUND(contrib * 1e6) AS BIGINT)) OVER () AS DOUBLE) / 1e6
+        |         AS chi2_total
+        |FROM scored ORDER BY event_type, cohort""".stripMargin,
+    "q_fk_audit" ->
+      """SELECT 'lineitem->orders' AS fk_edge, (SELECT COUNT(*) FROM lineitem) AS n_rows,
+        |       (SELECT COUNT(*) FROM lineitem WHERE NOT EXISTS
+        |         (SELECT 1 FROM orders WHERE o_orderkey = l_orderkey)) AS n_orphans
+        |UNION ALL
+        |SELECT 'orders->customer', (SELECT COUNT(*) FROM orders),
+        |       (SELECT COUNT(*) FROM orders WHERE NOT EXISTS
+        |         (SELECT 1 FROM customer WHERE c_custkey = o_custkey))
+        |UNION ALL
+        |SELECT 'customer->nation', (SELECT COUNT(*) FROM customer),
+        |       (SELECT COUNT(*) FROM customer WHERE NOT EXISTS
+        |         (SELECT 1 FROM nation WHERE n_nationkey = c_nationkey))
+        |ORDER BY fk_edge""".stripMargin,
     "q_hist" ->
       """WITH b AS (
         |  SELECT CAST(FLOOR(o_totalprice / 25000.0) AS BIGINT) AS bucket,

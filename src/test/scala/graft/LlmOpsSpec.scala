@@ -214,4 +214,25 @@ class LlmOpsSpec extends SparkSpec {
       assert(math.abs(f.features.sum * 2 - 1.0f) < 1e-2)
     }
   }
+
+  test("fuzzy pairs: dist matches a reference levenshtein and blocking holds") {
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
+        if (i == 0) j else if (j == 0) i else 0
+      }
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    // sf0.001's 200 parts leave the (brand, size) blocks as singletons —
+    // use sf0.01, where blocks carry real candidates (106 pairs)
+    val rows = graft.ops.Dedup.qFuzzyPairs(spark, "/root/testdata/sf0.01").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(0) < r.getLong(1), "each unordered pair appears once")
+      val d = r.getInt(4)
+      assert(d <= 3 && d == lev(r.getString(2), r.getString(3)))
+    }
+  }
 }

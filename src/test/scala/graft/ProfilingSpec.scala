@@ -76,4 +76,25 @@ class ProfilingSpec extends SparkSpec {
     assert(z.map(_._1).toSet == Set(21L), s"only the spike is an outlier: ${z.toSeq}")
     assert(z.head._2 > 4.0)
   }
+
+  test("chi-square cells: expecteds preserve margins, contribs nonneg, total = cell sum") {
+    val rows = Profiling.qChisq(spark, sf).collect()
+    val obs = rows.map(_.getLong(2)).sum.toDouble
+    val exp = rows.map(_.getDouble(3)).sum
+    assert(math.abs(obs - exp) < 0.01, "expected counts sum to N")
+    assert(rows.forall(_.getDouble(4) >= 0.0))
+    val total = rows.head.getDouble(5)
+    assert(rows.forall(_.getDouble(5) == total), "chi2_total constant across cells")
+    assert(math.abs(total - rows.map(_.getDouble(4)).sum) < 1e-4)
+  }
+
+  test("fk audit matches direct anti-join counts on every edge") {
+    val rows = Profiling.qFkAudit(spark, sf).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val l = Tables.lineitem(spark, sf); val o = Tables.orders(spark, sf)
+    assert(rows("lineitem->orders")._1 == l.count())
+    assert(rows("lineitem->orders")._2 ==
+      l.join(o, l("l_orderkey") === o("o_orderkey"), "left_anti").count())
+    assert(rows.size == 3)
+  }
 }

@@ -53,19 +53,45 @@ object Scale {
     * non-matching bulk of the fact table dies at the scan, before the join
     * shuffle. Callers needing exact semantics follow with the real join
     * (which also removes the false positives). */
+  /** Typed Aggregator folding hash positions into a fixed-size bitset —
+    * the custom-UDAF route (Aggregator + toColumn), chosen over a
+    * driver-side collect so the filter build is a fully distributed
+    * aggregation: partial bitsets OR together map-side exactly like any
+    * algebraic aggregate. Positions are computed by Spark's own xxhash64
+    * EXPRESSION before the aggregation (never re-implemented in Scala), so
+    * build and probe can't drift. */
+  private final class BitsetAgg(mBits: Int)
+      extends org.apache.spark.sql.expressions.Aggregator[Long, Array[Long], Array[Long]] {
+    override def zero: Array[Long] = new Array[Long](mBits / 64)
+    override def reduce(b: Array[Long], p: Long): Array[Long] = {
+      b((p >> 6).toInt) |= 1L << (p & 63); b
+    }
+    override def merge(a: Array[Long], b: Array[Long]): Array[Long] = {
+      var i = 0; while (i < a.length) { a(i) |= b(i); i += 1 }; a
+    }
+    override def finish(r: Array[Long]): Array[Long] = r
+    override def bufferEncoder: org.apache.spark.sql.Encoder[Array[Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
+    override def outputEncoder: org.apache.spark.sql.Encoder[Array[Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
+  }
+
   def bloomPrune(fact: DataFrame, factKey: String,
       keys: DataFrame, keyCol: String, mBits: Int): DataFrame = {
     require((mBits & (mBits - 1)) == 0 && mBits >= 64, "mBits: power of two >= 64")
-    val pos = keys.select(explode(array(
+    val spark = fact.sparkSession
+    import spark.implicits._
+    // one row holding the whole filter: distributed build, broadcast probe —
+    // no driver round-trip anywhere
+    val bits = keys.select(explode(array(
         pmod(xxhash64(col(keyCol)), lit(mBits.toLong)),
         pmod(xxhash64(lit(7), col(keyCol)), lit(mBits.toLong)))).as("p"))
-      .distinct().collect().map(_.getLong(0).toInt)
-    val words = new Array[Long](mBits / 64)
-    pos.foreach(p => words(p >> 6) |= 1L << (p & 63))
+      .as[Long]
+      .select(new BitsetAgg(mBits).toColumn.name("_bits"))
     fact
       .withColumn("_h1", pmod(xxhash64(col(factKey)), lit(mBits.toLong)))
       .withColumn("_h2", pmod(xxhash64(lit(7), col(factKey)), lit(mBits.toLong)))
-      .withColumn("_bits", lit(words))
+      .crossJoin(broadcast(bits))
       .filter(expr(
         """(element_at(_bits, CAST(shiftright(_h1, 6) AS INT) + 1)
           |   & shiftleft(CAST(1 AS BIGINT), CAST(_h1 & 63 AS INT))) <> 0

@@ -204,6 +204,47 @@ object Windows extends QueryModule {
       .orderBy(col("event_type"), col("event_id"))
   }
 
+  /** Trailing-15-row exact rolling median per user: the frame's values as a
+    * window collect_list, sorted, lower-median element picked by index. No
+    * arithmetic touches the values (the median IS a data value), so the
+    * pick is bit-exact cross-engine. Bounded frame ⇒ bounded row state —
+    * this is safe at any scale, unlike an unbounded collect. */
+  def qWinMedian(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      .rowsBetween(-14, Window.currentRow)
+    Tables.events(spark, dir)
+      .withColumn("arr", sort_array(collect_list(col("value")).over(w)))
+      .select(col("user_id"), col("event_id"),
+        // `div`, not `/`-then-cast: Spark's cast truncates but DuckDB's
+        // rounds half-even, so only explicit floor division agrees
+        round(expr("element_at(arr, CAST((size(arr) + 1) div 2 AS INT))"), 4)
+          .as("rolling_median"))
+      .orderBy(col("user_id"), col("event_id"))
+  }
+
+  /** Trailing-16 exponentially weighted moving average in EXACT dyadic
+    * arithmetic: α = 1/2, so the k-th newest value carries weight 2^(−k−1)
+    * — an exact power of two. Values are integer cents (≤ 2^21), weights
+    * shift them down at most 16 bits, so every term and every partial sum
+    * fits a double's 53-bit mantissa EXACTLY: the float result is
+    * order-independent and cross-engine-identical, which no α ∉ {2^-k}
+    * EWMA can claim. The truncation to 16 taps bounds both the state and
+    * the error (2^-17 of the scale). */
+  def qEwma(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      .rowsBetween(-15, Window.currentRow)
+    Tables.events(spark, dir)
+      .withColumn("cents", expr("CAST(round(value * 100) AS BIGINT)"))
+      .withColumn("arr", collect_list(col("cents")).over(w))
+      .select(col("user_id"), col("event_id"),
+        expr(
+          """aggregate(
+            |  transform(arr, (x, i) -> CAST(x AS DOUBLE) * pow(2.0, -(size(arr) - i))),
+            |  CAST(0.0 AS DOUBLE), (acc, v) -> acc + v) / 100.0""".stripMargin)
+          .as("ewma"))
+      .orderBy(col("user_id"), col("event_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_win_rank"       -> (qWinRank _),
     "q_win_dist"       -> (qWinDist _),
@@ -216,10 +257,34 @@ object Windows extends QueryModule {
     "q_win_ntile"      -> (qWinNtile _),
     "q_win_first_last" -> (qWinFirstLast _),
     "q_win_count_distinct" -> (qWinCountDistinct _),
+    "q_win_median"     -> (qWinMedian _),
+    "q_ewma"           -> (qEwma _),
     "q_topk_per_group" -> (qTopkPerGroup _),
   )
 
   val oracle: Map[String, String] = Map(
+    "q_win_median" ->
+      """WITH t AS (
+        |  SELECT user_id, event_id,
+        |         LIST_SORT(ARRAY_AGG(value) OVER (PARTITION BY user_id
+        |           ORDER BY ts, event_id
+        |           ROWS BETWEEN 14 PRECEDING AND CURRENT ROW)) AS arr
+        |  FROM events)
+        |SELECT user_id, event_id,
+        |       ROUND(arr[CAST((LEN(arr) + 1) // 2 AS INT)], 4) AS rolling_median
+        |FROM t ORDER BY user_id, event_id""".stripMargin,
+    "q_ewma" ->
+      """WITH t AS (
+        |  SELECT user_id, event_id,
+        |         ARRAY_AGG(CAST(ROUND(value * 100) AS BIGINT)) OVER (
+        |           PARTITION BY user_id ORDER BY ts, event_id
+        |           ROWS BETWEEN 15 PRECEDING AND CURRENT ROW) AS arr
+        |  FROM events)
+        |SELECT user_id, event_id,
+        |       LIST_SUM(LIST_TRANSFORM(arr,
+        |         (x, i) -> CAST(x AS DOUBLE) * POW(2.0, -(LEN(arr) - i + 1))))
+        |         / 100.0 AS ewma
+        |FROM t ORDER BY user_id, event_id""".stripMargin,
     "q_win_count_distinct" ->
       """WITH marked AS (
         |  SELECT event_id, event_type, ts,

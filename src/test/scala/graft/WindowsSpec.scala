@@ -117,6 +117,35 @@ class WindowsSpec extends SparkSpec {
     }
   }
 
+  test("rolling median and ewma match brute-force per-user computations") {
+    val events = Tables.events(spark, sf)
+      .select(col("user_id"), col("event_id"), col("ts").cast("string"), col("value"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getDouble(3)))
+      .groupBy(_._1).view.mapValues(_.sortBy(e => (e._3, e._2))).toMap
+
+    val med = Windows.qWinMedian(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val ewma = Windows.qEwma(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+
+    events.foreach { case (user, seq) =>
+      seq.zipWithIndex.foreach { case ((_, eid, _, _), idx) =>
+        val frame15 = seq.slice(math.max(0, idx - 14), idx + 1).map(_._4)
+        val sorted = frame15.sorted
+        val want = sorted((sorted.length + 1) / 2 - 1)
+        assert(med((user, eid)) == math.floor(want * 10000 + 0.5) / 10000 ||
+          med((user, eid)) == BigDecimal(want).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble,
+          s"median user=$user eid=$eid")
+        val frame16 = seq.slice(math.max(0, idx - 15), idx + 1)
+          .map(e => math.round(e._4 * 100).toDouble)
+        val s = frame16.length
+        val wantE = frame16.zipWithIndex
+          .map { case (c, i) => c * math.pow(2.0, -(s - i)) }.sum / 100.0
+        assert(ewma((user, eid)) == wantE, s"ewma user=$user eid=$eid")
+      }
+    }
+  }
+
   test("first/last/nth over the full frame match the sorted segment order") {
     val rows = Windows.qWinFirstLast(spark, sf).collect()
     val orders = Tables.orders(spark, sf)

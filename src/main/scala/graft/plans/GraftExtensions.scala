@@ -15,5 +15,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       CosineSimilarity.builder))
     ext.injectFunction((CharEntropy.ident, CharEntropy.info,
       CharEntropy.builder))
+    ext.injectOptimizerRule(_ => LevenshteinGuard)
   }
 }

@@ -65,4 +65,24 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("HashAggregate"), "per-char aggregation crept back")
     assert(plan.contains("char_entropy"), "native expression must drive the plan")
   }
+
+  test("LevenshteinGuard injects the length short-circuit and is idempotent") {
+    import org.apache.spark.sql.functions._
+    val p = Tables.part(spark, sf)
+    val a = p.select(col("p_partkey").as("ak"), col("p_name").as("an"))
+    val b = p.select(col("p_partkey").as("bk"), col("p_name").as("bn"))
+    val joined = a.crossJoin(b).filter(levenshtein(col("an"), col("bn")) <= 2)
+    val analyzed = joined.queryExecution.analyzed
+    val once = graft.plans.LevenshteinGuard(analyzed)
+    val s = once.toString
+    assert(s.contains("abs") && s.contains("length"),
+      s"guard must appear in the rewritten plan:\n$s")
+    assert(graft.plans.LevenshteinGuard(once) == once,
+      "second application must be a no-op (fixed point)")
+    // the guard is implied by the levenshtein bound — row sets identical
+    val guarded = a.crossJoin(b).filter(
+      abs(length(col("an")) - length(col("bn"))) <= 2 &&
+        levenshtein(col("an"), col("bn")) <= 2)
+    assert(joined.count() == guarded.count())
+  }
 }

@@ -2,6 +2,7 @@ package graft.ops
 
 import graft.Tables
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Event-analytics operators over `events` — the ad-hoc consultas the
@@ -182,7 +183,36 @@ object EventAnalytics extends QueryModule {
       .limit(20)
   }
 
+  /** Slowly-changing-dimension type-2 build: collapse each user's event
+    * stream into effective-dated versions of the tracked attribute
+    * (event_type), one row per CHANGE — valid_from/valid_to interval,
+    * version number, is_current flag. Change-islands (lag ≠ current marks a
+    * new version, running sum numbers it) rather than time-islands
+    * ([[qSessionize]]'s gap rule). This is how a mutable dimension becomes
+    * an append-only history table — the warehouse-side dual of the
+    * reference's replace-mode load, which overwrites instead of
+    * versioning. Two windows + one aggregation, all on the user_id
+    * partition key: one shuffle. */
+  def qScd2(spark: SparkSession, dir: String): DataFrame = {
+    val wSeq = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val wVer = Window.partitionBy(col("user_id")).orderBy(col("version"))
+    Tables.events(spark, dir)
+      .withColumn("changed",
+        when(lag(col("event_type"), 1).over(wSeq).isNull
+          || lag(col("event_type"), 1).over(wSeq) =!= col("event_type"), 1L)
+          .otherwise(0L))
+      .withColumn("version", sum(col("changed")).over(wSeq))
+      .groupBy(col("user_id"), col("version"))
+      .agg(first(col("event_type")).as("attr"),
+        min(col("ts")).as("valid_from"),
+        count(lit(1)).as("n_events"))
+      .withColumn("valid_to", lead(col("valid_from"), 1).over(wVer))
+      .withColumn("is_current", col("valid_to").isNull)
+      .orderBy(col("user_id"), col("version"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_scd2"      -> (qScd2 _),
     "q_funnel"    -> (qFunnel _),
     "q_retention" -> (qRetention _),
     "q_sessionize" -> (qSessionize _),
@@ -191,6 +221,28 @@ object EventAnalytics extends QueryModule {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_scd2" ->
+      """WITH seq AS (
+        |  SELECT user_id, event_id, ts, event_type,
+        |         CASE WHEN LAG(event_type) OVER w IS NULL
+        |                OR LAG(event_type) OVER w <> event_type
+        |              THEN 1 ELSE 0 END AS changed
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |ver AS (
+        |  SELECT user_id, ts, event_type,
+        |         CAST(SUM(changed) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |              AS BIGINT) AS version
+        |  FROM seq),
+        |grp AS (
+        |  SELECT user_id, version, MIN(event_type) AS attr,
+        |         MIN(ts) AS valid_from, COUNT(*) AS n_events
+        |  FROM ver GROUP BY user_id, version)
+        |SELECT user_id, version, attr, valid_from, n_events,
+        |       LEAD(valid_from) OVER (PARTITION BY user_id ORDER BY version) AS valid_to,
+        |       LEAD(valid_from) OVER (PARTITION BY user_id ORDER BY version) IS NULL
+        |         AS is_current
+        |FROM grp ORDER BY user_id, version""".stripMargin,
     // comparisons run on epoch_us (explicit microsecond floor): the parquet
     // ts is TIMESTAMP(NANOS) and Spark floors to micros at load, so an
     // oracle comparing raw nanos would call a same-microsecond-later-nanos

@@ -124,4 +124,24 @@ class EventAnalyticsSpec extends SparkSpec {
     val users = Tables.events(spark, sf).select("user_id").distinct().count()
     assert(week0 == users)
   }
+
+  test("scd2: contiguous versions, changing attrs, one current row, events conserved") {
+    val byUser = EventAnalytics.qScd2(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(4),
+        r.isNullAt(5), r.getBoolean(6)))
+      .groupBy(_._1)
+    val eventCounts = Tables.events(spark, sf).groupBy("user_id").count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    byUser.foreach { case (user, vs) =>
+      val sorted = vs.sortBy(_._2)
+      assert(sorted.map(_._2).toSeq == (1L to sorted.length).toSeq, "versions contiguous from 1")
+      sorted.sliding(2).foreach {
+        case Array(a, b) => assert(a._3 != b._3, s"consecutive versions must differ: $user")
+        case _ => ()
+      }
+      assert(sorted.count(_._6) == 1 && sorted.last._6, "exactly the last version is current")
+      assert(sorted.count(_._5) == 1, "exactly one open-ended interval")
+      assert(sorted.map(_._4).sum == eventCounts(user), "every event lands in one version")
+    }
+  }
 }

@@ -83,7 +83,11 @@ object Scale {
     import spark.implicits._
     // one row holding the whole filter: distributed build, broadcast probe —
     // no driver round-trip anywhere
-    val bits = keys.select(explode(array(
+    val bits = keys
+      // a NULL key can never match an equi-join probe, so it contributes no
+      // bits (and would otherwise NPE the typed fold as a null position)
+      .filter(col(keyCol).isNotNull)
+      .select(explode(array(
         pmod(xxhash64(col(keyCol)), lit(mBits.toLong)),
         pmod(xxhash64(lit(7), col(keyCol)), lit(mBits.toLong)))).as("p"))
       .as[Long]

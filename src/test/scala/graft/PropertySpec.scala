@@ -119,7 +119,9 @@ class PropertySpec extends AnyFunSuite {
     forAllSamples(keyLists, n = 6) { case (keys, fact) =>
       val s = spark
       import s.implicits._
+      // a NULL key must be ignored by the build, not crash it
       val keysDf = keys.toDF("k").distinct()
+        .union(s.sql("SELECT CAST(NULL AS BIGINT)"))
       val factDf = fact.toDF("fk")
       val pruned = graft.ops.Scale.bloomPrune(factDf, "fk", keysDf, "k", 1 << 12)
         .collect().map(_.getLong(0))

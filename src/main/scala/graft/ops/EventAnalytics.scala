@@ -211,8 +211,28 @@ object EventAnalytics extends QueryModule {
       .orderBy(col("user_id"), col("version"))
   }
 
+  /** Point-in-time snapshot from the SCD2 history: every user's state as
+    * of a fixed moment — the version whose [valid_from, valid_to) interval
+    * covers the probe instant. This is the feature-store "as-of" read that
+    * makes training data leakage-free: never join tomorrow's attribute
+    * onto today's example. Implemented as filter(valid_from <= t) + max
+    * version per user (one window over the history, which is already tiny
+    * relative to the events), not a range join. */
+  def qScd2Snapshot(spark: SparkSession, dir: String): DataFrame = {
+    val probe = lit("2024-01-15 00:00:00").cast("timestamp")
+    val w = Window.partitionBy(col("user_id")).orderBy(col("version").desc)
+    qScd2(spark, dir)
+      .filter(col("valid_from") <= probe)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("user_id"), col("attr").as("state_at_probe"),
+        col("version"), col("valid_from"))
+      .orderBy(col("user_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_scd2"      -> (qScd2 _),
+    "q_scd2_snapshot" -> (qScd2Snapshot _),
     "q_funnel"    -> (qFunnel _),
     "q_retention" -> (qRetention _),
     "q_sessionize" -> (qSessionize _),
@@ -221,6 +241,28 @@ object EventAnalytics extends QueryModule {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_scd2_snapshot" ->
+      """WITH seq AS (
+        |  SELECT user_id, event_id, ts, event_type,
+        |         CASE WHEN LAG(event_type) OVER w IS NULL
+        |                OR LAG(event_type) OVER w <> event_type
+        |              THEN 1 ELSE 0 END AS changed
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |ver AS (
+        |  SELECT user_id, ts, event_type,
+        |         CAST(SUM(changed) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |              AS BIGINT) AS version
+        |  FROM seq),
+        |grp AS (
+        |  SELECT user_id, version, MIN(event_type) AS attr, MIN(ts) AS valid_from
+        |  FROM ver GROUP BY user_id, version),
+        |live AS (
+        |  SELECT user_id, attr, version, valid_from,
+        |         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY version DESC) AS rn
+        |  FROM grp WHERE valid_from <= TIMESTAMP '2024-01-15 00:00:00')
+        |SELECT user_id, attr AS state_at_probe, version, valid_from
+        |FROM live WHERE rn = 1 ORDER BY user_id""".stripMargin,
     "q_scd2" ->
       """WITH seq AS (
         |  SELECT user_id, event_id, ts, event_type,

@@ -144,4 +144,26 @@ class EventAnalyticsSpec extends SparkSpec {
       assert(sorted.map(_._4).sum == eventCounts(user), "every event lands in one version")
     }
   }
+
+  test("scd2 snapshot returns each user's version in force at the probe instant") {
+    val probe = java.sql.Timestamp.valueOf("2024-01-15 00:00:00")
+    val snap = EventAnalytics.qScd2Snapshot(spark, sf).collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap
+    val hist = EventAnalytics.qScd2(spark, sf)
+      .select(col("user_id"), col("attr"), col("version"),
+        col("valid_from").cast("string"), col("valid_to").cast("string"))
+      .collect()
+    val expected = hist
+      .filter(r => java.sql.Timestamp.valueOf(r.getString(3)).compareTo(probe) <= 0)
+      .groupBy(_.getLong(0)).view
+      .mapValues(_.maxBy(_.getLong(2))).toMap
+    assert(snap.keySet == expected.keySet)
+    snap.foreach { case (user, (attr, ver)) =>
+      val e = expected(user)
+      assert(attr == e.getString(1) && ver == e.getLong(2), s"user $user")
+      // interval really covers the probe: next version (if any) starts after it
+      val to = if (e.isNullAt(4)) None else Some(java.sql.Timestamp.valueOf(e.getString(4)))
+      assert(to.forall(_.compareTo(probe) > 0), s"probe inside interval for $user")
+    }
+  }
 }

@@ -246,11 +246,36 @@ object Similarity extends QueryModule {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_cosine_topk"        -> (qCosineTopk _),
     "q_cosine_topk_native" -> (qCosineTopkNative _),
+    "q_rag_retrieve"       -> (qRagRetrieve _),
     "q_knn_join"           -> (qKnnJoin _),
     "q_ann_lsh"            -> (qAnnLsh _),
     "q_ann_ivf"            -> (qAnnIvf _),
     "q_dedup_embedding"    -> (qDedupEmbedding _),
   )
+
+  /** Metadata-filtered retrieval — the canonical RAG serving query: join
+    * the vector table to its document metadata 1:1, pre-filter on the
+    * metadata (language + length), THEN rank the survivors by cosine to
+    * the query vector and keep the top 10. The filter runs before any
+    * similarity arithmetic, so the expensive dot products touch only the
+    * eligible slice — at 100 TB the metadata predicate prunes the scan
+    * (it pushes into parquet) and the per-row cosine is the codegen'd HOF,
+    * with the same top-k TakeOrderedAndProject as the brute-force tier.
+    * (A production system would route through the IVF/LSH tiers first;
+    * this key pins the exact-ranking semantics those tiers approximate.) */
+  def qRagRetrieve(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .filter(col("lang") === "en" && col("n_chars") >= 200)
+      .select(col("doc_id"), col("source"), col("n_chars"))
+    withQuery(spark, dir)
+      .filter(col("vec_id") =!= 0 && size(col("embedding")) === 64 && expr(normSqExpr) > 0)
+      .join(docs, col("vec_id") === col("doc_id"))
+      .withColumn("cos_raw", expr(cosineExpr))
+      .select(col("doc_id"), col("source"), col("n_chars"),
+        round(col("cos_raw"), 6).as("cosine"))
+      .orderBy(col("cos_raw").desc, col("doc_id"))
+      .limit(10)
+  }
 
   private val cosineTopkOracle =
       """SELECT vec_id, label,
@@ -265,6 +290,20 @@ object Similarity extends QueryModule {
         |LIMIT 20""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "q_rag_retrieve" ->
+      """WITH q AS (
+        |  SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0),
+        |eligible AS (
+        |  SELECT e.vec_id AS doc_id, d.source, d.n_chars,
+        |         LIST_COSINE_SIMILARITY(CAST(e.embedding AS DOUBLE[]), q.qv) AS c
+        |  FROM embeddings e
+        |  JOIN documents d ON e.vec_id = d.doc_id
+        |  CROSS JOIN q
+        |  WHERE e.vec_id <> 0 AND LEN(e.embedding) = 64
+        |    AND LIST_AGGREGATE(LIST_TRANSFORM(CAST(e.embedding AS DOUBLE[]), x -> x * x), 'sum') > 0
+        |    AND d.lang = 'en' AND d.n_chars >= 200)
+        |SELECT doc_id, source, n_chars, ROUND(c, 6) AS cosine
+        |FROM eligible ORDER BY c DESC, doc_id LIMIT 10""".stripMargin,
     "q_cosine_topk"        -> cosineTopkOracle,
     "q_cosine_topk_native" -> cosineTopkOracle,
     "q_knn_join" ->

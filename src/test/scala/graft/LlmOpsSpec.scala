@@ -215,6 +215,30 @@ class LlmOpsSpec extends SparkSpec {
     }
   }
 
+  test("rag retrieve: top-10 equals an in-memory rerank of the metadata-eligible slice") {
+    val got = graft.ops.Similarity.qRagRetrieve(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getDouble(3)))
+    val q = Tables.embeddings(spark, sf).filter(col("vec_id") === 0)
+      .select("embedding").collect().head.getSeq[Float](0).map(_.toDouble)
+    val eligible = Tables.documents(spark, sf)
+      .filter(col("lang") === "en" && col("n_chars") >= 200).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    val vecs = Tables.embeddings(spark, sf).filter(col("vec_id") =!= 0)
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble))
+      .filter { case (id, v) => eligible.contains(id) && v.exists(_ != 0.0) }
+    def cos(a: Seq[Double], b: Seq[Double]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x * y }.sum
+      dot / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+    }
+    val want = vecs.map { case (id, v) => (id, cos(v, q)) }
+      .sortBy { case (id, c) => (-c, id) }.take(10)
+    assert(got.map(_._1).toSeq == want.map(_._1).toSeq, "same ranking")
+    got.zip(want).foreach { case ((_, gc), (_, wc)) =>
+      assert(math.abs(gc - wc) < 1e-5)
+    }
+  }
+
   test("fuzzy pairs: dist matches a reference levenshtein and blocking holds") {
     def lev(a: String, b: String): Int = {
       val d = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>

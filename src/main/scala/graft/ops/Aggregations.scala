@@ -371,6 +371,41 @@ object Aggregations extends QueryModule {
       .orderBy(col("event_type"))
   }
 
+  /** Winsorized (clamped) robust mean per group — the standard tail-taming
+    * step before averaging a heavy-tailed metric (an LLM quality score, a
+    * latency): clamp every value into [p05, p95], then average. All
+    * arithmetic stays on integer cents: the bounds are DISCRETE percentiles
+    * (actual data values — no interpolation), the clamp is integer
+    * greatest/least, and the mean comes from an exact DECIMAL sum — so the
+    * whole pipeline is accumulation-order-independent and cross-engine
+    * exact. Shares the distributed window-rank percentile shape of
+    * [[qPercentileDisc]]: one sort per group, no per-group value
+    * collection, unbounded group sizes. */
+  def qWinsorize(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cents = Tables.events(spark, dir)
+      .select(col("event_type"), expr("CAST(round(value * 100) AS BIGINT)").as("c"))
+    val ranked = cents
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("event_type")).orderBy(col("c"))))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy(col("event_type"))))
+    val bounds = ranked.groupBy(col("event_type"))
+      .agg(
+        max(when(expr("rn = CAST(ceil(n * 0.05) AS BIGINT)"), col("c"))).as("lo"),
+        max(when(expr("rn = CAST(ceil(n * 0.95) AS BIGINT)"), col("c"))).as("hi"))
+    cents.join(bounds, "event_type")
+      .withColumn("w", greatest(col("lo"), least(col("hi"), col("c"))))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        round(expr("CAST(sum(CAST(w AS DECIMAL(38,0))) AS DOUBLE)") / col("n") / 100.0, 4)
+          .as("robust_mean"),
+        sum(when(col("c") < col("lo"), 1L).otherwise(0L)).as("n_clipped_lo"),
+        sum(when(col("c") > col("hi"), 1L).otherwise(0L)).as("n_clipped_hi"),
+        expr("CAST(min(lo) AS DOUBLE) / 100.0").as("p05"),
+        expr("CAST(min(hi) AS DOUBLE) / 100.0").as("p95"))
+      .orderBy(col("event_type"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_agg_group"           -> (qAggGroup _),
     "q_agg_stats"           -> (qAggStats _),
@@ -391,6 +426,7 @@ object Aggregations extends QueryModule {
     "q_agg_bits"            -> (qAggBits _),
     "q_regr"                -> (qRegr _),
     "q_agg_merge"           -> (qAggMerge _),
+    "q_winsorize"           -> (qWinsorize _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -432,6 +468,28 @@ object Aggregations extends QueryModule {
         |        / ((CAST(n AS DOUBLE) * CAST(sx2 AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
         |           * (CAST(n AS DOUBLE) * CAST(sy2 AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6) AS r2
         |FROM sums ORDER BY l_returnflag""".stripMargin,
+    "q_winsorize" ->
+      """WITH cents AS (
+        |  SELECT event_type, CAST(ROUND(value * 100) AS BIGINT) AS c FROM events),
+        |ranked AS (
+        |  SELECT event_type, c,
+        |         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY c) AS rn,
+        |         COUNT(*) OVER (PARTITION BY event_type) AS n
+        |  FROM cents),
+        |bounds AS (
+        |  SELECT event_type,
+        |         MAX(CASE WHEN rn = CAST(CEIL(n * 0.05) AS BIGINT) THEN c END) AS lo,
+        |         MAX(CASE WHEN rn = CAST(CEIL(n * 0.95) AS BIGINT) THEN c END) AS hi
+        |  FROM ranked GROUP BY event_type)
+        |SELECT cents.event_type, COUNT(*) AS n,
+        |       ROUND(CAST(SUM(CAST(GREATEST(lo, LEAST(hi, c)) AS DECIMAL(38,0))) AS DOUBLE)
+        |             / COUNT(*) / 100.0, 4) AS robust_mean,
+        |       CAST(SUM(CASE WHEN c < lo THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped_lo,
+        |       CAST(SUM(CASE WHEN c > hi THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped_hi,
+        |       CAST(MIN(lo) AS DOUBLE) / 100.0 AS p05,
+        |       CAST(MIN(hi) AS DOUBLE) / 100.0 AS p95
+        |FROM cents JOIN bounds USING (event_type)
+        |GROUP BY cents.event_type ORDER BY cents.event_type""".stripMargin,
     "q_agg_merge" ->
       """SELECT event_type,
         |       COUNT(DISTINCT CAST(ts AS DATE)) AS n_days,

@@ -157,6 +157,25 @@ class AggregationsSpec extends SparkSpec {
     assert(merged == direct, "algebraic merge is lossless")
   }
 
+  test("winsorized mean matches an in-memory clamp at the discrete percentiles") {
+    val rows = Aggregations.qWinsorize(spark, sf).collect()
+    val vals = Tables.events(spark, sf).select("event_type", "value").collect()
+      .map(r => r.getString(0) -> math.round(r.getDouble(1) * 100))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
+    rows.foreach { r =>
+      val vs = vals(r.getString(0))
+      val lo = vs(math.ceil(vs.length * 0.05).toInt - 1)
+      val hi = vs(math.ceil(vs.length * 0.95).toInt - 1)
+      val want = BigDecimal(vs.map(c => math.max(lo, math.min(hi, c))).sum)./(vs.length)./(100)
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(math.abs(r.getDouble(2) - want) < 1e-9, s"robust mean ${r.getString(0)}")
+      assert(r.getDouble(2) >= r.getDouble(5) && r.getDouble(2) <= r.getDouble(6),
+        "mean inside the clamp band")
+      assert(r.getLong(3) < vs.length * 0.06 && r.getLong(4) < vs.length * 0.06,
+        "each tail clips at most ~5%")
+    }
+  }
+
   test("regression closed form matches a direct least-squares fit") {
     val rows = Aggregations.qRegr(spark, sf).collect()
     val li = Tables.lineitem(spark, sf)

@@ -323,22 +323,24 @@ object Aggregations extends QueryModule {
         sum((col("qc") * col("qc")).cast("decimal(38,0)")).as("sx2"),
         sum((col("pc") * col("pc")).cast("decimal(38,0)")).as("sy2"),
         sum((col("qc") * col("pc")).cast("decimal(38,0)")).as("sxy"))
+      // the shared co-moment terms are computed ONCE as named columns (and
+      // once as a CTE in the oracle): reusing the same double value is
+      // IEEE-identical to re-evaluating the expression, and a future edit
+      // to the scaling lands in exactly one place. num*num, not pow(num,
+      // 2): pow is not guaranteed correctly rounded and differs between
+      // Java's and C's libm; multiplication is exact IEEE.
+      .withColumn("num", expr(
+        "CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)"))
+      .withColumn("den", expr(
+        "CAST(n AS DOUBLE) * CAST(sx2 AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)"))
+      .withColumn("den_y", expr(
+        "CAST(n AS DOUBLE) * CAST(sy2 AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)"))
       .select(col("l_returnflag"), col("n"),
+        round(expr("num / den"), 6).as("slope"),
         round(expr(
-          """(CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
-            |/ (CAST(n AS DOUBLE) * CAST(sx2 AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
-            |""".stripMargin), 6).as("slope"),
-        round(expr(
-          """(CAST(sy AS DOUBLE) - ((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
-            |  / (CAST(n AS DOUBLE) * CAST(sx2 AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))) * CAST(sx AS DOUBLE))
-            |/ CAST(n AS DOUBLE) / 100.0""".stripMargin), 4).as("intercept"),
-        // d*d, not pow(d, 2): pow is not guaranteed correctly rounded and
-        // differs between Java's and C's libm; multiplication is exact IEEE.
-        round(expr(
-          """((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
-            | * (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)))
-            |/ ((CAST(n AS DOUBLE) * CAST(sx2 AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
-            |   * (CAST(n AS DOUBLE) * CAST(sy2 AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))""".stripMargin), 6).as("r2"))
+          "(CAST(sy AS DOUBLE) - (num / den) * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE) / 100.0"),
+          4).as("intercept"),
+        round(expr("(num * num) / (den * den_y)"), 6).as("r2"))
       .orderBy(col("l_returnflag"))
 
   /** Algebraic partial-aggregate merge — the pre-aggregation pattern behind
@@ -456,18 +458,19 @@ object Aggregations extends QueryModule {
         |         SUM(CAST(qc * qc AS DECIMAL(38,0))) AS sx2,
         |         SUM(CAST(pc * pc AS DECIMAL(38,0))) AS sy2,
         |         SUM(CAST(qc * pc AS DECIMAL(38,0))) AS sxy
-        |  FROM cents GROUP BY l_returnflag)
+        |  FROM cents GROUP BY l_returnflag),
+        |moments AS (
+        |  SELECT l_returnflag, n, sx, sy,
+        |         CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) AS num,
+        |         CAST(n AS DOUBLE) * CAST(sx2 AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) AS den,
+        |         CAST(n AS DOUBLE) * CAST(sy2 AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) AS den_y
+        |  FROM sums)
         |SELECT l_returnflag, n,
-        |  ROUND((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
-        |        / (CAST(n AS DOUBLE) * CAST(sx2 AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 6) AS slope,
-        |  ROUND((CAST(sy AS DOUBLE) - ((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
-        |          / (CAST(n AS DOUBLE) * CAST(sx2 AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))) * CAST(sx AS DOUBLE))
+        |  ROUND(num / den, 6) AS slope,
+        |  ROUND((CAST(sy AS DOUBLE) - (num / den) * CAST(sx AS DOUBLE))
         |        / CAST(n AS DOUBLE) / 100.0, 4) AS intercept,
-        |  ROUND(((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
-        |         * (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)))
-        |        / ((CAST(n AS DOUBLE) * CAST(sx2 AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
-        |           * (CAST(n AS DOUBLE) * CAST(sy2 AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6) AS r2
-        |FROM sums ORDER BY l_returnflag""".stripMargin,
+        |  ROUND((num * num) / (den * den_y), 6) AS r2
+        |FROM moments ORDER BY l_returnflag""".stripMargin,
     "q_winsorize" ->
       """WITH cents AS (
         |  SELECT event_type, CAST(ROUND(value * 100) AS BIGINT) AS c FROM events),

@@ -240,23 +240,38 @@ object EventAnalytics extends QueryModule {
     "q_event_path" -> (qEventPath _),
   )
 
+  /** Shared change-island CTE chain for the two SCD2 oracles (one copy, so
+    * the history and its snapshot can never disagree about versioning).
+    * `ts` is floored to microseconds FIRST (make_timestamp(epoch_us(ts)))
+    * — the parquet column is TIMESTAMP(NANOS) and Spark floors at load
+    * (Tables.events), so a raw-nanos oracle would order same-microsecond
+    * events by their sub-µs tail and compare the probe instant at nanos
+    * where Spark sees a tie. Ends with `grp(user_id, version, attr,
+    * valid_from, n_events)`. */
+  private val scd2Ctes: String =
+    """seq AS (
+      |  SELECT user_id, event_id, make_timestamp(epoch_us(ts)) AS ts, event_type
+      |  FROM events),
+      |chg AS (
+      |  SELECT user_id, event_id, ts, event_type,
+      |         CASE WHEN LAG(event_type) OVER w IS NULL
+      |                OR LAG(event_type) OVER w <> event_type
+      |              THEN 1 ELSE 0 END AS changed
+      |  FROM seq
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      |ver AS (
+      |  SELECT user_id, ts, event_type,
+      |         CAST(SUM(changed) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+      |              AS BIGINT) AS version
+      |  FROM chg),
+      |grp AS (
+      |  SELECT user_id, version, MIN(event_type) AS attr,
+      |         MIN(ts) AS valid_from, COUNT(*) AS n_events
+      |  FROM ver GROUP BY user_id, version)""".stripMargin
+
   val oracle: Map[String, String] = Map(
     "q_scd2_snapshot" ->
-      """WITH seq AS (
-        |  SELECT user_id, event_id, ts, event_type,
-        |         CASE WHEN LAG(event_type) OVER w IS NULL
-        |                OR LAG(event_type) OVER w <> event_type
-        |              THEN 1 ELSE 0 END AS changed
-        |  FROM events
-        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
-        |ver AS (
-        |  SELECT user_id, ts, event_type,
-        |         CAST(SUM(changed) OVER (PARTITION BY user_id ORDER BY ts, event_id)
-        |              AS BIGINT) AS version
-        |  FROM seq),
-        |grp AS (
-        |  SELECT user_id, version, MIN(event_type) AS attr, MIN(ts) AS valid_from
-        |  FROM ver GROUP BY user_id, version),
+      s"""WITH $scd2Ctes,
         |live AS (
         |  SELECT user_id, attr, version, valid_from,
         |         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY version DESC) AS rn
@@ -264,22 +279,7 @@ object EventAnalytics extends QueryModule {
         |SELECT user_id, attr AS state_at_probe, version, valid_from
         |FROM live WHERE rn = 1 ORDER BY user_id""".stripMargin,
     "q_scd2" ->
-      """WITH seq AS (
-        |  SELECT user_id, event_id, ts, event_type,
-        |         CASE WHEN LAG(event_type) OVER w IS NULL
-        |                OR LAG(event_type) OVER w <> event_type
-        |              THEN 1 ELSE 0 END AS changed
-        |  FROM events
-        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
-        |ver AS (
-        |  SELECT user_id, ts, event_type,
-        |         CAST(SUM(changed) OVER (PARTITION BY user_id ORDER BY ts, event_id)
-        |              AS BIGINT) AS version
-        |  FROM seq),
-        |grp AS (
-        |  SELECT user_id, version, MIN(event_type) AS attr,
-        |         MIN(ts) AS valid_from, COUNT(*) AS n_events
-        |  FROM ver GROUP BY user_id, version)
+      s"""WITH $scd2Ctes
         |SELECT user_id, version, attr, valid_from, n_events,
         |       LEAD(valid_from) OVER (PARTITION BY user_id ORDER BY version) AS valid_to,
         |       LEAD(valid_from) OVER (PARTITION BY user_id ORDER BY version) IS NULL

@@ -199,12 +199,11 @@ object Joins extends QueryModule {
     * bloom pass removes most non-matching fact rows BEFORE the join
     * shuffle, the semi join removes the false positives, so the result is
     * exactly the plain semi join (which is the oracle). This is the manual
-    * form of Spark's own InjectRuntimeFilter / DPP: the one driver
-    * round-trip collects the FILTER ITSELF (m/8 = 32 KiB, bounded by the
-    * filter geometry regardless of data scale — same contract as a
-    * broadcast), never data rows. At 100 TB the probe is a codegen'd
-    * bitwise AND against a plan-embedded literal array — no shuffle, no
-    * UDF. */
+    * form of Spark's own InjectRuntimeFilter / DPP: the filter builds as a
+    * distributed bitset aggregation (Scale.bloomPrune) whose one-row
+    * result (m/8 = 32 KiB, bounded by the filter geometry regardless of
+    * data scale) broadcasts to the probe side — no driver round-trip. At
+    * 100 TB the probe is a codegen'd bitwise AND — no shuffle, no UDF. */
   def qJoinBloom(spark: SparkSession, dir: String): DataFrame = {
     val dim = Tables.orders(spark, dir)
       .filter(col("o_orderpriority") === "1-URGENT" && col("o_totalprice") > 150000)

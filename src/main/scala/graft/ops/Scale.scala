@@ -41,18 +41,6 @@ object Scale {
   def writePartitioned(df: DataFrame, path: String, partitionCol: String): Unit =
     df.write.mode(SaveMode.Overwrite).partitionBy(partitionCol).parquet(path)
 
-  /** Bloom-filter pre-prune for a selective join: build a 2-hash bloom
-    * filter over `keys`'s `keyCol` values and return `fact` filtered to
-    * rows whose `factKey` MIGHT be in the key set (no false negatives;
-    * false-positive rate ≈ (1−e^(−2n/m))² — about 1% for n=20k keys in
-    * m=2^18 bits). The one driver round-trip collects the FILTER ITSELF
-    * (m/8 bytes, bounded by the filter geometry regardless of data scale —
-    * the same contract as a broadcast, and the manual form of Spark's own
-    * InjectRuntimeFilter). The probe is a codegen'd bitwise AND against a
-    * plan-embedded literal array: no shuffle, no UDF, so at 100 TB the
-    * non-matching bulk of the fact table dies at the scan, before the join
-    * shuffle. Callers needing exact semantics follow with the real join
-    * (which also removes the false positives). */
   /** Typed Aggregator folding hash positions into a fixed-size bitset —
     * the custom-UDAF route (Aggregator + toColumn), chosen over a
     * driver-side collect so the filter build is a fully distributed
@@ -76,6 +64,18 @@ object Scale {
       org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
   }
 
+  /** Bloom-filter pre-prune for a selective join: build a 2-hash bloom
+    * filter over `keys`'s `keyCol` values and return `fact` filtered to
+    * rows whose `factKey` MIGHT be in the key set (no false negatives;
+    * false-positive rate ≈ (1−e^(−2n/m))² — about 1% for n=20k keys in
+    * m=2^18 bits). The build is a distributed [[BitsetAgg]] aggregation
+    * whose one-row result (m/8 bytes, bounded by the filter geometry
+    * regardless of data scale) is BROADCAST to the probe side — no driver
+    * round-trip anywhere; this is the manual form of Spark's own
+    * InjectRuntimeFilter. The probe is a codegen'd bitwise AND, no shuffle
+    * and no UDF, so at 100 TB the non-matching bulk of the fact table dies
+    * at the scan, before the join shuffle. Callers needing exact semantics
+    * follow with the real join (which also removes the false positives). */
   def bloomPrune(fact: DataFrame, factKey: String,
       keys: DataFrame, keyCol: String, mBits: Int): DataFrame = {
     require((mBits & (mBits - 1)) == 0 && mBits >= 64, "mBits: power of two >= 64")

@@ -267,7 +267,7 @@ object Windows extends QueryModule {
       """WITH t AS (
         |  SELECT user_id, event_id,
         |         LIST_SORT(ARRAY_AGG(value) OVER (PARTITION BY user_id
-        |           ORDER BY ts, event_id
+        |           ORDER BY epoch_us(ts), event_id
         |           ROWS BETWEEN 14 PRECEDING AND CURRENT ROW)) AS arr
         |  FROM events)
         |SELECT user_id, event_id,
@@ -277,7 +277,7 @@ object Windows extends QueryModule {
       """WITH t AS (
         |  SELECT user_id, event_id,
         |         ARRAY_AGG(CAST(ROUND(value * 100) AS BIGINT)) OVER (
-        |           PARTITION BY user_id ORDER BY ts, event_id
+        |           PARTITION BY user_id ORDER BY epoch_us(ts), event_id
         |           ROWS BETWEEN 15 PRECEDING AND CURRENT ROW) AS arr
         |  FROM events)
         |SELECT user_id, event_id,
@@ -289,11 +289,11 @@ object Windows extends QueryModule {
       """WITH marked AS (
         |  SELECT event_id, event_type, ts,
         |         CASE WHEN ROW_NUMBER() OVER (PARTITION BY event_type, user_id
-        |                                      ORDER BY ts, event_id) = 1
+        |                                      ORDER BY epoch_us(ts), event_id) = 1
         |              THEN 1 ELSE 0 END AS is_first
         |  FROM events)
         |SELECT event_id, event_type,
-        |       CAST(SUM(is_first) OVER (PARTITION BY event_type ORDER BY ts, event_id)
+        |       CAST(SUM(is_first) OVER (PARTITION BY event_type ORDER BY epoch_us(ts), event_id)
         |            AS BIGINT) AS distinct_users_so_far
         |FROM marked ORDER BY event_type, event_id""".stripMargin,
     "q_win_first_last" ->
@@ -326,16 +326,16 @@ object Windows extends QueryModule {
     "q_win_lag" ->
       """SELECT user_id, event_id,
         |       ROUND(value - COALESCE(LAG(value, 1) OVER
-        |         (PARTITION BY user_id ORDER BY ts, event_id), 0.0), 4) AS delta
+        |         (PARTITION BY user_id ORDER BY epoch_us(ts), event_id), 0.0), 4) AS delta
         |FROM events ORDER BY user_id, event_id""".stripMargin,
     "q_win_cumsum" ->
       """SELECT user_id, event_id,
-        |       ROUND(SUM(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |       ROUND(SUM(value) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
         |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4) AS running_total
         |FROM events ORDER BY user_id, event_id""".stripMargin,
     "q_win_movavg" ->
       """SELECT user_id, event_id,
-        |       ROUND(AVG(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |       ROUND(AVG(value) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
         |         ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 4) AS movavg7
         |FROM events ORDER BY user_id, event_id""".stripMargin,
     "q_win_share" ->
@@ -368,7 +368,7 @@ object Windows extends QueryModule {
     "q_win_latest" ->
       """SELECT user_id, event_id, event_type, ROUND(value, 4) AS value
         |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
-        |        ORDER BY ts DESC, event_id DESC) AS rn FROM events) t
+        |        ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn FROM events) t
         |WHERE rn = 1 ORDER BY user_id""".stripMargin,
     "q_win_ntile" ->
       """SELECT c_mktsegment, c_custkey,

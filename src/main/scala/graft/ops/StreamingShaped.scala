@@ -68,13 +68,19 @@ object StreamingShaped extends QueryModule {
         |FROM buckets GROUP BY wstart, event_type
         |ORDER BY wstart, event_type""".stripMargin,
     "q_stream_session" ->
-      """WITH marked AS (
+      """WITH ev AS (
+        |  -- micro-floor BEFORE the gap arithmetic: the parquet ts is nanos
+        |  -- and Spark sessionizes on micro-floored timestamps, so a gap of
+        |  -- exactly 5min-plus-nanoseconds must not split differently here
+        |  SELECT user_id, event_id, value, make_timestamp(epoch_us(ts)) AS ts
+        |  FROM events),
+        |marked AS (
         |  SELECT user_id, ts, event_id, value,
         |         CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
         |                   > INTERVAL '5 minutes' OR
         |              LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
         |              THEN 1 ELSE 0 END AS is_new
-        |  FROM events),
+        |  FROM ev),
         |sessions AS (
         |  SELECT user_id, ts, value,
         |         SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id

@@ -297,6 +297,40 @@ object TextAnalysis extends QueryModule {
       .orderBy(col("n").desc, col("bigram"))
       .limit(40)
 
+  /** Collocation mining by pointwise mutual information: for the corpus's
+    * top bigrams, pmi = ln(n_ab · T / (n_a · n_b)) where T is the total
+    * adjacent-pair count — high when the pair co-occurs far above chance
+    * ("new york"), ~0 for independent words. All counts are exact integers
+    * over PAIR SLOTS (n_a = occurrences of a as a left token, n_b = as a
+    * right token, T = total pairs — the standard bigram-PMI estimator,
+    * every margin consistent with the same denominator); the single ln per
+    * surviving bigram runs on identical integer ratios in both engines
+    * (same precedent as q_tfidf_top). Ranked on the raw double,
+    * floor-rounded for display only. */
+  def qNgramPmi(spark: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.documents(spark, dir)
+      .withColumn("toks", split(lower(trim(col("text"))), " "))
+    val pairs = toks.select(explode(expr(
+        """CASE WHEN size(toks) < 2 THEN array()
+          |ELSE transform(sequence(0, size(toks) - 2),
+          |  i -> struct(element_at(toks, i + 1) AS w1, element_at(toks, i + 2) AS w2))
+          |END""".stripMargin)).as("p"))
+      .select(col("p.w1"), col("p.w2"))
+    val bi = pairs.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("n_ab"))
+    val left = pairs.groupBy(col("w1")).agg(count(lit(1)).as("n_a"))
+    val right = pairs.groupBy(col("w2")).agg(count(lit(1)).as("n_b"))
+    val total = pairs.agg(count(lit(1)).as("t"))
+    bi.filter(col("n_ab") >= 20)
+      .join(left, "w1").join(right, "w2")
+      .crossJoin(broadcast(total))
+      .withColumn("pmi_raw", expr(
+        "ln(CAST(n_ab AS DOUBLE) * CAST(t AS DOUBLE) / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)))"))
+      .select(col("w1"), col("w2"), col("n_ab"),
+        (floor(col("pmi_raw") * 1000000 + 0.5) / 1000000).as("pmi"))
+      .orderBy(col("pmi_raw").desc, col("w1"), col("w2"))
+      .limit(40)
+  }
+
   /** RAG-style chunking: every document split into fixed 32-token windows
     * (last chunk ragged), each chunk carrying its index, token count, and
     * text — the segmentation pass an embedding/RAG pipeline runs before
@@ -346,6 +380,7 @@ object TextAnalysis extends QueryModule {
     "q_text_pii"         -> (qTextPii _),
     "q_text_clean"       -> (qTextClean _),
     "q_ngram_top"        -> (qNgramTop _),
+    "q_ngram_pmi"        -> (qNgramPmi _),
     "q_text_chunk"       -> (qTextChunk _),
   )
 
@@ -473,6 +508,27 @@ object TextAnalysis extends QueryModule {
         |  FROM documents)
         |SELECT doc_id, n_chars, LENGTH(cleaned) AS clean_chars, cleaned
         |FROM c ORDER BY doc_id""".stripMargin,
+    "q_ngram_pmi" ->
+      """WITH toks AS (
+        |  SELECT STRING_SPLIT(LOWER(TRIM(text)), ' ') AS t FROM documents),
+        |pairs AS (
+        |  SELECT UNNEST(CASE WHEN LEN(t) < 2 THEN []
+        |    ELSE LIST_TRANSFORM(RANGE(1, LEN(t)),
+        |      i -> struct_pack(w1 := t[i], w2 := t[i+1])) END) AS p
+        |  FROM toks),
+        |flat AS (SELECT p.w1 AS w1, p.w2 AS w2 FROM pairs),
+        |bi AS (SELECT w1, w2, COUNT(*) AS n_ab FROM flat GROUP BY w1, w2),
+        |lft AS (SELECT w1, COUNT(*) AS n_a FROM flat GROUP BY w1),
+        |rgt AS (SELECT w2, COUNT(*) AS n_b FROM flat GROUP BY w2),
+        |tot AS (SELECT COUNT(*) AS t FROM flat),
+        |scored AS (
+        |  SELECT bi.w1, bi.w2, bi.n_ab,
+        |         LN(CAST(bi.n_ab AS DOUBLE) * CAST(tot.t AS DOUBLE)
+        |            / (CAST(lft.n_a AS DOUBLE) * CAST(rgt.n_b AS DOUBLE))) AS pmi_raw
+        |  FROM bi JOIN lft USING (w1) JOIN rgt USING (w2) CROSS JOIN tot
+        |  WHERE bi.n_ab >= 20)
+        |SELECT w1, w2, n_ab, FLOOR(pmi_raw * 1000000 + 0.5) / 1000000 AS pmi
+        |FROM scored ORDER BY pmi_raw DESC, w1, w2 LIMIT 40""".stripMargin,
     "q_ngram_top" ->
       """WITH bg AS (
         |  SELECT doc_id, UNNEST(CASE WHEN LEN(toks) < 2 THEN []

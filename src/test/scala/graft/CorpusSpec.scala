@@ -168,6 +168,25 @@ class CorpusSpec extends SparkSpec {
     assert(math.abs(engineBest - math.floor(bruteBest * 1e6 + 0.5) / 1e6) < 1e-9)
   }
 
+  test("bigram pmi matches the slot-count formula on collected pairs") {
+    val rows = TextAnalysis.qNgramPmi(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+    assert(rows.nonEmpty)
+    val pairs = Tables.documents(spark, sf).collect()
+      .map(_.getAs[String]("text").trim.toLowerCase.split(" ", -1))
+      .filter(_.length >= 2)
+      .flatMap(t => t.zip(t.tail))
+    val t = pairs.length.toDouble
+    val nA = pairs.groupBy(_._1).view.mapValues(_.length).toMap
+    val nB = pairs.groupBy(_._2).view.mapValues(_.length).toMap
+    val nAB = pairs.groupBy(identity).view.mapValues(_.length).toMap
+    rows.foreach { case (w1, w2, nab, pmi) =>
+      assert(nab == nAB((w1, w2)).toLong && nab >= 20)
+      val want = math.log(nab * t / (nA(w1).toDouble * nB(w2).toDouble))
+      assert(math.abs(pmi - math.floor(want * 1e6 + 0.5) / 1e6) < 1e-9, s"pmi $w1 $w2")
+    }
+  }
+
   test("misra-gries heavy hitters are exact on a skewed stream with cardinality >> k") {
     import spark.implicits._
     // 3 planted heavy tokens + 2000 singletons; k=10 counters per partition

@@ -230,9 +230,43 @@ object EventAnalytics extends QueryModule {
       .orderBy(col("user_id"))
   }
 
+  /** Chained throttle-dedup: keep an event iff more than 10 minutes have
+    * passed since the last KEPT event of the same user — the batch twin of
+    * streaming dropDuplicatesWithinWatermark's state rule, and the classic
+    * "capacitor" recurrence NO window function can express (each decision
+    * depends on the previous DECISION, not the previous row; a lag-based
+    * gap rule over raw timestamps keeps a different set when events arrive
+    * in bursts). The typed-API route: groupByKey + flatMapGroups, one
+    * in-memory sort + linear scan per user. Per-group memory is bounded by
+    * the user's event count — fine for interactive keys; an unbounded
+    * stream uses the watermarked streaming path
+    * ([[graft.streaming.Streams]]). The oracle replays the same recurrence
+    * as a DuckDB recursive CTE, which is what makes a typed-API operator
+    * hash-verifiable at all. */
+  def qThrottleDedup(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val gapUs = 10L * 60 * 1000000
+    Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("tus"))
+      .as[(Long, Long, Long)]
+      .groupByKey(_._1)
+      .flatMapGroups { (user, it) =>
+        val sorted = it.toArray.sortBy(e => (e._3, e._2))
+        var lastKept = Long.MinValue
+        sorted.iterator.flatMap { case (_, eid, tus) =>
+          if (lastKept == Long.MinValue || tus - lastKept > gapUs) {
+            lastKept = tus; Iterator.single((user, eid))
+          } else Iterator.empty
+        }
+      }
+      .toDF("user_id", "event_id")
+      .orderBy(col("user_id"), col("event_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_scd2"      -> (qScd2 _),
     "q_scd2_snapshot" -> (qScd2Snapshot _),
+    "q_throttle_dedup" -> (qThrottleDedup _),
     "q_funnel"    -> (qFunnel _),
     "q_retention" -> (qRetention _),
     "q_sessionize" -> (qSessionize _),
@@ -270,6 +304,24 @@ object EventAnalytics extends QueryModule {
       |  FROM ver GROUP BY user_id, version)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "q_throttle_dedup" ->
+      """WITH RECURSIVE ordered AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS tus,
+        |         ROW_NUMBER() OVER (PARTITION BY user_id
+        |           ORDER BY epoch_us(ts), event_id) AS rn
+        |  FROM events),
+        |keep AS (
+        |  SELECT user_id, event_id, tus, rn, tus AS last_kept, TRUE AS kept
+        |  FROM ordered WHERE rn = 1
+        |  UNION ALL
+        |  SELECT o.user_id, o.event_id, o.tus, o.rn,
+        |         CASE WHEN o.tus - k.last_kept > 600000000
+        |              THEN o.tus ELSE k.last_kept END,
+        |         o.tus - k.last_kept > 600000000
+        |  FROM ordered o
+        |  JOIN keep k ON o.user_id = k.user_id AND o.rn = k.rn + 1)
+        |SELECT user_id, event_id FROM keep WHERE kept
+        |ORDER BY user_id, event_id""".stripMargin,
     "q_scd2_snapshot" ->
       s"""WITH $scd2Ctes,
         |live AS (

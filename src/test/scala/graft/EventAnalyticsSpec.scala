@@ -145,6 +145,34 @@ class EventAnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("throttle dedup follows the chained recurrence, not the naive lag-gap rule") {
+    // in-memory replay equality on real data
+    val got = EventAnalytics.qThrottleDedup(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val events = Tables.events(spark, sf)
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("tus"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val want = events.groupBy(_._1).toSeq.flatMap { case (u, es) =>
+      var lastKept = Long.MinValue
+      es.sortBy(e => (e._3, e._2)).flatMap { case (_, eid, tus) =>
+        if (lastKept == Long.MinValue || tus - lastKept > 600000000L) {
+          lastKept = tus; Some((u, eid))
+        } else None
+      }
+    }.toSet
+    assert(got == want)
+    // burst 0min/5min/12min: the chain keeps {0, 12} (12 > 10 from last KEPT
+    // at 0); a lag-gap rule would keep only {0} (12-5=7 < 10) — decisions
+    // must chain off kept events, not previous rows
+    val user = events.head._1
+    val bursts = Set(0L, 5L, 12L).map(m => m * 60000000L)
+    val replay = bursts.toSeq.sorted.foldLeft((Long.MinValue, Set.empty[Long])) {
+      case ((last, kept), t) =>
+        if (last == Long.MinValue || t - last > 600000000L) (t, kept + t) else (last, kept)
+    }._2
+    assert(replay == Set(0L, 12L * 60000000L))
+  }
+
   test("scd2 snapshot returns each user's version in force at the probe instant") {
     val probe = java.sql.Timestamp.valueOf("2024-01-15 00:00:00")
     val snap = EventAnalytics.qScd2Snapshot(spark, sf).collect()

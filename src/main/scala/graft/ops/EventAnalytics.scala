@@ -243,24 +243,36 @@ object EventAnalytics extends QueryModule {
     * ([[graft.streaming.Streams]]). The oracle replays the same recurrence
     * as a DuckDB recursive CTE, which is what makes a typed-API operator
     * hash-verifiable at all. */
-  def qThrottleDedup(spark: SparkSession, dir: String): DataFrame = {
+  def qThrottleDedup(spark: SparkSession, dir: String): DataFrame =
+    throttle(
+      Tables.events(spark, dir)
+        .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("tus")),
+      keyCol = "user_id", timeCol = "tus", tieCol = "event_id",
+      gap = 10L * 60 * 1000000)
+      .orderBy(col("user_id"), col("event_id"))
+
+  /** Library form of the chained throttle over any (key, id, time) table:
+    * per key, keep a row iff more than `gap` has passed since the last
+    * KEPT row (ties broken on `tieCol`). Returns (keyCol, tieCol) of the
+    * kept rows. See [[qThrottleDedup]] for the semantics and scale
+    * discussion. */
+  def throttle(events: DataFrame, keyCol: String, timeCol: String,
+      tieCol: String, gap: Long): DataFrame = {
+    val spark = events.sparkSession
     import spark.implicits._
-    val gapUs = 10L * 60 * 1000000
-    Tables.events(spark, dir)
-      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("tus"))
+    events.select(col(keyCol), col(tieCol), col(timeCol))
       .as[(Long, Long, Long)]
       .groupByKey(_._1)
-      .flatMapGroups { (user, it) =>
+      .flatMapGroups { (key, it) =>
         val sorted = it.toArray.sortBy(e => (e._3, e._2))
         var lastKept = Long.MinValue
-        sorted.iterator.flatMap { case (_, eid, tus) =>
-          if (lastKept == Long.MinValue || tus - lastKept > gapUs) {
-            lastKept = tus; Iterator.single((user, eid))
+        sorted.iterator.flatMap { case (_, tie, t) =>
+          if (lastKept == Long.MinValue || t - lastKept > gap) {
+            lastKept = t; Iterator.single((key, tie))
           } else Iterator.empty
         }
       }
-      .toDF("user_id", "event_id")
-      .orderBy(col("user_id"), col("event_id"))
+      .toDF(keyCol, tieCol)
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -207,6 +207,27 @@ object Functions extends QueryModule {
         col("col").as("token"))
       .orderBy(col("doc_id"), col("pos"))
 
+  /** MapType family: parse the props payload into a real MAP column, grow
+    * it (map_concat), look up (element_at), prune (map_filter), rewrite
+    * values (transform_values), and serialize deterministically
+    * (sorted-key array_join — map iteration order is NOT a contract, so
+    * every output derives from sorted keys). The oracle reconstructs each
+    * output from the known payload structure — the map is the Spark-side
+    * representation under test, not a cross-engine type. */
+  def qFnMap(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .withColumn("m0", expr("str_to_map(regexp_replace(props, '[{}\" ]', ''), ',', ':')"))
+      .withColumn("m", expr("map_concat(m0, map('type', event_type))"))
+      .select(
+        col("event_id"),
+        expr("array_join(array_sort(map_keys(m)), ',')").as("keys_sorted"),
+        expr("CAST(element_at(m, 'k') AS INT)").as("k_val"),
+        expr("size(m)").as("n_entries"),
+        expr("array_join(array_sort(map_keys(map_filter(m, (k, v) -> k <> 'k'))), ',')")
+          .as("keys_no_k"),
+        expr("element_at(transform_values(m, (k, v) -> upper(v)), 'type')").as("type_upper"))
+      .orderBy(col("event_id"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_fn_string" -> (qFnString _),
     "q_fn_date"   -> (qFnDate _),
@@ -218,10 +239,19 @@ object Functions extends QueryModule {
     "q_flatten"   -> (qFlatten _),
     "q_stamp"     -> (qStamp _),
     "q_fn_struct" -> (qFnStruct _),
+    "q_fn_map"    -> (qFnMap _),
     "q_explode_pos" -> (qExplodePos _),
   )
 
   val oracle: Map[String, String] = Map(
+    "q_fn_map" ->
+      """SELECT event_id,
+        |       'k,type' AS keys_sorted,
+        |       CAST(json_extract(props, '$.k') AS INT) AS k_val,
+        |       2 AS n_entries,
+        |       'type' AS keys_no_k,
+        |       UPPER(event_type) AS type_upper
+        |FROM events ORDER BY event_id""".stripMargin,
     "q_explode_pos" ->
       """WITH t AS (
         |  SELECT doc_id, STRING_SPLIT(LOWER(TRIM(text)), ' ') AS l FROM documents)

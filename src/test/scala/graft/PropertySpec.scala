@@ -153,6 +153,38 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("throttle: kept rows respect the min-gap; dropped rows are within gap of a kept one") {
+    val gens = Gen.listOfN(60, Gen.zip(
+      Gen.chooseNum(0L, 3L), Gen.chooseNum(0L, 1000L)))
+    forAllSamples(gens, n = 6) { raw =>
+      val s = spark
+      import s.implicits._
+      // unique tie ids; times intentionally collide to exercise tie-breaks
+      val rows = raw.zipWithIndex.map { case ((k, t), i) => (k, i.toLong, t) }
+      val gap = 50L
+      val kept = graft.ops.EventAnalytics
+        .throttle(rows.toDF("k", "id", "t").repartition(4), "k", "t", "id", gap)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      rows.groupBy(_._1).foreach { case (_, es) =>
+        val sorted = es.sortBy(e => (e._3, e._2))
+        val keptTimes = sorted.filter(e => kept((e._1, e._2))).map(_._3)
+        // min-gap invariant over consecutive kept rows
+        keptTimes.sliding(2).foreach {
+          case Seq(a, b) => assert(b - a > gap)
+          case _ => ()
+        }
+        // greedy maximality: each dropped row is within gap of the latest
+        // kept row at or before it
+        var lastKept = Long.MinValue
+        sorted.foreach { case (k, id, t) =>
+          if (kept((k, id))) lastKept = t
+          else assert(lastKept != Long.MinValue && t - lastKept <= gap)
+        }
+        assert(keptTimes.nonEmpty == sorted.nonEmpty, "first row per key is always kept")
+      }
+    }
+  }
+
   test("sessionize: sessions partition events; gap=∞ gives one session per key") {
     val events = Gen.listOfN(30, Gen.zip(
       Gen.chooseNum(0L, 4L), Gen.chooseNum(0L, 100000L)))

@@ -217,7 +217,46 @@ object Profiling extends QueryModule {
       .orderBy(col("fk_edge"))
   }
 
+  /** Pairwise correlation matrix over the lineitem numeric columns
+    * (quantity, extendedprice, discount), tall form: one row per unordered
+    * column pair. ONE aggregation computes every cross-moment as an exact
+    * DECIMAL cent sum (map-side combinable, nine decimals of state total),
+    * then each pair's closed-form correlation runs once on bit-identical
+    * integers — same determinism argument as q_agg_stats, generalized to
+    * the full matrix. The tall explode happens AFTER aggregation, on a
+    * one-row table. */
+  def qCorrMatrix(spark: SparkSession, dir: String): DataFrame = {
+    val cents = Tables.lineitem(spark, dir).select(
+      expr("CAST(round(l_quantity * 100) AS BIGINT)").as("a"),
+      expr("CAST(round(l_extendedprice * 100) AS BIGINT)").as("b"),
+      expr("CAST(round(l_discount * 100) AS BIGINT)").as("c"))
+    def s(e: String) = sum(expr(s"CAST($e AS DECIMAL(38,0))"))
+    val m = cents.agg(
+      count(lit(1)).as("n"),
+      s("a").as("sa"), s("b").as("sb"), s("c").as("sc"),
+      s("a*a").as("saa"), s("b*b").as("sbb"), s("c*c").as("scc"),
+      s("a*b").as("sab"), s("a*c").as("sac"), s("b*c").as("sbc"))
+    def corr(x: String, y: String, xy: String, xx: String, yy: String) = expr(
+      s"""(CAST(n AS DOUBLE) * CAST($xy AS DOUBLE) - CAST($x AS DOUBLE) * CAST($y AS DOUBLE))
+         |/ (sqrt(CAST(n AS DOUBLE) * CAST($xx AS DOUBLE) - CAST($x AS DOUBLE) * CAST($x AS DOUBLE))
+         |   * sqrt(CAST(n AS DOUBLE) * CAST($yy AS DOUBLE) - CAST($y AS DOUBLE) * CAST($y AS DOUBLE)))"""
+        .stripMargin)
+    // all three coefficients from the ONE aggregation row, then stack to
+    // tall form (a union of per-pair selects would re-run the scan 3×)
+    m.select(
+        round(corr("sa", "sb", "sab", "saa", "sbb"), 6).as("c_qp"),
+        round(corr("sa", "sc", "sac", "saa", "scc"), 6).as("c_qd"),
+        round(corr("sb", "sc", "sbc", "sbb", "scc"), 6).as("c_pd"))
+      .selectExpr(
+        """stack(3,
+          |  'quantity', 'extendedprice', c_qp,
+          |  'quantity', 'discount', c_qd,
+          |  'extendedprice', 'discount', c_pd) AS (col_a, col_b, corr)""".stripMargin)
+      .orderBy(col("col_a"), col("col_b"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_corr_matrix"    -> (qCorrMatrix _),
     "q_chisq"          -> (qChisq _),
     "q_fk_audit"       -> (qFkAudit _),
     "q_hist"           -> (qHist _),
@@ -227,6 +266,39 @@ object Profiling extends QueryModule {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_corr_matrix" ->
+      """WITH cents AS (
+        |  SELECT CAST(ROUND(l_quantity * 100) AS BIGINT) AS a,
+        |         CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS b,
+        |         CAST(ROUND(l_discount * 100) AS BIGINT) AS c
+        |  FROM lineitem),
+        |m AS (
+        |  SELECT COUNT(*) AS n,
+        |         SUM(CAST(a AS DECIMAL(38,0))) AS sa, SUM(CAST(b AS DECIMAL(38,0))) AS sb,
+        |         SUM(CAST(c AS DECIMAL(38,0))) AS sc,
+        |         SUM(CAST(a*a AS DECIMAL(38,0))) AS saa, SUM(CAST(b*b AS DECIMAL(38,0))) AS sbb,
+        |         SUM(CAST(c*c AS DECIMAL(38,0))) AS scc,
+        |         SUM(CAST(a*b AS DECIMAL(38,0))) AS sab, SUM(CAST(a*c AS DECIMAL(38,0))) AS sac,
+        |         SUM(CAST(b*c AS DECIMAL(38,0))) AS sbc
+        |  FROM cents)
+        |SELECT 'quantity' AS col_a, 'extendedprice' AS col_b,
+        |  ROUND((CAST(n AS DOUBLE) * CAST(sab AS DOUBLE) - CAST(sa AS DOUBLE) * CAST(sb AS DOUBLE))
+        |    / (SQRT(CAST(n AS DOUBLE) * CAST(saa AS DOUBLE) - CAST(sa AS DOUBLE) * CAST(sa AS DOUBLE))
+        |       * SQRT(CAST(n AS DOUBLE) * CAST(sbb AS DOUBLE) - CAST(sb AS DOUBLE) * CAST(sb AS DOUBLE))), 6) AS corr
+        |FROM m
+        |UNION ALL
+        |SELECT 'quantity', 'discount',
+        |  ROUND((CAST(n AS DOUBLE) * CAST(sac AS DOUBLE) - CAST(sa AS DOUBLE) * CAST(sc AS DOUBLE))
+        |    / (SQRT(CAST(n AS DOUBLE) * CAST(saa AS DOUBLE) - CAST(sa AS DOUBLE) * CAST(sa AS DOUBLE))
+        |       * SQRT(CAST(n AS DOUBLE) * CAST(scc AS DOUBLE) - CAST(sc AS DOUBLE) * CAST(sc AS DOUBLE))), 6)
+        |FROM m
+        |UNION ALL
+        |SELECT 'extendedprice', 'discount',
+        |  ROUND((CAST(n AS DOUBLE) * CAST(sbc AS DOUBLE) - CAST(sb AS DOUBLE) * CAST(sc AS DOUBLE))
+        |    / (SQRT(CAST(n AS DOUBLE) * CAST(sbb AS DOUBLE) - CAST(sb AS DOUBLE) * CAST(sb AS DOUBLE))
+        |       * SQRT(CAST(n AS DOUBLE) * CAST(scc AS DOUBLE) - CAST(sc AS DOUBLE) * CAST(sc AS DOUBLE))), 6)
+        |FROM m
+        |ORDER BY col_a, col_b""".stripMargin,
     "q_chisq" ->
       """WITH cells AS (
         |  SELECT event_type, CAST(user_id % 3 AS BIGINT) AS cohort, COUNT(*) AS n

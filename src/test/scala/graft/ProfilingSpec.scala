@@ -77,6 +77,19 @@ class ProfilingSpec extends SparkSpec {
     assert(z.head._2 > 4.0)
   }
 
+  test("correlation matrix matches Spark's built-in corr within rounding") {
+    val rows = Profiling.qCorrMatrix(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2)).toMap
+    assert(rows.size == 3)
+    val li = Tables.lineitem(spark, sf)
+    def ref(a: String, b: String): Double = li.stat.corr(a, b)
+    // cent quantization shifts the inputs by <= 0.5 cent; tolerance covers it
+    assert(math.abs(rows(("quantity", "extendedprice")) - ref("l_quantity", "l_extendedprice")) < 1e-4)
+    assert(math.abs(rows(("quantity", "discount")) - ref("l_quantity", "l_discount")) < 1e-4)
+    assert(math.abs(rows(("extendedprice", "discount")) - ref("l_extendedprice", "l_discount")) < 1e-4)
+    rows.values.foreach(c => assert(c >= -1.0 && c <= 1.0))
+  }
+
   test("chi-square cells: expecteds preserve margins, contribs nonneg, total = cell sum") {
     val rows = Profiling.qChisq(spark, sf).collect()
     val obs = rows.map(_.getLong(2)).sum.toDouble

@@ -81,6 +81,48 @@ class StreamingE2ESpec extends SparkSpec {
     assert(out.select("event_id").distinct().count() == 150)
   }
 
+  test("Trigger.AvailableNow drains, self-terminates, and resumes incrementally") {
+    // the scheduled-incremental-batch pattern — the streaming twin of the
+    // reference's re-run-to-refresh model: each invocation drains exactly
+    // the new data and exits on its own (no processAllAvailable/stop pair)
+    val src = java.nio.file.Files.createTempDirectory("an-src")
+    val sink = java.nio.file.Files.createTempDirectory("an-sink").toString + "/out"
+    val ckpt = java.nio.file.Files.createTempDirectory("an-state").toString
+
+    import spark.implicits._
+    def writeBatch(name: String, ids: Range): Unit = {
+      val stage = java.nio.file.Files.createTempDirectory("an-stage")
+      ids.map(i => (i.toLong, i.toDouble)).toDF("event_id", "value")
+        .coalesce(1).write.mode("overwrite").parquet(stage.toString)
+      val listing = java.nio.file.Files.list(stage)
+      val part = try listing.iterator().asScala
+        .find(_.getFileName.toString.endsWith(".parquet")).get
+      finally listing.close()
+      java.nio.file.Files.move(part, src.resolve(s"$name.parquet"))
+    }
+    writeBatch("b1", 0 until 80)
+
+    def runOnce(): Unit = {
+      val q = spark.readStream
+        .schema(spark.read.parquet(src.toString).schema)
+        .parquet(src.toString)
+        .writeStream.format("parquet")
+        .option("path", sink).option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      // AvailableNow terminates by itself once the backlog is drained
+      assert(q.awaitTermination(120000), "query must self-terminate")
+    }
+    runOnce()
+    assert(spark.read.parquet(sink).count() == 80)
+    writeBatch("b2", 80 until 130)
+    runOnce()
+    val out = spark.read.parquet(sink)
+    assert(out.count() == 130, "second invocation drains only the new file, once")
+    assert(out.select("event_id").distinct().count() == 130)
+  }
+
   test("cosine_sim resolves in pure SQL after registration") {
     // The withExtensions path can't be exercised in-JVM (getOrCreate returns
     // the shared session); GraftExtensions delegates to the same

@@ -78,6 +78,31 @@ object Reshape extends QueryModule {
       .orderBy(col("doc_id"))
   }
 
+  /** Weighted sampling without replacement (A-ExpJ / exponential clocks):
+    * each row draws clock = −ln(u)/w from a DETERMINISTIC md5-derived
+    * uniform u; the k smallest clocks are the sample, giving inclusion
+    * probability proportional to weight — the corpus-mixing primitive for
+    * "sample documents proportional to quality score". u is an exact
+    * (i+1)/(2⁵²+1) rational both engines compute identically; ln is the
+    * one transcendental (same cross-engine bet q_tfidf_top already wins),
+    * and the top-k is a TakeOrdered, never a full sort. Seeded by the row
+    * key alone → reproducible across runs, partitionings, and engines. */
+  def qSampleWeighted(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val clocked = Tables.orders(spark, dir)
+      .withColumn("u", expr(
+        """(CAST(conv(substring(md5(CAST(o_orderkey AS STRING)), 1, 13), 16, 10) AS DOUBLE) + 1.0)
+          |/ 4503599627370497.0""".stripMargin))
+      .withColumn("clock", expr("-ln(u) / o_totalprice"))
+    clocked
+      .orderBy(col("clock"), col("o_orderkey"))
+      .limit(20)
+      .withColumn("pick", row_number().over(
+        Window.orderBy(col("clock"), col("o_orderkey"))))
+      .select(col("pick"), col("o_orderkey"),
+        round(col("o_totalprice"), 2).as("weight"))
+  }
+
   /** The SQL front door end-to-end: a multi-CTE join + window composite
     * (TPC-H Q5 shape — revenue per nation, ranked) through `spark.sql`,
     * proving CTEs, multi-way joins, window functions and the optimizer all
@@ -114,9 +139,24 @@ object Reshape extends QueryModule {
     "q_sql_subquery"      -> (qSqlSubquery _),
     "q_sql_cte"           -> (qSqlCte _),
     "q_sample_stratified" -> (qSampleStratified _),
+    "q_sample_weighted"   -> (qSampleWeighted _),
   )
 
   val oracle: Map[String, String] = Map(
+    "q_sample_weighted" ->
+      """WITH clocked AS (
+        |  SELECT o_orderkey, o_totalprice,
+        |         -LN((CAST(CAST(('0x' || SUBSTR(MD5(CAST(o_orderkey AS VARCHAR)), 1, 13)) AS BIGINT)
+        |               AS DOUBLE) + 1.0) / 4503599627370497.0)
+        |           / o_totalprice AS clock
+        |  FROM orders),
+        |picked AS (
+        |  SELECT o_orderkey, o_totalprice, clock,
+        |         ROW_NUMBER() OVER (ORDER BY clock, o_orderkey) AS pick
+        |  FROM clocked)
+        |SELECT CAST(pick AS INT) AS pick, o_orderkey,
+        |       ROUND(o_totalprice, 2) AS weight
+        |FROM picked WHERE pick <= 20 ORDER BY pick""".stripMargin,
     "q_pivot" ->
       """SELECT l_returnflag,
         |       ROUND(SUM(CASE WHEN l_linestatus = 'F' THEN l_extendedprice END), 2) AS status_f,

@@ -247,6 +247,7 @@ object Similarity extends QueryModule {
     "q_cosine_topk"        -> (qCosineTopk _),
     "q_cosine_topk_native" -> (qCosineTopkNative _),
     "q_rag_retrieve"       -> (qRagRetrieve _),
+    "q_rank_fusion"        -> (qRankFusion _),
     "q_knn_join"           -> (qKnnJoin _),
     "q_ann_lsh"            -> (qAnnLsh _),
     "q_ann_ivf"            -> (qAnnIvf _),
@@ -277,6 +278,39 @@ object Similarity extends QueryModule {
       .limit(10)
   }
 
+  /** Reciprocal-rank fusion — the standard hybrid-retrieval combiner: fuse
+    * the dense ranking (cosine to the query vector) with a lexical-ish
+    * ranking (document length as the stand-in signal) via
+    * rrf = 1/(60+r_dense) + 1/(60+r_lex). Both ranks are integers from
+    * total-ordered windows, so the fused score is an exact rational
+    * computed identically in both engines — RRF's rank-only design is
+    * precisely what makes hybrid fusion engine-portable (score-based
+    * fusion would inherit every float divergence of both retrievers).
+    * Two global window ranks over the eligible slice (driver-sized here;
+    * at scale each ranking is its own top-k retrieval and fusion runs on
+    * the union of two k-sized lists, never the corpus). */
+  def qRankFusion(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(spark, dir)
+      .filter(col("lang") === "en")
+      .select(col("doc_id"), col("n_chars"))
+    val scored = withQuery(spark, dir)
+      .filter(col("vec_id") =!= 0 && size(col("embedding")) === 64 && expr(normSqExpr) > 0)
+      .withColumn("cos_raw", expr(cosineExpr))
+      .join(docs, col("vec_id") === col("doc_id"))
+    val dense = Window.orderBy(col("cos_raw").desc, col("doc_id"))
+    val lex = Window.orderBy(col("n_chars").desc, col("doc_id"))
+    scored
+      .withColumn("r_dense", row_number().over(dense))
+      .withColumn("r_lex", row_number().over(lex))
+      .withColumn("rrf_raw", expr(
+        "1.0 / (60.0 + CAST(r_dense AS DOUBLE)) + 1.0 / (60.0 + CAST(r_lex AS DOUBLE))"))
+      .orderBy(col("rrf_raw").desc, col("doc_id"))
+      .limit(10)
+      .select(col("doc_id"), col("r_dense"), col("r_lex"),
+        (floor(col("rrf_raw") * 100000000 + 0.5) / 100000000).as("rrf"))
+  }
+
   private val cosineTopkOracle =
       """SELECT vec_id, label,
         |       ROUND(LIST_COSINE_SIMILARITY(CAST(embedding AS DOUBLE[]),
@@ -290,6 +324,31 @@ object Similarity extends QueryModule {
         |LIMIT 20""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "q_rank_fusion" ->
+      """WITH q AS (
+        |  SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0),
+        |scored AS (
+        |  SELECT e.vec_id AS doc_id, d.n_chars,
+        |         LIST_COSINE_SIMILARITY(CAST(e.embedding AS DOUBLE[]), q.qv) AS c
+        |  FROM embeddings e
+        |  JOIN documents d ON e.vec_id = d.doc_id
+        |  CROSS JOIN q
+        |  WHERE e.vec_id <> 0 AND LEN(e.embedding) = 64
+        |    AND LIST_AGGREGATE(LIST_TRANSFORM(CAST(e.embedding AS DOUBLE[]), x -> x * x), 'sum') > 0
+        |    AND d.lang = 'en'),
+        |ranked AS (
+        |  SELECT doc_id,
+        |         ROW_NUMBER() OVER (ORDER BY c DESC, doc_id) AS r_dense,
+        |         ROW_NUMBER() OVER (ORDER BY n_chars DESC, doc_id) AS r_lex
+        |  FROM scored),
+        |fused AS (
+        |  SELECT doc_id, r_dense, r_lex,
+        |         1.0 / (60.0 + CAST(r_dense AS DOUBLE))
+        |           + 1.0 / (60.0 + CAST(r_lex AS DOUBLE)) AS rrf_raw
+        |  FROM ranked)
+        |SELECT doc_id, CAST(r_dense AS BIGINT) AS r_dense, CAST(r_lex AS BIGINT) AS r_lex,
+        |       FLOOR(rrf_raw * 100000000 + 0.5) / 100000000 AS rrf
+        |FROM fused ORDER BY rrf_raw DESC, doc_id LIMIT 10""".stripMargin,
     "q_rag_retrieve" ->
       """WITH q AS (
         |  SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0),

@@ -239,6 +239,41 @@ class LlmOpsSpec extends SparkSpec {
     }
   }
 
+  test("rank fusion: rrf recomputes from the two component ranks") {
+    val rows = graft.ops.Similarity.qRankFusion(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getDouble(3)))
+    assert(rows.nonEmpty && rows.length <= 10)
+    rows.foreach { case (_, rd, rl, rrf) =>
+      val want = 1.0 / (60.0 + rd) + 1.0 / (60.0 + rl)
+      assert(math.abs(rrf - math.floor(want * 1e8 + 0.5) / 1e8) < 1e-12)
+      assert(rd >= 1 && rl >= 1)
+    }
+    // fused order is non-increasing
+    rows.map(_._4).sliding(2).foreach {
+      case Array(a, b) => assert(a >= b)
+      case _ => ()
+    }
+  }
+
+  test("weighted sampling replays exactly and skews toward heavy weights") {
+    val picked = graft.ops.Reshape.qSampleWeighted(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2)))
+    assert(picked.length == 20 && picked.map(_._1).toSeq == (1 to 20))
+    // exact replay of the clock formula on the driver
+    val all = Tables.orders(spark, sf).select("o_orderkey", "o_totalprice").collect()
+      .map(r => (r.getLong(0), r.getDouble(1)))
+    def clock(key: Long, w: Double): Double = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(key.toString.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(13)
+      val u = (java.lang.Long.parseLong(hex, 16).toDouble + 1.0) / 4503599627370497.0
+      -math.log(u) / w
+    }
+    val want = all.map { case (k, w) => (clock(k, w), k) }.sorted.take(20).map(_._2)
+    assert(picked.map(_._2).toSeq == want.toSeq, "same sample as the in-memory replay")
+    // inclusion skews to weight: sampled mean weight exceeds population mean
+    assert(picked.map(_._3).sum / 20 > all.map(_._2).sum / all.length)
+  }
+
   test("fuzzy pairs: dist matches a reference levenshtein and blocking holds") {
     def lev(a: String, b: String): Int = {
       val d = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>

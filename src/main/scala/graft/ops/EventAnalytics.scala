@@ -255,12 +255,17 @@ object EventAnalytics extends QueryModule {
     * per key, keep a row iff more than `gap` has passed since the last
     * KEPT row (ties broken on `tieCol`). Returns (keyCol, tieCol) of the
     * kept rows. See [[qThrottleDedup]] for the semantics and scale
-    * discussion. */
+    * discussion. The three columns are cast to BIGINT internally, so any
+    * integral (or integral-string) key/time/tie works; a timestamp column
+    * should be pre-converted by the caller (e.g. `unix_micros`) since a
+    * raw timestamp→long cast yields seconds and would coarsen the gap
+    * arithmetic. */
   def throttle(events: DataFrame, keyCol: String, timeCol: String,
       tieCol: String, gap: Long): DataFrame = {
     val spark = events.sparkSession
     import spark.implicits._
-    events.select(col(keyCol), col(tieCol), col(timeCol))
+    events.select(col(keyCol).cast("long"), col(tieCol).cast("long"),
+        col(timeCol).cast("long"))
       .as[(Long, Long, Long)]
       .groupByKey(_._1)
       .flatMapGroups { (key, it) =>

@@ -176,16 +176,22 @@ object Profiling extends QueryModule {
   def qChisq(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val cells = Tables.events(spark, dir)
-      .withColumn("cohort", pmod(col("user_id"), lit(3)))
+      // `%` (not pmod): matches the oracle's sign-preserving semantics for
+      // negative user_id, and both engines agree bit-for-bit.
+      .withColumn("cohort", expr("CAST(user_id % 3 AS BIGINT)"))
       .groupBy(col("event_type"), col("cohort"))
       .agg(count(lit(1)).as("n"))
     cells
       .withColumn("r", sum(col("n")).over(Window.partitionBy(col("event_type"))))
       .withColumn("c", sum(col("n")).over(Window.partitionBy(col("cohort"))))
       .withColumn("t", sum(col("n")).over(Window.partitionBy()))
-      // (n·t − r·c)²/(t·r·c): integer numerator, one double division per cell
+      // (n·t − r·c)²/(t·r·c): the products are formed in DOUBLE — the
+      // BIGINT products n·t and r·c would overflow (or error under ANSI)
+      // once total row count passes ~3B at the 100 TB design point, while
+      // IEEE-754 doubles degrade gracefully and identically in both engines
       .withColumn("contrib", expr(
-        """(CAST((n*t - r*c) AS DOUBLE) * CAST((n*t - r*c) AS DOUBLE))
+        """((CAST(n AS DOUBLE) * CAST(t AS DOUBLE) - CAST(r AS DOUBLE) * CAST(c AS DOUBLE))
+          | * (CAST(n AS DOUBLE) * CAST(t AS DOUBLE) - CAST(r AS DOUBLE) * CAST(c AS DOUBLE)))
           |/ (CAST(t AS DOUBLE) * CAST(r AS DOUBLE) * CAST(c AS DOUBLE))""".stripMargin))
       .withColumn("chi2_total", expr(
         "CAST(sum(CAST(round(contrib * 1e6) AS BIGINT)) OVER () AS DOUBLE) / 1e6"))
@@ -311,7 +317,8 @@ object Profiling extends QueryModule {
         |  FROM cells),
         |scored AS (
         |  SELECT event_type, cohort, n, r, c, t,
-        |         (CAST((n*t - r*c) AS DOUBLE) * CAST((n*t - r*c) AS DOUBLE))
+        |         ((CAST(n AS DOUBLE) * CAST(t AS DOUBLE) - CAST(r AS DOUBLE) * CAST(c AS DOUBLE))
+        |          * (CAST(n AS DOUBLE) * CAST(t AS DOUBLE) - CAST(r AS DOUBLE) * CAST(c AS DOUBLE)))
         |           / (CAST(t AS DOUBLE) * CAST(r AS DOUBLE) * CAST(c AS DOUBLE)) AS contrib
         |  FROM tot)
         |SELECT event_type, cohort, n,

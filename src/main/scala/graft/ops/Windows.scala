@@ -13,20 +13,44 @@ import org.apache.spark.sql.functions._
   *
   * Scale notes: a window partitioned by a key is ONE shuffle on that key,
   * then a per-partition sort — no cross-partition coordination. Every window
-  * below partitions by a high-cardinality key (user_id/custkey/nation), so
-  * work distributes evenly at 100 TB; never define a window without
-  * partitionBy (single-partition global sort). Frames are ROWS-bounded
+  * below either partitions by a high-cardinality key (user_id/custkey/
+  * nation) so work distributes evenly at 100 TB, or — where the natural key
+  * is low-cardinality (event_type) — runs a TWO-PHASE plan (salted local
+  * top-k for [[qWinRank]]/[[qWinDist]], day-chunked prefix sums for
+  * [[qWinCountDistinct]]) so no task ever owns a whole key's history; never
+  * define a window without partitionBy (single-partition global sort).
+  * Frames are ROWS-bounded
   * (streaming evaluation, O(1) memory per row except movavg's k-row buffer).
   * Every ORDER BY carries a unique tie-break column so results are
   * deterministic across engines.
   */
 object Windows extends QueryModule {
 
-  /** Ranking trio per group (≙ order_for_place). */
+  /** Salt-bucket count for the two-phase top-k windows below: the local
+    * phase shuffles on (group, salt) so no task ever owns more than 1/64th
+    * of a group's rows, whatever the group's size. */
+  private val TopkSalts = 64L
+
+  /** Ranking trio per group (≙ order_for_place), TWO-PHASE because
+    * `event_type` has a handful of values: a window partitioned only by it
+    * would hand one task an entire type's history at 100×. Phase 1 salts
+    * each row by hash(event_id) mod 64 and keeps the local top-100 per
+    * (event_type, salt) — provably a superset of the global top-100, since
+    * a row with global row_number ≤ 100 has ≤ 99 predecessors in the
+    * (value desc, event_id) total order, hence ≤ 99 within its own salt.
+    * Phase 2 runs the real window over ≤ 64·100 candidate rows per type.
+    * rank/dense_rank survive the filter exactly: every row strictly
+    * greater than a kept row is itself in the global prefix, so the
+    * candidate set contains all rows those functions count. */
   def qWinRank(spark: SparkSession, dir: String): DataFrame = {
+    val wLocal = Window.partitionBy(col("event_type"), col("salt"))
+      .orderBy(col("value").desc, col("event_id"))
     val w  = Window.partitionBy(col("event_type")).orderBy(col("value").desc, col("event_id"))
     val wt = Window.partitionBy(col("event_type")).orderBy(col("value").desc)
     Tables.events(spark, dir)
+      .withColumn("salt", pmod(xxhash64(col("event_id")), lit(TopkSalts)))
+      .withColumn("lrn", row_number().over(wLocal))
+      .filter(col("lrn") <= 100)
       .select(col("event_type"), col("event_id"), round(col("value"), 4).as("value"),
         row_number().over(w).as("rn"),
         rank().over(wt).as("rnk"),
@@ -117,22 +141,51 @@ object Windows extends QueryModule {
   }
 
   /** Distribution functions: percent_rank / cume_dist per group — the
-    * percentile-position twins of the ranking trio (quantile bucketing a
-    * normalization pipeline keys on). Both are rationals of ranks and
-    * partition counts (exact int arithmetic → identical doubles in every
-    * engine); ties on `value` collapse to the same rank in both engines, so
-    * no tie-break is needed for determinism of the VALUES (event_id makes
-    * the row identity deterministic too). Top-100 per group keeps the
-    * output driver-sized at any SF. */
+    * percentile-position twins of the ranking trio. Both are rationals of
+    * ranks and exact counts, so they reduce to integer facts we can get
+    * WITHOUT an event_type-only window over the full table (which would
+    * give one task a whole type's history at 100×):
+    *
+    *   percent_rank = (rank − 1) / (N − 1)      rank = 1 + #{value < v}
+    *   cume_dist    = (rank − 1 + peers) / N    peers = #{value = v}
+    *
+    * Phase 1 keeps the salted local bottom-100 per (event_type, salt) — a
+    * superset of the global bottom-100 (same pigeonhole argument as
+    * [[qWinRank]]) — and `rank` computed on that candidate set equals the
+    * global rank, because every strictly-smaller row is itself in the
+    * global prefix. Phase 2 gets N from a 5-row groupBy and the peer
+    * counts from a hash-agg over only the rows matching candidate values
+    * (semi-join first, so the agg never shuffles the full table), then
+    * assembles both functions arithmetically. Ties on `value` collapse to
+    * the same rank in both engines, so no tie-break is needed for the
+    * VALUES; event_id makes row identity deterministic. */
   def qWinDist(spark: SparkSession, dir: String): DataFrame = {
-    val wt = Window.partitionBy(col("event_type")).orderBy(col("value"))
+    val ev = Tables.events(spark, dir)
+    val wLocal = Window.partitionBy(col("event_type"), col("salt"))
+      .orderBy(col("value"), col("event_id"))
+    val cand = ev
+      .withColumn("salt", pmod(xxhash64(col("event_id")), lit(TopkSalts)))
+      .withColumn("lrn", row_number().over(wLocal))
+      .filter(col("lrn") <= 100)
+      .select(col("event_type"), col("event_id"), col("value"))
+    val nByType = ev.groupBy(col("event_type")).agg(count(lit(1)).as("n_total"))
+    val candVals = cand.select(col("event_type"), col("value")).distinct()
+    val peers = ev.join(broadcast(candVals), Seq("event_type", "value"), "left_semi")
+      .groupBy(col("event_type"), col("value")).agg(count(lit(1)).as("n_peers"))
     val w  = Window.partitionBy(col("event_type")).orderBy(col("value"), col("event_id"))
-    Tables.events(spark, dir)
-      .select(col("event_type"), col("event_id"),
-        round(percent_rank().over(wt), 6).as("pct_rank"),
-        round(cume_dist().over(wt), 6).as("cume"),
-        row_number().over(w).as("rn"))
+    val wt = Window.partitionBy(col("event_type")).orderBy(col("value"))
+    cand
+      .withColumn("rn", row_number().over(w))
+      .withColumn("rnk", rank().over(wt))
       .filter(col("rn") <= 100)
+      .join(broadcast(peers), Seq("event_type", "value"))
+      .join(broadcast(nByType), Seq("event_type"))
+      .select(col("event_type"), col("event_id"),
+        round((col("rnk") - 1).cast("double") / (col("n_total") - 1).cast("double"), 6)
+          .as("pct_rank"),
+        round((col("rnk") - 1 + col("n_peers")).cast("double") / col("n_total").cast("double"), 6)
+          .as("cume"),
+        col("rn"))
       .orderBy(col("event_type"), col("rn"))
   }
 
@@ -187,20 +240,37 @@ object Windows extends QueryModule {
   /** Running COUNT(DISTINCT) over a window — which Spark (and standard SQL
     * engines generally) refuse as a window aggregate — via the two-window
     * rewrite: mark each user's FIRST occurrence within the event type
-    * (row_number over (type, user) = 1), then running-sum the markers over
-    * the (type, time) window. Same shuffle count as any window pair on the
-    * same partition key (one Exchange on event_type; the (type, user)
-    * window is a narrow re-sort within it), fully deterministic via the
-    * (ts, event_id) total order. */
+    * (row_number over (type, user) = 1), then running-sum the markers.
+    *
+    * The running sum is CHUNKED, because a window partitioned only by
+    * low-cardinality event_type would stream one type's entire history
+    * through a single task at 100×. Instead: partition by (event_type,
+    * day-bucket) — a function of ts, so bucket order agrees with ts order
+    * — compute the in-bucket running sum, reduce each bucket to its total
+    * (max of the running sum), prefix-sum those totals over the tiny
+    * (types × days) bucket table, and broadcast the per-bucket offsets
+    * back. offset + in-bucket running = the global running value, exactly,
+    * with every task bounded by one day of one type. */
   def qWinCountDistinct(spark: SparkSession, dir: String): DataFrame = {
     val wUser = Window.partitionBy(col("event_type"), col("user_id"))
       .orderBy(col("ts"), col("event_id"))
-    val wRun = Window.partitionBy(col("event_type"))
+    val wBucket = Window.partitionBy(col("event_type"), col("bucket"))
       .orderBy(col("ts"), col("event_id"))
-    Tables.events(spark, dir)
+    val wOffsets = Window.partitionBy(col("event_type")).orderBy(col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val inBucket = Tables.events(spark, dir)
       .withColumn("is_first", when(row_number().over(wUser) === 1, 1L).otherwise(0L))
-      .withColumn("distinct_users_so_far", sum(col("is_first")).over(wRun))
-      .select(col("event_id"), col("event_type"), col("distinct_users_so_far"))
+      .withColumn("bucket", date_trunc("day", col("ts")))
+      .withColumn("run_in_bucket", sum(col("is_first")).over(wBucket))
+    val offsets = inBucket
+      .groupBy(col("event_type"), col("bucket"))
+      .agg(max(col("run_in_bucket")).as("bucket_total"))
+      .withColumn("offset", coalesce(sum(col("bucket_total")).over(wOffsets), lit(0L)))
+      .select(col("event_type"), col("bucket"), col("offset"))
+    inBucket
+      .join(broadcast(offsets), Seq("event_type", "bucket"))
+      .select(col("event_id"), col("event_type"),
+        (col("offset") + col("run_in_bucket")).as("distinct_users_so_far"))
       .orderBy(col("event_type"), col("event_id"))
   }
 

@@ -17,6 +17,13 @@ import org.apache.spark.sql.catalyst.rules.Rule
   * InjectRuntimeFilter does at plan level: derive a cheap implied
   * predicate and run it first.
   *
+  * Only the 2-arg form is rewritten: Spark's 3-arg
+  * `levenshtein(a, b, threshold)` returns -1 when the distance exceeds the
+  * threshold, so `<= k` can be satisfied by the sentinel while the length
+  * guard is false — injecting it there would silently drop rows. The guard
+  * is only valid when the expression returns the true distance
+  * (`lev.threshold.isEmpty`).
+  *
   * Injected via [[GraftExtensions]] (`injectOptimizerRule`), so it runs
   * inside the operator-optimization fixed-point batch: the rewrite detects
   * its own output (guard semantically equal to the one it would build) and
@@ -29,9 +36,9 @@ object LevenshteinGuard extends Rule[LogicalPlan] {
 
   private def rewrite(e: Expression): Expression = e match {
     case a @ And(g, LessThanOrEqual(lev: Levenshtein, k))
-        if g.semanticEquals(guardFor(lev, k)) =>
+        if lev.threshold.isEmpty && g.semanticEquals(guardFor(lev, k)) =>
       a // already guarded — fixed point
-    case le @ LessThanOrEqual(lev: Levenshtein, k: Literal) =>
+    case le @ LessThanOrEqual(lev: Levenshtein, k: Literal) if lev.threshold.isEmpty =>
       And(guardFor(lev, k), le)
     case other => other.mapChildren(rewrite)
   }

@@ -85,4 +85,47 @@ class PlanSpec extends SparkSpec {
         levenshtein(col("an"), col("bn")) <= 2)
     assert(joined.count() == guarded.count())
   }
+
+  test("LevenshteinGuard leaves the 3-arg threshold form alone") {
+    // levenshtein(a, b, t) returns -1 past the threshold; the length guard
+    // is only implied when the expression returns the TRUE distance, so the
+    // rule must not touch the thresholded form (it would drop rows).
+    import org.apache.spark.sql.functions._
+    val p = Tables.part(spark, sf)
+    val a = p.select(col("p_partkey").as("ak"), col("p_name").as("an"))
+    val b = p.select(col("p_partkey").as("bk"), col("p_name").as("bn"))
+    val j = a.crossJoin(b).filter(expr("levenshtein(an, bn, 2) <= 2"))
+    val analyzed = j.queryExecution.analyzed
+    assert(graft.plans.LevenshteinGuard(analyzed) == analyzed,
+      "thresholded levenshtein must pass through unguarded")
+  }
+
+  // The three event_type windows were re-planned in round 3 so that no
+  // single task owns an entire event type's history at 100×: the heavy
+  // exchange must carry a second, history-splitting key (salt or
+  // day-bucket) alongside event_type. These tests pin that plan shape.
+
+  private def exchangeKeys(df: org.apache.spark.sql.DataFrame): Seq[String] =
+    planOf(df).linesIterator.filter(_.contains("hashpartitioning")).toSeq
+
+  test("q_win_rank's full-table window exchange is salted") {
+    val ex = exchangeKeys(graft.ops.Windows.qWinRank(spark, sf))
+    assert(ex.exists(l => l.contains("event_type") && l.contains("salt")),
+      s"expected a (event_type, salt) exchange; got:\n${ex.mkString("\n")}")
+  }
+
+  test("q_win_dist's full-table window exchange is salted") {
+    val ex = exchangeKeys(graft.ops.Windows.qWinDist(spark, sf))
+    assert(ex.exists(l => l.contains("event_type") && l.contains("salt")),
+      s"expected a (event_type, salt) exchange; got:\n${ex.mkString("\n")}")
+  }
+
+  test("q_win_count_distinct's running sum is chunked by day bucket") {
+    val ex = exchangeKeys(graft.ops.Windows.qWinCountDistinct(spark, sf))
+    assert(ex.exists(l => l.contains("event_type") && l.contains("bucket")),
+      s"expected a (event_type, bucket) exchange; got:\n${ex.mkString("\n")}")
+    // and the offsets side must come back as a broadcast, not a shuffle join
+    assert(planOf(graft.ops.Windows.qWinCountDistinct(spark, sf))
+      .contains("BroadcastHashJoin"))
+  }
 }

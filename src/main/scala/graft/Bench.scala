@@ -1,10 +1,43 @@
 package graft
 import org.apache.spark.sql.SparkSession
+import java.lang.management.ManagementFactory
+import java.nio.file.{Files, Paths}
+
+/** Headline benchmark. Stdout contract (driver-parsed): ONE JSON line
+  * `{"metric":"total","value":N,"unit":"sec","queries":{...},"errors":[...],
+  * "sf":...}`. Everything else — both timing samples per query, per-query
+  * GC-time deltas, JVM counters, and the optional concurrent-families pass
+  * — goes to `bench_full.json` in the working directory, so no measurement
+  * is ever lost to stdout truncation (round-2 lesson: the captured tail
+  * kept 69/136 timings).
+  *
+  * Env knobs: SPARK_GRAFT_SF_DIR (data), SPARK_GRAFT_CPUS (local[N] +
+  * shuffle partitions), SPARK_GRAFT_BENCH_THREADS (>1 enables the
+  * concurrent pass: operator families submitted from that many driver
+  * threads, each in its own FAIR scheduler pool — the shape a real lake
+  * driver uses, cf. the reference's two independent Airflow tasks).
+  */
 object Bench {
+
+  /** Sum of collection time across all GC beans, ms. Deltas around a query
+    * attribute shared-JVM drift (the round-2 bench mystery) to GC rather
+    * than to the query's plan. */
+  private def gcMillis(): Long = {
+    import scala.jdk.CollectionConverters._
+    ManagementFactory.getGarbageCollectorMXBeans.asScala
+      .map(_.getCollectionTime.max(0L)).sum
+  }
+
+  private def jsonNum(d: Double): String =
+    if (d == d.floor && !d.isInfinite && math.abs(d) < 1e15) d.toLong.toString
+    else f"$d%.4f"
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = GraftSession.buildLocal(cpus, "graft-bench")
+    val benchThreads = sys.env.getOrElse("SPARK_GRAFT_BENCH_THREADS", "1").toInt
+    val spark = GraftSession.buildLocal(cpus, "graft-bench",
+      extraConf = Map("spark.scheduler.mode" -> "FAIR"))
     spark.sparkContext.setLogLevel("WARN")
     // noop sink: forces full evaluation of every column (count() would let
     // Catalyst prune the whole projection and measure only the scan).
@@ -40,21 +73,78 @@ object Bench {
     // GC/JIT churn (observed 7.9 s vs 0.8 s steady state for the same
     // query in one run); min-of-two is the standard steady-state estimator
     // and applies identically to every query and every round.
+    case class Sample(name: String, t1: Double, t2: Double, gcMs: Long) {
+      def min: Double = if (t1 < 0 || t2 < 0) -1.0 else math.min(t1, t2)
+    }
     val results = ordered.map { case (name, fn) =>
       def timed(): Double = {
         val t0 = System.nanoTime()
         run(fn)
         (System.nanoTime() - t0) / 1e9
       }
-      try { name -> math.min(timed(), timed()) }
+      val g0 = gcMillis()
+      try { val a = timed(); val b = timed(); Sample(name, a, b, gcMillis() - g0) }
       catch { case e: Throwable =>
-        System.err.println(s"[bench] $name: $e"); name -> -1.0 }
+        System.err.println(s"[bench] $name: $e")
+        Sample(name, -1.0, -1.0, gcMillis() - g0) }
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    // Optional concurrent pass: families submitted from N driver threads,
+    // each thread in its own FAIR pool. Wall-clock for the whole pass plus
+    // per-family wall — interference shows as family wall >> its
+    // sequential sum; speedup shows as pass wall << total.
+    val concurrent: Option[(Double, Seq[(String, Double)])] =
+      if (benchThreads <= 1) None
+      else {
+        System.gc()
+        val families = SparkEntry.queryFamilies.toSeq.sortBy(_._1)
+        val famTimes = new java.util.concurrent.ConcurrentHashMap[String, Double]()
+        val queue = new java.util.concurrent.ConcurrentLinkedQueue[
+          (String, Map[String, (SparkSession, String) => org.apache.spark.sql.DataFrame])]()
+        families.foreach(queue.add)
+        val t0 = System.nanoTime()
+        val threads = (1 to benchThreads).map { i =>
+          new Thread(() => {
+            spark.sparkContext.setLocalProperty("spark.scheduler.pool", s"bench-pool-$i")
+            var fam = queue.poll()
+            while (fam != null) {
+              val f0 = System.nanoTime()
+              fam._2.toSeq.sortBy(_._1).foreach { case (_, fn) =>
+                try run(fn) catch { case _: Throwable => () }
+              }
+              famTimes.put(fam._1, (System.nanoTime() - f0) / 1e9)
+              fam = queue.poll()
+            }
+          }, s"bench-$i")
+        }
+        threads.foreach(_.start()); threads.foreach(_.join())
+        val wall = (System.nanoTime() - t0) / 1e9
+        import scala.jdk.CollectionConverters._
+        Some((wall, famTimes.asScala.toSeq.sortBy(_._1)))
+      }
+    val qs = results.map(s => "\"" + s.name + "\":" + s.min)
       .mkString("{", ",", "}")
-    val errors = results.collect { case (k, v) if v < 0 => "\"" + k + "\"" }
+    val errors = results.collect { case s if s.min < 0 => "\"" + s.name + "\"" }
       .mkString("[", ",", "]")
-    val total = results.map(_._2).filter(_ >= 0).sum
+    val total = results.map(_.min).filter(_ >= 0).sum
+    // Full artifact: every sample, GC attribution, JVM shape, concurrency.
+    val rt = Runtime.getRuntime
+    val fullQueries = results.map { s =>
+      s""""${s.name}":{"t1":${jsonNum(s.t1)},"t2":${jsonNum(s.t2)},"min":${jsonNum(s.min)},"gc_ms":${s.gcMs}}"""
+    }.mkString("{", ",", "}")
+    val concJson = concurrent match {
+      case None => "null"
+      case Some((wall, fams)) =>
+        val f = fams.map { case (k, v) => s""""$k":${jsonNum(v)}""" }.mkString("{", ",", "}")
+        s"""{"threads":$benchThreads,"wall_sec":${jsonNum(wall)},"families":$f}"""
+    }
+    val full =
+      s"""{"sf":"$sfDir","cpus":$cpus,"total_sec":${jsonNum(total)},
+         |"queries":$fullQueries,
+         |"errors":$errors,
+         |"jvm":{"max_heap_bytes":${rt.maxMemory()},"gc_total_ms":${gcMillis()},
+         |"available_processors":${rt.availableProcessors()}},
+         |"concurrent":$concJson}""".stripMargin
+    Files.writeString(Paths.get("bench_full.json"), full)
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errors,"sf":"$sfDir"}""")
     spark.stop()
   }

@@ -54,7 +54,8 @@ object GraftSession {
   /** The local entry-point shape Verify/Bench/Profile/Explain share: every
     * session conf lives in [[build]], so a new shared conf is a one-line
     * change instead of an edit to six hand-rolled builders. */
-  def buildLocal(cpus: String, appName: String): SparkSession =
+  def buildLocal(cpus: String, appName: String,
+      extraConf: Map[String, String] = Map.empty): SparkSession =
     build(s"local[$cpus]", cpus.toInt, appName,
-      Map("spark.ui.enabled" -> "false"))
+      Map("spark.ui.enabled" -> "false") ++ extraConf)
 }

@@ -13,6 +13,12 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     modules.map(_.queries).reduce(_ ++ _)
+  /** The same keys grouped by operator family (module), for the bench's
+    * concurrent mode: independent families are what a real lake driver
+    * submits from parallel threads (reference runs its two dataflows as
+    * independent Airflow tasks — SURVEY.md §2.1 R11). */
+  def queryFamilies: Map[String, Map[String, (SparkSession, String) => DataFrame]] =
+    modules.map(m => m.getClass.getSimpleName.stripSuffix("$") -> m.queries).toMap
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =

@@ -39,24 +39,35 @@ object Graph extends QueryModule {
       .select(col("src"), col("dst")).distinct()
   }
 
-  /** 3-iteration integer PageRank over the part co-purchase graph. */
+  /** 3-iteration integer PageRank over the part co-purchase graph.
+    *
+    * Exchange budget: the edge table is hash-placed and sorted on `src`
+    * ONCE via [[graft.plans.PartitionedCheckpoint]] (a plain
+    * localCheckpoint forgets the layout under AQE — see that object's doc)
+    * and every rank table comes back from the same helper placed on
+    * `node`, so each iteration's sort-merge join needs NO exchange and NO
+    * sort on either side: the only per-iteration data movement left is the
+    * contributions shuffle into groupBy(dst), which is PageRank's
+    * irreducible transpose. */
   def qPagerank(spark: SparkSession, dir: String): DataFrame = {
+    val parts = spark.sessionState.conf.numShufflePartitions
     // degree folded INTO the edge table once, before the loop — each
     // iteration then runs exactly one join + one aggregation instead of two
     // joins (measured ~1/3 of the per-iteration time at sf0.1)
     val e0 = edges(spark, dir)
     val deg = e0.groupBy(col("src")).agg(count(lit(1)).as("d"))
-    val e = e0.join(deg, "src").localCheckpoint(eager = false)
-    var ranks = e.select(col("src").as("node")).distinct()
-      .withColumn("r", lit(1000000L))
+    val e = graft.plans.PartitionedCheckpoint.byKey(e0.join(deg, "src"), "src", parts)
+    var ranks = graft.plans.PartitionedCheckpoint.byKey(
+      e.select(col("src").as("node")).distinct().withColumn("r", lit(1000000L)),
+      "node", parts)
     for (_ <- 1 to Iterations) {
-      ranks = e
-        .join(ranks, e("src") === ranks("node"))
-        .select(col("dst"), expr("r div d").as("c"))
-        .groupBy(col("dst"))
-        .agg(expr("150000L + (85 * sum(c)) div 100").as("r"))
-        .select(col("dst").as("node"), col("r"))
-        .localCheckpoint(eager = false)
+      ranks = graft.plans.PartitionedCheckpoint.byKey(
+        e.join(ranks, e("src") === ranks("node"))
+          .select(col("dst"), expr("r div d").as("c"))
+          .groupBy(col("dst"))
+          .agg(expr("150000L + (85 * sum(c)) div 100").as("r"))
+          .select(col("dst").as("node"), col("r")),
+        "node", parts)
     }
     ranks.orderBy(col("r").desc, col("node"))
       .limit(100)

@@ -32,16 +32,20 @@ object TextAnalysis extends QueryModule {
 
   /** Per-document stats: exact whitespace tokens, BPE-ish sub-token count
     * (runs of letters / digits / single punctuation), avg token length,
-    * stopword ratio, distinct-token ratio (repetition detector). */
-  def qTextQuality(spark: SparkSession, dir: String): DataFrame =
+    * stopword ratio, distinct-token ratio (repetition detector). The
+    * sub-token count is the native [[graft.functions.SubTokenCount]]
+    * expression — one fused scan per document instead of
+    * regexp_extract_all's per-char regex step plus a match array built
+    * only to be counted (took q_text_quality from ~8 s to regex-free). */
+  def qTextQuality(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.SubTokenCount.register(spark)
     Tables.documents(spark, dir)
       .withColumn("toks", split(lower(trim(col("text"))), " "))
       .select(
         col("doc_id"),
         col("n_chars"),
         size(col("toks")).as("n_tokens"),
-        size(expr("regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]', 0)"))
-          .as("n_subtokens"),
+        expr("subtoken_count(text)").as("n_subtokens"),
         round(expr("aggregate(toks, 0L, (a, t) -> a + length(t))")
           / size(col("toks")).cast("double"), 4).as("avg_token_len"),
         round(size(expr(s"filter(toks, t -> t IN (${stopwords.map("'" + _ + "'").mkString(",")}))"))
@@ -49,6 +53,7 @@ object TextAnalysis extends QueryModule {
         round(size(array_distinct(col("toks"))) / size(col("toks")).cast("double"), 4)
           .as("distinct_ratio"))
       .orderBy(col("doc_id"))
+  }
 
   /** Stopword-profile language ID + agreement rate with the labeled lang. */
   def qTextLangid(spark: SparkSession, dir: String): DataFrame =

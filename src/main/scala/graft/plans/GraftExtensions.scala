@@ -1,6 +1,6 @@
 package graft.plans
 
-import graft.functions.{CharEntropy, CosineSimilarity}
+import graft.functions.{CharEntropy, CosineSimilarity, SubTokenCount}
 import org.apache.spark.sql.SparkSessionExtensions
 
 /** Session-extension entry point: launch with
@@ -15,6 +15,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       CosineSimilarity.builder))
     ext.injectFunction((CharEntropy.ident, CharEntropy.info,
       CharEntropy.builder))
+    ext.injectFunction((SubTokenCount.ident, SubTokenCount.info,
+      SubTokenCount.builder))
     ext.injectOptimizerRule(_ => LevenshteinGuard)
   }
 }

@@ -60,6 +60,25 @@ class CorpusSpec extends SparkSpec {
     assert(five(5L) == 3L, "two emoji + 'a' = 3 code points, not 5 UTF-16 units")
   }
 
+  test("native subtoken_count is identical to the regexp_extract_all formulation") {
+    import spark.implicits._
+    graft.functions.SubTokenCount.register(spark)
+    val edge = Seq("", "   ", "abc", "abc123", "a1b2", "don't stop-me now!!",
+      "x  y", "é ü ñ", "😀a😀", "3.14 costs $2", "ABCdef GHI", "a", "7")
+      .toDF("text")
+    // the fused scan must reproduce the regex count on every edge string
+    // AND on the real corpus at this SF
+    for (df <- Seq(edge, Tables.documents(spark, sf).select(col("text")))) {
+      val diverged = df.select(
+          expr("subtoken_count(text)").as("native"),
+          size(expr("regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]', 0)"))
+            .as("regex"))
+        .filter(col("native") =!= col("regex"))
+        .count()
+      assert(diverged == 0, "subtoken_count diverged from the regex form")
+    }
+  }
+
   test("pii scrub redacts planted emails/phones/ips; clean strips tags and entities") {
     import spark.implicits._
     val d = java.nio.file.Files.createTempDirectory("pii").toString

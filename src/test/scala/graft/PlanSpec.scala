@@ -120,6 +120,27 @@ class PlanSpec extends SparkSpec {
       s"expected a (event_type, salt) exchange; got:\n${ex.mkString("\n")}")
   }
 
+  test("PartitionedCheckpoint joins exchange-free and sort-free (the pagerank iteration shape)") {
+    import org.apache.spark.sql.functions._
+    val c = Tables.customer(spark, sf)
+    val left = graft.plans.PartitionedCheckpoint.byKey(
+      c.select(col("c_custkey"), col("c_acctbal")), "c_custkey", 8)
+    val right = graft.plans.PartitionedCheckpoint.byKey(
+      c.select(col("c_custkey").as("k"), col("c_nationkey")), "k", 8)
+    val joined = left.join(right, left("c_custkey") === right("k"))
+    joined.write.format("noop").mode("overwrite").save()
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"),
+      s"both sides advertise hashpartitioning(key, 8); no exchange may remain:\n$plan")
+    assert(!plan.contains("Sort "),
+      s"both sides advertise in-partition order; SMJ must not re-sort:\n$plan")
+    // and the advertisement is TRUE: the join result matches a plain join
+    val expected = c.select(col("c_custkey"), col("c_acctbal"))
+      .join(c.select(col("c_custkey").as("k"), col("c_nationkey")), col("c_custkey") === col("k"))
+    assert(joined.count() == expected.count())
+    assert(joined.exceptAll(expected).isEmpty && expected.exceptAll(joined).isEmpty)
+  }
+
   test("q_win_count_distinct's running sum is chunked by day bucket") {
     val ex = exchangeKeys(graft.ops.Windows.qWinCountDistinct(spark, sf))
     assert(ex.exists(l => l.contains("event_type") && l.contains("bucket")),

@@ -151,23 +151,74 @@ object Similarity extends QueryModule {
       .orderBy(col("qid"), col("rk"))
   }
 
-  /** IVF-flavored ANN top-10: partition the corpus into inverted lists by
-    * nearest "centroid" (deterministically the first 16 vectors — a real
-    * deployment k-means-trains these), probe the 4 lists nearest the query,
-    * exact-rerank inside them. At scale the assignment is a write-time
-    * partition key: probing touches 4/16 of the data instead of filtering
-    * post-hoc. Every step is deterministic (first-16 centroids, cosine
-    * argmax tie-broken by cid, rerank tie-broken by vec_id), so a DuckDB
-    * multi-CTE twin verifies it exactly; recall vs brute force is also
-    * asserted in tests. Zero-norm vectors have no direction and are
-    * excluded up front in both engines (cosine NULL in Spark vs NaN in
-    * DuckDB would otherwise diverge — NaN sorts first in a DuckDB DESC). */
+  /** Deterministic Lloyd k-means for the IVF index: seeded by the first
+    * `k` vectors, `iters` fixed iterations of (assign to cosine-argmax
+    * centroid, tie-broken by cid) → (centroid = member mean). The mean is
+    * computed the q_pagerank way — components in integer micro-units,
+    * exact BIGINT sums (order-independent, so partition merge order cannot
+    * perturb it), FLOOR division `(s − pmod(s, n)) div n` (Spark's `div`
+    * truncates toward zero but DuckDB's `//` floors; the pmod form floors
+    * in both for negative sums) — then rounded through FLOAT so both
+    * engines subsequently run cosine over bit-identical values. A centroid
+    * that loses all members keeps its previous position (left join +
+    * coalesce). Every step is a pure function of the data, which is what
+    * lets the DuckDB oracle unroll the same iterations as CTEs and verify
+    * the trained index exactly.
+    *
+    * Scale shape per iteration: assignment is a broadcast (k vectors) ×
+    * corpus map + per-vec_id argmax window (vec_id is unique, so the
+    * window distributes perfectly); the update explodes 64 dims and hash-
+    * aggregates — one shuffle of (k × 64) running sums. A production run
+    * raises k and iters; the plan shape is unchanged. */
+  private def ivfCentroids(e: DataFrame, k: Int, iters: Int): DataFrame = {
+    val assignW = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("vec_id")).orderBy(col("csim").desc, col("cid"))
+    var cent = e.filter(col("vec_id") < k)
+      .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+    for (_ <- 1 to iters) {
+      val assigned = e.crossJoin(broadcast(cent))
+        .withColumn("csim", expr("cosine_sim(embedding, cvec)"))
+        .withColumn("rn", row_number().over(assignW))
+        .filter(col("rn") === 1)
+        .select(col("embedding"), col("cid"))
+      val means = assigned
+        .select(col("cid"),
+          posexplode(expr("transform(embedding, x -> CAST(round(x * 1e6) AS BIGINT))")))
+        .toDF("cid", "dim", "micro")
+        .groupBy(col("cid"), col("dim"))
+        .agg(sum(col("micro")).as("s"), count(lit(1)).as("n"))
+        .groupBy(col("cid"))
+        .agg(expr(
+          """transform(array_sort(collect_list(struct(dim, s, n))),
+            |  t -> CAST(CAST((t.s - pmod(t.s, t.n)) div t.n AS DOUBLE) / 1e6 AS FLOAT))""".stripMargin)
+          .as("nvec"))
+      cent = cent.join(means, Seq("cid"), "left")
+        .select(col("cid"), coalesce(col("nvec"), col("cvec")).as("cvec"))
+    }
+    // consumed twice downstream (assignment + probes): truncate so the
+    // training subplan runs once, not once per consumer
+    cent.localCheckpoint(eager = false)
+  }
+
+  /** IVF ANN top-10 over a k-means-TRAINED index: partition the corpus
+    * into inverted lists by nearest trained centroid ([[ivfCentroids]]:
+    * 16 centroids, 2 deterministic Lloyd iterations from a first-16 seed),
+    * probe the 4 lists nearest the query, exact-rerank inside them. At
+    * scale the assignment is a write-time partition key: probing touches
+    * 4/16 of the data instead of filtering post-hoc. Every step is
+    * deterministic (integer-mean centroids, cosine argmax tie-broken by
+    * cid, rerank tie-broken by vec_id), so a DuckDB multi-CTE twin with
+    * the same unrolled iterations verifies it exactly; recall vs brute
+    * force is also asserted in tests (trained centroids beat the untrained
+    * first-16 index on the synthetic corpus). Zero-norm vectors have no
+    * direction and are excluded up front in both engines (cosine NULL in
+    * Spark vs NaN in DuckDB would otherwise diverge — NaN sorts first in
+    * a DuckDB DESC). */
   def qAnnIvf(spark: SparkSession, dir: String): DataFrame = {
     graft.functions.CosineSimilarity.register(spark)
     val e = Tables.embeddings(spark, dir)
       .filter(size(col("embedding")) === 64 && expr(normSqExpr) > 0)
-    val centroids = e.filter(col("vec_id") < 16)
-      .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+    val centroids = ivfCentroids(e, 16, 2)
     // assign every vector to its nearest centroid
     val assignW = org.apache.spark.sql.expressions.Window
       .partitionBy(col("vec_id")).orderBy(col("csim").desc, col("cid"))
@@ -409,8 +460,44 @@ object Similarity extends QueryModule {
         |  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
         |  WHERE LEN(embedding) = 64
         |    AND LIST_AGGREGATE(LIST_TRANSFORM(CAST(embedding AS DOUBLE[]), x -> x * x), 'sum') > 0),
-        |cent AS (
+        |cent0 AS (
         |  SELECT vec_id AS cid, v AS cvec FROM e WHERE vec_id < 16),
+        |asg1 AS (
+        |  SELECT vec_id, v, cid FROM (
+        |    SELECT e.vec_id, e.v, c.cid,
+        |           ROW_NUMBER() OVER (PARTITION BY e.vec_id
+        |             ORDER BY LIST_COSINE_SIMILARITY(e.v, c.cvec) DESC, c.cid) AS rn
+        |    FROM e CROSS JOIN cent0 c) WHERE rn = 1),
+        |m1 AS (
+        |  SELECT cid, d AS dim,
+        |         SUM(CAST(ROUND(v[CAST(d + 1 AS INTEGER)] * 1e6) AS BIGINT)) AS s,
+        |         COUNT(*) AS n
+        |  FROM asg1, range(64) t(d) GROUP BY cid, d),
+        |new1 AS (
+        |  SELECT cid, LIST(CAST(CAST(CAST(s // n AS DOUBLE) / 1e6 AS REAL) AS DOUBLE)
+        |                   ORDER BY dim) AS nvec
+        |  FROM m1 GROUP BY cid),
+        |cent1 AS (
+        |  SELECT c.cid, COALESCE(n.nvec, c.cvec) AS cvec
+        |  FROM cent0 c LEFT JOIN new1 n USING (cid)),
+        |asg2 AS (
+        |  SELECT vec_id, v, cid FROM (
+        |    SELECT e.vec_id, e.v, c.cid,
+        |           ROW_NUMBER() OVER (PARTITION BY e.vec_id
+        |             ORDER BY LIST_COSINE_SIMILARITY(e.v, c.cvec) DESC, c.cid) AS rn
+        |    FROM e CROSS JOIN cent1 c) WHERE rn = 1),
+        |m2 AS (
+        |  SELECT cid, d AS dim,
+        |         SUM(CAST(ROUND(v[CAST(d + 1 AS INTEGER)] * 1e6) AS BIGINT)) AS s,
+        |         COUNT(*) AS n
+        |  FROM asg2, range(64) t(d) GROUP BY cid, d),
+        |new2 AS (
+        |  SELECT cid, LIST(CAST(CAST(CAST(s // n AS DOUBLE) / 1e6 AS REAL) AS DOUBLE)
+        |                   ORDER BY dim) AS nvec
+        |  FROM m2 GROUP BY cid),
+        |cent AS (
+        |  SELECT c.cid, COALESCE(n.nvec, c.cvec) AS cvec
+        |  FROM cent1 c LEFT JOIN new2 n USING (cid)),
         |assigned AS (
         |  SELECT vec_id, label, v, cid FROM (
         |    SELECT e.vec_id, e.label, e.v, c.cid,

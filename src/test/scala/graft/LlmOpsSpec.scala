@@ -92,13 +92,16 @@ class LlmOpsSpec extends SparkSpec {
     assert(recall >= 0.5, s"ANN recall vs brute force: $recall")
   }
 
-  test("IVF ANN probes 4/16 lists and still recalls some of brute-force top-10") {
+  test("IVF ANN (k-means-trained) probes 4/16 lists with high brute-force recall") {
     val brute = Similarity.qCosineTopk(spark, sf).limit(10).collect()
       .map(_.getLong(0)).toSet
     val ivf = Similarity.qAnnIvf(spark, sf).collect().map(_.getLong(0)).toSet
     assert(ivf.nonEmpty && ivf.size <= 10)
+    // measured 0.9 at sf0.001 / 1.0 at sf0.1 with the trained index; the
+    // bar is below that so data regeneration can't flake the suite, but
+    // far above the 0.2 the untrained index was once held to
     val recall = ivf.intersect(brute).size.toDouble / brute.size
-    assert(recall >= 0.2, s"IVF recall vs brute force: $recall")
+    assert(recall >= 0.5, s"IVF recall vs brute force: $recall")
   }
 
   test("dedup clusters: transitive closure of near-dup pairs, one min-label each") {

@@ -166,6 +166,64 @@ class CovidShapeSpec extends SparkSpec {
     df.unpersist()
   }
 
+  test("csv quarantine at scale: exact row-level loss accounting over mixed corruption") {
+    import org.apache.spark.sql.types._
+    val d = Files.createTempDirectory("quarantine_chaos").toString
+    // 8 shards x 25k rows, seeded corruption: every 37th row is mangled,
+    // cycling through the three unambiguous corruption kinds (bad long,
+    // bad double, extra field). Clean rows deliberately include quoted
+    // commas, empty (null) fields, and negative values — valid CSV that
+    // LOOKS tricky must not be quarantined.
+    val rowsPerShard = 25000
+    val shards = 8
+    var badLong = 0; var badDouble = 0; var extraField = 0
+    for (s <- 0 until shards) {
+      val sb = new StringBuilder("city,code,rate\n")
+      for (i <- 0 until rowsPerShard) {
+        val g = s * rowsPerShard + i
+        if (g % 37 == 0) (g / 37) % 3 match {
+          case 0 => badLong += 1;    sb.append(s"bad,NOT_A_LONG_$g,1.5\n")
+          case 1 => badDouble += 1;  sb.append(s"bad,$g,rate_$g\n")
+          case 2 => extraField += 1; sb.append(s"bad,$g,2.5,surprise\n")
+        } else (g % 5) match {
+          case 0 => sb.append(s""""City, with comma $g",$g,${g % 100}.25\n""")
+          case 1 => sb.append(s"plain$g,$g,\n")          // null rate: clean
+          case 2 => sb.append(s",$g,${g % 10}.5\n")      // null city: clean
+          case 3 => sb.append(s"neg$g,-$g,-${g % 7}.75\n")
+          case _ => sb.append(s"city$g,$g,${g % 1000}.0\n")
+        }
+      }
+      Files.write(Paths.get(d, s"shard_$s.csv"), sb.toString.getBytes)
+    }
+    val total = rowsPerShard.toLong * shards
+    val planted = badLong + badDouble + extraField
+    val schema = StructType(Seq(
+      StructField("city", StringType), StructField("code", LongType),
+      StructField("rate", DoubleType)))
+    val df = CovidShape.readCsvQuarantine(spark, s"$d/*.csv", schema)
+    val clean = df.filter(col("_corrupt_record").isNull)
+    val dead = df.filter(col("_corrupt_record").isNotNull)
+    // the account must balance exactly: nothing dropped, nothing doubled
+    assert(clean.count() + dead.count() == total,
+      s"clean+dead must equal the $total written rows")
+    assert(dead.count() == planted,
+      s"expected exactly $planted quarantined rows (=$badLong+$badDouble+$extraField)")
+    // every quarantined row is one of the planted shapes, text preserved
+    assert(dead.filter(col("_corrupt_record").contains("NOT_A_LONG_")).count() == badLong)
+    assert(dead.filter(col("_corrupt_record").contains(",rate_")).count() == badDouble)
+    assert(dead.filter(col("_corrupt_record").contains(",surprise")).count() == extraField)
+    // and the tricky-but-valid rows all landed clean and typed
+    assert(clean.filter(col("city").startsWith("City, with comma")).count() == total / 5 - {
+      // g%5==0 rows that fell on a corruption slot (g%37==0) were mangled instead
+      (0L until total).count(g => g % 5 == 0 && g % 37 == 0)
+    })
+    assert(clean.filter(col("rate").isNull).count() ==
+      (0L until total).count(g => g % 5 == 1 && g % 37 != 0))
+    assert(clean.filter(col("code") < 0).count() ==
+      (0L until total).count(g => g % 5 == 3 && g % 37 != 0))
+    df.unpersist()
+  }
+
   test("flatten handles depth-1 (already flat) frames untouched") {
     import spark.implicits._
     val flat = Seq((1, "a")).toDF("x", "y")

@@ -151,14 +151,76 @@ object Corpus extends QueryModule {
         .select(explode(split(lower(trim(col("text"))), " ")).as("token")),
       "token", k = 40)
 
+  /** Tokens a packed training sequence may hold. 256 keeps multiple docs
+    * per bin on the synthetic corpus; production uses the model context. */
+  private val PackBudget = 256L
+
+  /** Greedy sequence packing — the LLM-pretraining batch-prep step: fit
+    * documents into fixed-token-budget bins, first-fit in doc_id order
+    * within each language shard. A doc that would overflow the open bin
+    * closes it and starts the next (an over-budget doc therefore sits in
+    * its own bin). Like [[graft.ops.EventAnalytics.throttle]], each
+    * decision depends on the previous DECISION, not the previous row — the
+    * "capacitor" recurrence no window function expresses — so it runs
+    * through the typed API (groupByKey + flatMapGroups: one in-memory sort
+    * + linear scan per shard) and the oracle replays the same recurrence as
+    * a DuckDB recursive CTE. Per-shard memory is bounded by the shard's
+    * doc count: lang is the natural shard here; at 100 TB a production run
+    * adds a coarse sub-shard key (bins never need a global sequence — ids
+    * get the shard prefix), which bounds every group the same way the
+    * windows' day-buckets do. Output: every doc's bin index and the bin's
+    * running fill — deterministic, so hash-verifiable. */
+  def qPackSequences(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      // lang coalesced to '' in BOTH engines: a NULL shard key would pack
+      // fine here but silently break the oracle's recursive join
+      // (NULL never equi-joins), a latent cross-engine divergence
+      .select(coalesce(col("lang"), lit("")).as("lang"), col("doc_id"),
+        size(split(lower(trim(col("text"))), " ")).cast("long").as("n_toks"))
+      .as[(String, Long, Long)]
+      .groupByKey(_._1)
+      .flatMapGroups { (lang, it) =>
+        val sorted = it.toArray.sortBy(_._2)
+        var fill = 0L
+        var bin = -1L
+        sorted.iterator.map { case (_, docId, n) =>
+          if (bin < 0 || fill + n > PackBudget) { bin += 1; fill = n }
+          else fill += n
+          (lang, docId, n, bin, fill)
+        }
+      }
+      .toDF("lang", "doc_id", "n_toks", "bin", "bin_fill")
+      .orderBy(col("lang"), col("doc_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_decontaminate" -> (qDecontaminate _),
     "q_sample_capped" -> (qSampleCapped _),
     "q_tfidf_top"     -> (qTfidfTop _),
     "q_heavy_hitters" -> (qHeavyHitters _),
+    "q_pack_sequences" -> (qPackSequences _),
   )
 
   val oracle: Map[String, String] = Map(
+    "q_pack_sequences" ->
+      """WITH RECURSIVE d AS (
+        |  SELECT COALESCE(lang, '') AS lang, doc_id,
+        |         CAST(LEN(STRING_SPLIT(LOWER(TRIM(text)), ' ')) AS BIGINT) AS n_toks,
+        |         ROW_NUMBER() OVER (PARTITION BY COALESCE(lang, '') ORDER BY doc_id) AS rn
+        |  FROM documents),
+        |packed AS (
+        |  SELECT lang, doc_id, n_toks, rn,
+        |         CAST(0 AS BIGINT) AS bin, n_toks AS bin_fill
+        |  FROM d WHERE rn = 1
+        |  UNION ALL
+        |  SELECT d.lang, d.doc_id, d.n_toks, d.rn,
+        |         CASE WHEN p.bin_fill + d.n_toks > 256 THEN p.bin + 1 ELSE p.bin END,
+        |         CASE WHEN p.bin_fill + d.n_toks > 256 THEN d.n_toks
+        |              ELSE p.bin_fill + d.n_toks END
+        |  FROM d JOIN packed p ON d.lang = p.lang AND d.rn = p.rn + 1)
+        |SELECT lang, doc_id, n_toks, bin, bin_fill
+        |FROM packed ORDER BY lang, doc_id""".stripMargin,
     "q_heavy_hitters" ->
       """WITH toks AS (
         |  SELECT UNNEST(STRING_SPLIT(LOWER(TRIM(text)), ' ')) AS token FROM documents),

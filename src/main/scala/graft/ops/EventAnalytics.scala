@@ -74,7 +74,10 @@ object EventAnalytics extends QueryModule {
     * relationally so the oracle can replay it. Ordering inside each window
     * tie-breaks on event_id (same-microsecond events at a session boundary
     * would otherwise be engine-order-dependent); timestamps compare on
-    * epoch_us for the same reason as the funnel oracle. */
+    * epoch_us for the same reason as the funnel oracle. The trailing
+    * global orderBy exists ONLY for the oracle's deterministic hash
+    * compare — a production caller drops it (sorting belongs to the
+    * consumer), at which point the query is the single user_id exchange. */
   def qSessionize(spark: SparkSession, dir: String): DataFrame =
     sessionize(
       Tables.events(spark, dir)

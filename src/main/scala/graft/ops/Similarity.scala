@@ -200,6 +200,46 @@ object Similarity extends QueryModule {
     cent.localCheckpoint(eager = false)
   }
 
+  /** Batched IVF ANN serving — the production shape of [[qAnnIvf]]: every
+    * 40th vector is a query; ONE trained index (same [[ivfCentroids]])
+    * serves the whole batch, each query probing its own 4 nearest lists
+    * and exact-reranking to top-5. Scale shape: the corpus side stays
+    * partition-parallel with its list assignment; queries (with their
+    * probe lists) broadcast; the only shuffle carries (qid, vec_id, score)
+    * triples to the per-query top-k window — [[qKnnJoin]]'s shape but
+    * touching 4/16 of the corpus per query instead of all of it. Fully
+    * deterministic (every ranking tie-broken), so the DuckDB twin unrolls
+    * the same training and verifies the whole batch exactly. */
+  def qAnnIvfBatch(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    graft.functions.CosineSimilarity.register(spark)
+    val e = Tables.embeddings(spark, dir)
+      .filter(size(col("embedding")) === 64 && expr(normSqExpr) > 0)
+    val cent = ivfCentroids(e, 16, 2)
+    val assignW = Window.partitionBy(col("vec_id")).orderBy(col("csim").desc, col("cid"))
+    val assigned = e.crossJoin(broadcast(cent))
+      .withColumn("csim", expr("cosine_sim(embedding, cvec)"))
+      .withColumn("rn", row_number().over(assignW))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("embedding"), col("cid"))
+    val queries = e.filter(col("vec_id") % 40 === 0)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val probeW = Window.partitionBy(col("qid")).orderBy(col("qsim").desc, col("cid"))
+    val probes = queries.crossJoin(broadcast(cent))
+      .withColumn("qsim", expr("cosine_sim(qvec, cvec)"))
+      .withColumn("pr", row_number().over(probeW))
+      .filter(col("pr") <= 4)
+      .select(col("qid"), col("qvec"), col("cid"))
+    val rankW = Window.partitionBy(col("qid")).orderBy(col("cos_raw").desc, col("vec_id"))
+    assigned.join(broadcast(probes), "cid")
+      .filter(col("vec_id") =!= col("qid"))
+      .withColumn("cos_raw", expr("cosine_sim(embedding, qvec)"))
+      .withColumn("rk", row_number().over(rankW))
+      .filter(col("rk") <= 5)
+      .select(col("qid"), col("vec_id"), round(col("cos_raw"), 6).as("cosine"), col("rk"))
+      .orderBy(col("qid"), col("rk"))
+  }
+
   /** IVF ANN top-10 over a k-means-TRAINED index: partition the corpus
     * into inverted lists by nearest trained centroid ([[ivfCentroids]]:
     * 16 centroids, 2 deterministic Lloyd iterations from a first-16 seed),
@@ -302,6 +342,7 @@ object Similarity extends QueryModule {
     "q_knn_join"           -> (qKnnJoin _),
     "q_ann_lsh"            -> (qAnnLsh _),
     "q_ann_ivf"            -> (qAnnIvf _),
+    "q_ann_ivf_batch"      -> (qAnnIvfBatch _),
     "q_dedup_embedding"    -> (qDedupEmbedding _),
   )
 
@@ -373,6 +414,61 @@ object Similarity extends QueryModule {
         |ORDER BY LIST_COSINE_SIMILARITY(CAST(embedding AS DOUBLE[]),
         |         (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id = 0)) DESC, vec_id
         |LIMIT 20""".stripMargin
+
+  /** Shared oracle CTE chain for the two IVF queries (one copy, so the
+    * single-query and batch oracles can never disagree about the trained
+    * index): eligible vectors `e`, the two unrolled k-means iterations
+    * ending in `cent`, and the list `assigned`ment — the SQL twin of
+    * [[ivfCentroids]] + the assignment step. */
+  private val ivfCtes: String =
+    """e AS (
+      |  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+      |  WHERE LEN(embedding) = 64
+      |    AND LIST_AGGREGATE(LIST_TRANSFORM(CAST(embedding AS DOUBLE[]), x -> x * x), 'sum') > 0),
+      |cent0 AS (
+      |  SELECT vec_id AS cid, v AS cvec FROM e WHERE vec_id < 16),
+      |asg1 AS (
+      |  SELECT vec_id, v, cid FROM (
+      |    SELECT e.vec_id, e.v, c.cid,
+      |           ROW_NUMBER() OVER (PARTITION BY e.vec_id
+      |             ORDER BY LIST_COSINE_SIMILARITY(e.v, c.cvec) DESC, c.cid) AS rn
+      |    FROM e CROSS JOIN cent0 c) WHERE rn = 1),
+      |m1 AS (
+      |  SELECT cid, d AS dim,
+      |         SUM(CAST(ROUND(v[CAST(d + 1 AS INTEGER)] * 1e6) AS BIGINT)) AS s,
+      |         COUNT(*) AS n
+      |  FROM asg1, range(64) t(d) GROUP BY cid, d),
+      |new1 AS (
+      |  SELECT cid, LIST(CAST(CAST(CAST(s // n AS DOUBLE) / 1e6 AS REAL) AS DOUBLE)
+      |                   ORDER BY dim) AS nvec
+      |  FROM m1 GROUP BY cid),
+      |cent1 AS (
+      |  SELECT c.cid, COALESCE(n.nvec, c.cvec) AS cvec
+      |  FROM cent0 c LEFT JOIN new1 n USING (cid)),
+      |asg2 AS (
+      |  SELECT vec_id, v, cid FROM (
+      |    SELECT e.vec_id, e.v, c.cid,
+      |           ROW_NUMBER() OVER (PARTITION BY e.vec_id
+      |             ORDER BY LIST_COSINE_SIMILARITY(e.v, c.cvec) DESC, c.cid) AS rn
+      |    FROM e CROSS JOIN cent1 c) WHERE rn = 1),
+      |m2 AS (
+      |  SELECT cid, d AS dim,
+      |         SUM(CAST(ROUND(v[CAST(d + 1 AS INTEGER)] * 1e6) AS BIGINT)) AS s,
+      |         COUNT(*) AS n
+      |  FROM asg2, range(64) t(d) GROUP BY cid, d),
+      |new2 AS (
+      |  SELECT cid, LIST(CAST(CAST(CAST(s // n AS DOUBLE) / 1e6 AS REAL) AS DOUBLE)
+      |                   ORDER BY dim) AS nvec
+      |  FROM m2 GROUP BY cid),
+      |cent AS (
+      |  SELECT c.cid, COALESCE(n.nvec, c.cvec) AS cvec
+      |  FROM cent1 c LEFT JOIN new2 n USING (cid)),
+      |assigned AS (
+      |  SELECT vec_id, label, v, cid FROM (
+      |    SELECT e.vec_id, e.label, e.v, c.cid,
+      |           ROW_NUMBER() OVER (PARTITION BY e.vec_id
+      |             ORDER BY LIST_COSINE_SIMILARITY(e.v, c.cvec) DESC, c.cid) AS rn
+      |    FROM e CROSS JOIN cent c) WHERE rn = 1)""".stripMargin
 
   val oracle: Map[String, String] = Map(
     "q_rank_fusion" ->
@@ -456,54 +552,7 @@ object Similarity extends QueryModule {
         |LIMIT 10""".stripMargin
     },
     "q_ann_ivf" ->
-      """WITH e AS (
-        |  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
-        |  WHERE LEN(embedding) = 64
-        |    AND LIST_AGGREGATE(LIST_TRANSFORM(CAST(embedding AS DOUBLE[]), x -> x * x), 'sum') > 0),
-        |cent0 AS (
-        |  SELECT vec_id AS cid, v AS cvec FROM e WHERE vec_id < 16),
-        |asg1 AS (
-        |  SELECT vec_id, v, cid FROM (
-        |    SELECT e.vec_id, e.v, c.cid,
-        |           ROW_NUMBER() OVER (PARTITION BY e.vec_id
-        |             ORDER BY LIST_COSINE_SIMILARITY(e.v, c.cvec) DESC, c.cid) AS rn
-        |    FROM e CROSS JOIN cent0 c) WHERE rn = 1),
-        |m1 AS (
-        |  SELECT cid, d AS dim,
-        |         SUM(CAST(ROUND(v[CAST(d + 1 AS INTEGER)] * 1e6) AS BIGINT)) AS s,
-        |         COUNT(*) AS n
-        |  FROM asg1, range(64) t(d) GROUP BY cid, d),
-        |new1 AS (
-        |  SELECT cid, LIST(CAST(CAST(CAST(s // n AS DOUBLE) / 1e6 AS REAL) AS DOUBLE)
-        |                   ORDER BY dim) AS nvec
-        |  FROM m1 GROUP BY cid),
-        |cent1 AS (
-        |  SELECT c.cid, COALESCE(n.nvec, c.cvec) AS cvec
-        |  FROM cent0 c LEFT JOIN new1 n USING (cid)),
-        |asg2 AS (
-        |  SELECT vec_id, v, cid FROM (
-        |    SELECT e.vec_id, e.v, c.cid,
-        |           ROW_NUMBER() OVER (PARTITION BY e.vec_id
-        |             ORDER BY LIST_COSINE_SIMILARITY(e.v, c.cvec) DESC, c.cid) AS rn
-        |    FROM e CROSS JOIN cent1 c) WHERE rn = 1),
-        |m2 AS (
-        |  SELECT cid, d AS dim,
-        |         SUM(CAST(ROUND(v[CAST(d + 1 AS INTEGER)] * 1e6) AS BIGINT)) AS s,
-        |         COUNT(*) AS n
-        |  FROM asg2, range(64) t(d) GROUP BY cid, d),
-        |new2 AS (
-        |  SELECT cid, LIST(CAST(CAST(CAST(s // n AS DOUBLE) / 1e6 AS REAL) AS DOUBLE)
-        |                   ORDER BY dim) AS nvec
-        |  FROM m2 GROUP BY cid),
-        |cent AS (
-        |  SELECT c.cid, COALESCE(n.nvec, c.cvec) AS cvec
-        |  FROM cent1 c LEFT JOIN new2 n USING (cid)),
-        |assigned AS (
-        |  SELECT vec_id, label, v, cid FROM (
-        |    SELECT e.vec_id, e.label, e.v, c.cid,
-        |           ROW_NUMBER() OVER (PARTITION BY e.vec_id
-        |             ORDER BY LIST_COSINE_SIMILARITY(e.v, c.cvec) DESC, c.cid) AS rn
-        |    FROM e CROSS JOIN cent c) WHERE rn = 1),
+      s"""WITH $ivfCtes,
         |q AS (SELECT v AS qvec FROM e WHERE vec_id = 0),
         |probes AS (
         |  SELECT cid FROM cent CROSS JOIN q
@@ -514,6 +563,23 @@ object Similarity extends QueryModule {
         |WHERE a.vec_id <> 0
         |ORDER BY LIST_COSINE_SIMILARITY(a.v, q.qvec) DESC, a.vec_id
         |LIMIT 10""".stripMargin,
+    "q_ann_ivf_batch" ->
+      s"""WITH $ivfCtes,
+        |qs AS (SELECT vec_id AS qid, v AS qvec FROM e WHERE vec_id % 40 = 0),
+        |probes AS (
+        |  SELECT qid, qvec, cid FROM (
+        |    SELECT q.qid, q.qvec, c.cid,
+        |           ROW_NUMBER() OVER (PARTITION BY q.qid
+        |             ORDER BY LIST_COSINE_SIMILARITY(c.cvec, q.qvec) DESC, c.cid) AS pr
+        |    FROM qs q CROSS JOIN cent c) WHERE pr <= 4),
+        |scored AS (
+        |  SELECT p.qid, a.vec_id, LIST_COSINE_SIMILARITY(a.v, p.qvec) AS cos_raw,
+        |         ROW_NUMBER() OVER (PARTITION BY p.qid
+        |           ORDER BY LIST_COSINE_SIMILARITY(a.v, p.qvec) DESC, a.vec_id) AS rk
+        |  FROM assigned a JOIN probes p USING (cid)
+        |  WHERE a.vec_id <> p.qid)
+        |SELECT qid, vec_id, ROUND(cos_raw, 6) AS cosine, rk
+        |FROM scored WHERE rk <= 5 ORDER BY qid, rk""".stripMargin,
     "q_dedup_embedding" ->
       """WITH e AS (
         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings

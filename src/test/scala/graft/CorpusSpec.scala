@@ -79,6 +79,36 @@ class CorpusSpec extends SparkSpec {
     }
   }
 
+  test("sequence packing: greedy laws hold on the real corpus") {
+    val rows = Corpus.qPackSequences(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(rows.nonEmpty)
+    val budget = 256L
+    rows.groupBy(_._1).foreach { case (lang, docs) =>
+      val inOrder = docs.sortBy(_._2)
+      // replay the greedy recurrence: bin ids and fills must match exactly
+      var fill = 0L; var bin = -1L
+      inOrder.foreach { case (_, docId, n, gotBin, gotFill) =>
+        if (bin < 0 || fill + n > budget) { bin += 1; fill = n } else fill += n
+        assert(gotBin == bin && gotFill == fill,
+          s"$lang doc $docId: got (bin=$gotBin, fill=$gotFill), expected ($bin, $fill)")
+      }
+      // law: a bin over budget must be a single oversized doc
+      inOrder.groupBy(_._4).foreach { case (b, members) =>
+        val tot = members.map(_._3).sum
+        assert(tot <= budget || members.size == 1,
+          s"$lang bin $b holds $tot tokens across ${members.size} docs")
+      }
+      // law: greedy maximality — each bin's first doc would overflow the previous bin
+      val firstOfBin = inOrder.groupBy(_._4).map { case (b, ms) => b -> ms.minBy(_._2) }
+      val lastFill = inOrder.groupBy(_._4).map { case (b, ms) => b -> ms.maxBy(_._2)._5 }
+      firstOfBin.filter(_._1 > 0).foreach { case (b, (_, _, n, _, _)) =>
+        assert(lastFill(b - 1) + n > budget,
+          s"$lang bin $b opened although its first doc fit bin ${b - 1}")
+      }
+    }
+  }
+
   test("pii scrub redacts planted emails/phones/ips; clean strips tags and entities") {
     import spark.implicits._
     val d = java.nio.file.Files.createTempDirectory("pii").toString

@@ -104,6 +104,27 @@ class LlmOpsSpec extends SparkSpec {
     assert(recall >= 0.5, s"IVF recall vs brute force: $recall")
   }
 
+  test("batched IVF serves every query with per-query top-5 from probed lists") {
+    val rows = Similarity.qAnnIvfBatch(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(3)))
+    assert(rows.nonEmpty)
+    val byQ = rows.groupBy(_._1)
+    byQ.foreach { case (qid, hits) =>
+      assert(qid % 40 == 0)
+      assert(hits.length <= 5)
+      assert(hits.map(_._3).sorted.sameElements(1 to hits.length),
+        s"query $qid ranks must be 1..${hits.length}")
+      assert(!hits.exists(_._2 == qid), "a query must not retrieve itself")
+    }
+    // the single-query IVF (qid 0) agrees with the batch's qid-0 slice on
+    // the overlap: same trained index, same probes, so its top-5 prefix of
+    // the batch result must match the standalone top-10 prefix
+    val single = Similarity.qAnnIvf(spark, sf).collect().map(_.getLong(0)).take(5).toSeq
+    val batch0 = rows.filter(_._1 == 0L).sortBy(_._3).map(_._2).toSeq
+    assert(batch0 == single.take(batch0.length),
+      s"batch qid-0 $batch0 diverges from single-query IVF ${single.take(5)}")
+  }
+
   test("dedup clusters: transitive closure of near-dup pairs, one min-label each") {
     val pairs = Dedup.qDedupNear(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1)))

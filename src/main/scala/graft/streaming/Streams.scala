@@ -73,6 +73,41 @@ object Streams {
       .toDF("user_id", "running_total")
   }
 
+  /** Streaming twin of [[graft.ops.EventAnalytics.throttle]]: keep an
+    * event iff more than `gapMicros` has passed since the last KEPT event
+    * of the same user — the chained "capacitor" recurrence, carried ACROSS
+    * micro-batches through flatMapGroupsWithState (the variable-output
+    * sibling of mapGroupsWithState: a batch of n events emits 0..n kept
+    * rows, so the 1-row-per-group map variant cannot express it). State
+    * per user is ONE long (the last kept timestamp); within a batch events
+    * replay in (time, id) order so batch boundaries cannot reorder the
+    * recurrence — feeding the same events in any batch split that respects
+    * time order yields exactly the batch operator's kept set (asserted in
+    * the e2e suite). At 100 TB ingest the state store holds 8 bytes per
+    * active user, partitioned by the group key; production adds
+    * GroupStateTimeout.EventTimeTimeout to retire idle users. */
+  def throttleStream(events: DataFrame, gapMicros: Long): DataFrame = {
+    import events.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    events.select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("tus"))
+      .as[(Long, Long, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[Long, (Long, Long)](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) { (user, rows, state) =>
+        var lastKept = state.getOption.getOrElse(Long.MinValue)
+        val kept = Vector.newBuilder[(Long, Long)]
+        rows.toArray.sortBy(e => (e._3, e._2)).foreach { case (_, eid, t) =>
+          if (lastKept == Long.MinValue || t - lastKept > gapMicros) {
+            lastKept = t
+            kept += ((user, eid))
+          }
+        }
+        state.update(lastKept)
+        kept.result().iterator
+      }
+      .toDF("user_id", "event_id")
+  }
+
   /** Stream-static enrichment: join the event stream against a static
     * dimension frame. The static side is planned per micro-batch (and
     * broadcast when small), so dimension updates between batches are picked

@@ -40,6 +40,50 @@ class StreamingE2ESpec extends SparkSpec {
     assert(n == Tables.events(spark, sf).count())
   }
 
+  test("streamed throttle equals the batch recurrence across time-ordered micro-batches") {
+    import spark.implicits._
+    val gap = 10L * 60 * 1000000
+    val events = Tables.events(spark, sf)
+    val batchKept = graft.ops.EventAnalytics.throttle(
+      events.select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("tus")),
+      "user_id", "tus", "event_id", gap)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+    // split the stream into two files at the median timestamp — a batch
+    // boundary that respects time order, so state hand-off is exercised
+    val mid = events.selectExpr("percentile_approx(unix_micros(ts), 0.5)")
+      .collect()(0).getLong(0)
+    val src = java.nio.file.Files.createTempDirectory("thr-src")
+    def stage(name: String, df: org.apache.spark.sql.DataFrame): Unit = {
+      val tmp = java.nio.file.Files.createTempDirectory("thr-stage")
+      df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val listing = java.nio.file.Files.list(tmp)
+      val part = try listing.iterator().asScala
+        .find(_.getFileName.toString.endsWith(".parquet")).get
+      finally listing.close()
+      java.nio.file.Files.move(part, src.resolve(s"$name.parquet"))
+    }
+    val slim = events.select(col("user_id"), col("event_id"), col("ts"))
+    stage("a_early", slim.filter(unix_micros(col("ts")) <= mid))
+    stage("b_late", slim.filter(unix_micros(col("ts")) > mid))
+    // the file source drains OLDEST mtime first; pin the order explicitly
+    // (same-second staging would otherwise leave it to listing luck)
+    java.nio.file.Files.setLastModifiedTime(src.resolve("a_early.parquet"),
+      java.nio.file.attribute.FileTime.fromMillis(System.currentTimeMillis() - 60000))
+    val stream = spark.readStream
+      .schema(slim.schema)
+      .option("maxFilesPerTrigger", "1") // force ≥ 2 micro-batches
+      .parquet(src.toString)
+    val q = Streams.throttleStream(stream, gap)
+      .writeStream.format("memory").queryName("e2e_throttle")
+      .outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.table("e2e_throttle").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(streamed == batchKept,
+      s"stream/batch kept sets diverge: ${streamed.size} vs ${batchKept.size}")
+  }
+
   test("checkpointed stream restarts exactly-once: no reprocessing, no loss") {
     val src = java.nio.file.Files.createTempDirectory("ckpt-src")
     val sink = java.nio.file.Files.createTempDirectory("ckpt-sink").toString + "/out"

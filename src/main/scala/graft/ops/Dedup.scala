@@ -197,6 +197,39 @@ object Dedup extends QueryModule {
       .orderBy(col("d1"), col("d2"))
   }
 
+  /** Incremental dedup — the PRODUCTION ingest shape: a new batch (here
+    * doc_id % 10 == 0, standing in for today's crawl shard) dedups against
+    * the EXISTING corpus (the rest), emitting each new doc's best match
+    * (max Jaccard, tie-broken by oldest existing id) at ≥ the shared
+    * threshold. The candidate join is new-postings × corpus inverted
+    * index — cost scales with |batch| × collision density, never
+    * |corpus|²; the corpus side's posting/df/size tables are exactly what
+    * a production pipeline keeps materialized between ingests (at 100 TB
+    * the same split runs over the MinHash-banded tier: band keys for the
+    * batch probe the stored band index — identical shape, pruned
+    * candidates). Shares shingleTable/rarePostings/withJaccard with the
+    * batch tiers, so admission can never disagree with the corpus-wide
+    * dedup about what a near-dup is. */
+  def qDedupIncremental(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sh = shingleTable(Tables.documents(spark, dir)).localCheckpoint(eager = false)
+    val postings = rarePostings(sh)
+    val newSide = postings.filter(col("doc_id") % 10 === 0)
+      .select(col("shingle"), col("doc_id").as("d1"))
+    val oldSide = postings.filter(col("doc_id") % 10 =!= 0)
+      .select(col("shingle"), col("doc_id").as("d2"))
+    val inter = newSide.join(oldSide, "shingle")
+      .groupBy("d1", "d2").agg(count(lit(1)).as("inter"))
+    val w = Window.partitionBy(col("d1")).orderBy(col("jaccard_raw").desc, col("d2"))
+    withJaccard(inter, sh)
+      .filter(col("jaccard_raw") >= JaccardThreshold)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("d1").as("doc_id"), col("d2").as("dup_of"),
+        round(col("jaccard_raw"), 6).as("jaccard"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Tier 4: 60-bit SimHash fingerprints + Hamming ≤ 3 pairs. Token-hash
     * bit-vote computed with higher-order functions — no UDF, stays in
     * codegen. Oracle-VERIFIED: the md5-derived token hash (module doc) makes
@@ -388,6 +421,7 @@ object Dedup extends QueryModule {
     "q_dedup_simhash"   -> (qDedupSimhash _),
     "q_dedup_clusters"  -> (qDedupClusters _),
     "q_dedup_survivors" -> (qDedupSurvivors _),
+    "q_dedup_incremental" -> (qDedupIncremental _),
     "q_corpus_filter"   -> (qCorpusFilter _),
   )
 
@@ -446,6 +480,27 @@ object Dedup extends QueryModule {
       s"""WITH $nearDupCtes
         |SELECT d1, d2, ROUND(jaccard_raw, 6) AS jaccard
         |FROM near_pairs ORDER BY d1, d2""".stripMargin,
+    "q_dedup_incremental" ->
+      s"""WITH $shingleCtes,
+        |cand AS (
+        |  SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS inter
+        |  FROM postings a JOIN postings b USING (shingle)
+        |  WHERE a.doc_id % 10 = 0 AND b.doc_id % 10 <> 0
+        |  GROUP BY d1, d2),
+        |scored AS (
+        |  SELECT d1, d2,
+        |         CAST(inter AS DOUBLE) / (s1.n_sh + s2.n_sh - inter) AS jaccard_raw
+        |  FROM cand
+        |  JOIN sizes s1 ON s1.doc_id = d1
+        |  JOIN sizes s2 ON s2.doc_id = d2
+        |  WHERE CAST(inter AS DOUBLE) / (s1.n_sh + s2.n_sh - inter) >= $JaccardThreshold),
+        |best AS (
+        |  SELECT d1, d2, jaccard_raw,
+        |         ROW_NUMBER() OVER (PARTITION BY d1
+        |           ORDER BY jaccard_raw DESC, d2) AS rn
+        |  FROM scored)
+        |SELECT d1 AS doc_id, d2 AS dup_of, ROUND(jaccard_raw, 6) AS jaccard
+        |FROM best WHERE rn = 1 ORDER BY doc_id""".stripMargin,
     "q_dedup_minhash" -> {
       // the 48 min-aggregates interpolate the SAME affine constants the
       // Spark builder uses (mixConsts) — single source of truth

@@ -125,6 +125,32 @@ class LlmOpsSpec extends SparkSpec {
       s"batch qid-0 $batch0 diverges from single-query IVF ${single.take(5)}")
   }
 
+  test("incremental dedup agrees with the corpus-wide near-dup tier") {
+    val near = Dedup.qDedupNear(spark, sf).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    val inc = Dedup.qDedupIncremental(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    inc.foreach { case (docId, dupOf, j) =>
+      assert(docId % 10 == 0, s"$docId is not in the new batch")
+      assert(dupOf % 10 != 0, s"match $dupOf must come from the existing corpus")
+      // the same pair with the same jaccard exists in the corpus-wide tier
+      val key = (math.min(docId, dupOf), math.max(docId, dupOf))
+      assert(near.get(key).contains(j),
+        s"incremental pair $key@$j not confirmed by q_dedup_near")
+    }
+    // completeness: every near pair that crosses the batch/corpus split is
+    // represented by a row for its new-batch member
+    val flagged = inc.map(_._1).toSet
+    near.keys.foreach { case (a, b) =>
+      val crosses = (a % 10 == 0) != (b % 10 == 0)
+      if (crosses) {
+        val newId = if (a % 10 == 0) a else b
+        assert(flagged.contains(newId),
+          s"near pair ($a,$b) crosses the split but $newId was admitted")
+      }
+    }
+  }
+
   test("dedup clusters: transitive closure of near-dup pairs, one min-label each") {
     val pairs = Dedup.qDedupNear(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1)))

@@ -307,15 +307,19 @@ object Dedup extends QueryModule {
     * at extreme diameters large-star/small-star gives O(log n) rounds —
     * near-dup components are short chains, so diameter rounds are fine. */
   def qDedupClusters(spark: SparkSession, dir: String): DataFrame = {
+    val parts = spark.sessionState.conf.numShufflePartitions
     val pairs = qDedupNear(spark, dir).select(col("d1"), col("d2"))
     // symmetric edge list, checkpointed once: every round re-reads it and
-    // must not re-derive the whole shingle/Jaccard pipeline
-    val edges = pairs
-      .union(pairs.select(col("d2").as("d1"), col("d1").as("d2")))
-      .localCheckpoint()
-    var labels = edges.select(col("d1").as("doc_id")).distinct()
-      .withColumn("cluster_id", col("doc_id"))
-      .localCheckpoint()
+    // must not re-derive the whole shingle/Jaccard pipeline. Placed on d2
+    // (the per-round neighbor-lookup key) via PartitionedCheckpoint, so —
+    // as in qPagerank — each round's join starts from two pre-placed,
+    // pre-sorted sides instead of re-exchanging the edge list every time.
+    val edges = graft.plans.PartitionedCheckpoint.byKey(
+      pairs.union(pairs.select(col("d2").as("d1"), col("d1").as("d2"))), "d2", parts)
+    var labels = graft.plans.PartitionedCheckpoint.byKey(
+      edges.select(col("d1").as("doc_id")).distinct()
+        .withColumn("cluster_id", col("doc_id")),
+      "doc_id", parts)
     var changed = 1L
     var rounds = 0
     // generous safety valve only — convergence is REQUIRED below, because
@@ -326,13 +330,14 @@ object Dedup extends QueryModule {
       val nbrMin = edges
         .join(labels.select(col("doc_id").as("d2"), col("cluster_id").as("nbr_label")), "d2")
         .groupBy(col("d1")).agg(min(col("nbr_label")).as("nbr_min"))
-      val next = labels
-        .join(nbrMin.withColumnRenamed("d1", "doc_id"), Seq("doc_id"), "left")
-        .select(col("doc_id"),
-          least(col("cluster_id"), coalesce(col("nbr_min"), col("cluster_id")))
-            .as("cluster_id"),
-          col("cluster_id").as("prev"))
-        .localCheckpoint()
+      val next = graft.plans.PartitionedCheckpoint.byKey(
+        labels
+          .join(nbrMin.withColumnRenamed("d1", "doc_id"), Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            least(col("cluster_id"), coalesce(col("nbr_min"), col("cluster_id")))
+              .as("cluster_id"),
+            col("cluster_id").as("prev")),
+        "doc_id", parts)
       changed = next.filter(col("cluster_id") =!= col("prev")).count()
       labels = next.select(col("doc_id"), col("cluster_id"))
       rounds += 1

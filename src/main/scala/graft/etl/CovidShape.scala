@@ -55,6 +55,24 @@ object CovidShape {
   def readJson(spark: SparkSession, path: String): DataFrame =
     spark.read.option("multiLine", "true").json(path)
 
+  /** JSON-lines ingest with the same dead-letter contract as
+    * [[readCsvQuarantine]] — the feed format API dumps and log shippers
+    * actually deliver at scale (one record per line, so the file splits
+    * across tasks; the multiLine array form above cannot). A line that is
+    * not valid JSON, or whose values cannot convert to the declared
+    * schema, lands whole in `_corrupt_record` for replay; clean lines
+    * flow on typed. Same cache() note as the CSV path: a plan referencing
+    * only the corrupt-record column of a raw scan is refused, and an
+    * ingest step reads once to write twice anyway. */
+  def readJsonlQuarantine(spark: SparkSession, path: String,
+      schema: StructType): DataFrame =
+    spark.read
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .schema(schema.add("_corrupt_record", "string"))
+      .json(path)
+      .cache()
+
   /** R3: pd.json_normalize — flatten arbitrarily nested structs into flat
     * dot-named columns, derived from the schema (works for any nesting
     * depth, not just the IBGE shape). */

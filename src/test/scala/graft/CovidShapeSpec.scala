@@ -166,6 +166,34 @@ class CovidShapeSpec extends SparkSpec {
     df.unpersist()
   }
 
+  test("jsonl quarantine: bad syntax and bad types each cost one row, text preserved") {
+    import org.apache.spark.sql.types._
+    val d = Files.createTempDirectory("jsonlq").toString
+    val jsonl =
+      """{"city":"Recife","code":2611606,"rate":12.5}
+        |{"city":"Broken","code":NOT_JSON
+        |{"city":"Olinda","code":2609600,"rate":7.25}
+        |{"city":"BadType","code":"not_a_number","rate":1.0}
+        |{"city":"Missing"}
+        |""".stripMargin
+    Files.write(Paths.get(d, "drop.jsonl"), jsonl.getBytes)
+    val schema = StructType(Seq(
+      StructField("city", StringType), StructField("code", LongType),
+      StructField("rate", DoubleType)))
+    val df = CovidShape.readJsonlQuarantine(spark, s"$d/drop.jsonl", schema)
+    val clean = df.filter(col("_corrupt_record").isNull)
+    val dead = df.filter(col("_corrupt_record").isNotNull)
+    // valid lines: Recife, Olinda, and Missing (absent fields are null,
+    // not corruption — schema evolution must not dead-letter old records)
+    assert(clean.count() == 3, "well-formed lines survive, missing fields are nulls")
+    assert(clean.filter(col("city") === "Missing" && col("code").isNull).count() == 1)
+    // corrupt: the unparseable line and the type-mismatched line
+    assert(dead.count() == 2, "one bad line costs one row, not the batch")
+    assert(dead.filter(col("_corrupt_record").contains("NOT_JSON")).count() == 1)
+    assert(dead.filter(col("_corrupt_record").contains("not_a_number")).count() == 1)
+    df.unpersist()
+  }
+
   test("csv quarantine at scale: exact row-level loss accounting over mixed corruption") {
     import org.apache.spark.sql.types._
     val d = Files.createTempDirectory("quarantine_chaos").toString

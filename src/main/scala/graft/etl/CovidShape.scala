@@ -145,6 +145,17 @@ object CovidShape {
       .option("header", "false")
       .csv(path)
 
+  /** ORC round-trip — the second columnar lake format Spark ships natively
+    * (orc-core is on every Spark classpath; no extra dependency). Same
+    * predicate-pushdown / column-pruning / min-max-stats story as parquet,
+    * so a lake standardized on ORC (common in Hive-lineage shops) runs the
+    * same plans. */
+  def loadReplaceOrc(df: DataFrame, path: String): Unit =
+    df.write.mode(SaveMode.Overwrite).orc(path)
+
+  def readOrc(spark: SparkSession, path: String): DataFrame =
+    spark.read.orc(path)
+
   def loadReplaceJdbc(df: DataFrame, url: String, table: String,
       user: String, password: String): Unit =
     df.write.format("jdbc")

@@ -228,8 +228,23 @@ object Functions extends QueryModule {
         expr("element_at(transform_values(m, (k, v) -> upper(v)), 'type')").as("type_upper"))
       .orderBy(col("event_id"))
 
+  /** Morton (Z-order) clustering key over two dimensions — the integer
+    * arithmetic behind [[Scale.zorderBy]]'s multi-dimensional data-skipping
+    * layout, exposed as a query so the oracle pins the bit interleave
+    * exactly (4 mask-shift dilation steps per dimension, bit i of x at
+    * position 2i, bit i of y at 2i+1 — see Scale.spread16). Distinct
+    * (x, y) pairs so the output is a set; z is a total recluster key. */
+  def qFnZorder(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .select((col("l_partkey") % 65536).as("x"), (col("l_suppkey") % 65536).as("y"))
+      .distinct()
+      .withColumn("z", Scale.zorder(col("x"), col("y")))
+      .orderBy(col("z"), col("x"), col("y"))
+      .limit(100)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_fn_string" -> (qFnString _),
+    "q_fn_zorder" -> (qFnZorder _),
     "q_fn_date"   -> (qFnDate _),
     "q_fn_math"   -> (qFnMath _),
     "q_fn_bitwise" -> (qFnBitwise _),
@@ -244,6 +259,24 @@ object Functions extends QueryModule {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_fn_zorder" ->
+      """WITH p AS (
+        |  SELECT DISTINCT l_partkey % 65536 AS x, l_suppkey % 65536 AS y
+        |  FROM lineitem),
+        |s0 AS (SELECT x, y,
+        |  ((x | (x << 8)) & 16711935) AS ax, ((y | (y << 8)) & 16711935) AS ay
+        |  FROM p),
+        |s1 AS (SELECT x, y,
+        |  ((ax | (ax << 4)) & 252645135) AS ax, ((ay | (ay << 4)) & 252645135) AS ay
+        |  FROM s0),
+        |s2 AS (SELECT x, y,
+        |  ((ax | (ax << 2)) & 858993459) AS ax, ((ay | (ay << 2)) & 858993459) AS ay
+        |  FROM s1),
+        |s3 AS (SELECT x, y,
+        |  ((ax | (ax << 1)) & 1431655765) AS ax, ((ay | (ay << 1)) & 1431655765) AS ay
+        |  FROM s2)
+        |SELECT x, y, (ax | (ay << 1)) AS z
+        |FROM s3 ORDER BY z, x, y LIMIT 100""".stripMargin,
     "q_fn_map" ->
       """SELECT event_id,
         |       'k,type' AS keys_sorted,

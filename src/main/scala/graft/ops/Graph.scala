@@ -74,8 +74,62 @@ object Graph extends QueryModule {
       .select(col("node").as("partkey"), col("r").as("rank_micro"))
   }
 
+  /** Per-node triangle counts + local clustering coefficient over the
+    * co-purchase graph, via the degree-oriented "forward" algorithm
+    * (Schank–Wagner / Suri–Vassilvitskii): orient every undirected edge
+    * from its (degree, id)-smaller endpoint to the larger, enumerate
+    * wedges as pairs of OUT-edges sharing an apex, and close each wedge
+    * against the edge set.
+    *
+    * Why this survives 100×: orientation by degree bounds every node's
+    * out-degree by O(√m) on ANY graph, so the wedge self-join fans out to
+    * at most m·√m candidates even when the degree distribution is
+    * power-law — the naive 3-way join on undirected edges is Σ d(v)²,
+    * which a single celebrity hub turns quadratic. The orientation is an
+    * acyclic tournament, so each triangle has exactly one apex with two
+    * out-edges and is counted exactly once, no ÷6 correction. All three
+    * joins are plain hash equi-joins on ids.
+    *
+    * Determinism: counts are exact integers; the (deg, id) orientation and
+    * the (tri DESC, node) output order are total, so the DuckDB twin
+    * running the same orientation reproduces the rows bit-for-bit. */
+  def qTriangle(spark: SparkSession, dir: String): DataFrame = {
+    val e = edges(spark, dir) // both directions present
+    val und = e.filter(col("src") < col("dst")) // each undirected edge once
+    val deg = e.groupBy(col("src")).agg(count(lit(1)).as("d"))
+      .select(col("src").as("node"), col("d"))
+    val o = und
+      .join(deg.select(col("node").as("src"), col("d").as("d_src")), "src")
+      .join(deg.select(col("node").as("dst"), col("d").as("d_dst")), "dst")
+      .select(
+        when(col("d_src") < col("d_dst")
+          || (col("d_src") === col("d_dst") && col("src") < col("dst")),
+          col("src")).otherwise(col("dst")).as("u"),
+        when(col("d_src") < col("d_dst")
+          || (col("d_src") === col("d_dst") && col("src") < col("dst")),
+          col("dst")).otherwise(col("src")).as("v"))
+    // wedges at the apex: unordered out-neighbor pairs, fixed by id order
+    val tri = o.as("e1").join(o.as("e2"),
+        col("e1.u") === col("e2.u") && col("e1.v") < col("e2.v"))
+      .select(col("e1.u").as("a"), col("e1.v").as("b"), col("e2.v").as("c"))
+      // close the wedge: {b,c} adjacent? e carries both directions, so the
+      // id-ordered (b, c) probe needs no orientation case analysis
+      .join(e, col("b") === col("src") && col("c") === col("dst"), "left_semi")
+    val corners = tri.select(col("a").as("node"))
+      .unionAll(tri.select(col("b").as("node")))
+      .unionAll(tri.select(col("c").as("node")))
+    corners.groupBy(col("node")).agg(count(lit(1)).as("triangles"))
+      .join(deg, "node")
+      .select(col("node").as("partkey"), col("d").as("degree"), col("triangles"),
+        round(lit(2.0) * col("triangles") / (col("d") * (col("d") - 1)), 6)
+          .as("clustering"))
+      .orderBy(col("triangles").desc, col("partkey"))
+      .limit(100)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_pagerank" -> (qPagerank _),
+    "q_triangle" -> (qTriangle _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -100,5 +154,31 @@ object Graph extends QueryModule {
         |  GROUP BY e.dst)
         |SELECT node AS partkey, CAST(r AS BIGINT) AS rank_micro
         |FROM r3 ORDER BY r DESC, node LIMIT 100""".stripMargin,
+    "q_triangle" ->
+      """WITH e AS (
+        |  SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+        |  FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+        |  WHERE a.l_partkey <> b.l_partkey),
+        |und AS (SELECT src, dst FROM e WHERE src < dst),
+        |deg AS (SELECT src AS node, COUNT(*) AS d FROM e GROUP BY src),
+        |o AS (
+        |  SELECT CASE WHEN ds.d < dd.d OR (ds.d = dd.d AND u.src < u.dst)
+        |              THEN u.src ELSE u.dst END AS u,
+        |         CASE WHEN ds.d < dd.d OR (ds.d = dd.d AND u.src < u.dst)
+        |              THEN u.dst ELSE u.src END AS v
+        |  FROM und u JOIN deg ds ON u.src = ds.node JOIN deg dd ON u.dst = dd.node),
+        |tri AS (
+        |  SELECT e1.u AS a, e1.v AS b, e2.v AS c
+        |  FROM o e1 JOIN o e2 ON e1.u = e2.u AND e1.v < e2.v
+        |  WHERE EXISTS (SELECT 1 FROM e WHERE e.src = e1.v AND e.dst = e2.v)),
+        |corners AS (
+        |  SELECT a AS node FROM tri
+        |  UNION ALL SELECT b FROM tri
+        |  UNION ALL SELECT c FROM tri),
+        |t AS (SELECT node, COUNT(*) AS triangles FROM corners GROUP BY node)
+        |SELECT t.node AS partkey, d.d AS degree, t.triangles,
+        |       ROUND(2.0 * t.triangles / (d.d * (d.d - 1)), 6) AS clustering
+        |FROM t JOIN deg d ON t.node = d.node
+        |ORDER BY t.triangles DESC, t.node LIMIT 100""".stripMargin,
   )
 }

@@ -43,6 +43,52 @@ object Profiling extends QueryModule {
         round(expr("CAST(sp AS DOUBLE) / CAST(n AS DOUBLE) / 100.0"), 2).as("avg_price"))
       .orderBy(col("bucket"))
 
+  /** Equi-depth (equal-frequency) histogram of o_totalprice: 8 buckets of
+    * (near-)equal row count — the histogram an optimizer or drift monitor
+    * wants when the distribution is skewed and fixed-width buckets leave
+    * most bins empty. Bucket of a row = ⌊(rank−1)·8/n⌋+1 from its EXACT
+    * global rank in (cents, orderkey) order.
+    *
+    * The global rank is computed with the repo's two-phase chunked-prefix
+    * shape (same as q_win_count_distinct), NOT a global-ORDER-BY window:
+    * rows rank locally within fixed-width price chunks (the q_hist
+    * buckets), the ~20-row per-chunk count table prefix-sums on the driver
+    * side of a broadcast, and local rank + chunk offset = global rank. No
+    * task ever sorts more than one chunk; a single-partition ROW_NUMBER
+    * over the full table would serialize the whole 100 TB sort into one
+    * reducer. Ties carry distinct (pc, o_orderkey) keys, so ranks — and
+    * therefore bucket splits mid-tie — are deterministic in both engines. */
+  def qHistEquidepth(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val o = Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_totalprice"),
+        expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("pc"))
+      .withColumn("chunk", floor(col("o_totalprice") / lit(bucketWidth)))
+    val cnts = o.groupBy(col("chunk")).agg(count(lit(1)).as("cn"))
+    // windows over the per-chunk COUNT table only: ~|range|/25k rows, not data
+    val byChunk = Window.orderBy(col("chunk"))
+    val offs = cnts
+      .withColumn("off", coalesce(sum(col("cn")).over(
+        byChunk.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("n", sum(col("cn")).over(
+        byChunk.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+      .select(col("chunk"), col("off"), col("n"))
+    o.join(broadcast(offs), "chunk")
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("chunk")).orderBy(col("pc"), col("o_orderkey")))
+        + col("off"))
+      .withColumn("bucket", expr("(rn - 1) * 8 div n + 1"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_rows"),
+        min(col("o_totalprice")).as("lo"),
+        max(col("o_totalprice")).as("hi"),
+        sum(col("pc").cast("decimal(38,0)")).as("sp"))
+      .select(col("bucket"), col("n_rows"), col("lo"), col("hi"),
+        round(expr("CAST(sp AS DOUBLE) / CAST(n_rows AS DOUBLE) / 100.0"), 2)
+          .as("avg_price"))
+      .orderBy(col("bucket"))
+  }
+
   /** Per-column profile in long format: nulls, exact distinct count, and the
     * numeric range (epoch-micros for timestamps, NULL for strings — all
     * `< 2^53`, so the double carries them exactly). Computed in ONE
@@ -266,6 +312,7 @@ object Profiling extends QueryModule {
     "q_chisq"          -> (qChisq _),
     "q_fk_audit"       -> (qFkAudit _),
     "q_hist"           -> (qHist _),
+    "q_hist_equidepth" -> (qHistEquidepth _),
     "q_profile"        -> (qProfile _),
     "q_anomaly_zscore" -> (qAnomalyZscore _),
     "q_abtest"         -> (qAbtest _),
@@ -351,6 +398,21 @@ object Profiling extends QueryModule {
         |       ROUND(CAST(SUM(CAST(pc AS DECIMAL(38,0))) AS DOUBLE)
         |             / CAST(COUNT(*) AS DOUBLE) / 100.0, 2) AS avg_price
         |FROM b GROUP BY bucket ORDER BY bucket""".stripMargin,
+    "q_hist_equidepth" ->
+      """WITH b AS (
+        |  SELECT o_orderkey, o_totalprice,
+        |         CAST(ROUND(o_totalprice * 100) AS BIGINT) AS pc
+        |  FROM orders),
+        |r AS (
+        |  SELECT *, ROW_NUMBER() OVER (ORDER BY pc, o_orderkey) AS rn,
+        |         COUNT(*) OVER () AS n
+        |  FROM b)
+        |SELECT bucket, COUNT(*) AS n_rows, MIN(o_totalprice) AS lo,
+        |       MAX(o_totalprice) AS hi,
+        |       ROUND(CAST(SUM(CAST(pc AS DECIMAL(38,0))) AS DOUBLE)
+        |             / CAST(COUNT(*) AS DOUBLE) / 100.0, 2) AS avg_price
+        |FROM (SELECT *, ((rn - 1) * 8) // n + 1 AS bucket FROM r)
+        |GROUP BY bucket ORDER BY bucket""".stripMargin,
     "q_profile" ->
       """SELECT 'o_orderkey' AS col_name,
         |       COUNT(CASE WHEN o_orderkey IS NULL THEN 1 END) AS n_nulls,

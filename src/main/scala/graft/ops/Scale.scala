@@ -41,6 +41,39 @@ object Scale {
   def writePartitioned(df: DataFrame, path: String, partitionCol: String): Unit =
     df.write.mode(SaveMode.Overwrite).partitionBy(partitionCol).parquet(path)
 
+  /** Bit-spread a 16-bit value into the even bit positions of a 32-bit
+    * lane (the classic mask-shift Morton dilation — 4 shift/or/and steps,
+    * no loop, pure codegen'd integer arithmetic). */
+  private def spread16(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val c0 = c.cast("long").bitwiseAND(lit(65535L))
+    val s0 = c0.bitwiseOR(shiftleft(c0, 8)).bitwiseAND(lit(16711935L))
+    val s1 = s0.bitwiseOR(shiftleft(s0, 4)).bitwiseAND(lit(252645135L))
+    val s2 = s1.bitwiseOR(shiftleft(s1, 2)).bitwiseAND(lit(858993459L))
+    s2.bitwiseOR(shiftleft(s2, 1)).bitwiseAND(lit(1431655765L))
+  }
+
+  /** Z-order (Morton) interleave of two 16-bit dimensions into one 32-bit
+    * clustering key: bit i of `a` lands at position 2i, bit i of `b` at
+    * 2i+1, so z-adjacent rows are close in BOTH dimensions at every scale.
+    * Pure integer mask-shift arithmetic — identical in any engine. */
+  def zorder(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    spread16(a).bitwiseOR(shiftleft(spread16(b), 1))
+
+  /** Cluster a table for multi-dimensional data skipping: range-partition
+    * and sort by the Morton key of two filter columns, then drop it. Each
+    * output file then covers a small RECTANGLE of the (a, b) space, so
+    * parquet min/max footer stats prune row groups for predicates on
+    * EITHER column — a linear sort on `a` gives perfect skipping on `a`
+    * and none on `b`; z-order splits the benefit across both. This is the
+    * standard lakehouse layout lever (Delta/Iceberg `OPTIMIZE ZORDER BY`)
+    * for 100 TB fact tables filtered on two independent dimensions. */
+  def zorderBy(df: DataFrame, aCol: String, bCol: String, numFiles: Int): DataFrame = {
+    df.withColumn("_z", zorder(col(aCol), col(bCol)))
+      .repartitionByRange(numFiles, col("_z"))
+      .sortWithinPartitions(col("_z"))
+      .drop("_z")
+  }
+
   /** Typed Aggregator folding hash positions into a fixed-size bitset —
     * the custom-UDAF route (Aggregator + toColumn), chosen over a
     * driver-side collect so the filter build is a fully distributed

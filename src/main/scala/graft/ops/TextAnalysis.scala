@@ -55,6 +55,46 @@ object TextAnalysis extends QueryModule {
       .orderBy(col("doc_id"))
   }
 
+  /** Explainable per-rule quality filter (Gopher-style): one boolean per
+    * rule plus the combined keep — the audit artifact a corpus build ships
+    * so "why was this document dropped" is answerable without re-running
+    * the filter. Rules over the signals this corpus carries: token-count
+    * band, mean token length band, stopword floor, distinct-token floor
+    * (repetition), and most-common-token ceiling (the Gopher "top word
+    * frequency" rule).
+    *
+    * Shape: the per-token signals are map-only array ops on the documents
+    * scan; the top-token count is an explode → two hash aggregations
+    * (never a per-row O(k²) scan over the token array), then one hash join
+    * back on doc_id. Ratios compare RAW (unrounded) rational values — both
+    * engines derive identical doubles from integer counts, so thresholds
+    * agree (rounding first would reopen the midpoint hazard). */
+  def qQualityFlags(spark: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.documents(spark, dir)
+      .select(col("doc_id"), split(lower(trim(col("text"))), " ").as("toks"))
+    val top = toks.select(col("doc_id"), explode(col("toks")).as("t"))
+      .groupBy(col("doc_id"), col("t")).agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id")).agg(max(col("c")).as("top_c"))
+    toks.select(
+        col("doc_id"),
+        size(col("toks")).as("n_tokens"),
+        expr("aggregate(toks, 0L, (a, t) -> a + length(t))").as("chars"),
+        size(expr(s"filter(toks, t -> t IN ($stopwordsSql))")).as("stop_c"),
+        size(array_distinct(col("toks"))).as("dis_c"))
+      .join(top, Seq("doc_id"))
+      .select(col("doc_id"),
+        col("n_tokens").between(20, 10000).as("f_len"),
+        (col("chars") / col("n_tokens").cast("double")).between(2.0, 12.0)
+          .as("f_word_len"),
+        (col("stop_c") / col("n_tokens").cast("double") >= 0.01).as("f_stopword"),
+        (col("dis_c") / col("n_tokens").cast("double") >= 0.2).as("f_repetition"),
+        (col("top_c") / col("n_tokens").cast("double") <= 0.2).as("f_top_token"))
+      .withColumn("keep",
+        col("f_len") && col("f_word_len") && col("f_stopword")
+          && col("f_repetition") && col("f_top_token"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Stopword-profile language ID + agreement rate with the labeled lang. */
   def qTextLangid(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
@@ -376,6 +416,7 @@ object TextAnalysis extends QueryModule {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_text_tokens"      -> (qTextTokens _),
     "q_text_quality"     -> (qTextQuality _),
+    "q_quality_flags"    -> (qQualityFlags _),
     "q_text_langid"       -> (qTextLangid _),
     "q_text_langid_ngram" -> (qTextLangidNgram _),
     "q_text_fingerprint" -> (qTextFingerprint _),
@@ -410,6 +451,31 @@ object TextAnalysis extends QueryModule {
         |         / CAST(LEN(toks) AS DOUBLE), 4) AS stopword_ratio,
         |       ROUND(LEN(LIST_DISTINCT(toks)) / CAST(LEN(toks) AS DOUBLE), 4) AS distinct_ratio
         |FROM t ORDER BY doc_id""".stripMargin,
+    "q_quality_flags" ->
+      s"""WITH t AS (
+        |  SELECT doc_id, UNNEST(STRING_SPLIT(LOWER(TRIM(text)), ' ')) AS tok
+        |  FROM documents),
+        |per AS (
+        |  SELECT doc_id, COUNT(*) AS n_tokens,
+        |         SUM(CAST(LENGTH(tok) AS BIGINT)) AS chars,
+        |         SUM(CASE WHEN tok IN ($stopwordsSql) THEN 1 ELSE 0 END) AS stop_c,
+        |         COUNT(DISTINCT tok) AS dis_c
+        |  FROM t GROUP BY doc_id),
+        |tc AS (
+        |  SELECT doc_id, MAX(c) AS top_c
+        |  FROM (SELECT doc_id, tok, COUNT(*) AS c FROM t GROUP BY doc_id, tok)
+        |  GROUP BY doc_id),
+        |f AS (
+        |  SELECT p.doc_id,
+        |         p.n_tokens BETWEEN 20 AND 10000 AS f_len,
+        |         CAST(p.chars AS DOUBLE) / p.n_tokens BETWEEN 2.0 AND 12.0 AS f_word_len,
+        |         CAST(p.stop_c AS DOUBLE) / p.n_tokens >= 0.01 AS f_stopword,
+        |         CAST(p.dis_c AS DOUBLE) / p.n_tokens >= 0.2 AS f_repetition,
+        |         CAST(tc.top_c AS DOUBLE) / p.n_tokens <= 0.2 AS f_top_token
+        |  FROM per p JOIN tc ON p.doc_id = tc.doc_id)
+        |SELECT *, f_len AND f_word_len AND f_stopword AND f_repetition
+        |          AND f_top_token AS keep
+        |FROM f ORDER BY doc_id""".stripMargin,
     "q_text_langid" ->
       s"""WITH t AS (
         |  SELECT lang, STRING_SPLIT(LOWER(TRIM(text)), ' ') AS toks FROM documents),

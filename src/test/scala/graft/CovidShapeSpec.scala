@@ -257,4 +257,21 @@ class CovidShapeSpec extends SparkSpec {
     val flat = Seq((1, "a")).toDF("x", "y")
     assert(CovidShape.flatten(flat).columns.sameElements(Array("x", "y")))
   }
+
+  test("orc sink round-trips schema and rows, and filters push into the orc scan") {
+    val src = Tables.orders(spark, sf)
+    val path = java.nio.file.Files.createTempDirectory("orc-sink").toString + "/orders"
+    CovidShape.loadReplaceOrc(src, path)
+    CovidShape.loadReplaceOrc(src, path) // replace mode is idempotent
+    val back = CovidShape.readOrc(spark, path)
+    assert(back.schema == src.schema, "orc must preserve the exact schema")
+    assert(back.count() == src.count())
+    assert(back.exceptAll(src).isEmpty && src.exceptAll(back).isEmpty)
+    // same data-skipping story as parquet: the predicate reaches the scan
+    val q = back.filter(col("o_totalprice") > 100000.0)
+    val scanLine = q.queryExecution.executedPlan.toString
+      .linesIterator.find(_.contains("FileScan orc")).getOrElse("")
+    assert(scanLine.contains("PushedFilters: [") && scanLine.contains("o_totalprice"),
+      s"filter must push into the orc scan: $scanLine")
+  }
 }

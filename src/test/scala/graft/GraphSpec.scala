@@ -39,4 +39,32 @@ class GraphSpec extends SparkSpec {
       case _ => true
     }, "descending rank, ascending node on ties")
   }
+
+  test("degree-oriented triangle counts match an in-memory adjacency count") {
+    val got = Graph.qTriangle(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+
+    // independent reference: brute-force common-neighbor intersection
+    val li = Tables.lineitem(spark, sf).select("l_orderkey", "l_partkey").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val edges = li.toSeq.groupBy(_._1).values.toSeq.flatMap { grp =>
+      val ps = grp.map(_._2).distinct
+      for (a <- ps; b <- ps if a != b) yield (a, b)
+    }.toSet
+    val adj = edges.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val deg = adj.view.mapValues(_.size.toLong).toMap
+    val triPerNode = scala.collection.mutable.HashMap.empty[Long, Long]
+    for ((a, b) <- edges if a < b; c <- adj(a).intersect(adj(b)) if c > b) {
+      // each unordered triangle visited once: a < b < c by id
+      Seq(a, b, c).foreach(n => triPerNode(n) = triPerNode.getOrElse(n, 0L) + 1)
+    }
+    val want = triPerNode.toSeq
+      .map { case (n, t) =>
+        val d = deg(n)
+        (n, d, t, BigDecimal(2.0 * t / (d * (d - 1)))
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+      }
+      .sortBy { case (n, _, t, _) => (-t, n) }.take(100)
+    assert(got.toSeq == want, "triangle counts must agree exactly per node")
+  }
 }

@@ -344,4 +344,25 @@ class LlmOpsSpec extends SparkSpec {
       assert(d <= 3 && d == lev(r.getString(2), r.getString(3)))
     }
   }
+
+  test("quality flags recompute from plain-Scala token stats; keep is the conjunction") {
+    val got = TextAnalysis.qQualityFlags(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getBoolean(1), r.getBoolean(2), r.getBoolean(3),
+        r.getBoolean(4), r.getBoolean(5), r.getBoolean(6)))
+    val docs = Tables.documents(spark, sf).select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    assert(got.length == docs.length, "every document gets a flag row")
+    val stops = Set("the", "a", "of", "and", "to", "in", "is", "it")
+    val want = docs.map { case (id, text) =>
+      val toks = text.trim.toLowerCase.split(" ", -1).toSeq
+      val n = toks.size.toDouble
+      val fLen = toks.size >= 20 && toks.size <= 10000
+      val fWl = { val m = toks.map(_.length).sum / n; m >= 2.0 && m <= 12.0 }
+      val fStop = toks.count(stops) / n >= 0.01
+      val fRep = toks.distinct.size / n >= 0.2
+      val fTop = toks.groupBy(identity).values.map(_.size).max / n <= 0.2
+      (id, fLen, fWl, fStop, fRep, fTop, fLen && fWl && fStop && fRep && fTop)
+    }.sortBy(_._1)
+    assert(got.toSeq == want.toSeq, "flags must agree row for row")
+  }
 }

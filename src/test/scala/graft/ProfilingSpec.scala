@@ -110,4 +110,20 @@ class ProfilingSpec extends SparkSpec {
       l.join(o, l("l_orderkey") === o("o_orderkey"), "left_anti").count())
     assert(rows.size == 3)
   }
+
+  test("equi-depth buckets are balanced to within one row and tile the range") {
+    val h = Profiling.qHistEquidepth(spark, sf).collect()
+    val n = Tables.orders(spark, sf).count()
+    assert(h.map(_.getLong(0)).toSeq == (1L to 8L), "exactly buckets 1..8")
+    assert(h.map(_.getLong(1)).sum == n, "bucket counts must partition the table")
+    val sizes = h.map(_.getLong(1))
+    assert(sizes.max - sizes.min <= 1,
+      s"equi-depth: sizes differ by at most one row, got ${sizes.mkString(",")}")
+    // buckets tile the value axis: each bucket's hi <= next bucket's lo
+    h.sliding(2).foreach {
+      case Array(a, b) => assert(a.getDouble(3) <= b.getDouble(2),
+        s"bucket ${a.getLong(0)} hi must not exceed bucket ${b.getLong(0)} lo")
+      case _ =>
+    }
+  }
 }

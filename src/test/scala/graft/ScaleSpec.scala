@@ -46,6 +46,41 @@ class ScaleSpec extends SparkSpec {
     assert(!scan.replaceAll(".*PushedFilters", "").contains("day"))
   }
 
+  test("z-order layout prunes row groups on BOTH dimensions; linear sort on one") {
+    val grid = spark.range(1 << 16).select(
+      (col("id") % 256).as("x"), ((col("id") / 256) % 256).as("y"),
+      col("id").as("payload"))
+    val base = java.nio.file.Files.createTempDirectory("zorder").toString
+    // linear layout: clustered on x only — y stats span the full range in
+    // every file, so a y predicate skips nothing
+    grid.repartitionByRange(64, col("x")).sortWithinPartitions(col("x"))
+      .write.mode("overwrite").parquet(s"$base/linear")
+    // z-order: each of the 64 files covers a 32x32 rectangle of (x, y)
+    Scale.zorderBy(grid, "x", "y", 64)
+      .write.mode("overwrite").parquet(s"$base/zorder")
+    def scanned(path: String): (Long, Long) = {
+      val q = spark.read.parquet(path).filter(col("x") < 32 && col("y") < 32)
+      // collect() (not count()) so the metric comes from THIS query
+      // execution — no exchange, so the plan is not AQE-wrapped and the
+      // scan node is directly collectible
+      val out = q.collect().length.toLong
+      val scan = q.queryExecution.executedPlan.collect {
+        case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+      }.head
+      (scan.metrics("numOutputRows").value, out)
+    }
+    val (zScan, zRows) = scanned(s"$base/zorder")
+    val (lScan, lRows) = scanned(s"$base/linear")
+    assert(zRows == 1024 && lRows == 1024, "both layouts return the same box")
+    // box [0,32)^2 = z < 1024 touches ~3 of the 64 z-range files
+    // (repartitionByRange samples boundaries, so rectangles are contiguous
+    // z-slabs, not power-of-two aligned — measured ~2,957 rows scanned);
+    // the linear layout reads all 8 x-range files that carry the full y
+    // range (8,192 rows). Assert the conservative 2x bound.
+    assert(zScan * 2 <= lScan,
+      s"z-order must out-prune the linear layout: z=$zScan linear=$lScan")
+  }
+
   test("salted join returns exactly the rows of the plain join") {
     val fact = Tables.lineitem(spark, sf).select("l_orderkey", "l_linenumber", "l_quantity")
     val dim  = Tables.orders(spark, sf).select("o_orderkey", "o_totalprice")

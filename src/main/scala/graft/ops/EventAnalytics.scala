@@ -1,7 +1,7 @@
 package graft.ops
 
 import graft.Tables
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -283,7 +283,47 @@ object EventAnalytics extends QueryModule {
       .toDF(keyCol, tieCol)
   }
 
+  /** Last-touch marketing attribution: each purchase credits the user's
+    * most recent click/view STRICTLY before it, provided that touch is
+    * within a 7-day lookback — otherwise the purchase is organic ("none").
+    * Reported per channel with exact-cent revenue.
+    *
+    * The touch lookup is a running `last(..., ignoreNulls)` pair over the
+    * per-user event order — the as-of join expressed as one window over
+    * ONE shuffle on user_id (high-cardinality key, per-user history
+    * bounded: the same scale argument as sessionize; never a self-join of
+    * purchases against touches). The two last() columns pick the same row
+    * because they null out on exactly the same condition, and the
+    * (tus, event_id) order makes the pick deterministic — a same-
+    * microsecond touch/purchase tie resolves by event_id in both engines. */
+  def qAttribution(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val before = Window.partitionBy(col("user_id"))
+      .orderBy(col("tus"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    def touch(c: Column) =
+      last(when(col("event_type").isin("click", "view"), c), ignoreNulls = true)
+        .over(before)
+    Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_micros(col("ts")).as("tus"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("vc"))
+      .withColumn("lt_tus", touch(col("tus")))
+      .withColumn("lt_type", touch(col("event_type")))
+      .filter(col("event_type") === "purchase")
+      .withColumn("channel",
+        when(col("lt_tus").isNotNull
+            && col("tus") - col("lt_tus") <= lit(7L * 24 * 3600 * 1000000L),
+          col("lt_type")).otherwise(lit("none")))
+      .groupBy(col("channel"))
+      .agg(count(lit(1)).as("n_purchases"),
+        round(expr("CAST(SUM(CAST(vc AS DECIMAL(38,0))) AS DOUBLE) / 100.0"), 2)
+          .as("revenue"))
+      .orderBy(col("channel"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_attribution" -> (qAttribution _),
     "q_scd2"      -> (qScd2 _),
     "q_scd2_snapshot" -> (qScd2Snapshot _),
     "q_throttle_dedup" -> (qThrottleDedup _),
@@ -324,6 +364,29 @@ object EventAnalytics extends QueryModule {
       |  FROM ver GROUP BY user_id, version)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "q_attribution" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, event_type, epoch_us(ts) AS tus,
+        |         CAST(ROUND(value * 100) AS BIGINT) AS vc
+        |  FROM events),
+        |t AS (
+        |  SELECT *,
+        |    LAST_VALUE(CASE WHEN event_type IN ('click','view') THEN tus END
+        |               IGNORE NULLS)
+        |      OVER (PARTITION BY user_id ORDER BY tus, event_id
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS lt_tus,
+        |    LAST_VALUE(CASE WHEN event_type IN ('click','view') THEN event_type END
+        |               IGNORE NULLS)
+        |      OVER (PARTITION BY user_id ORDER BY tus, event_id
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS lt_type
+        |  FROM e)
+        |SELECT CASE WHEN lt_tus IS NOT NULL AND tus - lt_tus <= 604800000000
+        |            THEN lt_type ELSE 'none' END AS channel,
+        |       COUNT(*) AS n_purchases,
+        |       ROUND(CAST(SUM(CAST(vc AS DECIMAL(38,0))) AS DOUBLE) / 100.0, 2)
+        |         AS revenue
+        |FROM t WHERE event_type = 'purchase'
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_throttle_dedup" ->
       """WITH RECURSIVE ordered AS (
         |  SELECT user_id, event_id, epoch_us(ts) AS tus,

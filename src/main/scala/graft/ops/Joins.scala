@@ -239,7 +239,40 @@ object Joins extends QueryModule {
       .orderBy(col("l_orderkey"))
   }
 
+  /** Interval-overlap self-join WITHOUT a cartesian: pairs of same-supplier
+    * shipments whose 3-day ship windows [sd, sd+3) overlap — the
+    * conflict/capacity-detection shape (booking overlap, concurrent jobs on
+    * one resource). An inequality theta-join (`a.sd BETWEEN b.sd-2 AND
+    * b.sd+2`) has no equi-key, which Spark plans as a cartesian; instead
+    * each interval REPLICATES to the day buckets it covers (bounded 3×
+    * blowup), the join becomes a plain hash equi-join on (supplier, day),
+    * and each overlapping pair is counted exactly once at its
+    * RESPONSIBILITY bucket — the FIRST shared day, max(sd_a, sd_b) — so no
+    * post-join dedup shuffle exists. Unbounded interval lengths would cap
+    * replication by chunking into coarse buckets (the q_join_range band
+    * trick); the pair (orderkey, linenumber) id-order halves the symmetric
+    * pairs. */
+  def qJoinInterval(spark: SparkSession, dir: String): DataFrame = {
+    val epoch = lit("1970-01-01").cast("date")
+    val rep = Tables.lineitem(spark, dir)
+      .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
+        datediff(to_date(col("l_shipdate")), epoch).as("sd"))
+      .withColumn("bucket", explode(sequence(col("sd"), col("sd") + 2)))
+    val a = rep.select(col("l_suppkey"), col("bucket"),
+      col("l_orderkey").as("ok_a"), col("l_linenumber").as("ln_a"), col("sd").as("sd_a"))
+    val b = rep.select(col("l_suppkey"), col("bucket"),
+      col("l_orderkey").as("ok_b"), col("l_linenumber").as("ln_b"), col("sd").as("sd_b"))
+    a.join(b, Seq("l_suppkey", "bucket"))
+      .filter(struct(col("ok_a"), col("ln_a")) < struct(col("ok_b"), col("ln_b"))
+        && col("bucket") === greatest(col("sd_a"), col("sd_b")))
+      .groupBy(col("l_suppkey"))
+      .agg(count(lit(1)).as("n_conflicts"))
+      .orderBy(col("n_conflicts").desc, col("l_suppkey"))
+      .limit(100)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_join_interval"  -> (qJoinInterval _),
     "q_join_inner"     -> (qJoinInner _),
     "q_join_left"      -> (qJoinLeft _),
     "q_join_broadcast" -> (qJoinBroadcast _),
@@ -256,6 +289,19 @@ object Joins extends QueryModule {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_join_interval" ->
+      """WITH l AS (
+        |  SELECT l_suppkey, l_orderkey, l_linenumber,
+        |         CAST(CAST(l_shipdate AS DATE) - DATE '1970-01-01' AS BIGINT) AS sd
+        |  FROM lineitem)
+        |SELECT a.l_suppkey, COUNT(*) AS n_conflicts
+        |FROM l a JOIN l b
+        |  ON a.l_suppkey = b.l_suppkey
+        | AND (a.l_orderkey < b.l_orderkey
+        |      OR (a.l_orderkey = b.l_orderkey AND a.l_linenumber < b.l_linenumber))
+        | AND a.sd <= b.sd + 2 AND b.sd <= a.sd + 2
+        |GROUP BY a.l_suppkey
+        |ORDER BY n_conflicts DESC, a.l_suppkey LIMIT 100""".stripMargin,
     "q_join_inner" ->
       """SELECT o_orderstatus, COUNT(*) AS n_lines,
         |       ROUND(SUM(l_extendedprice), 2) AS sum_price

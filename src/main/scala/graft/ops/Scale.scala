@@ -41,6 +41,31 @@ object Scale {
   def writePartitioned(df: DataFrame, path: String, partitionCol: String): Unit =
     df.write.mode(SaveMode.Overwrite).partitionBy(partitionCol).parquet(path)
 
+  /** Small-file compaction: rewrite a parquet directory into
+    * ceil(totalBytes / targetBytes) files and swap it in place. Streaming
+    * sinks and per-batch loads leave thousands of KB-scale files; at
+    * 100 TB the resulting scan pays one task + one footer read per file,
+    * and the NameNode/listing cost grows unbounded — periodic compaction
+    * is the standard maintenance job (Delta/Iceberg OPTIMIZE, Hive
+    * concatenate). The rewrite is one `repartition(n)` round-robin pass
+    * (even output sizes, no skew), written to a sibling temp dir first so
+    * a crash mid-rewrite leaves the original intact; the swap is the
+    * non-transactional rename a real table format wraps in a commit.
+    * Returns the file count written. */
+  def compact(spark: SparkSession, path: String, targetBytes: Long): Int = {
+    import org.apache.hadoop.fs.Path
+    val p = new Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val total = fs.getContentSummary(p).getLength
+    val n = math.max(1L, (total + targetBytes - 1) / targetBytes).toInt
+    val tmp = new Path(path + "_compact_tmp")
+    spark.read.parquet(path).repartition(n)
+      .write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+    fs.delete(p, true)
+    require(fs.rename(tmp, p), s"compaction swap failed for $path")
+    n
+  }
+
   /** Bit-spread a 16-bit value into the even bit positions of a 32-bit
     * lane (the classic mask-shift Morton dilation — 4 shift/or/and steps,
     * no loop, pure codegen'd integer arithmetic). */

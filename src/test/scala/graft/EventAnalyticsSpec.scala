@@ -194,4 +194,40 @@ class EventAnalyticsSpec extends SparkSpec {
       assert(to.forall(_.compareTo(probe) > 0), s"probe inside interval for $user")
     }
   }
+
+  test("attribution: last touch within 7 days, else organic; revenue in exact cents") {
+    val got = EventAnalytics.qAttribution(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getDouble(2))))
+    // independent reference: plain-Scala per-user replay
+    val rows = Tables.events(spark, sf)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_micros(col("ts")).as("tus"), col("value"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3),
+        if (r.isNullAt(4)) None else Some(r.getDouble(4))))
+    val lookback = 7L * 24 * 3600 * 1000000L
+    val attributed = rows.groupBy(_._1).values.flatMap { evs =>
+      val sorted = evs.sortBy(e => (e._4, e._2))
+      sorted.zipWithIndex.collect {
+        case ((_, _, "purchase", tus, v), i) =>
+          val touch = sorted.take(i).reverse
+            .find(e => e._3 == "click" || e._3 == "view")
+          val channel = touch match {
+            case Some((_, _, t, ttus, _)) if tus - ttus <= lookback => t
+            case _ => "none"
+          }
+          (channel, v.map(x => math.round(x * 100)).getOrElse(0L))
+      }
+    }.toSeq
+    val want = attributed.groupBy(_._1).toSeq.map { case (ch, ps) =>
+      // mirror the query's arithmetic: exact cent sum, ONE double division,
+      // then HALF_UP on the double (BigDecimal.decimal = valueOf semantics,
+      // what Spark's Round applies to DoubleType)
+      (ch, ps.size.toLong,
+        Some(BigDecimal.decimal(ps.map(_._2).sum.toDouble / 100.0)
+          .setScale(2, BigDecimal.RoundingMode.HALF_UP).toDouble))
+    }.sortBy(_._1)
+    assert(got.toSeq == want, "attribution must agree channel for channel")
+  }
 }

@@ -109,4 +109,22 @@ class JoinsSpec extends SparkSpec {
     assert(nPruned - nMatch <= nFact / 20,
       s"false-positive overhang too large: $nPruned pruned vs $nMatch true of $nFact")
   }
+
+  test("interval overlap join counts each overlapping same-supplier pair exactly once") {
+    val got = Joins.qJoinInterval(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    // brute force over all same-supplier pairs
+    val ship = Tables.lineitem(spark, sf)
+      .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
+        datediff(to_date(col("l_shipdate")), lit("1970-01-01").cast("date")).as("sd"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getInt(3)))
+    val want = ship.groupBy(_._1).view.mapValues { ls =>
+      (for {
+        a <- ls; b <- ls
+        if a._2 < b._2 || (a._2 == b._2 && a._3 < b._3)
+        if math.abs(a._4 - b._4) <= 2
+      } yield 1).size.toLong
+    }.toSeq.filter(_._2 > 0).sortBy { case (k, n) => (-n, k) }.take(100)
+    assert(got.toSeq == want, "pair counts must agree per supplier")
+  }
 }

@@ -81,6 +81,20 @@ class ScaleSpec extends SparkSpec {
       s"z-order must out-prune the linear layout: z=$zScan linear=$lScan")
   }
 
+  test("compaction collapses a many-small-files layout and preserves the data") {
+    val path = java.nio.file.Files.createTempDirectory("compact").toString + "/events"
+    val src = Tables.events(spark, sf).select("event_id", "user_id", "event_type")
+    src.repartition(64).write.mode("overwrite").parquet(path)
+    def dataFiles() = new java.io.File(path).listFiles()
+      .count(f => f.getName.endsWith(".parquet"))
+    assert(dataFiles() == 64, "fixture: a fragmented layout")
+    val n = graft.ops.Scale.compact(spark, path, 8L * 1024 * 1024)
+    assert(dataFiles() == n && n < 8, s"expected a handful of files, got $n")
+    val back = spark.read.parquet(path)
+    assert(back.count() == src.count())
+    assert(back.exceptAll(src).isEmpty && src.exceptAll(back).isEmpty)
+  }
+
   test("salted join returns exactly the rows of the plain join") {
     val fact = Tables.lineitem(spark, sf).select("l_orderkey", "l_linenumber", "l_quantity")
     val dim  = Tables.orders(spark, sf).select("o_orderkey", "o_totalprice")

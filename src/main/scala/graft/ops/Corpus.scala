@@ -194,7 +194,54 @@ object Corpus extends QueryModule {
       .orderBy(col("lang"), col("doc_id"))
   }
 
+  /** BM25 keyword retrieval (Lucene/Okapi form, k1=1.2, b=0.75) for a fixed
+    * 3-term query — the lexical half of hybrid retrieval (`q_rank_fusion`
+    * fuses a dense and a lexical ranking; this is the real lexical ranker).
+    *
+    * Scale shape: document length is computed MAP-SIDE (`size(split(...))`,
+    * no explode), the token explode is filtered to the broadcast query-term
+    * set BEFORE any shuffle (so the per-doc tf aggregate sees ≤ |q| rows per
+    * document, not the whole vocabulary), per-term df is a second tiny
+    * aggregate over those rows, and N/avgdl ride a broadcast one-row cross
+    * join — the same global-scalar pattern as `q_tfidf_top`. Determinism:
+    * each per-(doc,term) score is floored to integer micro-units BEFORE the
+    * per-doc sum, so the sum is integer arithmetic and immune to float
+    * addition order; both engines evaluate the identical per-row IEEE
+    * expression. Final top-10 is TakeOrderedAndProject, never a global sort.
+    * (Ref behavior: reference ranks transformed tables by computed score
+    * columns — dags/create-data-lake.py:63 orders by date/value; BM25 is
+    * that ranking surface over text.) */
+  def qBm25(spark: SparkSession, dir: String): DataFrame = {
+    val terms = Seq("spark", "vector", "stream")
+    val docs = Tables.documents(spark, dir)
+    val withLen = docs.select(col("doc_id"),
+      split(lower(trim(col("text"))), " ").as("toks"))
+      .select(col("doc_id"), col("toks"), size(col("toks")).cast("long").as("dl"))
+    val stats = withLen.agg(count(lit(1)).cast("double").as("n_docs"),
+      avg(col("dl")).as("avgdl"))
+    val tf = withLen
+      .select(col("doc_id"), col("dl"), explode(col("toks")).as("token"))
+      .filter(col("token").isin(terms: _*))
+      .groupBy(col("doc_id"), col("dl"), col("token"))
+      .agg(count(lit(1)).cast("double").as("tf"))
+    val dfreq = tf.groupBy(col("token"))
+      .agg(count(lit(1)).cast("double").as("df"))
+    tf.join(broadcast(dfreq), "token")
+      .crossJoin(broadcast(stats))
+      .withColumn("idf", log(lit(1.0) + (col("n_docs") - col("df") + 0.5) / (col("df") + 0.5)))
+      .withColumn("s_micro",
+        floor((col("idf") * col("tf") * 2.2
+          / (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl").cast("double") / col("avgdl"))))
+          * 1000000 + 0.5).cast("long"))
+      .groupBy(col("doc_id"))
+      .agg((sum(col("s_micro")).cast("double") / 1000000).as("bm25"),
+        count(lit(1)).as("n_terms"))
+      .orderBy(col("bm25").desc, col("doc_id"))
+      .limit(10)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_bm25"          -> (qBm25 _),
     "q_decontaminate" -> (qDecontaminate _),
     "q_sample_capped" -> (qSampleCapped _),
     "q_tfidf_top"     -> (qTfidfTop _),
@@ -203,6 +250,32 @@ object Corpus extends QueryModule {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_bm25" ->
+      """WITH d AS (
+        |  SELECT doc_id, STRING_SPLIT(LOWER(TRIM(text)), ' ') AS toks
+        |  FROM documents),
+        |dl AS (
+        |  SELECT doc_id, toks, CAST(LEN(toks) AS BIGINT) AS dl FROM d),
+        |stats AS (
+        |  SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs, AVG(CAST(dl AS DOUBLE)) AS avgdl FROM dl),
+        |tf AS (
+        |  SELECT doc_id, dl, token, CAST(COUNT(*) AS DOUBLE) AS tf
+        |  FROM (SELECT doc_id, dl, UNNEST(toks) AS token FROM dl)
+        |  WHERE token IN ('spark', 'vector', 'stream')
+        |  GROUP BY doc_id, dl, token),
+        |dfreq AS (
+        |  SELECT token, CAST(COUNT(*) AS DOUBLE) AS df FROM tf GROUP BY token),
+        |scored AS (
+        |  SELECT doc_id,
+        |         CAST(FLOOR(
+        |           LN(1.0 + (n_docs - df + 0.5) / (df + 0.5)) * tf * 2.2
+        |             / (tf + 1.2 * (0.25 + 0.75 * CAST(dl AS DOUBLE) / avgdl))
+        |           * 1000000 + 0.5) AS BIGINT) AS s_micro
+        |  FROM tf JOIN dfreq USING (token) CROSS JOIN stats)
+        |SELECT doc_id, CAST(SUM(s_micro) AS DOUBLE) / 1000000 AS bm25,
+        |       COUNT(*) AS n_terms
+        |FROM scored GROUP BY doc_id
+        |ORDER BY bm25 DESC, doc_id LIMIT 10""".stripMargin,
     "q_pack_sequences" ->
       """WITH RECURSIVE d AS (
         |  SELECT COALESCE(lang, '') AS lang, doc_id,

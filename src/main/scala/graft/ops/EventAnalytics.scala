@@ -322,7 +322,49 @@ object EventAnalytics extends QueryModule {
       .orderBy(col("channel"))
   }
 
+  /** Time-to-convert: for each user, the lag from their FIRST touch
+    * (click/view) to their first purchase at-or-after it, bucketed into
+    * operations bands (<1h, 1h–1d, 1d–7d, ≥7d) with per-bucket user counts
+    * and mean lag — the conversion-latency histogram next to `q_funnel`'s
+    * reach counts and `q_attribution`'s credit assignment.
+    *
+    * Scale shape: ONE shuffle on the high-cardinality user_id serves both
+    * the running-min-touch window and the per-user aggregate (same
+    * partitioning, Spark reuses the exchange); the bucket rollup is a
+    * ≤4-row aggregate. A purchase strictly before any touch never
+    * qualifies (its running touch min is null), and the per-user min of
+    * (purchase_tus − first_touch_tus) equals first-qualifying-purchase lag
+    * because the subtrahend is constant per user. Mean lag divides integer
+    * microsecond sums once at the end. */
+  def qConversionLag(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val upTo = Window.partitionBy(col("user_id"))
+      .orderBy(col("tus"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val hourUs = 3600L * 1000000L
+    val lagged = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_micros(col("ts")).as("tus"))
+      .withColumn("ft",
+        min(when(col("event_type").isin("click", "view"), col("tus"))).over(upTo))
+      .filter(col("event_type") === "purchase" && col("ft").isNotNull)
+      .groupBy(col("user_id"))
+      .agg(min(col("tus") - col("ft")).as("lag_us"))
+    lagged
+      .withColumn("bucket",
+        when(col("lag_us") < lit(hourUs), "a_under_1h")
+          .when(col("lag_us") < lit(24 * hourUs), "b_1h_to_1d")
+          .when(col("lag_us") < lit(7 * 24 * hourUs), "c_1d_to_7d")
+          .otherwise("d_over_7d"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_users"),
+        round(expr(s"CAST(SUM(lag_us) AS DOUBLE) / COUNT(*) / $hourUs"), 3)
+          .as("avg_lag_hours"))
+      .orderBy(col("bucket"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_conversion_lag" -> (qConversionLag _),
     "q_attribution" -> (qAttribution _),
     "q_scd2"      -> (qScd2 _),
     "q_scd2_snapshot" -> (qScd2Snapshot _),
@@ -364,6 +406,27 @@ object EventAnalytics extends QueryModule {
       |  FROM ver GROUP BY user_id, version)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "q_conversion_lag" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, event_type, epoch_us(ts) AS tus FROM events),
+        |f AS (
+        |  SELECT *,
+        |    MIN(CASE WHEN event_type IN ('click','view') THEN tus END)
+        |      OVER (PARTITION BY user_id ORDER BY tus, event_id
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ft
+        |  FROM e),
+        |lag_per_user AS (
+        |  SELECT user_id, MIN(tus - ft) AS lag_us
+        |  FROM f WHERE event_type = 'purchase' AND ft IS NOT NULL
+        |  GROUP BY user_id)
+        |SELECT CASE WHEN lag_us < 3600000000 THEN 'a_under_1h'
+        |            WHEN lag_us < 86400000000 THEN 'b_1h_to_1d'
+        |            WHEN lag_us < 604800000000 THEN 'c_1d_to_7d'
+        |            ELSE 'd_over_7d' END AS bucket,
+        |       COUNT(*) AS n_users,
+        |       ROUND(CAST(SUM(lag_us) AS DOUBLE) / COUNT(*) / 3600000000, 3)
+        |         AS avg_lag_hours
+        |FROM lag_per_user GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_attribution" ->
       """WITH e AS (
         |  SELECT user_id, event_id, event_type, epoch_us(ts) AS tus,

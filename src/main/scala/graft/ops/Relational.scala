@@ -209,7 +209,47 @@ object Relational extends QueryModule {
       .drop("_src", "_rn")
   }
 
+  /** Snapshot CDC diff: classify every per-customer aggregate state as
+    * insert / delete / update / unchanged between two half-year windows
+    * ([1996-07-01, 1997-01-01) vs [1997-01-01, 1997-07-01)) and report
+    * per-op key counts plus the net revenue delta — the change-capture
+    * summary a lake emits between table versions (Delta CDF / Iceberg
+    * changelog semantics, computed relationally with no table format).
+    *
+    * Scale shape: the naive plan materializes snapshot A and snapshot B and
+    * full-outer-joins them on the key (two shuffles + a join); here both
+    * snapshots fold into ONE conditional aggregation over a single scan —
+    * one shuffle on the high-cardinality custkey, then the op
+    * classification is a map-side CASE and the final rollup is a 4-row
+    * aggregate. Money stays in integer cents until the last division.
+    * (Ref behavior: the reference's replace-mode reload recomputes the
+    * whole table each run — dags/create-data-lake.py:75 — so "what
+    * changed" is exactly the question its consumers cannot answer; this
+    * operator closes that gap.) */
+  def qCdcDiff(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir).select(col("o_custkey"),
+      to_date(col("o_orderdate")).as("od"),
+      expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("cents"))
+    val inA = col("od") >= lit("1996-07-01").cast("date") && col("od") < lit("1997-01-01").cast("date")
+    val inB = col("od") >= lit("1997-01-01").cast("date") && col("od") < lit("1997-07-01").cast("date")
+    o.filter(inA || inB)
+      .groupBy(col("o_custkey"))
+      .agg(count(when(inA, 1)).as("na"), sum(when(inA, col("cents"))).as("sa"),
+        count(when(inB, 1)).as("nb"), sum(when(inB, col("cents"))).as("sb"))
+      .withColumn("op",
+        when(col("na") === 0, lit("insert"))
+          .when(col("nb") === 0, lit("delete"))
+          .when(col("na") =!= col("nb") || col("sa") =!= col("sb"), lit("update"))
+          .otherwise(lit("unchanged")))
+      .groupBy(col("op"))
+      .agg(count(lit(1)).as("n_keys"),
+        round(expr("CAST(SUM(COALESCE(sb, 0) - COALESCE(sa, 0)) AS DOUBLE) / 100.0"), 2)
+          .as("net_delta"))
+      .orderBy(col("op"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_cdc_diff"  -> (qCdcDiff _),
     "q_scan"      -> (qScan _),
     "q_project"   -> (qProject _),
     "q_filter"    -> (qFilter _),
@@ -225,6 +265,23 @@ object Relational extends QueryModule {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_cdc_diff" ->
+      """WITH st AS (
+        |  SELECT o_custkey,
+        |         COUNT(CASE WHEN od >= DATE '1996-07-01' AND od < DATE '1997-01-01' THEN 1 END) AS na,
+        |         SUM(CASE WHEN od >= DATE '1996-07-01' AND od < DATE '1997-01-01' THEN cents END) AS sa,
+        |         COUNT(CASE WHEN od >= DATE '1997-01-01' AND od < DATE '1997-07-01' THEN 1 END) AS nb,
+        |         SUM(CASE WHEN od >= DATE '1997-01-01' AND od < DATE '1997-07-01' THEN cents END) AS sb
+        |  FROM (SELECT o_custkey, CAST(o_orderdate AS DATE) AS od,
+        |               CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents FROM orders)
+        |  WHERE (od >= DATE '1996-07-01' AND od < DATE '1997-01-01')
+        |     OR (od >= DATE '1997-01-01' AND od < DATE '1997-07-01')
+        |  GROUP BY o_custkey)
+        |SELECT CASE WHEN na = 0 THEN 'insert' WHEN nb = 0 THEN 'delete'
+        |            WHEN na <> nb OR sa <> sb THEN 'update' ELSE 'unchanged' END AS op,
+        |       COUNT(*) AS n_keys,
+        |       ROUND(CAST(SUM(COALESCE(sb, 0) - COALESCE(sa, 0)) AS DOUBLE) / 100.0, 2) AS net_delta
+        |FROM st GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_merge_upsert" ->
       """WITH changes AS (
         |  SELECT o_orderkey, o_orderstatus, o_totalprice, 0 AS src FROM orders

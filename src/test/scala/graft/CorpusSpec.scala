@@ -265,4 +265,34 @@ class CorpusSpec extends SparkSpec {
       .map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(got == exact)
   }
+
+  test("bm25 matches a plain-Scala Okapi reference (k1=1.2, b=0.75, Lucene idf)") {
+    val got = Corpus.qBm25(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getLong(2)))
+    val terms = Seq("spark", "vector", "stream")
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"), split(lower(trim(col("text"))), " ").as("toks"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1))
+    val nDocs = docs.length.toDouble
+    val avgdl = docs.map(_._2.size.toLong).sum.toDouble / nDocs
+    val dfm = terms.map(t => t -> docs.count(_._2.contains(t)).toDouble).toMap
+    val scored = docs.map { case (id, toks) =>
+      val dl = toks.size.toDouble
+      val micro = terms.map { t =>
+        val tf = toks.count(_ == t).toDouble
+        if (tf == 0) 0L
+        else {
+          val idf = math.log(1.0 + (nDocs - dfm(t) + 0.5) / (dfm(t) + 0.5))
+          math.floor(idf * tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))
+            * 1000000 + 0.5).toLong
+        }
+      }.sum
+      val nTerms = terms.count(t => toks.contains(t)).toLong
+      (id, micro.toDouble / 1000000, nTerms)
+    }.filter(_._3 > 0)
+    val want = scored.sortBy(s => (-s._2, s._1)).take(10).toSeq
+    assert(got.toSeq == want)
+    // every returned doc matched at least one query term
+    assert(got.forall(_._3 >= 1))
+  }
 }

@@ -230,4 +230,43 @@ class EventAnalyticsSpec extends SparkSpec {
     }.sortBy(_._1)
     assert(got.toSeq == want, "attribution must agree channel for channel")
   }
+
+  test("conversion lag buckets match a per-user replay; pre-touch purchases never count") {
+    val got = EventAnalytics.qConversionLag(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    val rows = Tables.events(spark, sf)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_micros(col("ts")).as("tus"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+    val hourUs = 3600L * 1000000L
+    // sequential replay in the window's exact (tus, event_id) order: a
+    // purchase only sees touches that sort BEFORE-or-AT it, so a
+    // same-microsecond tie resolves identically to the running-min window
+    val lags = rows.groupBy(_._1).values.flatMap { evs =>
+      val sorted = evs.sortBy(e => (e._4, e._2))
+      var runFt = Option.empty[Long]
+      var best = Option.empty[Long]
+      sorted.foreach {
+        case (_, _, t, tus) if t == "click" || t == "view" =>
+          if (runFt.isEmpty) runFt = Some(tus)
+        case (_, _, "purchase", tus) if runFt.nonEmpty =>
+          val lag = tus - runFt.get
+          if (best.forall(lag < _)) best = Some(lag)
+        case _ => ()
+      }
+      best
+    }.toSeq
+    assert(lags.nonEmpty, "fixture must contain at least one conversion")
+    val want = lags.groupBy { l =>
+      if (l < hourUs) "a_under_1h"
+      else if (l < 24 * hourUs) "b_1h_to_1d"
+      else if (l < 7 * 24 * hourUs) "c_1d_to_7d"
+      else "d_over_7d"
+    }.toSeq.map { case (b, ls) =>
+      (b, ls.size.toLong,
+        BigDecimal.decimal(ls.sum.toDouble / ls.size / hourUs)
+          .setScale(3, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }.sortBy(_._1)
+    assert(got.toSeq == want)
+  }
 }

@@ -66,4 +66,37 @@ class RelationalSpec extends SparkSpec {
     val keys = Relational.qLimit(spark, sf).collect().map(_.getLong(0))
     assert(keys.length == 20 && keys.sameElements(keys.sorted))
   }
+
+  test("cdc diff op counts match an independent full-outer-join snapshot diff") {
+    val got = Relational.qCdcDiff(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    // independent reference: materialize both snapshots and diff them the
+    // naive way (full outer join), i.e. a genuinely different plan shape
+    val o = Tables.orders(spark, sf).select(col("o_custkey"),
+      to_date(col("o_orderdate")).as("od"),
+      expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("cents"))
+    def snap(lo: String, hi: String) =
+      o.filter(col("od") >= lit(lo).cast("date") && col("od") < lit(hi).cast("date"))
+        .groupBy("o_custkey").agg(count(lit(1)).as("n"), sum("cents").as("s"))
+        .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val a = snap("1996-07-01", "1997-01-01")
+    val b = snap("1997-01-01", "1997-07-01")
+    val ops = (a.keySet ++ b.keySet).toSeq.map { k =>
+      val op = (a.get(k), b.get(k)) match {
+        case (None, Some(_))                  => "insert"
+        case (Some(_), None)                  => "delete"
+        case (Some(x), Some(y)) if x != y     => "update"
+        case _                                => "unchanged"
+      }
+      val delta = b.get(k).map(_._2).getOrElse(0L) - a.get(k).map(_._2).getOrElse(0L)
+      (op, delta)
+    }
+    val want = ops.groupBy(_._1).toSeq.map { case (op, xs) =>
+      (op, xs.size.toLong,
+        BigDecimal.decimal(xs.map(_._2).sum.toDouble / 100.0)
+          .setScale(2, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }.sortBy(_._1)
+    assert(got.toSeq == want)
+    assert(got.map(_._1).toSet.subsetOf(Set("insert", "delete", "update", "unchanged")))
+  }
 }

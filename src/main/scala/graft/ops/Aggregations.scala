@@ -256,16 +256,36 @@ object Aggregations extends QueryModule {
 
   /** Discrete percentiles (no interpolation — the value AT the quantile
     * rank, PERCENTILE_DISC semantics): smallest v whose row number reaches
-    * ceil(q·n) in the per-group value order. Shares the distributed
-    * window-rank shape of [[qAggPercentile]]; same determinism argument
-    * (ties carry equal values). */
+    * ceil(q·n) in the per-group value order. Same determinism argument as
+    * [[qAggPercentile]] (ties carry equal values). */
   def qPercentileDisc(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val ranked = Tables.lineitem(spark, dir)
-      .select(col("l_returnflag"), col("l_extendedprice").as("v"))
+    // Chunked-prefix exact rank (the q_hist_equidepth shape): l_returnflag
+    // has 3 values, so a flat row_number() over it puts a third of
+    // lineitem in ONE task at any scale. Instead each row ranks locally
+    // within a (flag, price-chunk) partition — bounded by the chunk width,
+    // not the key's share of the table — and its exact global rank is the
+    // local rank plus the broadcast per-chunk prefix offset (the offsets
+    // window runs over the ~160-row chunk-count table, never the data).
+    val chunkWidth = 2000.0
+    val l = Tables.lineitem(spark, dir)
+      .select(col("l_returnflag"), col("l_extendedprice").as("v"),
+        col("l_orderkey"), col("l_linenumber"))
+      .withColumn("chunk", floor(col("v") / lit(chunkWidth)))
+    val cnts = l.groupBy(col("l_returnflag"), col("chunk"))
+      .agg(count(lit(1)).as("cn"))
+    val byChunk = Window.partitionBy(col("l_returnflag")).orderBy(col("chunk"))
+    val offs = cnts
+      .withColumn("off", coalesce(sum(col("cn")).over(
+        byChunk.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("n", sum(col("cn")).over(
+        byChunk.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+      .select(col("l_returnflag"), col("chunk"), col("off"), col("n"))
+    val ranked = l.join(broadcast(offs), Seq("l_returnflag", "chunk"))
       .withColumn("rn", row_number().over(
-        Window.partitionBy(col("l_returnflag")).orderBy(col("v"))))
-      .withColumn("n", count(lit(1)).over(Window.partitionBy(col("l_returnflag"))))
+        Window.partitionBy(col("l_returnflag"), col("chunk"))
+          .orderBy(col("v"), col("l_orderkey"), col("l_linenumber")))
+        + col("off"))
     def at(q: String) = max(when(expr(s"rn = CAST(ceil(n * $q) AS BIGINT)"), col("v")))
     ranked.groupBy(col("l_returnflag"))
       .agg(at("0.5").as("p50_disc"), at("0.9").as("p90_disc"),
@@ -380,17 +400,30 @@ object Aggregations extends QueryModule {
     * (actual data values — no interpolation), the clamp is integer
     * greatest/least, and the mean comes from an exact DECIMAL sum — so the
     * whole pipeline is accumulation-order-independent and cross-engine
-    * exact. Shares the distributed window-rank percentile shape of
-    * [[qPercentileDisc]]: one sort per group, no per-group value
-    * collection, unbounded group sizes. */
+    * exact. Uses the chunked-prefix exact rank of [[qPercentileDisc]] for
+    * the bounds: event_type has a handful of values, so a flat per-group
+    * row_number() would put one group's whole history in one task; ranking
+    * within (event_type, cent-chunk) and adding the broadcast chunk
+    * offsets bounds every task by the chunk width instead. */
   def qWinsorize(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val cents = Tables.events(spark, dir)
-      .select(col("event_type"), expr("CAST(round(value * 100) AS BIGINT)").as("c"))
-    val ranked = cents
+      .select(col("event_type"), col("event_id"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("c"))
+    val chunked = cents.withColumn("chunk", floor(col("c") / lit(1000L)))
+    val byChunk = Window.partitionBy(col("event_type")).orderBy(col("chunk"))
+    val offs = chunked.groupBy(col("event_type"), col("chunk"))
+      .agg(count(lit(1)).as("cn"))
+      .withColumn("off", coalesce(sum(col("cn")).over(
+        byChunk.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("n", sum(col("cn")).over(
+        byChunk.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+      .select(col("event_type"), col("chunk"), col("off"), col("n"))
+    val ranked = chunked.join(broadcast(offs), Seq("event_type", "chunk"))
       .withColumn("rn", row_number().over(
-        Window.partitionBy(col("event_type")).orderBy(col("c"))))
-      .withColumn("n", count(lit(1)).over(Window.partitionBy(col("event_type"))))
+        Window.partitionBy(col("event_type"), col("chunk"))
+          .orderBy(col("c"), col("event_id")))
+        + col("off"))
     val bounds = ranked.groupBy(col("event_type"))
       .agg(
         max(when(expr("rn = CAST(ceil(n * 0.05) AS BIGINT)"), col("c"))).as("lo"),

@@ -108,6 +108,18 @@ class PlanSpec extends SparkSpec {
   private def exchangeKeys(df: org.apache.spark.sql.DataFrame): Seq[String] =
     planOf(df).linesIterator.filter(_.contains("hashpartitioning")).toSeq
 
+  test("q_percentile_disc and q_winsorize rank within (group, chunk), never the bare group") {
+    for ((df, chunkKey) <- Seq(
+      graft.ops.Aggregations.qPercentileDisc(spark, sf) -> "l_returnflag",
+      graft.ops.Aggregations.qWinsorize(spark, sf) -> "event_type")) {
+      val ex = exchangeKeys(df)
+      assert(ex.exists(l => l.contains(chunkKey) && l.contains("chunk")),
+        s"expected a ($chunkKey, chunk) exchange; got:\n${ex.mkString("\n")}")
+      assert(planOf(df).contains("BroadcastHashJoin"),
+        "chunk offsets must come back as a broadcast")
+    }
+  }
+
   test("q_win_rank's full-table window exchange is salted") {
     val ex = exchangeKeys(graft.ops.Windows.qWinRank(spark, sf))
     assert(ex.exists(l => l.contains("event_type") && l.contains("salt")),

@@ -240,7 +240,69 @@ object Corpus extends QueryModule {
       .limit(10)
   }
 
+  /** The monitored corpus slices and their pairs for `q_corpus_drift`.
+    * Both the Spark columns and the DuckDB oracle SQL are GENERATED from
+    * this one list, so the two engines cannot drift apart structurally. */
+  private val driftSources = Seq("src0", "src1", "src2", "src3")
+  private val driftPairs: Seq[(String, String)] =
+    driftSources.combinations(2).map { case Seq(a, b) => (a, b) }.toSeq
+
+  /** One side's Jensen-Shannon term: 0.5 * p * log2(p / m) with
+    * m = (p + q) / 2, zero when the token is absent from this side. Emitted
+    * as SQL text shared verbatim by the Spark expression and the oracle. */
+  private def driftTerm(c: String, n: String, co: String, no: String): String =
+    s"(CASE WHEN $c > 0 THEN 0.5 * (CAST($c AS DOUBLE) / $n) * " +
+      s"LOG2((CAST($c AS DOUBLE) / $n) / ((CAST($c AS DOUBLE) / $n + CAST($co AS DOUBLE) / $no) / 2.0)) " +
+      s"ELSE 0.0 END)"
+
+  private def driftContrib(a: String, b: String): String =
+    s"CAST(FLOOR((${driftTerm(s"c_$a", s"n_$a", s"c_$b", s"n_$b")} + " +
+      s"${driftTerm(s"c_$b", s"n_$b", s"c_$a", s"n_$a")}) * 1000000000000 + 0.5) AS BIGINT)"
+
+  /** Corpus drift monitor: pairwise Jensen-Shannon divergence (log2, so
+    * JSD ∈ [0,1]) between the unigram token distributions of monitored
+    * corpus slices — the distribution-shift check a training-data pipeline
+    * runs between corpus versions / web-crawl snapshots before mixing.
+    *
+    * Scale shape: ONE shuffle — tokens explode map-side, the per-token
+    * per-slice counts are one hash aggregate keyed on the high-cardinality
+    * token (slice membership is a conditional count, never a pivot or a
+    * per-pair self-join on token), slice totals ride a broadcast one-row
+    * cross join, every per-token pair contribution is map-side arithmetic
+    * floored to integer picounits (so the final sum is order-independent
+    * integer math), and the 6-pair reshape is a `stack` over a single
+    * aggregated row. A per-pair full-outer self-join of the token table —
+    * the naive plan — would shuffle the vocabulary |pairs| times. */
+  def qCorpusDrift(spark: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.documents(spark, dir)
+      .filter(col("source").isin(driftSources: _*))
+      .select(col("source"),
+        explode(split(lower(trim(col("text"))), " ")).as("token"))
+    val cntCols = driftSources.map(s =>
+      count(when(col("source") === s, 1)).as(s"c_$s"))
+    val cnt = toks.groupBy(col("token")).agg(cntCols.head, cntCols.tail: _*)
+    val totCols = driftSources.map(s => sum(col(s"c_$s")).cast("double").as(s"n_$s"))
+    val tot = cnt.agg(totCols.head, totCols.tail: _*)
+    val perToken = driftPairs.foldLeft(cnt.crossJoin(broadcast(tot))) {
+      case (d, (a, b)) =>
+        d.withColumn(s"k_${a}_$b", expr(driftContrib(a, b)))
+          .withColumn(s"u_${a}_$b",
+            expr(s"CASE WHEN c_$a + c_$b > 0 THEN 1 ELSE 0 END"))
+    }
+    val sumCols = driftPairs.flatMap { case (a, b) =>
+      Seq(sum(col(s"k_${a}_$b")).as(s"sk_${a}_$b"),
+        sum(col(s"u_${a}_$b")).cast("long").as(s"su_${a}_$b"))
+    }
+    val one = perToken.agg(sumCols.head, sumCols.tail: _*)
+    val stackArgs = driftPairs.map { case (a, b) =>
+      s"'$a|$b', CAST(sk_${a}_$b AS DOUBLE) / 1000000000000, su_${a}_$b"
+    }.mkString(", ")
+    one.selectExpr(s"stack(${driftPairs.size}, $stackArgs) AS (pair, jsd, n_union)")
+      .orderBy(col("pair"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_corpus_drift"  -> (qCorpusDrift _),
     "q_bm25"          -> (qBm25 _),
     "q_decontaminate" -> (qDecontaminate _),
     "q_sample_capped" -> (qSampleCapped _),
@@ -249,7 +311,43 @@ object Corpus extends QueryModule {
     "q_pack_sequences" -> (qPackSequences _),
   )
 
+  /** Generated from the same `driftPairs` list as the Spark columns. */
+  private val corpusDriftOracle: String = {
+    val srcList = driftSources.map(s => s"'$s'").mkString(", ")
+    val cntCols = driftSources.map(s =>
+      s"COUNT(CASE WHEN source = '$s' THEN 1 END) AS c_$s").mkString(",\n        |         ")
+    val totCols = driftSources.map(s =>
+      s"CAST(SUM(c_$s) AS DOUBLE) AS n_$s").mkString(", ")
+    val kCols = driftPairs.map { case (a, b) =>
+      s"${driftContrib(a, b)} AS k_${a}_$b,\n        |         CASE WHEN c_$a + c_$b > 0 THEN 1 ELSE 0 END AS u_${a}_$b"
+    }.mkString(",\n        |         ")
+    val sCols = driftPairs.map { case (a, b) =>
+      s"SUM(k_${a}_$b) AS sk_${a}_$b, CAST(SUM(u_${a}_$b) AS BIGINT) AS su_${a}_$b"
+    }.mkString(",\n        |         ")
+    val branches = driftPairs.map { case (a, b) =>
+      s"SELECT '$a|$b' AS pair, CAST(sk_${a}_$b AS DOUBLE) / 1000000000000 AS jsd, su_${a}_$b AS n_union FROM s"
+    }.mkString("\n        |  UNION ALL ")
+    s"""WITH toks AS (
+        |  SELECT source, UNNEST(STRING_SPLIT(LOWER(TRIM(text)), ' ')) AS token
+        |  FROM documents WHERE source IN ($srcList)),
+        |cnt AS (
+        |  SELECT token,
+        |         $cntCols
+        |  FROM toks GROUP BY token),
+        |tot AS (SELECT $totCols FROM cnt),
+        |k AS (
+        |  SELECT $kCols
+        |  FROM cnt CROSS JOIN tot),
+        |s AS (
+        |  SELECT $sCols
+        |  FROM k)
+        |SELECT * FROM (
+        |  $branches
+        |) ORDER BY pair""".stripMargin
+  }
+
   val oracle: Map[String, String] = Map(
+    "q_corpus_drift" -> corpusDriftOracle,
     "q_bm25" ->
       """WITH d AS (
         |  SELECT doc_id, STRING_SPLIT(LOWER(TRIM(text)), ' ') AS toks

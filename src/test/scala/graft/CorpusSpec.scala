@@ -295,4 +295,30 @@ class CorpusSpec extends SparkSpec {
     // every returned doc matched at least one query term
     assert(got.forall(_._3 >= 1))
   }
+
+  test("corpus drift JSD: 0 for identical distributions, 1 for disjoint, hand value between") {
+    import spark.implicits._
+    val d = java.nio.file.Files.createTempDirectory("drift").toString
+    Seq(
+      (1L, "a a b b", "src0"), // p(a)=.5  p(b)=.5
+      (2L, "a b a b", "src1"), // identical distribution to src0
+      (3L, "c c c c", "src2"), // disjoint vocabulary
+      (4L, "a a a b", "src3"), // p(a)=.75 p(b)=.25
+    ).toDF("doc_id", "text", "source")
+      .withColumn("lang", lit("en")).withColumn("n_chars", length(col("text")))
+      .write.mode("overwrite").parquet(s"$d/documents.parquet")
+    val got = Corpus.qCorpusDrift(spark, d).collect()
+      .map(r => r.getString(0) -> (r.getDouble(1), r.getLong(2))).toMap
+    assert(got.size == 6)
+    assert(got("src0|src1")._1 == 0.0, "identical distributions have zero divergence")
+    assert(got("src0|src2")._1 == 1.0, "disjoint vocabularies saturate log2-JSD at 1")
+    def log2(x: Double) = math.log(x) / math.log(2.0)
+    val hand = 0.5 * (0.5 * log2(0.5 / 0.625) + 0.5 * log2(0.5 / 0.375)) +
+      0.5 * (0.75 * log2(0.75 / 0.625) + 0.25 * log2(0.25 / 0.375))
+    assert(math.abs(got("src0|src3")._1 - hand) < 1e-9)
+    assert(got("src0|src1")._2 == 2 && got("src0|src2")._2 == 3 && got("src0|src3")._2 == 2)
+    // symmetry of the measure: recompute with the pair reversed by checking
+    // src1 vs src3 equals src0 vs src3 (src1 ≡ src0 distributionally)
+    assert(math.abs(got("src1|src3")._1 - got("src0|src3")._1) < 1e-12)
+  }
 }

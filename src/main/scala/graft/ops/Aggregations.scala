@@ -105,13 +105,30 @@ object Aggregations extends QueryModule {
     * single-pass path below. */
   def qAggPercentile(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val ranked = Tables.lineitem(spark, dir)
-      .select(col("l_returnflag"), col("l_extendedprice").as("v"))
-      // ties need no tie-break: equal values make every rank assignment
-      // among them carry the same v, so the ranked multiset is deterministic
+    // Chunked-prefix exact rank (the qPercentileDisc shape): ranking within
+    // (flag, price-chunk) plus the broadcast per-chunk prefix offset keeps
+    // every task bounded by the chunk width — a flat row_number() over the
+    // 3-value l_returnflag would put a third of lineitem in one task.
+    // Ties across equal v still need no value tie-break for correctness
+    // (every rank assignment among them carries the same v); the id order
+    // just pins the permutation.
+    val l = Tables.lineitem(spark, dir)
+      .select(col("l_returnflag"), col("l_extendedprice").as("v"),
+        col("l_orderkey"), col("l_linenumber"))
+      .withColumn("chunk", floor(col("v") / lit(2000.0)))
+    val byChunk = Window.partitionBy(col("l_returnflag")).orderBy(col("chunk"))
+    val offs = l.groupBy(col("l_returnflag"), col("chunk"))
+      .agg(count(lit(1)).as("cn"))
+      .withColumn("off", coalesce(sum(col("cn")).over(
+        byChunk.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("n", sum(col("cn")).over(
+        byChunk.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+      .select(col("l_returnflag"), col("chunk"), col("off"), col("n"))
+    val ranked = l.join(broadcast(offs), Seq("l_returnflag", "chunk"))
       .withColumn("rn", row_number().over(
-        Window.partitionBy(col("l_returnflag")).orderBy(col("v"))))
-      .withColumn("n", count(lit(1)).over(Window.partitionBy(col("l_returnflag"))))
+        Window.partitionBy(col("l_returnflag"), col("chunk"))
+          .orderBy(col("v"), col("l_orderkey"), col("l_linenumber")))
+        + col("off"))
     def lo(q: String) = max(when(expr(s"rn = CAST(floor((n - 1) * $q) AS INT) + 1"), col("v")))
     def hi(q: String) = max(when(expr(s"rn = CAST(ceil((n - 1) * $q) AS INT) + 1"), col("v")))
     def interp(q: String, l: String, h: String): org.apache.spark.sql.Column =

@@ -111,6 +111,7 @@ class PlanSpec extends SparkSpec {
   test("q_percentile_disc and q_winsorize rank within (group, chunk), never the bare group") {
     for ((df, chunkKey) <- Seq(
       graft.ops.Aggregations.qPercentileDisc(spark, sf) -> "l_returnflag",
+      graft.ops.Aggregations.qAggPercentile(spark, sf) -> "l_returnflag",
       graft.ops.Aggregations.qWinsorize(spark, sf) -> "event_type")) {
       val ex = exchangeKeys(df)
       assert(ex.exists(l => l.contains(chunkKey) && l.contains("chunk")),

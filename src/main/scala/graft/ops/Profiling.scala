@@ -307,7 +307,55 @@ object Profiling extends QueryModule {
       .orderBy(col("col_a"), col("col_b"))
   }
 
+  /** Tukey-fence outlier audit per event_type: counts outside
+    * [Q1 − 1.5·IQR, Q3 + 1.5·IQR] with the quartiles taken as DISCRETE
+    * percentiles (actual data values at ceil(q·n) — cross-engine exact on
+    * integer cents, no interpolation). The fence comparison stays in
+    * integer half-cents (2·c vs 5·q1 − 3·q3) so no fractional boundary
+    * arithmetic exists anywhere.
+    *
+    * Scale shape: the quartile ranks use the chunked-prefix exact rank
+    * (rank within (event_type, cent-chunk) + broadcast chunk offsets —
+    * the qPercentileDisc shape; a flat per-type row_number() would put a
+    * whole event type's history in one task), the bounds table is a
+    * ≤5-row broadcast, and the outlier count is one more map-side pass. */
+  def qOutlierIqr(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cents = Tables.events(spark, dir)
+      .select(col("event_type"), col("event_id"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("c"))
+    val chunked = cents.withColumn("chunk", floor(col("c") / lit(1000L)))
+    val byChunk = Window.partitionBy(col("event_type")).orderBy(col("chunk"))
+    val offs = chunked.groupBy(col("event_type"), col("chunk"))
+      .agg(count(lit(1)).as("cn"))
+      .withColumn("off", coalesce(sum(col("cn")).over(
+        byChunk.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("n", sum(col("cn")).over(
+        byChunk.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+      .select(col("event_type"), col("chunk"), col("off"), col("n"))
+    val bounds = chunked.join(broadcast(offs), Seq("event_type", "chunk"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("event_type"), col("chunk"))
+          .orderBy(col("c"), col("event_id")))
+        + col("off"))
+      .groupBy(col("event_type"))
+      .agg(
+        max(when(expr("rn = CAST(ceil(n * 0.25) AS BIGINT)"), col("c"))).as("q1"),
+        max(when(expr("rn = CAST(ceil(n * 0.75) AS BIGINT)"), col("c"))).as("q3"))
+    cents.join(broadcast(bounds), "event_type")
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        expr("CAST(min(q1) AS DOUBLE) / 100.0").as("q1"),
+        expr("CAST(min(q3) AS DOUBLE) / 100.0").as("q3"),
+        sum(when(expr("2 * c < 5 * q1 - 3 * q3"), 1L).otherwise(0L)).as("n_out_lo"),
+        sum(when(expr("2 * c > 5 * q3 - 3 * q1"), 1L).otherwise(0L)).as("n_out_hi"))
+      .withColumn("pct_out", round(
+        expr("CAST(n_out_lo + n_out_hi AS DOUBLE) / CAST(n AS DOUBLE)") * 100, 4))
+      .orderBy(col("event_type"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_outlier_iqr"    -> (qOutlierIqr _),
     "q_corr_matrix"    -> (qCorrMatrix _),
     "q_chisq"          -> (qChisq _),
     "q_fk_audit"       -> (qFkAudit _),
@@ -319,6 +367,29 @@ object Profiling extends QueryModule {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_outlier_iqr" ->
+      """WITH cents AS (
+        |  SELECT event_type, CAST(ROUND(value * 100) AS BIGINT) AS c FROM events),
+        |ranked AS (
+        |  SELECT event_type, c,
+        |         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY c) AS rn,
+        |         COUNT(*) OVER (PARTITION BY event_type) AS n
+        |  FROM cents),
+        |bounds AS (
+        |  SELECT event_type,
+        |         MAX(CASE WHEN rn = CAST(CEIL(n * 0.25) AS BIGINT) THEN c END) AS q1,
+        |         MAX(CASE WHEN rn = CAST(CEIL(n * 0.75) AS BIGINT) THEN c END) AS q3
+        |  FROM ranked GROUP BY event_type)
+        |SELECT c.event_type, COUNT(*) AS n,
+        |       CAST(MIN(q1) AS DOUBLE) / 100.0 AS q1,
+        |       CAST(MIN(q3) AS DOUBLE) / 100.0 AS q3,
+        |       CAST(SUM(CASE WHEN 2 * c < 5 * q1 - 3 * q3 THEN 1 ELSE 0 END) AS BIGINT) AS n_out_lo,
+        |       CAST(SUM(CASE WHEN 2 * c > 5 * q3 - 3 * q1 THEN 1 ELSE 0 END) AS BIGINT) AS n_out_hi,
+        |       ROUND(CAST(SUM(CASE WHEN 2 * c < 5 * q1 - 3 * q3 THEN 1 ELSE 0 END)
+        |                + SUM(CASE WHEN 2 * c > 5 * q3 - 3 * q1 THEN 1 ELSE 0 END) AS DOUBLE)
+        |             / COUNT(*) * 100, 4) AS pct_out
+        |FROM cents c JOIN bounds b USING (event_type)
+        |GROUP BY c.event_type ORDER BY c.event_type""".stripMargin,
     "q_corr_matrix" ->
       """WITH cents AS (
         |  SELECT CAST(ROUND(l_quantity * 100) AS BIGINT) AS a,

@@ -413,7 +413,55 @@ object TextAnalysis extends QueryModule {
         size(col("_ctoks")).cast("bigint").as("n_tokens"),
         array_join(col("_ctoks"), " ").as("chunk"))
 
+  /** CCNet-style LM quality scoring: every document scored by the average
+    * bits-per-bigram (−log2 P) under a Laplace-smoothed bigram language
+    * model trained on the ENGLISH slice of the corpus — the standard
+    * "perplexity against a reference LM" filter a pretraining pipeline
+    * runs to rank in-domain vs out-of-domain text (out-of-slice documents
+    * hit unseen bigrams and score high).
+    *
+    * Scale shape: the per-doc bigram stream is derived ONCE
+    * (localCheckpoint — three consumers: LM bigrams, LM contexts, scoring)
+    * and every join is keyed on the bigram/context token (high
+    * cardinality); the vocabulary size rides a broadcast one-row cross
+    * join. Per-instance bits floor to integer micro-units before the
+    * per-doc sum (order-independent); the single division happens at the
+    * end. The LM tables are corpus-sized aggregates, NOT broadcast — at
+    * 100 TB they shard across the cluster on their join key like any fact
+    * table. */
+  def qTextPerplexity(spark: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"),
+        split(lower(trim(col("text"))), " ").as("toks"))
+    val docBi = toks.select(col("doc_id"), col("lang"), explode(expr(
+        """CASE WHEN size(toks) < 2 THEN array()
+          |ELSE transform(sequence(0, size(toks) - 2),
+          |  i -> struct(element_at(toks, i + 1) AS w1, element_at(toks, i + 2) AS w2))
+          |END""".stripMargin)).as("p"))
+      .select(col("doc_id"), col("lang"), col("p.w1"), col("p.w2"))
+      .localCheckpoint(eager = false)
+    val en = docBi.filter(col("lang") === "en")
+    val lmBi = en.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("n_ab"))
+    val lmCtx = en.groupBy(col("w1")).agg(count(lit(1)).as("n_a"))
+    val vocab = Tables.documents(spark, dir).filter(col("lang") === "en")
+      .select(explode(split(lower(trim(col("text"))), " ")).as("w"))
+      .agg(countDistinct(col("w")).cast("double").as("v"))
+    docBi
+      .join(lmBi, Seq("w1", "w2"), "left")
+      .join(lmCtx, Seq("w1"), "left")
+      .crossJoin(broadcast(vocab))
+      .withColumn("bits_micro", expr(
+        """CAST(FLOOR(-LOG2((CAST(COALESCE(n_ab, 0) AS DOUBLE) + 1.0)
+          |  / (CAST(COALESCE(n_a, 0) AS DOUBLE) + v)) * 1000000 + 0.5) AS BIGINT)""".stripMargin))
+      .groupBy(col("doc_id"), col("lang"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        (floor(expr("CAST(SUM(bits_micro) AS DOUBLE) / COUNT(*)") + 0.5) / 1000000)
+          .as("avg_bits"))
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_text_perplexity"  -> (qTextPerplexity _),
     "q_text_tokens"      -> (qTextTokens _),
     "q_text_quality"     -> (qTextQuality _),
     "q_quality_flags"    -> (qQualityFlags _),
@@ -433,6 +481,37 @@ object TextAnalysis extends QueryModule {
   private val stopwordsSql = stopwords.map("'" + _ + "'").mkString(",")
 
   val oracle: Map[String, String] = Map(
+    "q_text_perplexity" ->
+      """WITH toks AS (
+        |  SELECT doc_id, lang, STRING_SPLIT(LOWER(TRIM(text)), ' ') AS t
+        |  FROM documents),
+        |pairs AS (
+        |  SELECT doc_id, lang, UNNEST(CASE WHEN LEN(t) < 2 THEN []
+        |    ELSE LIST_TRANSFORM(RANGE(1, LEN(t)),
+        |      i -> struct_pack(w1 := t[i], w2 := t[i+1])) END) AS p
+        |  FROM toks),
+        |flat AS (SELECT doc_id, lang, p.w1 AS w1, p.w2 AS w2 FROM pairs),
+        |lm_bi AS (
+        |  SELECT w1, w2, COUNT(*) AS n_ab FROM flat WHERE lang = 'en' GROUP BY w1, w2),
+        |lm_ctx AS (
+        |  SELECT w1, COUNT(*) AS n_a FROM flat WHERE lang = 'en' GROUP BY w1),
+        |vocab AS (
+        |  SELECT CAST(COUNT(DISTINCT w) AS DOUBLE) AS v
+        |  FROM (SELECT UNNEST(STRING_SPLIT(LOWER(TRIM(text)), ' ')) AS w
+        |        FROM documents WHERE lang = 'en')),
+        |scored AS (
+        |  SELECT f.doc_id, f.lang,
+        |         CAST(FLOOR(-LOG2((CAST(COALESCE(b.n_ab, 0) AS DOUBLE) + 1.0)
+        |           / (CAST(COALESCE(c.n_a, 0) AS DOUBLE) + v)) * 1000000 + 0.5) AS BIGINT)
+        |           AS bits_micro
+        |  FROM flat f
+        |  LEFT JOIN lm_bi b USING (w1, w2)
+        |  LEFT JOIN lm_ctx c USING (w1)
+        |  CROSS JOIN vocab)
+        |SELECT doc_id, lang, COUNT(*) AS n_bigrams,
+        |       FLOOR(CAST(SUM(bits_micro) AS DOUBLE) / COUNT(*) + 0.5) / 1000000
+        |         AS avg_bits
+        |FROM scored GROUP BY doc_id, lang ORDER BY doc_id""".stripMargin,
     "q_text_tokens" ->
       """SELECT token, COUNT(*) AS n
         |FROM (SELECT UNNEST(STRING_SPLIT(LOWER(TRIM(text)), ' ')) AS token

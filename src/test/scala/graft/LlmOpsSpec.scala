@@ -365,4 +365,33 @@ class LlmOpsSpec extends SparkSpec {
     }.sortBy(_._1)
     assert(got.toSeq == want.toSeq, "flags must agree row for row")
   }
+
+  test("perplexity scoring: hand-computed bits on a planted LM; unseen bigrams smoothed") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, length, lit}
+    val d = java.nio.file.Files.createTempDirectory("ppl").toString
+    Seq(
+      (1L, "a b a", "en"),  // LM bigrams: (a,b), (b,a)
+      (2L, "b a", "en"),    // LM bigram:  (b,a)
+      (3L, "c a", "zh"),    // unseen context c: pure smoothing
+    ).toDF("doc_id", "text", "lang")
+      .withColumn("source", lit("s")).withColumn("n_chars", length(col("text")))
+      .write.mode("overwrite").parquet(s"$d/documents.parquet")
+    val got = TextAnalysis.qTextPerplexity(spark, d).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSeq
+    // LM (en): n_ab = {(a,b)->1, (b,a)->2}; n_a = {a->1, b->2}; V = 2
+    def bitsMicro(nAb: Long, nA: Long): Long =
+      math.floor(-(math.log((nAb + 1.0) / (nA + 2.0)) / math.log(2.0)) * 1000000 + 0.5).toLong
+    def avg(bs: Seq[Long]): Double =
+      math.floor(bs.sum.toDouble / bs.size + 0.5) / 1000000
+    val want = Seq(
+      (1L, "en", 2L, avg(Seq(bitsMicro(1, 1), bitsMicro(2, 2)))),
+      (2L, "en", 1L, avg(Seq(bitsMicro(2, 2)))),
+      (3L, "zh", 1L, avg(Seq(bitsMicro(0, 0)))))
+    assert(got == want)
+    // the unseen-context bigram is exactly -log2(1/2) = 1 bit
+    assert(got.find(_._1 == 3L).get._4 == 1.0)
+    // out-of-domain text scores strictly higher than in-domain
+    assert(got.find(_._1 == 3L).get._4 > got.find(_._1 == 2L).get._4)
+  }
 }

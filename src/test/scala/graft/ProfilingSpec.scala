@@ -126,4 +126,27 @@ class ProfilingSpec extends SparkSpec {
       case _ =>
     }
   }
+
+  test("IQR outlier audit matches an in-memory Tukey fence per event type") {
+    val got = Profiling.qOutlierIqr(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getDouble(3),
+        r.getLong(4), r.getLong(5)))
+    val rows = Tables.events(spark, sf)
+      .selectExpr("event_type", "CAST(round(value * 100) AS BIGINT) AS c")
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val want = rows.groupBy(_._1).toSeq.map { case (t, vs) =>
+      val cs = vs.map(_._2).sorted
+      val n = cs.length
+      def disc(q: Double) = cs(math.ceil(n * q).toInt - 1)
+      val (q1, q3) = (disc(0.25), disc(0.75))
+      (t, n.toLong, q1 / 100.0, q3 / 100.0,
+        cs.count(c => 2 * c < 5 * q1 - 3 * q3).toLong,
+        cs.count(c => 2 * c > 5 * q3 - 3 * q1).toLong)
+    }.sortBy(_._1)
+    assert(got.map(x => (x._1, x._2, x._3, x._4, x._5, x._6)).toSeq == want)
+    // fences are strictly outside the box on a nondegenerate distribution
+    got.foreach { case (_, n, q1, q3, lo, hi) =>
+      assert(q1 <= q3 && lo + hi < n)
+    }
+  }
 }

@@ -145,12 +145,76 @@ object Graph extends QueryModule {
       .limit(100)
   }
 
+  /** K-hop neighborhood reach (frontier-expansion BFS, the third classic
+    * iterative-graph primitive next to PageRank and triangles): from the
+    * seed set {partkey ≡ 0 (mod 1000)}, how many parts are first reached
+    * at hop 1, 2, 3 over the co-purchase graph — the blast-radius /
+    * recommendation-neighborhood measure.
+    *
+    * Scale shape per hop: ONE join frontier⋈edges on src (frontier and
+    * edges both live on the src hash layout via PartitionedCheckpoint, so
+    * the join is exchange-free), a distinct on the new frontier, and a
+    * left-anti against the visited set — visited stays sharded on node and
+    * grows monotonically; nothing ever collects. The driver loop is
+    * 3 fixed iterations (same discipline as [[qPagerank]]); at 100 TB the
+    * per-hop frontier is bounded by the node set, never the edge set. */
+  def qKhop(spark: SparkSession, dir: String): DataFrame = {
+    val parts = spark.sessionState.conf.numShufflePartitions
+    val e = graft.plans.PartitionedCheckpoint.byKey(edges(spark, dir), "src", parts)
+    val seeds = e.select(col("src").as("node")).distinct()
+      .filter(col("node") % 1000 === 0)
+    var visited = graft.plans.PartitionedCheckpoint.byKey(
+      seeds.withColumn("hop", lit(0)), "node", parts)
+    var frontier = visited
+    for (h <- 1 to Iterations) {
+      val next = e.join(frontier, e("src") === frontier("node"))
+        .select(col("dst").as("node")).distinct()
+        .join(visited, Seq("node"), "left_anti")
+        .withColumn("hop", lit(h))
+      frontier = graft.plans.PartitionedCheckpoint.byKey(next, "node", parts)
+      visited = graft.plans.PartitionedCheckpoint.byKey(
+        visited.unionByName(frontier), "node", parts)
+    }
+    // an exhausted frontier still reports its hop with 0 (small dense
+    // graphs cover everything early; the hop spine keeps the contract)
+    val spine = spark.range(0, Iterations + 1)
+      .select(col("id").cast("int").as("hop"))
+    spine.join(
+        visited.groupBy(col("hop")).agg(count(lit(1)).as("n_nodes")),
+        Seq("hop"), "left")
+      .select(col("hop"), coalesce(col("n_nodes"), lit(0L)).as("n_nodes"))
+      .orderBy(col("hop"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_pagerank" -> (qPagerank _),
     "q_triangle" -> (qTriangle _),
+    "q_khop"     -> (qKhop _),
   )
 
   val oracle: Map[String, String] = Map(
+    "q_khop" ->
+      """WITH e AS (
+        |  SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+        |  FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+        |  WHERE a.l_partkey <> b.l_partkey),
+        |s AS (SELECT DISTINCT src AS node FROM e WHERE src % 1000 = 0),
+        |h1 AS (
+        |  SELECT DISTINCT e.dst AS node FROM e JOIN s ON e.src = s.node
+        |  WHERE e.dst NOT IN (SELECT node FROM s)),
+        |h2 AS (
+        |  SELECT DISTINCT e.dst AS node FROM e JOIN h1 ON e.src = h1.node
+        |  WHERE e.dst NOT IN (SELECT node FROM s UNION SELECT node FROM h1)),
+        |h3 AS (
+        |  SELECT DISTINCT e.dst AS node FROM e JOIN h2 ON e.src = h2.node
+        |  WHERE e.dst NOT IN (SELECT node FROM s UNION SELECT node FROM h1
+        |                      UNION SELECT node FROM h2))
+        |SELECT * FROM (
+        |  SELECT 0 AS hop, CAST(COUNT(*) AS BIGINT) AS n_nodes FROM s
+        |  UNION ALL SELECT 1, CAST(COUNT(*) AS BIGINT) FROM h1
+        |  UNION ALL SELECT 2, CAST(COUNT(*) AS BIGINT) FROM h2
+        |  UNION ALL SELECT 3, CAST(COUNT(*) AS BIGINT) FROM h3
+        |) ORDER BY hop""".stripMargin,
     "q_pagerank" ->
       """WITH e AS (
         |  SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst

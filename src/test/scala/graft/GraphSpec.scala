@@ -67,4 +67,29 @@ class GraphSpec extends SparkSpec {
       .sortBy { case (n, _, t, _) => (-t, n) }.take(100)
     assert(got.toSeq == want, "triangle counts must agree exactly per node")
   }
+
+  test("k-hop reach matches an in-memory BFS; hop sets are disjoint and exhaustive") {
+    val got = Graph.qKhop(spark, sf).collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val li = Tables.lineitem(spark, sf).select("l_orderkey", "l_partkey").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val adj = scala.collection.mutable.HashMap.empty[Long, Set[Long]]
+    li.groupBy(_._1).values.foreach { grp =>
+      val parts = grp.map(_._2).distinct
+      for (a <- parts; b <- parts if a != b)
+        adj(a) = adj.getOrElse(a, Set.empty) + b
+    }
+    val seeds = adj.keySet.filter(_ % 1000 == 0).toSet
+    var visited = seeds
+    var frontier = seeds
+    val want = scala.collection.mutable.Map(0 -> seeds.size.toLong)
+    for (h <- 1 to 3) {
+      val next = frontier.flatMap(n => adj.getOrElse(n, Set.empty)) -- visited
+      want(h) = next.size.toLong
+      visited ++= next
+      frontier = next
+    }
+    assert(got == want.toMap.map { case (k, v) => k -> v })
+    assert(got(0) == seeds.size.toLong && got.values.sum <= adj.keySet.size.toLong)
+  }
 }

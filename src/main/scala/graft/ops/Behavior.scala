@@ -1,0 +1,281 @@
+package graft.ops
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Customer/session behavior analytics — the "consultas" tier one level up
+  * from [[EventAnalytics]]'s event mechanics: co-occurrence mining over
+  * baskets, the session transition matrix, and RFM segmentation. All three
+  * are classic warehouse workloads (reference's lake exists to serve
+  * exactly this class of downstream SQL — SURVEY.md §3.4), and all three
+  * are exact-arithmetic so the DuckDB oracle verifies them hash-for-hash.
+  */
+object Behavior extends QueryModule {
+
+  /** Market-basket association: support and lift for every part pair
+    * co-purchased in one order (min pair support 3). The A-priori first
+    * rung — "customers who bought X also bought Y" — and the input to any
+    * recommender candidate generator.
+    *
+    * Scale shape: the pair generator is a self-equi-join on the
+    * HIGH-cardinality l_orderkey (never on part), so the blowup per order
+    * is C(items,2) with items bounded by order size (~7 in TPC-H-shaped
+    * data) — linear in orders, one shuffle. Per-item counts land in a
+    * #parts-sized table that BROADCASTS to the pair side twice; the basket
+    * total N rides along as a broadcast literal via a one-row cross join.
+    * Lift = N·c(ab)/(c(a)·c(b)) — products are formed in DECIMAL(38,0)
+    * (BIGINT c(a)·c(b) overflows past ~3 B baskets), cast to DOUBLE only
+    * for the final single division (IEEE round-to-nearest, deterministic
+    * in both engines), rounded to 6 dp. */
+  def qBasketLift(spark: SparkSession, dir: String): DataFrame = {
+    val items = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      .distinct()
+    val n = items.select(countDistinct(col("ok")).as("n_baskets"))
+    val itemCnt = items.groupBy(col("pk")).agg(count(lit(1)).as("c"))
+    val pairs = items.as("a")
+      .join(items.as("b"), col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
+      .groupBy(col("a.pk").as("pk1"), col("b.pk").as("pk2"))
+      .agg(count(lit(1)).as("c_ab"))
+      .filter(col("c_ab") >= 3)
+    pairs
+      .join(broadcast(itemCnt.withColumnRenamed("pk", "pk1").withColumnRenamed("c", "c1")), "pk1")
+      .join(broadcast(itemCnt.withColumnRenamed("pk", "pk2").withColumnRenamed("c", "c2")), "pk2")
+      .crossJoin(broadcast(n))
+      .select(col("pk1"), col("pk2"), col("c_ab"), col("c1"), col("c2"),
+        round(
+          expr("CAST(CAST(n_baskets AS DECIMAL(38,0)) * c_ab AS DOUBLE) / " +
+               "CAST(CAST(c1 AS DECIMAL(38,0)) * c2 AS DOUBLE)"), 6).as("lift"))
+      .orderBy(col("pk1"), col("pk2"))
+  }
+
+  /** Session transition matrix: P(next event type | current event type)
+    * within 30-minute sessions — the first-order Markov chain product
+    * analytics reads navigation flow from. Transitions pair consecutive
+    * events of the SAME session (sessions from
+    * [[EventAnalytics.labelSessions]], one user_id shuffle; the lead()
+    * runs in the same per-user sort). Probabilities are exact integer
+    * parts-per-million — floor(1e6·cnt/total) in BIGINT floor division
+    * (both engines floor positives identically) — so no float
+    * accumulation can perturb the hash compare. The per-from totals
+    * window runs over the ≤ |event_types|² aggregated matrix, not the
+    * data. */
+  def qMarkov(spark: SparkSession, dir: String): DataFrame = {
+    val labeled = EventAnalytics.labelSessions(
+      Tables.events(spark, dir)
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          unix_micros(col("ts")).as("tus")),
+      keyCol = "user_id", timeCol = "tus", tieCol = "event_id",
+      gap = 30L * 60 * 1000000)
+    val bySess = Window.partitionBy(col("user_id"), col("sess_id"))
+      .orderBy(col("tus"), col("event_id"))
+    val trans = labeled
+      .withColumn("to_type", lead(col("event_type"), 1).over(bySess))
+      .filter(col("to_type").isNotNull)
+      .groupBy(col("event_type").as("from_type"), col("to_type"))
+      .agg(count(lit(1)).as("n_trans"))
+    val byFrom = Window.partitionBy(col("from_type"))
+    trans
+      .withColumn("from_total", sum(col("n_trans")).over(byFrom))
+      .withColumn("prob_ppm", expr("div(1000000 * n_trans, from_total)"))
+      .select(col("from_type"), col("to_type"), col("n_trans"), col("prob_ppm"))
+      .orderBy(col("from_type"), col("to_type"))
+  }
+
+  /** Exact discrete quantile thresholds of `valueCol` over `df`, via the
+    * chunked-prefix rank (the [[Aggregations.qPercentileDisc]] shape:
+    * rank within a fixed-width value chunk + broadcast per-chunk prefix
+    * offsets — never a single-partition global ROW_NUMBER). Returns one
+    * row per prob: (prob, threshold = value at rank ceil(prob·n)), the
+    * percentile_disc definition. `chunkWidth` buckets the value range so
+    * each rank task is bounded; `tieCol` pins the in-chunk permutation. */
+  private def discThresholds(df: DataFrame, valueCol: String, tieCol: String,
+      chunkWidth: Long, probs: Seq[Double]): DataFrame = {
+    val v = df.withColumn("chunk", floor(col(valueCol) / lit(chunkWidth.toDouble)))
+    val byChunk = Window.orderBy(col("chunk"))
+    val offs = v.groupBy(col("chunk")).agg(count(lit(1)).as("cn"))
+      .withColumn("off", coalesce(sum(col("cn")).over(
+        byChunk.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("n", sum(col("cn")).over(
+        byChunk.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+      .select(col("chunk"), col("off"), col("n"))
+    val ranked = v.join(broadcast(offs), Seq("chunk"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("chunk")).orderBy(col(valueCol), col(tieCol)))
+        + col("off"))
+    val picks = probs.map { p =>
+      max(when(expr(s"rn = CAST(ceil($p * n) AS BIGINT)"), col(valueCol)))
+        .as(s"t${(p * 100).round}")
+    }
+    ranked.agg(picks.head, picks.tail: _*)
+  }
+
+  /** RFM segmentation: every customer scored 1–5 on Recency (days since
+    * last order, lower = better), Frequency (order count), Monetary
+    * (lifetime spend in exact cents), against the population's exact
+    * discrete quintile thresholds; output is the (r,f,m)-cell census with
+    * the classic named segments called out.
+    *
+    * Scale shape: the per-customer base table aggregates once (one
+    * o_custkey shuffle) and is localCheckpoint'd because four consumers
+    * read it (three threshold computations + the scoring pass). Each
+    * threshold set uses the chunked-prefix exact rank — at 1.5e8
+    * customers a flat global ROW_NUMBER would put the whole table in one
+    * task; chunking bounds every task by its value band. The three
+    * 1-row threshold frames broadcast into a map-side CASE scoring pass,
+    * and the final census groups ≤ 125 cells. Everything is integer
+    * arithmetic (days, counts, cents) — no float anywhere. */
+  def qRfm(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    val maxD = o.select(max(col("o_orderdate").cast("date")).as("max_d"))
+    val base = o
+      .crossJoin(broadcast(maxD))
+      .groupBy(col("o_custkey"))
+      .agg(
+        min(datediff(col("max_d"), col("o_orderdate").cast("date"))).as("rec_days"),
+        count(lit(1)).as("freq"),
+        sum(expr("CAST(round(o_totalprice * 100) AS BIGINT)")).as("mon_cents"))
+      .localCheckpoint()
+    val probs = Seq(0.2, 0.4, 0.6, 0.8)
+    val rT = discThresholds(base, "rec_days", "o_custkey", 30L, probs)
+      .select(col("t20").as("r20"), col("t40").as("r40"), col("t60").as("r60"), col("t80").as("r80"))
+    val fT = discThresholds(base, "freq", "o_custkey", 5L, probs)
+      .select(col("t20").as("f20"), col("t40").as("f40"), col("t60").as("f60"), col("t80").as("f80"))
+    val mT = discThresholds(base, "mon_cents", "o_custkey", 10000000L, probs)
+      .select(col("t20").as("m20"), col("t40").as("m40"), col("t60").as("m60"), col("t80").as("m80"))
+    // Higher is better for F/M; for recency LOWER is better, so the score
+    // counts thresholds the value does NOT exceed.
+    def upScore(c: String, t: String) =
+      (lit(1) + when(col(c) > col(s"${t}20"), 1).otherwise(0)
+        + when(col(c) > col(s"${t}40"), 1).otherwise(0)
+        + when(col(c) > col(s"${t}60"), 1).otherwise(0)
+        + when(col(c) > col(s"${t}80"), 1).otherwise(0))
+    val scored = base
+      .crossJoin(broadcast(rT)).crossJoin(broadcast(fT)).crossJoin(broadcast(mT))
+      .withColumn("r_score", lit(6) - upScore("rec_days", "r"))
+      .withColumn("f_score", upScore("freq", "f"))
+      .withColumn("m_score", upScore("mon_cents", "m"))
+    scored
+      .groupBy(col("r_score"), col("f_score"), col("m_score"))
+      .agg(count(lit(1)).as("n_customers"),
+        sum(col("mon_cents")).as("cell_cents"))
+      .withColumn("segment",
+        when(col("r_score") >= 4 && col("f_score") >= 4 && col("m_score") >= 4, "champions")
+          .when(col("r_score") <= 2 && col("f_score") >= 4, "at_risk_loyal")
+          .when(col("r_score") >= 4 && col("f_score") <= 2, "new_or_promising")
+          .when(col("r_score") <= 2 && col("f_score") <= 2, "hibernating")
+          .otherwise("core"))
+      .select(col("r_score"), col("f_score"), col("m_score"),
+        col("segment"), col("n_customers"), col("cell_cents"))
+      .orderBy(col("r_score"), col("f_score"), col("m_score"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_basket_lift" -> (qBasketLift _),
+    "q_markov"      -> (qMarkov _),
+    "q_rfm"         -> (qRfm _),
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q_basket_lift" ->
+      """WITH items AS (
+        |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+        |n AS (SELECT COUNT(DISTINCT ok) AS n_baskets FROM items),
+        |ic AS (SELECT pk, COUNT(*) AS c FROM items GROUP BY pk),
+        |pairs AS (
+        |  SELECT a.pk AS pk1, b.pk AS pk2, COUNT(*) AS c_ab
+        |  FROM items a JOIN items b ON a.ok = b.ok AND a.pk < b.pk
+        |  GROUP BY 1, 2 HAVING COUNT(*) >= 3)
+        |SELECT pk1, pk2, c_ab, i1.c AS c1, i2.c AS c2,
+        |       ROUND(CAST(CAST(n_baskets AS HUGEINT) * c_ab AS DOUBLE) /
+        |             CAST(CAST(i1.c AS HUGEINT) * i2.c AS DOUBLE), 6) AS lift
+        |FROM pairs
+        |JOIN ic i1 ON i1.pk = pairs.pk1
+        |JOIN ic i2 ON i2.pk = pairs.pk2
+        |CROSS JOIN n
+        |ORDER BY pk1, pk2""".stripMargin,
+    "q_markov" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, event_type, epoch_us(ts) AS tus FROM events),
+        |flagged AS (
+        |  SELECT *, CASE WHEN tus - LAG(tus) OVER w > 1800000000 THEN 1
+        |                 WHEN LAG(tus) OVER w IS NULL THEN 1
+        |                 ELSE 0 END AS new_sess
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tus, event_id)),
+        |sess AS (
+        |  SELECT *, SUM(new_sess) OVER (PARTITION BY user_id ORDER BY tus, event_id
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_id
+        |  FROM flagged),
+        |trans AS (
+        |  SELECT event_type AS from_type,
+        |         LEAD(event_type) OVER (PARTITION BY user_id, sess_id
+        |                                ORDER BY tus, event_id) AS to_type
+        |  FROM sess),
+        |cnt AS (
+        |  SELECT from_type, to_type, COUNT(*) AS n_trans
+        |  FROM trans WHERE to_type IS NOT NULL GROUP BY 1, 2)
+        |SELECT from_type, to_type, n_trans,
+        |       (1000000 * n_trans) //
+        |         CAST(SUM(n_trans) OVER (PARTITION BY from_type) AS BIGINT)
+        |         AS prob_ppm
+        |FROM cnt ORDER BY from_type, to_type""".stripMargin,
+    "q_rfm" ->
+      """WITH maxd AS (SELECT MAX(CAST(o_orderdate AS DATE)) AS max_d FROM orders),
+        |base AS (
+        |  SELECT o_custkey,
+        |         MIN(DATEDIFF('day', CAST(o_orderdate AS DATE), max_d)) AS rec_days,
+        |         COUNT(*) AS freq,
+        |         SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS mon_cents
+        |  FROM orders CROSS JOIN maxd GROUP BY o_custkey),
+        |rr AS (SELECT rec_days AS v,
+        |              ROW_NUMBER() OVER (ORDER BY rec_days, o_custkey) AS rn,
+        |              COUNT(*) OVER () AS n FROM base),
+        |ff AS (SELECT freq AS v,
+        |              ROW_NUMBER() OVER (ORDER BY freq, o_custkey) AS rn,
+        |              COUNT(*) OVER () AS n FROM base),
+        |mm AS (SELECT mon_cents AS v,
+        |              ROW_NUMBER() OVER (ORDER BY mon_cents, o_custkey) AS rn,
+        |              COUNT(*) OVER () AS n FROM base),
+        |rt AS (SELECT MAX(CASE WHEN rn = CAST(CEIL(0.2 * n) AS BIGINT) THEN v END) AS r20,
+        |              MAX(CASE WHEN rn = CAST(CEIL(0.4 * n) AS BIGINT) THEN v END) AS r40,
+        |              MAX(CASE WHEN rn = CAST(CEIL(0.6 * n) AS BIGINT) THEN v END) AS r60,
+        |              MAX(CASE WHEN rn = CAST(CEIL(0.8 * n) AS BIGINT) THEN v END) AS r80
+        |       FROM rr),
+        |ft AS (SELECT MAX(CASE WHEN rn = CAST(CEIL(0.2 * n) AS BIGINT) THEN v END) AS f20,
+        |              MAX(CASE WHEN rn = CAST(CEIL(0.4 * n) AS BIGINT) THEN v END) AS f40,
+        |              MAX(CASE WHEN rn = CAST(CEIL(0.6 * n) AS BIGINT) THEN v END) AS f60,
+        |              MAX(CASE WHEN rn = CAST(CEIL(0.8 * n) AS BIGINT) THEN v END) AS f80
+        |       FROM ff),
+        |mt AS (SELECT MAX(CASE WHEN rn = CAST(CEIL(0.2 * n) AS BIGINT) THEN v END) AS m20,
+        |              MAX(CASE WHEN rn = CAST(CEIL(0.4 * n) AS BIGINT) THEN v END) AS m40,
+        |              MAX(CASE WHEN rn = CAST(CEIL(0.6 * n) AS BIGINT) THEN v END) AS m60,
+        |              MAX(CASE WHEN rn = CAST(CEIL(0.8 * n) AS BIGINT) THEN v END) AS m80
+        |       FROM mm),
+        |scored AS (
+        |  SELECT 6 - (1 + CASE WHEN rec_days > r20 THEN 1 ELSE 0 END
+        |                + CASE WHEN rec_days > r40 THEN 1 ELSE 0 END
+        |                + CASE WHEN rec_days > r60 THEN 1 ELSE 0 END
+        |                + CASE WHEN rec_days > r80 THEN 1 ELSE 0 END) AS r_score,
+        |         1 + CASE WHEN freq > f20 THEN 1 ELSE 0 END
+        |           + CASE WHEN freq > f40 THEN 1 ELSE 0 END
+        |           + CASE WHEN freq > f60 THEN 1 ELSE 0 END
+        |           + CASE WHEN freq > f80 THEN 1 ELSE 0 END AS f_score,
+        |         1 + CASE WHEN mon_cents > m20 THEN 1 ELSE 0 END
+        |           + CASE WHEN mon_cents > m40 THEN 1 ELSE 0 END
+        |           + CASE WHEN mon_cents > m60 THEN 1 ELSE 0 END
+        |           + CASE WHEN mon_cents > m80 THEN 1 ELSE 0 END AS m_score,
+        |         mon_cents
+        |  FROM base CROSS JOIN rt CROSS JOIN ft CROSS JOIN mt)
+        |SELECT r_score, f_score, m_score,
+        |       CASE WHEN r_score >= 4 AND f_score >= 4 AND m_score >= 4 THEN 'champions'
+        |            WHEN r_score <= 2 AND f_score >= 4 THEN 'at_risk_loyal'
+        |            WHEN r_score >= 4 AND f_score <= 2 THEN 'new_or_promising'
+        |            WHEN r_score <= 2 AND f_score <= 2 THEN 'hibernating'
+        |            ELSE 'core' END AS segment,
+        |       COUNT(*) AS n_customers, CAST(SUM(mon_cents) AS BIGINT) AS cell_cents
+        |FROM scored GROUP BY 1, 2, 3
+        |ORDER BY r_score, f_score, m_score""".stripMargin,
+  )
+}

@@ -418,8 +418,51 @@ object Dedup extends QueryModule {
       .orderBy(col("a_key"), col("b_key"))
   }
 
+  /** Paragraph-level exact dedup with in-place reassembly — the CCNet step
+    * that dedups at SUB-document granularity (boilerplate headers, quoted
+    * blocks, licence banners repeat across documents that are not
+    * themselves duplicates). This corpus is sentence-free token text, so
+    * "paragraph" = fixed 16-token segment (the [[TextAnalysis.chunkTokens]]
+    * windowing); the rule is corpus-wide keep-first: a segment survives
+    * only at its lexicographically smallest (doc_id, chunk_idx)
+    * occurrence — which also removes intra-document repeats — and every
+    * document reports its surviving text reassembled in segment order.
+    *
+    * Scale shape: explode to segments (bounded 1/16-per-token fanout),
+    * ONE groupBy on segment text for the keeper table — min(struct) gets
+    * map-side partial aggregation, so the boilerplate segment that appears
+    * a billion times is combined per-partition, never funneled raw into
+    * one reducer (a row_number-over-segment window would be exactly that
+    * funnel) — then an equi-join back on segment text and a per-doc
+    * reassembly agg on the high-cardinality doc_id. Cost class of
+    * q_dedup_exact × the fanout; no quadratic step anywhere. */
+  def qDedupParagraph(spark: SparkSession, dir: String): DataFrame = {
+    val segs = TextAnalysis.chunkTokens(
+      Tables.documents(spark, dir)
+        .select(col("doc_id"), split(lower(trim(col("text"))), " ").as("toks")),
+      idCol = "doc_id", toksCol = "toks", chunkSize = 16)
+      .select(col("doc_id"), col("chunk_idx"), col("chunk"))
+    val keepers = segs.groupBy(col("chunk"))
+      .agg(min(struct(col("doc_id"), col("chunk_idx"))).as("k"))
+      .select(col("chunk"), col("k.doc_id").as("k_doc"), col("k.chunk_idx").as("k_idx"))
+    val kept = segs.join(keepers, Seq("chunk"))
+      .filter(col("doc_id") === col("k_doc") && col("chunk_idx") === col("k_idx"))
+    val perDoc = segs.groupBy(col("doc_id")).agg(count(lit(1)).as("n_chunks"))
+    val keptAgg = kept.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_kept"),
+        array_join(
+          transform(array_sort(collect_list(struct(col("chunk_idx"), col("chunk")))),
+            x => x("chunk")), " ").as("text_kept"))
+    perDoc.join(keptAgg, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_chunks"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("text_kept"), lit("")).as("text_kept"))
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_dedup_fuzzy"     -> (qFuzzyPairs _),
+    "q_dedup_paragraph" -> (qDedupParagraph _),
     "q_dedup_exact"     -> (qDedupExact _),
     "q_dedup_near"      -> (qDedupNear _),
     "q_dedup_minhash"   -> (qDedupMinhash _),
@@ -468,6 +511,32 @@ object Dedup extends QueryModule {
        |  WHERE CAST(inter AS DOUBLE) / (s1.n_sh + s2.n_sh - inter) >= $JaccardThreshold)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "q_dedup_paragraph" ->
+      """WITH t AS (
+        |  SELECT doc_id, STRING_SPLIT(LOWER(TRIM(text)), ' ') AS toks FROM documents),
+        |c AS (
+        |  SELECT doc_id, i AS chunk_idx,
+        |         ARRAY_TO_STRING(toks[i*16+1 : i*16+16], ' ') AS chunk
+        |  FROM t, UNNEST(RANGE(0, CAST(CEIL(LEN(toks) / 16.0) AS BIGINT))) AS u(i)),
+        |k AS (SELECT chunk, MIN(doc_id) AS k_doc FROM c GROUP BY chunk),
+        |k2 AS (
+        |  SELECT c.chunk, k.k_doc, MIN(c.chunk_idx) AS k_idx
+        |  FROM c JOIN k ON c.chunk = k.chunk AND c.doc_id = k.k_doc
+        |  GROUP BY 1, 2),
+        |kept AS (
+        |  SELECT c.doc_id, c.chunk_idx, c.chunk
+        |  FROM c JOIN k2 ON c.chunk = k2.chunk AND c.doc_id = k2.k_doc
+        |                AND c.chunk_idx = k2.k_idx),
+        |tot AS (SELECT doc_id, COUNT(*) AS n_chunks FROM c GROUP BY doc_id),
+        |ka AS (
+        |  SELECT doc_id, COUNT(*) AS n_kept,
+        |         STRING_AGG(chunk, ' ' ORDER BY chunk_idx) AS text_kept
+        |  FROM kept GROUP BY doc_id)
+        |SELECT tot.doc_id, tot.n_chunks,
+        |       COALESCE(ka.n_kept, 0) AS n_kept,
+        |       COALESCE(ka.text_kept, '') AS text_kept
+        |FROM tot LEFT JOIN ka ON ka.doc_id = tot.doc_id
+        |ORDER BY tot.doc_id""".stripMargin,
     "q_dedup_fuzzy" ->
       """SELECT a.p_partkey AS a_key, b.p_partkey AS b_key,
         |       a.p_name AS a_name, b.p_name AS b_name,

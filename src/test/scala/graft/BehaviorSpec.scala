@@ -1,0 +1,136 @@
+package graft
+
+import graft.ops.{Behavior, Dedup}
+import org.apache.spark.sql.functions._
+import java.sql.Timestamp
+
+class BehaviorSpec extends SparkSpec {
+
+  private def lineitemDir(rows: Seq[(Long, Long)]): String = {
+    import spark.implicits._
+    val d = java.nio.file.Files.createTempDirectory("basket").toString
+    rows.zipWithIndex.map { case ((ok, pk), i) =>
+      (ok, pk, 1L, i + 1, 1.0, 10.0, 0.0, 0.0, "N", "O",
+        Timestamp.valueOf("2024-01-01 00:00:00"))
+    }.toDF("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+      "l_quantity", "l_extendedprice", "l_discount", "l_tax",
+      "l_returnflag", "l_linestatus", "l_shipdate")
+      .write.mode("overwrite").parquet(s"$d/lineitem.parquet")
+    d
+  }
+
+  test("basket lift: hand-computed pair, min-support filter, dup lines collapse") {
+    // baskets: {A,B} ×3 (one with a duplicated A line — must not double-count),
+    // {A,B,C}? no: {C} alone. Pair (A,B) support 3; (A,C)/(B,C) never co-occur.
+    val d = lineitemDir(Seq(
+      (1L, 100L), (1L, 100L), (1L, 200L),
+      (2L, 100L), (2L, 200L),
+      (3L, 100L), (3L, 200L),
+      (4L, 300L)))
+    val rows = Behavior.qBasketLift(spark, d).collect()
+    assert(rows.length == 1, "only (A,B) clears min support 3")
+    val r = rows.head
+    assert(r.getLong(0) == 100L && r.getLong(1) == 200L)
+    assert(r.getLong(2) == 3L)                       // c_ab
+    assert(r.getLong(3) == 3L && r.getLong(4) == 3L) // c1, c2
+    // lift = N·c_ab/(c1·c2) = 4·3/9
+    assert(math.abs(r.getDouble(5) - 1.333333) < 1e-9)
+  }
+
+  test("markov: transitions stay inside sessions; ppm is floor division") {
+    import spark.implicits._
+    def t(s: String) = Timestamp.valueOf(s)
+    val d = java.nio.file.Files.createTempDirectory("markov").toString
+    // user 1, one session: view→view→click; then a 31-min gap breaks the
+    // chain, new session: purchase (no transition crosses the gap).
+    Seq(
+      (1L, t("2024-01-01 10:00:00"), 1L, "view"),
+      (2L, t("2024-01-01 10:05:00"), 1L, "view"),
+      (3L, t("2024-01-01 10:10:00"), 1L, "click"),
+      (4L, t("2024-01-01 10:42:00"), 1L, "purchase"),
+      // user 2: click→view (order matters, reverse of user 1's pair)
+      (5L, t("2024-01-02 09:00:00"), 2L, "click"),
+      (6L, t("2024-01-02 09:10:00"), 2L, "view"),
+    ).toDF("event_id", "ts", "user_id", "event_type")
+      .withColumn("value", lit(1.0)).withColumn("props", lit("{}"))
+      .withColumn("ts", (unix_micros(col("ts")) * 1000).as("ts"))
+      .write.mode("overwrite").parquet(s"$d/events.parquet")
+    val m = Behavior.qMarkov(spark, d).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> (r.getLong(2), r.getLong(3))).toMap
+    assert(m.keySet == Set(("view", "view"), ("view", "click"), ("click", "view")))
+    assert(m(("view", "view")) == (1L, 500000L))
+    assert(m(("view", "click")) == (1L, 500000L))
+    assert(m(("click", "view")) == (1L, 1000000L))
+    assert(!m.contains(("click", "purchase")), "31-min gap must break the chain")
+  }
+
+  test("rfm: five strictly-ordered customers land on the score diagonal") {
+    import spark.implicits._
+    val d = java.nio.file.Files.createTempDirectory("rfm").toString
+    // customer k: k orders of $1000 on day base+k → rec_days = 5-k,
+    // freq = k, monetary = k·100000 cents. All three dims strictly ordered,
+    // so the quintile thresholds are the four smallest values and customer k
+    // scores exactly (k, k, k).
+    val rows = for {
+      k <- 1 to 5
+      i <- 1 to k
+    } yield (k * 100L + i, k.toLong, "O", 1000.0,
+      Timestamp.valueOf(f"2024-01-${k + 10}%02d 00:00:00"), "1-URGENT")
+    rows.toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+      "o_orderdate", "o_orderpriority")
+      .write.mode("overwrite").parquet(s"$d/orders.parquet")
+    val cells = Behavior.qRfm(spark, d).collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getInt(2)) ->
+        (r.getString(3), r.getLong(4), r.getLong(5))).toMap
+    assert(cells.keySet == (1 to 5).map(k => (k, k, k)).toSet)
+    assert(cells((1, 1, 1)) == ("hibernating", 1L, 100000L))
+    assert(cells((2, 2, 2)) == ("hibernating", 1L, 200000L))
+    assert(cells((3, 3, 3)) == ("core", 1L, 300000L))
+    assert(cells((4, 4, 4)) == ("champions", 1L, 400000L))
+    assert(cells((5, 5, 5)) == ("champions", 1L, 500000L))
+  }
+
+  test("rfm cells partition the customer base at sf0.001") {
+    val cells = Behavior.qRfm(spark, sf).collect()
+    val nCustomers = Tables.orders(spark, sf)
+      .select(countDistinct(col("o_custkey"))).head().getLong(0)
+    assert(cells.map(_.getLong(4)).sum == nCustomers)
+    assert(cells.forall { r =>
+      (1 to 5).contains(r.getInt(0)) &&
+        (1 to 5).contains(r.getInt(1)) && (1 to 5).contains(r.getInt(2))
+    })
+  }
+
+  test("paragraph dedup: keep-first across docs, intra-doc repeats dropped") {
+    import spark.implicits._
+    val d = java.nio.file.Files.createTempDirectory("paradedup").toString
+    def seg(c: Char) = (1 to 16).map(i => s"$c$i").mkString(" ")
+    val s1 = seg('a'); val s2 = seg('b'); val s3 = seg('c')
+    Seq(
+      (1L, s"$s1 $s2", "en", "src0"),
+      (2L, s"$s1 $s3", "en", "src0"), // s1 is doc1's — dropped here
+      (3L, s"$s1 $s1", "en", "src0"), // both copies lose to doc1
+    ).toDF("doc_id", "text", "lang", "source")
+      .withColumn("n_chars", length(col("text")))
+      .write.mode("overwrite").parquet(s"$d/documents.parquet")
+    val out = Dedup.qDedupParagraph(spark, d).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getString(3))).toMap
+    assert(out(1L) == (2L, 2L, s"$s1 $s2"))
+    assert(out(2L) == (2L, 1L, s3))
+    assert(out(3L) == (2L, 0L, ""))
+  }
+
+  test("paragraph dedup reassembles surviving text in original segment order") {
+    import spark.implicits._
+    val d = java.nio.file.Files.createTempDirectory("paraorder").toString
+    def seg(c: Char) = (1 to 16).map(i => s"$c$i").mkString(" ")
+    val segs = Seq(seg('a'), seg('b'), seg('c'), seg('d'))
+    Seq((1L, segs.mkString(" "), "en", "src0"))
+      .toDF("doc_id", "text", "lang", "source")
+      .withColumn("n_chars", length(col("text")))
+      .write.mode("overwrite").parquet(s"$d/documents.parquet")
+    val r = Dedup.qDedupParagraph(spark, d).collect().head
+    assert(r.getLong(1) == 4L && r.getLong(2) == 4L)
+    assert(r.getString(3) == segs.mkString(" "), "order must be chunk_idx order")
+  }
+}

@@ -154,6 +154,19 @@ class PlanSpec extends SparkSpec {
     assert(joined.exceptAll(expected).isEmpty && expected.exceptAll(joined).isEmpty)
   }
 
+  test("q_triangle's wedge self-join runs on the checkpointed apex layout, exchange-free") {
+    val df = graft.ops.Graph.qTriangle(spark, sf)
+    df.write.format("noop").mode("overwrite").save()
+    val plan = df.queryExecution.executedPlan.toString
+    // the only exchanges allowed after the oriented table is checkpointed:
+    // the corner-count groupBy and the final top-100 ordering — the wedge
+    // self-join itself must reuse the advertised hashpartitioning(u, n)
+    val joinSection = plan.split("SortMergeJoin").toSeq
+    assert(joinSection.nonEmpty)
+    assert(!plan.contains("Exchange hashpartitioning(u#"),
+      s"wedge self-join must not re-exchange the checkpointed apex layout:\n$plan")
+  }
+
   test("q_win_count_distinct's running sum is chunked by day bucket") {
     val ex = exchangeKeys(graft.ops.Windows.qWinCountDistinct(spark, sf))
     assert(ex.exists(l => l.contains("event_type") && l.contains("bucket")),

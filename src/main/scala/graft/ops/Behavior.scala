@@ -172,13 +172,90 @@ object Behavior extends QueryModule {
       .orderBy(col("r_score"), col("f_score"), col("m_score"))
   }
 
+  /** Revenue concentration (the Pareto/ABC analysis): how many customers —
+    * count and parts-per-million share of the base — cover 50% / 80% / 90%
+    * of total revenue, walking customers in descending-revenue order.
+    *
+    * Scale shape: the descending walk is the chunked-prefix pattern twice
+    * over — rank AND running revenue both computed within a fixed-width
+    * revenue chunk and lifted by a broadcast per-chunk offset table
+    * (prefix counts + prefix sums over the tiny chunk census), so no task
+    * ever owns the global order. Descending order falls out of ranking on
+    * the NEGATED cents with the same ascending machinery. The threshold
+    * probe `cum·100 ≥ p·total` stays in integer cents — no float share
+    * ever computed before the final ppm, which is BIGINT floor division. */
+  def qPareto(spark: SparkSession, dir: String): DataFrame = {
+    val base = Tables.orders(spark, dir)
+      .groupBy(col("o_custkey"))
+      .agg(sum(expr("CAST(round(o_totalprice * 100) AS BIGINT)")).as("cents"))
+      // negate: ascending rank over v == descending rank over cents
+      .withColumn("v", -col("cents"))
+      .withColumn("chunk", floor(col("v") / lit(10000000.0)))
+    val byChunk = Window.orderBy(col("chunk"))
+    val offs = base.groupBy(col("chunk"))
+      .agg(count(lit(1)).as("cn"), sum(col("cents")).as("cs"))
+      .withColumn("off", coalesce(sum(col("cn")).over(
+        byChunk.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("cum_off", coalesce(sum(col("cs")).over(
+        byChunk.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("n", sum(col("cn")).over(
+        byChunk.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+      .withColumn("total", sum(col("cs")).over(
+        byChunk.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+      .select(col("chunk"), col("off"), col("cum_off"), col("n"), col("total"))
+    val inChunk = Window.partitionBy(col("chunk"))
+      .orderBy(col("v"), col("o_custkey"))
+    val walked = base.join(broadcast(offs), Seq("chunk"))
+      .withColumn("rnk", row_number().over(inChunk) + col("off"))
+      .withColumn("cum", sum(col("cents")).over(
+        inChunk.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        + col("cum_off"))
+    val picks = Seq(50, 80, 90).map { p =>
+      min(when(col("cum") * 100 >= lit(p.toLong) * col("total"), col("rnk")))
+        .as(s"n$p")
+    }
+    val agg = walked.agg(picks.head, picks.tail: _*)
+      .crossJoin(broadcast(offs.select(max(col("n")).as("n_total"))))
+    val tall = agg.select(
+      expr("stack(3, 50, n50, 80, n80, 90, n90) AS (pct, n_customers)"),
+      col("n_total"))
+    tall.select(col("pct"), col("n_customers"),
+        expr("div(1000000 * n_customers, n_total)").as("share_ppm"))
+      .orderBy(col("pct"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_basket_lift" -> (qBasketLift _),
     "q_markov"      -> (qMarkov _),
     "q_rfm"         -> (qRfm _),
+    "q_pareto"      -> (qPareto _),
   )
 
   val oracle: Map[String, String] = Map(
+    "q_pareto" ->
+      """WITH base AS (
+        |  SELECT o_custkey, SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS cents
+        |  FROM orders GROUP BY o_custkey),
+        |walked AS (
+        |  SELECT cents,
+        |         ROW_NUMBER() OVER (ORDER BY cents DESC, o_custkey) AS rnk,
+        |         CAST(SUM(cents) OVER (ORDER BY cents DESC, o_custkey
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum,
+        |         CAST(SUM(cents) OVER () AS BIGINT) AS total,
+        |         COUNT(*) OVER () AS n_total
+        |  FROM base),
+        |agg AS (
+        |  SELECT MIN(CASE WHEN cum * 100 >= 50 * total THEN rnk END) AS n50,
+        |         MIN(CASE WHEN cum * 100 >= 80 * total THEN rnk END) AS n80,
+        |         MIN(CASE WHEN cum * 100 >= 90 * total THEN rnk END) AS n90,
+        |         MAX(n_total) AS n_total
+        |  FROM walked)
+        |SELECT pct, n_customers, (1000000 * n_customers) // n_total AS share_ppm
+        |FROM (
+        |  SELECT 50 AS pct, n50 AS n_customers, n_total FROM agg
+        |  UNION ALL SELECT 80, n80, n_total FROM agg
+        |  UNION ALL SELECT 90, n90, n_total FROM agg)
+        |ORDER BY pct""".stripMargin,
     "q_basket_lift" ->
       """WITH items AS (
         |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),

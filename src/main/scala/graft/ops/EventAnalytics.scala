@@ -363,7 +363,37 @@ object EventAnalytics extends QueryModule {
       .orderBy(col("bucket"))
   }
 
+  /** Longest consecutive-active-day streak per user, reported as the
+    * streak-length census (how many users peak at a 1-day, 2-day, … run) —
+    * the engagement metric every product dashboard carries. Islands by the
+    * classic day − row_number() trick: consecutive days share a constant
+    * difference, so the difference IS the island key — no iterative logic.
+    *
+    * Scale shape: distinct active days (one (user, day) shuffle with
+    * map-side partial distinct), ONE window on the high-cardinality
+    * user_id (per-user day counts are bounded by the calendar), then two
+    * hash aggregations. Day numbers are exact integer datediffs from the
+    * epoch — no timezone arithmetic can shift an island boundary, since
+    * the session pins UTC in both engines. */
+  def qWinStreak(spark: SparkSession, dir: String): DataFrame = {
+    val days = Tables.events(spark, dir)
+      .select(col("user_id"),
+        datediff(col("ts").cast("date"), lit("1970-01-01").cast("date")).as("day"))
+      .distinct()
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("day"))
+    val streaks = days
+      .withColumn("grp", col("day") - row_number().over(byUser))
+      .groupBy(col("user_id"), col("grp"))
+      .agg(count(lit(1)).as("len"))
+      .groupBy(col("user_id"))
+      .agg(max(col("len")).as("best_streak"))
+    streaks.groupBy(col("best_streak"))
+      .agg(count(lit(1)).as("n_users"))
+      .orderBy(col("best_streak"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_win_streak" -> (qWinStreak _),
     "q_conversion_lag" -> (qConversionLag _),
     "q_attribution" -> (qAttribution _),
     "q_scd2"      -> (qScd2 _),
@@ -406,6 +436,22 @@ object EventAnalytics extends QueryModule {
       |  FROM ver GROUP BY user_id, version)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "q_win_streak" ->
+      """WITH days AS (
+        |  SELECT DISTINCT user_id,
+        |         DATEDIFF('day', DATE '1970-01-01', CAST(ts AS DATE)) AS day
+        |  FROM events),
+        |isl AS (
+        |  SELECT user_id,
+        |         day - ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY day) AS grp
+        |  FROM days),
+        |runs AS (
+        |  SELECT user_id, grp, COUNT(*) AS len FROM isl GROUP BY user_id, grp),
+        |best AS (
+        |  SELECT user_id, CAST(MAX(len) AS BIGINT) AS best_streak
+        |  FROM runs GROUP BY user_id)
+        |SELECT best_streak, COUNT(*) AS n_users
+        |FROM best GROUP BY best_streak ORDER BY best_streak""".stripMargin,
     "q_conversion_lag" ->
       """WITH e AS (
         |  SELECT user_id, event_id, event_type, epoch_us(ts) AS tus FROM events),

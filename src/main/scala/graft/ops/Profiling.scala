@@ -2,6 +2,7 @@ package graft.ops
 
 import graft.Tables
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Data-profiling and data-quality operators over `orders` — the "what is
@@ -354,7 +355,39 @@ object Profiling extends QueryModule {
       .orderBy(col("event_type"))
   }
 
+  /** Benford's-law expected ppm share for first digit d: floor(1e6 ·
+    * log10(1 + 1/d)). Computed ONCE in Scala and interpolated as integer
+    * literals into BOTH engines' plans (the generated-oracle discipline of
+    * q_corpus_drift), so no engine evaluates a transcendental at query
+    * time and the hash compare cannot drift on libm rounding. */
+  private val BenfordPpm: Map[Int, Long] =
+    (1 to 9).map(d => d -> math.floor(1e6 * math.log10(1.0 + 1.0 / d)).toLong).toMap
+
+  /** Benford first-digit audit over order totals — the classic fraud /
+    * data-fabrication screen: natural multi-scale amounts follow
+    * P(d) = log10(1+1/d); per digit we report observed count, observed
+    * and expected ppm, and the absolute deviation. First digit extracted
+    * by STRING head of the floored integer part (no float log10 at query
+    * time — a value at a power-of-ten boundary would round differently
+    * across libm builds). Map-only scan → 9-group aggregate; the digit
+    * census and deviation arithmetic are exact integers in both engines. */
+  def qBenford(spark: SparkSession, dir: String): DataFrame = {
+    val exp = (1 to 9).map(d => s"WHEN digit = $d THEN ${BenfordPpm(d)}L")
+      .mkString("CASE ", " ", " END")
+    Tables.orders(spark, dir)
+      .select(substring(expr("CAST(CAST(floor(o_totalprice) AS BIGINT) AS STRING)"), 1, 1)
+        .cast("int").as("digit"))
+      .groupBy(col("digit")).agg(count(lit(1)).as("n"))
+      .withColumn("total", sum(col("n")).over(Window.partitionBy()))
+      .select(col("digit"), col("n"),
+        expr("div(1000000 * n, total)").as("obs_ppm"),
+        expr(exp).as("exp_ppm"))
+      .withColumn("dev_ppm", abs(col("obs_ppm") - col("exp_ppm")))
+      .orderBy(col("digit"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_benford"        -> (qBenford _),
     "q_outlier_iqr"    -> (qOutlierIqr _),
     "q_corr_matrix"    -> (qCorrMatrix _),
     "q_chisq"          -> (qChisq _),
@@ -367,6 +400,21 @@ object Profiling extends QueryModule {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_benford" -> {
+      val expSql = (1 to 9).map(d => s"WHEN digit = $d THEN ${BenfordPpm(d)}")
+        .mkString("CASE ", " ", " END")
+      s"""WITH digits AS (
+         |  SELECT CAST(SUBSTR(CAST(CAST(FLOOR(o_totalprice) AS BIGINT) AS VARCHAR), 1, 1)
+         |              AS INT) AS digit
+         |  FROM orders),
+         |cnt AS (SELECT digit, COUNT(*) AS n FROM digits GROUP BY digit)
+         |SELECT digit, n,
+         |       (1000000 * n) // CAST(SUM(n) OVER () AS BIGINT) AS obs_ppm,
+         |       $expSql AS exp_ppm,
+         |       ABS((1000000 * n) // CAST(SUM(n) OVER () AS BIGINT) - ($expSql))
+         |         AS dev_ppm
+         |FROM cnt ORDER BY digit""".stripMargin
+    },
     "q_outlier_iqr" ->
       """WITH cents AS (
         |  SELECT event_type, CAST(ROUND(value * 100) AS BIGINT) AS c FROM events),

@@ -101,6 +101,28 @@ class BehaviorSpec extends SparkSpec {
     })
   }
 
+  test("pareto: hand-computed concentration thresholds") {
+    import spark.implicits._
+    val d = java.nio.file.Files.createTempDirectory("pareto").toString
+    // revenues (cents): 5000, 3000, 1000, 500, 500 — total 10000.
+    // Desc walk: cum 5000 (50% at 1 customer), 8000 (80% at 2), 9000,
+    // 9500, 10000 (90% needs 3).
+    Seq((1L, 1L, 50.0), (2L, 2L, 30.0), (3L, 3L, 10.0),
+        (4L, 4L, 5.0), (5L, 5L, 5.0))
+      .map { case (ok, ck, price) =>
+        (ok, ck, "O", price,
+          java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), "1-URGENT")
+      }
+      .toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "o_orderpriority")
+      .write.mode("overwrite").parquet(s"$d/orders.parquet")
+    val rows = Behavior.qPareto(spark, d).collect()
+      .map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(rows(50) == (1L, 200000L))
+    assert(rows(80) == (2L, 400000L))
+    assert(rows(90) == (3L, 600000L))
+  }
+
   test("paragraph dedup: keep-first across docs, intra-doc repeats dropped") {
     import spark.implicits._
     val d = java.nio.file.Files.createTempDirectory("paradedup").toString

@@ -269,4 +269,27 @@ class EventAnalyticsSpec extends SparkSpec {
     }.sortBy(_._1)
     assert(got.toSeq == want)
   }
+
+  test("win_streak: islands split on missing days; multi-event days count once") {
+    import spark.implicits._
+    def t(s: String) = Timestamp.valueOf(s)
+    val d = java.nio.file.Files.createTempDirectory("streak").toString
+    // user 1: days 1,2,3 then 5,6 → best 3; two events on day 2 (one day).
+    // user 2: days 1, 3, 5 → best 1. user 3: day 9 only → best 1.
+    Seq(
+      (1L, t("2024-03-01 10:00:00"), 1L), (2L, t("2024-03-02 09:00:00"), 1L),
+      (3L, t("2024-03-02 22:00:00"), 1L), (4L, t("2024-03-03 01:00:00"), 1L),
+      (5L, t("2024-03-05 12:00:00"), 1L), (6L, t("2024-03-06 12:00:00"), 1L),
+      (7L, t("2024-03-01 08:00:00"), 2L), (8L, t("2024-03-03 08:00:00"), 2L),
+      (9L, t("2024-03-05 08:00:00"), 2L),
+      (10L, t("2024-03-09 23:59:59"), 3L),
+    ).toDF("event_id", "ts", "user_id")
+      .withColumn("event_type", lit("view"))
+      .withColumn("value", lit(1.0)).withColumn("props", lit("{}"))
+      .withColumn("ts", (unix_micros(col("ts")) * 1000).as("ts"))
+      .write.mode("overwrite").parquet(s"$d/events.parquet")
+    val census = EventAnalytics.qWinStreak(spark, d).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(census == Map(1L -> 2L, 3L -> 1L))
+  }
 }

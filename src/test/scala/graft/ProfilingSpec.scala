@@ -149,4 +149,21 @@ class ProfilingSpec extends SparkSpec {
       assert(q1 <= q3 && lo + hi < n)
     }
   }
+
+  test("benford: digit census is exact and expected ppm matches log10(1+1/d)") {
+    val rows = Profiling.qBenford(spark, sf).collect()
+    val total = rows.map(_.getLong(1)).sum
+    val nOrders = Tables.orders(spark, sf).count()
+    assert(total == nOrders, "every order contributes exactly one digit")
+    rows.foreach { r =>
+      val d = r.getInt(0)
+      assert((1 to 9).contains(d))
+      val expPpm = math.floor(1e6 * math.log10(1.0 + 1.0 / d)).toLong
+      assert(r.getLong(3) == expPpm)
+      assert(r.getLong(4) == math.abs(r.getLong(2) - expPpm))
+    }
+    // obs ppm sums to ~1e6 (floor loss < 9 ppm)
+    val obsSum = rows.map(_.getLong(2)).sum
+    assert(obsSum > 999990L && obsSum <= 1000000L)
+  }
 }

@@ -140,6 +140,20 @@ object Windows extends QueryModule {
       .orderBy(col("c_nationkey"), col("rn"))
   }
 
+  /** The same top-3-per-nation contract executed by the engine's custom
+    * physical operator ([[graft.plans.TopKPerGroup]]: bounded per-group
+    * heaps, O(n log k), state ∝ groups·k) instead of the window's full
+    * per-group sort — the whole-operator extension tier, oracle-verified
+    * against the identical SQL as the window form. */
+  def qTopkPerGroupNative(spark: SparkSession, dir: String): DataFrame =
+    graft.plans.TopKPerGroup(
+      Tables.customer(spark, dir)
+        .select(col("c_nationkey"), col("c_custkey"), col("c_acctbal")),
+      groupCols = Seq("c_nationkey"),
+      order = Seq("c_acctbal" -> true, "c_custkey" -> false), k = 3)
+      .select(col("c_nationkey"), col("rn"), col("c_custkey"), col("c_acctbal"))
+      .orderBy(col("c_nationkey"), col("rn"))
+
   /** Distribution functions: percent_rank / cume_dist per group — the
     * percentile-position twins of the ranking trio. Both are rationals of
     * ranks and exact counts, so they reduce to integer facts we can get
@@ -330,6 +344,7 @@ object Windows extends QueryModule {
     "q_win_median"     -> (qWinMedian _),
     "q_ewma"           -> (qEwma _),
     "q_topk_per_group" -> (qTopkPerGroup _),
+    "q_topk_per_group_native" -> (qTopkPerGroupNative _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -447,6 +462,13 @@ object Windows extends QueryModule {
         |FROM customer ORDER BY c_mktsegment, c_custkey""".stripMargin,
     "q_topk_per_group" ->
       """SELECT c_nationkey, rn, c_custkey, c_acctbal
+        |FROM (SELECT c_nationkey, c_custkey, c_acctbal,
+        |        ROW_NUMBER() OVER (PARTITION BY c_nationkey
+        |          ORDER BY c_acctbal DESC, c_custkey) AS rn
+        |      FROM customer) t
+        |WHERE rn <= 3 ORDER BY c_nationkey, rn""".stripMargin,
+    "q_topk_per_group_native" ->
+      """SELECT c_nationkey, CAST(rn AS BIGINT) AS rn, c_custkey, c_acctbal
         |FROM (SELECT c_nationkey, c_custkey, c_acctbal,
         |        ROW_NUMBER() OVER (PARTITION BY c_nationkey
         |          ORDER BY c_acctbal DESC, c_custkey) AS rn

@@ -35,4 +35,11 @@ object InternalDataFrames {
     ClassicDataset.ofRows(classic,
       LogicalRDD(output, rdd, partitioning, ordering, isStreaming = false)(classic))
   }
+
+  /** Wrap an arbitrary (already-resolved) logical plan as a DataFrame —
+    * the doorway a library needs to hand Catalyst a CUSTOM logical node
+    * (e.g. [[graft.plans.TopKPerGroup]]) and let the planner take over. */
+  def ofPlan(spark: SparkSession,
+      plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): DataFrame =
+    ClassicDataset.ofRows(spark.asInstanceOf[ClassicSparkSession], plan)
 }

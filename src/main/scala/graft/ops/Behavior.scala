@@ -224,14 +224,88 @@ object Behavior extends QueryModule {
       .orderBy(col("pct"))
   }
 
+  /** The audience universe: the event types whose user sets we compare.
+    * A FIXED list shared verbatim by the Spark columns and the generated
+    * oracle (the q_corpus_drift discipline) — the two engines cannot
+    * structurally drift on which pairs exist. */
+  private val audienceTypes = Seq("click", "error", "purchase", "signup", "view")
+  private val audiencePairs: Seq[(String, String)] =
+    for { i <- audienceTypes.indices; j <- i + 1 until audienceTypes.size }
+      yield (audienceTypes(i), audienceTypes(j))
+
+  /** Audience overlap: exact Jaccard similarity between the USER SETS of
+    * every event-type pair — "how much does the purchase audience overlap
+    * the signup audience", the segmentation-planning staple.
+    *
+    * Scale shape: ONE shuffle total. Per-user membership flags are a
+    * single user_id aggregation with conditional max (never a per-pair
+    * self-join of the membership table on user — which would shuffle the
+    * user universe |pairs| times); intersections and unions for all 10
+    * pairs come out of ONE one-row aggregation over the flag columns; the
+    * pair reshape is a `stack` of that row. Jaccard is BIGINT floor
+    * division to ppm — no float anywhere. */
+  def qAudienceOverlap(spark: SparkSession, dir: String): DataFrame = {
+    val flagCols = audienceTypes.map(t =>
+      max(when(col("event_type") === t, 1).otherwise(0)).as(s"f_$t"))
+    val flags = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_type"))
+      .groupBy(col("user_id"))
+      .agg(flagCols.head, flagCols.tail: _*)
+    val aggCols = audiencePairs.flatMap { case (a, b) =>
+      Seq(
+        sum(expr(s"f_$a * f_$b")).cast("long").as(s"i_${a}_$b"),
+        sum(expr(s"CASE WHEN f_$a + f_$b > 0 THEN 1 ELSE 0 END"))
+          .cast("long").as(s"u_${a}_$b"))
+    }
+    val one = flags.agg(aggCols.head, aggCols.tail: _*)
+    val stackArgs = audiencePairs.map { case (a, b) =>
+      s"'$a|$b', i_${a}_$b, u_${a}_$b"
+    }.mkString(", ")
+    one.selectExpr(
+        s"stack(${audiencePairs.size}, $stackArgs) AS (pair, n_inter, n_union)")
+      .withColumn("jaccard_ppm",
+        expr("CASE WHEN n_union = 0 THEN 0 ELSE div(1000000 * n_inter, n_union) END"))
+      .orderBy(col("pair"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_basket_lift" -> (qBasketLift _),
     "q_markov"      -> (qMarkov _),
     "q_rfm"         -> (qRfm _),
     "q_pareto"      -> (qPareto _),
+    "q_audience_overlap" -> (qAudienceOverlap _),
   )
 
+  /** Generated from the same audienceTypes/audiencePairs lists as the
+    * Spark columns. */
+  private val audienceOverlapOracle: String = {
+    val flagCols = audienceTypes.map(t =>
+      s"MAX(CASE WHEN event_type = '$t' THEN 1 ELSE 0 END) AS f_$t")
+      .mkString(",\n      |         ")
+    val aggCols = audiencePairs.map { case (a, b) =>
+      s"CAST(SUM(f_$a * f_$b) AS BIGINT) AS i_${a}_$b, " +
+        s"CAST(SUM(CASE WHEN f_$a + f_$b > 0 THEN 1 ELSE 0 END) AS BIGINT) AS u_${a}_$b"
+    }.mkString(",\n      |         ")
+    val branches = audiencePairs.map { case (a, b) =>
+      s"SELECT '$a|$b' AS pair, i_${a}_$b AS n_inter, u_${a}_$b AS n_union FROM one"
+    }.mkString("\n      |  UNION ALL ")
+    s"""WITH flags AS (
+      |  SELECT user_id,
+      |         $flagCols
+      |  FROM events GROUP BY user_id),
+      |one AS (
+      |  SELECT $aggCols
+      |  FROM flags),
+      |pairs AS (
+      |  $branches)
+      |SELECT pair, n_inter, n_union,
+      |       CASE WHEN n_union = 0 THEN 0
+      |            ELSE (1000000 * n_inter) // n_union END AS jaccard_ppm
+      |FROM pairs ORDER BY pair""".stripMargin
+  }
+
   val oracle: Map[String, String] = Map(
+    "q_audience_overlap" -> audienceOverlapOracle,
     "q_pareto" ->
       """WITH base AS (
         |  SELECT o_custkey, SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS cents

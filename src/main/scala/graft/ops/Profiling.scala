@@ -355,6 +355,58 @@ object Profiling extends QueryModule {
       .orderBy(col("event_type"))
   }
 
+  /** MAD (median-absolute-deviation) robust outliers per event type — the
+    * third member of the outlier family next to [[qAnomalyZscore]] (mean ±
+    * kσ: cheap, but the outliers themselves inflate σ) and [[qOutlierIqr]]
+    * (Tukey fences): the modified z-score 0.6745·|x−med|/MAD > 3.5 with a
+    * 50% breakdown point. Both medians are exact DISCRETE percentiles on
+    * integer cents (value at rank ceil(n/2)), and the outlier test is the
+    * cross-multiplied integer compare 6745·|x−med| > 35000·MAD — no float
+    * boundary anywhere, so the oracle matches hash-for-hash.
+    *
+    * Scale shape: TWO chunked-prefix exact rank passes (the qOutlierIqr
+    * shape — rank within (event_type, cent-chunk) + broadcast chunk
+    * offsets; a flat per-type row_number() puts a whole type's history in
+    * one task), the second over |x−med| after broadcasting the ≤5-row
+    * median table; the final count is one more map-side pass. */
+  def qAnomalyMad(spark: SparkSession, dir: String): DataFrame = {
+    def discMedian(df: DataFrame, valueCol: String): DataFrame = {
+      val chunked = df.withColumn("chunk", floor(col(valueCol) / lit(1000L)))
+      val byChunk = Window.partitionBy(col("event_type")).orderBy(col("chunk"))
+      val offs = chunked.groupBy(col("event_type"), col("chunk"))
+        .agg(count(lit(1)).as("cn"))
+        .withColumn("off", coalesce(sum(col("cn")).over(
+          byChunk.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        .withColumn("n", sum(col("cn")).over(
+          byChunk.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+        .select(col("event_type"), col("chunk"), col("off"), col("n"))
+      chunked.join(broadcast(offs), Seq("event_type", "chunk"))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("event_type"), col("chunk"))
+            .orderBy(col(valueCol), col("event_id")))
+          + col("off"))
+        .groupBy(col("event_type"))
+        .agg(max(when(expr("rn = CAST(ceil(n * 0.5) AS BIGINT)"), col(valueCol)))
+          .as(s"med_$valueCol"))
+    }
+    val cents = Tables.events(spark, dir)
+      .select(col("event_type"), col("event_id"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("c"))
+    val med = discMedian(cents, "c")
+    val devs = cents.join(broadcast(med), "event_type")
+      .withColumn("dev", abs(col("c") - col("med_c")))
+    val mad = discMedian(devs.select(col("event_type"), col("event_id"), col("dev")),
+      "dev")
+    devs.join(broadcast(mad), "event_type")
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        expr("CAST(min(med_c) AS DOUBLE) / 100.0").as("median"),
+        expr("CAST(min(med_dev) AS DOUBLE) / 100.0").as("mad"),
+        sum(when(expr("6745 * dev > 35000 * med_dev"), 1L).otherwise(0L))
+          .as("n_outliers"))
+      .orderBy(col("event_type"))
+  }
+
   /** Benford's-law expected ppm share for first digit d: floor(1e6 ·
     * log10(1 + 1/d)). Computed ONCE in Scala and interpolated as integer
     * literals into BOTH engines' plans (the generated-oracle discipline of
@@ -387,6 +439,7 @@ object Profiling extends QueryModule {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_anomaly_mad"    -> (qAnomalyMad _),
     "q_benford"        -> (qBenford _),
     "q_outlier_iqr"    -> (qOutlierIqr _),
     "q_corr_matrix"    -> (qCorrMatrix _),
@@ -400,6 +453,36 @@ object Profiling extends QueryModule {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_anomaly_mad" ->
+      """WITH cents AS (
+        |  SELECT event_type, event_id, CAST(ROUND(value * 100) AS BIGINT) AS c
+        |  FROM events),
+        |r1 AS (
+        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY c, event_id) AS rn,
+        |         COUNT(*) OVER (PARTITION BY event_type) AS n
+        |  FROM cents),
+        |med AS (
+        |  SELECT event_type,
+        |         MAX(CASE WHEN rn = CAST(CEIL(n * 0.5) AS BIGINT) THEN c END) AS med_c
+        |  FROM r1 GROUP BY event_type),
+        |devs AS (
+        |  SELECT c.event_type, c.event_id, c.c, ABS(c.c - m.med_c) AS dev, m.med_c
+        |  FROM cents c JOIN med m USING (event_type)),
+        |r2 AS (
+        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY dev, event_id) AS rn,
+        |         COUNT(*) OVER (PARTITION BY event_type) AS n
+        |  FROM devs),
+        |mad AS (
+        |  SELECT event_type,
+        |         MAX(CASE WHEN rn = CAST(CEIL(n * 0.5) AS BIGINT) THEN dev END) AS med_dev
+        |  FROM r2 GROUP BY event_type)
+        |SELECT d.event_type, COUNT(*) AS n,
+        |       CAST(MIN(d.med_c) AS DOUBLE) / 100.0 AS median,
+        |       CAST(MIN(m.med_dev) AS DOUBLE) / 100.0 AS mad,
+        |       CAST(SUM(CASE WHEN 6745 * d.dev > 35000 * m.med_dev THEN 1 ELSE 0 END)
+        |            AS BIGINT) AS n_outliers
+        |FROM devs d JOIN mad m USING (event_type)
+        |GROUP BY d.event_type ORDER BY d.event_type""".stripMargin,
     "q_benford" -> {
       val expSql = (1 to 9).map(d => s"WHEN digit = $d THEN ${BenfordPpm(d)}")
         .mkString("CASE ", " ", " END")

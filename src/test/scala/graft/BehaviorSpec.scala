@@ -101,6 +101,30 @@ class BehaviorSpec extends SparkSpec {
     })
   }
 
+  test("audience overlap: hand-computed jaccard, empty-audience guard") {
+    import spark.implicits._
+    def t(s: String) = Timestamp.valueOf(s)
+    val d = java.nio.file.Files.createTempDirectory("aud").toString
+    // u1: click+view, u2: click, u3: view, u4: purchase; error/signup empty
+    Seq(
+      (1L, t("2024-01-01 10:00:00"), 1L, "click"),
+      (2L, t("2024-01-01 10:01:00"), 1L, "view"),
+      (3L, t("2024-01-01 10:02:00"), 2L, "click"),
+      (4L, t("2024-01-01 10:03:00"), 3L, "view"),
+      (5L, t("2024-01-01 10:04:00"), 4L, "purchase"),
+    ).toDF("event_id", "ts", "user_id", "event_type")
+      .withColumn("value", lit(1.0)).withColumn("props", lit("{}"))
+      .withColumn("ts", (unix_micros(col("ts")) * 1000).as("ts"))
+      .write.mode("overwrite").parquet(s"$d/events.parquet")
+    val m = Behavior.qAudienceOverlap(spark, d).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(m.size == 10)
+    assert(m("click|view") == (1L, 3L, 333333L))
+    assert(m("click|purchase") == (0L, 3L, 0L))
+    assert(m("error|signup") == (0L, 0L, 0L), "empty∪empty must not divide by zero")
+    assert(m("purchase|view") == (0L, 3L, 0L))
+  }
+
   test("pareto: hand-computed concentration thresholds") {
     import spark.implicits._
     val d = java.nio.file.Files.createTempDirectory("pareto").toString

@@ -150,6 +150,30 @@ class ProfilingSpec extends SparkSpec {
     }
   }
 
+  test("mad outliers: hand-computed medians, zero-MAD degenerate case") {
+    import spark.implicits._
+    val d = java.nio.file.Files.createTempDirectory("mad").toString
+    // type a: cents [100,100,100,200,1000] → med 100, devs [0,0,0,100,900],
+    //   MAD 0 → every dev>0 row is an outlier (2).
+    // type b: cents [100,200,300,400,10000] → med 300, devs sorted
+    //   [0,100,100,200,9700], MAD 100 → 6745·dev > 3.5e6 ⇔ dev ≥ 519 → 1.
+    val rows =
+      Seq(1.0, 1.0, 1.0, 2.0, 10.0).zipWithIndex.map { case (v, i) =>
+        (i.toLong, java.sql.Timestamp.valueOf("2024-01-01 10:00:00"), 1L, "a", v)
+      } ++ Seq(1.0, 2.0, 3.0, 4.0, 100.0).zipWithIndex.map { case (v, i) =>
+        (10L + i, java.sql.Timestamp.valueOf("2024-01-01 10:00:00"), 2L, "b", v)
+      }
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value")
+      .withColumn("props", lit("{}"))
+      .withColumn("ts", (unix_micros(col("ts")) * 1000).as("ts"))
+      .write.mode("overwrite").parquet(s"$d/events.parquet")
+    val got = Profiling.qAnomalyMad(spark, d).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getLong(4))).toMap
+    assert(got("a") == (5L, 1.0, 0.0, 2L))
+    assert(got("b") == (5L, 3.0, 1.0, 1L))
+  }
+
   test("benford: digit census is exact and expected ppm matches log10(1+1/d)") {
     val rows = Profiling.qBenford(spark, sf).collect()
     val total = rows.map(_.getLong(1)).sum

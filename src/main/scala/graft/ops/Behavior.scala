@@ -268,7 +268,33 @@ object Behavior extends QueryModule {
       .orderBy(col("pair"))
   }
 
+  /** Week-over-week revenue growth — the BI trendline: weekly revenue in
+    * exact cents, previous week via lag, growth in integer ppm. Both
+    * engines' integral division TRUNCATES toward zero (Spark `div` ≡
+    * DuckDB `//` — verified empirically on negatives this round,
+    * correcting an earlier repo assumption that `//` floors), so plain
+    * `div` is the portable form even for NEGATIVE growth weeks. Weeks
+    * with no prior week report NULL growth in both engines.
+    *
+    * Scale shape: ONE aggregation shuffle on the week key; the lag window
+    * runs over the aggregated weekly table (|weeks| rows — calendar-
+    * bounded, never data-bounded), which is the correct place for an
+    * unpartitioned window. */
+  def qGrowth(spark: SparkSession, dir: String): DataFrame = {
+    val weekly = Tables.orders(spark, dir)
+      .groupBy(date_trunc("week", col("o_orderdate")).cast("date").as("week"))
+      .agg(sum(expr("CAST(round(o_totalprice * 100) AS BIGINT)")).as("rev_cents"))
+    weekly
+      .withColumn("prev_cents", lag(col("rev_cents"), 1).over(Window.orderBy(col("week"))))
+      .withColumn("growth_ppm", expr(
+        """CASE WHEN prev_cents IS NULL OR prev_cents = 0 THEN NULL
+          |ELSE div(1000000 * (rev_cents - prev_cents), prev_cents) END""".stripMargin))
+      .select(col("week"), col("rev_cents"), col("prev_cents"), col("growth_ppm"))
+      .orderBy(col("week"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_growth"      -> (qGrowth _),
     "q_basket_lift" -> (qBasketLift _),
     "q_markov"      -> (qMarkov _),
     "q_rfm"         -> (qRfm _),
@@ -305,6 +331,20 @@ object Behavior extends QueryModule {
   }
 
   val oracle: Map[String, String] = Map(
+    "q_growth" ->
+      """WITH weekly AS (
+        |  SELECT CAST(DATE_TRUNC('week', o_orderdate) AS DATE) AS week,
+        |         SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS rev_cents
+        |  FROM orders GROUP BY 1),
+        |lagged AS (
+        |  SELECT week, CAST(rev_cents AS BIGINT) AS rev_cents,
+        |         CAST(LAG(rev_cents) OVER (ORDER BY week) AS BIGINT) AS prev_cents
+        |  FROM weekly)
+        |SELECT week, rev_cents, prev_cents,
+        |       CASE WHEN prev_cents IS NULL OR prev_cents = 0 THEN NULL
+        |            ELSE (1000000 * (rev_cents - prev_cents)) // prev_cents END
+        |         AS growth_ppm
+        |FROM lagged ORDER BY week""".stripMargin,
     "q_audience_overlap" -> audienceOverlapOracle,
     "q_pareto" ->
       """WITH base AS (

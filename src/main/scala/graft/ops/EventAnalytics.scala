@@ -392,7 +392,34 @@ object EventAnalytics extends QueryModule {
       .orderBy(col("best_streak"))
   }
 
+  /** Session-outcome census (cart abandonment): every 30-minute session
+    * classified by which funnel stages it contains — (view, click,
+    * purchase) flags — so "sessions that clicked but never purchased" is a
+    * row, not a re-run. The session-granular complement of the USER-level
+    * [[qFunnel]] (a user can abandon in one session and convert in the
+    * next; this query sees both).
+    *
+    * Scale shape: [[labelSessions]]' single user_id shuffle, one
+    * (user, session) aggregation with conditional max flags (partition-
+    * local after the window), and a ≤8-row census aggregation. */
+  def qCartSessions(spark: SparkSession, dir: String): DataFrame = {
+    val labeled = labelSessions(
+      Tables.events(spark, dir)
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          unix_micros(col("ts")).as("tus")),
+      keyCol = "user_id", timeCol = "tus", tieCol = "event_id",
+      gap = 30L * 60 * 1000000)
+    def flag(t: String) =
+      max(when(col("event_type") === t, 1).otherwise(0)).as(s"has_$t")
+    labeled.groupBy(col("user_id"), col("sess_id"))
+      .agg(flag("view"), flag("click"), flag("purchase"))
+      .groupBy(col("has_view"), col("has_click"), col("has_purchase"))
+      .agg(count(lit(1)).as("n_sessions"))
+      .orderBy(col("has_view"), col("has_click"), col("has_purchase"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_cart_sessions" -> (qCartSessions _),
     "q_win_streak" -> (qWinStreak _),
     "q_conversion_lag" -> (qConversionLag _),
     "q_attribution" -> (qAttribution _),
@@ -436,6 +463,27 @@ object EventAnalytics extends QueryModule {
       |  FROM ver GROUP BY user_id, version)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "q_cart_sessions" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, event_type, epoch_us(ts) AS tus FROM events),
+        |flagged AS (
+        |  SELECT *, CASE WHEN tus - LAG(tus) OVER w > 1800000000 THEN 1
+        |                 WHEN LAG(tus) OVER w IS NULL THEN 1
+        |                 ELSE 0 END AS new_sess
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tus, event_id)),
+        |sess AS (
+        |  SELECT *, SUM(new_sess) OVER (PARTITION BY user_id ORDER BY tus, event_id
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_id
+        |  FROM flagged),
+        |per_sess AS (
+        |  SELECT user_id, sess_id,
+        |         MAX(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS has_view,
+        |         MAX(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS has_click,
+        |         MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS has_purchase
+        |  FROM sess GROUP BY user_id, sess_id)
+        |SELECT has_view, has_click, has_purchase, COUNT(*) AS n_sessions
+        |FROM per_sess GROUP BY 1, 2, 3
+        |ORDER BY has_view, has_click, has_purchase""".stripMargin,
     "q_win_streak" ->
       """WITH days AS (
         |  SELECT DISTINCT user_id,

@@ -101,8 +101,21 @@ object Multimodal extends QueryModule {
         col("meta.n_bytes").as("n_bytes"), col("meta.n_frames").as("n_frames"))
       .orderBy(col("doc_id"))
 
+  /** Frame sampling as a query key: per payload, total frames and the
+    * every-4th-frame sample count. The Spark side REALLY slices the binary
+    * (substring frames inside codegen — [[frameSample]]); the oracle pins
+    * the sampling CONTRACT arithmetically (kept = ceil(n_frames/4), i.e.
+    * |{i ∈ [0, n_frames) : i ≡ 0 (mod 4)}|), which is what a video
+    * pipeline budgets storage and GPU batches against. */
+  def qMultimodalFrames(spark: SparkSession, dir: String): DataFrame =
+    frameSample(spark, dir)
+      .select(col("doc_id"), col("meta.n_frames").as("n_frames"),
+        col("n_sampled"))
+      .orderBy(col("doc_id"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_multimodal_meta" -> (qMultimodalMeta _),
+    "q_multimodal_frames" -> (qMultimodalFrames _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -111,5 +124,16 @@ object Multimodal extends QueryModule {
         |       OCTET_LENGTH(ENCODE(text)) AS n_bytes,
         |       CAST(CEIL(OCTET_LENGTH(ENCODE(text)) / $FrameBytes.0) AS INTEGER) AS n_frames
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_multimodal_frames" ->
+      s"""WITH m AS (
+        |  SELECT doc_id,
+        |         CAST(CEIL(OCTET_LENGTH(ENCODE(text)) / $FrameBytes.0) AS INTEGER)
+        |           AS n_frames
+        |  FROM documents)
+        |SELECT doc_id, n_frames,
+        |       CAST(CASE WHEN n_frames <= 0 THEN 0
+        |                 ELSE CAST(CEIL(n_frames / 4.0) AS INTEGER) END AS INTEGER)
+        |         AS n_sampled
+        |FROM m ORDER BY doc_id""".stripMargin,
   )
 }

@@ -156,9 +156,10 @@ object Similarity extends QueryModule {
     * centroid, tie-broken by cid) → (centroid = member mean). The mean is
     * computed the q_pagerank way — components in integer micro-units,
     * exact BIGINT sums (order-independent, so partition merge order cannot
-    * perturb it), FLOOR division `(s − pmod(s, n)) div n` (Spark's `div`
-    * truncates toward zero but DuckDB's `//` floors; the pmod form floors
-    * in both for negative sums) — then rounded through FLOAT so both
+    * perturb it), integral division `div(s, n)` — Spark `div` and DuckDB
+    * `//` BOTH truncate toward zero (verified empirically on negatives;
+    * an earlier pmod-floor form here assumed `//` floors and would have
+    * diverged on a negative component sum) — then rounded through FLOAT so both
     * engines subsequently run cosine over bit-identical values. A centroid
     * that loses all members keeps its previous position (left join +
     * coalesce). Every step is a pure function of the data, which is what
@@ -190,7 +191,7 @@ object Similarity extends QueryModule {
         .groupBy(col("cid"))
         .agg(expr(
           """transform(array_sort(collect_list(struct(dim, s, n))),
-            |  t -> CAST(CAST((t.s - pmod(t.s, t.n)) div t.n AS DOUBLE) / 1e6 AS FLOAT))""".stripMargin)
+            |  t -> CAST(CAST(t.s div t.n AS DOUBLE) / 1e6 AS FLOAT))""".stripMargin)
           .as("nvec"))
       cent = cent.join(means, Seq("cid"), "left")
         .select(col("cid"), coalesce(col("nvec"), col("cvec")).as("cvec"))

@@ -147,6 +147,29 @@ class BehaviorSpec extends SparkSpec {
     assert(rows(90) == (3L, 600000L))
   }
 
+  test("growth: integral-division ppm agrees with DuckDB semantics on negative weeks") {
+    import spark.implicits._
+    val d = java.nio.file.Files.createTempDirectory("growth").toString
+    // three Mondays: 100.00 → 150.00 (+50%) → 100.00 (−1/3). Both engines
+    // TRUNCATE integral division toward zero (Spark div ≡ DuckDB //,
+    // verified empirically), so −1/3 ppm is −333333, not floor's −333334.
+    Seq((1L, 1L, 100.0, "2024-03-04"), (2L, 1L, 150.0, "2024-03-11"),
+        (3L, 1L, 100.0, "2024-03-18"))
+      .map { case (ok, ck, p, day) =>
+        (ok, ck, "O", p, java.sql.Timestamp.valueOf(s"$day 00:00:00"), "1-URGENT")
+      }
+      .toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "o_orderpriority")
+      .write.mode("overwrite").parquet(s"$d/orders.parquet")
+    val rows = Behavior.qGrowth(spark, d).collect()
+      .map(r => r.getDate(0).toString ->
+        (r.getLong(1), if (r.isNullAt(3)) None else Some(r.getLong(3)))).toMap
+    assert(rows("2024-03-04") == (10000L, None))
+    assert(rows("2024-03-11") == (15000L, Some(500000L)))
+    assert(rows("2024-03-18") == (10000L, Some(-333333L)),
+      "negative growth must TRUNCATE toward zero in both engines")
+  }
+
   test("paragraph dedup: keep-first across docs, intra-doc repeats dropped") {
     import spark.implicits._
     val d = java.nio.file.Files.createTempDirectory("paradedup").toString

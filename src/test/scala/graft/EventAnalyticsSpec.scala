@@ -270,6 +270,28 @@ class EventAnalyticsSpec extends SparkSpec {
     assert(got.toSeq == want)
   }
 
+  test("cart sessions: same user converts in one session, abandons in another") {
+    import spark.implicits._
+    def t(s: String) = Timestamp.valueOf(s)
+    val d = java.nio.file.Files.createTempDirectory("cart").toString
+    // user 1 session A: view+click+purchase (converted); then a 31-min gap;
+    // session B: view+click only (abandoned). user 2: lone error session.
+    Seq(
+      (1L, t("2024-01-01 10:00:00"), 1L, "view"),
+      (2L, t("2024-01-01 10:05:00"), 1L, "click"),
+      (3L, t("2024-01-01 10:10:00"), 1L, "purchase"),
+      (4L, t("2024-01-01 10:42:00"), 1L, "view"),
+      (5L, t("2024-01-01 10:43:00"), 1L, "click"),
+      (6L, t("2024-01-02 09:00:00"), 2L, "error"),
+    ).toDF("event_id", "ts", "user_id", "event_type")
+      .withColumn("value", lit(1.0)).withColumn("props", lit("{}"))
+      .withColumn("ts", (unix_micros(col("ts")) * 1000).as("ts"))
+      .write.mode("overwrite").parquet(s"$d/events.parquet")
+    val census = EventAnalytics.qCartSessions(spark, d).collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getInt(2)) -> r.getLong(3)).toMap
+    assert(census == Map((1, 1, 1) -> 1L, (1, 1, 0) -> 1L, (0, 0, 0) -> 1L))
+  }
+
   test("win_streak: islands split on missing days; multi-event days count once") {
     import spark.implicits._
     def t(s: String) = Timestamp.valueOf(s)

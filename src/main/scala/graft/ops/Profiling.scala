@@ -355,6 +355,34 @@ object Profiling extends QueryModule {
       .orderBy(col("event_type"))
   }
 
+  /** Join-key skew audit — the measurement that decides whether a key
+    * needs salting (`Scale.saltedJoin`) or AQE skew handling BEFORE the
+    * job runs: the 10 hottest l_partkey values with their row share, each
+    * carrying the global skew factor (hottest key's count ÷ mean count,
+    * in thousandths — >> 1000 means one reducer owns a multiple of its
+    * fair share).
+    *
+    * Scale shape: one partial-aggregated groupBy on the key, a
+    * TakeOrderedAndProject for the top-10 (never a global sort), and a
+    * one-row summary broadcast onto them. All-integer arithmetic:
+    * share_ppm and skew_x1000 are BIGINT products and divisions. */
+  def qSkewAudit(spark: SparkSession, dir: String): DataFrame = {
+    val cnts = Tables.lineitem(spark, dir)
+      .groupBy(col("l_partkey")).agg(count(lit(1)).as("cnt"))
+    val summary = cnts.agg(
+      sum(col("cnt")).as("total"),
+      count(lit(1)).as("n_keys"),
+      max(col("cnt")).as("max_cnt"))
+    cnts
+      .orderBy(col("cnt").desc, col("l_partkey"))
+      .limit(10)
+      .crossJoin(broadcast(summary))
+      .select(col("l_partkey"), col("cnt"),
+        expr("div(1000000 * cnt, total)").as("share_ppm"),
+        expr("div(1000 * max_cnt * n_keys, total)").as("skew_x1000"))
+      .orderBy(col("cnt").desc, col("l_partkey"))
+  }
+
   /** MAD (median-absolute-deviation) robust outliers per event type — the
     * third member of the outlier family next to [[qAnomalyZscore]] (mean ±
     * kσ: cheap, but the outliers themselves inflate σ) and [[qOutlierIqr]]
@@ -439,6 +467,7 @@ object Profiling extends QueryModule {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_skew_audit"     -> (qSkewAudit _),
     "q_anomaly_mad"    -> (qAnomalyMad _),
     "q_benford"        -> (qBenford _),
     "q_outlier_iqr"    -> (qOutlierIqr _),
@@ -453,6 +482,21 @@ object Profiling extends QueryModule {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_skew_audit" ->
+      """WITH cnts AS (
+        |  SELECT l_partkey, COUNT(*) AS cnt FROM lineitem GROUP BY l_partkey),
+        |summary AS (
+        |  SELECT CAST(SUM(cnt) AS BIGINT) AS total, COUNT(*) AS n_keys,
+        |         MAX(cnt) AS max_cnt
+        |  FROM cnts),
+        |top AS (
+        |  SELECT l_partkey, cnt FROM cnts
+        |  ORDER BY cnt DESC, l_partkey LIMIT 10)
+        |SELECT l_partkey, cnt,
+        |       (1000000 * cnt) // total AS share_ppm,
+        |       (1000 * max_cnt * n_keys) // total AS skew_x1000
+        |FROM top CROSS JOIN summary
+        |ORDER BY cnt DESC, l_partkey""".stripMargin,
     "q_anomaly_mad" ->
       """WITH cents AS (
         |  SELECT event_type, event_id, CAST(ROUND(value * 100) AS BIGINT) AS c

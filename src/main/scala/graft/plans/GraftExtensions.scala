@@ -18,5 +18,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((SubTokenCount.ident, SubTokenCount.info,
       SubTokenCount.builder))
     ext.injectOptimizerRule(_ => LevenshteinGuard)
+    // the per-group top-k physical operator: sessions built with the
+    // extensions plan TopKPerGroupPlan without needing the runtime
+    // experimental-strategies registration in TopKPerGroup.apply
+    ext.injectPlannerStrategy(_ => TopKPerGroup.Strategy)
   }
 }

@@ -150,6 +150,26 @@ class ProfilingSpec extends SparkSpec {
     }
   }
 
+  test("skew audit: planted hot key tops the list with exact share and skew factor") {
+    import spark.implicits._
+    val d = java.nio.file.Files.createTempDirectory("skew").toString
+    // key 7 appears 6 times; keys 1..4 once each → total 10, n_keys 5,
+    // max 6. share(7) = 600000 ppm; skew = 1000·6·5/10 = 3000.
+    val rows = (Seq.fill(6)(7L) ++ Seq(1L, 2L, 3L, 4L)).zipWithIndex.map {
+      case (pk, i) => (i.toLong, pk, 1L, i + 1, 1.0, 10.0, 0.0, 0.0, "N", "O",
+        java.sql.Timestamp.valueOf("2024-01-01 00:00:00"))
+    }
+    rows.toDF("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+      "l_quantity", "l_extendedprice", "l_discount", "l_tax",
+      "l_returnflag", "l_linestatus", "l_shipdate")
+      .write.mode("overwrite").parquet(s"$d/lineitem.parquet")
+    val got = Profiling.qSkewAudit(spark, d).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.head == (7L -> (6L, 600000L, 3000L)))
+    assert(got.length == 5)
+    assert(got.map(_._1).toSeq == Seq(7L, 1L, 2L, 3L, 4L), "desc count, key tiebreak")
+  }
+
   test("mad outliers: hand-computed medians, zero-MAD degenerate case") {
     import spark.implicits._
     val d = java.nio.file.Files.createTempDirectory("mad").toString

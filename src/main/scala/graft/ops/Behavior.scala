@@ -22,9 +22,12 @@ object Behavior extends QueryModule {
     * Scale shape: the pair generator is a self-equi-join on the
     * HIGH-cardinality l_orderkey (never on part), so the blowup per order
     * is C(items,2) with items bounded by order size (~7 in TPC-H-shaped
-    * data) — linear in orders, one shuffle. Per-item counts land in a
-    * #parts-sized table that BROADCASTS to the pair side twice; the basket
-    * total N rides along as a broadcast literal via a one-row cross join.
+    * data) — linear in orders, one shuffle. The per-item count table grows
+    * with |parts|, so it carries NO broadcast hint: AQE broadcasts it at
+    * small scale and falls back to a hash join keyed on the pair columns
+    * when the catalog outgrows the broadcast budget (forcing a broadcast
+    * here is exactly the 100 TB OOM). The basket total N is genuinely one
+    * row and rides along as a broadcast cross join.
     * Lift = N·c(ab)/(c(a)·c(b)) — products are formed in DECIMAL(38,0)
     * (BIGINT c(a)·c(b) overflows past ~3 B baskets), cast to DOUBLE only
     * for the final single division (IEEE round-to-nearest, deterministic
@@ -41,8 +44,8 @@ object Behavior extends QueryModule {
       .agg(count(lit(1)).as("c_ab"))
       .filter(col("c_ab") >= 3)
     pairs
-      .join(broadcast(itemCnt.withColumnRenamed("pk", "pk1").withColumnRenamed("c", "c1")), "pk1")
-      .join(broadcast(itemCnt.withColumnRenamed("pk", "pk2").withColumnRenamed("c", "c2")), "pk2")
+      .join(itemCnt.withColumnRenamed("pk", "pk1").withColumnRenamed("c", "c1"), "pk1")
+      .join(itemCnt.withColumnRenamed("pk", "pk2").withColumnRenamed("c", "c2"), "pk2")
       .crossJoin(broadcast(n))
       .select(col("pk1"), col("pk2"), col("c_ab"), col("c1"), col("c2"),
         round(

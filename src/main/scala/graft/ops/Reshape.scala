@@ -133,7 +133,37 @@ object Reshape extends QueryModule {
     finally views.foreach { case (n, _) => spark.catalog.dropTempView(n) }
   }
 
+  /** Deterministic train/val/test holdout split — the assignment every
+    * training pipeline must get right: membership is a pure function of
+    * the DOCUMENT ID (salted md5 → uniform u32; <80% train, <90% val,
+    * rest test), so re-running, repartitioning, or appending data never
+    * moves an existing document across splits (no leakage from val into a
+    * future train run). Map-only assignment + a 3-group census with exact
+    * ppm shares; the per-doc assignment is what a pipeline joins on, the
+    * census is the auditable face. Thresholds are exact integer u32
+    * cutoffs (floor(0.8·2^32), floor(0.9·2^32)) — no float rate compare. */
+  def qSampleSplit(spark: SparkSession, dir: String): DataFrame = {
+    val trainCut = 3435973836L // floor(0.8 * 2^32)
+    val valCut   = 3865470565L // floor(0.9 * 2^32)
+    val assigned = Tables.documents(spark, dir)
+      .withColumn("u32",
+        conv(substring(md5(concat(lit("split:"), col("doc_id").cast("string"))), 1, 8),
+          16, 10).cast("long"))
+      .withColumn("split",
+        when(col("u32") < trainCut, "train")
+          .when(col("u32") < valCut, "val")
+          .otherwise("test"))
+    assigned.groupBy(col("split"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("n_chars"))
+      .withColumn("total", sum(col("n_docs")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy()))
+      .select(col("split"), col("n_docs"), col("n_chars"),
+        expr("div(1000000 * n_docs, total)").as("share_ppm"))
+      .orderBy(col("split"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_sample_split"      -> (qSampleSplit _),
     "q_pivot"             -> (qPivot _),
     "q_unpivot"           -> (qUnpivot _),
     "q_sql_subquery"      -> (qSqlSubquery _),
@@ -143,6 +173,24 @@ object Reshape extends QueryModule {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_sample_split" ->
+      """WITH assigned AS (
+        |  SELECT doc_id, n_chars,
+        |         CAST(('0x' || SUBSTR(MD5('split:' || CAST(doc_id AS VARCHAR)), 1, 8))
+        |              AS BIGINT) AS u32
+        |  FROM documents),
+        |labeled AS (
+        |  SELECT CASE WHEN u32 < 3435973836 THEN 'train'
+        |              WHEN u32 < 3865470565 THEN 'val'
+        |              ELSE 'test' END AS split,
+        |         n_chars
+        |  FROM assigned),
+        |census AS (
+        |  SELECT split, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS n_chars
+        |  FROM labeled GROUP BY split)
+        |SELECT split, n_docs, n_chars,
+        |       (1000000 * n_docs) // CAST(SUM(n_docs) OVER () AS BIGINT) AS share_ppm
+        |FROM census ORDER BY split""".stripMargin,
     "q_sample_weighted" ->
       """WITH clocked AS (
         |  SELECT o_orderkey, o_totalprice,

@@ -42,4 +42,29 @@ class ReshapeSpec extends SparkSpec {
     if (other >= 50)
       assert(math.abs(byStratum.getOrElse("other", 0L).toDouble / other - 0.1) < 0.1)
   }
+
+  test("sample split: exhaustive census near 80/10/10; assignment is append-stable") {
+    val census = Reshape.qSampleSplit(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(3))).toMap
+    val total = Tables.documents(spark, sf).count()
+    assert(census.keySet == Set("train", "val", "test"))
+    assert(census.values.map(_._1).sum == total, "splits partition the corpus")
+    assert(math.abs(census("train")._2 - 800000L) < 100000L)
+    // append-stability: membership is a pure function of doc_id, so the
+    // same doc must land in the same split when computed on any subset —
+    // the no-leakage guarantee an appended corpus depends on
+    val d = java.nio.file.Files.createTempDirectory("split").toString
+    Tables.documents(spark, sf).filter(col("doc_id") % 3 === 0)
+      .write.mode("overwrite").parquet(s"$d/documents.parquet")
+    val subsetTrain = Reshape.qSampleSplit(spark, d).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // recompute the subset's expected census from the full assignment
+    import org.apache.spark.sql.functions.{col => c}
+    val u32 = conv(substring(md5(concat(lit("split:"), c("doc_id").cast("string"))), 1, 8), 16, 10).cast("long")
+    val expected = Tables.documents(spark, sf).filter(c("doc_id") % 3 === 0)
+      .withColumn("split",
+        when(u32 < 3435973836L, "train").when(u32 < 3865470565L, "val").otherwise("test"))
+      .groupBy("split").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(subsetTrain == expected, "subset assignments must equal full-corpus assignments")
+  }
 }

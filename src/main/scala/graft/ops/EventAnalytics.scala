@@ -418,7 +418,40 @@ object EventAnalytics extends QueryModule {
       .orderBy(col("has_view"), col("has_click"), col("has_purchase"))
   }
 
+  /** DAU / MAU / stickiness — the engagement dashboard's headline row:
+    * per observation day, distinct users active THAT day (DAU), distinct
+    * users active in the trailing 28 days (MAU), and DAU/MAU in ppm.
+    *
+    * Scale shape: the trailing-window membership is NOT a range join (a
+    * nested-loop spine×activity probe evaluates |days|·|activity| pairs) —
+    * each (user, active-day) row explodes to the ≤28 observation days it
+    * contributes to (bounded map-side fanout, the q_join_interval
+    * day-bucketing idiom), then ONE distinct-count aggregation per
+    * observation day; observation days outside the data's day spine are
+    * dropped by an inner join against the (calendar-bounded, broadcast)
+    * day spine. All integer day arithmetic from the epoch. */
+  def qActiveUsers(spark: SparkSession, dir: String): DataFrame = {
+    val act = Tables.events(spark, dir)
+      .select(col("user_id"),
+        datediff(col("ts").cast("date"), lit("1970-01-01").cast("date")).as("day"))
+      .distinct()
+    val spine = act.select(col("day")).distinct()
+    val contrib = act
+      .select(col("user_id"), explode(expr("sequence(day, day + 27)")).as("obs_day"))
+      .join(broadcast(spine.withColumnRenamed("day", "obs_day")), "obs_day")
+    val mau = contrib.groupBy(col("obs_day"))
+      .agg(countDistinct(col("user_id")).as("mau"))
+    val dau = act.groupBy(col("day")).agg(countDistinct(col("user_id")).as("dau"))
+    dau.join(mau, dau("day") === mau("obs_day"))
+      .select(
+        date_add(lit("1970-01-01").cast("date"), col("day")).as("d"),
+        col("dau"), col("mau"),
+        expr("div(1000000 * dau, mau)").as("stickiness_ppm"))
+      .orderBy(col("d"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_active_users" -> (qActiveUsers _),
     "q_cart_sessions" -> (qCartSessions _),
     "q_win_streak" -> (qWinStreak _),
     "q_conversion_lag" -> (qConversionLag _),
@@ -463,6 +496,25 @@ object EventAnalytics extends QueryModule {
       |  FROM ver GROUP BY user_id, version)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "q_active_users" ->
+      """WITH act AS (
+        |  SELECT DISTINCT user_id,
+        |         DATEDIFF('day', DATE '1970-01-01', CAST(ts AS DATE)) AS day
+        |  FROM events),
+        |spine AS (SELECT DISTINCT day FROM act),
+        |contrib AS (
+        |  SELECT a.user_id, a.day + i AS obs_day
+        |  FROM act a, UNNEST(RANGE(0, 28)) AS u(i)
+        |  WHERE EXISTS (SELECT 1 FROM spine s WHERE s.day = a.day + i)),
+        |mau AS (
+        |  SELECT obs_day, COUNT(DISTINCT user_id) AS mau
+        |  FROM contrib GROUP BY obs_day),
+        |dau AS (
+        |  SELECT day, COUNT(DISTINCT user_id) AS dau FROM act GROUP BY day)
+        |SELECT DATE '1970-01-01' + CAST(d.day AS INT) AS d, dau, mau,
+        |       (1000000 * dau) // mau AS stickiness_ppm
+        |FROM dau d JOIN mau m ON d.day = m.obs_day
+        |ORDER BY d""".stripMargin,
     "q_cart_sessions" ->
       """WITH e AS (
         |  SELECT user_id, event_id, event_type, epoch_us(ts) AS tus FROM events),

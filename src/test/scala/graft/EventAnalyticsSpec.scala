@@ -270,6 +270,27 @@ class EventAnalyticsSpec extends SparkSpec {
     assert(got.toSeq == want)
   }
 
+  test("active users: trailing-28d MAU counts distinct users, stickiness exact") {
+    import spark.implicits._
+    def t(s: String) = Timestamp.valueOf(s)
+    val d = java.nio.file.Files.createTempDirectory("dau").toString
+    // user 1 active Mar 1 (twice — one day) and Mar 11; user 2 active Mar 1.
+    // Mar 1: DAU 2, MAU 2 → 1000000 ppm. Mar 11: DAU 1, MAU 2 → 500000.
+    Seq(
+      (1L, t("2024-03-01 10:00:00"), 1L), (2L, t("2024-03-01 15:00:00"), 1L),
+      (3L, t("2024-03-01 11:00:00"), 2L), (4L, t("2024-03-11 09:00:00"), 1L),
+    ).toDF("event_id", "ts", "user_id")
+      .withColumn("event_type", lit("view"))
+      .withColumn("value", lit(1.0)).withColumn("props", lit("{}"))
+      .withColumn("ts", (unix_micros(col("ts")) * 1000).as("ts"))
+      .write.mode("overwrite").parquet(s"$d/events.parquet")
+    val rows = EventAnalytics.qActiveUsers(spark, d).collect()
+      .map(r => r.getDate(0).toString -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(rows == Map(
+      "2024-03-01" -> (2L, 2L, 1000000L),
+      "2024-03-11" -> (1L, 2L, 500000L)))
+  }
+
   test("cart sessions: same user converts in one session, abandons in another") {
     import spark.implicits._
     def t(s: String) = Timestamp.valueOf(s)

@@ -202,4 +202,22 @@ class PropertySpec extends AnyFunSuite {
         "infinite gap yields exactly one session per key")
     }
   }
+
+  test("TopKPerGroup ≡ window row_number filter for any data and k") {
+    forAllSamples2(rows, Gen.chooseNum(1, 6)) { (data, k) =>
+      val d = data.zipWithIndex.map { case ((g, v, _), i) => (g, v, i.toLong) }
+      val s = spark
+      import s.implicits._
+      val in = d.toDF("g", "v", "id")
+      val native = graft.plans.TopKPerGroup(
+          in, Seq("g"), Seq("v" -> true, "id" -> false), k)
+        .select(col("g"), col("v"), col("id"), col("rn"))
+        .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2), r.getLong(3))).toSet
+      val expected = d.groupBy(_._1).flatMap { case (_, vs) =>
+        vs.sortBy { case (_, v, id) => (-v, id) }.take(k).zipWithIndex
+          .map { case ((g, v, id), i) => (g, v, id, (i + 1).toLong) }
+      }.toSet
+      assert(native == expected, s"k=$k")
+    }
+  }
 }

@@ -157,6 +157,56 @@ object EventAnalytics extends QueryModule {
           .as("filled_sum"))
   }
 
+  /** Linear interpolation of each user's sparse daily value series — the
+    * missing-data repair a feature pipeline applies before modeling, and
+    * the linear sibling of [[qGapfill]]'s forward fill: the same per-user
+    * calendar spine, but a gap day takes the distance-weighted average of
+    * the two enclosing ACTIVE days, (vp·(dn−d) + vn·(d−dp)) / (dn−dp),
+    * instead of carrying vp forward. Gap days always have both neighbors
+    * because the spine runs from each user's first to last active day.
+    *
+    * Determinism: daily sums are exact BIGINT cents and day distances
+    * exact integers, so the one final division of two < 2^53 integers
+    * produces bit-identical doubles in both engines. Scale shape: one
+    * map-side-combinable shuffle to the per-(user, day) rollup; the spine
+    * explode and all four prev/next lookups partition by user_id — high
+    * cardinality, and each partition is bounded by the CALENDAR SPAN, not
+    * event volume (100× more events grows the rollup input, which partial
+    * aggregation absorbs before the shuffle, never the window input). The
+    * four lookups share one partitioning and ordering, so they run in a
+    * single sort, and the ascending-order following frame needs no second
+    * sort (WindowExec evaluates both frame directions in one pass). */
+  def qInterpolate(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val daily = Tables.events(spark, dir)
+      .select(col("user_id"), col("ts").cast("date").as("d"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("vc"))
+      .groupBy(col("user_id"), col("d"))
+      .agg(count(lit(1)).as("n_day"), sum(col("vc")).as("vc_day"))
+    val spine = daily.groupBy(col("user_id"))
+      .agg(min(col("d")).as("_d0"), max(col("d")).as("_d1"))
+      .select(col("user_id"),
+        explode(expr("sequence(_d0, _d1, interval 1 day)")).as("d"))
+    val base = Window.partitionBy(col("user_id")).orderBy(col("d"))
+    val wPrev = base.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wNext = base.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    spine.join(daily, Seq("user_id", "d"), "left")
+      .withColumn("vp", last(col("vc_day"), ignoreNulls = true).over(wPrev))
+      .withColumn("dp",
+        last(when(col("vc_day").isNotNull, col("d")), ignoreNulls = true).over(wPrev))
+      .withColumn("vn", first(col("vc_day"), ignoreNulls = true).over(wNext))
+      .withColumn("dn",
+        first(when(col("vc_day").isNotNull, col("d")), ignoreNulls = true).over(wNext))
+      .select(col("user_id"), col("d"),
+        coalesce(col("n_day"), lit(0L)).as("n_events"),
+        when(col("vc_day").isNotNull, col("vc_day").cast("double") / 100.0)
+          .otherwise(expr(
+            "CAST(vp * datediff(dn, d) + vn * datediff(d, dp) AS DOUBLE)" +
+              " / CAST(datediff(dn, dp) * 100 AS DOUBLE)")).as("value"),
+        col("vc_day").isNull.cast("int").as("interp"))
+      .orderBy(col("user_id"), col("d"))
+  }
+
   /** Path analysis: the most common within-session event-type journeys
     * (first 8 steps), with session count and distinct-user reach — the
     * Sankey/flow primitive. Sessions come from the same gaps-and-islands
@@ -463,6 +513,7 @@ object EventAnalytics extends QueryModule {
     "q_retention" -> (qRetention _),
     "q_sessionize" -> (qSessionize _),
     "q_gapfill"   -> (qGapfill _),
+    "q_interpolate" -> (qInterpolate _),
     "q_event_path" -> (qEventPath _),
   )
 
@@ -707,6 +758,38 @@ object EventAnalytics extends QueryModule {
         |         AS filled_sum
         |FROM spine s LEFT JOIN daily dy ON s.user_id = dy.user_id AND s.d = dy.d
         |ORDER BY s.user_id, s.d""".stripMargin,
+    "q_interpolate" ->
+      """WITH daily AS (
+        |  SELECT user_id, CAST(ts AS DATE) AS d, COUNT(*) AS n_day,
+        |         CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS vc_day
+        |  FROM events GROUP BY user_id, CAST(ts AS DATE)),
+        |spine AS (
+        |  SELECT user_id,
+        |         CAST(UNNEST(GENERATE_SERIES(CAST(MIN(d) AS TIMESTAMP),
+        |           CAST(MAX(d) AS TIMESTAMP), INTERVAL 1 DAY)) AS DATE) AS d
+        |  FROM daily GROUP BY user_id),
+        |f AS (
+        |  SELECT s.user_id, s.d, dy.n_day, dy.vc_day,
+        |    LAST_VALUE(dy.vc_day IGNORE NULLS) OVER (
+        |      PARTITION BY s.user_id ORDER BY s.d
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS vp,
+        |    LAST_VALUE(CASE WHEN dy.vc_day IS NOT NULL THEN s.d END IGNORE NULLS) OVER (
+        |      PARTITION BY s.user_id ORDER BY s.d
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS dp,
+        |    FIRST_VALUE(dy.vc_day IGNORE NULLS) OVER (
+        |      PARTITION BY s.user_id ORDER BY s.d
+        |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS vn,
+        |    FIRST_VALUE(CASE WHEN dy.vc_day IS NOT NULL THEN s.d END IGNORE NULLS) OVER (
+        |      PARTITION BY s.user_id ORDER BY s.d
+        |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS dn
+        |  FROM spine s LEFT JOIN daily dy ON s.user_id = dy.user_id AND s.d = dy.d)
+        |SELECT user_id, d, COALESCE(n_day, 0) AS n_events,
+        |  CASE WHEN vc_day IS NOT NULL THEN CAST(vc_day AS DOUBLE) / 100.0
+        |       ELSE CAST(vp * DATE_DIFF('day', d, dn) + vn * DATE_DIFF('day', dp, d)
+        |                 AS DOUBLE)
+        |            / CAST(DATE_DIFF('day', dp, dn) * 100 AS DOUBLE) END AS value,
+        |  CAST(vc_day IS NULL AS INT) AS interp
+        |FROM f ORDER BY user_id, d""".stripMargin,
     "q_retention" ->
       """WITH first AS (
         |  SELECT user_id, CAST(DATE_TRUNC('week', MIN(ts)) AS DATE) AS cohort

@@ -466,7 +466,47 @@ object Profiling extends QueryModule {
       .orderBy(col("digit"))
   }
 
+  /** Risky classes must exist for the audit to be interesting but the
+    * threshold must not swallow the whole census: k = 10 flags 35 of the
+    * 125 (nation, segment) classes at sf0.01. */
+  private val KAnonThreshold = 10
+
+  /** k-anonymity audit over the (c_nationkey, c_mktsegment) quasi-identifier
+    * — the privacy screen a release pipeline runs before publishing a
+    * derived table: every equivalence class smaller than k (the classes
+    * whose members a linker holding the quasi-identifier could re-identify),
+    * with the dataset-wide k-anonymity (smallest class anywhere), the class
+    * census size, and the ppm of all rows sitting in a risky class attached
+    * to every output row.
+    *
+    * Scale shape: ONE hash aggregation over the quasi-identifier builds the
+    * class census (map-side combinable — the shuffle carries at most the
+    * quasi-ID cardinality per partition, never raw rows); the global summary
+    * is a second aggregate over the CLASS table, whose size is bounded by
+    * quasi-ID cardinality, not row count, broadcast back as a one-row cross
+    * join (the [[qFkAudit]] pattern). A flat window over () on the class
+    * table would funnel every class through one task at 100×; the
+    * aggregate-then-broadcast shape never does. All counts and the ppm are
+    * exact integers in both engines. */
+  def qKanon(spark: SparkSession, dir: String): DataFrame = {
+    val cls = Tables.customer(spark, dir)
+      .groupBy(col("c_nationkey"), col("c_mktsegment"))
+      .agg(count(lit(1)).as("cnt"))
+    val summary = cls.agg(
+        min(col("cnt")).as("k_anon"),
+        count(lit(1)).as("n_classes"),
+        sum(col("cnt")).as("total"),
+        sum(when(col("cnt") < KAnonThreshold, col("cnt")).otherwise(0L))
+          .as("risky_rows"))
+      .select(col("k_anon"), col("n_classes"),
+        expr("div(1000000 * risky_rows, total)").as("risky_ppm"))
+    cls.where(col("cnt") < KAnonThreshold)
+      .crossJoin(broadcast(summary))
+      .orderBy(col("cnt"), col("c_nationkey"), col("c_mktsegment"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_kanon"          -> (qKanon _),
     "q_skew_audit"     -> (qSkewAudit _),
     "q_anomaly_mad"    -> (qAnomalyMad _),
     "q_benford"        -> (qBenford _),
@@ -482,6 +522,19 @@ object Profiling extends QueryModule {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_kanon" ->
+      """WITH cls AS (
+        |  SELECT c_nationkey, c_mktsegment, COUNT(*) AS cnt
+        |  FROM customer GROUP BY c_nationkey, c_mktsegment),
+        |summary AS (
+        |  SELECT MIN(cnt) AS k_anon, COUNT(*) AS n_classes,
+        |         (1000000 * CAST(SUM(CASE WHEN cnt < 10 THEN cnt ELSE 0 END) AS BIGINT))
+        |           // CAST(SUM(cnt) AS BIGINT) AS risky_ppm
+        |  FROM cls)
+        |SELECT c_nationkey, c_mktsegment, cnt, k_anon, n_classes, risky_ppm
+        |FROM cls CROSS JOIN summary
+        |WHERE cnt < 10
+        |ORDER BY cnt, c_nationkey, c_mktsegment""".stripMargin,
     "q_skew_audit" ->
       """WITH cnts AS (
         |  SELECT l_partkey, COUNT(*) AS cnt FROM lineitem GROUP BY l_partkey),

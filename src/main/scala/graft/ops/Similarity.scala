@@ -335,7 +335,42 @@ object Similarity extends QueryModule {
       .orderBy(col("v1"), col("v2"))
   }
 
+  /** Upper-triangle Gram matrix of the embedding corpus — G[i][j] =
+    * Σ_rows e[i]·e[j], the d×d moment matrix a PCA / whitening /
+    * covariance pass starts from (subtracting the mean outer product,
+    * also derivable from these sums, turns it into the covariance).
+    * Components are quantized to integer micro-units ONCE (the same
+    * `round(x * 1e6)` discipline as [[ivfCentroids]]), so every product
+    * and every running sum is exact integer arithmetic; the single final
+    * division of an exactly-representable integer (|Σ| < 2^53 up to ~10^5
+    * vectors at micro-unit scale, far past any test SF) by the constant
+    * 1e12 produces bit-identical doubles in both engines.
+    *
+    * Scale shape: the double posexplode blows each row into d(d+1)/2
+    * triples, but hash aggregation combines them MAP-SIDE into at most
+    * 2,080 groups per partition before the one tiny shuffle — raw vectors
+    * never shuffle, and shuffle volume is O(partitions · d²) regardless of
+    * corpus size. The d² CPU blowup stays inside whole-stage codegen
+    * (Generate → HashAggregate, no UDF); at much larger d the stated
+    * alternative is a typed Aggregator carrying a d×d long array (no row
+    * blowup, same result), the [[graft.ops.Scale]] bloom-build pattern. */
+  def qGramMatrix(spark: SparkSession, dir: String): DataFrame = {
+    val q = Tables.embeddings(spark, dir)
+      .select(expr("transform(embedding, v -> CAST(round(v * 1e6) AS BIGINT))")
+        .as("qv"))
+    q.select(col("qv"), posexplode(col("qv"))).toDF("qv", "i", "vi")
+      .select(col("i"), col("vi"), posexplode(col("qv"))).toDF("i", "vi", "j", "vj")
+      .filter(col("j") >= col("i"))
+      .groupBy(col("i"), col("j"))
+      .agg(count(lit(1)).as("n"),
+        sum(expr("CAST(vi * vj AS DECIMAL(38,0))")).as("s"))
+      .select(col("i"), col("j"), col("n"),
+        (col("s").cast("double") / 1e12).as("gram"))
+      .orderBy(col("i"), col("j"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_gram_matrix"        -> (qGramMatrix _),
     "q_cosine_topk"        -> (qCosineTopk _),
     "q_cosine_topk_native" -> (qCosineTopkNative _),
     "q_rag_retrieve"       -> (qRagRetrieve _),
@@ -472,6 +507,18 @@ object Similarity extends QueryModule {
       |    FROM e CROSS JOIN cent c) WHERE rn = 1)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "q_gram_matrix" ->
+      """WITH q AS (
+        |  SELECT vec_id,
+        |         LIST_TRANSFORM(embedding, v -> CAST(ROUND(v * 1e6) AS BIGINT)) AS qv
+        |  FROM embeddings),
+        |ex AS (
+        |  SELECT vec_id, UNNEST(qv) AS v, UNNEST(RANGE(LEN(qv))) AS i FROM q)
+        |SELECT a.i, b.i AS j, COUNT(*) AS n,
+        |       CAST(SUM(CAST(a.v * b.v AS HUGEINT)) AS DOUBLE) / 1e12 AS gram
+        |FROM ex a JOIN ex b ON a.vec_id = b.vec_id AND b.i >= a.i
+        |GROUP BY a.i, b.i
+        |ORDER BY a.i, b.i""".stripMargin,
     "q_rank_fusion" ->
       """WITH q AS (
         |  SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0),

@@ -114,6 +114,31 @@ class EventAnalyticsSpec extends SparkSpec {
     assert(rows("2024-01-04") == ((1L, 8.0)))
   }
 
+  test("interpolate fills gap days linearly between the enclosing active days") {
+    import spark.implicits._
+    def t(s: String) = Timestamp.valueOf(s)
+    val d = java.nio.file.Files.createTempDirectory("interp").toString
+    // user 1: active Jan 1 (sum 10.00) and Jan 4 (sum 40.00) — Jan 2 and 3
+    // interpolate to 20.00 and 30.00; user 2 has no gaps (degenerate spine)
+    Seq(
+      (1L, t("2024-01-01 09:00:00"), 1L, "view", 4.00, "{}"),
+      (2L, t("2024-01-01 15:00:00"), 1L, "view", 6.00, "{}"),
+      (3L, t("2024-01-04 09:00:00"), 1L, "view", 40.00, "{}"),
+      (4L, t("2024-01-02 09:00:00"), 2L, "view", 7.50, "{}"),
+    ).toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .withColumn("ts", (unix_micros(col("ts")) * 1000).as("ts"))
+      .write.mode("overwrite").parquet(s"$d/events.parquet")
+    val rows = EventAnalytics.qInterpolate(spark, d).collect()
+      .map(r => (r.getLong(0), r.getDate(1).toString) ->
+        ((r.getLong(2), r.getDouble(3), r.getInt(4)))).toMap
+    assert(rows.keySet.count(_._1 == 1L) == 4, "user 1 spine covers Jan 1-4")
+    assert(rows((1L, "2024-01-01")) == ((2L, 10.0, 0)))
+    assert(rows((1L, "2024-01-02")) == ((0L, 20.0, 1)), "1/3 of the way 10->40")
+    assert(rows((1L, "2024-01-03")) == ((0L, 30.0, 1)), "2/3 of the way 10->40")
+    assert(rows((1L, "2024-01-04")) == ((1L, 40.0, 0)))
+    assert(rows((2L, "2024-01-02")) == ((1L, 7.5, 0)), "single-day spine intact")
+  }
+
   test("retention week-0 cell equals each cohort's size; offsets non-negative") {
     val ret = EventAnalytics.qRetention(spark, sf)
     assert(ret.filter(col("week_offset") < 0).count() == 0)

@@ -84,6 +84,28 @@ class LlmOpsSpec extends SparkSpec {
     assert(sims.forall(s => s >= -1.0 && s <= 1.0))
   }
 
+  test("gram matrix covers the upper triangle and matches a driver-side replay") {
+    val rows = Similarity.qGramMatrix(spark, sf).collect()
+    val d = 64
+    assert(rows.length == d * (d + 1) / 2, "one row per unordered dim pair")
+    val g = rows.map(r => (r.getInt(0), r.getInt(1)) -> r.getAs[Double]("gram")).toMap
+    assert((0 until d).forall(i => g((i, i)) >= 0.0), "diagonal is a sum of squares")
+    // exact replay of the quantized arithmetic on the collected corpus for a
+    // few pairs — same micro-unit rounding, so equality is bitwise
+    val vecs = Tables.embeddings(spark, sf).collect()
+      .map(_.getAs[scala.collection.Seq[Float]]("embedding")
+        // HALF_UP away from zero — Spark round()'s semantics on negatives,
+        // where math.round (floor(x+0.5)) would disagree at exact halves
+        .map { v =>
+          val x = v.toDouble * 1e6
+          if (x >= 0) math.floor(x + 0.5).toLong else math.ceil(x - 0.5).toLong
+        }.toArray)
+    for ((i, j) <- Seq((0, 0), (0, 63), (7, 31))) {
+      val expected = vecs.map(q => q(i) * q(j)).sum.toDouble / 1e12
+      assert(g((i, j)) == expected, s"gram($i,$j): ${g((i, j))} != $expected")
+    }
+  }
+
   test("ANN LSH results are a high-recall subset of brute-force top-10") {
     val brute = Similarity.qCosineTopk(spark, sf).limit(10).collect()
       .map(_.getLong(0)).toSet

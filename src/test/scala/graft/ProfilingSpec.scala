@@ -37,6 +37,24 @@ class ProfilingSpec extends SparkSpec {
     assert(p("o_orderdate")._3 == Some(1704067200000000.0.toDouble))
   }
 
+  test("kanon flags only sub-threshold classes and attaches exact global stats") {
+    import spark.implicits._
+    val d = java.nio.file.Files.createTempDirectory("kanon").toString
+    // class (1, "A"): 3 members (risky at k=10); class (2, "B"): 12 (safe)
+    val rows = (1L to 3L).map(i => (i, s"c$i", 1, 100.0, "A")) ++
+      (4L to 15L).map(i => (i, s"c$i", 2, 100.0, "B"))
+    rows.toDF("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment")
+      .write.mode("overwrite").parquet(s"$d/customer.parquet")
+    val out = Profiling.qKanon(spark, d).collect()
+    assert(out.length == 1, "only the sub-k class is flagged")
+    val r = out(0)
+    assert(r.getAs[Int]("c_nationkey") == 1 && r.getAs[String]("c_mktsegment") == "A")
+    assert(r.getAs[Long]("cnt") == 3L)
+    assert(r.getAs[Long]("k_anon") == 3L, "dataset k-anonymity is the smallest class")
+    assert(r.getAs[Long]("n_classes") == 2L)
+    assert(r.getAs[Long]("risky_ppm") == 1000000L * 3 / 15)
+  }
+
   test("abtest: planted cohort gap yields a large negative t and sane df") {
     import spark.implicits._
     val d = java.nio.file.Files.createTempDirectory("ab").toString

@@ -42,6 +42,11 @@ object Dedup extends QueryModule {
   private val JaccardThreshold = 0.6
   private val StopShingleDf = 100
 
+  /** Asymmetric-containment contract: inter / min(|A|, |B|) ≥ this flags a
+    * doc-inside-doc pair even when symmetric Jaccard stays low (a short page
+    * embedded in a long one dilutes the union but not the intersection). */
+  private val ContainmentThreshold = 0.5
+
   /** 60-bit integer from the first 15 hex chars of md5 — the cross-engine
     * hash primitive (see module doc). Non-negative by construction. */
   private def md5Hash60(e: String): String =
@@ -460,7 +465,29 @@ object Dedup extends QueryModule {
       .orderBy(col("doc_id"))
   }
 
+  /** Tier 2b: asymmetric containment — directed doc-inside-doc pairs, the
+    * web-scrape case symmetric Jaccard under-scores (boilerplate page
+    * wrapping a short article: the union is large, the intersection is the
+    * whole short doc). Containment = inter / min(n1, n2) over the SAME
+    * rare-shingle candidate machinery as [[qDedupNear]] (inverted-index
+    * join, stop-shingles dropped — never corpus-quadratic); the smaller
+    * document is reported as the contained side (d1 on equal sizes, which
+    * the d1 < d2 candidate order makes deterministic). Both the containment
+    * ratio and the Jaccard are exact small-integer divisions, identical in
+    * both engines. */
+  def qDedupContainment(spark: SparkSession, dir: String): DataFrame =
+    jaccardPairs(spark, dir)
+      .withColumn("cont_raw", col("inter") / least(col("n1"), col("n2")))
+      .filter(col("cont_raw") >= ContainmentThreshold)
+      .select(
+        when(col("n1") <= col("n2"), col("d1")).otherwise(col("d2")).as("contained_id"),
+        when(col("n1") <= col("n2"), col("d2")).otherwise(col("d1")).as("container_id"),
+        round(col("cont_raw"), 6).as("containment"),
+        round(col("jaccard_raw"), 6).as("jaccard"))
+      .orderBy(col("contained_id"), col("container_id"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_dedup_containment" -> (qDedupContainment _),
     "q_dedup_fuzzy"     -> (qFuzzyPairs _),
     "q_dedup_paragraph" -> (qDedupParagraph _),
     "q_dedup_exact"     -> (qDedupExact _),
@@ -511,6 +538,25 @@ object Dedup extends QueryModule {
        |  WHERE CAST(inter AS DOUBLE) / (s1.n_sh + s2.n_sh - inter) >= $JaccardThreshold)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "q_dedup_containment" ->
+      s"""WITH $shingleCtes,
+         |cand AS (
+         |  SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS inter
+         |  FROM postings a JOIN postings b USING (shingle)
+         |  WHERE a.doc_id < b.doc_id GROUP BY d1, d2),
+         |pairs AS (
+         |  SELECT d1, d2, s1.n_sh AS n1, s2.n_sh AS n2,
+         |         CAST(inter AS DOUBLE) / LEAST(s1.n_sh, s2.n_sh) AS cont_raw,
+         |         CAST(inter AS DOUBLE) / (s1.n_sh + s2.n_sh - inter) AS jaccard_raw
+         |  FROM cand
+         |  JOIN sizes s1 ON s1.doc_id = d1
+         |  JOIN sizes s2 ON s2.doc_id = d2)
+         |SELECT CASE WHEN n1 <= n2 THEN d1 ELSE d2 END AS contained_id,
+         |       CASE WHEN n1 <= n2 THEN d2 ELSE d1 END AS container_id,
+         |       ROUND(cont_raw, 6) AS containment,
+         |       ROUND(jaccard_raw, 6) AS jaccard
+         |FROM pairs WHERE cont_raw >= $ContainmentThreshold
+         |ORDER BY contained_id, container_id""".stripMargin,
     "q_dedup_paragraph" ->
       """WITH t AS (
         |  SELECT doc_id, STRING_SPLIT(LOWER(TRIM(text)), ' ') AS toks FROM documents),

@@ -65,6 +65,46 @@ object EventAnalytics extends QueryModule {
       .orderBy(col("cohort"), col("week_offset"))
   }
 
+  /** Cohort lifetime value: for each signup cohort (week of first activity,
+    * the [[qRetention]] convention) and week offset, the number of paying
+    * users, that week's purchase revenue, and the CUMULATIVE revenue per
+    * cohort member — the monetization curve next to retention's activity
+    * curve. Revenue accumulates in exact BIGINT cents; the per-member
+    * division happens once, at output, on a < 2^53 integer — bit-identical
+    * doubles in both engines.
+    *
+    * Scale shape: two map-side-combinable aggregations over events (first
+    * touch per user, revenue per (cohort, offset)) plus one user-keyed
+    * join; the cumulative window runs over the (cohort, offset) table,
+    * bounded by cohorts × calendar weeks, never event volume, and the tiny
+    * cohort-size table joins broadcast. */
+  def qCohortLtv(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = Tables.events(spark, dir)
+    val first = e.groupBy(col("user_id"))
+      .agg(date_trunc("week", min(col("ts"))).cast("date").as("cohort"))
+    val sizes = first.groupBy(col("cohort")).agg(count(lit(1)).as("cohort_size"))
+    val weekly = e.filter(col("event_type") === "purchase")
+      .select(col("user_id"), date_trunc("week", col("ts")).cast("date").as("wk"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("rc"))
+      .join(first, "user_id")
+      .withColumn("week_offset",
+        (datediff(col("wk"), col("cohort")) / 7).cast("int"))
+      .groupBy(col("cohort"), col("week_offset"))
+      .agg(countDistinct(col("user_id")).as("n_payers"),
+        sum(col("rc")).as("rev_c"))
+    val cum = Window.partitionBy(col("cohort")).orderBy(col("week_offset"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    weekly
+      .withColumn("cum_c", sum(col("rev_c")).over(cum))
+      .join(broadcast(sizes), "cohort")
+      .select(col("cohort"), col("week_offset"), col("n_payers"),
+        (col("rev_c").cast("double") / 100.0).as("week_revenue"),
+        expr("CAST(cum_c AS DOUBLE) / CAST(cohort_size * 100 AS DOUBLE)")
+          .as("ltv_per_member"))
+      .orderBy(col("cohort"), col("week_offset"))
+  }
+
   /** Gaps-and-islands sessionization: a user's events split into sessions
     * at every silence > 30 minutes; each session reports its bounds and
     * event count. Two windows and one aggregation, all partitioned by
@@ -191,12 +231,16 @@ object EventAnalytics extends QueryModule {
     val wPrev = base.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val wNext = base.rowsBetween(Window.currentRow, Window.unboundedFollowing)
     spine.join(daily, Seq("user_id", "d"), "left")
-      .withColumn("vp", last(col("vc_day"), ignoreNulls = true).over(wPrev))
-      .withColumn("dp",
-        last(when(col("vc_day").isNotNull, col("d")), ignoreNulls = true).over(wPrev))
-      .withColumn("vn", first(col("vc_day"), ignoreNulls = true).over(wNext))
-      .withColumn("dn",
-        first(when(col("vc_day").isNotNull, col("d")), ignoreNulls = true).over(wNext))
+      // all four lookups in ONE select so the two frames land in as few
+      // Window operators as CollapseWindow allows over the single sort
+      // (successive withColumns interleave Projects that block the merge)
+      .select(col("user_id"), col("d"), col("n_day"), col("vc_day"),
+        last(col("vc_day"), ignoreNulls = true).over(wPrev).as("vp"),
+        last(when(col("vc_day").isNotNull, col("d")), ignoreNulls = true)
+          .over(wPrev).as("dp"),
+        first(col("vc_day"), ignoreNulls = true).over(wNext).as("vn"),
+        first(when(col("vc_day").isNotNull, col("d")), ignoreNulls = true)
+          .over(wNext).as("dn"))
       .select(col("user_id"), col("d"),
         coalesce(col("n_day"), lit(0L)).as("n_events"),
         when(col("vc_day").isNotNull, col("vc_day").cast("double") / 100.0)
@@ -511,6 +555,7 @@ object EventAnalytics extends QueryModule {
     "q_throttle_dedup" -> (qThrottleDedup _),
     "q_funnel"    -> (qFunnel _),
     "q_retention" -> (qRetention _),
+    "q_cohort_ltv" -> (qCohortLtv _),
     "q_sessionize" -> (qSessionize _),
     "q_gapfill"   -> (qGapfill _),
     "q_interpolate" -> (qInterpolate _),
@@ -758,6 +803,30 @@ object EventAnalytics extends QueryModule {
         |         AS filled_sum
         |FROM spine s LEFT JOIN daily dy ON s.user_id = dy.user_id AND s.d = dy.d
         |ORDER BY s.user_id, s.d""".stripMargin,
+    "q_cohort_ltv" ->
+      """WITH first AS (
+        |  SELECT user_id, CAST(DATE_TRUNC('week', MIN(ts)) AS DATE) AS cohort
+        |  FROM events GROUP BY user_id),
+        |sizes AS (SELECT cohort, COUNT(*) AS cohort_size FROM first GROUP BY cohort),
+        |weekly AS (
+        |  SELECT f.cohort,
+        |         CAST(DATE_DIFF('day', f.cohort,
+        |           CAST(DATE_TRUNC('week', e.ts) AS DATE)) / 7 AS INTEGER) AS week_offset,
+        |         COUNT(DISTINCT e.user_id) AS n_payers,
+        |         CAST(SUM(CAST(ROUND(e.value * 100) AS BIGINT)) AS BIGINT) AS rev_c
+        |  FROM events e JOIN first f USING (user_id)
+        |  WHERE e.event_type = 'purchase'
+        |  GROUP BY 1, 2),
+        |cum AS (
+        |  SELECT *, CAST(SUM(rev_c) OVER (PARTITION BY cohort ORDER BY week_offset
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_c
+        |  FROM weekly)
+        |SELECT c.cohort, c.week_offset, c.n_payers,
+        |       CAST(c.rev_c AS DOUBLE) / 100.0 AS week_revenue,
+        |       CAST(c.cum_c AS DOUBLE) / CAST(s.cohort_size * 100 AS DOUBLE)
+        |         AS ltv_per_member
+        |FROM cum c JOIN sizes s USING (cohort)
+        |ORDER BY c.cohort, c.week_offset""".stripMargin,
     "q_interpolate" ->
       """WITH daily AS (
         |  SELECT user_id, CAST(ts AS DATE) AS d, COUNT(*) AS n_day,

@@ -329,7 +329,49 @@ object Windows extends QueryModule {
       .orderBy(col("user_id"), col("event_id"))
   }
 
+  /** Rolling 7-day OLS trend slope of each event type's daily value total —
+    * the local "is this metric rising" primitive a monitoring pipeline
+    * computes per series (the global fit is [[Aggregations.qRegr]]; this is
+    * its windowed sibling). The closed form
+    * slope = (nΣxy − ΣxΣy) / (nΣxx − (Σx)²) runs on exact integers: x is
+    * the epoch day, y the exact cent sum, and all five trailing-frame sums
+    * stay far below 2^53, so the ONE final division produces bit-identical
+    * doubles in both engines. Only full 7-day frames are emitted, which
+    * also keeps the denominator structurally non-zero (7 distinct x).
+    *
+    * Scale shape: the per-(type, day) rollup is one map-side-combinable
+    * shuffle of the raw events; every window then runs over the DAILY
+    * table, whose per-type partition is bounded by the calendar span, not
+    * event volume — the same bounded-window argument as
+    * [[EventAnalytics.qInterpolate]], and all five sums share one frame in
+    * one Window operator. */
+  def qWinSlope(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("event_type")).orderBy(col("d"))
+      .rowsBetween(-6, Window.currentRow)
+    Tables.events(spark, dir)
+      .select(col("event_type"), col("ts").cast("date").as("d"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("yc"))
+      .groupBy(col("event_type"), col("d"))
+      .agg(sum(col("yc")).as("y"))
+      .withColumn("x", unix_date(col("d")))
+      // all five sums in ONE select → one Window operator (successive
+      // withColumns interleave Projects that block CollapseWindow)
+      .select(col("event_type"), col("d"), col("y"),
+        count(lit(1)).over(w).as("n"),
+        sum(col("x")).over(w).as("sx"),
+        sum(col("y")).over(w).as("sy"),
+        sum(expr("x * y")).over(w).as("sxy"),
+        sum(expr("x * x")).over(w).as("sxx"))
+      .filter(col("n") === 7)
+      .select(col("event_type"), col("d"),
+        (col("y").cast("double") / 100.0).as("daily_sum"),
+        expr("CAST(n * sxy - sx * sy AS DOUBLE) / CAST((n * sxx - sx * sx) * 100 AS DOUBLE)")
+          .as("slope"))
+      .orderBy(col("event_type"), col("d"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_win_slope"      -> (qWinSlope _),
     "q_win_rank"       -> (qWinRank _),
     "q_win_dist"       -> (qWinDist _),
     "q_win_lag"        -> (qWinLag _),
@@ -348,6 +390,29 @@ object Windows extends QueryModule {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_win_slope" ->
+      """WITH daily AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS d,
+        |         CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS y
+        |  FROM events GROUP BY event_type, CAST(ts AS DATE)),
+        |xy AS (
+        |  SELECT event_type, d, y,
+        |         DATE_DIFF('day', DATE '1970-01-01', d) AS x FROM daily),
+        |f AS (
+        |  SELECT event_type, d, y,
+        |    COUNT(*) OVER w AS n,
+        |    CAST(SUM(x) OVER w AS BIGINT) AS sx,
+        |    CAST(SUM(y) OVER w AS BIGINT) AS sy,
+        |    CAST(SUM(x * y) OVER w AS BIGINT) AS sxy,
+        |    CAST(SUM(x * x) OVER w AS BIGINT) AS sxx
+        |  FROM xy
+        |  WINDOW w AS (PARTITION BY event_type ORDER BY d
+        |               ROWS BETWEEN 6 PRECEDING AND CURRENT ROW))
+        |SELECT event_type, d, CAST(y AS DOUBLE) / 100.0 AS daily_sum,
+        |       CAST(n * sxy - sx * sy AS DOUBLE)
+        |         / CAST((n * sxx - sx * sx) * 100 AS DOUBLE) AS slope
+        |FROM f WHERE n = 7
+        |ORDER BY event_type, d""".stripMargin,
     "q_win_median" ->
       """WITH t AS (
         |  SELECT user_id, event_id,

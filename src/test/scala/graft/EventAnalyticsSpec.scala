@@ -114,6 +114,28 @@ class EventAnalyticsSpec extends SparkSpec {
     assert(rows("2024-01-04") == ((1L, 8.0)))
   }
 
+  test("cohort ltv accumulates purchase revenue per member; views never count") {
+    import spark.implicits._
+    def t(s: String) = Timestamp.valueOf(s)
+    val d = java.nio.file.Files.createTempDirectory("ltv").toString
+    // users 1+2 first touch in the week of Mon Jan 1 (cohort size 2, only
+    // user 1 ever pays); purchases of 10.00 in week 0 and 30.00 in week 2;
+    // user 2 contributes only a view, which must not add revenue
+    Seq(
+      (1L, t("2024-01-02 09:00:00"), 1L, "purchase", 10.00, "{}"),
+      (2L, t("2024-01-03 09:00:00"), 2L, "view", 99.99, "{}"),
+      (3L, t("2024-01-16 09:00:00"), 1L, "purchase", 30.00, "{}"),
+    ).toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .withColumn("ts", (unix_micros(col("ts")) * 1000).as("ts"))
+      .write.mode("overwrite").parquet(s"$d/events.parquet")
+    val rows = EventAnalytics.qCohortLtv(spark, d).collect()
+      .map(r => r.getInt(1) -> ((r.getLong(2), r.getAs[Double]("week_revenue"),
+        r.getAs[Double]("ltv_per_member")))).toMap
+    assert(rows.keySet == Set(0, 2), "revenue exists only at offsets 0 and 2")
+    assert(rows(0) == ((1L, 10.0, 5.0)), "10.00 over 2 members = 5.00 each")
+    assert(rows(2) == ((1L, 30.0, 20.0)), "cumulative 40.00 over 2 members")
+  }
+
   test("interpolate fills gap days linearly between the enclosing active days") {
     import spark.implicits._
     def t(s: String) = Timestamp.valueOf(s)

@@ -84,6 +84,28 @@ class LlmOpsSpec extends SparkSpec {
     assert(sims.forall(s => s >= -1.0 && s <= 1.0))
   }
 
+  test("containment flags a doc embedded in a larger one that Jaccard misses") {
+    import spark.implicits._
+    val d = java.nio.file.Files.createTempDirectory("contain").toString
+    val core = (1 to 12).map(i => s"w$i").mkString(" ")          // 10 shingles
+    val wrap = (1 to 60).map(i => s"pad$i").mkString(" ")        // boilerplate
+    Seq(
+      (1L, core, "en", "web", 50L),
+      (2L, s"$wrap $core", "en", "web", 300L),                   // 1 inside 2
+      (3L, (1 to 40).map(i => s"other$i").mkString(" "), "en", "web", 200L),
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$d/documents.parquet")
+    val out = Dedup.qDedupContainment(spark, d).collect()
+    assert(out.length == 1, s"exactly the planted pair, got ${out.length}")
+    val r = out(0)
+    assert(r.getAs[Long]("contained_id") == 1L &&
+      r.getAs[Long]("container_id") == 2L, "smaller doc is the contained side")
+    assert(r.getAs[Double]("containment") == 1.0,
+      "every shingle of doc 1 appears in doc 2")
+    assert(r.getAs[Double]("jaccard") < 0.6,
+      "the pair must be invisible to the symmetric near-dup tier")
+  }
+
   test("gram matrix covers the upper triangle and matches a driver-side replay") {
     val rows = Similarity.qGramMatrix(spark, sf).collect()
     val d = 64

@@ -117,6 +117,29 @@ class WindowsSpec extends SparkSpec {
     }
   }
 
+  test("win_slope recovers a planted linear trend exactly, full frames only") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    val d = java.nio.file.Files.createTempDirectory("slope").toString
+    // one event per day, value 10·i on day i (Jan 1 = day 1): a perfectly
+    // linear series whose 7-day OLS slope is exactly 10.0/day everywhere
+    val rows = (1 to 10).map { i =>
+      (i.toLong, Timestamp.valueOf(f"2024-01-$i%02d 12:00:00"), 1L, "view",
+        10.0 * i, "{}")
+    }
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .withColumn("ts", (unix_micros(col("ts")) * 1000).as("ts"))
+      .write.mode("overwrite").parquet(s"$d/events.parquet")
+    val out = Windows.qWinSlope(spark, d).collect()
+    assert(out.length == 4, "10 days yield exactly 4 full 7-day frames")
+    out.foreach { r =>
+      assert(r.getAs[Double]("slope") == 10.0,
+        s"linear series must give slope exactly 10, got ${r.getAs[Double]("slope")}")
+    }
+    assert(out.map(_.getDate(1).toString).toSet ==
+      Set("2024-01-07", "2024-01-08", "2024-01-09", "2024-01-10"))
+  }
+
   test("rolling median and ewma match brute-force per-user computations") {
     val events = Tables.events(spark, sf)
       .select(col("user_id"), col("event_id"), col("ts").cast("string"), col("value"))

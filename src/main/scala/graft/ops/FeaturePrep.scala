@@ -1,0 +1,171 @@
+package graft.ops
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** ML feature preparation — the last mile between the lake's analytic
+  * tables and a training job: per-group feature normalization, recency
+  * weighting, and label rebalancing. The reference lake's downstream
+  * consumers run exactly this prep before modeling (reference
+  * dags/create-data-lake.py builds the serving tables; SURVEY.md §3.4);
+  * here each step is a first-class distributed operator with the same
+  * exact-arithmetic discipline as the rest of the engine: all statistics
+  * accumulate as integers/decimals, and every double is produced by ONE
+  * final division of exact operands, so the DuckDB oracle verifies
+  * hash-for-hash.
+  */
+object FeaturePrep extends QueryModule {
+
+  /** Per-type feature scaling: each event's `value` re-expressed as a
+    * z-score ((x−μ)/σ, the input a linear model wants) and a min-max
+    * position ((x−min)/(max−min) ∈ [0,1], the input a histogram/NN
+    * bucketizer wants), standardized WITHIN its event_type — cross-type
+    * scales differ by construction, so global scaling would wash out the
+    * signal. Group statistics run on exact integer cents (μ and σ via the
+    * n·Σx²−(Σx)² closed form in DECIMAL(38,0) — the [[Profiling.qAnomalyZscore]]
+    * convention); each output is a deterministic IEEE expression over
+    * those exact stats. Degenerate groups (n ≤ 1, zero variance, or
+    * min = max) are dropped by the inner join, mirrored in the oracle.
+    *
+    * Scale shape: one map-side-combinable aggregation produces the
+    * per-type stats table (rows = |event_type| — tiny), which joins back
+    * BROADCAST; the scaling itself is a map-only projection, so the whole
+    * operator is one shuffle of partial aggregates plus one codegen'd
+    * pass — no per-row state, no window, no sort except the oracle-only
+    * output ORDER BY. */
+  def qFeatureScale(spark: SparkSession, dir: String): DataFrame = {
+    val cents = Tables.events(spark, dir)
+      .withColumn("vc", expr("CAST(round(value * 100) AS BIGINT)"))
+    val stats = cents.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("vc").cast("decimal(38,0)")).as("sv"),
+        sum((col("vc") * col("vc")).cast("decimal(38,0)")).as("sv2"),
+        min(col("vc")).as("mn"),
+        max(col("vc")).as("mx"))
+      .filter(col("n") > 1 && col("mx") > col("mn"))
+      .select(col("event_type"),
+        expr("CAST(sv AS DOUBLE) / CAST(n AS DOUBLE)").as("mean_c"),
+        expr(
+          """sqrt((CAST(n AS DOUBLE) * CAST(sv2 AS DOUBLE) - CAST(sv AS DOUBLE) * CAST(sv AS DOUBLE))
+            |     / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0)))""".stripMargin).as("std_c"),
+        col("mn"), col("mx"))
+      .filter(col("std_c") > 0)
+    cents.join(broadcast(stats), "event_type")
+      .select(col("event_id"), col("event_type"), col("value"),
+        round((col("vc").cast("double") - col("mean_c")) / col("std_c"), 6).as("z_score"),
+        round(expr("CAST(vc - mn AS DOUBLE) / CAST(mx - mn AS DOUBLE)"), 6).as("minmax"))
+      .orderBy(col("event_id"))
+  }
+
+  /** Recency-decayed engagement score per user: each event contributes its
+    * cent value halved for every 14 days of age at the corpus horizon
+    * (the max event date), i.e. a staircase exponential decay with a
+    * two-week half-life, floored at 2⁻²⁰. The decay weight is an EXACT
+    * dyadic rational — the term is vc·2^(20−k) in integer arithmetic
+    * (shiftleft, k = min(⌊age/14⌋, 20)) and the 2²⁰·100 denominator
+    * divides once at output — so unlike a float exp(−λ·age) (whose libm
+    * last-ulp differs across engines and can flip a rounding boundary),
+    * every engine computes bit-identical scores. This is the classic
+    * training-data freshness/engagement feature (recent behavior counts
+    * more than stale behavior).
+    *
+    * Scale shape: the horizon is a one-row aggregate broadcast to the
+    * scan; the weighted term is map-only integer math; the per-user
+    * rollup is one map-side-combinable shuffle keyed by high-cardinality
+    * user_id. Sums accumulate in DECIMAL(38,0) (60k events × 10¹² per
+    * term already exceeds 2⁵³; 100 TB certainly does). */
+  def qDecayScore(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+      .select(col("user_id"), col("ts").cast("date").as("d"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("vc"))
+    val horizon = e.agg(max(col("d")).as("ref"))
+    e.crossJoin(broadcast(horizon))
+      .withColumn("k",
+        least(floor(datediff(col("ref"), col("d")) / 14.0), lit(20)).cast("int"))
+      .withColumn("term", expr("vc * shiftleft(CAST(1 AS BIGINT), 20 - k)"))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("term").cast("decimal(38,0)")).as("st"))
+      .select(col("user_id"), col("n_events"),
+        round(expr("CAST(st AS DOUBLE) / 104857600.0"), 6).as("decay_score"))
+      .orderBy(col("user_id"))
+  }
+
+  /** Class balance audit + inverse-frequency weights over the embedding
+    * labels: each class's share of the corpus and the weight
+    * n_total/(n_classes·n) that re-balances a loss function (weights
+    * average to 1 across examples by construction — the sklearn
+    * "balanced" convention). All counts are exact; both output doubles
+    * are single divisions of exact integers.
+    *
+    * Scale shape: one map-side-combinable count by label, then a one-row
+    * global rollup broadcast back — the output is |classes| rows however
+    * large the corpus, and nothing else shuffles. */
+  def qLabelBalance(spark: SparkSession, dir: String): DataFrame = {
+    val counts = Tables.embeddings(spark, dir)
+      .groupBy(col("label")).agg(count(lit(1)).as("n"))
+    val glob = counts.agg(sum(col("n")).as("n_total"),
+      count(lit(1)).as("n_classes"))
+    counts.crossJoin(broadcast(glob))
+      .select(col("label"), col("n"),
+        round(expr("CAST(n AS DOUBLE) / CAST(n_total AS DOUBLE)"), 6).as("share"),
+        round(expr("CAST(n_total AS DOUBLE) / CAST(n_classes * n AS DOUBLE)"), 6)
+          .as("class_weight"))
+      .orderBy(col("label"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_feature_scale" -> (qFeatureScale _),
+    "q_decay_score"   -> (qDecayScore _),
+    "q_label_balance" -> (qLabelBalance _),
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q_feature_scale" ->
+      """WITH cents AS (
+        |  SELECT event_id, event_type, value,
+        |         CAST(ROUND(value * 100) AS BIGINT) AS vc FROM events),
+        |stats AS (
+        |  SELECT event_type,
+        |         CAST(SUM(CAST(vc AS HUGEINT)) AS DOUBLE)
+        |           / CAST(COUNT(*) AS DOUBLE) AS mean_c,
+        |         SQRT((CAST(COUNT(*) AS DOUBLE) * CAST(SUM(CAST(vc AS HUGEINT) * vc) AS DOUBLE)
+        |               - CAST(SUM(CAST(vc AS HUGEINT)) AS DOUBLE) * CAST(SUM(CAST(vc AS HUGEINT)) AS DOUBLE))
+        |              / (CAST(COUNT(*) AS DOUBLE) * (CAST(COUNT(*) AS DOUBLE) - 1.0))) AS std_c,
+        |         MIN(vc) AS mn, MAX(vc) AS mx
+        |  FROM cents GROUP BY event_type
+        |  HAVING COUNT(*) > 1 AND MAX(vc) > MIN(vc))
+        |SELECT c.event_id, c.event_type, c.value,
+        |       ROUND((CAST(c.vc AS DOUBLE) - s.mean_c) / s.std_c, 6) AS z_score,
+        |       ROUND(CAST(c.vc - s.mn AS DOUBLE) / CAST(s.mx - s.mn AS DOUBLE), 6) AS minmax
+        |FROM cents c JOIN stats s ON c.event_type = s.event_type
+        |WHERE s.std_c > 0
+        |ORDER BY c.event_id""".stripMargin,
+    "q_decay_score" ->
+      """WITH e AS (
+        |  SELECT user_id, CAST(ts AS DATE) AS d,
+        |         CAST(ROUND(value * 100) AS BIGINT) AS vc FROM events),
+        |horizon AS (SELECT MAX(d) AS ref FROM e),
+        |terms AS (
+        |  SELECT user_id,
+        |         vc * (CAST(1 AS BIGINT) << (20 - LEAST(
+        |           CAST(FLOOR(DATE_DIFF('day', d, ref) / 14.0) AS INT), 20))) AS term
+        |  FROM e CROSS JOIN horizon)
+        |SELECT user_id, COUNT(*) AS n_events,
+        |       ROUND(CAST(SUM(CAST(term AS HUGEINT)) AS DOUBLE) / 104857600.0, 6)
+        |         AS decay_score
+        |FROM terms GROUP BY user_id
+        |ORDER BY user_id""".stripMargin,
+    "q_label_balance" ->
+      """WITH counts AS (SELECT label, COUNT(*) AS n FROM embeddings GROUP BY label),
+        |tot AS (SELECT CAST(SUM(n) AS BIGINT) AS n_total,
+        |               COUNT(*) AS n_classes FROM counts)
+        |SELECT c.label, c.n,
+        |       ROUND(CAST(c.n AS DOUBLE) / CAST(g.n_total AS DOUBLE), 6) AS share,
+        |       ROUND(CAST(g.n_total AS DOUBLE) / CAST(g.n_classes * c.n AS DOUBLE), 6)
+        |         AS class_weight
+        |FROM counts c CROSS JOIN tot g
+        |ORDER BY c.label""".stripMargin,
+  )
+}

@@ -369,8 +369,57 @@ object Similarity extends QueryModule {
       .orderBy(col("i"), col("j"))
   }
 
+  /** Top principal direction of the embedding corpus by power iteration
+    * on the Gram matrix — the "what axis carries the variance" primitive
+    * behind PCA whitening, embedding-drift monitoring, and low-rank
+    * compression. Five unrolled iterations v ← G·v, renormalized each
+    * step by the max-abs component (any fixed norm works for power
+    * iteration; max-abs keeps the state in integers): G's cells are the
+    * exact micro-unit sums of [[qGramMatrix]] (full matrix, both
+    * triangles), the mat-vec product accumulates in DECIMAL(38,0)
+    * (|w| ≤ d·|G|·10⁶ ≈ 10²² at test scale — far past 2⁵³, well inside
+    * 10³⁸), and each renormalize is one deterministic IEEE divide of two
+    * exactly-cast operands followed by a half-up round back to integer
+    * micro-units — the [[graft.ops.Graph]] q_pagerank discipline, so the
+    * unrolled DuckDB CTE reproduces every component bit-for-bit. The
+    * all-ones seed fixes the eigenvector's sign deterministically.
+    *
+    * Scale shape: ALL corpus-sized work is the one Gram build (map-side
+    * combined, shuffle volume O(partitions·d²) — see [[qGramMatrix]]);
+    * the iterations run on the d×d table with a broadcast d-row vector
+    * and a one-row broadcast max, so the loop costs O(d²) per step no
+    * matter the corpus size. The Gram table is localCheckpointed once so
+    * the five iterations reuse it instead of re-exploding the corpus. */
+  def qPcaPower(spark: SparkSession, dir: String): DataFrame = {
+    val q = Tables.embeddings(spark, dir)
+      .filter(size(col("embedding")) === 64)
+      .select(expr("transform(embedding, v -> CAST(round(v * 1e6) AS BIGINT))")
+        .as("qv"))
+    val gram = q.select(col("qv"), posexplode(col("qv"))).toDF("qv", "i", "vi")
+      .select(col("i"), col("vi"), posexplode(col("qv"))).toDF("i", "vi", "j", "vj")
+      .groupBy(col("i"), col("j"))
+      .agg(sum(expr("CAST(vi * vj AS DECIMAL(38,0))")).as("s"))
+      .localCheckpoint()
+    var v = gram.select(col("i").as("j")).distinct()
+      .withColumn("vj", lit(1000000L))
+    for (_ <- 1 to 5) {
+      val w = gram.join(broadcast(v), "j")
+        .groupBy(col("i"))
+        .agg(sum(expr("CAST(s * vj AS DECIMAL(38,0))")).as("w"))
+      val m = w.agg(expr("GREATEST(MAX(ABS(w)), CAST(1 AS DECIMAL(38,0)))").as("m"))
+      v = w.crossJoin(broadcast(m))
+        .select(col("i").as("j"),
+          expr("CAST(ROUND(CAST(w AS DOUBLE) / CAST(m AS DOUBLE) * 1e6) AS BIGINT)")
+            .as("vj"))
+        .localCheckpoint()
+    }
+    v.select(col("j").as("dim"), (col("vj").cast("double") / 1e6).as("loading"))
+      .orderBy(col("dim"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_gram_matrix"        -> (qGramMatrix _),
+    "q_pca_power"          -> (qPcaPower _),
     "q_cosine_topk"        -> (qCosineTopk _),
     "q_cosine_topk_native" -> (qCosineTopkNative _),
     "q_rag_retrieve"       -> (qRagRetrieve _),
@@ -519,6 +568,39 @@ object Similarity extends QueryModule {
         |FROM ex a JOIN ex b ON a.vec_id = b.vec_id AND b.i >= a.i
         |GROUP BY a.i, b.i
         |ORDER BY a.i, b.i""".stripMargin,
+    "q_pca_power" ->
+      """WITH q AS (
+        |  SELECT vec_id,
+        |         LIST_TRANSFORM(embedding, v -> CAST(ROUND(v * 1e6) AS BIGINT)) AS qv
+        |  FROM embeddings WHERE LEN(embedding) = 64),
+        |ex AS (
+        |  SELECT vec_id, UNNEST(qv) AS v, UNNEST(RANGE(LEN(qv))) AS i FROM q),
+        |g AS (
+        |  SELECT a.i AS i, b.i AS j, SUM(CAST(a.v * b.v AS HUGEINT)) AS s
+        |  FROM ex a JOIN ex b ON a.vec_id = b.vec_id GROUP BY a.i, b.i),
+        |v0 AS (SELECT DISTINCT i AS j, CAST(1000000 AS BIGINT) AS vj FROM g),
+        |w1 AS (SELECT g.i, SUM(g.s * v.vj) AS w FROM g JOIN v0 v ON g.j = v.j GROUP BY g.i),
+        |m1 AS (SELECT GREATEST(MAX(ABS(w)), CAST(1 AS HUGEINT)) AS m FROM w1),
+        |v1 AS (SELECT i AS j, CAST(ROUND(CAST(w AS DOUBLE) / CAST(m AS DOUBLE) * 1e6) AS BIGINT) AS vj
+        |       FROM w1 CROSS JOIN m1),
+        |w2 AS (SELECT g.i, SUM(g.s * v.vj) AS w FROM g JOIN v1 v ON g.j = v.j GROUP BY g.i),
+        |m2 AS (SELECT GREATEST(MAX(ABS(w)), CAST(1 AS HUGEINT)) AS m FROM w2),
+        |v2 AS (SELECT i AS j, CAST(ROUND(CAST(w AS DOUBLE) / CAST(m AS DOUBLE) * 1e6) AS BIGINT) AS vj
+        |       FROM w2 CROSS JOIN m2),
+        |w3 AS (SELECT g.i, SUM(g.s * v.vj) AS w FROM g JOIN v2 v ON g.j = v.j GROUP BY g.i),
+        |m3 AS (SELECT GREATEST(MAX(ABS(w)), CAST(1 AS HUGEINT)) AS m FROM w3),
+        |v3 AS (SELECT i AS j, CAST(ROUND(CAST(w AS DOUBLE) / CAST(m AS DOUBLE) * 1e6) AS BIGINT) AS vj
+        |       FROM w3 CROSS JOIN m3),
+        |w4 AS (SELECT g.i, SUM(g.s * v.vj) AS w FROM g JOIN v3 v ON g.j = v.j GROUP BY g.i),
+        |m4 AS (SELECT GREATEST(MAX(ABS(w)), CAST(1 AS HUGEINT)) AS m FROM w4),
+        |v4 AS (SELECT i AS j, CAST(ROUND(CAST(w AS DOUBLE) / CAST(m AS DOUBLE) * 1e6) AS BIGINT) AS vj
+        |       FROM w4 CROSS JOIN m4),
+        |w5 AS (SELECT g.i, SUM(g.s * v.vj) AS w FROM g JOIN v4 v ON g.j = v.j GROUP BY g.i),
+        |m5 AS (SELECT GREATEST(MAX(ABS(w)), CAST(1 AS HUGEINT)) AS m FROM w5),
+        |v5 AS (SELECT i AS j, CAST(ROUND(CAST(w AS DOUBLE) / CAST(m AS DOUBLE) * 1e6) AS BIGINT) AS vj
+        |       FROM w5 CROSS JOIN m5)
+        |SELECT j AS dim, CAST(vj AS DOUBLE) / 1e6 AS loading
+        |FROM v5 ORDER BY j""".stripMargin,
     "q_rank_fusion" ->
       """WITH q AS (
         |  SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0),

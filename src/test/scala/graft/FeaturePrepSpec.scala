@@ -1,0 +1,110 @@
+package graft
+
+import graft.ops.{FeaturePrep, Similarity}
+import org.apache.spark.sql.functions._
+
+/** FeaturePrep + PCA: each operator's exact-arithmetic contract is
+  * replicated in plain Scala (BigInt / Double) from the raw tables and
+  * compared value-for-value — the same discipline as the DuckDB oracle but
+  * independent of SQL, so an error shared by both SQL engines would still
+  * be caught here. */
+class FeaturePrepSpec extends SparkSpec {
+
+  test("feature_scale: z and minmax recompute from plain-Scala group stats") {
+    val rows = FeaturePrep.qFeatureScale(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val raw = spark.read.parquet(s"$sf/events.parquet")
+      .select(col("event_id"), col("event_type"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("vc"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val byType = raw.groupBy(_._2)
+    val stats = byType.map { case (t, rs) =>
+      val vs = rs.map(_._3)
+      val n = vs.length.toDouble
+      val sv = vs.map(BigInt(_)).sum
+      val sv2 = vs.map(v => BigInt(v) * BigInt(v)).sum
+      val mean = sv.toDouble / n
+      val std = math.sqrt((n * sv2.toDouble - sv.toDouble * sv.toDouble) / (n * (n - 1.0)))
+      t -> (mean, std, vs.min, vs.max)
+    }
+    val vcById = raw.map(r => r._1 -> (r._2, r._3)).toMap
+    rows.foreach { r =>
+      val (t, vc) = vcById(r.getLong(0))
+      val (mean, std, mn, mx) = stats(t)
+      assert(vs6(r.getDouble(3)) == vs6((vc.toDouble - mean) / std), s"z for ${r.getLong(0)}")
+      assert(vs6(r.getDouble(4)) == vs6((vc - mn).toDouble / (mx - mn).toDouble))
+    }
+    // degenerate groups (n<=1 / zero spread) are absent, others complete
+    val emitted = rows.map(_.getString(1)).toSet
+    val expected = stats.collect {
+      case (t, (_, std, mn, mx)) if std > 0 && mx > mn && byType(t).length > 1 => t
+    }.toSet
+    assert(emitted == expected)
+  }
+
+  test("decay_score: dyadic half-life terms recompute exactly in BigInt") {
+    val rows = FeaturePrep.qDecayScore(spark, sf).collect()
+    val raw = Tables.events(spark, sf)
+      .select(col("user_id"), expr("unix_date(CAST(ts AS DATE))").as("ed"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("vc"))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    val ref = raw.map(_._2).max
+    val expect = raw.groupBy(_._1).map { case (u, rs) =>
+      val st = rs.map { case (_, d, vc) =>
+        val k = math.min((ref - d) / 14, 20)
+        BigInt(vc) << (20 - k)
+      }.sum
+      u -> (rs.length.toLong, st.toDouble / 104857600.0)
+    }
+    assert(rows.length == expect.size)
+    rows.foreach { r =>
+      val (n, s) = expect(r.getLong(0))
+      assert(r.getLong(1) == n)
+      assert(vs6(r.getDouble(2)) == vs6(s), s"user ${r.getLong(0)}")
+    }
+  }
+
+  test("label_balance: weights rebalance to n_total and shares sum to 1") {
+    val rows = FeaturePrep.qLabelBalance(spark, sf).collect()
+    val nTotal = spark.read.parquet(s"$sf/embeddings.parquet").count()
+    assert(rows.map(_.getLong(1)).sum == nTotal)
+    // sklearn "balanced" invariant: sum over examples of its class weight = n_total
+    val rebalanced = rows.map(r => r.getLong(1) * r.getDouble(3)).sum
+    assert(math.abs(rebalanced - nTotal) < 1e-2 * nTotal)
+    assert(math.abs(rows.map(_.getDouble(2)).sum - 1.0) < 1e-4)
+  }
+
+  test("pca_power: loadings replay the integer power iteration exactly and align with G·v") {
+    val rows = Similarity.qPcaPower(spark, sf).collect()
+    assert(rows.length == 64)
+    val vecs = spark.read.parquet(s"$sf/embeddings.parquet")
+      .filter(size(col("embedding")) === 64)
+      .select(expr("transform(embedding, v -> CAST(round(v * 1e6) AS BIGINT))"))
+      .collect().map(_.getSeq[Long](0).toArray)
+    val d = 64
+    val g = Array.ofDim[BigInt](d, d)
+    for (i <- 0 until d; j <- 0 until d)
+      g(i)(j) = vecs.map(q => BigInt(q(i)) * BigInt(q(j))).sum
+    var v = Array.fill(d)(1000000L)
+    for (_ <- 1 to 5) {
+      val w = (0 until d).map(i => (0 until d).map(j => g(i)(j) * v(j)).sum).toArray
+      val m = w.map(_.abs).max.max(BigInt(1))
+      v = w.map(x => math.round(x.toDouble / m.toDouble * 1e6))
+    }
+    rows.foreach { r =>
+      assert(r.getDouble(1) == v(r.getInt(0)) / 1e6, s"dim ${r.getInt(0)}")
+    }
+    // eigen property: after 5 iterations G·v is nearly parallel to v
+    val vd = v.map(_.toDouble)
+    val gv = (0 until d).map(i => (0 until d).map(j => g(i)(j).toDouble * vd(j)).sum).toArray
+    val cos = dot(gv, vd) / math.sqrt(dot(gv, gv) * dot(vd, vd))
+    assert(cos > 0.99, s"alignment $cos")
+  }
+
+  private def dot(a: Array[Double], b: Array[Double]): Double =
+    a.zip(b).map { case (x, y) => x * y }.sum
+
+  /** Round to 6 dp the way both engines do (half away from zero). */
+  private def vs6(x: Double): Double =
+    BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+}

@@ -471,6 +471,10 @@ object Profiling extends QueryModule {
     * 125 (nation, segment) classes at sf0.01. */
   private val KAnonThreshold = 10
 
+  /** Minimum distinct sensitive values per quasi-group before the group
+    * counts as diverse ([[qLdiversity]]). */
+  private val LDivThreshold = 5
+
   /** k-anonymity audit over the (c_nationkey, c_mktsegment) quasi-identifier
     * — the privacy screen a release pipeline runs before publishing a
     * derived table: every equivalence class smaller than k (the classes
@@ -505,8 +509,110 @@ object Profiling extends QueryModule {
       .orderBy(col("cnt"), col("c_nationkey"), col("c_mktsegment"))
   }
 
+  /** l-diversity audit — [[qKanon]]'s sibling: k-anonymity bounds how FEW
+    * rows share a quasi-identifier, l-diversity bounds how few DISTINCT
+    * sensitive values each quasi-group carries (a group of 500 rows that
+    * all share one market segment still leaks the segment). Quasi-group =
+    * nation, sensitive = mktsegment; every group is reported with its l
+    * and a pass flag, so the output is the full audit table (rows =
+    * |nations|, bounded by the dimension however large the fact).
+    *
+    * Scale shape: one hash aggregation; the distinct count expands to
+    * Spark's standard two-phase partial-distinct plan (exact, map-side
+    * combined on (nation, segment) first), so nothing but group keys ever
+    * shuffles. */
+  def qLdiversity(spark: SparkSession, dir: String): DataFrame =
+    Tables.customer(spark, dir)
+      .groupBy(col("c_nationkey"))
+      .agg(count(lit(1)).as("n_rows"),
+        countDistinct(col("c_mktsegment")).as("l_div"))
+      .withColumn("diverse", col("l_div") >= lit(LDivThreshold))
+      .orderBy(col("c_nationkey"))
+
+  /** Day-of-week seasonal anomaly screen: each (event_type, day)'s cent
+    * total against the mean of ITS OWN weekday within the type — the
+    * baseline a Monday is fairly compared to (a flat mean flags every
+    * weekend of a weekday-heavy metric). A day is reported when it sits
+    * more than 25% from its weekday baseline (ratio < 0.8 or > 1.25),
+    * and the test is the cross-multiplied INTEGER comparison 5·y·n < 4·s
+    * (resp. 4·y·n > 5·s) in DECIMAL(38,0) — no float boundary; the
+    * reported ratio y·n/s is one
+    * final division of exact operands. Positive-baseline series only
+    * (s > 0), documented: a ratio against a negative mean inverts the
+    * inequality semantics.
+    *
+    * Scale shape: the per-(type, day) rollup is the one event-volume
+    * shuffle (map-side combined); the (type, dow) baseline table is ≤
+    * 7·|types| rows and joins back BROADCAST; the screen itself is
+    * map-only. No windows, no sorts except the oracle-only output ORDER
+    * BY. */
+  def qAnomalySeasonal(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(spark, dir)
+      .select(col("event_type"), col("ts").cast("date").as("d"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("vc"))
+      .groupBy(col("event_type"), col("d"))
+      .agg(sum(col("vc")).as("y"))
+      .withColumn("dow", dayofweek(col("d")))
+    val base = daily.groupBy(col("event_type"), col("dow"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("y").cast("decimal(38,0)")).as("s"))
+      .filter(col("n") > 1 && col("s") > 0)
+    daily.join(broadcast(base), Seq("event_type", "dow"))
+      .filter(expr(
+        "CAST(y AS DECIMAL(38,0)) * n * 5 < s * 4 OR CAST(y AS DECIMAL(38,0)) * n * 4 > s * 5"))
+      .select(col("event_type"), col("d"),
+        (col("y").cast("double") / 100.0).as("daily_sum"),
+        round(expr("CAST(CAST(y AS DECIMAL(38,0)) * n AS DOUBLE) / CAST(s AS DOUBLE)"), 6)
+          .as("seasonal_ratio"))
+      .orderBy(col("event_type"), col("d"))
+  }
+
+  /** CUSUM changepoint estimate per event-type series: the day d
+    * maximizing |Σ_{t≤d}(y_t − μ)| — the classic "where did the level
+    * shift" statistic. The mean-centered prefix sum is kept EXACT by
+    * scaling out the division: C*_d = N·P_d − d·S (P = prefix sum, S =
+    * total, N = day count) in DECIMAL(38,0); the argmax runs on |C*|
+    * (division by the positive constant N preserves it), ties break to
+    * the earliest day, and C* / N / 100 is divided back to dollars only at
+    * output. Series with < 3 days are skipped (a changepoint needs an
+    * interior).
+    *
+    * Scale shape: one event-volume rollup to the daily table, then
+    * prefix-sum + argmax windows partitioned by event_type over DAILY
+    * rows — bounded by calendar span, never event volume (the
+    * [[EventAnalytics.qInterpolate]] argument) — plus a broadcast of the
+    * ≤|types|-row totals. */
+  def qChangepointCusum(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(spark, dir)
+      .select(col("event_type"), col("ts").cast("date").as("d"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("vc"))
+      .groupBy(col("event_type"), col("d"))
+      .agg(sum(col("vc")).as("y"))
+    val byDay = Window.partitionBy(col("event_type")).orderBy(col("d"))
+    val tot = daily.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("nn"),
+        sum(col("y").cast("decimal(38,0)")).as("ss"))
+      .filter(col("nn") > 2)
+    daily
+      .withColumn("idx", row_number().over(byDay))
+      .withColumn("p", sum(col("y").cast("decimal(38,0)"))
+        .over(byDay.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .join(broadcast(tot), "event_type")
+      .withColumn("c", expr(
+        "CAST(nn AS DECIMAL(38,0)) * p - CAST(idx AS DECIMAL(38,0)) * ss"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("event_type")).orderBy(abs(col("c")).desc, col("d"))))
+      .filter(col("rn") === 1)
+      .select(col("event_type"), col("d").as("change_day"),
+        round(expr("CAST(c AS DOUBLE) / CAST(nn AS DOUBLE) / 100.0"), 6).as("cusum"))
+      .orderBy(col("event_type"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_kanon"          -> (qKanon _),
+    "q_ldiversity"     -> (qLdiversity _),
+    "q_anomaly_seasonal" -> (qAnomalySeasonal _),
+    "q_changepoint_cusum" -> (qChangepointCusum _),
     "q_skew_audit"     -> (qSkewAudit _),
     "q_anomaly_mad"    -> (qAnomalyMad _),
     "q_benford"        -> (qBenford _),
@@ -522,6 +628,55 @@ object Profiling extends QueryModule {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_ldiversity" ->
+      """SELECT c_nationkey, COUNT(*) AS n_rows,
+        |       COUNT(DISTINCT c_mktsegment) AS l_div,
+        |       COUNT(DISTINCT c_mktsegment) >= 5 AS diverse
+        |FROM customer GROUP BY c_nationkey
+        |ORDER BY c_nationkey""".stripMargin,
+    "q_anomaly_seasonal" ->
+      """WITH daily AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS d, DAYOFWEEK(CAST(ts AS DATE)) AS dow,
+        |         CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS y
+        |  FROM events GROUP BY 1, 2, 3),
+        |base AS (
+        |  SELECT event_type, dow, COUNT(*) AS n,
+        |         CAST(SUM(CAST(y AS HUGEINT)) AS HUGEINT) AS s
+        |  FROM daily GROUP BY 1, 2
+        |  HAVING COUNT(*) > 1 AND SUM(CAST(y AS HUGEINT)) > 0)
+        |SELECT d.event_type, d.d, CAST(d.y AS DOUBLE) / 100.0 AS daily_sum,
+        |       ROUND(CAST(CAST(d.y AS HUGEINT) * b.n AS DOUBLE) / CAST(b.s AS DOUBLE), 6)
+        |         AS seasonal_ratio
+        |FROM daily d JOIN base b ON d.event_type = b.event_type AND d.dow = b.dow
+        |WHERE CAST(d.y AS HUGEINT) * b.n * 5 < b.s * 4
+        |   OR CAST(d.y AS HUGEINT) * b.n * 4 > b.s * 5
+        |ORDER BY d.event_type, d.d""".stripMargin,
+    "q_changepoint_cusum" ->
+      """WITH daily AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS d,
+        |         CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS y
+        |  FROM events GROUP BY 1, 2),
+        |pre AS (
+        |  SELECT event_type, d,
+        |         ROW_NUMBER() OVER w AS idx,
+        |         CAST(SUM(CAST(y AS HUGEINT)) OVER (PARTITION BY event_type ORDER BY d
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS HUGEINT) AS p
+        |  FROM daily
+        |  WINDOW w AS (PARTITION BY event_type ORDER BY d)),
+        |tot AS (
+        |  SELECT event_type, COUNT(*) AS nn, CAST(SUM(CAST(y AS HUGEINT)) AS HUGEINT) AS ss
+        |  FROM daily GROUP BY 1 HAVING COUNT(*) > 2),
+        |c AS (
+        |  SELECT p.event_type, p.d, t.nn,
+        |         CAST(t.nn AS HUGEINT) * p.p - CAST(p.idx AS HUGEINT) * t.ss AS c
+        |  FROM pre p JOIN tot t USING (event_type)),
+        |r AS (
+        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY event_type
+        |    ORDER BY ABS(c) DESC, d) AS rn FROM c)
+        |SELECT event_type, d AS change_day,
+        |       ROUND(CAST(c AS DOUBLE) / CAST(nn AS DOUBLE) / 100.0, 6) AS cusum
+        |FROM r WHERE rn = 1
+        |ORDER BY event_type""".stripMargin,
     "q_kanon" ->
       """WITH cls AS (
         |  SELECT c_nationkey, c_mktsegment, COUNT(*) AS cnt

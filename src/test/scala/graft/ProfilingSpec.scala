@@ -228,4 +228,70 @@ class ProfilingSpec extends SparkSpec {
     val obsSum = rows.map(_.getLong(2)).sum
     assert(obsSum > 999990L && obsSum <= 1000000L)
   }
+
+  test("ldiversity: per-nation distinct segments recompute from raw rows") {
+    val rows = Profiling.qLdiversity(spark, sf).collect()
+    val raw = Tables.customer(spark, sf)
+      .select(col("c_nationkey"), col("c_mktsegment"))
+      .collect().map(r => (r.getInt(0), r.getString(1)))
+    val byNation = raw.groupBy(_._1)
+    assert(rows.length == byNation.size)
+    rows.foreach { r =>
+      val grp = byNation(r.getInt(0))
+      assert(r.getLong(1) == grp.length)
+      val l = grp.map(_._2).filter(_ != null).distinct.length
+      assert(r.getLong(2) == l)
+      assert(r.getBoolean(3) == (l >= 5))
+    }
+  }
+
+  test("anomaly_seasonal: the +-25% weekday screen replays in exact BigInt") {
+    val daily = Tables.events(spark, sf)
+      .select(col("event_type"), col("ts").cast("date").as("d"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("vc"))
+      .groupBy(col("event_type"), col("d"))
+      .agg(sum(col("vc")).as("y"), first(dayofweek(col("d"))).as("dow"))
+      .collect().map(r => (r.getString(0), r.getDate(1), r.getLong(2), r.getInt(3)))
+    val base = daily.groupBy(t => (t._1, t._4))
+      .map { case (k, rs) => k -> (rs.length, rs.map(t => BigInt(t._3)).sum) }
+      .filter { case (_, (n, s)) => n > 1 && s > 0 }
+    val expect = daily.filter { t =>
+      base.get((t._1, t._4)).exists { case (n, s) =>
+        BigInt(t._3) * n * 5 < s * 4 || BigInt(t._3) * n * 4 > s * 5
+      }
+    }.map(t => (t._1, t._2.toString)).toSet
+    val got = Profiling.qAnomalySeasonal(spark, sf).collect()
+      .map(r => (r.getString(0), r.getDate(1).toString)).toSet
+    assert(got == expect)
+    assert(got.nonEmpty || expect.isEmpty)
+  }
+
+  test("changepoint_cusum: argmax of the scaled centered prefix replays in BigInt") {
+    val daily = Tables.events(spark, sf)
+      .select(col("event_type"), col("ts").cast("date").as("d"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("vc"))
+      .groupBy(col("event_type"), col("d"))
+      .agg(sum(col("vc")).as("y"))
+      .collect().map(r => (r.getString(0), r.getDate(1).toString, r.getLong(2)))
+    val expect = daily.groupBy(_._1).collect {
+      case (t, rs) if rs.length > 2 =>
+        val sorted = rs.sortBy(_._2)
+        val ss = sorted.map(r => BigInt(r._3)).sum
+        val nn = sorted.length
+        var p = BigInt(0)
+        val cs = sorted.zipWithIndex.map { case ((_, d, y), i) =>
+          p += y
+          (d, nn * p - BigInt(i + 1) * ss)
+        }
+        val (day, c) = cs.minBy { case (d, c) => (-c.abs, d) }
+        t -> (day, c.toDouble / nn / 100.0)
+    }
+    val got = Profiling.qChangepointCusum(spark, sf).collect()
+    assert(got.length == expect.size)
+    got.foreach { r =>
+      val (day, cu) = expect(r.getString(0))
+      assert(r.getDate(1).toString == day)
+      assert(math.abs(r.getDouble(2) - cu) < 1e-6)
+    }
+  }
 }

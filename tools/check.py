@@ -90,6 +90,10 @@ def main():
             a, b = got[c], exp[c]
             if not a.map(repr).equals(b.map(repr)):
                 bad = (a.map(repr) != b.map(repr))
+                if not bad.any():
+                    # value-identical (e.g. both empty) but dtype differs —
+                    # the driver hashes values, so treat as equal
+                    continue
                 i = bad.idxmax()
                 print(f"FAIL  {name}: col {c} differs at row {i}: spark={a[i]!r} duckdb={b[i]!r} "
                       f"({int(bad.sum())} rows differ)")

@@ -608,9 +608,85 @@ object Profiling extends QueryModule {
       .orderBy(col("event_type"))
   }
 
+  /** Classical decomposition (STL-lite) of each event-type daily series:
+    * daily = trend + weekday effect + residual. The trend is the centered
+    * 7-day moving sum T7 kept EXACT (÷700 deferred to output); the
+    * detrended residual 7·y − T7 is an exact integer, so the per-(type,
+    * dow) effect is an exact-integer mean with ONE division; the final
+    * residual subtracts three deterministically-derived doubles —
+    * bit-identical in both engines because every input to every IEEE op
+    * is identical. Edge days without a full centered week are excluded
+    * (n7 = 7), which is also what makes the trend well-defined.
+    *
+    * Scale shape: one event-volume rollup to the daily table; the
+    * centered window runs per event_type over DAILY rows (calendar-
+    * bounded); the ≤ 7·|types|-row effect table joins back BROADCAST. */
+  def qSeasonalDecompose(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(spark, dir)
+      .select(col("event_type"), col("ts").cast("date").as("d"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("vc"))
+      .groupBy(col("event_type"), col("d"))
+      .agg(sum(col("vc")).as("y"))
+    val w7 = Window.partitionBy(col("event_type")).orderBy(col("d"))
+      .rowsBetween(-3, 3)
+    val t = daily
+      .select(col("event_type"), col("d"), col("y"),
+        count(lit(1)).over(w7).as("n7"),
+        sum(col("y").cast("decimal(38,0)")).over(w7).as("t7"))
+      .filter(col("n7") === 7)
+      .withColumn("r7", expr("CAST(y AS DECIMAL(38,0)) * 7 - t7"))
+      .withColumn("dow", dayofweek(col("d")))
+    val eff = t.groupBy(col("event_type"), col("dow"))
+      .agg(count(lit(1)).as("ne"), sum(col("r7")).as("se"))
+    t.join(broadcast(eff), Seq("event_type", "dow"))
+      .select(col("event_type"), col("d"),
+        (col("y").cast("double") / 100.0).as("daily_sum"),
+        round(expr("CAST(t7 AS DOUBLE) / 700.0"), 6).as("trend"),
+        round(expr("CAST(se AS DOUBLE) / CAST(ne * 7 AS DOUBLE) / 100.0"), 6)
+          .as("dow_effect"),
+        // outer + 0.0 normalizes IEEE -0.0 (a tiny negative residual
+        // rounds to signed zero, and the engines disagree on the sign bit)
+        (round(expr(
+          """CAST(y AS DOUBLE) / 100.0 - CAST(t7 AS DOUBLE) / 700.0
+            | - CAST(se AS DOUBLE) / CAST(ne * 7 AS DOUBLE) / 100.0""".stripMargin), 6)
+          + lit(0.0)).as("residual"))
+      .orderBy(col("event_type"), col("d"))
+  }
+
+  /** Ingestion-freshness audit — the first data-quality question a lake
+    * operator asks ("did yesterday's load land?"): per event_type, the
+    * event count, first/last timestamps, event rate per active day, the
+    * lag behind the global horizon in exact microseconds (divided to
+    * days ONCE at output), and a stale flag from the INTEGER comparison
+    * lag_us ≥ 2 days — no float boundary on the alerting path.
+    *
+    * Scale shape: one map-side-combinable aggregation (count/min/max)
+    * per type plus a one-row global horizon broadcast back — output rows
+    * = |types| however large the fact table. */
+  def qFreshness(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir).select(col("event_type"), col("ts"))
+    val horizon = e.agg(max(col("ts")).as("h"))
+    e.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        min(col("ts")).as("first_ts"), max(col("ts")).as("last_ts"))
+      .crossJoin(broadcast(horizon))
+      .select(col("event_type"), col("n_events"), col("first_ts"), col("last_ts"),
+        round(expr(
+          "CAST(unix_micros(h) - unix_micros(last_ts) AS DOUBLE) / 86400000000.0"), 6)
+          .as("lag_days"),
+        expr("unix_micros(h) - unix_micros(last_ts) >= 172800000000").as("stale"),
+        round(expr(
+          """CAST(n_events AS DOUBLE)
+            | / CAST(datediff(CAST(last_ts AS DATE), CAST(first_ts AS DATE)) + 1 AS DOUBLE)"""
+            .stripMargin), 6).as("events_per_day"))
+      .orderBy(col("event_type"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_kanon"          -> (qKanon _),
     "q_ldiversity"     -> (qLdiversity _),
+    "q_seasonal_decompose" -> (qSeasonalDecompose _),
+    "q_freshness"      -> (qFreshness _),
     "q_anomaly_seasonal" -> (qAnomalySeasonal _),
     "q_changepoint_cusum" -> (qChangepointCusum _),
     "q_skew_audit"     -> (qSkewAudit _),
@@ -628,6 +704,49 @@ object Profiling extends QueryModule {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_seasonal_decompose" ->
+      """WITH daily AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS d,
+        |         CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS y
+        |  FROM events GROUP BY 1, 2),
+        |t AS (
+        |  SELECT event_type, d, y,
+        |         COUNT(*) OVER w AS n7,
+        |         CAST(SUM(CAST(y AS HUGEINT)) OVER w AS HUGEINT) AS t7,
+        |         DAYOFWEEK(d) AS dow
+        |  FROM daily
+        |  WINDOW w AS (PARTITION BY event_type ORDER BY d
+        |               ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+        |full7 AS (
+        |  SELECT *, CAST(y AS HUGEINT) * 7 - t7 AS r7 FROM t WHERE n7 = 7),
+        |eff AS (
+        |  SELECT event_type, dow, COUNT(*) AS ne,
+        |         CAST(SUM(r7) AS HUGEINT) AS se
+        |  FROM full7 GROUP BY 1, 2)
+        |SELECT f.event_type, f.d, CAST(f.y AS DOUBLE) / 100.0 AS daily_sum,
+        |       ROUND(CAST(f.t7 AS DOUBLE) / 700.0, 6) AS trend,
+        |       ROUND(CAST(e.se AS DOUBLE) / CAST(e.ne * 7 AS DOUBLE) / 100.0, 6)
+        |         AS dow_effect,
+        |       ROUND(CAST(f.y AS DOUBLE) / 100.0 - CAST(f.t7 AS DOUBLE) / 700.0
+        |             - CAST(e.se AS DOUBLE) / CAST(e.ne * 7 AS DOUBLE) / 100.0, 6) + 0.0
+        |         AS residual
+        |FROM full7 f JOIN eff e ON f.event_type = e.event_type AND f.dow = e.dow
+        |ORDER BY f.event_type, f.d""".stripMargin,
+    "q_freshness" ->
+      """WITH horizon AS (SELECT MAX(ts) AS h FROM events),
+        |g AS (
+        |  SELECT event_type, COUNT(*) AS n_events,
+        |         MIN(ts) AS first_ts, MAX(ts) AS last_ts
+        |  FROM events GROUP BY event_type)
+        |SELECT g.event_type, g.n_events, g.first_ts, g.last_ts,
+        |       ROUND(CAST(EPOCH_US(h.h) - EPOCH_US(g.last_ts) AS DOUBLE)
+        |             / 86400000000.0, 6) AS lag_days,
+        |       EPOCH_US(h.h) - EPOCH_US(g.last_ts) >= 172800000000 AS stale,
+        |       ROUND(CAST(g.n_events AS DOUBLE)
+        |             / CAST(DATE_DIFF('day', CAST(g.first_ts AS DATE),
+        |                    CAST(g.last_ts AS DATE)) + 1 AS DOUBLE), 6) AS events_per_day
+        |FROM g CROSS JOIN horizon h
+        |ORDER BY g.event_type""".stripMargin,
     "q_ldiversity" ->
       """SELECT c_nationkey, COUNT(*) AS n_rows,
         |       COUNT(DISTINCT c_mktsegment) AS l_div,

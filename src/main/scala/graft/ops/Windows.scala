@@ -370,8 +370,62 @@ object Windows extends QueryModule {
       .orderBy(col("event_type"), col("d"))
   }
 
+  /** Rolling 14-day Pearson correlation between the click and view daily
+    * cent series — the "are these two metrics still moving together"
+    * monitor ([[Aggregations.qRegr]] fits one global line; [[qWinSlope]]
+    * tracks one series' local slope; this tracks a PAIR's local
+    * co-movement). All five trailing-frame sums are exact DECIMAL(38,0)
+    * (daily cent sums squared overflow BIGINT at sf0.1 already), the
+    * variance terms n·Σxx−(Σx)² are exact integers whose positivity is
+    * checked by INTEGER compare (a zero-variance window must be excluded
+    * before any division — a float NaN here diverges between engines),
+    * and the one output expression divides the exact numerator by
+    * sqrt(va)·sqrt(vb) — each sqrt on an exactly-cast operand, so both
+    * engines produce bit-identical doubles. Full 14-day frames only.
+    *
+    * Scale shape: two filtered slices of the per-(type, day) rollup
+    * (map-side combined, one shuffle) join on the date spine; the window
+    * runs UNPARTITIONED but over the joined DAILY series — rows bounded
+    * by calendar span (365/yr), never event volume, the
+    * [[EventAnalytics.qInterpolate]] argument — and all five sums share
+    * one frame in one Window operator. */
+  def qRollingCorr(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(spark, dir)
+      .filter(col("event_type").isin("click", "view"))
+      .select(col("event_type"), col("ts").cast("date").as("d"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("vc"))
+      .groupBy(col("event_type"), col("d"))
+      .agg(sum(col("vc")).as("y"))
+    val a = daily.filter(col("event_type") === "click")
+      .select(col("d"), col("y").as("ya"))
+    val b = daily.filter(col("event_type") === "view")
+      .select(col("d"), col("y").as("yb"))
+    val w = Window.orderBy(col("d")).rowsBetween(-13, Window.currentRow)
+    a.join(b, "d")
+      .select(col("d"), col("ya"), col("yb"),
+        count(lit(1)).over(w).as("n"),
+        sum(col("ya").cast("decimal(38,0)")).over(w).as("sa"),
+        sum(col("yb").cast("decimal(38,0)")).over(w).as("sb"),
+        sum(expr("CAST(ya AS DECIMAL(38,0)) * yb")).over(w).as("sab"),
+        sum(expr("CAST(ya AS DECIMAL(38,0)) * ya")).over(w).as("saa"),
+        sum(expr("CAST(yb AS DECIMAL(38,0)) * yb")).over(w).as("sbb"))
+      .filter(col("n") === 14)
+      .withColumn("va", expr("n * saa - sa * sa"))
+      .withColumn("vb", expr("n * sbb - sb * sb"))
+      .filter(col("va") > 0 && col("vb") > 0)
+      .select(col("d"),
+        (col("ya").cast("double") / 100.0).as("click_sum"),
+        (col("yb").cast("double") / 100.0).as("view_sum"),
+        round(expr(
+          """CAST(n * sab - sa * sb AS DOUBLE)
+            | / (sqrt(CAST(va AS DOUBLE)) * sqrt(CAST(vb AS DOUBLE)))""".stripMargin), 6)
+          .as("corr14"))
+      .orderBy(col("d"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_win_slope"      -> (qWinSlope _),
+    "q_rolling_corr"   -> (qRollingCorr _),
     "q_win_rank"       -> (qWinRank _),
     "q_win_dist"       -> (qWinDist _),
     "q_win_lag"        -> (qWinLag _),
@@ -390,6 +444,35 @@ object Windows extends QueryModule {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_rolling_corr" ->
+      """WITH daily AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS d,
+        |         CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS y
+        |  FROM events WHERE event_type IN ('click', 'view')
+        |  GROUP BY 1, 2),
+        |j AS (
+        |  SELECT a.d, a.y AS ya, b.y AS yb
+        |  FROM daily a JOIN daily b ON a.d = b.d
+        |  WHERE a.event_type = 'click' AND b.event_type = 'view'),
+        |f AS (
+        |  SELECT d, ya, yb,
+        |    COUNT(*) OVER w AS n,
+        |    CAST(SUM(CAST(ya AS HUGEINT)) OVER w AS HUGEINT) AS sa,
+        |    CAST(SUM(CAST(yb AS HUGEINT)) OVER w AS HUGEINT) AS sb,
+        |    CAST(SUM(CAST(ya AS HUGEINT) * yb) OVER w AS HUGEINT) AS sab,
+        |    CAST(SUM(CAST(ya AS HUGEINT) * ya) OVER w AS HUGEINT) AS saa,
+        |    CAST(SUM(CAST(yb AS HUGEINT) * yb) OVER w AS HUGEINT) AS sbb
+        |  FROM j
+        |  WINDOW w AS (ORDER BY d ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)),
+        |v AS (
+        |  SELECT *, n * saa - sa * sa AS va, n * sbb - sb * sb AS vb
+        |  FROM f WHERE n = 14)
+        |SELECT d, CAST(ya AS DOUBLE) / 100.0 AS click_sum,
+        |       CAST(yb AS DOUBLE) / 100.0 AS view_sum,
+        |       ROUND(CAST(n * sab - sa * sb AS DOUBLE)
+        |             / (SQRT(CAST(va AS DOUBLE)) * SQRT(CAST(vb AS DOUBLE))), 6) AS corr14
+        |FROM v WHERE va > 0 AND vb > 0
+        |ORDER BY d""".stripMargin,
     "q_win_slope" ->
       """WITH daily AS (
         |  SELECT event_type, CAST(ts AS DATE) AS d,

@@ -266,6 +266,52 @@ class ProfilingSpec extends SparkSpec {
     assert(got.nonEmpty || expect.isEmpty)
   }
 
+  test("seasonal_decompose: components reassemble and trend replays exactly") {
+    val rows = Profiling.qSeasonalDecompose(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val daily = Tables.events(spark, sf)
+      .select(col("event_type"), col("ts").cast("date").as("d"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("vc"))
+      .groupBy(col("event_type"), col("d")).agg(sum(col("vc")).as("y"))
+      .collect().map(r => (r.getString(0), r.getDate(1).toString, r.getLong(2)))
+    val byType = daily.groupBy(_._1).map { case (t, rs) =>
+      t -> rs.sortBy(_._2).map(r => (r._2, r._3))
+    }
+    // exact centered-7 trend per emitted row; identity daily = t + e + r
+    rows.foreach { r =>
+      val series = byType(r.getString(0))
+      val i = series.indexWhere(_._1 == r.getDate(1).toString)
+      assert(i >= 3 && i < series.length - 3, "only full centered weeks emitted")
+      val t7 = series.slice(i - 3, i + 4).map(x => BigInt(x._2)).sum
+      assert(math.abs(r.getDouble(3) - t7.toDouble / 700.0) < 1e-6, "trend")
+      assert(math.abs(r.getDouble(2) - (r.getDouble(3) + r.getDouble(4) + r.getDouble(5))) < 2e-6,
+        "daily = trend + dow_effect + residual (to rounding)")
+    }
+    // the weekday-effect construction centers residuals within each (type, dow)
+    rows.groupBy(r => (r.getString(0), r.getDate(1).toLocalDate.getDayOfWeek)).foreach {
+      case (k, rs) =>
+        val mean = rs.map(_.getDouble(5)).sum / rs.length
+        assert(math.abs(mean) < 1e-4, s"residual mean for $k")
+    }
+  }
+
+  test("freshness: staleness and rate recompute from raw timestamps") {
+    val rows = Profiling.qFreshness(spark, sf).collect()
+    val raw = Tables.events(spark, sf)
+      .select(col("event_type"), expr("unix_micros(ts)").as("us"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val h = raw.map(_._2).max
+    val byType = raw.groupBy(_._1)
+    assert(rows.length == byType.size)
+    rows.foreach { r =>
+      val us = byType(r.getString(0)).map(_._2)
+      assert(r.getLong(1) == us.length)
+      val lagUs = h - us.max
+      assert(math.abs(r.getDouble(4) - lagUs.toDouble / 86400e6) < 1e-6)
+      assert(r.getBoolean(5) == (lagUs >= 172800000000L))
+    }
+  }
+
   test("changepoint_cusum: argmax of the scaled centered prefix replays in BigInt") {
     val daily = Tables.events(spark, sf)
       .select(col("event_type"), col("ts").cast("date").as("d"),

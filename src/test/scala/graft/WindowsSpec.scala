@@ -186,4 +186,37 @@ class WindowsSpec extends SparkSpec {
       assert(r.getLong(3) == seq(2), "nth_value(3)")
     }
   }
+
+  test("rolling_corr: 14-day Pearson replays from exact BigInt frame sums") {
+    val rows = Windows.qRollingCorr(spark, sf).collect()
+    val daily = Tables.events(spark, sf)
+      .filter(col("event_type").isin("click", "view"))
+      .select(col("event_type"), col("ts").cast("date").as("d"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("vc"))
+      .groupBy(col("event_type"), col("d")).agg(sum(col("vc")).as("y"))
+      .collect().map(r => (r.getString(0), r.getDate(1).toString, r.getLong(2)))
+    val a = daily.filter(_._1 == "click").map(t => t._2 -> t._3).toMap
+    val b = daily.filter(_._1 == "view").map(t => t._2 -> t._3).toMap
+    val days = (a.keySet & b.keySet).toSeq.sorted
+    val expect = days.indices.filter(_ >= 13).flatMap { i =>
+      val frame = days.slice(i - 13, i + 1)
+      val xs = frame.map(d => BigInt(a(d))); val ys = frame.map(d => BigInt(b(d)))
+      val n = BigInt(14)
+      val (sa, sb) = (xs.sum, ys.sum)
+      val sab = xs.zip(ys).map { case (x, y) => x * y }.sum
+      val va = n * xs.map(x => x * x).sum - sa * sa
+      val vb = n * ys.map(y => y * y).sum - sb * sb
+      if (va > 0 && vb > 0) {
+        val corr = (n * sab - sa * sb).toDouble /
+          (math.sqrt(va.toDouble) * math.sqrt(vb.toDouble))
+        Some(days(i) -> corr)
+      } else None
+    }.toMap
+    assert(rows.length == expect.size)
+    rows.foreach { r =>
+      val c = expect(r.getDate(0).toString)
+      assert(math.abs(r.getDouble(3) - c) < 1e-6, s"corr at ${r.getDate(0)}")
+      assert(r.getDouble(3) >= -1.0 && r.getDouble(3) <= 1.0)
+    }
+  }
 }

@@ -25,24 +25,30 @@ object Tables {
   def part(spark: SparkSession, dir: String): DataFrame      = table(spark, dir, "part")
   def orders(spark: SparkSession, dir: String): DataFrame    = table(spark, dir, "orders")
   def lineitem(spark: SparkSession, dir: String): DataFrame  = table(spark, dir, "lineitem")
-  /** events.parquet stores `ts` as TIMESTAMP(NANOS), which Spark's vectorized
-    * reader rejects. Read nanos as long (legacy conf) and floor-convert to
-    * microsecond TimestampType — integer `div`, not double division, because
-    * epoch-nanos (~1.7e18) exceeds a double's 2^53 exact-integer range.
-    *
-    * The nanosAsLong conf is read-path DDL, not a per-read option, so it must
-    * be set on the session BEFORE schema resolution — the session factories
-    * (GraftSession / Verify / Bench / the test base) all set it at build
-    * time. It is NOT mutated here: a loader that flips session-wide conf as
-    * a side effect would silently change how every later parquet read in the
-    * same session interprets nano timestamps. */
-  def events(spark: SparkSession, dir: String): DataFrame = {
-    require(spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") == "true",
-      "events.parquet has TIMESTAMP(NANOS): build the session with " +
-        "spark.sql.legacy.parquet.nanosAsLong=true (GraftSession.build does)")
-    table(spark, dir, "events")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
-  }
+  /** Normalize the `ts` column to microsecond TimestampType regardless of
+    * how the generator wrote it. The harness has shipped events.parquet both
+    * as TIMESTAMP(NANOS) (surfaces as LongType under the nanosAsLong legacy
+    * conf) and as TIMESTAMP(MICROS, isAdjustedToUTC=false) (surfaces as
+    * TIMESTAMP_NTZ under Spark's NTZ inference) — a loader hard-wired to one
+    * encoding silently drops every events-based query when the data is
+    * regenerated with the other. Dispatch on the RESOLVED type:
+    *   - LongType: epoch-nanos; integer `div 1000` (not double division —
+    *     ~1.7e18 exceeds a double's 2^53 exact range) then timestamp_micros.
+    *   - TIMESTAMP_NTZ: cast to TimestampType; the session timezone is
+    *     pinned to UTC so the instant matches what DuckDB reads.
+    *   - TimestampType: already canonical.
+    */
+  private[graft] def normalizeTs(df: DataFrame): DataFrame =
+    df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        df.withColumn("ts", col("ts").cast(org.apache.spark.sql.types.TimestampType))
+      case _ => df
+    }
+
+  def events(spark: SparkSession, dir: String): DataFrame =
+    normalizeTs(table(spark, dir, "events"))
   def documents(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "embeddings")
 }

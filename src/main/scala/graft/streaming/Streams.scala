@@ -196,13 +196,9 @@ object Streams {
     * (the file source rejects single files; production: Kafka source, same
     * downstream plan). Applies the same nanos→micros ts normalization as
     * the batch loader. */
-  def readEventsStream(spark: SparkSession, eventsDir: String): DataFrame = {
-    require(spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") == "true",
-      "events parquet has TIMESTAMP(NANOS): build the session with " +
-        "spark.sql.legacy.parquet.nanosAsLong=true (GraftSession.build does)")
-    spark.readStream
-      .schema(spark.read.parquet(eventsDir).schema)
-      .parquet(eventsDir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
-  }
+  def readEventsStream(spark: SparkSession, eventsDir: String): DataFrame =
+    graft.Tables.normalizeTs(
+      spark.readStream
+        .schema(spark.read.parquet(eventsDir).schema)
+        .parquet(eventsDir))
 }

@@ -20,15 +20,24 @@ object Verify {
     val spark = GraftSession.buildLocal(cpus, "graft-verify")
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries
+    val failed = scala.collection.mutable.ListBuffer.empty[(String, String)]
+    val selected = SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
-      .foreach { case (name, fn) =>
+    selected.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        failed += name -> String.valueOf(e.getMessage).take(300)
       }
     }
+    // A failed query writes no result dir, so the driver's compare simply
+    // omits it — round 4 lost 49 keys to a testdata encoding change with a
+    // GREEN-looking gate. Make the drop loud: a summary line on stderr plus
+    // a machine-readable artifact next to the results.
+    System.err.println(
+      s"[verify] ${failed.size} of ${selected.size} queries FAILED" +
+        (if (failed.isEmpty) "" else s": ${failed.map(_._1).sorted.mkString(", ")}"))
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.
@@ -49,6 +58,9 @@ object Verify {
       .filter { case (k, _) => only.forall(_.contains(k)) }
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    val errJson = failed.sortBy(_._1)
+      .map { case (k, m) => s"${q(k)}: ${q(m)}" }.mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/verify_errors.json"), errJson)
     spark.stop()
   }
 }

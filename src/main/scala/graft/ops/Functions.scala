@@ -242,7 +242,36 @@ object Functions extends QueryModule {
       .orderBy(col("z"), col("x"), col("y"))
       .limit(100)
 
+  /** Spark 4 VARIANT tour — the open-schema semi-structured path (the
+    * modern engine answer to "JSON columns at scale"): build a nested JSON
+    * payload, `parse_json` it ONCE into a VariantType value (binary-encoded,
+    * no per-access re-parse — the scan cost a repeated get_json_object pays
+    * at 100 TB), then extract typed fields by path. `try_variant_get` with a
+    * deliberately wrong type shows the NULL-not-throw contract, and a
+    * missing path NULLs rather than erroring. The oracle computes the same
+    * values from the raw columns — verifying the variant round-trip
+    * preserves exactly the source semantics. */
+  def qFnVariant(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .withColumn("payload", to_json(struct(
+        col("event_type").as("et"),
+        struct(get_json_object(col("props"), "$.k").cast("int").as("k"),
+          round(col("value"), 4).as("v")).as("meta"),
+        array(col("user_id"), col("user_id") * 2).as("ids"))))
+      .withColumn("var", parse_json(col("payload")))
+      .select(
+        col("event_id"),
+        variant_get(col("var"), "$.et", "string").as("et"),
+        variant_get(col("var"), "$.meta.k", "int").as("k"),
+        variant_get(col("var"), "$.meta.v", "double").as("v"),
+        variant_get(col("var"), "$.ids[1]", "bigint").as("id2"),
+        // wrong-type extraction NULLs under try_, never throws
+        try_variant_get(col("var"), "$.et", "int").as("et_as_int"),
+        variant_get(col("var"), "$.missing", "string").as("absent"))
+      .orderBy(col("event_id"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_fn_variant" -> (qFnVariant _),
     "q_fn_string" -> (qFnString _),
     "q_fn_zorder" -> (qFnZorder _),
     "q_fn_date"   -> (qFnDate _),
@@ -259,6 +288,15 @@ object Functions extends QueryModule {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_fn_variant" ->
+      """SELECT event_id,
+        |       event_type AS et,
+        |       CAST(JSON_EXTRACT_STRING(props, '$.k') AS INTEGER) AS k,
+        |       ROUND(value, 4) AS v,
+        |       user_id * 2 AS id2,
+        |       CAST(NULL AS INTEGER) AS et_as_int,
+        |       CAST(NULL AS VARCHAR) AS absent
+        |FROM events ORDER BY event_id""".stripMargin,
     "q_fn_zorder" ->
       """WITH p AS (
         |  SELECT DISTINCT l_partkey % 65536 AS x, l_suppkey % 65536 AS y

@@ -248,7 +248,39 @@ object Relational extends QueryModule {
       .orderBy(col("op"))
   }
 
+  /** Partitioned-layout round-trip — the WRITE-side 100 TB lever the other
+    * keys only exercise on read: lay events out `partitionBy(event_type)`
+    * (Hive-style directory partitioning, the layout a lake table declares),
+    * read it back with a partition predicate, and aggregate the survivors.
+    * The read-back plan must show the predicate as a PartitionFilters entry
+    * — directory pruning, zero IO for the five other event types — rather
+    * than a post-scan Filter; at 100 TB that is the difference between
+    * touching 1/6th of the files and touching all of them. The oracle
+    * computes the same aggregate straight off the source table, proving the
+    * partitioned round-trip loses nothing (row counts, sums, null handling
+    * of the partition column all preserved).
+    *
+    * The sink dir is deterministic per sf (hash of the input dir) under
+    * java.io.tmpdir, overwritten each run — rerunnable like the reference's
+    * replace-mode load (dags/create-data-lake.py:75). */
+  def qSinkPartitionPrune(spark: SparkSession, dir: String): DataFrame = {
+    val sink = s"${System.getProperty("java.io.tmpdir")}/graft_sink_${
+      Integer.toHexString(dir.hashCode)}/events_by_type"
+    Tables.events(spark, dir)
+      .select(col("event_id"), col("user_id"), col("value"), col("ts"), col("event_type"))
+      .write.mode("overwrite").partitionBy("event_type").parquet(sink)
+    spark.read.parquet(sink)
+      .filter(col("event_type") === "click")
+      .groupBy(to_date(col("ts")).as("d"))
+      // per-ROW micro-unit conversion, then an exact BIGINT sum — a double
+      // SUM would be partition-order-dependent and diverge from the oracle
+      .agg(count(lit(1)).as("n"),
+        sum(floor(col("value") * 1000000 + 0.5).cast("long")).as("sum_micro"))
+      .orderBy(col("d"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_sink_partition_prune" -> (qSinkPartitionPrune _),
     "q_cdc_diff"  -> (qCdcDiff _),
     "q_scan"      -> (qScan _),
     "q_project"   -> (qProject _),
@@ -265,6 +297,11 @@ object Relational extends QueryModule {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_sink_partition_prune" ->
+      """SELECT CAST(ts AS DATE) AS d, COUNT(*) AS n,
+        |       CAST(SUM(CAST(FLOOR(value * 1000000 + 0.5) AS BIGINT)) AS BIGINT) AS sum_micro
+        |FROM events WHERE event_type = 'click'
+        |GROUP BY CAST(ts AS DATE) ORDER BY d""".stripMargin,
     "q_cdc_diff" ->
       """WITH st AS (
         |  SELECT o_custkey,

@@ -417,7 +417,56 @@ object Similarity extends QueryModule {
       .orderBy(col("dim"))
   }
 
+  /** Sparse TF-IDF cosine pairs — document similarity WITHOUT embeddings,
+    * the lexical twin of `q_dedup_embedding`: pairs of documents whose
+    * tf·idf vectors (over the df-pruned vocabulary) have cosine ≥ 0.35.
+    *
+    * The scale shape is the inverted-index self-join: candidate pairs come
+    * only from shared terms, and terms held by more than 1/5 of the corpus
+    * are dropped from the VOCABULARY (both dot product and norms — a
+    * spec'd pruned-vocab semantic, so the oracle agrees), which caps every
+    * posting list at n/5 and kills the quadratic stop-word keys — the same
+    * df>cap guard as `q_dedup_near`. At 100 TB the posting-list join
+    * shuffles on `token` and the per-doc norms broadcast-join back in.
+    *
+    * Determinism: weights are floor-rounded to integer MILLI units
+    * (tf · ln(n_docs/df) · 1000), so dot products and squared norms are
+    * exact BIGINT sums in both engines; only the final cosine divides in
+    * double — one fixed expression, micro-floored. */
+  def qSimSparse(spark: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(split(lower(trim(col("text"))), " ")).as("token"))
+    val tf = toks.groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
+    val stats = Tables.documents(spark, dir).agg(count(lit(1)).as("n_docs"))
+    // integer cross-multiplication for the df cap (df * 5 <= n), not
+    // division — exact and portable
+    val w = tf.join(dfreq, "token").crossJoin(broadcast(stats))
+      .filter(col("df") * 5 <= col("n_docs"))
+      .withColumn("w", floor(
+        col("tf") * log(col("n_docs").cast("double") / col("df").cast("double")) * 1000 + 0.5)
+        .cast("long"))
+      .select(col("doc_id"), col("token"), col("w"))
+      // consumed three times (norms + both join sides); materialize once
+      .localCheckpoint(eager = false)
+    val norms = w.groupBy(col("doc_id")).agg(sum(col("w") * col("w")).as("s2"))
+    val dots = w.as("a").join(w.as("b"),
+        col("a.token") === col("b.token") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(sum(col("a.w") * col("b.w")).as("dot"))
+    dots
+      .join(norms.select(col("doc_id").as("doc_a"), col("s2").as("sa")), "doc_a")
+      .join(norms.select(col("doc_id").as("doc_b"), col("s2").as("sb")), "doc_b")
+      .withColumn("cos", floor(
+        col("dot").cast("double") / (sqrt(col("sa").cast("double")) * sqrt(col("sb").cast("double")))
+          * 1000000 + 0.5) / 1000000)
+      .filter(col("cos") >= 0.35)
+      .select(col("doc_a"), col("doc_b"), col("cos"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_sim_sparse"         -> (qSimSparse _),
     "q_gram_matrix"        -> (qGramMatrix _),
     "q_pca_power"          -> (qPcaPower _),
     "q_cosine_topk"        -> (qCosineTopk _),
@@ -556,6 +605,38 @@ object Similarity extends QueryModule {
       |    FROM e CROSS JOIN cent c) WHERE rn = 1)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "q_sim_sparse" ->
+      """WITH toks AS (
+        |  SELECT doc_id, UNNEST(STRING_SPLIT(LOWER(TRIM(text)), ' ')) AS token
+        |  FROM documents),
+        |tf AS (
+        |  SELECT doc_id, token, COUNT(*) AS tf FROM toks GROUP BY doc_id, token),
+        |dfreq AS (
+        |  SELECT token, COUNT(*) AS df FROM tf GROUP BY token),
+        |stats AS (SELECT COUNT(*) AS n_docs FROM documents),
+        |w AS (
+        |  SELECT doc_id, token,
+        |         CAST(FLOOR(tf * LN(CAST(n_docs AS DOUBLE) / CAST(df AS DOUBLE))
+        |           * 1000 + 0.5) AS BIGINT) AS w
+        |  FROM tf JOIN dfreq USING (token) CROSS JOIN stats
+        |  WHERE df * 5 <= n_docs),
+        |norms AS (
+        |  SELECT doc_id, SUM(w * w) AS s2 FROM w GROUP BY doc_id),
+        |dots AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, SUM(a.w * b.w) AS dot
+        |  FROM w a JOIN w b ON a.token = b.token AND a.doc_id < b.doc_id
+        |  GROUP BY a.doc_id, b.doc_id),
+        |scored AS (
+        |  SELECT doc_a, doc_b,
+        |         FLOOR(CAST(dot AS DOUBLE)
+        |           / (SQRT(CAST(na.s2 AS DOUBLE)) * SQRT(CAST(nb.s2 AS DOUBLE)))
+        |           * 1000000 + 0.5) / 1000000 AS cos
+        |  FROM dots
+        |  JOIN norms na ON na.doc_id = doc_a
+        |  JOIN norms nb ON nb.doc_id = doc_b)
+        |SELECT doc_a, doc_b, cos FROM scored
+        |WHERE cos >= 0.35
+        |ORDER BY doc_a, doc_b""".stripMargin,
     "q_gram_matrix" ->
       """WITH q AS (
         |  SELECT vec_id,

@@ -106,6 +106,26 @@ class LlmOpsSpec extends SparkSpec {
       "the pair must be invisible to the symmetric near-dup tier")
   }
 
+  test("sparse tf-idf cosine: identical docs score 1.0, disjoint docs absent") {
+    import spark.implicits._
+    val d = java.nio.file.Files.createTempDirectory("simsparse").toString
+    // 10 docs so the df*5 <= n_docs vocabulary cap keeps df<=2 terms;
+    // docs 1 and 2 are identical, every other doc is token-disjoint
+    val rows = Seq(
+      (1L, "apple banana cherry"), (2L, "apple banana cherry")) ++
+      (3L to 10L).map(i => (i, (1 to 3).map(j => s"tok${i}_$j").mkString(" ")))
+    rows.map { case (id, t) => (id, t, "en", "web", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$d/documents.parquet")
+    val out = Similarity.qSimSparse(spark, d).collect()
+    assert(out.length == 1, s"only the planted identical pair, got ${out.length}")
+    assert(out(0).getAs[Long]("doc_a") == 1L && out(0).getAs[Long]("doc_b") == 2L)
+    assert(out(0).getAs[Double]("cos") == 1.0, "identical tf-idf vectors")
+    // and the plan never goes all-pairs: candidates come from the token join
+    val plan = Similarity.qSimSparse(spark, d).queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), "inverted-index join, not cartesian")
+  }
+
   test("gram matrix covers the upper triangle and matches a driver-side replay") {
     val rows = Similarity.qGramMatrix(spark, sf).collect()
     val d = 64

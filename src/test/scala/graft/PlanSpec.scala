@@ -175,4 +175,11 @@ class PlanSpec extends SparkSpec {
     assert(planOf(graft.ops.Windows.qWinCountDistinct(spark, sf))
       .contains("BroadcastHashJoin"))
   }
+
+  test("q_sink_partition_prune's read-back prunes partitions, not post-filters") {
+    val plan = planOf(Relational.qSinkPartitionPrune(spark, sf))
+    val pf = plan.linesIterator.find(_.contains("PartitionFilters")).getOrElse("")
+    assert(pf.contains("event_type") && pf.contains("click"),
+      s"partition predicate must prune directories at the scan:\n$pf")
+  }
 }

@@ -81,4 +81,19 @@ class SetOpsFunctionsSpec extends SparkSpec {
     assert(reparsed.filter(col("jk") =!= col("c_custkey")).count() == 0)
     assert(reparsed.filter(col("js") =!= col("seg_from_struct")).count() == 0)
   }
+
+  test("variant extraction is typed, try_ NULLs on type mismatch, missing paths NULL") {
+    val df = Functions.qFnVariant(spark, sf)
+    // the source round-trip: every extracted field equals its origin column
+    val ev = Tables.events(spark, sf).select(col("event_id"),
+      col("event_type").as("src_et"), col("user_id"))
+    val joined = df.join(ev, "event_id")
+    assert(joined.filter(col("et") =!= col("src_et")).count() == 0)
+    assert(joined.filter(col("id2") =!= col("user_id") * 2).count() == 0)
+    // event_type strings never parse as int under try_variant_get
+    assert(df.filter(col("et_as_int").isNotNull).count() == 0)
+    // a path absent from the document extracts as NULL, not an error
+    assert(df.filter(col("absent").isNotNull).count() == 0)
+    assert(df.count() > 0)
+  }
 }

@@ -423,6 +423,31 @@ object Dedup extends QueryModule {
       .orderBy(col("a_key"), col("b_key"))
   }
 
+  /** Jaro-Winkler fuzzy match under the same (brand, size) blocking key as
+    * [[qFuzzyPairs]] — the record-linkage tier levenshtein cannot serve:
+    * edit distance charges a transposition ("MARTHA"/"MARHTA") like two
+    * substitutions, while Jaro-Winkler half-weights it and boosts shared
+    * prefixes, which is what name/title matching needs. Scoring runs
+    * through the native codegen'd [[graft.functions.JaroWinkler]]
+    * expression (no UDF boundary); the blocking join bounds candidate
+    * pairs exactly as in the levenshtein tier, so at 100 TB the quadratic
+    * stays inside blocks. Scores micro-floored on both engines. */
+  def qFuzzyJw(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.JaroWinkler.register(spark)
+    val p = Tables.part(spark, dir)
+    val a = p.select(col("p_partkey").as("a_key"), col("p_name").as("a_name"),
+      col("p_brand").as("brand"), col("p_size").as("size"))
+    val b = p.select(col("p_partkey").as("b_key"), col("p_name").as("b_name"),
+      col("p_brand").as("brand"), col("p_size").as("size"))
+    a.join(b, Seq("brand", "size"))
+      .filter(col("a_key") < col("b_key"))
+      .withColumn("jw",
+        floor(expr("jaro_winkler(a_name, b_name)") * 1000000 + 0.5) / 1000000)
+      .filter(col("jw") >= 0.88)
+      .select(col("a_key"), col("b_key"), col("a_name"), col("b_name"), col("jw"))
+      .orderBy(col("a_key"), col("b_key"))
+  }
+
   /** Paragraph-level exact dedup with in-place reassembly — the CCNet step
     * that dedups at SUB-document granularity (boilerplate headers, quoted
     * blocks, licence banners repeat across documents that are not
@@ -489,6 +514,7 @@ object Dedup extends QueryModule {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_dedup_containment" -> (qDedupContainment _),
     "q_dedup_fuzzy"     -> (qFuzzyPairs _),
+    "q_fuzzy_jw"        -> (qFuzzyJw _),
     "q_dedup_paragraph" -> (qDedupParagraph _),
     "q_dedup_exact"     -> (qDedupExact _),
     "q_dedup_near"      -> (qDedupNear _),
@@ -583,6 +609,17 @@ object Dedup extends QueryModule {
         |       COALESCE(ka.text_kept, '') AS text_kept
         |FROM tot LEFT JOIN ka ON ka.doc_id = tot.doc_id
         |ORDER BY tot.doc_id""".stripMargin,
+    "q_fuzzy_jw" ->
+      """SELECT a.p_partkey AS a_key, b.p_partkey AS b_key,
+        |       a.p_name AS a_name, b.p_name AS b_name,
+        |       FLOOR(jaro_winkler_similarity(a.p_name, b.p_name) * 1000000 + 0.5)
+        |         / 1000000 AS jw
+        |FROM part a JOIN part b
+        |  ON a.p_brand = b.p_brand AND a.p_size = b.p_size
+        | AND a.p_partkey < b.p_partkey
+        |WHERE FLOOR(jaro_winkler_similarity(a.p_name, b.p_name) * 1000000 + 0.5)
+        |        / 1000000 >= 0.88
+        |ORDER BY a_key, b_key""".stripMargin,
     "q_dedup_fuzzy" ->
       """SELECT a.p_partkey AS a_key, b.p_partkey AS b_key,
         |       a.p_name AS a_name, b.p_name AS b_name,

@@ -1,6 +1,6 @@
 package graft.plans
 
-import graft.functions.{CharEntropy, CosineSimilarity, SubTokenCount}
+import graft.functions.{CharEntropy, CosineSimilarity, JaroWinkler, SubTokenCount}
 import org.apache.spark.sql.SparkSessionExtensions
 
 /** Session-extension entry point: launch with
@@ -17,6 +17,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       CharEntropy.builder))
     ext.injectFunction((SubTokenCount.ident, SubTokenCount.info,
       SubTokenCount.builder))
+    ext.injectFunction((JaroWinkler.ident, JaroWinkler.info,
+      JaroWinkler.builder))
     ext.injectOptimizerRule(_ => LevenshteinGuard)
     // the per-group top-k physical operator: sessions built with the
     // extensions plan TopKPerGroupPlan without needing the runtime

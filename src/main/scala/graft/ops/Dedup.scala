@@ -448,6 +448,66 @@ object Dedup extends QueryModule {
       .orderBy(col("a_key"), col("b_key"))
   }
 
+  /** Prefix-filtered set-similarity join (PPJoin-lite, Chaudhuri et al.
+    * SSJoin / Xiao et al. PPJoin) — the PROVABLY-COMPLETE candidate pruner
+    * for Jaccard joins, complementing the probabilistic tiers: MinHash
+    * banding can miss a true pair; the prefix filter cannot. Order every
+    * document's distinct tokens by global rarity (df asc, token asc); for
+    * Jaccard ≥ t a matching pair must overlap in ≥ ceil(t·n) tokens per
+    * side, so it MUST share a token within each side's first
+    * n − ceil(t·n) + 1 — candidates come from joining only those prefixes
+    * (the rarest tokens, so posting lists are short by construction: the
+    * frequent-token lists the df-cap tiers must explicitly drop never
+    * enter the index at all). Exact verify on candidates, all-integer:
+    * 10·o ≥ 6·(n1+n2−o) decides t = 0.6 with zero FP.
+    *
+    * Set elements are word BIGRAMS, not unigrams: this synthetic corpus
+    * draws every document from one small vocabulary, so unigram-set
+    * Jaccard ≥ 0.6 matches most of all pairs (~71k at sf0.01 — quadratic
+    * output, no discrimination), while bigram sets preserve local order
+    * and isolate true near-dups (25 pairs at sf0.01).
+    *
+    * Scale shape: prefix posting join (short lists) → distinct pairs →
+    * per-pair intersection via two doc-keyed joins → integer filter. The
+    * completeness lemma is asserted against brute-force all-pairs in
+    * LlmOpsSpec; the oracle replays the identical prefix construction. */
+  def qSetsimJoin(spark: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.documents(spark, dir)
+      .withColumn("t", split(lower(trim(col("text"))), " "))
+      .select(col("doc_id"), explode(array_distinct(expr(
+        """CASE WHEN size(t) < 2 THEN array()
+          |ELSE transform(sequence(1, size(t) - 1),
+          |  i -> concat(element_at(t, i), ' ', element_at(t, i + 1)))
+          |END""".stripMargin))).as("token"))
+      .localCheckpoint(eager = false) // feeds sizes, dfreq, prefix, and verify
+    val sizes = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val dfreq = toks.groupBy(col("token")).agg(count(lit(1)).as("df"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("df"), col("token"))
+    val prefix = toks.join(dfreq, "token").join(sizes, "doc_id")
+      .withColumn("rn", row_number().over(w))
+      // prefix length n − ceil(0.6·n) + 1; ceil(6n/10) = (6n+9) div 10
+      .filter(col("rn") <= col("n") - expr("(6 * n + 9) div 10") + 1)
+      .select(col("doc_id"), col("token"))
+    val cand = prefix.as("pa").join(prefix.as("pb"), Seq("token"))
+      .filter(col("pa.doc_id") < col("pb.doc_id"))
+      .select(col("pa.doc_id").as("d1"), col("pb.doc_id").as("d2"))
+      .distinct()
+    val inter = cand
+      .join(toks.select(col("doc_id").as("d1"), col("token")), Seq("d1"))
+      .join(toks.select(col("doc_id").as("d2"), col("token")), Seq("d2", "token"))
+      .groupBy(col("d1"), col("d2")).agg(count(lit(1)).as("o"))
+    inter
+      .join(sizes.select(col("doc_id").as("d1"), col("n").as("n1")), "d1")
+      .join(sizes.select(col("doc_id").as("d2"), col("n").as("n2")), "d2")
+      .filter(col("o") * 10 >= (col("n1") + col("n2") - col("o")) * 6)
+      .withColumn("jaccard", floor(
+        col("o").cast("double") / (col("n1") + col("n2") - col("o"))
+          * 1000000 + 0.5) / 1000000)
+      .select(col("d1"), col("d2"), col("o"), col("n1"), col("n2"), col("jaccard"))
+      .orderBy(col("d1"), col("d2"))
+  }
+
   /** Paragraph-level exact dedup with in-place reassembly — the CCNet step
     * that dedups at SUB-document granularity (boilerplate headers, quoted
     * blocks, licence banners repeat across documents that are not
@@ -515,6 +575,7 @@ object Dedup extends QueryModule {
     "q_dedup_containment" -> (qDedupContainment _),
     "q_dedup_fuzzy"     -> (qFuzzyPairs _),
     "q_fuzzy_jw"        -> (qFuzzyJw _),
+    "q_setsim_join"     -> (qSetsimJoin _),
     "q_dedup_paragraph" -> (qDedupParagraph _),
     "q_dedup_exact"     -> (qDedupExact _),
     "q_dedup_near"      -> (qDedupNear _),
@@ -609,6 +670,39 @@ object Dedup extends QueryModule {
         |       COALESCE(ka.text_kept, '') AS text_kept
         |FROM tot LEFT JOIN ka ON ka.doc_id = tot.doc_id
         |ORDER BY tot.doc_id""".stripMargin,
+    "q_setsim_join" ->
+      """WITH base AS (
+        |  SELECT doc_id, STRING_SPLIT(LOWER(TRIM(text)), ' ') AS t FROM documents),
+        |toks AS (
+        |  SELECT DISTINCT doc_id, token FROM (
+        |    SELECT doc_id, UNNEST(LIST_TRANSFORM(RANGE(1, LEN(t)),
+        |      i -> t[i] || ' ' || t[i + 1])) AS token
+        |    FROM base)),
+        |sizes AS (SELECT doc_id, COUNT(*) AS n FROM toks GROUP BY doc_id),
+        |dfreq AS (SELECT token, COUNT(*) AS df FROM toks GROUP BY token),
+        |ranked AS (
+        |  SELECT t.doc_id, t.token, s.n,
+        |         ROW_NUMBER() OVER (PARTITION BY t.doc_id ORDER BY f.df, t.token) AS rn
+        |  FROM toks t JOIN dfreq f USING (token) JOIN sizes s USING (doc_id)),
+        |pref AS (
+        |  SELECT doc_id, token FROM ranked WHERE rn <= n - ((6 * n + 9) // 10) + 1),
+        |cand AS (
+        |  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+        |  FROM pref a JOIN pref b USING (token) WHERE a.doc_id < b.doc_id),
+        |inter AS (
+        |  SELECT c.d1, c.d2, COUNT(*) AS o
+        |  FROM cand c
+        |  JOIN toks ta ON ta.doc_id = c.d1
+        |  JOIN toks tb ON tb.doc_id = c.d2 AND tb.token = ta.token
+        |  GROUP BY c.d1, c.d2)
+        |SELECT d1, d2, o, s1.n AS n1, s2.n AS n2,
+        |       FLOOR(CAST(o AS DOUBLE) / (s1.n + s2.n - o) * 1000000 + 0.5)
+        |         / 1000000 AS jaccard
+        |FROM inter
+        |JOIN sizes s1 ON s1.doc_id = d1
+        |JOIN sizes s2 ON s2.doc_id = d2
+        |WHERE o * 10 >= (s1.n + s2.n - o) * 6
+        |ORDER BY d1, d2""".stripMargin,
     "q_fuzzy_jw" ->
       """SELECT a.p_partkey AS a_key, b.p_partkey AS b_key,
         |       a.p_name AS a_name, b.p_name AS b_name,

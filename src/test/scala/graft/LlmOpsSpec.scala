@@ -126,6 +126,41 @@ class LlmOpsSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"), "inverted-index join, not cartesian")
   }
 
+  test("setsim join: prefix filter is complete vs brute-force jaccard >= 0.6") {
+    import spark.implicits._
+    val d = java.nio.file.Files.createTempDirectory("setsim").toString
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon"),
+      (2L, "alpha beta gamma delta zeta"),        // jacc 4/6 = 0.667 with 1
+      (3L, "alpha beta gamma delta epsilon"),     // identical to 1
+      (4L, "omega psi chi phi upsilon"),          // disjoint
+      (5L, "omega psi chi phi tau"),              // 4/6 with 4
+      (6L, "alpha omega one two three four"),     // low overlap everywhere
+      (7L, "five six seven eight nine"),
+    )
+    docs.map { case (id, t) => (id, t, "en", "web", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$d/documents.parquet")
+    // driver-side brute force over all pairs, bigram sets like the operator
+    val sets = docs.map { case (id, t) =>
+      id -> t.split(" ").sliding(2).map(_.mkString(" ")).toSet
+    }.toMap
+    val expected = (for {
+      a <- sets.keys; b <- sets.keys if a < b
+      o = (sets(a) & sets(b)).size
+      if o * 10 >= (sets(a).size + sets(b).size - o) * 6
+    } yield (a, b)).toSet
+    assert(expected.nonEmpty, "fixture must plant at least one matching pair")
+    val got = graft.ops.Dedup.qSetsimJoin(spark, d).collect()
+      .map(r => (r.getAs[Long]("d1"), r.getAs[Long]("d2"))).toSet
+    assert(got == expected, s"got $got expected $expected")
+    // and the exact jaccard values survive the integer verify
+    val j12 = graft.ops.Dedup.qSetsimJoin(spark, d).collect()
+      .find(r => r.getAs[Long]("d1") == 1L && r.getAs[Long]("d2") == 2L).get
+      .getAs[Double]("jaccard")
+    assert(math.abs(j12 - 0.6) < 1e-9)
+  }
+
   test("gram matrix covers the upper triangle and matches a driver-side replay") {
     val rows = Similarity.qGramMatrix(spark, sf).collect()
     val d = 64

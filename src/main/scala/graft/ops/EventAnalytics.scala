@@ -544,7 +544,42 @@ object EventAnalytics extends QueryModule {
       .orderBy(col("d"))
   }
 
+  /** Per-(type, day) OHLC bars + exact integer mean — the time-series
+    * downsampling rollup (market bars, sensor aggregation, metric
+    * pre-aggregation). Open/close are the first/last value by the TOTAL
+    * order (ts, event_id) — two row_numbers over one sort — so ties at the
+    * same microsecond cannot flip the bar between engines; high/low/n are
+    * plain aggregates, and the mean stays exact: per-row micro BIGINT sum,
+    * one integer division at the end. Scale shape: the window partitions
+    * by (event_type, DAY), so a partition is one day of one type — bounded
+    * regardless of corpus size (the chunked-window convention from the
+    * round-3 re-plans), and the final agg rides the same exchange. */
+  def qOhlc(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = Tables.events(spark, dir)
+      .withColumn("d", to_date(col("ts")))
+      .withColumn("micro", floor(col("value") * 1000000 + 0.5).cast("long"))
+    val byTime = Window.partitionBy(col("event_type"), col("d"))
+      .orderBy(col("ts"), col("event_id"))
+    val byTimeDesc = Window.partitionBy(col("event_type"), col("d"))
+      .orderBy(col("ts").desc, col("event_id").desc)
+    e.withColumn("rn_a", row_number().over(byTime))
+      .withColumn("rn_d", row_number().over(byTimeDesc))
+      .groupBy(col("event_type"), col("d"))
+      .agg(
+        max(when(col("rn_a") === 1, col("value"))).as("open"),
+        max(col("value")).as("high"),
+        min(col("value")).as("low"),
+        max(when(col("rn_d") === 1, col("value"))).as("close"),
+        count(lit(1)).as("n"),
+        (sum(col("micro")).cast("long")).as("sum_micro"))
+      .withColumn("mean_micro", expr("sum_micro div n"))
+      .drop("sum_micro")
+      .orderBy(col("event_type"), col("d"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_ohlc" -> (qOhlc _),
     "q_active_users" -> (qActiveUsers _),
     "q_cart_sessions" -> (qCartSessions _),
     "q_win_streak" -> (qWinStreak _),
@@ -592,6 +627,24 @@ object EventAnalytics extends QueryModule {
       |  FROM ver GROUP BY user_id, version)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "q_ohlc" ->
+      """WITH e AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS d, ts, event_id, value,
+        |         CAST(FLOOR(value * 1000000 + 0.5) AS BIGINT) AS micro,
+        |         ROW_NUMBER() OVER (PARTITION BY event_type, CAST(ts AS DATE)
+        |           ORDER BY ts, event_id) AS rn_a,
+        |         ROW_NUMBER() OVER (PARTITION BY event_type, CAST(ts AS DATE)
+        |           ORDER BY ts DESC, event_id DESC) AS rn_d
+        |  FROM events)
+        |SELECT event_type, d,
+        |       MAX(CASE WHEN rn_a = 1 THEN value END) AS open,
+        |       MAX(value) AS high,
+        |       MIN(value) AS low,
+        |       MAX(CASE WHEN rn_d = 1 THEN value END) AS close,
+        |       COUNT(*) AS n,
+        |       CAST(SUM(micro) AS BIGINT) // COUNT(*) AS mean_micro
+        |FROM e GROUP BY event_type, d
+        |ORDER BY event_type, d""".stripMargin,
     "q_active_users" ->
       """WITH act AS (
         |  SELECT DISTINCT user_id,

@@ -382,4 +382,31 @@ class EventAnalyticsSpec extends SparkSpec {
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(census == Map(1L -> 2L, 3L -> 1L))
   }
+
+  test("ohlc bars: open/close by total time order, exact integer mean") {
+    import spark.implicits._
+    def t(s: String) = Timestamp.valueOf(s)
+    val d = java.nio.file.Files.createTempDirectory("ohlc").toString
+    Seq(
+      (1L, t("2024-01-01 09:00:00"), 1L, "trade", 10.0),
+      (2L, t("2024-01-01 12:00:00"), 1L, "trade", 40.0),
+      (3L, t("2024-01-01 16:00:00"), 1L, "trade", 25.0),
+      // same-microsecond tie: event_id must break it, 5 is the close
+      (4L, t("2024-01-02 16:00:00"), 1L, "trade", 7.0),
+      (5L, t("2024-01-02 16:00:00"), 1L, "trade", 9.0),
+    ).toDF("event_id", "ts", "user_id", "event_type", "value")
+      .withColumn("props", lit("{}"))
+      .withColumn("ts", (unix_micros(col("ts")) * 1000).as("ts"))
+      .write.mode("overwrite").parquet(s"$d/events.parquet")
+    val bars = EventAnalytics.qOhlc(spark, d).collect()
+      .map(r => r.getAs[java.sql.Date]("d").toString -> r).toMap
+    val d1 = bars("2024-01-01")
+    assert(d1.getAs[Double]("open") == 10.0 && d1.getAs[Double]("close") == 25.0)
+    assert(d1.getAs[Double]("high") == 40.0 && d1.getAs[Double]("low") == 10.0)
+    assert(d1.getAs[Long]("mean_micro") == 25000000L)
+    val d2 = bars("2024-01-02")
+    assert(d2.getAs[Double]("open") == 7.0 && d2.getAs[Double]("close") == 9.0,
+      "same-timestamp tie must resolve by event_id")
+    assert(d2.getAs[Long]("mean_micro") == 8000000L)
+  }
 }

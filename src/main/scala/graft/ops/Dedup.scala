@@ -467,10 +467,25 @@ object Dedup extends QueryModule {
     * output, no discrimination), while bigram sets preserve local order
     * and isolate true near-dups (25 pairs at sf0.01).
     *
-    * Scale shape: prefix posting join (short lists) → distinct pairs →
-    * per-pair intersection via two doc-keyed joins → integer filter. The
-    * completeness lemma is asserted against brute-force all-pairs in
-    * LlmOpsSpec; the oracle replays the identical prefix construction. */
+    * Scale shape — three PPJoin ingredients, each load-bearing at sf0.1
+    * (the naive prefix join alone generated 7M candidates and spent 94 s
+    * in the verify joins):
+    *  1. prefix filter: candidates only from each side's rare-bigram
+    *     prefix (length n − ⌈t·n⌉ + 1);
+    *  2. POSITIONAL filter at candidate generation: a shared token at
+    *     rarity positions (i, j) can support overlap at most
+    *     1 + min(n1−i, n2−j), so occurrences with
+    *     1 + min(n1−i, n2−j) < α = ⌈t/(1+t)·(n1+n2)⌉ are dropped BEFORE
+    *     the pair-distinct shuffle — complete, because a true pair's
+    *     first shared prefix token always satisfies the bound;
+    *  3. verify by BROADCAST dictionary + array_intersect: the per-doc
+    *     bigram-set table is tiny relative to the pair set (5k docs vs
+    *     millions of candidates), so it broadcasts to both sides and the
+    *     exact intersection count is map-side — no shuffle joins over
+    *     |cand| × |tokens| rows. (At 100 TB the dictionary broadcasts
+    *     per candidate partition — the pair set is always the big side.)
+    * The completeness lemma is asserted against brute-force all-pairs in
+    * LlmOpsSpec; the oracle replays the identical construction. */
   def qSetsimJoin(spark: SparkSession, dir: String): DataFrame = {
     val toks = Tables.documents(spark, dir)
       .withColumn("t", split(lower(trim(col("text"))), " "))
@@ -486,21 +501,24 @@ object Dedup extends QueryModule {
       .partitionBy(col("doc_id")).orderBy(col("df"), col("token"))
     val prefix = toks.join(dfreq, "token").join(sizes, "doc_id")
       .withColumn("rn", row_number().over(w))
-      // prefix length n − ceil(0.6·n) + 1; ceil(6n/10) = (6n+9) div 10
-      .filter(col("rn") <= col("n") - expr("(6 * n + 9) div 10") + 1)
-      .select(col("doc_id"), col("token"))
+      // prefix length n − ceil(0.8·n) + 1; ceil(8n/10) = (8n+9) div 10
+      .filter(col("rn") <= col("n") - expr("(8 * n + 9) div 10") + 1)
+      .select(col("doc_id"), col("token"), col("n"), col("rn"))
     val cand = prefix.as("pa").join(prefix.as("pb"), Seq("token"))
       .filter(col("pa.doc_id") < col("pb.doc_id"))
+      // positional filter: α = ceil(4(n1+n2)/9) for t = 0.8
+      .filter(lit(1) + least(col("pa.n") - col("pa.rn"), col("pb.n") - col("pb.rn"))
+        >= expr("(4 * (pa.n + pb.n) + 8) div 9"))
       .select(col("pa.doc_id").as("d1"), col("pb.doc_id").as("d2"))
       .distinct()
-    val inter = cand
-      .join(toks.select(col("doc_id").as("d1"), col("token")), Seq("d1"))
-      .join(toks.select(col("doc_id").as("d2"), col("token")), Seq("d2", "token"))
-      .groupBy(col("d1"), col("d2")).agg(count(lit(1)).as("o"))
-    inter
-      .join(sizes.select(col("doc_id").as("d1"), col("n").as("n1")), "d1")
-      .join(sizes.select(col("doc_id").as("d2"), col("n").as("n2")), "d2")
-      .filter(col("o") * 10 >= (col("n1") + col("n2") - col("o")) * 6)
+    val dict = toks.groupBy(col("doc_id")).agg(collect_set(col("token")).as("set"))
+    cand
+      .join(broadcast(dict.select(col("doc_id").as("d1"), col("set").as("s1"))), "d1")
+      .join(broadcast(dict.select(col("doc_id").as("d2"), col("set").as("s2"))), "d2")
+      .withColumn("o", size(array_intersect(col("s1"), col("s2"))).cast("long"))
+      .withColumn("n1", size(col("s1")).cast("long"))
+      .withColumn("n2", size(col("s2")).cast("long"))
+      .filter(col("o") * 10 >= (col("n1") + col("n2") - col("o")) * 8)
       .withColumn("jaccard", floor(
         col("o").cast("double") / (col("n1") + col("n2") - col("o"))
           * 1000000 + 0.5) / 1000000)
@@ -685,23 +703,27 @@ object Dedup extends QueryModule {
         |         ROW_NUMBER() OVER (PARTITION BY t.doc_id ORDER BY f.df, t.token) AS rn
         |  FROM toks t JOIN dfreq f USING (token) JOIN sizes s USING (doc_id)),
         |pref AS (
-        |  SELECT doc_id, token FROM ranked WHERE rn <= n - ((6 * n + 9) // 10) + 1),
+        |  SELECT doc_id, token, n, rn FROM ranked
+        |  WHERE rn <= n - ((8 * n + 9) // 10) + 1),
         |cand AS (
         |  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
-        |  FROM pref a JOIN pref b USING (token) WHERE a.doc_id < b.doc_id),
-        |inter AS (
-        |  SELECT c.d1, c.d2, COUNT(*) AS o
+        |  FROM pref a JOIN pref b USING (token)
+        |  WHERE a.doc_id < b.doc_id
+        |    AND 1 + LEAST(a.n - a.rn, b.n - b.rn) >= (4 * (a.n + b.n) + 8) // 9),
+        |dict AS (
+        |  SELECT doc_id, LIST(token) AS s FROM toks GROUP BY doc_id),
+        |scored AS (
+        |  SELECT c.d1, c.d2,
+        |         CAST(LEN(LIST_INTERSECT(da.s, db.s)) AS BIGINT) AS o,
+        |         CAST(LEN(da.s) AS BIGINT) AS n1, CAST(LEN(db.s) AS BIGINT) AS n2
         |  FROM cand c
-        |  JOIN toks ta ON ta.doc_id = c.d1
-        |  JOIN toks tb ON tb.doc_id = c.d2 AND tb.token = ta.token
-        |  GROUP BY c.d1, c.d2)
-        |SELECT d1, d2, o, s1.n AS n1, s2.n AS n2,
-        |       FLOOR(CAST(o AS DOUBLE) / (s1.n + s2.n - o) * 1000000 + 0.5)
+        |  JOIN dict da ON da.doc_id = c.d1
+        |  JOIN dict db ON db.doc_id = c.d2)
+        |SELECT d1, d2, o, n1, n2,
+        |       FLOOR(CAST(o AS DOUBLE) / (n1 + n2 - o) * 1000000 + 0.5)
         |         / 1000000 AS jaccard
-        |FROM inter
-        |JOIN sizes s1 ON s1.doc_id = d1
-        |JOIN sizes s2 ON s2.doc_id = d2
-        |WHERE o * 10 >= (s1.n + s2.n - o) * 6
+        |FROM scored
+        |WHERE o * 10 >= (n1 + n2 - o) * 8
         |ORDER BY d1, d2""".stripMargin,
     "q_fuzzy_jw" ->
       """SELECT a.p_partkey AS a_key, b.p_partkey AS b_key,

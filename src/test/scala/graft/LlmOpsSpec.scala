@@ -126,17 +126,17 @@ class LlmOpsSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"), "inverted-index join, not cartesian")
   }
 
-  test("setsim join: prefix filter is complete vs brute-force jaccard >= 0.6") {
+  test("setsim join: prefix+positional filters are complete vs brute force at 0.8") {
     import spark.implicits._
     val d = java.nio.file.Files.createTempDirectory("setsim").toString
     val docs = Seq(
-      (1L, "alpha beta gamma delta epsilon"),
-      (2L, "alpha beta gamma delta zeta"),        // jacc 4/6 = 0.667 with 1
-      (3L, "alpha beta gamma delta epsilon"),     // identical to 1
-      (4L, "omega psi chi phi upsilon"),          // disjoint
-      (5L, "omega psi chi phi tau"),              // 4/6 with 4
-      (6L, "alpha omega one two three four"),     // low overlap everywhere
-      (7L, "five six seven eight nine"),
+      // 11 tokens → 10 bigrams; 2 shares 9 of them with 1: jacc 9/11 ≈ 0.818
+      (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda"),
+      (2L, "alpha beta gamma delta epsilon zeta eta theta iota kappa mu"),
+      (3L, "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda"), // = 1
+      (4L, "alpha beta gamma delta nu xi omicron pi rho sigma tau"), // jacc < 0.8 vs 1
+      (5L, "omega psi chi phi upsilon one two three four five six"), // disjoint
+      (6L, "five six seven eight nine ten eleven twelve thirteen fourteen fifteen"),
     )
     docs.map { case (id, t) => (id, t, "en", "web", t.length.toLong) }
       .toDF("doc_id", "text", "lang", "source", "n_chars")
@@ -148,17 +148,21 @@ class LlmOpsSpec extends SparkSpec {
     val expected = (for {
       a <- sets.keys; b <- sets.keys if a < b
       o = (sets(a) & sets(b)).size
-      if o * 10 >= (sets(a).size + sets(b).size - o) * 6
+      if o * 10 >= (sets(a).size + sets(b).size - o) * 8
     } yield (a, b)).toSet
-    assert(expected.nonEmpty, "fixture must plant at least one matching pair")
+    assert(expected == Set((1L, 2L), (1L, 3L), (2L, 3L)),
+      s"fixture should plant exactly the 1-2-3 cluster, got $expected")
     val got = graft.ops.Dedup.qSetsimJoin(spark, d).collect()
       .map(r => (r.getAs[Long]("d1"), r.getAs[Long]("d2"))).toSet
     assert(got == expected, s"got $got expected $expected")
     // and the exact jaccard values survive the integer verify
-    val j12 = graft.ops.Dedup.qSetsimJoin(spark, d).collect()
-      .find(r => r.getAs[Long]("d1") == 1L && r.getAs[Long]("d2") == 2L).get
-      .getAs[Double]("jaccard")
-    assert(math.abs(j12 - 0.6) < 1e-9)
+    val rows = graft.ops.Dedup.qSetsimJoin(spark, d).collect()
+    val j12 = rows.find(r => r.getAs[Long]("d1") == 1L && r.getAs[Long]("d2") == 2L)
+      .get.getAs[Double]("jaccard")
+    assert(math.abs(j12 - 0.818182) < 1e-9, s"9/11 micro-floored, got $j12")
+    val j13 = rows.find(r => r.getAs[Long]("d1") == 1L && r.getAs[Long]("d2") == 3L)
+      .get.getAs[Double]("jaccard")
+    assert(j13 == 1.0)
   }
 
   test("gram matrix covers the upper triangle and matches a driver-side replay") {

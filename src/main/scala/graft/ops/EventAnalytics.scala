@@ -578,7 +578,51 @@ object EventAnalytics extends QueryModule {
       .orderBy(col("event_type"), col("d"))
   }
 
+  /** Time-BOUNDED funnel (ClickHouse windowFunnel semantics): a user
+    * converts at stage k only via an ordered chain view < click < purchase
+    * whose LAST event falls within W = 4 h of the chain's FIRST — the
+    * question "did the ad convert within the session", which the unbounded
+    * [[qFunnel]] cannot ask. EXISTS-over-chains folds into two conditional
+    * running maxima over ONE per-user sort:
+    *   f(row)  = latest prior view ts     → a click c starts a valid
+    *             2-chain iff f(c) ≥ ts(c) − W;
+    *   g(row)  = max f over prior clicks  → a purchase p completes a
+    *             3-chain iff g(p) ≥ ts(p) − W (c ≤ v+W is implied by
+    *             v < c < p ≤ v+W, so only the endpoint needs checking —
+    *             choosing the LATEST prior view/click maximizes the chain
+    *             start, making the greedy maxima exact for EXISTS).
+    * All comparisons are exact epoch-micros integers; ties total-ordered
+    * by (ts, event_id). Scale: two window passes sharing one (user_id)
+    * exchange+sort, per-user partitions — the sessionize shape. */
+  def qFunnelWindow(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val W = 4L * 3600 * 1000000 // 4 h in micros
+    val byTime = Window.partitionBy(col("user_id"))
+      .orderBy(col("tsm"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val e = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_type"), col("event_id"),
+        unix_micros(col("ts")).as("tsm"))
+      .withColumn("f", max(when(col("event_type") === "view", col("tsm"))).over(byTime))
+      .withColumn("g", max(when(col("event_type") === "click", col("f"))).over(byTime))
+    val perUser = e.groupBy(col("user_id")).agg(
+      max(when(col("event_type") === "view", 1).otherwise(0)).as("s1"),
+      max(when(col("event_type") === "click" && col("f") >= col("tsm") - W, 1)
+        .otherwise(0)).as("s2"),
+      max(when(col("event_type") === "purchase" && col("g") >= col("tsm") - W, 1)
+        .otherwise(0)).as("s3"))
+    perUser.select(
+      explode(array(
+        struct(lit("1_view").as("stage"), col("s1").as("hit")),
+        struct(lit("2_click_4h").as("stage"), col("s2").as("hit")),
+        struct(lit("3_purchase_4h").as("stage"), col("s3").as("hit")))).as("x"))
+      .groupBy(col("x.stage").as("stage"))
+      .agg(sum(col("x.hit")).cast("long").as("n_users"))
+      .orderBy(col("stage"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_funnel_window" -> (qFunnelWindow _),
     "q_ohlc" -> (qOhlc _),
     "q_active_users" -> (qActiveUsers _),
     "q_cart_sessions" -> (qCartSessions _),
@@ -627,6 +671,35 @@ object EventAnalytics extends QueryModule {
       |  FROM ver GROUP BY user_id, version)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "q_funnel_window" ->
+      """WITH e AS (
+        |  SELECT user_id, event_type, event_id, epoch_us(ts) AS tsm
+        |  FROM events),
+        |wins AS (
+        |  SELECT user_id, event_type, event_id, tsm,
+        |         MAX(CASE WHEN event_type = 'view' THEN tsm END) OVER
+        |           (PARTITION BY user_id ORDER BY tsm, event_id
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS f
+        |  FROM e),
+        |wins2 AS (
+        |  SELECT user_id, event_type, tsm, f,
+        |         MAX(CASE WHEN event_type = 'click' THEN f END) OVER
+        |           (PARTITION BY user_id ORDER BY tsm, event_id
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS g
+        |  FROM wins),
+        |per_user AS (
+        |  SELECT user_id,
+        |         MAX(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS s1,
+        |         MAX(CASE WHEN event_type = 'click'
+        |                   AND f >= tsm - 14400000000 THEN 1 ELSE 0 END) AS s2,
+        |         MAX(CASE WHEN event_type = 'purchase'
+        |                   AND g >= tsm - 14400000000 THEN 1 ELSE 0 END) AS s3
+        |  FROM wins2 GROUP BY user_id)
+        |SELECT stage, CAST(SUM(hit) AS BIGINT) AS n_users FROM (
+        |  SELECT '1_view' AS stage, s1 AS hit FROM per_user
+        |  UNION ALL SELECT '2_click_4h', s2 FROM per_user
+        |  UNION ALL SELECT '3_purchase_4h', s3 FROM per_user)
+        |GROUP BY stage ORDER BY stage""".stripMargin,
     "q_ohlc" ->
       """WITH e AS (
         |  SELECT event_type, CAST(ts AS DATE) AS d, ts, event_id, value,

@@ -383,6 +383,39 @@ class EventAnalyticsSpec extends SparkSpec {
     assert(census == Map(1L -> 2L, 3L -> 1L))
   }
 
+  test("windowed funnel: chain must fit in 4h of its FIRST event, later chains count") {
+    import spark.implicits._
+    def t(s: String) = Timestamp.valueOf(s)
+    val d = java.nio.file.Files.createTempDirectory("wfunnel").toString
+    Seq(
+      // user 1: full chain inside 4h → stage 3
+      (1L, t("2024-01-01 10:00:00"), 1L, "view"),
+      (2L, t("2024-01-01 11:00:00"), 1L, "click"),
+      (3L, t("2024-01-01 13:00:00"), 1L, "purchase"),
+      // user 2: view→click fast, purchase 10h after the view → stage 2 only
+      (4L, t("2024-01-01 10:00:00"), 2L, "view"),
+      (5L, t("2024-01-01 10:30:00"), 2L, "click"),
+      (6L, t("2024-01-01 20:00:00"), 2L, "purchase"),
+      // user 3: first chain too slow, but a LATER view restarts a fast
+      // chain — windowFunnel measures from the chain start, not first view
+      (7L, t("2024-01-01 00:00:00"), 3L, "view"),
+      (8L, t("2024-01-01 09:00:00"), 3L, "view"),
+      (9L, t("2024-01-01 10:00:00"), 3L, "click"),
+      (10L, t("2024-01-01 11:00:00"), 3L, "purchase"),
+      // user 4: click precedes every view → stage 1 only
+      (11L, t("2024-01-01 10:00:00"), 4L, "click"),
+      (12L, t("2024-01-01 11:00:00"), 4L, "view"),
+    ).toDF("event_id", "ts", "user_id", "event_type")
+      .withColumn("value", lit(1.0)).withColumn("props", lit("{}"))
+      .withColumn("ts", (unix_micros(col("ts")) * 1000).as("ts"))
+      .write.mode("overwrite").parquet(s"$d/events.parquet")
+    val stages = EventAnalytics.qFunnelWindow(spark, d).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(stages("1_view") == 4)
+    assert(stages("2_click_4h") == 3, "users 1, 2, 3")
+    assert(stages("3_purchase_4h") == 2, "users 1 and 3; user 2's purchase is outside 4h")
+  }
+
   test("ohlc bars: open/close by total time order, exact integer mean") {
     import spark.implicits._
     def t(s: String) = Timestamp.valueOf(s)

@@ -115,13 +115,58 @@ object FeaturePrep extends QueryModule {
       .orderBy(col("label"))
   }
 
+  /** Feature hashing (the "hashing trick") collision audit: categorical
+    * features ("name=value" strings) map to a fixed K = 64 buckets by
+    * hash, so the model's input width is constant no matter how many
+    * distinct categories the data grows — the standard trick for
+    * unbounded-vocabulary features. What a pipeline must then audit is
+    * COLLISIONS: this operator reports, per bucket, the row mass, the
+    * number of distinct features sharing the bucket, and a deterministic
+    * example feature. The bucket hash is the engine's cross-engine md5
+    * primitive (first 15 hex chars as a 60-bit integer, mod K — same
+    * convention as the MinHash tier, so DuckDB reproduces the exact
+    * assignment and the oracle hash-matches).
+    *
+    * Scale shape: map-only explode (3 features/row) → one hash aggregate
+    * on a 64-value key; output is 64 rows however large the corpus. */
+  def qFeatureHash(spark: SparkSession, dir: String): DataFrame = {
+    val feats = Tables.customer(spark, dir)
+      .select(explode(array(
+        concat(lit("seg="), col("c_mktsegment")),
+        concat(lit("nation="), col("c_nationkey").cast("string")),
+        concat(lit("bal_sign="),
+          when(col("c_acctbal") >= 0, lit("pos")).otherwise(lit("neg")))))
+        .as("feat"))
+    feats
+      .withColumn("bucket",
+        expr("CAST(conv(substring(md5(feat), 1, 15), 16, 10) AS BIGINT) % 64"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_rows"),
+        countDistinct(col("feat")).as("n_feats"),
+        min(col("feat")).as("example"))
+      .orderBy(col("bucket"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_feature_scale" -> (qFeatureScale _),
     "q_decay_score"   -> (qDecayScore _),
     "q_label_balance" -> (qLabelBalance _),
+    "q_feature_hash"  -> (qFeatureHash _),
   )
 
   val oracle: Map[String, String] = Map(
+    "q_feature_hash" ->
+      """WITH feats AS (
+        |  SELECT UNNEST([
+        |    'seg=' || c_mktsegment,
+        |    'nation=' || CAST(c_nationkey AS VARCHAR),
+        |    'bal_sign=' || CASE WHEN c_acctbal >= 0 THEN 'pos' ELSE 'neg' END
+        |  ]) AS feat FROM customer)
+        |SELECT CAST('0x' || SUBSTR(MD5(feat), 1, 15) AS BIGINT) % 64 AS bucket,
+        |       COUNT(*) AS n_rows,
+        |       CAST(COUNT(DISTINCT feat) AS BIGINT) AS n_feats,
+        |       MIN(feat) AS example
+        |FROM feats GROUP BY bucket ORDER BY bucket""".stripMargin,
     "q_feature_scale" ->
       """WITH cents AS (
         |  SELECT event_id, event_type, value,

@@ -74,6 +74,19 @@ class FeaturePrepSpec extends SparkSpec {
     assert(math.abs(rows.map(_.getDouble(2)).sum - 1.0) < 1e-4)
   }
 
+  test("feature_hash: buckets bounded, mass conserved, assignment deterministic") {
+    val rows = graft.ops.FeaturePrep.qFeatureHash(spark, sf).collect()
+    assert(rows.forall { r =>
+      val b = r.getAs[Long]("bucket"); b >= 0 && b < 64
+    })
+    val nCustomers = Tables.customer(spark, sf).count()
+    assert(rows.map(_.getAs[Long]("n_rows")).sum == 3 * nCustomers,
+      "every (row, feature) lands in exactly one bucket")
+    // the hash is a pure function of the feature string: rerun is identical
+    val again = graft.ops.FeaturePrep.qFeatureHash(spark, sf).collect()
+    assert(rows.map(_.toString).toSeq == again.map(_.toString).toSeq)
+  }
+
   test("pca_power: loadings replay the integer power iteration exactly and align with G·v") {
     val rows = Similarity.qPcaPower(spark, sf).collect()
     assert(rows.length == 64)

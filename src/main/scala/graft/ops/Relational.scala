@@ -279,8 +279,37 @@ object Relational extends QueryModule {
       .orderBy(col("d"))
   }
 
+  /** Range-clustered compaction — the OTHER write-side layout lever next to
+    * [[qSinkPartitionPrune]]'s directory partitioning: `repartitionByRange`
+    * on `ts` + `sortWithinPartitions` rewrites the table as few large files
+    * whose parquet row-group min/max `ts` ranges are DISJOINT, so a time
+    * predicate on the read-back skips whole row groups at the footer level
+    * (and a time-ordered scan needs no sort). This is the compaction/
+    * Z-order-lite maintenance job every lake schedules; on a 100 TB table
+    * it is the difference between a range query touching ~W/period of the
+    * files and touching all of them. The week-2 aggregate over the
+    * clustered copy is oracle-checked against the source table — the
+    * rewrite must lose nothing. */
+  def qSinkCompact(spark: SparkSession, dir: String): DataFrame = {
+    val sink = s"${System.getProperty("java.io.tmpdir")}/graft_sink_${
+      Integer.toHexString(dir.hashCode)}/events_clustered"
+    Tables.events(spark, dir)
+      .select(col("event_id"), col("user_id"), col("event_type"), col("value"), col("ts"))
+      .repartitionByRange(8, col("ts"))
+      .sortWithinPartitions(col("ts"), col("event_id"))
+      .write.mode("overwrite").parquet(sink)
+    spark.read.parquet(sink)
+      .filter(col("ts") >= lit("2024-01-08 00:00:00").cast("timestamp")
+        && col("ts") < lit("2024-01-15 00:00:00").cast("timestamp"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(floor(col("value") * 1000000 + 0.5).cast("long")).as("sum_micro"))
+      .orderBy(col("event_type"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_sink_partition_prune" -> (qSinkPartitionPrune _),
+    "q_sink_compact" -> (qSinkCompact _),
     "q_cdc_diff"  -> (qCdcDiff _),
     "q_scan"      -> (qScan _),
     "q_project"   -> (qProject _),
@@ -297,6 +326,14 @@ object Relational extends QueryModule {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_sink_compact" ->
+      """SELECT event_type, COUNT(*) AS n,
+        |       CAST(SUM(CAST(FLOOR(value * 1000000 + 0.5) AS BIGINT)) AS BIGINT)
+        |         AS sum_micro
+        |FROM events
+        |WHERE ts >= TIMESTAMP '2024-01-08 00:00:00'
+        |  AND ts < TIMESTAMP '2024-01-15 00:00:00'
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
     "q_sink_partition_prune" ->
       """SELECT CAST(ts AS DATE) AS d, COUNT(*) AS n,
         |       CAST(SUM(CAST(FLOOR(value * 1000000 + 0.5) AS BIGINT)) AS BIGINT) AS sum_micro

@@ -176,6 +176,33 @@ class PlanSpec extends SparkSpec {
       .contains("BroadcastHashJoin"))
   }
 
+  test("q_sink_compact clusters files into disjoint ts ranges and pushes the range filter") {
+    val df = Relational.qSinkCompact(spark, sf)
+    df.collect() // run the write
+    // the read-back scan must carry the ts bounds as pushed filters
+    val plan = planOf(df)
+    val pushed = plan.linesIterator.find(_.contains("PushedFilters")).getOrElse("")
+    assert(pushed.contains("GreaterThanOrEqual(ts") && pushed.contains("LessThan(ts"),
+      s"range predicate must reach the parquet footer:\n$pushed")
+    // clustering contract: per-file [min ts, max ts] ranges are disjoint,
+    // which is what makes row-group min/max skipping effective
+    val sink = s"${System.getProperty("java.io.tmpdir")}/graft_sink_${
+      Integer.toHexString(sf.hashCode)}/events_clustered"
+    import org.apache.spark.sql.functions._
+    val ranges = spark.read.parquet(sink)
+      .groupBy(input_file_name().as("f"))
+      .agg(min("ts").as("lo"), max("ts").as("hi"))
+      .collect()
+      .map(r => (r.getAs[java.sql.Timestamp]("lo"), r.getAs[java.sql.Timestamp]("hi")))
+      .sortBy(_._1.getTime)
+    assert(ranges.length > 1, "range repartition should produce multiple files")
+    ranges.sliding(2).foreach {
+      case Array((_, hi), (lo, _)) =>
+        assert(hi.getTime <= lo.getTime, s"file ranges overlap: $hi > $lo")
+      case _ =>
+    }
+  }
+
   test("q_sink_partition_prune's read-back prunes partitions, not post-filters") {
     val plan = planOf(Relational.qSinkPartitionPrune(spark, sf))
     val pf = plan.linesIterator.find(_.contains("PartitionFilters")).getOrElse("")

@@ -220,4 +220,26 @@ class PropertySpec extends AnyFunSuite {
       assert(native == expected, s"k=$k")
     }
   }
+
+  test("jaro_winkler: bounded, symmetric, 1 on self, 0 without common chars") {
+    import org.apache.spark.unsafe.types.UTF8String
+    def jw(a: String, b: String): Double = graft.functions.JaroWinkler.compute(
+      UTF8String.fromString(a), UTF8String.fromString(b))
+    val word = Gen.listOfN(8, Gen.alphaLowerChar).map(_.mkString)
+      .flatMap(s => Gen.chooseNum(0, 8).map(s.take))
+    forAllSamples2(word, word) { (a, b) =>
+      val s = jw(a, b)
+      assert(s >= 0.0 && s <= 1.0, s"out of bounds: jw($a, $b) = $s")
+      assert(s == jw(b, a), s"asymmetric on ($a, $b)")
+      assert(jw(a, a) == 1.0 || a.isEmpty)
+      if (a.nonEmpty && b.nonEmpty && a.toSet.intersect(b.toSet).isEmpty)
+        assert(s == 0.0, s"no shared chars but jw($a, $b) = $s")
+      // a transposition never scores below the same-position substitution
+      if (a.length >= 4) {
+        val tr = a.substring(0, 2) + a.charAt(3) + a.charAt(2) + a.substring(4)
+        val sub = a.substring(0, 2) + "?!" + a.substring(4)
+        assert(jw(a, tr) >= jw(a, sub), s"transposition under-scored on $a")
+      }
+    }
+  }
 }

@@ -465,7 +465,40 @@ object Similarity extends QueryModule {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
+  /** k-NN majority-vote classification — the serving-side op on top of
+    * [[qKnnJoin]]: each query vector takes the label most common among its
+    * 5 nearest neighbors (cosine, self excluded). Vote ties break
+    * deterministically (votes desc, label asc), and the neighbor cut
+    * itself is total-ordered (cosine desc, vec_id) — so the DuckDB twin
+    * reproduces the exact prediction. Scale shape is the kNN join's:
+    * broadcast query batch × partition-parallel corpus scan, one shuffle
+    * of the per-(query, label) partial counts; the vote aggregate is
+    * map-side combinable. */
+  def qKnnClassify(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    graft.functions.CosineSimilarity.register(spark)
+    val base = Tables.embeddings(spark, dir)
+      .filter(size(col("embedding")) === 64 && expr(normSqExpr) > 0)
+    val batch = base.filter(col("vec_id") % 40 === 0)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val nnW = Window.partitionBy(col("qid")).orderBy(col("cos_raw").desc, col("vec_id"))
+    val neighbors = base.crossJoin(broadcast(batch))
+      .filter(col("vec_id") =!= col("qid"))
+      .withColumn("cos_raw", expr("cosine_sim(embedding, qvec)"))
+      .withColumn("rk", row_number().over(nnW))
+      .filter(col("rk") <= 5)
+    val voteW = Window.partitionBy(col("qid"))
+      .orderBy(col("votes").desc, col("label"))
+    neighbors.groupBy(col("qid"), col("label"))
+      .agg(count(lit(1)).as("votes"))
+      .withColumn("vr", row_number().over(voteW))
+      .filter(col("vr") === 1)
+      .select(col("qid"), col("label").as("pred_label"), col("votes"))
+      .orderBy(col("qid"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_knn_classify"       -> (qKnnClassify _),
     "q_sim_sparse"         -> (qSimSparse _),
     "q_gram_matrix"        -> (qGramMatrix _),
     "q_pca_power"          -> (qPcaPower _),
@@ -723,6 +756,27 @@ object Similarity extends QueryModule {
         |FROM eligible ORDER BY c DESC, doc_id LIMIT 10""".stripMargin,
     "q_cosine_topk"        -> cosineTopkOracle,
     "q_cosine_topk_native" -> cosineTopkOracle,
+    "q_knn_classify" ->
+      """WITH base AS (
+        |  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
+        |  WHERE LEN(embedding) = 64
+        |    AND LIST_AGGREGATE(LIST_TRANSFORM(CAST(embedding AS DOUBLE[]), x -> x * x), 'sum') > 0),
+        |q AS (
+        |  SELECT vec_id AS qid, emb AS qemb FROM base WHERE vec_id % 40 = 0),
+        |scored AS (
+        |  SELECT q.qid, b.vec_id, b.label, LIST_COSINE_SIMILARITY(b.emb, q.qemb) AS c
+        |  FROM base b CROSS JOIN q WHERE b.vec_id <> q.qid),
+        |nn AS (
+        |  SELECT qid, label FROM (
+        |    SELECT qid, label,
+        |           ROW_NUMBER() OVER (PARTITION BY qid ORDER BY c DESC, vec_id) AS rk
+        |    FROM scored) WHERE rk <= 5),
+        |votes AS (
+        |  SELECT qid, label, COUNT(*) AS votes FROM nn GROUP BY qid, label)
+        |SELECT qid, label AS pred_label, votes FROM (
+        |  SELECT qid, label, votes,
+        |         ROW_NUMBER() OVER (PARTITION BY qid ORDER BY votes DESC, label) AS vr
+        |  FROM votes) WHERE vr = 1 ORDER BY qid""".stripMargin,
     "q_knn_join" ->
       """WITH base AS (
         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings

@@ -165,6 +165,25 @@ class LlmOpsSpec extends SparkSpec {
     assert(j13 == 1.0)
   }
 
+  test("knn classify: prediction is the majority label of the knn join's top-5") {
+    val e = Tables.embeddings(spark, sf)
+    val labels = e.select(col("vec_id"), col("label")).collect()
+      .map(r => r.getLong(0) -> r.getAs[Number](1).longValue).toMap
+    val nnLabels = Similarity.qKnnJoin(spark, sf).collect()
+      .groupBy(_.getAs[Long]("qid"))
+      .view.mapValues(_.map(r => labels(r.getAs[Long]("vec_id")))).toMap
+    val preds = Similarity.qKnnClassify(spark, sf).collect()
+      .map(r => r.getAs[Long]("qid") ->
+        (r.getAs[Number]("pred_label").longValue, r.getAs[Long]("votes")))
+      .toMap
+    assert(preds.keySet == nnLabels.keySet)
+    preds.foreach { case (qid, (pred, votes)) =>
+      val counts = nnLabels(qid).groupBy(identity).view.mapValues(_.length).toMap
+      val expected = counts.toSeq.sortBy { case (l, n) => (-n, l) }.head
+      assert((pred, votes.toInt) == expected, s"qid $qid: got ($pred, $votes), want $expected")
+    }
+  }
+
   test("gram matrix covers the upper triangle and matches a driver-side replay") {
     val rows = Similarity.qGramMatrix(spark, sf).collect()
     val d = 64

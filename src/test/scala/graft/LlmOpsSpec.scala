@@ -163,6 +163,12 @@ class LlmOpsSpec extends SparkSpec {
     val j13 = rows.find(r => r.getAs[Long]("d1") == 1L && r.getAs[Long]("d2") == 3L)
       .get.getAs[Double]("jaccard")
     assert(j13 == 1.0)
+    // plan shape: inverted-index join + broadcast dictionary verify —
+    // never a cartesian, never a shuffle join against the token table
+    val plan = graft.ops.Dedup.qSetsimJoin(spark, d)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), "candidates must come from the prefix join")
+    assert(plan.contains("BroadcastHashJoin"), "dictionary verify must broadcast")
   }
 
   test("knn classify: prediction is the majority label of the knn join's top-5") {

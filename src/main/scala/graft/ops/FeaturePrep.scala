@@ -147,14 +147,67 @@ object FeaturePrep extends QueryModule {
       .orderBy(col("bucket"))
   }
 
+  /** Quantile normalization — the third normalizer next to
+    * [[qFeatureScale]]'s z-score/min-max: each value re-expressed as its
+    * empirical quantile (rank−1)/(n−1) ∈ [0,1] within its event_type — the
+    * rank transform that makes features comparable regardless of
+    * distribution shape (and the input to quantile-matching pipelines).
+    *
+    * Semantics are a plain per-type ROW_NUMBER over the total order
+    * (value, event_id) — but the EXECUTION is the chunked two-phase rank
+    * (the round-3 re-plan convention): partition by (event_type,
+    * VALUE-RANGE bucket), rank within each bounded bucket, then add the
+    * broadcast per-bucket offsets (cumulative counts of strictly lower
+    * buckets). Range-bucketing by value is what lets a global
+    * order-statistic run without any single task owning a whole type's
+    * rows — the distributed-sort shape, expressed relationally. The
+    * DuckDB oracle uses the plain window; same rows, same quantiles. */
+  def qQuantileNorm(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = Tables.events(spark, dir)
+      .select(col("event_id"), col("event_type"), col("value"))
+      .withColumn("bucket", floor(col("value") / 16).cast("long"))
+    val wBucket = Window.partitionBy(col("event_type"), col("bucket"))
+      .orderBy(col("value"), col("event_id"))
+    val wOffsets = Window.partitionBy(col("event_type")).orderBy(col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val ranked = e.withColumn("r_in", row_number().over(wBucket))
+    val offsets = ranked.groupBy(col("event_type"), col("bucket"))
+      .agg(max(col("r_in")).as("bucket_total"))
+      .withColumn("offset", coalesce(sum(col("bucket_total")).over(wOffsets), lit(0L)))
+      .select(col("event_type"), col("bucket"), col("offset"))
+    val sizes = e.groupBy(col("event_type")).agg(count(lit(1)).as("n"))
+    ranked
+      .join(broadcast(offsets), Seq("event_type", "bucket"))
+      .join(broadcast(sizes), "event_type")
+      .filter(col("n") > 1)
+      .withColumn("q", floor(
+        (col("offset") + col("r_in") - 1).cast("double") / (col("n") - 1).cast("double")
+          * 1000000 + 0.5) / 1000000)
+      .select(col("event_id"), col("event_type"), col("value"), col("q"))
+      .orderBy(col("event_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_feature_scale" -> (qFeatureScale _),
     "q_decay_score"   -> (qDecayScore _),
     "q_label_balance" -> (qLabelBalance _),
     "q_feature_hash"  -> (qFeatureHash _),
+    "q_quantile_norm" -> (qQuantileNorm _),
   )
 
   val oracle: Map[String, String] = Map(
+    "q_quantile_norm" ->
+      """WITH r AS (
+        |  SELECT event_id, event_type, value,
+        |         ROW_NUMBER() OVER (PARTITION BY event_type
+        |           ORDER BY value, event_id) AS rnk,
+        |         COUNT(*) OVER (PARTITION BY event_type) AS n
+        |  FROM events)
+        |SELECT event_id, event_type, value,
+        |       FLOOR(CAST(rnk - 1 AS DOUBLE) / CAST(n - 1 AS DOUBLE)
+        |         * 1000000 + 0.5) / 1000000 AS q
+        |FROM r WHERE n > 1 ORDER BY event_id""".stripMargin,
     "q_feature_hash" ->
       """WITH feats AS (
         |  SELECT UNNEST([

@@ -87,6 +87,24 @@ class FeaturePrepSpec extends SparkSpec {
     assert(rows.map(_.toString).toSeq == again.map(_.toString).toSeq)
   }
 
+  test("quantile_norm: uniform on [0,1], extremes pinned, order-preserving") {
+    val rows = graft.ops.FeaturePrep.qQuantileNorm(spark, sf).collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall { r =>
+      val q = r.getAs[Double]("q"); q >= 0.0 && q <= 1.0
+    })
+    rows.groupBy(_.getAs[String]("event_type")).foreach { case (et, rs) =>
+      val byV = rs.sortBy(r => (r.getAs[Double]("value"), r.getAs[Long]("event_id")))
+      assert(byV.head.getAs[Double]("q") == 0.0, s"$et: min value must map to 0")
+      assert(byV.last.getAs[Double]("q") == 1.0, s"$et: max value must map to 1")
+      // rank transform is monotone in (value, event_id)
+      byV.map(_.getAs[Double]("q")).sliding(2).foreach {
+        case Array(a, b) => assert(a <= b, s"$et: quantiles not monotone")
+        case _ =>
+      }
+    }
+  }
+
   test("pca_power: loadings replay the integer power iteration exactly and align with G·v") {
     val rows = Similarity.qPcaPower(spark, sf).collect()
     assert(rows.length == 64)

@@ -176,6 +176,14 @@ class PlanSpec extends SparkSpec {
       .contains("BroadcastHashJoin"))
   }
 
+  test("q_quantile_norm ranks within (type, value-bucket), never the bare type") {
+    val ex = exchangeKeys(graft.ops.FeaturePrep.qQuantileNorm(spark, sf))
+    assert(ex.exists(l => l.contains("event_type") && l.contains("bucket")),
+      s"expected a (event_type, bucket) exchange; got:\n${ex.mkString("\n")}")
+    assert(planOf(graft.ops.FeaturePrep.qQuantileNorm(spark, sf))
+      .contains("BroadcastHashJoin"), "offsets and sizes must come back broadcast")
+  }
+
   test("q_sink_compact clusters files into disjoint ts ranges and pushes the range filter") {
     val df = Relational.qSinkCompact(spark, sf)
     df.collect() // run the write

@@ -108,6 +108,54 @@ object Streams {
       .toDF("user_id", "event_id")
   }
 
+  /** Cross-micro-batch windowed funnel — the streaming twin of
+    * `EventAnalytics.qFunnelWindow`'s per-user recurrence: per user, the
+    * deepest view<click<purchase chain whose endpoint falls within
+    * `windowMicros` of the chain's first event. The batch form's two
+    * conditional running maxima ARE the state: (latest view ts, max of
+    * that over clicks, best stage so far) — three values per user, updated
+    * by replaying each batch's rows in (ts, event_id) order, so any batch
+    * split that respects time order yields exactly the batch operator's
+    * stages (asserted in the e2e suite against the harness corpus). Stage
+    * is monotone, so Update-mode emissions converge to the final stage.
+    * At 100 TB ingest: ~17 bytes of state per active user; production
+    * adds EventTimeTimeout to retire idle users. */
+  def funnelStream(events: DataFrame, windowMicros: Long): DataFrame = {
+    import events.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    events.select(col("user_id"), col("event_type"), col("event_id"),
+        unix_micros(col("ts")).as("tsm"))
+      .as[(Long, String, Long, Long)]
+      .groupByKey(_._1)
+      .mapGroupsWithState[(Long, Long, Int), (Long, Int)](
+        GroupStateTimeout.NoTimeout) { (user, rows, state) =>
+        var (lastView, maxF, stage) =
+          state.getOption.getOrElse((Long.MinValue, Long.MinValue, 0))
+        // rows before the current one in (tsm, event_id) order feed the
+        // running maxima; sequential replay reproduces the batch window's
+        // UNBOUNDED PRECEDING .. 1 PRECEDING frame exactly
+        rows.toArray.sortBy(e => (e._4, e._3)).foreach { case (_, et, _, t) =>
+          et match {
+            case "view" =>
+              if (stage < 1) stage = 1
+              if (t > lastView) lastView = t
+            case "click" =>
+              if (lastView != Long.MinValue) {
+                if (lastView >= t - windowMicros && stage < 2) stage = 2
+                if (lastView > maxF) maxF = lastView
+              }
+            case "purchase" =>
+              if (maxF != Long.MinValue && maxF >= t - windowMicros && stage < 3)
+                stage = 3
+            case _ =>
+          }
+        }
+        state.update((lastView, maxF, stage))
+        (user, stage)
+      }
+      .toDF("user_id", "stage")
+  }
+
   /** Stream-static enrichment: join the event stream against a static
     * dimension frame. The static side is planned per micro-batch (and
     * broadcast when small), so dimension updates between batches are picked

@@ -84,6 +84,49 @@ class StreamingE2ESpec extends SparkSpec {
       s"stream/batch kept sets diverge: ${streamed.size} vs ${batchKept.size}")
   }
 
+  test("streamed windowed funnel equals the batch stage counts across micro-batches") {
+    import spark.implicits._
+    val events = Tables.events(spark, sf)
+    val batchCounts = graft.ops.EventAnalytics.qFunnelWindow(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+
+    val mid = events.selectExpr("percentile_approx(unix_micros(ts), 0.5)")
+      .collect()(0).getLong(0)
+    val src = java.nio.file.Files.createTempDirectory("fun-src")
+    def stage(name: String, df: org.apache.spark.sql.DataFrame): Unit = {
+      val tmp = java.nio.file.Files.createTempDirectory("fun-stage")
+      df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val listing = java.nio.file.Files.list(tmp)
+      val part = try listing.iterator().asScala
+        .find(_.getFileName.toString.endsWith(".parquet")).get
+      finally listing.close()
+      java.nio.file.Files.move(part, src.resolve(s"$name.parquet"))
+    }
+    val slim = events.select(col("user_id"), col("event_type"), col("event_id"), col("ts"))
+    stage("a_early", slim.filter(unix_micros(col("ts")) <= mid))
+    stage("b_late", slim.filter(unix_micros(col("ts")) > mid))
+    java.nio.file.Files.setLastModifiedTime(src.resolve("a_early.parquet"),
+      java.nio.file.attribute.FileTime.fromMillis(System.currentTimeMillis() - 60000))
+    val stream = spark.readStream
+      .schema(slim.schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(src.toString)
+    val q = Streams.funnelStream(stream, 4L * 3600 * 1000000)
+      .writeStream.format("memory").queryName("e2e_funnel")
+      .outputMode("update").start()
+    try q.processAllAvailable() finally q.stop()
+    // stage is monotone per user: the final stage is the max emitted
+    val finalStages = spark.table("e2e_funnel")
+      .groupBy(col("user_id")).agg(max(col("stage")).as("stage"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1))
+    val streamedCounts = Map(
+      "1_view" -> finalStages.count(_._2 >= 1).toLong,
+      "2_click_4h" -> finalStages.count(_._2 >= 2).toLong,
+      "3_purchase_4h" -> finalStages.count(_._2 >= 3).toLong)
+    assert(streamedCounts == batchCounts,
+      s"stream $streamedCounts vs batch $batchCounts")
+  }
+
   test("checkpointed stream restarts exactly-once: no reprocessing, no loss") {
     val src = java.nio.file.Files.createTempDirectory("ckpt-src")
     val sink = java.nio.file.Files.createTempDirectory("ckpt-sink").toString + "/out"

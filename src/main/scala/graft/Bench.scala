@@ -15,7 +15,11 @@ import java.nio.file.{Files, Paths}
   * shuffle partitions), SPARK_GRAFT_BENCH_THREADS (>1 enables the
   * concurrent pass: operator families submitted from that many driver
   * threads, each in its own FAIR scheduler pool — the shape a real lake
-  * driver uses, cf. the reference's two independent Airflow tasks).
+  * driver uses, cf. the reference's two independent Airflow tasks),
+  * SPARK_GRAFT_BENCH_ONLY (comma-separated key filter for spot-benching
+  * a subset — e.g. the sf0.5 scaling probe; a filtered run writes its
+  * artifact to `bench_only.json`, never touching the driver-graded
+  * `bench_full.json`).
   */
 object Bench {
 
@@ -36,6 +40,10 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val benchThreads = sys.env.getOrElse("SPARK_GRAFT_BENCH_THREADS", "1").toInt
+    val only: Set[String] = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet).getOrElse(Set.empty)
+    val selected = if (only.isEmpty) SparkEntry.queries
+      else SparkEntry.queries.filter { case (k, _) => only(k) }
     val spark = GraftSession.buildLocal(cpus, "graft-bench",
       extraConf = Map("spark.scheduler.mode" -> "FAIR"))
     spark.sparkContext.setLogLevel("WARN")
@@ -46,7 +54,7 @@ object Bench {
     // One untimed warmup pass: JIT + codegen compilation + parquet footer
     // caching otherwise lands entirely on whichever query happens to run
     // first and dominates its wall time 3-10x over steady state.
-    SparkEntry.queries.foreach { case (_, fn) =>
+    selected.foreach { case (_, fn) =>
       try run(fn) catch { case _: Throwable => () }
     }
     // Nudge ContextCleaner before the timed pass: the warmup invocations
@@ -62,7 +70,7 @@ object Bench {
     // untimed, because the System.gc() above (and the JIT deopt/reopt churn
     // it triggers on a 128 GiB heap) otherwise lands entirely on it —
     // measured 6.2 s first-timed vs 1.4 s steady-state for the same query.
-    val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
+    val ordered = selected.toSeq.sortBy(_._1)
     ordered.headOption.foreach { case (_, fn) =>
       try run(fn) catch { case _: Throwable => () }
     }
@@ -144,7 +152,8 @@ object Bench {
          |"jvm":{"max_heap_bytes":${rt.maxMemory()},"gc_total_ms":${gcMillis()},
          |"available_processors":${rt.availableProcessors()}},
          |"concurrent":$concJson}""".stripMargin
-    Files.writeString(Paths.get("bench_full.json"), full)
+    Files.writeString(
+      Paths.get(if (only.isEmpty) "bench_full.json" else "bench_only.json"), full)
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errors,"sf":"$sfDir"}""")
     spark.stop()
   }

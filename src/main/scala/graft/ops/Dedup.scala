@@ -459,7 +459,7 @@ object Dedup extends QueryModule {
     * (the rarest tokens, so posting lists are short by construction: the
     * frequent-token lists the df-cap tiers must explicitly drop never
     * enter the index at all). Exact verify on candidates, all-integer:
-    * 10·o ≥ 6·(n1+n2−o) decides t = 0.6 with zero FP.
+    * 10·o ≥ 8·(n1+n2−o) decides t = 0.8 with zero FP.
     *
     * Set elements are word BIGRAMS, not unigrams: this synthetic corpus
     * draws every document from one small vocabulary, so unigram-set
@@ -478,12 +478,16 @@ object Dedup extends QueryModule {
     *     1 + min(n1−i, n2−j) < α = ⌈t/(1+t)·(n1+n2)⌉ are dropped BEFORE
     *     the pair-distinct shuffle — complete, because a true pair's
     *     first shared prefix token always satisfies the bound;
-    *  3. verify by BROADCAST dictionary + array_intersect: the per-doc
-    *     bigram-set table is tiny relative to the pair set (5k docs vs
-    *     millions of candidates), so it broadcasts to both sides and the
-    *     exact intersection count is map-side — no shuffle joins over
-    *     |cand| × |tokens| rows. (At 100 TB the dictionary broadcasts
-    *     per candidate partition — the pair set is always the big side.)
+    *  3. verify by SHUFFLE-HASH dictionary joins + array_intersect: the
+    *     per-doc bigram-set dictionary is corpus-sized (one row per
+    *     document), so it must NEVER broadcast — at 100 TB that is a
+    *     driver/executor OOM. Instead the candidate pairs take two
+    *     hinted shuffle-hash equi-joins on the high-cardinality doc ids
+    *     d1 then d2 (hash side = the dictionary partition, so the big
+    *     candidate side is never sorted), and the exact intersection
+    *     count runs post-join — still no join over |cand| × |tokens|
+    *     rows, and no structure anywhere that grows a single task with
+    *     the corpus.
     * The completeness lemma is asserted against brute-force all-pairs in
     * LlmOpsSpec; the oracle replays the identical construction. */
   def qSetsimJoin(spark: SparkSession, dir: String): DataFrame = {
@@ -513,8 +517,10 @@ object Dedup extends QueryModule {
       .distinct()
     val dict = toks.groupBy(col("doc_id")).agg(collect_set(col("token")).as("set"))
     cand
-      .join(broadcast(dict.select(col("doc_id").as("d1"), col("set").as("s1"))), "d1")
-      .join(broadcast(dict.select(col("doc_id").as("d2"), col("set").as("s2"))), "d2")
+      .join(dict.select(col("doc_id").as("d1"), col("set").as("s1"))
+        .hint("shuffle_hash"), "d1")
+      .join(dict.select(col("doc_id").as("d2"), col("set").as("s2"))
+        .hint("shuffle_hash"), "d2")
       .withColumn("o", size(array_intersect(col("s1"), col("s2"))).cast("long"))
       .withColumn("n1", size(col("s1")).cast("long"))
       .withColumn("n2", size(col("s2")).cast("long"))

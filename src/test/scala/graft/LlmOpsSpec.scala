@@ -163,12 +163,17 @@ class LlmOpsSpec extends SparkSpec {
     val j13 = rows.find(r => r.getAs[Long]("d1") == 1L && r.getAs[Long]("d2") == 3L)
       .get.getAs[Double]("jaccard")
     assert(j13 == 1.0)
-    // plan shape: inverted-index join + broadcast dictionary verify —
-    // never a cartesian, never a shuffle join against the token table
-    val plan = graft.ops.Dedup.qSetsimJoin(spark, d)
-      .queryExecution.executedPlan.toString
+    // plan shape: inverted-index join for candidates, shuffle-hash
+    // dictionary joins for verify — never a cartesian, and NEVER a
+    // broadcast of the corpus-sized per-doc token-set dictionary (at
+    // 100 TB that broadcast is a driver/executor OOM). The shuffle_hash
+    // hint pins the strategy so AQE cannot flip it back to broadcast.
+    val qe = graft.ops.Dedup.qSetsimJoin(spark, d).queryExecution
+    val plan = qe.executedPlan.toString
     assert(!plan.contains("CartesianProduct"), "candidates must come from the prefix join")
-    assert(plan.contains("BroadcastHashJoin"), "dictionary verify must broadcast")
+    assert(plan.contains("ShuffledHashJoin"), "dictionary verify must shuffle-hash join")
+    assert(!qe.analyzed.toString.toLowerCase.contains("broadcast"),
+      "no explicit broadcast hint anywhere in the setsim plan")
   }
 
   test("knn classify: prediction is the majority label of the knn join's top-5") {

@@ -33,6 +33,21 @@ object Similarity extends QueryModule {
     e.crossJoin(broadcast(q))
   }
 
+  /** Hard cap on the k-NN / batched-IVF serving batch: the first
+    * `ServingBatchCap` stride-40 vec_ids. The batch is what broadcasts in
+    * the serving keys, so its size must be a CONSTANT, not a corpus
+    * fraction — `vec_id % 40 = 0` alone is 2.5% OF THE CORPUS, a ~TB
+    * broadcast at 100 TB. With the cap the broadcast is ≤ 64 rows at any
+    * scale (and covers every stride-40 vector the sf0.01/sf0.1 test data
+    * has, so correctness rows are unchanged at small SF). Corpus-scale
+    * query sets don't belong on this path at all: they route through the
+    * banded/list equi-join tiers (LSH bands, IVF lists) that prune the
+    * candidate space per query instead of scanning it. */
+  val ServingBatchCap = 64
+  private val servingBatchPred =
+    col("vec_id") % 40 === 0 && col("vec_id") < lit(40L * ServingBatchCap)
+  private val servingBatchSql = s"vec_id % 40 = 0 AND vec_id < ${40L * ServingBatchCap}"
+
   private val normSqExpr =
     "aggregate(transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 0D, (a, b) -> a + b)"
 
@@ -131,15 +146,17 @@ object Similarity extends QueryModule {
     * fused primitive-double dot products with no interpreted lambdas; the
     * only shuffle carries (qid, vec_id, score) triples to the per-query
     * top-k window. At 100 TB the corpus side stays partition-parallel and
-    * the batch side is bounded by broadcast budget — batches beyond that
-    * tile into multiple passes, or move to the LSH/IVF tiers which prune
-    * the candidate space per query instead of scanning it. */
+    * the batch side is a CONSTANT [[ServingBatchCap]] rows (never a corpus
+    * fraction — see the cap's doc), so the broadcast is bounded at any
+    * scale; larger query sets tile into multiple passes, or move to the
+    * LSH/IVF tiers which prune the candidate space per query instead of
+    * scanning it. */
   def qKnnJoin(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     graft.functions.CosineSimilarity.register(spark)
     val base = Tables.embeddings(spark, dir)
       .filter(size(col("embedding")) === 64 && expr(normSqExpr) > 0)
-    val batch = base.filter(col("vec_id") % 40 === 0)
+    val batch = base.filter(servingBatchPred)
       .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
     val w = Window.partitionBy(col("qid")).orderBy(col("cos_raw").desc, col("vec_id"))
     base.crossJoin(broadcast(batch))
@@ -201,12 +218,13 @@ object Similarity extends QueryModule {
     cent.localCheckpoint(eager = false)
   }
 
-  /** Batched IVF ANN serving — the production shape of [[qAnnIvf]]: every
-    * 40th vector is a query; ONE trained index (same [[ivfCentroids]])
-    * serves the whole batch, each query probing its own 4 nearest lists
-    * and exact-reranking to top-5. Scale shape: the corpus side stays
-    * partition-parallel with its list assignment; queries (with their
-    * probe lists) broadcast; the only shuffle carries (qid, vec_id, score)
+  /** Batched IVF ANN serving — the production shape of [[qAnnIvf]]: the
+    * first [[ServingBatchCap]] stride-40 vectors are the queries; ONE
+    * trained index (same [[ivfCentroids]]) serves the whole batch, each
+    * query probing its own 4 nearest lists and exact-reranking to top-5.
+    * Scale shape: the corpus side stays partition-parallel with its list
+    * assignment; queries (a bounded batch, with their probe lists)
+    * broadcast; the only shuffle carries (qid, vec_id, score)
     * triples to the per-query top-k window — [[qKnnJoin]]'s shape but
     * touching 4/16 of the corpus per query instead of all of it. Fully
     * deterministic (every ranking tie-broken), so the DuckDB twin unrolls
@@ -223,7 +241,7 @@ object Similarity extends QueryModule {
       .withColumn("rn", row_number().over(assignW))
       .filter(col("rn") === 1)
       .select(col("vec_id"), col("embedding"), col("cid"))
-    val queries = e.filter(col("vec_id") % 40 === 0)
+    val queries = e.filter(servingBatchPred)
       .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
     val probeW = Window.partitionBy(col("qid")).orderBy(col("qsim").desc, col("cid"))
     val probes = queries.crossJoin(broadcast(cent))
@@ -471,15 +489,16 @@ object Similarity extends QueryModule {
     * deterministically (votes desc, label asc), and the neighbor cut
     * itself is total-ordered (cosine desc, vec_id) — so the DuckDB twin
     * reproduces the exact prediction. Scale shape is the kNN join's:
-    * broadcast query batch × partition-parallel corpus scan, one shuffle
-    * of the per-(query, label) partial counts; the vote aggregate is
-    * map-side combinable. */
+    * broadcast query batch (bounded at [[ServingBatchCap]] rows, never a
+    * corpus fraction) × partition-parallel corpus scan, one shuffle of the
+    * per-(query, label) partial counts; the vote aggregate is map-side
+    * combinable. */
   def qKnnClassify(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     graft.functions.CosineSimilarity.register(spark)
     val base = Tables.embeddings(spark, dir)
       .filter(size(col("embedding")) === 64 && expr(normSqExpr) > 0)
-    val batch = base.filter(col("vec_id") % 40 === 0)
+    val batch = base.filter(servingBatchPred)
       .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
     val nnW = Window.partitionBy(col("qid")).orderBy(col("cos_raw").desc, col("vec_id"))
     val neighbors = base.crossJoin(broadcast(batch))
@@ -757,12 +776,12 @@ object Similarity extends QueryModule {
     "q_cosine_topk"        -> cosineTopkOracle,
     "q_cosine_topk_native" -> cosineTopkOracle,
     "q_knn_classify" ->
-      """WITH base AS (
+      s"""WITH base AS (
         |  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
         |  WHERE LEN(embedding) = 64
         |    AND LIST_AGGREGATE(LIST_TRANSFORM(CAST(embedding AS DOUBLE[]), x -> x * x), 'sum') > 0),
         |q AS (
-        |  SELECT vec_id AS qid, emb AS qemb FROM base WHERE vec_id % 40 = 0),
+        |  SELECT vec_id AS qid, emb AS qemb FROM base WHERE $servingBatchSql),
         |scored AS (
         |  SELECT q.qid, b.vec_id, b.label, LIST_COSINE_SIMILARITY(b.emb, q.qemb) AS c
         |  FROM base b CROSS JOIN q WHERE b.vec_id <> q.qid),
@@ -778,12 +797,12 @@ object Similarity extends QueryModule {
         |         ROW_NUMBER() OVER (PARTITION BY qid ORDER BY votes DESC, label) AS vr
         |  FROM votes) WHERE vr = 1 ORDER BY qid""".stripMargin,
     "q_knn_join" ->
-      """WITH base AS (
+      s"""WITH base AS (
         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
         |  WHERE LEN(embedding) = 64
         |    AND LIST_AGGREGATE(LIST_TRANSFORM(CAST(embedding AS DOUBLE[]), x -> x * x), 'sum') > 0),
         |q AS (
-        |  SELECT vec_id AS qid, emb AS qemb FROM base WHERE vec_id % 40 = 0),
+        |  SELECT vec_id AS qid, emb AS qemb FROM base WHERE $servingBatchSql),
         |scored AS (
         |  SELECT q.qid, b.vec_id, LIST_COSINE_SIMILARITY(b.emb, q.qemb) AS c
         |  FROM base b CROSS JOIN q WHERE b.vec_id <> q.qid),
@@ -830,7 +849,7 @@ object Similarity extends QueryModule {
         |LIMIT 10""".stripMargin,
     "q_ann_ivf_batch" ->
       s"""WITH $ivfCtes,
-        |qs AS (SELECT vec_id AS qid, v AS qvec FROM e WHERE vec_id % 40 = 0),
+        |qs AS (SELECT vec_id AS qid, v AS qvec FROM e WHERE $servingBatchSql),
         |probes AS (
         |  SELECT qid, qvec, cid FROM (
         |    SELECT q.qid, q.qvec, c.cid,

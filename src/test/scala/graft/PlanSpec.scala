@@ -217,4 +217,19 @@ class PlanSpec extends SparkSpec {
     assert(pf.contains("event_type") && pf.contains("click"),
       s"partition predicate must prune directories at the scan:\n$pf")
   }
+
+  test("knn/IVF serving-batch broadcasts are bounded by a constant cap, not a corpus fraction") {
+    // The broadcast side of the serving keys must be a FIXED-size batch:
+    // vec_id % 40 alone is 2.5% of the corpus — a ~TB broadcast at 100 TB.
+    // The cap predicate (vec_id < 40 * ServingBatchCap) bounds the
+    // broadcast at ServingBatchCap rows at any scale, and it must appear
+    // in the optimized plan (i.e., actually constrain the batch subplan).
+    val capLit = (40L * graft.ops.Similarity.ServingBatchCap).toString
+    for (q <- Seq("q_knn_join", "q_knn_classify", "q_ann_ivf_batch")) {
+      val opt = SparkEntry.queries(q)(spark, sf)
+        .queryExecution.optimizedPlan.toString
+      assert(opt.contains(capLit),
+        s"$q: serving batch must carry the vec_id < $capLit cap in its plan")
+    }
+  }
 }

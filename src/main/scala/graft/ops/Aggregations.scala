@@ -49,12 +49,26 @@ object Aggregations extends QueryModule {
         countDistinct(col("l_suppkey")).as("n_supps"))
       .orderBy(col("l_returnflag"))
 
-  /** HLL++ approximate distinct — the 100 TB path. No oracle (approx values
-    * are engine-specific); correctness bounded by unit test vs exact. */
+  /** HLL++ approximate distinct — the 100 TB path — shaped as a per-group
+    * ERROR-BOUND CERTIFICATE so the sketch is oracle-checkable: the raw
+    * HLL estimate is engine-specific (DuckDB cannot replay Spark's
+    * registers), but `|approx − exact| ≤ 5%·exact` is a decidable claim —
+    * Spark computes both sides (HLL++ is deterministic on fixed data) and
+    * emits the boolean; the oracle computes the exact count and emits
+    * literal TRUE, so the hash matches iff the bound actually holds.
+    * Output carries only exact integers and booleans — nothing
+    * float-divergent. The exact twin rides in the same aggregate (one
+    * shuffle); production pipelines that can't afford the exact side use
+    * the sketch alone and certify on a sample. */
   def qAggApproxDistinct(spark: SparkSession, dir: String): DataFrame =
     Tables.lineitem(spark, dir)
       .groupBy(col("l_returnflag"))
-      .agg(approx_count_distinct(col("l_partkey"), 0.01).as("approx_parts"))
+      .agg(
+        countDistinct(col("l_partkey")).as("n_exact"),
+        approx_count_distinct(col("l_partkey"), 0.01).as("approx"))
+      .select(col("l_returnflag"), col("n_exact"),
+        (abs(col("approx") - col("n_exact"))
+          <= col("n_exact").cast("double") * 0.05).as("within_5pct"))
       .orderBy(col("l_returnflag"))
 
   /** Filtered/conditional aggregation: SUM(CASE WHEN), COUNT over predicate. */
@@ -145,18 +159,29 @@ object Aggregations extends QueryModule {
       .orderBy(col("l_returnflag"))
   }
 
-  /** The 100 TB percentile path: t-digest sketch, single pass, bounded
-    * memory — no per-group value collection. Rows-only for the driver
-    * (sketch results are engine-specific); bounded against the exact tier
-    * in the test suite. */
-  def qAggPercentileApprox(spark: SparkSession, dir: String): DataFrame =
+  /** The 100 TB percentile path: quantile sketch, single pass, bounded
+    * memory — no per-group value collection — shaped like
+    * [[qAggApproxDistinct]] as a per-group ERROR-BOUND CERTIFICATE: the
+    * sketch value is engine-specific, but `|approx − exact| ≤ 2%·|exact|`
+    * is decidable, so Spark emits the boolean (exact side from the
+    * built-in interpolated `percentile`, same aggregate pass) and the
+    * oracle emits literal TRUE over the exact count. Output carries only
+    * the group key, an exact BIGINT count, and booleans — nothing
+    * float-divergent between engines. */
+  def qAggPercentileApprox(spark: SparkSession, dir: String): DataFrame = {
+    def within(q: String): org.apache.spark.sql.Column =
+      (abs(expr(s"percentile_approx(l_extendedprice, ${q}D, 10000)")
+        - expr(s"percentile(l_extendedprice, ${q}D)"))
+        <= abs(expr(s"percentile(l_extendedprice, ${q}D)")) * 0.02)
     Tables.lineitem(spark, dir)
       .groupBy(col("l_returnflag"))
       .agg(
-        expr("percentile_approx(l_extendedprice, 0.25, 10000)").as("p25"),
-        expr("percentile_approx(l_extendedprice, 0.5, 10000)").as("p50"),
-        expr("percentile_approx(l_extendedprice, 0.75, 10000)").as("p75"))
+        count(lit(1)).as("n"),
+        within("0.25").as("within_p25"),
+        within("0.5").as("within_p50"),
+        within("0.75").as("within_p75"))
       .orderBy(col("l_returnflag"))
+  }
 
   /** Rebuild nested from flat (inverse of the reference's json_normalize):
     * per-group sorted sets/lists. */
@@ -482,6 +507,17 @@ object Aggregations extends QueryModule {
   )
 
   val oracle: Map[String, String] = Map(
+    // Sketch certificates: the oracle computes the EXACT side and asserts
+    // the bound booleans as literal TRUE — the hash matches iff Spark's
+    // sketch actually landed within its declared error bound.
+    "q_agg_approx_distinct" ->
+      """SELECT l_returnflag, COUNT(DISTINCT l_partkey) AS n_exact,
+        |       TRUE AS within_5pct
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q_agg_percentile_approx" ->
+      """SELECT l_returnflag, COUNT(*) AS n,
+        |       TRUE AS within_p25, TRUE AS within_p50, TRUE AS within_p75
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "q_agg_bool" ->
       """SELECT o_orderpriority,
         |       bool_and(o_totalprice > 500) AS all_over_500,

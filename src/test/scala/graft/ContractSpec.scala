@@ -17,9 +17,13 @@ class ContractSpec extends AnyFunSuite {
     assert(orphans.isEmpty, s"oracle entries without a query: $orphans")
   }
 
-  test("rows-only set is exactly the two documented sketches") {
+  test("every registered query has an oracle (no rows-only keys remain)") {
+    // The former rows-only sketches (q_agg_approx_distinct,
+    // q_agg_percentile_approx) are now error-bound certificates whose
+    // boolean columns the oracle asserts as TRUE — so the full registry is
+    // hash-checked and a key silently losing its oracle is a test failure.
     val rowsOnly = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
-    assert(rowsOnly == Set("q_agg_approx_distinct", "q_agg_percentile_approx"),
+    assert(rowsOnly.isEmpty,
       s"a key lost its oracle (or a new rows-only key was added undocumented): $rowsOnly")
   }
 

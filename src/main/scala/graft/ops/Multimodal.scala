@@ -92,7 +92,8 @@ object Multimodal extends QueryModule {
            |    i -> substring(bytes, i * $FrameBytes + 1, $FrameBytes)),
            |  (f, i) -> i % 4 = 0)
            |END""".stripMargin))
-      .select(col("doc_id"), col("meta"), size(col("frames")).as("n_sampled"))
+      .select(col("doc_id"), col("meta"), col("frames"),
+        size(col("frames")).as("n_sampled"))
 
   /** Metadata projection — the oracle-checkable face of the binary schema. */
   def qMultimodalMeta(spark: SparkSession, dir: String): DataFrame =
@@ -101,16 +102,25 @@ object Multimodal extends QueryModule {
         col("meta.n_bytes").as("n_bytes"), col("meta.n_frames").as("n_frames"))
       .orderBy(col("doc_id"))
 
-  /** Frame sampling as a query key: per payload, total frames and the
-    * every-4th-frame sample count. The Spark side REALLY slices the binary
-    * (substring frames inside codegen — [[frameSample]]); the oracle pins
-    * the sampling CONTRACT arithmetically (kept = ceil(n_frames/4), i.e.
-    * |{i ∈ [0, n_frames) : i ≡ 0 (mod 4)}|), which is what a video
-    * pipeline budgets storage and GPU batches against. */
+  /** Frame sampling as a query key: per payload, total frames, the
+    * every-4th-frame sample count, AND md5 digests of the first and last
+    * sampled frames — so the binary slicing itself is oracle-verified
+    * byte-for-byte, not just the frame-count arithmetic. The Spark side
+    * REALLY slices the binary (substring frames inside codegen —
+    * [[frameSample]]) and hashes the HEX of each frame; the oracle replays
+    * the same slice on `hex(encode(text))` (byte offset i maps to hex-char
+    * offset 2i; both engines' hex is uppercase, and tail truncation
+    * shortens both identically), so any off-by-one in the frame substring
+    * flips the hash. The count contract (kept = ceil(n_frames/4)) is what
+    * a video pipeline budgets storage and GPU batches against. */
   def qMultimodalFrames(spark: SparkSession, dir: String): DataFrame =
     frameSample(spark, dir)
       .select(col("doc_id"), col("meta.n_frames").as("n_frames"),
-        col("n_sampled"))
+        col("n_sampled"),
+        when(col("n_sampled") > 0, md5(hex(element_at(col("frames"), 1))))
+          .as("first_frame_md5"),
+        when(col("n_sampled") > 0, md5(hex(element_at(col("frames"), -1))))
+          .as("last_frame_md5"))
       .orderBy(col("doc_id"))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -126,14 +136,22 @@ object Multimodal extends QueryModule {
         |FROM documents ORDER BY doc_id""".stripMargin,
     "q_multimodal_frames" ->
       s"""WITH m AS (
-        |  SELECT doc_id,
+        |  SELECT doc_id, hex(ENCODE(text)) AS h,
         |         CAST(CEIL(OCTET_LENGTH(ENCODE(text)) / $FrameBytes.0) AS INTEGER)
         |           AS n_frames
         |  FROM documents)
         |SELECT doc_id, n_frames,
         |       CAST(CASE WHEN n_frames <= 0 THEN 0
         |                 ELSE CAST(CEIL(n_frames / 4.0) AS INTEGER) END AS INTEGER)
-        |         AS n_sampled
+        |         AS n_sampled,
+        |       CASE WHEN n_frames <= 0 THEN NULL
+        |            ELSE md5(SUBSTRING(h, 1, ${2 * FrameBytes})) END
+        |         AS first_frame_md5,
+        |       CASE WHEN n_frames <= 0 THEN NULL
+        |            ELSE md5(SUBSTRING(h,
+        |              ((n_frames - 1) // 4) * 4 * ${2 * FrameBytes} + 1,
+        |              ${2 * FrameBytes})) END
+        |         AS last_frame_md5
         |FROM m ORDER BY doc_id""".stripMargin,
   )
 }

@@ -390,6 +390,28 @@ class LlmOpsSpec extends SparkSpec {
       .withColumn("expected", ceil(col("meta.n_frames") / 4.0).cast("int"))
       .filter(col("n_sampled") =!= col("expected"))
     assert(fs.count() == 0)
+    // frame digests replay from a driver-side byte slice of the raw text —
+    // verifies the binary substring produces the exact bytes, not just counts
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def hexMd5(bytes: Array[Byte]): String = {
+      val hx = bytes.map(b => f"${b & 0xff}%02X").mkString
+      md.reset()
+      md.digest(hx.getBytes("UTF-8")).map(b => f"${b & 0xff}%02x").mkString
+    }
+    val texts = Tables.documents(spark, sf).select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    Multimodal.qMultimodalFrames(spark, sf).collect().take(50).foreach { r =>
+      val bytes = texts(r.getLong(0)).getBytes("UTF-8")
+      if (r.getInt(2) > 0) {
+        val fb = Multimodal.FrameBytes
+        val nFrames = r.getInt(1)
+        val lastIdx = ((nFrames - 1) / 4) * 4
+        val first = bytes.slice(0, math.min(fb, bytes.length))
+        val last = bytes.slice(lastIdx * fb, math.min(lastIdx * fb + fb, bytes.length))
+        assert(r.getAs[String]("first_frame_md5") == hexMd5(first))
+        assert(r.getAs[String]("last_frame_md5") == hexMd5(last))
+      }
+    }
     // resize: 16 -> 8 bins, mass preserved (mean of pair-means * 2 = sum)
     val resized = Multimodal.resizeStub(Multimodal.features(spark, sf), 8).collect()
     resized.take(10).foreach { f =>

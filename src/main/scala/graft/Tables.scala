@@ -34,6 +34,13 @@ object Tables {
     * regenerated with the other. Dispatch on the RESOLVED type:
     *   - LongType: epoch-nanos; integer `div 1000` (not double division —
     *     ~1.7e18 exceeds a double's 2^53 exact range) then timestamp_micros.
+    *     GUARDED: a Long that is not in the plausible epoch-nanos range
+    *     (2001–2096, i.e. [1e18, 3e18)) raises at execution instead of
+    *     silently converting — if a future regeneration ships ts as plain
+    *     epoch-micros BIGINT, every value would otherwise be divided 1000×
+    *     off with a green-looking load (the same silent-drift class as the
+    *     round-4 ts-encoding incident). The guard is a per-row codegen'd
+    *     comparison, not a driver-side job, so the loader stays lazy.
     *   - TIMESTAMP_NTZ: cast to TimestampType; the session timezone is
     *     pinned to UTC so the instant matches what DuckDB reads.
     *   - TimestampType: already canonical.
@@ -41,7 +48,17 @@ object Tables {
   private[graft] def normalizeTs(df: DataFrame): DataFrame =
     df.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType =>
-        df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        df.withColumn("ts", timestamp_micros(expr(
+          """CASE
+            |  WHEN ts IS NULL THEN CAST(NULL AS BIGINT)
+            |  WHEN ts >= 1000000000000000000 AND ts < 3000000000000000000
+            |    THEN ts div 1000
+            |  ELSE raise_error(concat(
+            |    'events.ts LongType value outside plausible epoch-nanos range ',
+            |    '[1e18, 3e18): ', CAST(ts AS STRING),
+            |    ' — the generator encoding may have drifted (micros? millis?); ',
+            |    'refusing to normalize silently'))
+            |END""".stripMargin)))
       case org.apache.spark.sql.types.TimestampNTZType =>
         df.withColumn("ts", col("ts").cast(org.apache.spark.sql.types.TimestampType))
       case _ => df

@@ -248,6 +248,12 @@ object Relational extends QueryModule {
       .orderBy(col("op"))
   }
 
+  /** Per-JVM sink root: the PID suffix keeps concurrent processes (bench +
+    * verify on the same sf) from racing mode("overwrite") on a shared
+    * directory; within one JVM re-invocations overwrite deterministically. */
+  private val sinkRoot: String =
+    s"${System.getProperty("java.io.tmpdir")}/graft_sink_p${ProcessHandle.current().pid()}_"
+
   /** Partitioned-layout round-trip — the WRITE-side 100 TB lever the other
     * keys only exercise on read: lay events out `partitionBy(event_type)`
     * (Hive-style directory partitioning, the layout a lake table declares),
@@ -260,12 +266,14 @@ object Relational extends QueryModule {
     * partitioned round-trip loses nothing (row counts, sums, null handling
     * of the partition column all preserved).
     *
-    * The sink dir is deterministic per sf (hash of the input dir) under
-    * java.io.tmpdir, overwritten each run — rerunnable like the reference's
-    * replace-mode load (dags/create-data-lake.py:75). */
+    * The sink dir is deterministic per (sf, JVM) — hash of the input dir
+    * plus the process PID — under java.io.tmpdir, overwritten each run:
+    * rerunnable like the reference's replace-mode load
+    * (dags/create-data-lake.py:75), and the PID component means two
+    * concurrent JVMs (e.g. bench and verify on the same sf) never race
+    * each other's mode("overwrite") of a shared directory. */
   def qSinkPartitionPrune(spark: SparkSession, dir: String): DataFrame = {
-    val sink = s"${System.getProperty("java.io.tmpdir")}/graft_sink_${
-      Integer.toHexString(dir.hashCode)}/events_by_type"
+    val sink = s"$sinkRoot${Integer.toHexString(dir.hashCode)}/events_by_type"
     Tables.events(spark, dir)
       .select(col("event_id"), col("user_id"), col("value"), col("ts"), col("event_type"))
       .write.mode("overwrite").partitionBy("event_type").parquet(sink)
@@ -291,8 +299,7 @@ object Relational extends QueryModule {
     * clustered copy is oracle-checked against the source table — the
     * rewrite must lose nothing. */
   def qSinkCompact(spark: SparkSession, dir: String): DataFrame = {
-    val sink = s"${System.getProperty("java.io.tmpdir")}/graft_sink_${
-      Integer.toHexString(dir.hashCode)}/events_clustered"
+    val sink = s"$sinkRoot${Integer.toHexString(dir.hashCode)}/events_clustered"
     Tables.events(spark, dir)
       .select(col("event_id"), col("user_id"), col("event_type"), col("value"), col("ts"))
       .repartitionByRange(8, col("ts"))

@@ -34,6 +34,21 @@ class ContractSpec extends AnyFunSuite {
     assert(missing.isEmpty, s"keys not documented in SURVEY.md: $missing")
   }
 
+  test("bench_full.json (when present) covers every registered key") {
+    // The round-4 incident class for the BENCH artifact: a key that errors
+    // or silently drops out of the bench reads as "covered" unless pinned.
+    // A full (unfiltered) bench run must time every registered key; this
+    // skips cleanly when no artifact exists (fresh clone) and ignores
+    // bench_only.json, which is an intentionally filtered spot-bench.
+    val p = java.nio.file.Paths.get("bench_full.json")
+    assume(java.nio.file.Files.exists(p), "no bench_full.json in cwd — run graft.Bench first")
+    val txt = new String(java.nio.file.Files.readAllBytes(p), "UTF-8")
+    val missing = SparkEntry.queries.keySet.filterNot(k => txt.contains("\"" + k + "\""))
+    assert(missing.isEmpty, s"keys absent from bench_full.json: $missing")
+    val errored = "\"min\":-1".r.findAllIn(txt).length
+    assert(errored == 0, s"$errored keys errored (min=-1) in bench_full.json")
+  }
+
   test("query families partition the key space") {
     val fromFamilies = SparkEntry.queryFamilies.values.flatMap(_.keySet).toSet
     assert(fromFamilies == SparkEntry.queries.keySet)

@@ -58,9 +58,23 @@ class GraftSessionSpec extends AnyFunSuite {
     import spark.implicits._
     import org.apache.spark.sql.functions._
     val asNanos = Seq((1L, 1700000000123456789L)).toDF("event_id", "ts")
-    assert(Tables.normalizeTs(asNanos).schema("ts").dataType == TimestampType)
+    val normNanos = Tables.normalizeTs(asNanos)
+    assert(normNanos.schema("ts").dataType == TimestampType)
+    // the in-range nanos value actually converts (guard lets it through)
+    assert(normNanos.select("ts").filter("ts IS NOT NULL").count() == 1L)
     val asNtz = Seq((1L, "2024-01-01 10:00:00")).toDF("event_id", "s")
       .withColumn("ts", to_timestamp_ntz(col("s"))).drop("s")
     assert(Tables.normalizeTs(asNtz).schema("ts").dataType == TimestampType)
+    // A LongType ts whose magnitude is NOT plausible nanos (here:
+    // epoch-MICROS, the silent-drift case the round-4 incident warns
+    // about) must fail LOUDLY at execution, not divide 1000x off.
+    val asMicros = Seq((1L, 1700000000123456L)).toDF("event_id", "ts")
+    val ex = intercept[Exception] {
+      Tables.normalizeTs(asMicros).select("ts").collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(ex).exists(_.contains("epoch-nanos")),
+      s"expected the plausibility guard to fire, got: $ex")
   }
 }

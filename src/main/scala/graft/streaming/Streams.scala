@@ -122,35 +122,81 @@ object Streams {
     * adds EventTimeTimeout to retire idle users. */
   def funnelStream(events: DataFrame, windowMicros: Long): DataFrame = {
     import events.sparkSession.implicits._
-    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    import org.apache.spark.sql.streaming.GroupStateTimeout
     events.select(col("user_id"), col("event_type"), col("event_id"),
         unix_micros(col("ts")).as("tsm"))
       .as[(Long, String, Long, Long)]
       .groupByKey(_._1)
       .mapGroupsWithState[(Long, Long, Int), (Long, Int)](
         GroupStateTimeout.NoTimeout) { (user, rows, state) =>
-        var (lastView, maxF, stage) =
-          state.getOption.getOrElse((Long.MinValue, Long.MinValue, 0))
         // rows before the current one in (tsm, event_id) order feed the
         // running maxima; sequential replay reproduces the batch window's
         // UNBOUNDED PRECEDING .. 1 PRECEDING frame exactly
-        rows.toArray.sortBy(e => (e._4, e._3)).foreach { case (_, et, _, t) =>
-          et match {
-            case "view" =>
-              if (stage < 1) stage = 1
-              if (t > lastView) lastView = t
-            case "click" =>
-              if (lastView != Long.MinValue) {
-                if (lastView >= t - windowMicros && stage < 2) stage = 2
-                if (lastView > maxF) maxF = lastView
-              }
-            case "purchase" =>
-              if (maxF != Long.MinValue && maxF >= t - windowMicros && stage < 3)
-                stage = 3
-            case _ =>
+        val next = rows.toArray.sortBy(e => (e._4, e._3))
+          .foldLeft(state.getOption.getOrElse((Long.MinValue, Long.MinValue, 0))) {
+            case (s, (_, et, _, t)) => funnelStep(s, et, t, windowMicros)
           }
+        state.update(next)
+        (user, next._3)
+      }
+      .toDF("user_id", "stage")
+  }
+
+  /** One step of the windowed-funnel recurrence over the
+    * (latest view ts, max view-ts over clicks, stage) triple — shared by
+    * the O(1)-state in-order twin and the buffered late-tolerant twin so
+    * the recurrence can never drift between them. */
+  private def funnelStep(
+      s: (Long, Long, Int), et: String, t: Long, windowMicros: Long): (Long, Long, Int) = {
+    var (lastView, maxF, stage) = s
+    et match {
+      case "view" =>
+        if (stage < 1) stage = 1
+        if (t > lastView) lastView = t
+      case "click" =>
+        if (lastView != Long.MinValue) {
+          if (lastView >= t - windowMicros && stage < 2) stage = 2
+          if (lastView > maxF) maxF = lastView
         }
-        state.update((lastView, maxF, stage))
+      case "purchase" =>
+        if (maxF != Long.MinValue && maxF >= t - windowMicros && stage < 3)
+          stage = 3
+      case _ =>
+    }
+    (lastView, maxF, stage)
+  }
+
+  /** LATE-TOLERANT windowed funnel — [[funnelStream]] for sources that do
+    * NOT deliver in event-time order across micro-batches. The O(1) triple
+    * cannot absorb a late view (a click already processed would need
+    * re-examination), so per-user state BUFFERS the events seen so far and
+    * each micro-batch recomputes the recurrence from a full
+    * (ts, event_id)-sorted replay through the same [[funnelStep]] — events
+    * may then arrive in ANY cross-batch order and the final stage equals
+    * the batch operator's (asserted in the e2e suite with a deliberately
+    * reordered replay). Recompute-from-scratch makes the emitted stage
+    * trivially monotone, so Update-mode emissions converge. The price of
+    * reorder tolerance is O(per-user events in flight) state; production
+    * bounds it with a watermark + EventTimeTimeout eviction once a user's
+    * window can no longer change (the standard buffer-until-watermark
+    * pattern), which NoTimeout here leaves out to keep the test corpus
+    * deterministic. */
+  def funnelStreamLate(events: DataFrame, windowMicros: Long): DataFrame = {
+    import events.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.GroupStateTimeout
+    events.select(col("user_id"), col("event_type"), col("event_id"),
+        unix_micros(col("ts")).as("tsm"))
+      .as[(Long, String, Long, Long)]
+      .groupByKey(_._1)
+      .mapGroupsWithState[Vector[(Long, Long, String)], (Long, Int)](
+        GroupStateTimeout.NoTimeout) { (user, rows, state) =>
+        val buf = state.getOption.getOrElse(Vector.empty) ++
+          rows.map(r => (r._4, r._3, r._2))
+        state.update(buf)
+        val stage = buf.sortBy(e => (e._1, e._2))
+          .foldLeft((Long.MinValue, Long.MinValue, 0)) {
+            case (s, (t, _, et)) => funnelStep(s, et, t, windowMicros)
+          }._3
         (user, stage)
       }
       .toDF("user_id", "stage")

@@ -127,6 +127,52 @@ class StreamingE2ESpec extends SparkSpec {
       s"stream $streamedCounts vs batch $batchCounts")
   }
 
+  test("late-tolerant funnel equals batch stages under a deliberately reordered replay") {
+    import spark.implicits._
+    val events = Tables.events(spark, sf)
+    val batchCounts = graft.ops.EventAnalytics.qFunnelWindow(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+
+    // Split by event_id PARITY, not time: both files span the whole time
+    // range, so the second micro-batch delivers events that precede, in
+    // event time, events already processed in the first — late views that
+    // must retroactively upgrade clicks, late clicks that must bridge
+    // view→purchase chains. The O(1)-state twin is documented NOT to
+    // handle this; the buffered twin must.
+    val src = java.nio.file.Files.createTempDirectory("funlate-src")
+    def stage(name: String, df: org.apache.spark.sql.DataFrame): Unit = {
+      val tmp = java.nio.file.Files.createTempDirectory("funlate-stage")
+      df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val listing = java.nio.file.Files.list(tmp)
+      val part = try listing.iterator().asScala
+        .find(_.getFileName.toString.endsWith(".parquet")).get
+      finally listing.close()
+      java.nio.file.Files.move(part, src.resolve(s"$name.parquet"))
+    }
+    val slim = events.select(col("user_id"), col("event_type"), col("event_id"), col("ts"))
+    stage("a_even", slim.filter(col("event_id") % 2 === 0))
+    stage("b_odd", slim.filter(col("event_id") % 2 === 1))
+    java.nio.file.Files.setLastModifiedTime(src.resolve("a_even.parquet"),
+      java.nio.file.attribute.FileTime.fromMillis(System.currentTimeMillis() - 60000))
+    val stream = spark.readStream
+      .schema(slim.schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(src.toString)
+    val q = Streams.funnelStreamLate(stream, 4L * 3600 * 1000000)
+      .writeStream.format("memory").queryName("e2e_funnel_late")
+      .outputMode("update").start()
+    try q.processAllAvailable() finally q.stop()
+    val finalStages = spark.table("e2e_funnel_late")
+      .groupBy(col("user_id")).agg(max(col("stage")).as("stage"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1))
+    val streamedCounts = Map(
+      "1_view" -> finalStages.count(_._2 >= 1).toLong,
+      "2_click_4h" -> finalStages.count(_._2 >= 2).toLong,
+      "3_purchase_4h" -> finalStages.count(_._2 >= 3).toLong)
+    assert(streamedCounts == batchCounts,
+      s"reordered stream $streamedCounts vs batch $batchCounts")
+  }
+
   test("checkpointed stream restarts exactly-once: no reprocessing, no loss") {
     val src = java.nio.file.Files.createTempDirectory("ckpt-src")
     val sink = java.nio.file.Files.createTempDirectory("ckpt-sink").toString + "/out"

@@ -123,9 +123,89 @@ object Multimodal extends QueryModule {
           .as("last_frame_md5"))
       .orderBy(col("doc_id"))
 
+  /** Perceptual-hash near-dup pairs over the binary payloads — the IMAGE
+    * DEDUP tier of the multimodal family, the exact shape a training-data
+    * pipeline runs over image corpora (feature → binarize → LSH band →
+    * Hamming verify), with the decoded-pixel feature of a real pipeline
+    * stood in by the payload's 64-bin byte histogram (the container has
+    * no codecs — [[featurizeStub]]'s declared constraint; swap the
+    * feature, keep every step downstream).
+    *
+    * Construction, all integer and oracle-replayable:
+    *  1. 64-bin byte histogram (bin = byte div 4) from `hex(bytes)` —
+    *     byte j is hex chars [2j+1, 2j+2], both engines' hex uppercase;
+    *     one distributed count on the high-cardinality doc_id;
+    *  2. MEAN-CENTERED SimHash binarization — the standard descriptor
+    *     binarization: center each doc's histogram on the CORPUS byte
+    *     profile (a 1-row broadcast; cross-multiplied so it stays in
+    *     exact integers: dev_b = bins_b·ctotal − cbins_b·total), then
+    *     60 sign bits of deterministic ±1 projections, weights from an
+    *     integer LCG (`(1103515245·k + 12345) div 2¹⁶ mod 2`) computable
+    *     identically in both engines. Centering is load-bearing: a
+    *     self-mean threshold collapses on skewed byte distributions
+    *     (ASCII payloads occupy ~20 of 256 byte values, so most bins are
+    *     constant-below-mean for every doc and whole bands degenerate
+    *     into corpus-sized buckets — measured before this design);
+    *  3. candidates by BANDED equi-join: 4 bands × 15 bits; Hamming ≤ 3
+    *     forces exact agreement on ≥ 1 band (pigeonhole recall 1.0) —
+    *     the same bucketed LSH shape as the MinHash/SimHash/embedding
+    *     tiers, never corpus-quadratic;
+    *  4. exact verify: bit_count(h1 ^ h2) ≤ 3 on candidates.
+    * At 100 TB the phash table is one 60-bit integer per image; the band
+    * join buckets on (band, 15-bit key) and the corpus profile is a
+    * single broadcast row. */
+  def qMultimodalPhash(spark: SparkSession, dir: String): DataFrame = {
+    val NBins = 64
+    val NBits = 60
+    val bytesDf = withBinary(spark, dir)
+      .select(col("doc_id"), hex(col("bytes")).as("h"))
+      .select(col("doc_id"), explode_outer(expr(
+        s"""CASE WHEN length(h) < 2 THEN array()
+           |ELSE transform(sequence(0, CAST(length(h) div 2 AS INT) - 1),
+           |  i -> CAST(conv(substring(h, 2 * i + 1, 2), 16, 10) AS INT) div 4)
+           |END""".stripMargin)).as("bin"))
+    val binCols = (0 until NBins).map(b =>
+      sum(when(col("bin") === b, 1L).otherwise(0L)).as(s"bin$b"))
+    val hist = bytesDf.groupBy(col("doc_id"))
+      .agg(binCols.head, binCols.tail: _*)
+      .withColumn("bins", array((0 until NBins).map(b => col(s"bin$b")): _*))
+      .withColumn("total", expr("aggregate(bins, CAST(0 AS BIGINT), (a, v) -> a + v)"))
+      .select(col("doc_id"), col("bins"), col("total"))
+    val corpus = hist.agg(
+      array((0 until NBins).map(b => sum(expr(s"element_at(bins, ${b + 1})"))): _*).as("cbins"),
+      sum(col("total")).as("ctotal"))
+    val phash = hist.crossJoin(broadcast(corpus))
+      .withColumn("phash", expr(
+        s"""aggregate(sequence(0, ${NBits - 1}), CAST(0 AS BIGINT), (acc, j) ->
+           |  acc + IF(
+           |    aggregate(sequence(0, ${NBins - 1}), CAST(0 AS BIGINT), (s, b) ->
+           |      s + (2 * (((CAST(1103515245 AS BIGINT) * (b * $NBits + j) + 12345) div 65536) % 2) - 1)
+           |        * (element_at(bins, b + 1) * ctotal - element_at(cbins, b + 1) * total)
+           |    ) > 0,
+           |    shiftleft(CAST(1 AS BIGINT), j), CAST(0 AS BIGINT)))""".stripMargin))
+      .select(col("doc_id"), col("phash"))
+    val banded = phash.select(col("doc_id"), col("phash"),
+      explode(expr(
+        """transform(sequence(0, 3),
+          |  b -> struct(b AS band,
+          |    (phash div shiftleft(CAST(1 AS BIGINT), b * 15)) % 32768 AS key))"""
+          .stripMargin)).as("bk"))
+      .select(col("doc_id"), col("phash"), col("bk.band").as("band"), col("bk.key").as("key"))
+    banded.as("a").join(banded.as("b"), Seq("band", "key"))
+      .filter(col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"),
+        col("a.phash").as("h1"), col("b.phash").as("h2"))
+      .distinct()
+      .withColumn("hamming", expr("bit_count(h1 ^ h2)"))
+      .filter(col("hamming") <= 3)
+      .select(col("d1"), col("d2"), col("h1"), col("h2"), col("hamming"))
+      .orderBy(col("d1"), col("d2"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_multimodal_meta" -> (qMultimodalMeta _),
     "q_multimodal_frames" -> (qMultimodalFrames _),
+    "q_multimodal_phash" -> (qMultimodalPhash _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -153,5 +233,56 @@ object Multimodal extends QueryModule {
         |              ${2 * FrameBytes})) END
         |         AS last_frame_md5
         |FROM m ORDER BY doc_id""".stripMargin,
+    "q_multimodal_phash" -> {
+      val binSums = (0 until 64)
+        .map(b => s"SUM(CASE WHEN v = $b THEN 1 ELSE 0 END)")
+        .mkString("[", ", ", "]")
+      val cbinSums = (0 until 64)
+        .map(b => s"CAST(SUM(bins[${b + 1}]) AS BIGINT)")
+        .mkString("[", ", ", "]")
+      s"""WITH hx AS (
+        |  SELECT doc_id, hex(ENCODE(text)) AS h FROM documents),
+        |vals AS (
+        |  SELECT doc_id,
+        |         UNNEST(CASE WHEN LEN(h) < 2 THEN [CAST(NULL AS INTEGER)]
+        |                ELSE LIST_TRANSFORM(range(LEN(h) // 2), i ->
+        |                  CAST(((STRPOS('0123456789ABCDEF',
+        |                           SUBSTRING(h, CAST(2 * i + 1 AS INTEGER), 1)) - 1) * 16
+        |                    + STRPOS('0123456789ABCDEF',
+        |                        SUBSTRING(h, CAST(2 * i + 2 AS INTEGER), 1)) - 1)
+        |                    // 4 AS INTEGER)) END) AS v
+        |  FROM hx),
+        |hist AS (
+        |  SELECT doc_id, $binSums AS bins FROM vals GROUP BY doc_id),
+        |tot AS (
+        |  SELECT doc_id, bins,
+        |         CAST(LIST_AGGREGATE(bins, 'sum') AS BIGINT) AS total
+        |  FROM hist),
+        |corpus AS (
+        |  SELECT $cbinSums AS cbins, CAST(SUM(total) AS BIGINT) AS ctotal FROM tot),
+        |ph AS (
+        |  SELECT doc_id,
+        |         CAST(LIST_AGGREGATE(LIST_TRANSFORM(range(60), j ->
+        |           CASE WHEN LIST_AGGREGATE(LIST_TRANSFORM(range(64), b ->
+        |             (2 * (((1103515245 * (b * 60 + j) + 12345) // 65536) % 2) - 1)
+        |             * (CAST(bins[CAST(b + 1 AS INTEGER)] AS BIGINT) * ctotal
+        |                - cbins[CAST(b + 1 AS INTEGER)] * total)), 'sum') > 0
+        |                THEN CAST(1 AS BIGINT) << CAST(j AS INTEGER)
+        |                ELSE CAST(0 AS BIGINT) END), 'sum') AS BIGINT) AS phash
+        |  FROM tot CROSS JOIN corpus),
+        |banded AS (
+        |  SELECT doc_id, phash, b AS band,
+        |         (phash >> CAST(b * 15 AS INTEGER)) % 32768 AS key
+        |  FROM ph, range(4) t(b)),
+        |cand AS (
+        |  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2,
+        |         a.phash AS h1, b.phash AS h2
+        |  FROM banded a JOIN banded b USING (band, key)
+        |  WHERE a.doc_id < b.doc_id)
+        |SELECT d1, d2, h1, h2,
+        |       CAST(bit_count(xor(h1, h2)) AS INTEGER) AS hamming
+        |FROM cand WHERE bit_count(xor(h1, h2)) <= 3
+        |ORDER BY d1, d2""".stripMargin
+    },
   )
 }

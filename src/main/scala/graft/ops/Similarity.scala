@@ -516,7 +516,51 @@ object Similarity extends QueryModule {
       .orderBy(col("qid"))
   }
 
+  /** INT8-quantized retrieval — the serving-memory lever every production
+    * vector store pulls at scale: per-vector symmetric quantization
+    * (scale = amax/127) shrinks the corpus 4× and turns the scoring loop
+    * into integer dot products (the SIMD int8 path real ANN engines run).
+    * This key pins the full quantize→score→top-k semantics EXACTLY:
+    *  1. micro-units: m_i = floor(x_i·1e6 + 0.5) — the house fixed-point
+    *     convention, identical IEEE arithmetic in both engines;
+    *  2. per-vector scale: amax = max|m_i| (zero-scale vectors are the
+    *     zero-norm vectors, already excluded);
+    *  3. q_i = sign(m_i)·((|m_i|·127 + amax div 2) div amax) ∈ [−127,127]
+    *     — integer round-half-up on non-negative operands, so truncating
+    *     division agrees between Spark `div` and DuckDB `//`;
+    *  4. score = Σ q_i·r_i against the quantized query (vec 0), an exact
+    *     BIGINT (≤ 64·127² ≪ 2⁶³); top-10 by (score desc, vec_id).
+    * Every number in the output is an integer, so the oracle replays the
+    * whole path bit-for-bit — quantization is the rare similarity op
+    * where EXACT cross-engine verification is possible with no rounding
+    * shims at all. Scale shape: map-only quantization, broadcast 1-row
+    * query, TakeOrderedAndProject top-k — [[qCosineTopk]]'s plan with
+    * int arithmetic. The unit test pins the quantization error: the
+    * int8 top-10 overlaps the exact float top-10. */
+  def qEmbedQuantize(spark: SparkSession, dir: String): DataFrame = {
+    val quant = Tables.embeddings(spark, dir)
+      .filter(size(col("embedding")) === 64 && expr(normSqExpr) > 0)
+      .withColumn("m", expr(
+        "transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000000 + 0.5) AS BIGINT))"))
+      .withColumn("amax", expr(
+        "aggregate(m, CAST(0 AS BIGINT), (a, v) -> GREATEST(a, abs(v)))"))
+      .filter(col("amax") > 0)
+      .withColumn("q", expr(
+        """transform(m, v -> CAST(sign(v) AS BIGINT)
+          |  * ((abs(v) * 127 + amax div 2) div amax))""".stripMargin))
+      .select(col("vec_id"), col("label"), col("q"))
+    val qq = quant.filter(col("vec_id") === 0).select(col("q").as("qq"))
+    quant.crossJoin(broadcast(qq))
+      .filter(col("vec_id") =!= 0)
+      .withColumn("dot", expr(
+        "aggregate(zip_with(q, qq, (a, b) -> a * b), CAST(0 AS BIGINT), (a, v) -> a + v)"))
+      .select(col("vec_id"), col("label"), col("dot"))
+      .orderBy(col("dot").desc, col("vec_id"))
+      .limit(10)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_embed_quantize"     -> (qEmbedQuantize _),
     "q_knn_classify"       -> (qKnnClassify _),
     "q_sim_sparse"         -> (qSimSparse _),
     "q_gram_matrix"        -> (qGramMatrix _),
@@ -775,6 +819,33 @@ object Similarity extends QueryModule {
         |FROM eligible ORDER BY c DESC, doc_id LIMIT 10""".stripMargin,
     "q_cosine_topk"        -> cosineTopkOracle,
     "q_cosine_topk_native" -> cosineTopkOracle,
+    "q_embed_quantize" ->
+      """WITH e AS (
+        |  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS x FROM embeddings
+        |  WHERE LEN(embedding) = 64
+        |    AND LIST_AGGREGATE(LIST_TRANSFORM(CAST(embedding AS DOUBLE[]), v -> v * v), 'sum') > 0),
+        |m AS (
+        |  SELECT vec_id, label,
+        |         LIST_TRANSFORM(x, v -> CAST(FLOOR(v * 1000000 + 0.5) AS BIGINT)) AS m
+        |  FROM e),
+        |a AS (
+        |  SELECT vec_id, label, m,
+        |         LIST_AGGREGATE(LIST_TRANSFORM(m, v -> ABS(v)), 'max') AS amax
+        |  FROM m),
+        |q AS (
+        |  SELECT vec_id, label,
+        |         LIST_TRANSFORM(m, v ->
+        |           CAST(CASE WHEN v < 0 THEN -1 WHEN v > 0 THEN 1 ELSE 0 END AS BIGINT)
+        |             * ((ABS(v) * 127 + amax // 2) // amax)) AS q
+        |  FROM a WHERE amax > 0),
+        |qq AS (SELECT q AS qv FROM q WHERE vec_id = 0)
+        |SELECT s.vec_id, s.label,
+        |       CAST(LIST_AGGREGATE(LIST_TRANSFORM(range(64),
+        |         i -> s.q[CAST(i + 1 AS INTEGER)] * qq.qv[CAST(i + 1 AS INTEGER)]),
+        |         'sum') AS BIGINT) AS dot
+        |FROM q s CROSS JOIN qq
+        |WHERE s.vec_id <> 0
+        |ORDER BY dot DESC, s.vec_id LIMIT 10""".stripMargin,
     "q_knn_classify" ->
       s"""WITH base AS (
         |  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings

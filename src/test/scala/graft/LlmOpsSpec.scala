@@ -420,6 +420,83 @@ class LlmOpsSpec extends SparkSpec {
     }
   }
 
+  test("multimodal phash: exact dup pairs found via bands, disjoint docs absent, no cartesian") {
+    import spark.implicits._
+    val d = java.nio.file.Files.createTempDirectory("phash").toString
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "alpha beta gamma delta epsilon zeta eta theta"), // byte-identical to 1
+      (3L, "zzzz zzzz zzzz zzzz zzzz zzzz zzzz"),            // different byte mix
+      (4L, "")                                               // empty payload
+    ).toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("t"))
+      .withColumn("n_chars", length(col("text")))
+    docs.write.mode("overwrite").parquet(s"$d/documents.parquet")
+    val rows = graft.ops.Multimodal.qMultimodalPhash(spark, d).collect()
+    val pairs = rows.map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)), s"identical payloads must pair: $pairs")
+    rows.filter(r => (r.getLong(0), r.getLong(1)) == (1L, 2L)).foreach { r =>
+      assert(r.getAs[Int]("hamming") == 0, "identical payloads have hamming 0")
+      assert(r.getAs[Long]("h1") == r.getAs[Long]("h2"))
+    }
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L),
+      s"the different byte mix must not pair with the cluster: $pairs")
+    // driver-side replay of the corpus-centered 60-bit simhash for doc 1
+    val texts = Map(
+      1L -> "alpha beta gamma delta epsilon zeta eta theta",
+      2L -> "alpha beta gamma delta epsilon zeta eta theta",
+      3L -> "zzzz zzzz zzzz zzzz zzzz zzzz zzzz",
+      4L -> "")
+    def binsOf(t: String): Array[Long] = {
+      val a = new Array[Long](64)
+      t.getBytes("UTF-8").foreach(b => a((b & 0xFF) / 4) += 1)
+      a
+    }
+    val cbins = texts.values.map(binsOf).reduce((x, y) => x.zip(y).map(p => p._1 + p._2))
+    val ctotal = cbins.sum
+    def phashOf(t: String): Long = {
+      val bins = binsOf(t); val total = bins.sum
+      (0 until 60).map { j =>
+        val s = (0 until 64).map { b =>
+          val w = 2 * (((1103515245L * (b * 60 + j) + 12345L) / 65536L) % 2) - 1
+          w * (bins(b) * ctotal - cbins(b) * total)
+        }.sum
+        if (s > 0) 1L << j else 0L
+      }.sum
+    }
+    val h1 = rows.find(r => r.getLong(0) == 1L).map(_.getAs[Long]("h1"))
+    assert(h1.contains(phashOf(texts(1L))),
+      s"phash must equal the centered simhash replay: got $h1 want ${phashOf(texts(1L))}")
+    val plan = graft.ops.Multimodal.qMultimodalPhash(spark, d)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), "candidates must come from the band join")
+  }
+
+  test("int8 quantized top-10 overlaps the exact float top-10 and dots replay") {
+    val exact = graft.ops.Similarity.qCosineTopk(spark, sf).collect()
+      .map(_.getLong(0)).take(10).toSet
+    val rows = graft.ops.Similarity.qEmbedQuantize(spark, sf).collect()
+    assert(rows.length == 10)
+    val quantIds = rows.map(_.getLong(0)).toSet
+    // int8 rounding perturbs scores but not the neighborhood: strong overlap
+    assert((exact & quantIds).size >= 7,
+      s"quantized top-10 too far from exact: ${(exact & quantIds).size}/10 overlap")
+    // driver-side replay of the integer dot product for the top row
+    val emb = Tables.embeddings(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    def quantize(x: Array[Float]): Array[Long] = {
+      val m = x.map(v => math.floor(v.toDouble * 1000000 + 0.5).toLong)
+      val amax = m.map(math.abs).max
+      m.map(v => math.signum(v) * ((math.abs(v) * 127 + amax / 2) / amax))
+    }
+    val q0 = quantize(emb(0L))
+    rows.take(3).foreach { r =>
+      val qi = quantize(emb(r.getLong(0)))
+      val dot = qi.zip(q0).map { case (a, b) => a * b }.sum
+      assert(r.getAs[Long]("dot") == dot, s"vec ${r.getLong(0)}: dot replay mismatch")
+    }
+  }
+
   test("rag retrieve: top-10 equals an in-memory rerank of the metadata-eligible slice") {
     val got = graft.ops.Similarity.qRagRetrieve(spark, sf).collect()
       .map(r => (r.getLong(0), r.getDouble(3)))

@@ -157,33 +157,70 @@ object Multimodal extends QueryModule {
   def qMultimodalPhash(spark: SparkSession, dir: String): DataFrame = {
     val NBins = 64
     val NBits = 60
-    val bytesDf = withBinary(spark, dir)
-      .select(col("doc_id"), hex(col("bytes")).as("h"))
-      .select(col("doc_id"), explode_outer(expr(
-        s"""CASE WHEN length(h) < 2 THEN array()
-           |ELSE transform(sequence(0, CAST(length(h) div 2 AS INT) - 1),
-           |  i -> CAST(conv(substring(h, 2 * i + 1, 2), 16, 10) AS INT) div 4)
-           |END""".stripMargin)).as("bin"))
-    val binCols = (0 until NBins).map(b =>
-      sum(when(col("bin") === b, 1L).otherwise(0L)).as(s"bin$b"))
-    val hist = bytesDf.groupBy(col("doc_id"))
-      .agg(binCols.head, binCols.tail: _*)
-      .withColumn("bins", array((0 until NBins).map(b => col(s"bin$b")): _*))
-      .withColumn("total", expr("aggregate(bins, CAST(0 AS BIGINT), (a, v) -> a + v)"))
-      .select(col("doc_id"), col("bins"), col("total"))
+    // Per-payload 64-bin histogram in the SAME typed mapPartitions pass
+    // production feature extraction uses (module doc, [[featurizeStub]]):
+    // one while-loop over the raw bytes per row — no explode, no shuffle,
+    // no per-byte expression evaluation. (Two DataFrame-DSL formulations
+    // were measured first and both lose badly: explode+conditional-sum
+    // aggregation costs a 2M-row explode whose per-element expression
+    // runs inside an INTERPRETED `transform` lambda — Spark higher-order
+    // functions are CodegenFallback — at 5–15 s for what is a 2M-byte
+    // count.)
+    val histDs = {
+      import spark.implicits._
+      withBinary(spark, dir).select(col("doc_id"), col("bytes")).as[DocBlob]
+        .mapPartitions { it =>
+          it.map { blob =>
+            val bins = new Array[Long](NBins)
+            blob.bytes.foreach(b => bins((b & 0xFF) / 4) += 1)
+            (blob.doc_id, bins.toSeq, bins.sum)
+          }
+        }
+    }
+    val hist = histDs.toDF("doc_id", "bins", "total")
     val corpus = hist.agg(
       array((0 until NBins).map(b => sum(expr(s"element_at(bins, ${b + 1})"))): _*).as("cbins"),
       sum(col("total")).as("ctotal"))
+    // The 60×64 sign-projection kernel runs as a typed mapPartitions
+    // while-loop — the sanctioned last resort for per-row numeric kernels
+    // (same shape as [[featurizeStub]]), because Spark's higher-order
+    // array functions are CodegenFallback: the HOF formulation evaluated
+    // ~19M interpreted lambda steps (8 s at sf0.1, the slowest stage in
+    // the whole bench), and a flat generated expression was worse still —
+    // CollapseProject inlines the dev array into all 3840 terms. The
+    // weights are data-independent (integer LCG, identical in the
+    // oracle); the loop is ~19M primitive multiply-adds, milliseconds.
+    // Map-only and partition-parallel, so the 100 TB shape is unchanged.
+    import spark.implicits._
     val phash = hist.crossJoin(broadcast(corpus))
-      .withColumn("phash", expr(
-        s"""aggregate(sequence(0, ${NBits - 1}), CAST(0 AS BIGINT), (acc, j) ->
-           |  acc + IF(
-           |    aggregate(sequence(0, ${NBins - 1}), CAST(0 AS BIGINT), (s, b) ->
-           |      s + (2 * (((CAST(1103515245 AS BIGINT) * (b * $NBits + j) + 12345) div 65536) % 2) - 1)
-           |        * (element_at(bins, b + 1) * ctotal - element_at(cbins, b + 1) * total)
-           |    ) > 0,
-           |    shiftleft(CAST(1 AS BIGINT), j), CAST(0 AS BIGINT)))""".stripMargin))
-      .select(col("doc_id"), col("phash"))
+      .select(col("doc_id"), col("bins"), col("total"), col("cbins"), col("ctotal"))
+      .as[(Long, Seq[Long], Long, Seq[Long], Long)]
+      .mapPartitions { it =>
+        it.map { case (id, binsS, total, cbinsS, ctotal) =>
+          val bins = binsS.toArray
+          val cbins = cbinsS.toArray
+          var ph = 0L
+          var j = 0
+          while (j < NBits) {
+            var s = 0L
+            var b = 0
+            while (b < NBins) {
+              val w = 2 * (((1103515245L * (b * NBits + j) + 12345L) / 65536L) % 2) - 1
+              s += w * (bins(b) * ctotal - cbins(b) * total)
+              b += 1
+            }
+            if (s > 0) ph |= (1L << j)
+            j += 1
+          }
+          (id, ph)
+        }
+      }.toDF("doc_id", "phash")
+      // truncate lineage: the 60×64 projection expression is the expensive
+      // step and is consumed FOUR+ times downstream (both self-join sides
+      // × the band explode) — without the checkpoint Catalyst re-derives
+      // it per consumer and the key runs ~20× slower (measured 96 s vs
+      // ~5 s at sf0.1)
+      .localCheckpoint(eager = false)
     val banded = phash.select(col("doc_id"), col("phash"),
       explode(expr(
         """transform(sequence(0, 3),

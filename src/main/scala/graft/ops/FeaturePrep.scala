@@ -188,7 +188,54 @@ object FeaturePrep extends QueryModule {
       .orderBy(col("event_id"))
   }
 
+  /** Leave-one-out target encoding of a categorical feature — the
+    * high-cardinality-safe replacement for one-hot: each order's
+    * market-segment feature becomes the mean order value of ALL OTHER
+    * orders in that segment, (S_seg − x)/(n_seg − 1), so a row never sees
+    * its own target (the leakage a naive mean encoding trains on). A
+    * second column applies additive smoothing toward the global mean with
+    * prior weight m = 100 — the encoding production pipelines ship, since
+    * rare categories otherwise encode as noise.
+    *
+    * Exactness: targets are integer cents; S_seg, n_seg, and the global
+    * (S, N) are exact DECIMAL(38,0)/BIGINT aggregates. The smoothed value
+    * ((S_seg − x) + m·S/N) / (n_seg − 1 + m) is multiplied through by N —
+    * numerator (S_seg − x)·N + m·S, denominator (n_seg − 1 + m)·N — so
+    * both operands stay exact integers and each output is ONE deterministic
+    * IEEE division (then /100.0 to dollars), identical in both engines.
+    *
+    * Scale shape: one fact-dim equi-join (orders⋈customer on the
+    * high-cardinality custkey — AQE broadcasts the dim side when it fits,
+    * shuffles otherwise), one map-side-combinable rollup to |segments|
+    * rows broadcast back, a one-row global broadcast, and a map-only
+    * encode — the per-row work never shuffles the fact table again. */
+  def qTargetEncode(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_custkey"),
+        expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("cents"))
+    val c = Tables.customer(spark, dir)
+      .select(col("c_custkey").as("o_custkey"), col("c_mktsegment"))
+    val oc = o.join(c, "o_custkey")
+    val seg = oc.groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_seg"),
+        sum(col("cents").cast("decimal(38,0)")).as("s_seg"))
+      .filter(col("n_seg") > 1)
+    val glob = oc.agg(count(lit(1)).as("n_all"),
+      sum(col("cents").cast("decimal(38,0)")).as("s_all"))
+    oc.join(broadcast(seg), "c_mktsegment")
+      .crossJoin(broadcast(glob))
+      .select(col("o_orderkey"), col("c_mktsegment"),
+        round(expr("CAST(s_seg - cents AS DOUBLE) / CAST(n_seg - 1 AS DOUBLE) / 100.0"), 6)
+          .as("loo_enc"),
+        round(expr(
+          """CAST((s_seg - cents) * n_all + 100 * s_all AS DOUBLE)
+            | / CAST((CAST(n_seg - 1 + 100 AS DECIMAL(38,0))) * n_all AS DOUBLE) / 100.0"""
+            .stripMargin), 6).as("smooth_enc"))
+      .orderBy(col("o_orderkey"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_target_encode" -> (qTargetEncode _),
     "q_feature_scale" -> (qFeatureScale _),
     "q_decay_score"   -> (qDecayScore _),
     "q_label_balance" -> (qLabelBalance _),
@@ -197,6 +244,28 @@ object FeaturePrep extends QueryModule {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_target_encode" ->
+      """WITH oc AS (
+        |  SELECT o.o_orderkey, c.c_mktsegment,
+        |         CAST(ROUND(o.o_totalprice * 100) AS BIGINT) AS cents
+        |  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey),
+        |seg AS (
+        |  SELECT c_mktsegment, COUNT(*) AS n_seg,
+        |         CAST(SUM(CAST(cents AS HUGEINT)) AS HUGEINT) AS s_seg
+        |  FROM oc GROUP BY c_mktsegment HAVING COUNT(*) > 1),
+        |tot AS (
+        |  SELECT COUNT(*) AS n_all,
+        |         CAST(SUM(CAST(cents AS HUGEINT)) AS HUGEINT) AS s_all
+        |  FROM oc)
+        |SELECT oc.o_orderkey, oc.c_mktsegment,
+        |       ROUND(CAST(s.s_seg - oc.cents AS DOUBLE)
+        |             / CAST(s.n_seg - 1 AS DOUBLE) / 100.0, 6) AS loo_enc,
+        |       ROUND(CAST((s.s_seg - oc.cents) * g.n_all + 100 * g.s_all AS DOUBLE)
+        |             / CAST(CAST(s.n_seg - 1 + 100 AS HUGEINT) * g.n_all AS DOUBLE)
+        |             / 100.0, 6) AS smooth_enc
+        |FROM oc JOIN seg s ON oc.c_mktsegment = s.c_mktsegment
+        |CROSS JOIN tot g
+        |ORDER BY oc.o_orderkey""".stripMargin,
     "q_quantile_norm" ->
       """WITH r AS (
         |  SELECT event_id, event_type, value,

@@ -197,13 +197,91 @@ object Graph extends QueryModule {
       .orderBy(col("hop"))
   }
 
+  /** Common-neighbor / Jaccard link prediction — the fourth classic graph
+    * primitive here (after rank, triangles, reach): for each of the 50
+    * highest-degree parts ("focus items" — the bounded query set a
+    * recommender actually serves), the top-5 NON-adjacent parts by Jaccard
+    * overlap of neighborhoods, |N(q)∩N(c)| / |N(q)∪N(c)| — "customers who
+    * bought these together also bought" for pairs that never co-occurred.
+    *
+    * Why the query set is bounded: all-pairs link prediction is the full
+    * wedge volume (Σ d(v)² — the q_triangle hazard without its ~5%
+    * semi-join kill, since here the 95% NON-closing wedges are the answer).
+    * Anchoring at K focus nodes bounds the wedge stream at K·d_max·d̄
+    * whatever the corpus; corpus-wide scoring would tile this query set.
+    *
+    * Determinism: common-neighbor counts are exact integers; the Jaccard
+    * ordering key is the raw double cn/(d_q+d_c−cn) — ONE IEEE division of
+    * exact integers, bit-identical cross-engine — tie-broken by candidate
+    * id, so top-5 is total-ordered.
+    *
+    * Scale shape: the focus set (top-K by degree) is a 50-row
+    * TakeOrdered broadcast; focus out-edges (≤ K·d_max rows) broadcast to
+    * the second hop so the wedge enumeration is map-side against the
+    * sharded edge table; the per-(q,c) count is one map-side-combinable
+    * shuffle of wedge pairs; adjacency kill reuses [[qTriangle]]'s packed
+    * broadcast probe (left_anti here — keep NON-edges). */
+  def qLinkPredict(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = edges(spark, dir).localCheckpoint(eager = false)
+    val deg = e.groupBy(col("src")).agg(count(lit(1)).as("d"))
+    val focus = deg.orderBy(col("d").desc, col("src")).limit(50)
+      .select(col("src").as("qn"), col("d").as("d_q"))
+    val qEdges = e.join(broadcast(focus), e("src") === focus("qn"))
+      .select(col("qn"), col("d_q"), col("dst").as("m"))
+    val cand = broadcast(qEdges).join(e, qEdges("m") === e("src"))
+      .filter(col("dst") =!= col("qn"))
+      .groupBy(col("qn"), col("d_q"), col("dst").as("c"))
+      .agg(count(lit(1)).as("cn"))
+    val eKeys = e.select(expr("shiftleft(src, 32) | dst").as("_ek"))
+    val w = Window.partitionBy(col("qn")).orderBy(col("jac_raw").desc, col("c"))
+    cand.withColumn("_ek", expr("shiftleft(qn, 32) | c"))
+      .join(broadcast(eKeys), Seq("_ek"), "left_anti")
+      .join(deg.select(col("src").as("c"), col("d").as("d_c")), "c")
+      .withColumn("jac_raw",
+        col("cn").cast("double") / (col("d_q") + col("d_c") - col("cn")).cast("double"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 5)
+      .select(col("qn"), col("c"), col("cn"), round(col("jac_raw"), 6).as("jaccard"),
+        col("rk"))
+      .orderBy(col("qn"), col("rk"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q_pagerank" -> (qPagerank _),
-    "q_triangle" -> (qTriangle _),
-    "q_khop"     -> (qKhop _),
+    "q_pagerank"     -> (qPagerank _),
+    "q_triangle"     -> (qTriangle _),
+    "q_khop"         -> (qKhop _),
+    "q_link_predict" -> (qLinkPredict _),
   )
 
   val oracle: Map[String, String] = Map(
+    "q_link_predict" ->
+      """WITH e AS (
+        |  SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+        |  FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+        |  WHERE a.l_partkey <> b.l_partkey),
+        |deg AS (SELECT src, COUNT(*) AS d FROM e GROUP BY src),
+        |focus AS (
+        |  SELECT src AS qn, d AS d_q FROM deg ORDER BY d DESC, src LIMIT 50),
+        |cand AS (
+        |  SELECT f.qn, f.d_q, e2.dst AS c, COUNT(*) AS cn
+        |  FROM focus f JOIN e e1 ON e1.src = f.qn
+        |  JOIN e e2 ON e2.src = e1.dst
+        |  WHERE e2.dst <> f.qn
+        |  GROUP BY f.qn, f.d_q, e2.dst),
+        |nonadj AS (
+        |  SELECT cd.* FROM cand cd
+        |  WHERE NOT EXISTS (SELECT 1 FROM e WHERE e.src = cd.qn AND e.dst = cd.c)),
+        |scored AS (
+        |  SELECT n.qn, n.c, n.cn,
+        |         CAST(n.cn AS DOUBLE) / CAST(n.d_q + dc.d - n.cn AS DOUBLE) AS jac_raw,
+        |         ROW_NUMBER() OVER (PARTITION BY n.qn
+        |           ORDER BY CAST(n.cn AS DOUBLE) / CAST(n.d_q + dc.d - n.cn AS DOUBLE) DESC,
+        |                    n.c) AS rk
+        |  FROM nonadj n JOIN deg dc ON dc.src = n.c)
+        |SELECT qn, c, cn, ROUND(jac_raw, 6) AS jaccard, rk
+        |FROM scored WHERE rk <= 5
+        |ORDER BY qn, rk""".stripMargin,
     "q_khop" ->
       """WITH e AS (
         |  SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst

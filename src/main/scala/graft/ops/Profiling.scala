@@ -682,7 +682,62 @@ object Profiling extends QueryModule {
       .orderBy(col("event_type"))
   }
 
+  /** Lag-k autocorrelation (ACF, k = 1..7) of each event_type's daily
+    * value series — the diagnostic behind seasonality detection, forecast
+    * model order selection, and "is this metric mean-reverting" questions;
+    * the numeric companion to [[qSeasonalDecompose]]'s structural split.
+    *
+    * Exactness: with x_t the exact daily cent sums, S = Σx and n the series
+    * length, r_k = Σ(x_t−x̄)(x_{t+k}−x̄) / Σ(x_t−x̄)² is computed with every
+    * term multiplied through by n² — (n·x_t − S)(n·x_{t+k} − S) — so
+    * numerator and denominator are exact DECIMAL(38,0) sums (the n² factors
+    * cancel in the ratio) and the only float op is ONE final division of
+    * exactly-cast operands. A mean-subtracted float accumulation would be
+    * partition-order-dependent; this is not. The `+ 0.0` normalizes IEEE
+    * −0.0 (negative correlations can round to signed zero and the engines
+    * disagree on its sign bit — the [[qSeasonalDecompose]] convention).
+    *
+    * Scale shape: ONE corpus-sized shuffle (the map-side-combinable daily
+    * rollup); everything after runs on |types|×|days| rows — the per-type
+    * stats are a tiny aggregate broadcast back, the 7 lags explode from a
+    * 7-row broadcast, and the lag self-join keys on (event_type, date), so
+    * no stage after the rollup ever sees a corpus-sized row count. */
+  def qAcf(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(spark, dir)
+      .select(col("event_type"), col("ts").cast("date").as("d"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("x"))
+      .groupBy(col("event_type"), col("d"))
+      .agg(sum(col("x")).as("x"))
+      // consumed three times (stats + both sides of the lag join): compute
+      // the rollup once, not once per consumer
+      .localCheckpoint(eager = false)
+    val stats = daily.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("x").cast("decimal(38,0)")).as("s"),
+        sum(expr("CAST(x AS DECIMAL(38,0)) * x")).as("sxx"))
+      // den·1 = Σ(n·x_t − S)² = n·(n·Σx² − S²), exact
+      .withColumn("den", expr("CAST(n AS DECIMAL(38,0)) * (n * sxx - s * s)"))
+      .filter(col("den") > 0)
+    val lags = spark.range(1, 8).select(col("id").cast("int").as("k"))
+    val a = daily.select(col("event_type"), col("d"), col("x").as("xa"))
+    val b = daily.select(col("event_type").as("et_b"), col("d").as("db"),
+      col("x").as("xb"))
+    a.crossJoin(broadcast(lags))
+      .join(b, col("event_type") === col("et_b")
+        && col("db") === date_add(col("d"), col("k")))
+      .join(broadcast(stats), "event_type")
+      .groupBy(col("event_type"), col("k"), col("den"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(expr("(CAST(n AS DECIMAL(38,0)) * xa - s) * (CAST(n AS DECIMAL(38,0)) * xb - s)"))
+          .as("num"))
+      .select(col("event_type"), col("k"), col("n_pairs"),
+        (round(expr("CAST(num AS DOUBLE) / CAST(den AS DOUBLE)"), 6) + lit(0.0))
+          .as("acf"))
+      .orderBy(col("event_type"), col("k"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_acf"            -> (qAcf _),
     "q_kanon"          -> (qKanon _),
     "q_ldiversity"     -> (qLdiversity _),
     "q_seasonal_decompose" -> (qSeasonalDecompose _),
@@ -704,6 +759,31 @@ object Profiling extends QueryModule {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_acf" ->
+      """WITH daily AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS d,
+        |         CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS x
+        |  FROM events GROUP BY 1, 2),
+        |stats AS (
+        |  SELECT event_type, COUNT(*) AS n,
+        |         CAST(SUM(CAST(x AS HUGEINT)) AS HUGEINT) AS s,
+        |         CAST(SUM(CAST(x AS HUGEINT) * x) AS HUGEINT) AS sxx,
+        |         CAST(COUNT(*) AS HUGEINT)
+        |           * (COUNT(*) * CAST(SUM(CAST(x AS HUGEINT) * x) AS HUGEINT)
+        |              - CAST(SUM(CAST(x AS HUGEINT)) AS HUGEINT)
+        |                * CAST(SUM(CAST(x AS HUGEINT)) AS HUGEINT)) AS den
+        |  FROM daily GROUP BY event_type),
+        |lags AS (SELECT UNNEST([1, 2, 3, 4, 5, 6, 7]) AS k)
+        |SELECT a.event_type, k.k, COUNT(*) AS n_pairs,
+        |       ROUND(CAST(SUM((CAST(st.n AS HUGEINT) * a.x - st.s)
+        |                      * (CAST(st.n AS HUGEINT) * b.x - st.s)) AS DOUBLE)
+        |             / CAST(st.den AS DOUBLE), 6) + 0.0 AS acf
+        |FROM daily a CROSS JOIN lags k
+        |JOIN daily b ON b.event_type = a.event_type AND b.d = a.d + k.k
+        |JOIN stats st ON st.event_type = a.event_type
+        |WHERE st.den > 0
+        |GROUP BY a.event_type, k.k, st.den
+        |ORDER BY a.event_type, k.k""".stripMargin,
     "q_seasonal_decompose" ->
       """WITH daily AS (
         |  SELECT event_type, CAST(ts AS DATE) AS d,

@@ -251,7 +251,7 @@ object Relational extends QueryModule {
   /** Per-JVM sink root: the PID suffix keeps concurrent processes (bench +
     * verify on the same sf) from racing mode("overwrite") on a shared
     * directory; within one JVM re-invocations overwrite deterministically. */
-  private val sinkRoot: String =
+  private[graft] val sinkRoot: String =
     s"${System.getProperty("java.io.tmpdir")}/graft_sink_p${ProcessHandle.current().pid()}_"
 
   /** Partitioned-layout round-trip — the WRITE-side 100 TB lever the other

@@ -460,7 +460,45 @@ object TextAnalysis extends QueryModule {
       .orderBy(col("doc_id"))
   }
 
+  /** Per-document readability scoring — Flesch reading-ease and
+    * Flesch-Kincaid grade from three regex counts: words (letter runs),
+    * syllables (vowel-group runs, the standard dictionary-free heuristic),
+    * and sentences (terminator runs, floored at 1 so punctuation-free text
+    * scores as one sentence rather than dividing by zero). The corpus
+    * filter every training-data pipeline runs next to the Gopher flags
+    * ([[qQualityFlags]]): readability bands are a cheap fluency prior, and
+    * the grade level is the classic "is this text too simple/too noisy"
+    * signal.
+    *
+    * Determinism: all three counts are exact integers from RE2∩Java-safe
+    * patterns (`[a-z]+` / `[aeiouy]+` / `[.!?]+` behave identically in
+    * Spark's java.util.regex and DuckDB's RE2); each score is the same
+    * IEEE expression tree over single divisions of exactly-cast counts in
+    * both engines, so the rounded outputs hash-match. `+ 0.0` normalizes
+    * the signed zero a negative score can round to.
+    *
+    * Scale shape: map-only — three codegen'd regexp_count passes over the
+    * documents scan, no shuffle but the output ORDER BY. */
+  def qTextReadability(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        expr("regexp_count(lower(text), '[a-z]+')").as("n_words"),
+        expr("regexp_count(lower(text), '[aeiouy]+')").as("n_syllables"),
+        expr("greatest(regexp_count(text, '[.!?]+'), 1)").as("n_sentences"))
+      .filter(col("n_words") > 0)
+      .select(col("doc_id"), col("n_words"), col("n_syllables"), col("n_sentences"),
+        (round(expr(
+          """206.835 - 1.015 * (CAST(n_words AS DOUBLE) / CAST(n_sentences AS DOUBLE))
+            |        - 84.6 * (CAST(n_syllables AS DOUBLE) / CAST(n_words AS DOUBLE))"""
+            .stripMargin), 4) + lit(0.0)).as("flesch"),
+        (round(expr(
+          """0.39 * (CAST(n_words AS DOUBLE) / CAST(n_sentences AS DOUBLE))
+            | + 11.8 * (CAST(n_syllables AS DOUBLE) / CAST(n_words AS DOUBLE)) - 15.59"""
+            .stripMargin), 4) + lit(0.0)).as("fk_grade"))
+      .orderBy(col("doc_id"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_text_readability" -> (qTextReadability _),
     "q_text_perplexity"  -> (qTextPerplexity _),
     "q_text_tokens"      -> (qTextTokens _),
     "q_text_quality"     -> (qTextQuality _),
@@ -481,6 +519,22 @@ object TextAnalysis extends QueryModule {
   private val stopwordsSql = stopwords.map("'" + _ + "'").mkString(",")
 
   val oracle: Map[String, String] = Map(
+    "q_text_readability" ->
+      """WITH counts AS (
+        |  SELECT doc_id,
+        |         LEN(regexp_extract_all(LOWER(text), '[a-z]+')) AS n_words,
+        |         LEN(regexp_extract_all(LOWER(text), '[aeiouy]+')) AS n_syllables,
+        |         GREATEST(LEN(regexp_extract_all(text, '[.!?]+')), 1) AS n_sentences
+        |  FROM documents)
+        |SELECT doc_id, n_words, n_syllables, n_sentences,
+        |       ROUND(206.835 - 1.015 * (CAST(n_words AS DOUBLE) / CAST(n_sentences AS DOUBLE))
+        |                     - 84.6 * (CAST(n_syllables AS DOUBLE) / CAST(n_words AS DOUBLE)), 4)
+        |         + 0.0 AS flesch,
+        |       ROUND(0.39 * (CAST(n_words AS DOUBLE) / CAST(n_sentences AS DOUBLE))
+        |             + 11.8 * (CAST(n_syllables AS DOUBLE) / CAST(n_words AS DOUBLE)) - 15.59, 4)
+        |         + 0.0 AS fk_grade
+        |FROM counts WHERE n_words > 0
+        |ORDER BY doc_id""".stripMargin,
     "q_text_perplexity" ->
       """WITH toks AS (
         |  SELECT doc_id, lang, STRING_SPLIT(LOWER(TRIM(text)), ' ') AS t

@@ -64,6 +64,42 @@ class FeaturePrepSpec extends SparkSpec {
     }
   }
 
+  test("target_encode: LOO excludes self, smoothing shrinks toward the global mean") {
+    val rows = FeaturePrep.qTargetEncode(spark, sf).collect()
+    val raw = Tables.orders(spark, sf)
+      .join(Tables.customer(spark, sf),
+        col("o_custkey") === col("c_custkey"))
+      .select(col("o_orderkey"), col("c_mktsegment"),
+        expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("cents"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val bySeg = raw.groupBy(_._2)
+    val sAll = raw.map(r => BigInt(r._3)).sum
+    val nAll = BigInt(raw.length)
+    val expect = raw.collect { case (k, seg, x) if bySeg(seg).length > 1 =>
+      val n = bySeg(seg).length
+      val s = bySeg(seg).map(r => BigInt(r._3)).sum
+      val loo = (s - x).toDouble / (n - 1).toDouble / 100.0
+      val smooth = ((s - x) * nAll + 100 * sAll).toDouble /
+        ((BigInt(n - 1 + 100)) * nAll).toDouble / 100.0
+      k -> (vs6(loo), vs6(smooth))
+    }.toMap
+    assert(rows.length == expect.size && rows.nonEmpty)
+    rows.foreach { r =>
+      val (loo, smooth) = expect(r.getLong(0))
+      assert(vs6(r.getDouble(2)) == loo, s"order ${r.getLong(0)} loo")
+      assert(vs6(r.getDouble(3)) == smooth, s"order ${r.getLong(0)} smooth")
+    }
+    // smoothing must land strictly between the LOO mean and the global mean
+    // (prior weight pulls toward global; equality only if they coincide)
+    val gmean = sAll.toDouble / nAll.toDouble / 100.0
+    rows.foreach { r =>
+      val (loo, smooth) = (r.getDouble(2), r.getDouble(3))
+      assert((smooth >= math.min(loo, gmean) - 1e-6)
+        && (smooth <= math.max(loo, gmean) + 1e-6),
+        s"order ${r.getLong(0)}: smoothed $smooth outside [$loo, $gmean]")
+    }
+  }
+
   test("label_balance: weights rebalance to n_total and shares sum to 1") {
     val rows = FeaturePrep.qLabelBalance(spark, sf).collect()
     val nTotal = spark.read.parquet(s"$sf/embeddings.parquet").count()

@@ -68,6 +68,37 @@ class GraphSpec extends SparkSpec {
     assert(got.toSeq == want, "triangle counts must agree exactly per node")
   }
 
+  test("link prediction matches an in-memory common-neighbor/Jaccard ranking") {
+    val got = Graph.qLinkPredict(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3), r.getInt(4)))
+
+    val li = Tables.lineitem(spark, sf).select("l_orderkey", "l_partkey").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val edges = li.toSeq.groupBy(_._1).values.toSeq.flatMap { grp =>
+      val ps = grp.map(_._2).distinct
+      for (a <- ps; b <- ps if a != b) yield (a, b)
+    }.toSet
+    val adj = edges.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val deg = adj.view.mapValues(_.size.toLong).toMap
+    val focus = deg.toSeq.sortBy { case (n, d) => (-d, n) }.take(50)
+    val want = focus.flatMap { case (qn, dq) =>
+      val cn = scala.collection.mutable.HashMap.empty[Long, Long]
+      for (m <- adj(qn); c <- adj(m) if c != qn) cn(c) = cn.getOrElse(c, 0L) + 1
+      cn.toSeq
+        .filterNot { case (c, _) => adj(qn).contains(c) }
+        .map { case (c, n) => (c, n, n.toDouble / (dq + deg(c) - n).toDouble) }
+        .sortBy { case (c, _, j) => (-j, c) }
+        .take(5).zipWithIndex
+        .map { case ((c, n, j), i) =>
+          (qn, c, n, BigDecimal(j).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+            .toDouble, i + 1) }
+    }
+    assert(got.toSeq.sortBy(t => (t._1, t._5)) == want.sortBy(t => (t._1, t._5)),
+      "common-neighbor counts, Jaccard, and the top-5 ranking must agree")
+    // every predicted pair must genuinely be a non-edge
+    assert(got.forall { case (q, c, _, _, _) => !adj(q).contains(c) })
+  }
+
   test("k-hop reach matches an in-memory BFS; hop sets are disjoint and exhaustive") {
     val got = Graph.qKhop(spark, sf).collect()
       .map(r => r.getInt(0) -> r.getLong(1)).toMap

@@ -339,6 +339,29 @@ class LlmOpsSpec extends SparkSpec {
     assert(df.count() == Tables.documents(spark, sf).count())
   }
 
+  test("readability: counts replay Java regex, scores replay the Flesch closed form") {
+    val got = TextAnalysis.qTextReadability(spark, sf).collect()
+    val docs = Tables.documents(spark, sf).select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got.nonEmpty)
+    got.foreach { r =>
+      val t = docs(r.getLong(0))
+      val w = "[a-z]+".r.findAllIn(t.toLowerCase).length
+      val sy = "[aeiouy]+".r.findAllIn(t.toLowerCase).length
+      val s = math.max("[.!?]+".r.findAllIn(t).length, 1)
+      assert(r.getInt(1) == w && r.getInt(2) == sy && r.getInt(3) == s,
+        s"doc ${r.getLong(0)} counts")
+      val flesch = 206.835 - 1.015 * (w.toDouble / s) - 84.6 * (sy.toDouble / w)
+      val grade = 0.39 * (w.toDouble / s) + 11.8 * (sy.toDouble / w) - 15.59
+      assert(math.abs(r.getDouble(4) - flesch) < 1e-3, s"doc ${r.getLong(0)} flesch")
+      assert(math.abs(r.getDouble(5) - grade) < 1e-3, s"doc ${r.getLong(0)} grade")
+      assert(sy <= t.length, "syllable groups bounded by text length")
+    }
+    // zero-word documents (if any) must be excluded, not divide by zero
+    assert(got.length == docs.count { case (_, t) =>
+      "[a-z]+".r.findAllIn(t.toLowerCase).nonEmpty })
+  }
+
   test("ngram langid classifies every document exactly once, deterministically") {
     val cm = TextAnalysis.qTextLangidNgram(spark, sf)
     assert(cm.agg(sum("n")).collect()(0).getLong(0) ==

@@ -194,8 +194,9 @@ class PlanSpec extends SparkSpec {
       s"range predicate must reach the parquet footer:\n$pushed")
     // clustering contract: per-file [min ts, max ts] ranges are disjoint,
     // which is what makes row-group min/max skipping effective
-    val sink = s"${System.getProperty("java.io.tmpdir")}/graft_sink_${
-      Integer.toHexString(sf.hashCode)}/events_clustered"
+    // derive the path from the op's own sinkRoot (PID-nonce'd — the ADVICE
+    // de-race fix) so this test cannot drift from the implementation again
+    val sink = s"${Relational.sinkRoot}${Integer.toHexString(sf.hashCode)}/events_clustered"
     import org.apache.spark.sql.functions._
     val ranges = spark.read.parquet(sink)
       .groupBy(input_file_name().as("f"))

@@ -312,6 +312,39 @@ class ProfilingSpec extends SparkSpec {
     }
   }
 
+  test("acf: lag correlations replay the n-scaled BigInt closed form; lag-0 identity") {
+    val daily = Tables.events(spark, sf)
+      .select(col("event_type"), col("ts").cast("date").as("d"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("x"))
+      .groupBy(col("event_type"), col("d"))
+      .agg(sum(col("x")).as("x"))
+      .collect().map(r => (r.getString(0), r.getDate(1).toLocalDate, r.getLong(2)))
+    val expect = daily.groupBy(_._1).flatMap { case (t, rs) =>
+      val byDay = rs.map(r => r._2 -> BigInt(r._3)).toMap
+      val n = BigInt(rs.length)
+      val s = byDay.values.sum
+      val den = n * (n * byDay.values.map(x => x * x).sum - s * s)
+      if (den <= 0) Nil
+      else (1 to 7).flatMap { k =>
+        val pairs = byDay.toSeq.flatMap { case (d, xa) =>
+          byDay.get(d.plusDays(k.toLong)).map(xb => (n * xa - s) * (n * xb - s))
+        }
+        if (pairs.isEmpty) Nil
+        else Seq((t, k) -> (pairs.length.toLong,
+          BigDecimal(pairs.sum.toDouble / den.toDouble)
+            .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble + 0.0))
+      }
+    }
+    val got = Profiling.qAcf(spark, sf).collect()
+    assert(got.length == expect.size && got.nonEmpty)
+    got.foreach { r =>
+      val (np, acf) = expect((r.getString(0), r.getInt(1)))
+      assert(r.getLong(2) == np, s"${r.getString(0)} lag ${r.getInt(1)}")
+      assert(r.getDouble(3) == acf, s"${r.getString(0)} lag ${r.getInt(1)}")
+      assert(math.abs(r.getDouble(3)) <= 1.0 + 1e-9, "ACF must lie in [-1, 1]")
+    }
+  }
+
   test("changepoint_cusum: argmax of the scaled centered prefix replays in BigInt") {
     val daily = Tables.events(spark, sf)
       .select(col("event_type"), col("ts").cast("date").as("d"),

@@ -595,7 +595,67 @@ object Dedup extends QueryModule {
         round(col("jaccard_raw"), 6).as("jaccard"))
       .orderBy(col("contained_id"), col("container_id"))
 
+  /** Repeated-SPAN coverage — the sub-document exact-substring dedup signal
+    * (the Lee et al. "deduplicating training data" tier, re-expressed
+    * relationally): for every document, the fraction of its token positions
+    * covered by a 5-token span that occurs ≥ 2 times anywhere in the corpus
+    * (including within the same document — boilerplate repeats both ways).
+    * Document-level tiers (exact / MinHash / SimHash) can't see a copied
+    * paragraph inside an otherwise-unique page; this one reports exactly
+    * that, and a corpus build drops or trims documents above a coverage
+    * threshold.
+    *
+    * Mechanics: positional 5-gram postings → occurrence counts (one
+    * map-side-combinable aggregation; the duplicated-shingle set is
+    * typically a tiny fraction) → equi-join hits back → per-document
+    * gaps-and-islands interval merge (overlapping [p, p+5) spans fuse via
+    * the running-max-end marker — the [[graft.ops.EventAnalytics]]
+    * sessionize recurrence applied to positions) → coverage ratio.
+    *
+    * Scale shape: the postings explode is map-only; the occurrence count
+    * and the hit join shuffle on the high-cardinality shingle string; the
+    * island windows partition by doc_id and are bounded by DOCUMENT length
+    * (never corpus size). No pairwise doc×doc work anywhere — unlike the
+    * pair tiers, this one stays linear in corpus token count, which is why
+    * the substring pass is the one production dedup runs FIRST at 100 TB.
+    * Determinism: counts and interval arithmetic are exact integers; the
+    * one division is rounded at output. */
+  def qDedupSubstring(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = Tables.documents(spark, dir)
+      .withColumn("toks", split(lower(trim(col("text"))), " "))
+      .select(col("doc_id"), col("toks"), size(col("toks")).as("n_tokens"))
+      .filter(col("n_tokens") >= 5)
+      .localCheckpoint(eager = false) // feeds postings AND the final left join
+    val pos = toks.select(col("doc_id"), col("n_tokens"),
+        posexplode(expr(
+          "transform(sequence(0, n_tokens - 5), i -> concat_ws(' ', slice(toks, i + 1, 5)))")))
+      .toDF("doc_id", "n_tokens", "pos", "sh")
+    val dup = pos.groupBy(col("sh")).agg(count(lit(1)).as("occ"))
+      .filter(col("occ") >= 2).select(col("sh"))
+    val wOrd = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val wPrev = wOrd.rowsBetween(Window.unboundedPreceding, -1)
+    val cov = pos.join(dup, "sh")
+      .withColumn("prev_end", max(col("pos") + 5).over(wPrev))
+      .withColumn("new_island",
+        when(col("prev_end").isNull || col("pos") > col("prev_end"), 1).otherwise(0))
+      .withColumn("island", sum(col("new_island")).over(wOrd))
+      .groupBy(col("doc_id"), col("island"))
+      .agg((max(col("pos")) + 5 - min(col("pos"))).as("len"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_dup_spans"), sum(col("len")).as("covered"))
+    toks.select(col("doc_id"), col("n_tokens"))
+      .join(cov, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        coalesce(col("n_dup_spans"), lit(0L)).as("n_dup_spans"),
+        coalesce(col("covered"), lit(0L)).as("covered_tokens"),
+        round(coalesce(col("covered"), lit(0L)).cast("double")
+          / col("n_tokens").cast("double"), 6).as("dup_coverage"))
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_dedup_substring" -> (qDedupSubstring _),
     "q_dedup_containment" -> (qDedupContainment _),
     "q_dedup_fuzzy"     -> (qFuzzyPairs _),
     "q_fuzzy_jw"        -> (qFuzzyJw _),
@@ -649,6 +709,43 @@ object Dedup extends QueryModule {
        |  WHERE CAST(inter AS DOUBLE) / (s1.n_sh + s2.n_sh - inter) >= $JaccardThreshold)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "q_dedup_substring" ->
+      """WITH toks AS (
+        |  SELECT doc_id, STRING_SPLIT(LOWER(TRIM(text)), ' ') AS t,
+        |         LEN(STRING_SPLIT(LOWER(TRIM(text)), ' ')) AS n_tokens
+        |  FROM documents
+        |  WHERE LEN(STRING_SPLIT(LOWER(TRIM(text)), ' ')) >= 5),
+        |pos AS (
+        |  SELECT doc_id, n_tokens, i AS pos,
+        |         ARRAY_TO_STRING(t[i + 1:i + 5], ' ') AS sh
+        |  FROM toks, UNNEST(RANGE(0, n_tokens - 4)) AS u(i)),
+        |dup AS (SELECT sh FROM pos GROUP BY sh HAVING COUNT(*) >= 2),
+        |hits AS (SELECT p.* FROM pos p JOIN dup USING (sh)),
+        |marked AS (
+        |  SELECT doc_id, pos,
+        |         CASE WHEN MAX(pos + 5) OVER prev IS NULL
+        |                OR pos > MAX(pos + 5) OVER prev THEN 1 ELSE 0 END AS new_island
+        |  FROM hits
+        |  WINDOW prev AS (PARTITION BY doc_id ORDER BY pos
+        |                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+        |islands AS (
+        |  SELECT doc_id, pos,
+        |         SUM(new_island) OVER (PARTITION BY doc_id ORDER BY pos
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+        |  FROM marked),
+        |spans AS (
+        |  SELECT doc_id, island, MAX(pos) + 5 - MIN(pos) AS len
+        |  FROM islands GROUP BY doc_id, island),
+        |cov AS (
+        |  SELECT doc_id, COUNT(*) AS n_dup_spans, CAST(SUM(len) AS BIGINT) AS covered
+        |  FROM spans GROUP BY doc_id)
+        |SELECT tk.doc_id, tk.n_tokens,
+        |       COALESCE(c.n_dup_spans, 0) AS n_dup_spans,
+        |       COALESCE(c.covered, 0) AS covered_tokens,
+        |       ROUND(CAST(COALESCE(c.covered, 0) AS DOUBLE)
+        |             / CAST(tk.n_tokens AS DOUBLE), 6) AS dup_coverage
+        |FROM toks tk LEFT JOIN cov c ON c.doc_id = tk.doc_id
+        |ORDER BY tk.doc_id""".stripMargin,
     "q_dedup_containment" ->
       s"""WITH $shingleCtes,
          |cand AS (

@@ -133,6 +133,48 @@ object Reshape extends QueryModule {
     finally views.foreach { case (n, _) => spark.catalog.dropTempView(n) }
   }
 
+  /** Recursive CTE (`WITH RECURSIVE`, Spark 4's UnionLoop execution) — the
+    * SQL-front-door hierarchy walk no plain query can express: each part
+    * climbs a synthetic 10-ary containment tree (parent = key div 10, the
+    * digit-prefix hierarchy) to the root, and the outer query rolls every
+    * category at the two top levels (1–99) up over ALL its descendants —
+    * the bill-of-materials / org-chart / category-rollup recursion pattern.
+    * Depth varies per part (the digit count), which is exactly what a
+    * fixed-depth self-join cannot do and a recursive CTE can.
+    *
+    * Determinism: the walk is pure integer arithmetic (div 10 until 0);
+    * money stays in exact BIGINT cents until one final division. DuckDB
+    * runs the identical recursion (`//` ≡ Spark `div` on non-negative
+    * keys), so the oracle hash-matches.
+    *
+    * Scale shape: each recursion step is a MAP-ONLY projection+filter of
+    * the previous step (no join in the recursive member — single-parent
+    * hierarchies never fan out), so the loop's total work is rows ×
+    * digit-count ≈ 7 passes at 100 TB part cardinality; the only shuffle
+    * is the final rollup to ≤ 108 category rows. Multi-parent recursions
+    * (graph reachability) would instead bound depth + dedup per step —
+    * the [[graft.ops.Graph.qKhop]] driver-loop twin of this operator. */
+  def qSqlRecursive(spark: SparkSession, dir: String): DataFrame = {
+    val sfx = java.lang.Integer.toHexString(dir.hashCode)
+    val v = s"part_$sfx"
+    Tables.part(spark, dir).createOrReplaceTempView(v)
+    try spark.sql(
+      s"""WITH RECURSIVE anc(p_partkey, anc_key, depth, cents) AS (
+        |  SELECT p_partkey, p_partkey, 0,
+        |         CAST(round(p_retailprice * 100) AS BIGINT)
+        |  FROM $v
+        |  UNION ALL
+        |  SELECT p_partkey, anc_key div 10, depth + 1, cents
+        |  FROM anc WHERE anc_key > 0)
+        |SELECT anc_key AS category, COUNT(*) AS n_parts, MAX(depth) AS max_depth,
+        |       CAST(SUM(cents) AS DOUBLE) / 100.0 AS subtree_value
+        |FROM anc
+        |WHERE depth >= 1 AND anc_key BETWEEN 1 AND 99
+        |GROUP BY anc_key
+        |ORDER BY category""".stripMargin)
+    finally spark.catalog.dropTempView(v)
+  }
+
   /** Deterministic train/val/test holdout split — the assignment every
     * training pipeline must get right: membership is a pure function of
     * the DOCUMENT ID (salted md5 → uniform u32; <80% train, <90% val,
@@ -168,11 +210,27 @@ object Reshape extends QueryModule {
     "q_unpivot"           -> (qUnpivot _),
     "q_sql_subquery"      -> (qSqlSubquery _),
     "q_sql_cte"           -> (qSqlCte _),
+    "q_sql_recursive"     -> (qSqlRecursive _),
     "q_sample_stratified" -> (qSampleStratified _),
     "q_sample_weighted"   -> (qSampleWeighted _),
   )
 
   val oracle: Map[String, String] = Map(
+    "q_sql_recursive" ->
+      """WITH RECURSIVE anc(p_partkey, anc_key, depth, cents) AS (
+        |  SELECT p_partkey, p_partkey, 0,
+        |         CAST(ROUND(p_retailprice * 100) AS BIGINT)
+        |  FROM part
+        |  UNION ALL
+        |  SELECT p_partkey, anc_key // 10, depth + 1, cents
+        |  FROM anc WHERE anc_key > 0)
+        |SELECT anc_key AS category, COUNT(*) AS n_parts, MAX(depth) AS max_depth,
+        |       CAST(CAST(SUM(CAST(cents AS HUGEINT)) AS HUGEINT) AS DOUBLE) / 100.0
+        |         AS subtree_value
+        |FROM anc
+        |WHERE depth >= 1 AND anc_key BETWEEN 1 AND 99
+        |GROUP BY anc_key
+        |ORDER BY category""".stripMargin,
     "q_sample_split" ->
       """WITH assigned AS (
         |  SELECT doc_id, n_chars,

@@ -301,6 +301,51 @@ object Similarity extends QueryModule {
       .limit(10)
   }
 
+  /** SemDeDup — cluster-then-dedup over the embedding corpus (the
+    * Abbas et al. semantic-dedup recipe): k-means-cluster every vector
+    * (the SAME deterministic trained index as [[qAnnIvf]] — one training,
+    * two consumers is exactly how a production pipeline amortizes it),
+    * then mark a vector as dominated if ANY lower-id member of its own
+    * cluster has cosine ≥ 0.4 with it. Near-duplicate *meanings* — unlike
+    * the token tiers, two docs phrased differently but embedded nearby
+    * dedup here. The keep-lowest-id rule is a total order, so the output
+    * (per vector: cluster, kept flag, dominating id) is deterministic and
+    * the DuckDB twin reproduces it row-for-row.
+    *
+    * Scale shape: clustering is the [[ivfCentroids]] broadcast-assign
+    * (map-only per iteration + one k×64 shuffle); the dedup is an
+    * EQUI-join on cid — the quadratic is confined WITHIN a cluster, which
+    * is the SemDeDup design point: k scales with the corpus so |cluster|
+    * stays bounded (n²/k per-cluster pair work, never corpus²), and each
+    * cluster's pair block lands on one shuffle partition — embarrassingly
+    * parallel across clusters. The verify-before-aggregate ordering keeps
+    * only true near-dup pairs in the min() shuffle. */
+  def qSemdedup(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    graft.functions.CosineSimilarity.register(spark)
+    val e = Tables.embeddings(spark, dir)
+      .filter(size(col("embedding")) === 64 && expr(normSqExpr) > 0)
+    val cent = ivfCentroids(e, 16, 2)
+    val assignW = Window.partitionBy(col("vec_id")).orderBy(col("csim").desc, col("cid"))
+    val assigned = e.crossJoin(broadcast(cent))
+      .withColumn("csim", expr("cosine_sim(embedding, cvec)"))
+      .withColumn("rn", row_number().over(assignW))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("embedding"), col("cid"))
+      // three consumers (both pair sides + the final left join): one pass
+      .localCheckpoint(eager = false)
+    val a = assigned.select(col("cid"), col("vec_id").as("u"), col("embedding").as("eu"))
+    val b = assigned.select(col("cid"), col("vec_id").as("vid"), col("embedding").as("ev"))
+    val dom = a.join(b, Seq("cid"))
+      .filter(col("u") < col("vid"))
+      .filter(expr("cosine_sim(eu, ev)") >= 0.4)
+      .groupBy(col("vid")).agg(min(col("u")).as("dominated_by"))
+    assigned.join(dom, assigned("vec_id") === dom("vid"), "left")
+      .select(col("vec_id"), col("cid"),
+        col("dominated_by").isNull.as("kept"), col("dominated_by"))
+      .orderBy(col("vec_id"))
+  }
+
   /** Embedding-cosine near-dup pairs — the fifth dedup tier (BASELINE
     * north-star: exact / n-gram / MinHash / SimHash / EMBEDDING; SURVEY.md
     * §2.5), keyed `q_dedup_embedding` so it files with the dedup family.
@@ -574,6 +619,7 @@ object Similarity extends QueryModule {
     "q_ann_ivf"            -> (qAnnIvf _),
     "q_ann_ivf_batch"      -> (qAnnIvfBatch _),
     "q_dedup_embedding"    -> (qDedupEmbedding _),
+    "q_semdedup"           -> (qSemdedup _),
   )
 
   /** Metadata-filtered retrieval — the canonical RAG serving query: join
@@ -701,6 +747,17 @@ object Similarity extends QueryModule {
       |    FROM e CROSS JOIN cent c) WHERE rn = 1)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "q_semdedup" ->
+      s"""WITH $ivfCtes,
+         |pairs AS (
+         |  SELECT a.vec_id AS u, b.vec_id AS vid
+         |  FROM assigned a JOIN assigned b
+         |    ON a.cid = b.cid AND a.vec_id < b.vec_id
+         |  WHERE LIST_COSINE_SIMILARITY(a.v, b.v) >= 0.4),
+         |dom AS (SELECT vid, MIN(u) AS dominated_by FROM pairs GROUP BY vid)
+         |SELECT a.vec_id, a.cid, (d.vid IS NULL) AS kept, d.dominated_by
+         |FROM assigned a LEFT JOIN dom d ON d.vid = a.vec_id
+         |ORDER BY a.vec_id""".stripMargin,
     "q_sim_sparse" ->
       """WITH toks AS (
         |  SELECT doc_id, UNNEST(STRING_SPLIT(LOWER(TRIM(text)), ' ')) AS token

@@ -331,6 +331,70 @@ class LlmOpsSpec extends SparkSpec {
     assert(survivors.count() == Tables.documents(spark, sf).count() - losers)
   }
 
+  test("substring dedup: coverage replays an in-memory interval merge; planted copy found") {
+    val got = Dedup.qDedupSubstring(spark, sf).collect()
+      .map(r => (r.getLong(0), (r.getInt(1), r.getLong(2), r.getLong(3), r.getDouble(4))))
+      .toMap
+    // independent replay: positional 5-grams, corpus occurrence >= 2, merge
+    val docs = Tables.documents(spark, sf).select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).trim.toLowerCase.split(" ", -1).toSeq)
+      .filter(_._2.length >= 5)
+    val occ = scala.collection.mutable.HashMap.empty[String, Int]
+    val grams = docs.map { case (id, t) =>
+      id -> t.sliding(5).map(_.mkString(" ")).toArray }
+    grams.foreach { case (_, gs) => gs.foreach(g => occ(g) = occ.getOrElse(g, 0) + 1) }
+    assert(got.size == docs.length)
+    docs.foreach { case (id, t) =>
+      val hits = grams.find(_._1 == id).get._2.zipWithIndex
+        .collect { case (g, p) if occ(g) >= 2 => p }
+      var spans = 0; var covered = 0L; var end = -1
+      hits.foreach { p =>
+        if (p > end) { spans += 1; covered += 5; end = p + 5 }
+        else { covered += (p + 5 - end); end = p + 5 }
+      }
+      val (n, ns, cov, ratio) = got(id)
+      assert(n == t.length && ns == spans && cov == covered, s"doc $id intervals")
+      assert(math.abs(ratio - covered.toDouble / t.length) < 1e-6, s"doc $id ratio")
+      assert(cov <= n, s"doc $id coverage cannot exceed length")
+    }
+    // the corpus genuinely exercises the merge: some doc must have a
+    // multi-shingle island (coverage > 5 tokens in one span or spans joined)
+    assert(got.values.exists(_._3 > 0), "no duplicated spans found at all")
+  }
+
+  test("semdedup: keep/drop partitions the corpus and every verdict is justified") {
+    graft.functions.CosineSimilarity.register(spark)
+    val out = Similarity.qSemdedup(spark, sf)
+    val rows = out.collect()
+    val e = Tables.embeddings(spark, sf)
+      .filter(size(col("embedding")) === 64)
+      .filter(expr("aggregate(transform(embedding, x -> CAST(x AS DOUBLE) * x), 0D, (a, x) -> a + x) > 0"))
+    assert(rows.length == e.count(), "every canonical vector gets a verdict")
+    rows.foreach { r =>
+      val kept = r.getBoolean(2)
+      assert(kept == r.isNullAt(3), "kept iff no dominator")
+      if (!kept) assert(r.getLong(3) < r.getLong(0), "dominator has the lower id")
+    }
+    // every non-kept vector's dominator shares its cluster and truly clears
+    // the threshold — re-derive cosine from raw embeddings, not the op
+    val emb = e.select(col("vec_id"), col("embedding")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0
+      for (i <- a.indices) {
+        dot += a(i).toDouble * b(i); na += a(i).toDouble * a(i); nb += b(i).toDouble * b(i)
+      }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val cid = rows.map(r => r.getLong(0) -> r.getLong(1)).toMap
+    rows.filterNot(_.getBoolean(2)).foreach { r =>
+      val (v, u) = (r.getLong(0), r.getLong(3))
+      assert(cid(u) == cid(v), s"dominator $u of $v must share its cluster")
+      assert(cos(emb(u), emb(v)) >= 0.4 - 1e-9, s"pair ($u,$v) below threshold")
+    }
+    assert(rows.exists(!_.getBoolean(2)), "corpus should contain semantic near-dups")
+  }
+
   test("quality metrics: ratios in [0,1], token counts positive") {
     val df = TextAnalysis.qTextQuality(spark, sf)
     assert(df.filter(col("stopword_ratio") < 0 || col("stopword_ratio") > 1).count() == 0)

@@ -25,6 +25,29 @@ class ReshapeSpec extends SparkSpec {
     assert(plan.contains("Join"), s"correlated subquery must decorrelate into a join:\n$plan")
   }
 
+  test("recursive CTE rollup replays an in-memory ancestor walk exactly") {
+    val got = Reshape.qSqlRecursive(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3)))
+    val parts = Tables.part(spark, sf)
+      .select(col("p_partkey"), expr("CAST(round(p_retailprice * 100) AS BIGINT)"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val acc = scala.collection.mutable.HashMap.empty[Long, (Long, Int, BigInt)]
+    parts.foreach { case (k, cents) =>
+      var a = k; var d = 0
+      while (a > 0) {
+        a = a / 10; d += 1
+        if (a >= 1 && a <= 99) {
+          val (n, md, s) = acc.getOrElse(a, (0L, 0, BigInt(0)))
+          acc(a) = (n + 1, math.max(md, d), s + cents)
+        }
+      }
+    }
+    val want = acc.toSeq.map { case (cat, (n, md, s)) =>
+      (cat, n, md, s.toDouble / 100.0) }.sortBy(_._1)
+    assert(got.toSeq == want, "recursion must roll every ancestor up exactly")
+    assert(got.nonEmpty && got.forall(_._3 >= 1), "every category is a proper ancestor")
+  }
+
   test("stratified sample is seeded-deterministic and roughly proportioned") {
     val a = Reshape.qSampleStratified(spark, sf).collect().map(_.getLong(0))
     val b = Reshape.qSampleStratified(spark, sf).collect().map(_.getLong(0))

@@ -45,6 +45,13 @@ object GraftSession {
       // events.parquet carries TIMESTAMP(NANOS); set at build time so no
       // loader has to mutate session conf as a read side effect
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // bucketed tables written one-file-per-bucket + sortBy should satisfy
+      // a merge join's ordering without re-sorting; Spark disables the
+      // sorted-scan property by default (SPARK-28595 — the one-file check
+      // costs a listing) and this engine opts back in: it only affects
+      // scans of bucketed tables, and the q_join_bucketed layout is written
+      // to satisfy it (see Joins.qJoinBucketed)
+      .config("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
     extraConf.foreach { case (k, v) => b.config(k, v) }
     val s = b.getOrCreate()
     graft.functions.CosineSimilarity.register(s)

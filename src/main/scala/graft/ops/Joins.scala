@@ -271,7 +271,54 @@ object Joins extends QueryModule {
       .limit(100)
   }
 
+  /** Table names + storage root for [[qJoinBucketed]] — PID-nonced like
+    * [[Relational.sinkRoot]] so concurrent JVMs never fight over one
+    * catalog entry or directory; exposed to tests so plan assertions
+    * derive the same names instead of drifting. */
+  private[graft] def bucketedSfx(dir: String): String =
+    s"${Integer.toHexString(dir.hashCode)}_p${ProcessHandle.current().pid()}"
+
+  /** Bucketed co-located join — the WRITE-side join lever the other join
+    * keys only exercise at read time: both sides are laid out
+    * `bucketBy(8, key)` + `sortBy(key)` into catalog tables (each bucket
+    * exactly one file: the pre-write `repartition(8, key)` uses the same
+    * murmur3 hash as the bucket spec, so task i holds precisely bucket i),
+    * and the join of the two bucketed tables then needs NO shuffle and NO
+    * sort on either side — the layout IS the exchange, amortized across
+    * every future join on that key. On a 100 TB fact table this turns the
+    * recurring nightly fact⋈dim from the cluster's largest shuffle into a
+    * partition-local merge; the only exchange left in this whole plan is
+    * the final |segments|-row aggregation. The oracle computes the same
+    * join/aggregate straight off the source tables — the bucketed round
+    * trip must lose nothing. */
+  def qJoinBucketed(spark: SparkSession, dir: String): DataFrame = {
+    val sfx = bucketedSfx(dir)
+    val root = s"${System.getProperty("java.io.tmpdir")}/graft_bucketed_$sfx"
+    val tOrders = s"orders_bkt_$sfx"
+    val tCust = s"customer_bkt_$sfx"
+    Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      .repartition(8, col("o_custkey"))
+      .write.mode("overwrite").option("path", s"$root/orders")
+      .bucketBy(8, "o_custkey").sortBy("o_custkey").saveAsTable(tOrders)
+    Tables.customer(spark, dir)
+      .select(col("c_custkey"), col("c_mktsegment"))
+      .repartition(8, col("c_custkey"))
+      .write.mode("overwrite").option("path", s"$root/customer")
+      .bucketBy(8, "c_custkey").sortBy("c_custkey").saveAsTable(tCust)
+    spark.table(tOrders).hint("merge")
+      .join(spark.table(tCust).hint("merge"),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(expr("CAST(round(o_totalprice * 100) AS BIGINT)")).as("cents"))
+      .select(col("c_mktsegment"), col("n_orders"),
+        round(col("cents").cast("double") / 100.0, 2).as("revenue"))
+      .orderBy(col("c_mktsegment"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_join_bucketed"  -> (qJoinBucketed _),
     "q_join_interval"  -> (qJoinInterval _),
     "q_join_inner"     -> (qJoinInner _),
     "q_join_left"      -> (qJoinLeft _),
@@ -289,6 +336,13 @@ object Joins extends QueryModule {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_join_bucketed" ->
+      """SELECT c.c_mktsegment, COUNT(*) AS n_orders,
+        |       ROUND(CAST(SUM(CAST(ROUND(o.o_totalprice * 100) AS BIGINT)) AS DOUBLE)
+        |             / 100.0, 2) AS revenue
+        |FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        |GROUP BY c.c_mktsegment
+        |ORDER BY c.c_mktsegment""".stripMargin,
     "q_join_interval" ->
       """WITH l AS (
         |  SELECT l_suppkey, l_orderkey, l_linenumber,

@@ -301,6 +301,57 @@ object Similarity extends QueryModule {
       .limit(10)
   }
 
+  /** MMR-diversified retrieval (maximal marginal relevance): brute-force
+    * the top-20 relevance pool against the query vector, then greedily
+    * pick 5 results maximizing 0.7·relevance − 0.3·(max cosine to the
+    * already-picked set) — the standard redundancy-killer between a
+    * raw top-k and a RAG prompt (top-k alone returns five paraphrases of
+    * one document; MMR forces coverage). Greedy selection is inherently
+    * sequential, so the 5 rounds are UNROLLED: each round anti-joins the
+    * picked ids out of the pool, computes each survivor's max similarity
+    * to the picked vectors, and takes the arg-max with a (score, vec_id)
+    * total order. Every score is the same deterministic expression tree in
+    * both engines (native cosine ≡ DuckDB list_cosine_similarity — the
+    * [[qAnnIvf]] precedent), so the DuckDB twin replays all five picks.
+    *
+    * Scale shape: ONE corpus-sized stage (the relevance scan feeding
+    * TakeOrdered top-20); every MMR round runs on ≤ 20 rows with a
+    * broadcast picked set — driver-loop iterations over bounded data, the
+    * [[ivfCentroids]] discipline. k and the pool size are serving-time
+    * constants; a bigger pool changes only the tiny loop, not the scan. */
+  def qMmrDiversify(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.CosineSimilarity.register(spark)
+    val e = Tables.embeddings(spark, dir)
+      .filter(size(col("embedding")) === 64 && expr(normSqExpr) > 0)
+    val q = e.filter(col("vec_id") === 0).select(col("embedding").as("qvec"))
+    val pool = e.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= 0)
+      .withColumn("rel", expr("cosine_sim(embedding, qvec)"))
+      .orderBy(col("rel").desc, col("vec_id")).limit(20)
+      .select(col("vec_id"), col("embedding"), col("rel"))
+      // 4 rounds × 2 consumers re-derive the pool otherwise
+      .localCheckpoint(eager = false)
+    var picked = pool.orderBy(col("rel").desc, col("vec_id")).limit(1)
+      .select(col("vec_id").as("pid"), col("embedding").as("pvec"),
+        col("rel").as("prel"), lit(1).as("rk"))
+    for (r <- 2 to 5) {
+      val next = pool
+        .join(broadcast(picked.select(col("pid"))),
+          col("vec_id") === col("pid"), "left_anti")
+        .crossJoin(broadcast(picked.select(col("pvec").as("opvec"))))
+        .groupBy(col("vec_id"), col("embedding"), col("rel"))
+        .agg(max(expr("cosine_sim(embedding, opvec)")).as("maxsim"))
+        .withColumn("mmr", col("rel") * 0.7 - col("maxsim") * 0.3)
+        .orderBy(col("mmr").desc, col("vec_id")).limit(1)
+        .select(col("vec_id").as("pid"), col("embedding").as("pvec"),
+          col("rel").as("prel"), lit(r).as("rk"))
+      picked = picked.unionByName(next).localCheckpoint(eager = false)
+    }
+    picked.select(col("pid").as("vec_id"), col("rk"),
+      round(col("prel"), 6).as("relevance"))
+      .orderBy(col("rk"))
+  }
+
   /** SemDeDup — cluster-then-dedup over the embedding corpus (the
     * Abbas et al. semantic-dedup recipe): k-means-cluster every vector
     * (the SAME deterministic trained index as [[qAnnIvf]] — one training,
@@ -620,6 +671,7 @@ object Similarity extends QueryModule {
     "q_ann_ivf_batch"      -> (qAnnIvfBatch _),
     "q_dedup_embedding"    -> (qDedupEmbedding _),
     "q_semdedup"           -> (qSemdedup _),
+    "q_mmr_diversify"      -> (qMmrDiversify _),
   )
 
   /** Metadata-filtered retrieval — the canonical RAG serving query: join
@@ -746,7 +798,35 @@ object Similarity extends QueryModule {
       |             ORDER BY LIST_COSINE_SIMILARITY(e.v, c.cvec) DESC, c.cid) AS rn
       |    FROM e CROSS JOIN cent c) WHERE rn = 1)""".stripMargin
 
+  private val mmrRound: Int => String = r =>
+    s"""c$r AS (
+       |  SELECT po.vec_id, po.v, po.rel,
+       |         MAX(LIST_COSINE_SIMILARITY(po.v, p.v)) AS maxsim
+       |  FROM pool po CROSS JOIN pp${r - 1} p
+       |  WHERE po.vec_id NOT IN (SELECT vec_id FROM pp${r - 1})
+       |  GROUP BY po.vec_id, po.v, po.rel),
+       |p$r AS (
+       |  SELECT vec_id, v, rel, $r AS rk FROM c$r
+       |  ORDER BY rel * 0.7 - maxsim * 0.3 DESC, vec_id LIMIT 1),
+       |pp$r AS (SELECT * FROM pp${r - 1} UNION ALL SELECT * FROM p$r)""".stripMargin
+
   val oracle: Map[String, String] = Map(
+    "q_mmr_diversify" ->
+      s"""WITH e AS (
+         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+         |  WHERE LEN(embedding) = 64
+         |    AND LIST_AGGREGATE(LIST_TRANSFORM(CAST(embedding AS DOUBLE[]), x -> x * x), 'sum') > 0),
+         |q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+         |pool AS (
+         |  SELECT vec_id, v, LIST_COSINE_SIMILARITY(v, qv) AS rel
+         |  FROM e CROSS JOIN q WHERE vec_id <> 0
+         |  ORDER BY rel DESC, vec_id LIMIT 20),
+         |pp1 AS (
+         |  SELECT vec_id, v, rel, 1 AS rk FROM pool
+         |  ORDER BY rel DESC, vec_id LIMIT 1),
+         |${(2 to 5).map(mmrRound).mkString(",\n")}
+         |SELECT vec_id, rk, ROUND(rel, 6) AS relevance
+         |FROM pp5 ORDER BY rk""".stripMargin,
     "q_semdedup" ->
       s"""WITH $ivfCtes,
          |pairs AS (

@@ -67,6 +67,21 @@ class JoinsSpec extends SparkSpec {
     assert(rows("unspecified") == o.filter(col("o_orderpriority") === "3-MEDIUM").count())
   }
 
+  test("bucketed join equals the plain join — the layout round trip loses nothing") {
+    val got = Joins.qJoinBucketed(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    val want = Tables.orders(spark, sf)
+      .join(Tables.customer(spark, sf), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n"),
+        sum(expr("CAST(round(o_totalprice * 100) AS BIGINT)")).as("cents"))
+      .select(col("c_mktsegment"), col("n"),
+        round(col("cents").cast("double") / 100.0, 2))
+      .orderBy(col("c_mktsegment"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    assert(got.toSeq == want.toSeq)
+  }
+
   test("nearest-asof picks exactly one line per order at minimal day distance") {
     val df = Joins.qAsofNearest(spark, sf).cache()
     try {

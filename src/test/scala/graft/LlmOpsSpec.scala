@@ -395,6 +395,42 @@ class LlmOpsSpec extends SparkSpec {
     assert(rows.exists(!_.getBoolean(2)), "corpus should contain semantic near-dups")
   }
 
+  test("mmr: the 5 picks replay an in-memory greedy selection over the top-20 pool") {
+    graft.functions.CosineSimilarity.register(spark)
+    val got = Similarity.qMmrDiversify(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getDouble(2)))
+    val emb = Tables.embeddings(spark, sf)
+      .filter(size(col("embedding")) === 64)
+      .filter(expr("aggregate(transform(embedding, x -> CAST(x AS DOUBLE) * x), 0D, (a, x) -> a + x) > 0"))
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0
+      for (i <- a.indices) {
+        dot += a(i).toDouble * b(i); na += a(i).toDouble * a(i); nb += b(i).toDouble * b(i)
+      }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val qv = emb(0L)
+    val pool = emb.toSeq.filter(_._1 != 0L)
+      .map { case (id, v) => (id, v, cos(v, qv)) }
+      .sortBy { case (id, _, r) => (-r, id) }.take(20)
+    var picked = Vector(pool.head)
+    for (_ <- 2 to 5) {
+      val next = pool.filterNot(c => picked.exists(_._1 == c._1))
+        .map { case (id, v, r) =>
+          (id, v, r, r * 0.7 - picked.map(p => cos(v, p._2)).max * 0.3) }
+        .minBy { case (id, _, _, s) => (-s, id) }
+      picked :+= ((next._1, next._2, next._3))
+    }
+    val want = picked.zipWithIndex.map { case ((id, _, r), i) =>
+      (id, i + 1, BigDecimal(r).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble) }
+    assert(got.toSeq == want, "greedy MMR selection must replay exactly")
+    // first pick is the raw top-1; the set is diverse by construction
+    assert(got.head._1 == pool.head._1)
+    assert(got.map(_._1).distinct.length == 5)
+  }
+
   test("quality metrics: ratios in [0,1], token counts positive") {
     val df = TextAnalysis.qTextQuality(spark, sf)
     assert(df.filter(col("stopword_ratio") < 0 || col("stopword_ratio") > 1).count() == 0)

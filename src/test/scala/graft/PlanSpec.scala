@@ -212,6 +212,24 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("q_join_bucketed joins the bucketed layout with no shuffle and no sort") {
+    val df = graft.ops.Joins.qJoinBucketed(spark, sf)
+    df.collect() // run the bucketed writes + the join
+    val plan = planOf(df)
+    assert(plan.contains("SortMergeJoin"), s"expected a merge join:\n$plan")
+    // the ONLY exchanges allowed are for the final segment aggregation /
+    // output ordering — never on the bucketed join key
+    val badEx = plan.linesIterator
+      .filter(l => l.contains("Exchange") && l.contains("custkey")).toSeq
+    assert(badEx.isEmpty, s"join key must not shuffle (bucketing is the exchange):\n$badEx")
+    // one file per bucket => sortBy metadata satisfies the SMJ ordering: no
+    // Sort node may feed the join (the sorts after HashAggregate are the
+    // output ORDER BY, keyed by c_mktsegment, not the join key)
+    val joinSorts = plan.linesIterator
+      .filter(l => l.contains("Sort ") && l.contains("custkey")).toSeq
+    assert(joinSorts.isEmpty, s"bucketed sortBy must satisfy SMJ ordering:\n$joinSorts")
+  }
+
   test("q_sink_partition_prune's read-back prunes partitions, not post-filters") {
     val plan = planOf(Relational.qSinkPartitionPrune(spark, sf))
     val pf = plan.linesIterator.find(_.contains("PartitionFilters")).getOrElse("")

@@ -198,7 +198,7 @@ object Graph extends QueryModule {
   }
 
   /** Common-neighbor / Jaccard link prediction — the fourth classic graph
-    * primitive here (after rank, triangles, reach): for each of the 50
+    * primitive here (after rank, triangles, reach): for each of the 25
     * highest-degree parts ("focus items" — the bounded query set a
     * recommender actually serves), the top-5 NON-adjacent parts by Jaccard
     * overlap of neighborhoods, |N(q)∩N(c)| / |N(q)∪N(c)| — "customers who
@@ -215,7 +215,7 @@ object Graph extends QueryModule {
     * exact integers, bit-identical cross-engine — tie-broken by candidate
     * id, so top-5 is total-ordered.
     *
-    * Scale shape: the focus set (top-K by degree) is a 50-row
+    * Scale shape: the focus set (top-K by degree) is a 25-row
     * TakeOrdered broadcast; focus out-edges (≤ K·d_max rows) broadcast to
     * the second hop so the wedge enumeration is map-side against the
     * sharded edge table; the per-(q,c) count is one map-side-combinable
@@ -225,7 +225,7 @@ object Graph extends QueryModule {
     import org.apache.spark.sql.expressions.Window
     val e = edges(spark, dir).localCheckpoint(eager = false)
     val deg = e.groupBy(col("src")).agg(count(lit(1)).as("d"))
-    val focus = deg.orderBy(col("d").desc, col("src")).limit(50)
+    val focus = deg.orderBy(col("d").desc, col("src")).limit(25)
       .select(col("src").as("qn"), col("d").as("d_q"))
     val qEdges = e.join(broadcast(focus), e("src") === focus("qn"))
       .select(col("qn"), col("d_q"), col("dst").as("m"))
@@ -262,7 +262,7 @@ object Graph extends QueryModule {
         |  WHERE a.l_partkey <> b.l_partkey),
         |deg AS (SELECT src, COUNT(*) AS d FROM e GROUP BY src),
         |focus AS (
-        |  SELECT src AS qn, d AS d_q FROM deg ORDER BY d DESC, src LIMIT 50),
+        |  SELECT src AS qn, d AS d_q FROM deg ORDER BY d DESC, src LIMIT 25),
         |cand AS (
         |  SELECT f.qn, f.d_q, e2.dst AS c, COUNT(*) AS cn
         |  FROM focus f JOIN e e1 ON e1.src = f.qn

@@ -301,6 +301,84 @@ object Similarity extends QueryModule {
       .limit(10)
   }
 
+  /** Product quantization ANN (the FAISS IVF-PQ compression half): split
+    * each 64-dim vector into 4 subspaces of 16 dims, learn an 8-entry
+    * codebook per subspace (seeded by vectors 0–7, one deterministic Lloyd
+    * iteration under exact integer L2), encode every vector as 4 one-byte
+    * codes (a 16× memory compression: 64 floats → 4 bytes + codebooks),
+    * and serve the query by ADC — a 32-entry lookup table of exact
+    * query·centroid sub-dot-products, summed per vector's code word. The
+    * top-10 by approximate dot then rerank-ready. Recall@10 vs the exact
+    * dot product is ~0.3 here — uniform random vectors are PQ's
+    * adversarial case (no cluster structure for codebooks to exploit;
+    * production uses K = 256 + an OPQ rotation on real, clustered
+    * embeddings), and the serving contract is rerank-after-ADC anyway, as
+    * in [[qAnnIvfBatch]]. Unlike the cosine tiers,
+    * EVERY number here is integer micro-unit arithmetic end-to-end
+    * (distances, means, LUT, scores) — no float op until the final
+    * display division — so the DuckDB twin replays training, encoding, and
+    * serving bit-for-bit, the strongest cross-engine guarantee in the
+    * similarity family (the [[qEmbedQuantize]] property, extended to a
+    * trained index).
+    *
+    * Scale shape: training/encoding is the [[ivfCentroids]] discipline —
+    * broadcast the 32-entry codebook, map-only argmin per (vector,
+    * subspace), one (4×8×16)-group shuffle for the integer means; serving
+    * is a broadcast 32-row LUT, a map-side code→dot join, one
+    * map-side-combinable per-vector sum, and a TakeOrdered top-10. The
+    * encoded table (vec_id, 4 codes) is what a 100 TB corpus actually
+    * stores; at production scale K rises to 256 and the shape is
+    * unchanged. */
+  def qAnnPq(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = Tables.embeddings(spark, dir)
+      .filter(size(col("embedding")) === 64 && expr(normSqExpr) > 0)
+    // integer micro sub-vectors: one row per (vector, subspace)
+    val sub = e.select(col("vec_id"), posexplode(expr(
+        """transform(sequence(0, 3), s ->
+          |  transform(sequence(0, 15),
+          |    j -> CAST(round(element_at(embedding, s * 16 + j + 1) * 1e6) AS BIGINT)))"""
+          .stripMargin)))
+      .toDF("vec_id", "s", "sv")
+      .localCheckpoint(eager = false) // seeds + assign + encode consumers
+    val d2Expr =
+      "aggregate(zip_with(sv, cv, (x, y) -> (x - y) * (x - y)), 0L, (a, b) -> a + b)"
+    val argminW = Window.partitionBy(col("vec_id"), col("s"))
+      .orderBy(col("d2"), col("code"))
+    def assign(cb: DataFrame): DataFrame =
+      sub.join(broadcast(cb), "s")
+        .withColumn("d2", expr(d2Expr))
+        .withColumn("rn", row_number().over(argminW))
+        .filter(col("rn") === 1)
+        .select(col("vec_id"), col("s"), col("code"), col("sv"))
+    val cb0 = sub.filter(col("vec_id") < 8)
+      .select(col("s"), col("vec_id").as("code"), col("sv").as("cv"))
+    // one Lloyd iteration: integer means (empty cells keep their seed)
+    val means = assign(cb0)
+      .select(col("s"), col("code"), posexplode(col("sv"))).toDF("s", "code", "dim", "x")
+      .groupBy(col("s"), col("code"), col("dim"))
+      .agg(sum(col("x")).as("sx"), count(lit(1)).as("n"))
+      .groupBy(col("s"), col("code"))
+      .agg(expr("transform(array_sort(collect_list(struct(dim, sx, n))), t -> t.sx div t.n)")
+        .as("nv"))
+    val cb = cb0.join(means, Seq("s", "code"), "left")
+      .select(col("s"), col("code"), coalesce(col("nv"), col("cv")).as("cv"))
+      .localCheckpoint(eager = false) // encode + LUT consumers
+    val codes = assign(cb).select(col("vec_id"), col("s"), col("code"))
+    // ADC lookup table: exact query·centroid dot per (subspace, code)
+    val qsub = sub.filter(col("vec_id") === 0).select(col("s"), col("sv").as("qv"))
+    val lut = cb.join(broadcast(qsub), "s")
+      .select(col("s"), col("code"),
+        expr("aggregate(zip_with(cv, qv, (x, y) -> x * y), 0L, (a, b) -> a + b)").as("dot"))
+    codes.join(broadcast(lut), Seq("s", "code"))
+      .groupBy(col("vec_id"))
+      .agg(sum(col("dot")).as("adc"))
+      .filter(col("vec_id") =!= 0)
+      .orderBy(col("adc").desc, col("vec_id"))
+      .limit(10)
+      .select(col("vec_id"), round(col("adc").cast("double") / 1e12, 6).as("adc_dot"))
+  }
+
   /** MMR-diversified retrieval (maximal marginal relevance): brute-force
     * the top-20 relevance pool against the query vector, then greedily
     * pick 5 results maximizing 0.7·relevance − 0.3·(max cosine to the
@@ -672,6 +750,7 @@ object Similarity extends QueryModule {
     "q_dedup_embedding"    -> (qDedupEmbedding _),
     "q_semdedup"           -> (qSemdedup _),
     "q_mmr_diversify"      -> (qMmrDiversify _),
+    "q_ann_pq"             -> (qAnnPq _),
   )
 
   /** Metadata-filtered retrieval — the canonical RAG serving query: join
@@ -810,7 +889,53 @@ object Similarity extends QueryModule {
        |  ORDER BY rel * 0.7 - maxsim * 0.3 DESC, vec_id LIMIT 1),
        |pp$r AS (SELECT * FROM pp${r - 1} UNION ALL SELECT * FROM p$r)""".stripMargin
 
+  /** The exact-integer L2 argmin the PQ oracle runs twice (seed assignment
+    * and final encoding) — one definition so the two can't drift. */
+  private def pqArgminSql(cbName: String): String =
+    s"""SELECT vec_id, s, code, sv FROM (
+       |    SELECT b.vec_id, b.s, c.code, b.sv,
+       |           ROW_NUMBER() OVER (PARTITION BY b.vec_id, b.s ORDER BY
+       |             LIST_AGGREGATE(LIST_TRANSFORM(RANGE(1, 17),
+       |               i -> (b.sv[CAST(i AS INTEGER)] - c.cv[CAST(i AS INTEGER)])
+       |                  * (b.sv[CAST(i AS INTEGER)] - c.cv[CAST(i AS INTEGER)])), 'sum'),
+       |             c.code) AS rn
+       |    FROM sub b JOIN $cbName c USING (s)) WHERE rn = 1""".stripMargin
+
   val oracle: Map[String, String] = Map(
+    "q_ann_pq" ->
+      s"""WITH e AS (
+         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+         |  WHERE LEN(embedding) = 64
+         |    AND LIST_AGGREGATE(LIST_TRANSFORM(CAST(embedding AS DOUBLE[]), x -> x * x), 'sum') > 0),
+         |sub AS (
+         |  SELECT vec_id, CAST(t.s AS INTEGER) AS s,
+         |         LIST_TRANSFORM(RANGE(1, 17),
+         |           j -> CAST(ROUND(v[CAST(t.s * 16 + j AS INTEGER)] * 1e6) AS BIGINT)) AS sv
+         |  FROM e, RANGE(4) t(s)),
+         |cb0 AS (SELECT s, vec_id AS code, sv AS cv FROM sub WHERE vec_id < 8),
+         |asg1 AS (${pqArgminSql("cb0")}),
+         |m1 AS (
+         |  SELECT s, code, d AS dim,
+         |         CAST(SUM(sv[CAST(d + 1 AS INTEGER)]) AS BIGINT) AS sx, COUNT(*) AS n
+         |  FROM asg1, RANGE(16) t(d) GROUP BY s, code, d),
+         |new1 AS (
+         |  SELECT s, code, LIST(sx // n ORDER BY dim) AS nv FROM m1 GROUP BY s, code),
+         |cb AS (
+         |  SELECT c.s, c.code, COALESCE(n.nv, c.cv) AS cv
+         |  FROM cb0 c LEFT JOIN new1 n ON n.s = c.s AND n.code = c.code),
+         |codes AS (SELECT vec_id, s, code FROM (${pqArgminSql("cb")})),
+         |qsub AS (SELECT s, sv AS qv FROM sub WHERE vec_id = 0),
+         |lut AS (
+         |  SELECT c.s, c.code,
+         |         CAST(LIST_AGGREGATE(LIST_TRANSFORM(RANGE(1, 17),
+         |           i -> c.cv[CAST(i AS INTEGER)] * q.qv[CAST(i AS INTEGER)]), 'sum') AS BIGINT) AS dot
+         |  FROM cb c JOIN qsub q USING (s)),
+         |scored AS (
+         |  SELECT cd.vec_id, CAST(SUM(l.dot) AS BIGINT) AS adc
+         |  FROM codes cd JOIN lut l ON l.s = cd.s AND l.code = cd.code
+         |  WHERE cd.vec_id <> 0 GROUP BY cd.vec_id)
+         |SELECT vec_id, ROUND(CAST(adc AS DOUBLE) / 1e12, 6) AS adc_dot
+         |FROM scored ORDER BY adc DESC, vec_id LIMIT 10""".stripMargin,
     "q_mmr_diversify" ->
       s"""WITH e AS (
          |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings

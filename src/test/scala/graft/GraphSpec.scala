@@ -80,7 +80,7 @@ class GraphSpec extends SparkSpec {
     }.toSet
     val adj = edges.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
     val deg = adj.view.mapValues(_.size.toLong).toMap
-    val focus = deg.toSeq.sortBy { case (n, d) => (-d, n) }.take(50)
+    val focus = deg.toSeq.sortBy { case (n, d) => (-d, n) }.take(25)
     val want = focus.flatMap { case (qn, dq) =>
       val cn = scala.collection.mutable.HashMap.empty[Long, Long]
       for (m <- adj(qn); c <- adj(m) if c != qn) cn(c) = cn.getOrElse(c, 0L) + 1

@@ -395,6 +395,67 @@ class LlmOpsSpec extends SparkSpec {
     assert(rows.exists(!_.getBoolean(2)), "corpus should contain semantic near-dups")
   }
 
+  test("ann_pq: training, encoding, and ADC serving replay exactly in integer arithmetic") {
+    val got = Similarity.qAnnPq(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getDouble(1)))
+    val emb = Tables.embeddings(spark, sf)
+      .filter(size(col("embedding")) === 64)
+      .filter(expr("aggregate(transform(embedding, x -> CAST(x AS DOUBLE) * x), 0D, (a, x) -> a + x) > 0"))
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    // integer micro sub-vectors
+    // HALF_UP like Spark's round() (math.round floors at negative .5)
+    def subv(v: Array[Float], s: Int): Array[Long] =
+      (0 until 16).map(j => BigDecimal(v(s * 16 + j).toDouble * 1e6)
+        .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong).toArray
+    def d2(a: Array[Long], b: Array[Long]): Long =
+      a.indices.map(i => (a(i) - b(i)) * (a(i) - b(i))).sum
+    // seed codebooks, one Lloyd iteration with truncating integer means
+    val cb = Array.tabulate(4) { s =>
+      scala.collection.mutable.ArrayBuffer.tabulate(8)(c => subv(emb(c.toLong), s))
+    }
+    for (s <- 0 until 4) {
+      val members = Array.fill(8)(scala.collection.mutable.ArrayBuffer.empty[Array[Long]])
+      emb.toSeq.sortBy(_._1).foreach { case (_, v) =>
+        val sv = subv(v, s)
+        val best = (0 until 8).minBy(c => (d2(sv, cb(s)(c)), c))
+        members(best) += sv
+      }
+      for (c <- 0 until 8 if members(c).nonEmpty) {
+        val n = members(c).length
+        cb(s)(c) = Array.tabulate(16) { d =>
+          val sx = members(c).map(_(d)).sum
+          // truncate-toward-zero division, the Spark `div` semantics
+          sx / n
+        }
+      }
+    }
+    val qsv = Array.tabulate(4)(s => subv(emb(0L), s))
+    val lut = Array.tabulate(4, 8)((s, c) =>
+      (0 until 16).map(i => cb(s)(c)(i) * qsv(s)(i)).sum)
+    val want = emb.toSeq.filter(_._1 != 0L).map { case (id, v) =>
+      val adc = (0 until 4).map { s =>
+        val sv = subv(v, s)
+        val code = (0 until 8).minBy(c => (d2(sv, cb(s)(c)), c))
+        lut(s)(code)
+      }.sum
+      (id, adc)
+    }.sortBy { case (id, adc) => (-adc, id) }.take(10)
+      .map { case (id, adc) =>
+        (id, BigDecimal(adc.toDouble / 1e12).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+          .toDouble) }
+    assert(got.toSeq == want, "PQ pipeline must replay bit-for-bit")
+    // honest recall floor on this uniform corpus (see the op's doc)
+    graft.functions.CosineSimilarity.register(spark)
+    val qv = emb(0L)
+    val exact = emb.toSeq.filter(_._1 != 0L)
+      .map { case (id, v) =>
+        (id, (0 until 64).map(i => v(i).toDouble * qv(i)).sum) }
+      .sortBy { case (id, d) => (-d, id) }.take(10).map(_._1).toSet
+    assert(got.map(_._1).count(exact.contains) >= 2,
+      "ADC top-10 should overlap the exact-dot top-10")
+  }
+
   test("mmr: the 5 picks replay an in-memory greedy selection over the top-20 pool") {
     graft.functions.CosineSimilarity.register(spark)
     val got = Similarity.qMmrDiversify(spark, sf).collect()

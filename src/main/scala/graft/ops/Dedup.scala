@@ -654,7 +654,58 @@ object Dedup extends QueryModule {
       .orderBy(col("doc_id"))
   }
 
+  /** The composed dedup funnel — the three tiers a production corpus build
+    * chains, run in sequence with per-stage survivor accounting: exact
+    * (identical normalized text, keep min doc_id) → near (3-shingle
+    * Jaccard ≥ 0.6 over the EXACT-survivors — recomputing postings on
+    * survivors matters: dropping dup docs changes document frequencies and
+    * therefore the stop-shingle set) → semantic (sign-band LSH + exact
+    * cosine ≥ 0.4 pairs over the embedding table, restricted to surviving
+    * doc ids — band keys are per-vector functions, so restriction after
+    * the fact IS computation on survivors). Each stage drops the
+    * higher-id member of each offending pair (keep-first, a total order).
+    * The output is the funnel card every dedup run ships: stage, docs in,
+    * dropped, docs out.
+    *
+    * Scale shape: the union of its tiers' shapes — one text-hash
+    * aggregation, one bucketed posting join (never all-pairs), one banded
+    * embedding join, three anti-joins on doc_id, and four one-row count
+    * aggregates stacked into the 3-row card. Nothing here exceeds the
+    * worst tier's cost, and the funnel runs the cheap stages first so each
+    * tier sees only the previous tier's survivors — exactly why production
+    * pipelines order them this way. */
+  def qDedupPipeline(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+      .localCheckpoint(eager = false)
+    val keep1 = docs.groupBy(lower(trim(col("text"))).as("norm"))
+      .agg(min(col("doc_id")).as("doc_id")).select(col("doc_id"))
+      .localCheckpoint(eager = false)
+    val s1 = docs.join(keep1, "doc_id")
+    val losers2 = nearDupPairsRaw(s1)
+      .filter(col("jaccard_raw") >= JaccardThreshold)
+      .select(col("d2").as("doc_id")).distinct()
+    val keep2 = keep1.join(losers2, Seq("doc_id"), "left_anti")
+      .localCheckpoint(eager = false)
+    val losers3 = Similarity.qDedupEmbedding(spark, dir)
+      .join(keep2.select(col("doc_id").as("v1")), Seq("v1"))
+      .join(keep2.select(col("doc_id").as("v2")), Seq("v2"))
+      .select(col("v2").as("doc_id")).distinct()
+    val keep3 = keep2.join(losers3, Seq("doc_id"), "left_anti")
+    docs.agg(count(lit(1)).as("n0"))
+      .crossJoin(keep1.agg(count(lit(1)).as("n1")))
+      .crossJoin(keep2.agg(count(lit(1)).as("n2")))
+      .crossJoin(keep3.agg(count(lit(1)).as("n3")))
+      .selectExpr(
+        """stack(3,
+          |  '1_exact',    n0, n0 - n1, n1,
+          |  '2_near',     n1, n1 - n2, n2,
+          |  '3_semantic', n2, n2 - n3, n3) AS (stage, docs_in, dropped, docs_out)"""
+          .stripMargin)
+      .orderBy(col("stage"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_dedup_pipeline"  -> (qDedupPipeline _),
     "q_dedup_substring" -> (qDedupSubstring _),
     "q_dedup_containment" -> (qDedupContainment _),
     "q_dedup_fuzzy"     -> (qFuzzyPairs _),
@@ -674,9 +725,9 @@ object Dedup extends QueryModule {
   /** Shingle/posting CTE prefix shared by the near-dup oracle chain AND the
     * MinHash oracle (which generates candidates its own way but verifies
     * over the same rare postings). Ends with `postings` + `sizes`. */
-  private val shingleCtes: String =
+  private def shingleCtesFrom(src: String): String =
     s"""toks AS (
-       |  SELECT doc_id, STRING_SPLIT(LOWER(TRIM(text)), ' ') AS t FROM documents),
+       |  SELECT doc_id, STRING_SPLIT(LOWER(TRIM(text)), ' ') AS t FROM $src),
        |shingles AS (
        |  SELECT doc_id, UNNEST(LIST_DISTINCT(LIST_TRANSFORM(
        |    RANGE(1, GREATEST(LEN(t) - 2, 0) + 1),
@@ -689,13 +740,15 @@ object Dedup extends QueryModule {
        |sizes AS (
        |  SELECT doc_id, COUNT(*) AS n_sh FROM shingles GROUP BY doc_id)""".stripMargin
 
+  private val shingleCtes: String = shingleCtesFrom("documents")
+
   /** The near-dup CTE chain shared by every oracle that consumes near-dup
     * pairs — ONE copy, interpolating the SAME Scala constants the Spark
     * tiers use, so the gates cannot drift from the engine or each other.
     * Ends with `near_pairs(d1, d2, jaccard_raw)`, already
     * threshold-filtered. */
-  private val nearDupCtes: String =
-    s"""$shingleCtes,
+  private def nearDupCtesFrom(src: String): String =
+    s"""${shingleCtesFrom(src)},
        |cand AS (
        |  SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS inter
        |  FROM postings a JOIN postings b USING (shingle)
@@ -708,7 +761,39 @@ object Dedup extends QueryModule {
        |  JOIN sizes s2 ON s2.doc_id = d2
        |  WHERE CAST(inter AS DOUBLE) / (s1.n_sh + s2.n_sh - inter) >= $JaccardThreshold)""".stripMargin
 
+  private val nearDupCtes: String = nearDupCtesFrom("documents")
+
   val oracle: Map[String, String] = Map(
+    "q_dedup_pipeline" ->
+      s"""WITH s1docs AS (
+         |  SELECT d.doc_id, d.text FROM documents d
+         |  JOIN (SELECT MIN(doc_id) AS doc_id FROM documents
+         |        GROUP BY LOWER(TRIM(text))) k USING (doc_id)),
+         |${nearDupCtesFrom("s1docs")},
+         |keep2 AS (
+         |  SELECT doc_id FROM s1docs
+         |  WHERE doc_id NOT IN (SELECT d2 FROM near_pairs)),
+         |${Similarity.embedPairCtes},
+         |losers3 AS (
+         |  SELECT DISTINCT p.v2 FROM epairs p
+         |  JOIN keep2 k1 ON k1.doc_id = p.v1
+         |  JOIN keep2 k2 ON k2.doc_id = p.v2),
+         |keep3 AS (
+         |  SELECT doc_id FROM keep2
+         |  WHERE doc_id NOT IN (SELECT v2 FROM losers3)),
+         |counts AS (
+         |  SELECT (SELECT COUNT(*) FROM documents) AS n0,
+         |         (SELECT COUNT(*) FROM s1docs) AS n1,
+         |         (SELECT COUNT(*) FROM keep2) AS n2,
+         |         (SELECT COUNT(*) FROM keep3) AS n3)
+         |SELECT stage, docs_in, dropped, docs_out FROM (
+         |  SELECT '1_exact' AS stage, n0 AS docs_in, n0 - n1 AS dropped, n1 AS docs_out
+         |  FROM counts
+         |  UNION ALL
+         |  SELECT '2_near', n1, n1 - n2, n2 FROM counts
+         |  UNION ALL
+         |  SELECT '3_semantic', n2, n2 - n3, n3 FROM counts)
+         |ORDER BY stage""".stripMargin,
     "q_dedup_substring" ->
       """WITH toks AS (
         |  SELECT doc_id, STRING_SPLIT(LOWER(TRIM(text)), ' ') AS t,

@@ -1198,23 +1198,32 @@ object Similarity extends QueryModule {
         |SELECT qid, vec_id, ROUND(cos_raw, 6) AS cosine, rk
         |FROM scored WHERE rk <= 5 ORDER BY qid, rk""".stripMargin,
     "q_dedup_embedding" ->
-      """WITH e AS (
-        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
-        |  WHERE LEN(embedding) = 64
-        |    AND LIST_AGGREGATE(LIST_TRANSFORM(CAST(embedding AS DOUBLE[]), x -> x * x), 'sum') > 0),
-        |b AS (
-        |  SELECT vec_id, v, band,
-        |         LIST_AGGREGATE(LIST_TRANSFORM(range(8), j ->
-        |           CASE WHEN v[CAST(band * 8 + j + 1 AS INTEGER)] >= 0
-        |                THEN CAST(1 AS BIGINT) << CAST(j AS INTEGER) ELSE 0 END), 'sum') AS key
-        |  FROM e, range(8) t(band)),
-        |cand AS (
-        |  SELECT DISTINCT b1.vec_id AS v1, b2.vec_id AS v2,
-        |         LIST_COSINE_SIMILARITY(b1.v, b2.v) AS cos_raw
-        |  FROM b b1 JOIN b b2
-        |    ON b1.band = b2.band AND b1.key = b2.key AND b1.vec_id < b2.vec_id
-        |  WHERE LIST_COSINE_SIMILARITY(b1.v, b2.v) >= 0.4)
-        |SELECT v1, v2, ROUND(cos_raw, 6) AS cosine
-        |FROM cand ORDER BY v1, v2""".stripMargin,
+      s"""WITH $embedPairCtes
+         |SELECT v1, v2, ROUND(cos_raw, 6) AS cosine
+         |FROM epairs ORDER BY v1, v2""".stripMargin,
   )
+
+  /** Sign-band LSH + exact-cosine-verify pair CTEs — ONE copy shared by the
+    * q_dedup_embedding oracle and the dedup-pipeline oracle (Dedup module),
+    * so the semantic-pair definition cannot drift between the tier and the
+    * composed funnel. Ends with `epairs(v1, v2, cos_raw)`; CTE names are
+    * emb_-prefixed to compose with the shingle chain without collisions. */
+  // lazy: referenced by the `oracle` val above during object init
+  private[ops] lazy val embedPairCtes: String =
+    """emb_e AS (
+      |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+      |  WHERE LEN(embedding) = 64
+      |    AND LIST_AGGREGATE(LIST_TRANSFORM(CAST(embedding AS DOUBLE[]), x -> x * x), 'sum') > 0),
+      |emb_b AS (
+      |  SELECT vec_id, v, band,
+      |         LIST_AGGREGATE(LIST_TRANSFORM(range(8), j ->
+      |           CASE WHEN v[CAST(band * 8 + j + 1 AS INTEGER)] >= 0
+      |                THEN CAST(1 AS BIGINT) << CAST(j AS INTEGER) ELSE 0 END), 'sum') AS key
+      |  FROM emb_e, range(8) t(band)),
+      |epairs AS (
+      |  SELECT DISTINCT b1.vec_id AS v1, b2.vec_id AS v2,
+      |         LIST_COSINE_SIMILARITY(b1.v, b2.v) AS cos_raw
+      |  FROM emb_b b1 JOIN emb_b b2
+      |    ON b1.band = b2.band AND b1.key = b2.key AND b1.vec_id < b2.vec_id
+      |  WHERE LIST_COSINE_SIMILARITY(b1.v, b2.v) >= 0.4)""".stripMargin
 }

@@ -331,6 +331,28 @@ class LlmOpsSpec extends SparkSpec {
     assert(survivors.count() == Tables.documents(spark, sf).count() - losers)
   }
 
+  test("dedup pipeline: funnel accounting chains and each stage agrees with its tier") {
+    val rows = Dedup.qDedupPipeline(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.map(_._1).toSeq == Seq("1_exact", "2_near", "3_semantic"))
+    rows.foreach { case (st, in, dropped, out) =>
+      assert(in - dropped == out && dropped >= 0, s"stage $st accounting")
+    }
+    rows.sliding(2).foreach {
+      case Array((_, _, _, out), (st, in, _, _)) =>
+        assert(out == in, s"stage $st must consume the previous survivors")
+      case _ =>
+    }
+    assert(rows.head._2 == Tables.documents(spark, sf).count())
+    // stage 1 out = number of distinct normalized texts (the exact tier's groups)
+    assert(rows.head._4 == Dedup.qDedupExact(spark, sf).count())
+    // stage 3 can drop at most the distinct higher-id members of the
+    // unrestricted semantic pair set
+    val maxSemantic = Similarity.qDedupEmbedding(spark, sf)
+      .select("v2").distinct().count()
+    assert(rows(2)._3 <= maxSemantic)
+  }
+
   test("substring dedup: coverage replays an in-memory interval merge; planted copy found") {
     val got = Dedup.qDedupSubstring(spark, sf).collect()
       .map(r => (r.getLong(0), (r.getInt(1), r.getLong(2), r.getLong(3), r.getDouble(4))))

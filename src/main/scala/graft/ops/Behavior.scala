@@ -296,8 +296,64 @@ object Behavior extends QueryModule {
       .orderBy(col("week"))
   }
 
+  /** Kaplan-Meier churn survival over the event log — the retention
+    * curve actuarial form. A user's observed lifetime is whole days
+    * between first and last event; a user whose last event precedes the
+    * corpus horizon by >14 days "churned" at that duration, later users
+    * are right-censored (they exit the risk set without a churn event —
+    * exactly what the KM estimator exists to handle). Output per observed
+    * duration t: the risk set n(t), churn events d(t), discrete hazard,
+    * and Ŝ(t) = Π_{u≤t} (n(u)−d(u))/n(u).
+    *
+    * Scale shape: one user_id aggregation shuffle, then the whole
+    * estimator runs on the per-DAY table — calendar-bounded (≤ corpus
+    * span in days), never data-bounded. The cumulative product is
+    * inherently sequential ONCE FLOOR-QUANTIZED (S_ppm(t) =
+    * ⌊S_ppm(t−1)·(n−d)/n⌋ admits no prefix decomposition, unlike the
+    * chunked-prefix ranks elsewhere in this module), so it runs as a
+    * single-partition sorted mapPartitions over those ≤ |days| rows —
+    * integer-exact in both engines (DuckDB replays the identical
+    * recursion in a recursive CTE), never a driver-side collect, and the
+    * only single-task stage in the plan owns a calendar-sized input. */
+  def qSurvivalKm(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val dayUs = 86400000000L
+    val per = graft.Tables.events(spark, dir)
+      .select(col("user_id"), unix_micros(col("ts")).as("tus"))
+      .groupBy(col("user_id"))
+      .agg(min(col("tus")).as("first_us"), max(col("tus")).as("last_us"))
+    val horizon = per.agg(max(col("last_us")).as("max_us"))
+    val lives = per.crossJoin(broadcast(horizon))
+      .select(
+        expr(s"div(last_us - first_us, ${dayUs}L)").as("t"),
+        (col("last_us") < col("max_us") - lit(14 * dayUs)).as("churned"))
+    val days = lives.groupBy(col("t"))
+      .agg(count(lit(1)).as("n_enter"),
+        sum(when(col("churned"), 1L).otherwise(0L)).as("d_events"))
+    val byT = Window.orderBy(col("t"))
+    val km = days
+      .withColumn("n_total", sum(col("n_enter")).over(
+        byT.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+      .withColumn("exited", coalesce(sum(col("n_enter")).over(
+        byT.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("t"), (col("n_total") - col("exited")).as("n_risk"),
+        col("d_events"))
+    km.repartition(1).sortWithinPartitions(col("t"))
+      .as[(Long, Long, Long)]
+      .mapPartitions { rows =>
+        var s = 1000000L
+        rows.map { case (t, nRisk, d) =>
+          s = s * (nRisk - d) / nRisk
+          (t, nRisk, d, 1000000L * d / nRisk, s)
+        }
+      }
+      .toDF("t", "n_risk", "d_events", "hazard_ppm", "survival_ppm")
+      .orderBy(col("t"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_growth"      -> (qGrowth _),
+    "q_survival_km" -> (qSurvivalKm _),
     "q_basket_lift" -> (qBasketLift _),
     "q_markov"      -> (qMarkov _),
     "q_rfm"         -> (qRfm _),
@@ -334,6 +390,40 @@ object Behavior extends QueryModule {
   }
 
   val oracle: Map[String, String] = Map(
+    "q_survival_km" ->
+      """WITH RECURSIVE per AS (
+        |  SELECT user_id, MIN(epoch_us(ts)) AS first_us, MAX(epoch_us(ts)) AS last_us
+        |  FROM events GROUP BY user_id),
+        |mx AS (SELECT MAX(last_us) AS max_us FROM per),
+        |lives AS (
+        |  SELECT (last_us - first_us) // 86400000000 AS t,
+        |         last_us < max_us - 1209600000000 AS churned
+        |  FROM per CROSS JOIN mx),
+        |days AS (
+        |  SELECT t, COUNT(*) AS n_enter,
+        |         SUM(CASE WHEN churned THEN 1 ELSE 0 END) AS d_events
+        |  FROM lives GROUP BY t),
+        |km AS (
+        |  SELECT t,
+        |         CAST(SUM(n_enter) OVER ()
+        |              - COALESCE(SUM(n_enter) OVER (ORDER BY t
+        |                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |              AS BIGINT) AS n_risk,
+        |         CAST(d_events AS BIGINT) AS d_events,
+        |         ROW_NUMBER() OVER (ORDER BY t) AS rn
+        |  FROM days),
+        |surv AS (
+        |  SELECT rn, t, n_risk, d_events,
+        |         (1000000 * (n_risk - d_events)) // n_risk AS survival_ppm
+        |  FROM km WHERE rn = 1
+        |  UNION ALL
+        |  SELECT k.rn, k.t, k.n_risk, k.d_events,
+        |         (p.survival_ppm * (k.n_risk - k.d_events)) // k.n_risk
+        |  FROM km k JOIN surv p ON k.rn = p.rn + 1)
+        |SELECT t, n_risk, d_events,
+        |       (1000000 * d_events) // n_risk AS hazard_ppm,
+        |       survival_ppm
+        |FROM surv ORDER BY t""".stripMargin,
     "q_growth" ->
       """WITH weekly AS (
         |  SELECT CAST(DATE_TRUNC('week', o_orderdate) AS DATE) AS week,

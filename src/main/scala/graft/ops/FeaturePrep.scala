@@ -234,7 +234,51 @@ object FeaturePrep extends QueryModule {
       .orderBy(col("o_orderkey"))
   }
 
+  /** Weight-of-evidence encoding + information value — [[qTargetEncode]]'s
+    * sibling for BINARY targets (credit-scoring's standard categorical
+    * encoder): per order-priority category, WOE = ln(smoothed positive
+    * share / smoothed negative share) against the label "order finished"
+    * (o_orderstatus = 'F'), plus the category's IV contribution; the
+    * census row a scorecard build ships per feature level. 0.5 Laplace
+    * smoothing keeps one-sided categories finite.
+    *
+    * Determinism: counts are exact integers; each output passes through
+    * ONE ln and ONE round(·, 6) on a ratio of exact integers — the same
+    * both-engines-libm discipline q_text_entropy pinned (shares and their
+    * difference are computed from integers in one expression, never
+    * accumulated floats).
+    *
+    * Scale shape: one map-side-combinable aggregation to |categories|
+    * rows; the global positive/negative totals are a window over that
+    * tiny census (≤ |categories| rows), then map-only math. The fact
+    * table is scanned ONCE and shuffles once. */
+  def qWoeEncode(spark: SparkSession, dir: String): DataFrame = {
+    val cat = Tables.orders(spark, dir)
+      .select(col("o_orderpriority"),
+        when(col("o_orderstatus") === "F", 1L).otherwise(0L).as("pos"))
+      .groupBy(col("o_orderpriority"))
+      .agg(sum(col("pos")).as("pos_c"),
+        (count(lit(1)) - sum(col("pos"))).as("neg_c"))
+    val all = org.apache.spark.sql.expressions.Window.partitionBy()
+    cat
+      .withColumn("pos_t", sum(col("pos_c")).over(all))
+      .withColumn("neg_t", sum(col("neg_c")).over(all))
+      .select(col("o_orderpriority"), col("pos_c"), col("neg_c"),
+        (round(expr(
+          """ln(((CAST(pos_c AS DOUBLE) + 0.5) / CAST(pos_t AS DOUBLE)) /
+            |   ((CAST(neg_c AS DOUBLE) + 0.5) / CAST(neg_t AS DOUBLE)))""".stripMargin),
+          6) + lit(0.0)).as("woe"),
+        (round(expr(
+          """((CAST(pos_c AS DOUBLE) + 0.5) / CAST(pos_t AS DOUBLE) -
+            |  (CAST(neg_c AS DOUBLE) + 0.5) / CAST(neg_t AS DOUBLE)) *
+            | ln(((CAST(pos_c AS DOUBLE) + 0.5) / CAST(pos_t AS DOUBLE)) /
+            |    ((CAST(neg_c AS DOUBLE) + 0.5) / CAST(neg_t AS DOUBLE)))""".stripMargin),
+          6) + lit(0.0)).as("iv_part"))
+      .orderBy(col("o_orderpriority"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_woe_encode"    -> (qWoeEncode _),
     "q_target_encode" -> (qTargetEncode _),
     "q_feature_scale" -> (qFeatureScale _),
     "q_decay_score"   -> (qDecayScore _),
@@ -244,6 +288,27 @@ object FeaturePrep extends QueryModule {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_woe_encode" ->
+      """WITH cat AS (
+        |  SELECT o_orderpriority,
+        |         CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS pos_c,
+        |         CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 0 ELSE 1 END) AS BIGINT) AS neg_c
+        |  FROM orders GROUP BY o_orderpriority),
+        |tot AS (
+        |  SELECT o_orderpriority, pos_c, neg_c,
+        |         CAST(SUM(pos_c) OVER () AS BIGINT) AS pos_t,
+        |         CAST(SUM(neg_c) OVER () AS BIGINT) AS neg_t
+        |  FROM cat)
+        |SELECT o_orderpriority, pos_c, neg_c,
+        |       ROUND(LN(((CAST(pos_c AS DOUBLE) + 0.5) / CAST(pos_t AS DOUBLE)) /
+        |                ((CAST(neg_c AS DOUBLE) + 0.5) / CAST(neg_t AS DOUBLE))), 6)
+        |         + 0.0 AS woe,
+        |       ROUND(((CAST(pos_c AS DOUBLE) + 0.5) / CAST(pos_t AS DOUBLE) -
+        |              (CAST(neg_c AS DOUBLE) + 0.5) / CAST(neg_t AS DOUBLE)) *
+        |             LN(((CAST(pos_c AS DOUBLE) + 0.5) / CAST(pos_t AS DOUBLE)) /
+        |                ((CAST(neg_c AS DOUBLE) + 0.5) / CAST(neg_t AS DOUBLE))), 6)
+        |         + 0.0 AS iv_part
+        |FROM tot ORDER BY o_orderpriority""".stripMargin,
     "q_target_encode" ->
       """WITH oc AS (
         |  SELECT o.o_orderkey, c.c_mktsegment,

@@ -247,14 +247,205 @@ object Graph extends QueryModule {
       .orderBy(col("qn"), col("rk"))
   }
 
+  /** The THRESHOLDED co-purchase graph: parts co-ordered in ≥ 2 distinct
+    * orders, canonical (u < v) undirected pairs with the co-order count as
+    * edge strength. Thresholding removes the single-coincidence edges that
+    * make the raw co-purchase graph one giant quasi-clique; what remains
+    * is the persistent-affinity graph — the input a real similarity/CC
+    * pipeline builds (and the same sparsification that keeps the DuckDB
+    * closure oracle polynomial-sized at every SF). */
+  private def strongEdges(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir).select(col("l_orderkey"), col("l_partkey"))
+    val a = li.select(col("l_orderkey"), col("l_partkey").as("u"))
+    val b = li.select(col("l_orderkey"), col("l_partkey").as("v"))
+    a.join(b, "l_orderkey")
+      .filter(col("u") < col("v"))
+      .groupBy(col("u"), col("v"))
+      .agg(countDistinct(col("l_orderkey")).as("c"))
+      .filter(col("c") >= 2)
+  }
+
+  /** Large-star round of the Kiveris et al. MapReduce connected-components
+    * algorithm: every node links its LARGER neighbors to the minimum of its
+    * closed neighborhood. One symmetrize + one min-aggregation + one join. */
+  private def largeStar(cur: DataFrame): DataFrame = {
+    val sym = cur.union(cur.select(col("v").as("u"), col("u").as("v")))
+    val m = sym.groupBy(col("u"))
+      .agg(least(col("u"), min(col("v"))).as("m"))
+    sym.join(m, "u")
+      .filter(col("v") > col("u"))
+      .select(col("v").as("u"), col("m").as("v"))
+      .filter(col("u") =!= col("v"))
+      .distinct()
+  }
+
+  /** Small-star round: every node links its smaller-or-self closed
+    * neighborhood to its minimum. PRECONDITION (met by [[largeStar]]
+    * output, the only caller's input): edges are distinct and already in
+    * (larger, smaller) orientation — largeStar emits (v, m) with
+    * v > u ≥ m — so the canonicalize+distinct a standalone small-star
+    * would need is skipped (one shuffle per round saved). */
+  private def smallStar(ori: DataFrame): DataFrame = {
+    val m = ori.groupBy(col("u"))
+      .agg(least(col("u"), min(col("v"))).as("m"))
+    ori.join(m, "u")
+      .select(explode(array(col("v"), col("u"))).as("n"), col("m"))
+      .filter(col("n") =!= col("m"))
+      .select(col("n").as("u"), col("m").as("v"))
+      .distinct()
+  }
+
+  /** Connected components via alternating large-star/small-star (Kiveris
+    * et al., "Connected Components in MapReduce and Beyond") over the
+    * thresholded co-purchase graph — the O(log n)-ROUND component finder,
+    * vs. the diameter-round min-label propagation that
+    * [[Dedup.qDedupClusters]] uses (right there because near-dup
+    * components are short chains; wrong for arbitrary graphs whose
+    * diameter is unbounded). Each round is two min-aggregations and two
+    * equi-joins on node ids — no step ever materializes a neighborhood in
+    * one task, so a 100 TB edge set runs the same plan with the round
+    * count growing as log of the largest component, not its diameter.
+    *
+    * Convergence: the driver loop compares a per-round (count, xor of
+    * row-hashes) fingerprint (xor: overflow-free under ANSI mode, and the
+    * edge set is distinct so xor cancellation needs a hash collision) — two scalars, never row data (the
+    * [[Dedup.qDedupClusters]] scalar-convergence discipline); a fingerprint
+    * collision would surface as an oracle mismatch, and convergence is
+    * REQUIRED (the safety valve raises rather than emitting a
+    * part-propagated labeling). On convergence the edge set IS the
+    * component map: (node, component-min) stars. */
+  def qGraphCc(spark: SparkSession, dir: String): DataFrame = {
+    // Plain localCheckpoint, NOT PartitionedCheckpoint: largeStar opens
+    // with a union of both orientations, which destroys any co-partitioning
+    // a pinned layout would buy, and pinning also disables AQE's
+    // post-shuffle coalescing — on the thresholded (sparse) edge set the
+    // loop is stage-latency-bound, so letting AQE shrink the tiny shuffles
+    // matters more than a layout no join can reuse (measured 10.9 s → see
+    // BENCH_SCALING notes). Lineage still truncates every round, which is
+    // the part the iterative-Spark trap actually requires.
+    var cur = strongEdges(spark, dir).select(col("u"), col("v"))
+      .localCheckpoint()
+    var fp: (Long, Long) = (-1L, -1L)
+    var rounds = 0
+    val maxRounds = 64 // ~2·log2(n) rounds suffice; the valve only guards bugs
+    var converged = false
+    while (!converged && rounds < maxRounds) {
+      val next = smallStar(largeStar(cur)).localCheckpoint()
+      val row = next.agg(count(lit(1)), expr("bit_xor(xxhash64(u, v))")).first()
+      val nfp = (row.getLong(0), if (row.isNullAt(1)) 0L else row.getLong(1))
+      converged = nfp == fp
+      fp = nfp
+      cur = next
+      rounds += 1
+    }
+    require(converged, s"large-star/small-star did not converge in $maxRounds rounds")
+    val roots = cur.select(col("v").as("node"), col("v").as("component")).distinct()
+    cur.select(col("u").as("node"), col("v").as("component"))
+      .unionByName(roots)
+      .withColumn("is_root", col("node") === col("component"))
+      .orderBy(col("component"), col("node"))
+  }
+
+  /** Bounded weighted shortest paths (4-hop Bellman-Ford) over the TOP-8
+    * pruned affinity graph: edge weight = ⌊10⁶/c⌋+1 micro-units (stronger
+    * co-purchase affinity = shorter), each node keeps only its 8 cheapest
+    * out-edges (the k-NN-graph pruning every ANN/graph-serving stack
+    * ships), and distances relax from the 3 highest-degree hub parts for
+    * 4 rounds — "how far is every part from the hubs, along persistent
+    * affinities".
+    *
+    * Scale shape: the pruning is a per-node top-k window on the
+    * thresholded edge set (bounded fan-out 8 thereafter); each relaxation
+    * round is ONE frontier⋈edges equi-join plus a min-aggregation — the
+    * [[qKhop]] exchange discipline with a running min instead of a visited
+    * set. Bounded hops keep BOTH engines' work |V|·8^0..4-bounded; exact
+    * integer micro-unit weights make every distance hash-comparable. */
+  def qShortestPath(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val parts = spark.sessionState.conf.numShufflePartitions
+    val sym0 = strongEdges(spark, dir)
+    val sym = sym0.select(col("u"), col("v"), col("c"))
+      .union(sym0.select(col("v").as("u"), col("u").as("v"), col("c")))
+      .withColumn("w", expr("div(1000000L, c) + 1"))
+    val byW = Window.partitionBy(col("u")).orderBy(col("w"), col("v"))
+    val pruned = sym.withColumn("rk", row_number().over(byW))
+      .filter(col("rk") <= 8).select(col("u"), col("v"), col("w"))
+    val e = graft.plans.PartitionedCheckpoint.byKey(pruned, "u", parts)
+    val deg = sym.groupBy(col("u")).agg(count(lit(1)).as("d"))
+    val sources = deg.orderBy(col("d").desc, col("u")).limit(3)
+      .select(col("u").as("node"))
+    var dist = graft.plans.PartitionedCheckpoint.byKey(
+      sources.withColumn("dist", lit(0L)), "node", parts)
+    for (_ <- 1 to 4) {
+      val relaxed = e.join(dist, e("u") === dist("node"))
+        .select(col("v").as("node"), (col("dist") + col("w")).as("dist"))
+      dist = graft.plans.PartitionedCheckpoint.byKey(
+        dist.unionByName(relaxed)
+          .groupBy(col("node")).agg(min(col("dist")).as("dist")),
+        "node", parts)
+    }
+    dist.select(col("node").as("partkey"), col("dist").as("dist_micro"))
+      .orderBy(col("dist_micro"), col("partkey"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q_pagerank"     -> (qPagerank _),
-    "q_triangle"     -> (qTriangle _),
-    "q_khop"         -> (qKhop _),
-    "q_link_predict" -> (qLinkPredict _),
+    "q_pagerank"      -> (qPagerank _),
+    "q_triangle"      -> (qTriangle _),
+    "q_khop"          -> (qKhop _),
+    "q_link_predict"  -> (qLinkPredict _),
+    "q_graph_cc"      -> (qGraphCc _),
+    "q_shortest_path" -> (qShortestPath _),
   )
 
   val oracle: Map[String, String] = Map(
+    "q_graph_cc" ->
+      """WITH RECURSIVE pairs AS (
+        |  SELECT a.l_partkey AS u, b.l_partkey AS v
+        |  FROM lineitem a JOIN lineitem b
+        |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        |  GROUP BY 1, 2 HAVING COUNT(DISTINCT a.l_orderkey) >= 2),
+        |e AS (SELECT u, v FROM pairs UNION SELECT v, u FROM pairs),
+        |reach(node, lbl) AS (
+        |  SELECT u, u FROM e
+        |  UNION
+        |  SELECT e.u, r.lbl FROM e JOIN reach r ON e.v = r.node)
+        |SELECT node, MIN(lbl) AS component, node = MIN(lbl) AS is_root
+        |FROM reach GROUP BY node
+        |ORDER BY component, node""".stripMargin,
+    "q_shortest_path" ->
+      """WITH pairs AS (
+        |  SELECT a.l_partkey AS u, b.l_partkey AS v,
+        |         COUNT(DISTINCT a.l_orderkey) AS c
+        |  FROM lineitem a JOIN lineitem b
+        |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        |  GROUP BY 1, 2 HAVING COUNT(DISTINCT a.l_orderkey) >= 2),
+        |sym AS (SELECT u, v, c FROM pairs UNION ALL SELECT v, u, c FROM pairs),
+        |w AS (SELECT u, v, (1000000 // c) + 1 AS w FROM sym),
+        |pruned AS (
+        |  SELECT u, v, w FROM (
+        |    SELECT u, v, w, ROW_NUMBER() OVER (PARTITION BY u ORDER BY w, v) AS rk
+        |    FROM w) WHERE rk <= 8),
+        |deg AS (SELECT u, COUNT(*) AS d FROM sym GROUP BY u),
+        |src AS (SELECT u AS node FROM deg ORDER BY d DESC, u LIMIT 3),
+        |d0 AS (SELECT node, CAST(0 AS BIGINT) AS dist FROM src),
+        |d1 AS (SELECT node, MIN(dist) AS dist FROM (
+        |  SELECT node, dist FROM d0 UNION ALL
+        |  SELECT p.v, d0.dist + p.w FROM pruned p JOIN d0 ON p.u = d0.node)
+        |  GROUP BY node),
+        |d2 AS (SELECT node, MIN(dist) AS dist FROM (
+        |  SELECT node, dist FROM d1 UNION ALL
+        |  SELECT p.v, d1.dist + p.w FROM pruned p JOIN d1 ON p.u = d1.node)
+        |  GROUP BY node),
+        |d3 AS (SELECT node, MIN(dist) AS dist FROM (
+        |  SELECT node, dist FROM d2 UNION ALL
+        |  SELECT p.v, d2.dist + p.w FROM pruned p JOIN d2 ON p.u = d2.node)
+        |  GROUP BY node),
+        |d4 AS (SELECT node, MIN(dist) AS dist FROM (
+        |  SELECT node, dist FROM d3 UNION ALL
+        |  SELECT p.v, d3.dist + p.w FROM pruned p JOIN d3 ON p.u = d3.node)
+        |  GROUP BY node)
+        |SELECT node AS partkey, CAST(dist AS BIGINT) AS dist_micro
+        |FROM d4 ORDER BY dist_micro, partkey""".stripMargin,
     "q_link_predict" ->
       """WITH e AS (
         |  SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst

@@ -736,7 +736,159 @@ object Profiling extends QueryModule {
       .orderBy(col("event_type"), col("k"))
   }
 
+  /** Mersenne modulus + Knuth-multiplier affine family — the universal-
+    * hashing discipline the MinHash tier pinned (Dedup.mixConsts): one
+    * md5 per row, 32 overflow-safe affine transforms of its 31-bit
+    * residue. Shared verbatim by the Spark columns and the generated
+    * oracle. */
+  private val BootM = 2147483647L // 2^31 - 1
+  private def bootConsts(r: Int): (Long, Long) =
+    (((2L * r + 1L) * 2654435761L) % BootM, (r.toLong * 1779033703L) % BootM)
+  /** Replicate weight w ∈ {0,1,2} with P = ¼,½,¼ (mean 1) as a SQL CASE
+    * over the r-th affine transform of the shared per-row hash `h`. */
+  private def bootW(r: Int): String = {
+    val (a, b) = bootConsts(r)
+    s"CASE ((h * ${a}L + ${b}L) % ${BootM}L) % 4 WHEN 0 THEN 2 WHEN 1 THEN 0 ELSE 1 END"
+  }
+
+  /** Bootstrap confidence interval for mean order revenue — the
+    * distribution-free error bar BI attaches to a point estimate. 32
+    * bootstrap replicates; replicate weights are DETERMINISTIC integers:
+    * ONE md5 per order reduced to a 31-bit residue, then 32 affine
+    * transforms (the [[bootConsts]] universal-hash family — the
+    * Dedup.qDedupMinhash discipline) map it to w ∈ {0,1,2} with
+    * P = ¼,½,¼, mean 1 — the hash-weight (multinomial-approximating)
+    * bootstrap, so both engines draw IDENTICAL "random" resamples and the
+    * oracle verifies the whole CI hash-for-hash, not just its shape.
+    * Output: the point estimate and the rank-2/rank-31 replicate order
+    * statistics (a ~94% interval from 32 replicates), in exact cents.
+    *
+    * Scale shape: NO row expansion anywhere — all 32 replicates are 64
+    * aggregate columns (Σw·cents, Σw per replicate) over ONE scan, with
+    * map-side partial aggregation, so the only shuffle carries one 64-long
+    * row per task whatever the corpus size (first cut ×32-exploded rows
+    * and paid 32 md5 calls per order: 6.2 s at sf0.1; this form is one
+    * md5 + 64 fused integer columns). The order-statistics window runs
+    * over the stacked 32-row replicate table. */
+  def qBootstrapCi(spark: SparkSession, dir: String): DataFrame = {
+    val base = Tables.orders(spark, dir)
+      .select(expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("cents"),
+        expr("CAST(conv(substring(md5(CAST(o_orderkey AS STRING)), 1, 15), " +
+          s"16, 10) AS BIGINT) % ${BootM}L").as("h"))
+    val aggCols = (0 until 32).flatMap { r =>
+      Seq(sum(expr(s"${bootW(r)} * cents")).as(s"ws$r"),
+        sum(expr(bootW(r))).as(s"wn$r"))
+    }
+    val stackArgs = (0 until 32).map(r => s"$r, ws$r, wn$r").mkString(", ")
+    val perRep = base.agg(aggCols.head, aggCols.tail: _*)
+      .selectExpr(s"stack(32, $stackArgs) AS (rep, wsum, wn)")
+      .withColumn("mean_cents", expr("div(wsum, wn)"))
+    perRep
+      .withColumn("rk", row_number().over(
+        Window.orderBy(col("mean_cents"), col("rep"))))
+      .agg(
+        count(lit(1)).as("n_reps"),
+        expr("div(sum(mean_cents), count(1))").as("est_cents"),
+        max(when(col("rk") === 2, col("mean_cents"))).as("ci_lo_cents"),
+        max(when(col("rk") === 31, col("mean_cents"))).as("ci_hi_cents"),
+        min(col("mean_cents")).as("min_cents"),
+        max(col("mean_cents")).as("max_cents"))
+  }
+
+  /** Holt's linear-trend exponential smoothing (α = β = ½) over the daily
+    * revenue series of each event type, plus the 7-day-ahead forecast —
+    * the first true FORECAST next to the decompose/anomaly keys. The
+    * recursion is floor-quantized to exact integer cents:
+    * l_t = ⌊(y_t + l_{t−1} + b_{t−1})/2⌋, b_t = ⌊(l_t − l_{t−1} + b_{t−1})/2⌋
+    * (α = β = ½ makes smoothing a pure integer halving; Spark `div`,
+    * Scala `/` and DuckDB `//` all truncate toward zero — the empirically
+    * pinned shared semantics — so the oracle's recursive CTE replays the
+    * identical sequence).
+    *
+    * Scale shape: one corpus-sized map-side-combinable rollup to
+    * |types|×|days| rows; the recursion then runs per series inside
+    * flatMapGroups — inherently sequential ONCE QUANTIZED (same argument
+    * as [[Behavior.qSurvivalKm]]), but each group is calendar-bounded
+    * (≤ span days) while the SERIES dimension is what scales, and series
+    * parallelize perfectly across executors. */
+  def qForecastHolt(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val daily = Tables.events(spark, dir)
+      .select(col("event_type"), col("ts").cast("date").cast("string").as("d"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("y"))
+      .groupBy(col("event_type"), col("d"))
+      .agg(sum(col("y")).as("y"))
+    daily.as[(String, String, Long)]
+      .groupByKey(_._1)
+      .flatMapGroups { (et, rows) =>
+        // ISO yyyy-MM-dd sorts chronologically as a string
+        val series = rows.toArray.sortBy(_._2)
+        var l = 0L; var b = 0L; var first = true
+        series.iterator.map { case (_, d, y) =>
+          if (first) { l = y; b = 0L; first = false }
+          else {
+            val lPrev = l
+            l = (y + lPrev + b) / 2
+            b = (l - lPrev + b) / 2
+          }
+          (et, d, y, l, b)
+        }
+      }
+      .toDF("event_type", "d", "y_cents", "level", "trend")
+      .select(col("event_type"), col("d").cast("date").as("d"), col("y_cents"),
+        col("level"), col("trend"),
+        (col("level") + lit(7L) * col("trend")).as("forecast7"))
+      .orderBy(col("event_type"), col("d"))
+  }
+
+  /** Declarative data-quality rule census (the Deequ/dbt-test shape): a
+    * FIXED rule catalog — null check, range checks, value-domain check,
+    * key uniqueness, referential integrity — evaluated over orders and
+    * lineitem in one pass each, reported as one row per rule with exact
+    * violation counts and ppm. The census-with-zeros IS the artifact: a
+    * pipeline gate diffs it against yesterday's.
+    *
+    * Scale shape: all row-local rules for a table fold into ONE map-side
+    * aggregation of its scan (a rule census never re-scans per rule);
+    * uniqueness is one groupBy on the key; the FK rule is a left-anti
+    * equi-join on the key. Nothing quadratic, nothing per-rule. */
+  def qDqRules(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    val li = Tables.lineitem(spark, dir)
+    val oRules = o.agg(
+        count(lit(1)).as("n"),
+        sum(when(col("o_custkey").isNull, 1L).otherwise(0L)).as("v_null"),
+        sum(when(col("o_totalprice") <= 0, 1L).otherwise(0L)).as("v_price"),
+        sum(when(!col("o_orderstatus").isin("O", "F", "P"), 1L).otherwise(0L))
+          .as("v_status"))
+      .selectExpr("stack(3, 'orders_custkey_not_null', n, v_null, " +
+        "'orders_price_positive', n, v_price, " +
+        "'orders_status_domain', n, v_status) AS (rule, n_rows, n_violations)")
+    val uniq = o.groupBy(col("o_orderkey")).agg(count(lit(1)).as("c"))
+      .agg(count(lit(1)).as("n_keys"), sum(col("c") - 1).as("v"))
+      .select(lit("orders_orderkey_unique").as("rule"),
+        col("n_keys").as("n_rows"), col("v").as("n_violations"))
+    val liRules = li.agg(
+        count(lit(1)).as("n"),
+        sum(when(!col("l_quantity").between(1, 50), 1L).otherwise(0L)).as("v_qty"),
+        sum(when(!col("l_discount").between(0.0, 0.1), 1L).otherwise(0L)).as("v_disc"))
+      .selectExpr("stack(2, 'lineitem_quantity_range', n, v_qty, " +
+        "'lineitem_discount_range', n, v_disc) AS (rule, n_rows, n_violations)")
+    val fk = li
+      .join(o.select(col("o_orderkey").as("l_orderkey")), Seq("l_orderkey"), "left_anti")
+      .agg(count(lit(1)).as("n_violations"))
+      .crossJoin(broadcast(li.agg(count(lit(1)).as("n_rows"))))
+      .select(lit("lineitem_fk_orders").as("rule"), col("n_rows"), col("n_violations"))
+    oRules.unionByName(uniq).unionByName(liRules).unionByName(fk)
+      .withColumn("violation_ppm", expr(
+        "CASE WHEN n_rows = 0 THEN 0 ELSE div(1000000 * n_violations, n_rows) END"))
+      .orderBy(col("rule"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_forecast_holt"  -> (qForecastHolt _),
+    "q_dq_rules"       -> (qDqRules _),
+    "q_bootstrap_ci"   -> (qBootstrapCi _),
     "q_acf"            -> (qAcf _),
     "q_kanon"          -> (qKanon _),
     "q_ldiversity"     -> (qLdiversity _),
@@ -758,7 +910,100 @@ object Profiling extends QueryModule {
     "q_abtest"         -> (qAbtest _),
   )
 
+  /** Generated from the SAME bootConsts/bootW family as the Spark columns
+    * (DuckDB CASE over the affine transform of the shared md5 residue). */
+  private val bootstrapCiOracle: String = {
+    def w(r: Int): String = {
+      val (a, b) = bootConsts(r)
+      s"CASE ((h * $a + $b) % $BootM) % 4 WHEN 0 THEN 2 WHEN 1 THEN 0 ELSE 1 END"
+    }
+    val aggCols = (0 until 32).map { r =>
+      s"CAST(SUM((${w(r)}) * cents) AS BIGINT) AS ws$r, " +
+        s"CAST(SUM(${w(r)}) AS BIGINT) AS wn$r"
+    }.mkString(",\n      |         ")
+    val branches = (0 until 32).map { r =>
+      s"SELECT $r AS rep, ws$r AS wsum, wn$r AS wn FROM one"
+    }.mkString("\n      |  UNION ALL ")
+    s"""WITH base AS (
+      |  SELECT CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents,
+      |         CAST('0x' || SUBSTR(MD5(CAST(o_orderkey AS VARCHAR)), 1, 15)
+      |              AS BIGINT) % $BootM AS h
+      |  FROM orders),
+      |one AS (
+      |  SELECT $aggCols
+      |  FROM base),
+      |per AS (
+      |  $branches),
+      |m AS (SELECT rep, wsum // wn AS mean_cents FROM per),
+      |r AS (SELECT rep, mean_cents,
+      |             ROW_NUMBER() OVER (ORDER BY mean_cents, rep) AS rk FROM m)
+      |SELECT COUNT(*) AS n_reps,
+      |       CAST(SUM(mean_cents) AS BIGINT) // COUNT(*) AS est_cents,
+      |       MAX(CASE WHEN rk = 2 THEN mean_cents END) AS ci_lo_cents,
+      |       MAX(CASE WHEN rk = 31 THEN mean_cents END) AS ci_hi_cents,
+      |       MIN(mean_cents) AS min_cents,
+      |       MAX(mean_cents) AS max_cents
+      |FROM r""".stripMargin
+  }
+
   val oracle: Map[String, String] = Map(
+    "q_forecast_holt" ->
+      """WITH RECURSIVE daily AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS d,
+        |         CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS y
+        |  FROM events GROUP BY 1, 2),
+        |seq AS (
+        |  SELECT event_type, d, y,
+        |         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY d) AS rn
+        |  FROM daily),
+        |holt AS (
+        |  SELECT event_type, d, y, rn, y AS level, CAST(0 AS BIGINT) AS trend
+        |  FROM seq WHERE rn = 1
+        |  UNION ALL
+        |  SELECT s.event_type, s.d, s.y, s.rn,
+        |         (s.y + h.level + h.trend) // 2 AS level,
+        |         (((s.y + h.level + h.trend) // 2) - h.level + h.trend) // 2 AS trend
+        |  FROM seq s JOIN holt h
+        |    ON s.event_type = h.event_type AND s.rn = h.rn + 1)
+        |SELECT event_type, d, y AS y_cents, level, trend,
+        |       level + 7 * trend AS forecast7
+        |FROM holt ORDER BY event_type, d""".stripMargin,
+    "q_dq_rules" ->
+      """WITH o AS (
+        |  SELECT COUNT(*) AS n,
+        |         CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS v_null,
+        |         CAST(SUM(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END) AS BIGINT) AS v_price,
+        |         CAST(SUM(CASE WHEN o_orderstatus NOT IN ('O','F','P') THEN 1 ELSE 0 END)
+        |              AS BIGINT) AS v_status
+        |  FROM orders),
+        |uq AS (
+        |  SELECT COUNT(*) AS n_keys, CAST(SUM(c - 1) AS BIGINT) AS v
+        |  FROM (SELECT o_orderkey, COUNT(*) AS c FROM orders GROUP BY o_orderkey)),
+        |l AS (
+        |  SELECT COUNT(*) AS n,
+        |         CAST(SUM(CASE WHEN l_quantity NOT BETWEEN 1 AND 50 THEN 1 ELSE 0 END)
+        |              AS BIGINT) AS v_qty,
+        |         CAST(SUM(CASE WHEN l_discount NOT BETWEEN 0.0 AND 0.1 THEN 1 ELSE 0 END)
+        |              AS BIGINT) AS v_disc
+        |  FROM lineitem),
+        |fk AS (
+        |  SELECT (SELECT COUNT(*) FROM lineitem) AS n,
+        |         (SELECT COUNT(*) FROM lineitem li
+        |          WHERE NOT EXISTS (SELECT 1 FROM orders o
+        |                            WHERE o.o_orderkey = li.l_orderkey)) AS v),
+        |rules AS (
+        |  SELECT 'orders_custkey_not_null' AS rule, n AS n_rows, v_null AS n_violations FROM o
+        |  UNION ALL SELECT 'orders_price_positive', n, v_price FROM o
+        |  UNION ALL SELECT 'orders_status_domain', n, v_status FROM o
+        |  UNION ALL SELECT 'orders_orderkey_unique', n_keys, v FROM uq
+        |  UNION ALL SELECT 'lineitem_quantity_range', n, v_qty FROM l
+        |  UNION ALL SELECT 'lineitem_discount_range', n, v_disc FROM l
+        |  UNION ALL SELECT 'lineitem_fk_orders', n, v FROM fk)
+        |SELECT rule, n_rows, n_violations,
+        |       CASE WHEN n_rows = 0 THEN 0
+        |            ELSE (1000000 * n_violations) // n_rows END AS violation_ppm
+        |FROM rules ORDER BY rule""".stripMargin,
+    "q_bootstrap_ci" -> bootstrapCiOracle,
     "q_acf" ->
       """WITH daily AS (
         |  SELECT event_type, CAST(ts AS DATE) AS d,

@@ -314,7 +314,43 @@ object Relational extends QueryModule {
       .orderBy(col("event_type"))
   }
 
+  /** GDPR-style cascading erasure audit: an erasure-request set (customers
+    * with custkey ≡ 0 mod 97 — the deterministic stand-in for a deletion
+    * queue) cascades through the FK chain customer → orders → lineitem;
+    * the output is the per-table purge census (totals, purged counts, ppm,
+    * remainder) a compliance run ships before the destructive rewrite.
+    * The census IS the reviewable artifact; the rewrite itself is the
+    * same anti-join flipped (left_anti in place of left_semi) written back
+    * through the [[qSinkCompact]]-style sink.
+    *
+    * Scale shape: the cascade is two left-semi equi-joins down the FK
+    * chain (request set is tiny → AQE broadcasts it; the orders hit-list
+    * keys the lineitem semi join on the high-cardinality orderkey);
+    * censuses are one-row aggregates cross-joined back. No table is
+    * scanned more than twice, nothing shuffles on a low-cardinality key. */
+  def qPurgeCascade(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir)
+    val o = Tables.orders(spark, dir)
+    val li = Tables.lineitem(spark, dir)
+    val erasure = c.filter(col("c_custkey") % 97 === 0).select(col("c_custkey"))
+    val oPurged = o.join(erasure.withColumnRenamed("c_custkey", "o_custkey"),
+      Seq("o_custkey"), "left_semi")
+    val liPurged = li.join(oPurged.select(col("o_orderkey").as("l_orderkey")),
+      Seq("l_orderkey"), "left_semi")
+    def census(name: String, total: DataFrame, purged: DataFrame): DataFrame =
+      total.agg(count(lit(1)).as("n_total"))
+        .crossJoin(broadcast(purged.agg(count(lit(1)).as("n_purged"))))
+        .select(lit(name).as("tbl"), col("n_total"), col("n_purged"),
+          expr("div(1000000 * n_purged, n_total)").as("purged_ppm"),
+          (col("n_total") - col("n_purged")).as("n_remaining"))
+    census("customer", c, erasure)
+      .unionByName(census("orders", o, oPurged))
+      .unionByName(census("lineitem", li, liPurged))
+      .orderBy(col("tbl"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_purge_cascade" -> (qPurgeCascade _),
     "q_sink_partition_prune" -> (qSinkPartitionPrune _),
     "q_sink_compact" -> (qSinkCompact _),
     "q_cdc_diff"  -> (qCdcDiff _),
@@ -333,6 +369,28 @@ object Relational extends QueryModule {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_purge_cascade" ->
+      """WITH er AS (SELECT c_custkey FROM customer WHERE c_custkey % 97 = 0),
+        |op AS (SELECT o_orderkey FROM orders
+        |       WHERE o_custkey IN (SELECT c_custkey FROM er)),
+        |lp AS (SELECT 1 AS x FROM lineitem
+        |       WHERE l_orderkey IN (SELECT o_orderkey FROM op)),
+        |rows_ AS (
+        |  SELECT 'customer' AS tbl,
+        |         (SELECT COUNT(*) FROM customer) AS n_total,
+        |         (SELECT COUNT(*) FROM er) AS n_purged
+        |  UNION ALL
+        |  SELECT 'orders',
+        |         (SELECT COUNT(*) FROM orders),
+        |         (SELECT COUNT(*) FROM op)
+        |  UNION ALL
+        |  SELECT 'lineitem',
+        |         (SELECT COUNT(*) FROM lineitem),
+        |         (SELECT COUNT(*) FROM lp))
+        |SELECT tbl, n_total, n_purged,
+        |       (1000000 * n_purged) // n_total AS purged_ppm,
+        |       n_total - n_purged AS n_remaining
+        |FROM rows_ ORDER BY tbl""".stripMargin,
     "q_sink_compact" ->
       """SELECT event_type, COUNT(*) AS n,
         |       CAST(SUM(CAST(FLOOR(value * 1000000 + 0.5) AS BIGINT)) AS BIGINT)

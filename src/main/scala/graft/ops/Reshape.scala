@@ -175,6 +175,33 @@ object Reshape extends QueryModule {
     finally spark.catalog.dropTempView(v)
   }
 
+  /** Correlated LATERAL join (`FROM t, LATERAL (...)`) — the third SQL
+    * front-door surface next to [[qSqlCte]] and [[qSqlRecursive]]: each
+    * customer row drives a correlated ORDER BY … LIMIT 3 subquery over its
+    * own orders — SQL's per-row "top-k of my children" idiom. Catalyst
+    * DECORRELATES the lateral limit into a ranked window over one
+    * customer-key join (the same physical plan the DataFrame
+    * `q_topk_per_group` builds by hand), so the per-row subquery NEVER
+    * executes per row — at 100 TB this is one shuffle + one bounded window,
+    * not |customers| point lookups. Total ordering: (price DESC, orderkey)
+    * inside the limit, both engines. */
+  def qSqlLateral(spark: SparkSession, dir: String): DataFrame = {
+    val sfx = java.lang.Integer.toHexString(dir.hashCode)
+    val views = Seq(
+      s"customer_$sfx" -> Tables.customer(spark, dir),
+      s"orders_$sfx"   -> Tables.orders(spark, dir))
+    views.foreach { case (n, df) => df.createOrReplaceTempView(n) }
+    try spark.sql(
+      s"""SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
+        |FROM customer_$sfx c,
+        |LATERAL (
+        |  SELECT o_orderkey, o_totalprice FROM orders_$sfx o
+        |  WHERE o.o_custkey = c.c_custkey
+        |  ORDER BY o_totalprice DESC, o_orderkey LIMIT 3) t
+        |ORDER BY c_custkey, o_totalprice DESC, o_orderkey""".stripMargin)
+    finally views.foreach { case (n, _) => spark.catalog.dropTempView(n) }
+  }
+
   /** Deterministic train/val/test holdout split — the assignment every
     * training pipeline must get right: membership is a pure function of
     * the DOCUMENT ID (salted md5 → uniform u32; <80% train, <90% val,
@@ -211,11 +238,20 @@ object Reshape extends QueryModule {
     "q_sql_subquery"      -> (qSqlSubquery _),
     "q_sql_cte"           -> (qSqlCte _),
     "q_sql_recursive"     -> (qSqlRecursive _),
+    "q_sql_lateral"       -> (qSqlLateral _),
     "q_sample_stratified" -> (qSampleStratified _),
     "q_sample_weighted"   -> (qSampleWeighted _),
   )
 
   val oracle: Map[String, String] = Map(
+    "q_sql_lateral" ->
+      """SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
+        |FROM customer c,
+        |LATERAL (
+        |  SELECT o_orderkey, o_totalprice FROM orders o
+        |  WHERE o.o_custkey = c.c_custkey
+        |  ORDER BY o_totalprice DESC, o_orderkey LIMIT 3) t
+        |ORDER BY c_custkey, o_totalprice DESC, o_orderkey""".stripMargin,
     "q_sql_recursive" ->
       """WITH RECURSIVE anc(p_partkey, anc_key, depth, cents) AS (
         |  SELECT p_partkey, p_partkey, 0,

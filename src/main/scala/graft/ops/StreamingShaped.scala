@@ -46,10 +46,33 @@ object StreamingShaped extends QueryModule {
         col("w.end").as("session_end"), col("n_events"), col("sum_value"))
       .orderBy(col("user_id"), col("session_start"))
 
+  /** Stream-stream interval join, batch twin: every view matched to the
+    * same user's purchases within [0, 10 min] after it — the
+    * impression⋈click attribution shape. The EXACT code path is
+    * [[graft.streaming.Streams.intervalJoin]] (unified Dataset API: its
+    * `withWatermark` is a no-op on batch input), so the semantics the
+    * oracle verifies here are the semantics the live watermarked
+    * stream-stream join runs in StreamingSpec.
+    *
+    * Scale shape: an equi-join on user_id with residual time-range
+    * predicates — shuffles both sides once on the HIGH-cardinality user
+    * key; the per-user match work is bounded by per-user event counts, not
+    * the corpus. In the live form the same time bounds are what let the
+    * state store evict buffered rows at the watermark — the batch and
+    * streaming plans bound their working set by the same window. */
+  def qStreamJoin(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    graft.streaming.Streams.intervalJoin(
+        ev.filter(col("event_type") === "view"),
+        ev.filter(col("event_type") === "purchase"))
+      .orderBy(col("user_id"), col("l_ts"), col("r_ts"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_stream_tumble"  -> (qStreamTumble _),
     "q_stream_slide"   -> (qStreamSlide _),
     "q_stream_session" -> (qStreamSession _),
+    "q_stream_join"    -> (qStreamJoin _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -67,6 +90,20 @@ object StreamingShaped extends QueryModule {
         |SELECT wstart, event_type, COUNT(*) AS n
         |FROM buckets GROUP BY wstart, event_type
         |ORDER BY wstart, event_type""".stripMargin,
+    "q_stream_join" ->
+      """WITH ev AS (
+        |  -- micro-floor as in q_stream_session: Spark joins on the
+        |  -- micro-floored loader timestamps
+        |  SELECT user_id, event_type, value, make_timestamp(epoch_us(ts)) AS ts
+        |  FROM events),
+        |l AS (SELECT user_id, ts AS l_ts, value AS l_value FROM ev
+        |      WHERE event_type = 'view'),
+        |r AS (SELECT user_id AS r_user, ts AS r_ts, value AS r_value FROM ev
+        |      WHERE event_type = 'purchase')
+        |SELECT user_id, l_ts, r_ts, l_value, r_value
+        |FROM l JOIN r ON user_id = r_user
+        |  AND r_ts >= l_ts AND r_ts <= l_ts + INTERVAL '10 minutes'
+        |ORDER BY user_id, l_ts, r_ts""".stripMargin,
     "q_stream_session" ->
       """WITH ev AS (
         |  -- micro-floor BEFORE the gap arithmetic: the parquet ts is nanos

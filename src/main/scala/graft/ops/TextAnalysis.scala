@@ -497,7 +497,37 @@ object TextAnalysis extends QueryModule {
             .stripMargin), 4) + lit(0.0)).as("fk_grade"))
       .orderBy(col("doc_id"))
 
+  /** The blocklist terms — a FIXED list shared verbatim by the Spark
+    * filter and the generated oracle (the audienceTypes discipline from
+    * [[Behavior]]), standing in for the public badword lists C4-style
+    * corpus builds filter on. */
+  private val blocklist = Seq("big", "dup", "slow")
+
+  /** C4-style blocklist filter audit: per source, how many documents
+    * contain ANY blocklisted token (the C4 drop rule), the drop rate in
+    * exact ppm, and the total blocklisted-token volume. Shipped as the
+    * audit census, the way [[qQualityFlags]] ships its per-rule booleans —
+    * "what did the blocklist cost this source" is the question a corpus
+    * curator actually asks before turning the rule on.
+    *
+    * Scale shape: map-only tokenization + higher-order-function count per
+    * document (no explode — the per-doc hit count folds inside the array),
+    * then one map-side-combinable aggregation to |sources| rows. */
+  def qTextBlocklist(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .select(col("source"),
+        size(expr(s"filter(split(lower(trim(text)), ' '), t -> t IN ($blocklistSql))"))
+          .as("hits"))
+    docs.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("hits") > 0, 1L).otherwise(0L)).as("n_flagged"),
+        sum(col("hits")).as("n_hits"))
+      .withColumn("flagged_ppm", expr("div(1000000 * n_flagged, n_docs)"))
+      .orderBy(col("source"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_text_blocklist"   -> (qTextBlocklist _),
     "q_text_readability" -> (qTextReadability _),
     "q_text_perplexity"  -> (qTextPerplexity _),
     "q_text_tokens"      -> (qTextTokens _),
@@ -517,8 +547,22 @@ object TextAnalysis extends QueryModule {
   )
 
   private val stopwordsSql = stopwords.map("'" + _ + "'").mkString(",")
+  private val blocklistSql = blocklist.map("'" + _ + "'").mkString(",")
 
   val oracle: Map[String, String] = Map(
+    "q_text_blocklist" ->
+      s"""WITH hits AS (
+        |  SELECT source,
+        |         LEN(list_filter(STRING_SPLIT(LOWER(TRIM(text)), ' '),
+        |             t -> t IN ($blocklistSql))) AS hits
+        |  FROM documents)
+        |SELECT source, COUNT(*) AS n_docs,
+        |       CAST(SUM(CASE WHEN hits > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged,
+        |       CAST(SUM(hits) AS BIGINT) AS n_hits,
+        |       (1000000 * CAST(SUM(CASE WHEN hits > 0 THEN 1 ELSE 0 END) AS BIGINT))
+        |         // COUNT(*) AS flagged_ppm
+        |FROM hits GROUP BY source
+        |ORDER BY source""".stripMargin,
     "q_text_readability" ->
       """WITH counts AS (
         |  SELECT doc_id,

@@ -170,6 +170,37 @@ class BehaviorSpec extends SparkSpec {
       "negative growth must TRUNCATE toward zero in both engines")
   }
 
+  test("Kaplan-Meier survival matches an in-memory integer recursion; S is non-increasing") {
+    val got = Behavior.qSurvivalKm(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    val dayUs = 86400000000L
+    val per = Tables.events(spark, sf)
+      .select(col("user_id"), unix_micros(col("ts")).as("tus")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).view.mapValues(ts => (ts.map(_._2).min, ts.map(_._2).max)).toMap
+    val maxUs = per.values.map(_._2).max
+    val lives = per.values.toSeq.map { case (f, l) =>
+      ((l - f) / dayUs, l < maxUs - 14 * dayUs)
+    }
+    val days = lives.groupBy(_._1).toSeq.sortBy(_._1).map { case (t, xs) =>
+      (t, xs.size.toLong, xs.count(_._2).toLong)
+    }
+    val total = days.map(_._2).sum
+    var exited = 0L
+    var s = 1000000L
+    val want = days.map { case (t, nEnter, d) =>
+      val nRisk = total - exited
+      exited += nEnter
+      s = s * (nRisk - d) / nRisk
+      (t, nRisk, d, 1000000L * d / nRisk, s)
+    }
+    assert(got.toSeq == want, "the floor-quantized KM recursion must agree term for term")
+    assert(got.map(_._5).sliding(2).forall {
+      case Array(a, b) => b <= a; case _ => true
+    }, "survival must be non-increasing")
+    assert(got.forall(r => r._4 >= 0 && r._4 <= 1000000L))
+  }
+
   test("paragraph dedup: keep-first across docs, intra-doc repeats dropped") {
     import spark.implicits._
     val d = java.nio.file.Files.createTempDirectory("paradedup").toString

@@ -100,6 +100,29 @@ class FeaturePrepSpec extends SparkSpec {
     }
   }
 
+  test("woe_encode: WOE and IV recompute from plain-Scala smoothed shares") {
+    val got = FeaturePrep.qWoeEncode(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4)))
+    val rows = Tables.orders(spark, sf).select("o_orderpriority", "o_orderstatus").collect()
+      .map(r => (r.getString(0), r.getString(1) == "F"))
+    val posT = rows.count(_._2).toLong
+    val negT = rows.length - posT
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble + 0.0
+    val want = rows.groupBy(_._1).toSeq.map { case (cat, xs) =>
+      val p = xs.count(_._2).toLong
+      val n = xs.length - p
+      val woe = math.log(((p + 0.5) / posT.toDouble) / ((n + 0.5) / negT.toDouble))
+      val iv = ((p + 0.5) / posT.toDouble - (n + 0.5) / negT.toDouble) * woe
+      (cat, p, n.toLong, r6(woe), r6(iv))
+    }.sortBy(_._1)
+    assert(got.toSeq == want, "smoothed WOE/IV must agree to 6 dp")
+    // sanity: a category over-represented among positives has positive WOE
+    got.foreach { case (_, p, n, woe, _) =>
+      val lift = (p + 0.5) / posT.toDouble - (n + 0.5) / negT.toDouble
+      assert(math.signum(woe) == math.signum(lift) || woe == 0.0)
+    }
+  }
+
   test("label_balance: weights rebalance to n_total and shares sum to 1") {
     val rows = FeaturePrep.qLabelBalance(spark, sf).collect()
     val nTotal = spark.read.parquet(s"$sf/embeddings.parquet").count()

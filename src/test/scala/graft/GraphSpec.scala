@@ -99,6 +99,71 @@ class GraphSpec extends SparkSpec {
     assert(got.forall { case (q, c, _, _, _) => !adj(q).contains(c) })
   }
 
+  /** Thresholded co-purchase pairs (≥ 2 distinct common orders) with their
+    * counts — the shared input of q_graph_cc / q_shortest_path. */
+  private def strongPairs: Map[(Long, Long), Long] = {
+    val li = Tables.lineitem(spark, sf).select("l_orderkey", "l_partkey").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val orders = scala.collection.mutable.HashMap.empty[(Long, Long), Set[Long]]
+    li.groupBy(_._1).foreach { case (ok, grp) =>
+      val ps = grp.map(_._2).distinct.sorted
+      for (i <- ps.indices; j <- i + 1 until ps.size) {
+        val k = (ps(i), ps(j))
+        orders(k) = orders.getOrElse(k, Set.empty) + ok
+      }
+    }
+    orders.collect { case (k, os) if os.size >= 2 => k -> os.size.toLong }.toMap
+  }
+
+  test("large-star/small-star components match an in-memory union-find") {
+    val got = Graph.qGraphCc(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    val pairs = strongPairs.keySet
+    val par = scala.collection.mutable.HashMap.empty[Long, Long]
+    def find(x: Long): Long = {
+      var r = x
+      while (par.getOrElse(r, r) != r) { par(r) = par.getOrElse(par(r), par(r)); r = par(r) }
+      r
+    }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) par(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val nodes = pairs.flatMap { case (a, b) => Seq(a, b) }
+    val comp = nodes.groupBy(find).flatMap { case (_, ns) =>
+      val m = ns.min; ns.map(_ -> m)
+    }
+    val want = comp.toSeq.map { case (n, c) => (n, c, n == c) }
+      .sortBy { case (n, c, _) => (c, n) }
+    assert(got.toSeq == want, "every node must map to its component minimum")
+    // star property: every component has exactly one root
+    assert(got.count(_._3) == got.map(_._2).distinct.length)
+  }
+
+  test("bounded weighted shortest paths match an in-memory 4-round relaxation") {
+    val got = Graph.qShortestPath(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val sym = strongPairs.toSeq.flatMap { case ((a, b), c) =>
+      Seq((a, b, c), (b, a, c))
+    }
+    val weighted = sym.map { case (u, v, c) => (u, v, 1000000L / c + 1) }
+    val pruned = weighted.groupBy(_._1).values.flatMap { es =>
+      es.sortBy { case (_, v, w) => (w, v) }.take(8)
+    }.toSeq
+    val deg = sym.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    val sources = deg.toSeq.sortBy { case (n, d) => (-d, n) }.take(3).map(_._1)
+    var dist = sources.map(_ -> 0L).toMap
+    for (_ <- 1 to 4) {
+      val relaxed = pruned.collect {
+        case (u, v, w) if dist.contains(u) => v -> (dist(u) + w)
+      }
+      dist = (dist.toSeq ++ relaxed).groupBy(_._1)
+        .map { case (n, xs) => n -> xs.map(_._2).min }
+    }
+    assert(got == dist, "bounded Bellman-Ford distances must agree exactly")
+    assert(sources.forall(s => got(s) == 0L))
+  }
+
   test("k-hop reach matches an in-memory BFS; hop sets are disjoint and exhaustive") {
     val got = Graph.qKhop(spark, sf).collect()
       .map(r => r.getInt(0) -> r.getLong(1)).toMap

@@ -783,6 +783,20 @@ class LlmOpsSpec extends SparkSpec {
     }
   }
 
+  test("blocklist audit recomputes from a plain-Scala token scan") {
+    val got = TextAnalysis.qTextBlocklist(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    val bl = Set("big", "dup", "slow")
+    val docs = Tables.documents(spark, sf).select("source", "text").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    val want = docs.groupBy(_._1).toSeq.map { case (src, ds) =>
+      val hits = ds.map { case (_, t) => t.trim.toLowerCase.split(" ", -1).count(bl).toLong }
+      val flagged = hits.count(_ > 0).toLong
+      (src, ds.size.toLong, flagged, hits.sum, 1000000L * flagged / ds.size)
+    }.sortBy(_._1)
+    assert(got.toSeq == want, "per-source blocklist census must agree exactly")
+  }
+
   test("quality flags recompute from plain-Scala token stats; keep is the conjunction") {
     val got = TextAnalysis.qQualityFlags(spark, sf).collect()
       .map(r => (r.getLong(0), r.getBoolean(1), r.getBoolean(2), r.getBoolean(3),

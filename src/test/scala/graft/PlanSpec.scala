@@ -237,6 +237,30 @@ class PlanSpec extends SparkSpec {
       s"partition predicate must prune directories at the scan:\n$pf")
   }
 
+  test("q_sql_lateral decorrelates to one ranked window — no per-row subplan, no cartesian") {
+    val plan = planOf(graft.ops.Reshape.qSqlLateral(spark, sf))
+    assert(plan.contains("Window") && plan.contains("row_number"),
+      "the correlated LIMIT must decorrelate into a ranked window")
+    assert(!plan.contains("CartesianProduct"),
+      "decorrelation must not fall back to a cartesian probe")
+  }
+
+  test("q_bootstrap_ci folds all 32 replicates into one aggregation pass — no row expansion") {
+    val plan = planOf(graft.ops.Profiling.qBootstrapCi(spark, sf))
+    assert(!plan.contains("Join"),
+      "replicates must be aggregate COLUMNS over one scan — no join of any kind " +
+        "(the first cut cross-joined a 32-row replicate dim and paid 32 md5/row)")
+    assert(plan.contains("partial_sum"),
+      "the 64 replicate sums must combine map-side " +
+        "(the stack to 32 rows runs on the 1-row aggregate, not the scan)")
+  }
+
+  test("q_stream_join plans an equi-join on user_id, never a cartesian time probe") {
+    val plan = planOf(graft.ops.StreamingShaped.qStreamJoin(spark, sf))
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      "the interval join must key on user_id with residual time bounds")
+  }
+
   test("knn/IVF serving-batch broadcasts are bounded by a constant cap, not a corpus fraction") {
     // The broadcast side of the serving keys must be a FIXED-size batch:
     // vec_id % 40 alone is 2.5% of the corpus — a ~TB broadcast at 100 TB.

@@ -5,6 +5,85 @@ import org.apache.spark.sql.functions._
 
 class ProfilingSpec extends SparkSpec {
 
+  test("forecast_holt replays the integer Holt recursion per series") {
+    val got = Profiling.qForecastHolt(spark, sf).collect()
+      .map(r => (r.getString(0), r.getDate(1).toString, r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    val daily = Tables.events(spark, sf)
+      .select(col("event_type"), col("ts").cast("date").cast("string").as("d"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("y")).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+      .groupBy(t => (t._1, t._2)).view.mapValues(_.map(_._3).sum).toSeq
+      .map { case ((et, d), y) => (et, d, y) }
+    val want = daily.groupBy(_._1).toSeq.flatMap { case (et, xs) =>
+      var l = 0L; var b = 0L; var first = true
+      xs.sortBy(_._2).map { case (_, d, y) =>
+        if (first) { l = y; b = 0L; first = false }
+        else { val lp = l; l = (y + lp + b) / 2; b = (l - lp + b) / 2 }
+        (et, d, y, l, b, l + 7 * b)
+      }
+    }.sortBy(t => (t._1, t._2))
+    assert(got.toSeq == want, "floor-quantized level/trend must agree term for term")
+  }
+
+  test("dq_rules: planted violations are counted rule for rule") {
+    import spark.implicits._
+    val d = java.nio.file.Files.createTempDirectory("dqrules").toString
+    val ts = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    Seq(
+      (1L, Option(10L), "O", 100.0, ts, "1-URGENT"),
+      (1L, Option(11L), "F", 50.0, ts, "2-HIGH"), // duplicate key
+      (2L, Option.empty[Long], "P", 70.0, ts, "3-MEDIUM"), // null custkey
+      (3L, Option(12L), "X", -5.0, ts, "4-NOT")) // bad status + negative price
+      .toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "o_orderpriority")
+      .write.mode("overwrite").parquet(s"$d/orders.parquet")
+    Seq(
+      (1L, 1L, 1L, 1, 5.0, 100.0, 0.05, 0.02, "N", "O", ts),
+      (9L, 1L, 1L, 1, 99.0, 10.0, 0.5, 0.0, "N", "O", ts)) // orphan + qty + discount
+      .toDF("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber", "l_quantity",
+        "l_extendedprice", "l_discount", "l_tax", "l_returnflag", "l_linestatus",
+        "l_shipdate")
+      .write.mode("overwrite").parquet(s"$d/lineitem.parquet")
+    val got = Profiling.qDqRules(spark, d).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got("orders_custkey_not_null") == ((4L, 1L)))
+    assert(got("orders_price_positive") == ((4L, 1L)))
+    assert(got("orders_status_domain") == ((4L, 1L)))
+    assert(got("orders_orderkey_unique") == ((3L, 1L)))
+    assert(got("lineitem_quantity_range") == ((2L, 1L)))
+    assert(got("lineitem_discount_range") == ((2L, 1L)))
+    assert(got("lineitem_fk_orders") == ((2L, 1L)))
+  }
+
+  test("bootstrap CI matches an in-memory md5-weight replication") {
+    val row = Profiling.qBootstrapCi(spark, sf).collect().head
+    val base = Tables.orders(spark, sf).select("o_orderkey", "o_totalprice").collect()
+      .map(r => (r.getLong(0), math.round(r.getDouble(1) * 100)))
+    def md5hex(s: String): String = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val M = 2147483647L
+    val means = (0 until 32).map { rep =>
+      val a = ((2L * rep + 1L) * 2654435761L) % M
+      val b = (rep.toLong * 1779033703L) % M
+      var wsum = 0L; var wn = 0L
+      base.foreach { case (ok, cents) =>
+        val h = java.lang.Long.parseLong(md5hex(s"$ok").take(15), 16) % M
+        val m = ((h * a + b) % M) % 4
+        val w = if (m == 0) 2L else if (m == 1) 0L else 1L
+        wsum += w * cents; wn += w
+      }
+      rep -> wsum / wn
+    }
+    val sorted = means.sortBy { case (rep, m) => (m, rep) }.map(_._2)
+    assert(row.getLong(0) == 32L)
+    assert(row.getLong(1) == means.map(_._2).sum / 32)
+    assert(row.getLong(2) == sorted(1) && row.getLong(3) == sorted(30))
+    assert(row.getLong(4) == sorted.head && row.getLong(5) == sorted.last)
+    assert(sorted.head <= row.getLong(1) && row.getLong(1) <= sorted.last,
+      "point estimate must lie inside the replicate range")
+  }
+
   test("histogram buckets partition the table and edges are exact") {
     val h = Profiling.qHist(spark, sf).collect()
     assert(h.map(_.getLong(2)).sum == Tables.orders(spark, sf).count(),

@@ -67,6 +67,28 @@ class RelationalSpec extends SparkSpec {
     assert(keys.length == 20 && keys.sameElements(keys.sorted))
   }
 
+  test("purge cascade: censuses match brute-force key chasing and leave no orphans") {
+    val got = Relational.qPurgeCascade(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(4))).toMap
+    val cust = Tables.customer(spark, sf).select("c_custkey").collect().map(_.getLong(0))
+    val orders = Tables.orders(spark, sf).select("o_orderkey", "o_custkey").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val li = Tables.lineitem(spark, sf).select("l_orderkey").collect().map(_.getLong(0))
+    val erased = cust.filter(_ % 97 == 0).toSet
+    val purgedOrders = orders.filter(o => erased(o._2)).map(_._1).toSet
+    val purgedLi = li.count(purgedOrders)
+    assert(got("customer") == ((cust.length.toLong, erased.size.toLong,
+      (cust.length - erased.size).toLong)))
+    assert(got("orders") == ((orders.length.toLong, purgedOrders.size.toLong,
+      (orders.length - purgedOrders.size).toLong)))
+    assert(got("lineitem") == ((li.length.toLong, purgedLi.toLong,
+      (li.length - purgedLi).toLong)))
+    // cascade completeness: a surviving lineitem's order must survive too
+    val survivingOrders = orders.map(_._1).toSet -- purgedOrders
+    assert(li.filterNot(purgedOrders).forall(survivingOrders),
+      "no lineitem may survive whose order was purged")
+  }
+
   test("cdc diff op counts match an independent full-outer-join snapshot diff") {
     val got = Relational.qCdcDiff(spark, sf).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))

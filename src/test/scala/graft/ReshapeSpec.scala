@@ -48,6 +48,22 @@ class ReshapeSpec extends SparkSpec {
     assert(got.nonEmpty && got.forall(_._3 >= 1), "every category is a proper ancestor")
   }
 
+  test("LATERAL top-3 equals the window-ranked top-3 per customer") {
+    val got = Reshape.qSqlLateral(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    val want = Tables.orders(spark, sf)
+      .withColumn("rk", row_number().over(w)).filter(col("rk") <= 3)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .sortBy(t => (t._1, -t._3, t._2))
+    assert(got.toSeq == want.toSeq,
+      "the decorrelated lateral limit must equal the hand-built ranked window")
+    assert(got.groupBy(_._1).values.forall(_.size <= 3))
+  }
+
   test("stratified sample is seeded-deterministic and roughly proportioned") {
     val a = Reshape.qSampleStratified(spark, sf).collect().map(_.getLong(0))
     val b = Reshape.qSampleStratified(spark, sf).collect().map(_.getLong(0))

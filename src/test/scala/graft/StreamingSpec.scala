@@ -99,6 +99,42 @@ class StreamingSpec extends SparkSpec {
     assert(rows("scroll").isEmpty, "left join keeps unmatched events with null dim")
   }
 
+  test("q_stream_join batch twin equals the streamed interval join on the harness corpus") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val ev = Tables.events(spark, sf)
+      .select(col("user_id"), col("ts"), col("value"), col("event_type"))
+    def side(t: String) = ev.filter(col("event_type") === t)
+      .select("user_id", "ts", "value").as[(Long, Timestamp, Double)].collect()
+    val views = side("view").sortBy(_._2.getTime)
+    val purchases = side("purchase").sortBy(_._2.getTime)
+    // split both sides at the same TIME boundary: the inner interval join
+    // evicts left state only past watermark − bound, so a time-ordered
+    // split can never lose a cross-batch match (an arbitrary split could)
+    val cut = views(views.length / 2)._2.getTime
+    val lMem = MemoryStream[(Long, Timestamp, Double)]
+    val rMem = MemoryStream[(Long, Timestamp, Double)]
+    val q = Streams.intervalJoin(
+        lMem.toDF.toDF("user_id", "ts", "value"),
+        rMem.toDF.toDF("user_id", "ts", "value"))
+      .writeStream.format("memory").queryName("ssjoin_twin").outputMode("append").start()
+    try {
+      lMem.addData(views.filter(_._2.getTime < cut).toSeq)
+      rMem.addData(purchases.filter(_._2.getTime < cut).toSeq)
+      q.processAllAvailable()
+      lMem.addData(views.filter(_._2.getTime >= cut).toSeq)
+      rMem.addData(purchases.filter(_._2.getTime >= cut).toSeq)
+      q.processAllAvailable()
+    } finally q.stop()
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getTimestamp(1), r.getTimestamp(2), r.getDouble(3), r.getDouble(4))
+    val streamed = spark.table("ssjoin_twin").collect().map(key).toSet
+    val batch = graft.ops.StreamingShaped.qStreamJoin(spark, sf).collect().map(key).toSet
+    assert(batch.nonEmpty, "corpus must produce at least one view→purchase match")
+    assert(streamed == batch,
+      "cross-batch streamed interval join must equal the batch twin exactly")
+  }
+
   test("stream-stream interval join matches within the window, drops beyond it") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     import spark.implicits._

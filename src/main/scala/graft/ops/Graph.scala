@@ -314,17 +314,21 @@ object Graph extends QueryModule {
     * REQUIRED (the safety valve raises rather than emitting a
     * part-propagated labeling). On convergence the edge set IS the
     * component map: (node, component-min) stars. */
-  def qGraphCc(spark: SparkSession, dir: String): DataFrame = {
-    // Plain localCheckpoint, NOT PartitionedCheckpoint: largeStar opens
-    // with a union of both orientations, which destroys any co-partitioning
-    // a pinned layout would buy, and pinning also disables AQE's
-    // post-shuffle coalescing — on the thresholded (sparse) edge set the
-    // loop is stage-latency-bound, so letting AQE shrink the tiny shuffles
-    // matters more than a layout no join can reuse (measured 10.9 s → see
-    // BENCH_SCALING notes). Lineage still truncates every round, which is
-    // the part the iterative-Spark trap actually requires.
-    var cur = strongEdges(spark, dir).select(col("u"), col("v"))
-      .localCheckpoint()
+  def qGraphCc(spark: SparkSession, dir: String): DataFrame =
+    ccFromEdges(strongEdges(spark, dir).select(col("u"), col("v")))
+
+  /** The alternation loop on an arbitrary (u, v) edge frame — split out so
+    * the property suite can drive it over generated graphs. Plain
+    * localCheckpoint, NOT PartitionedCheckpoint: largeStar opens with a
+    * union of both orientations, which destroys any co-partitioning a
+    * pinned layout would buy, and pinning also disables AQE's post-shuffle
+    * coalescing — on the thresholded (sparse) edge set the loop is
+    * stage-latency-bound, so letting AQE shrink the tiny shuffles matters
+    * more than a layout no join can reuse (measured 10.9 s → 5.7 s at
+    * sf0.1). Lineage still truncates every round, which is the part the
+    * iterative-Spark trap actually requires. */
+  private[graft] def ccFromEdges(edges: DataFrame): DataFrame = {
+    var cur = edges.localCheckpoint()
     var fp: (Long, Long) = (-1L, -1L)
     var rounds = 0
     val maxRounds = 64 // ~2·log2(n) rounds suffice; the valve only guards bugs

@@ -314,6 +314,42 @@ object Relational extends QueryModule {
       .orderBy(col("event_type"))
   }
 
+  /** Schema evolution round-trip — the lake-table lifecycle event every
+    * long-lived pipeline hits: an early batch lands WITHOUT a column
+    * (events before 2024-01-15: event_id, user_id, value), a later batch
+    * lands WITH it (value_micro, the new enrichment), and the reader
+    * reconciles the union via `mergeSchema` — old rows surface the new
+    * column as NULL, no rewrite of historical files. The output census
+    * (per batch: rows, rows carrying the new column, its exact integer
+    * sum) is what a migration review signs off on; the oracle recomputes
+    * the same census from the logical split, pinning that evolution
+    * changed SHAPE and never values.
+    *
+    * Scale shape: two append-style writes + one merged read. mergeSchema
+    * reconciles footers at planning time — at 100 TB table width the
+    * per-file footer merge is the planning cost and the READ itself stays
+    * pruned to the 4 referenced columns; production caches the merged
+    * schema in a metastore/Delta log, which this key's contract
+    * (old-null, new-summed) is exactly the test for. */
+  def qSchemaEvolution(spark: SparkSession, dir: String): DataFrame = {
+    val sink = s"$sinkRoot${Integer.toHexString(dir.hashCode)}/events_evolved"
+    val ev = Tables.events(spark, dir)
+    val cut = lit("2024-01-15 00:00:00").cast("timestamp")
+    ev.filter(col("ts") < cut)
+      .select(col("event_id"), col("user_id"), col("value"))
+      .write.mode("overwrite").parquet(s"$sink/batch=1")
+    ev.filter(col("ts") >= cut)
+      .select(col("event_id"), col("user_id"), col("value"),
+        floor(col("value") * 1000000 + 0.5).cast("long").as("value_micro"))
+      .write.mode("overwrite").parquet(s"$sink/batch=2")
+    spark.read.option("mergeSchema", "true").parquet(sink)
+      .groupBy(col("batch"))
+      .agg(count(lit(1)).as("n_rows"),
+        count(col("value_micro")).as("n_with_col"),
+        coalesce(sum(col("value_micro")), lit(0L)).as("sum_micro"))
+      .orderBy(col("batch"))
+  }
+
   /** GDPR-style cascading erasure audit: an erasure-request set (customers
     * with custkey ≡ 0 mod 97 — the deterministic stand-in for a deletion
     * queue) cascades through the FK chain customer → orders → lineitem;
@@ -350,6 +386,7 @@ object Relational extends QueryModule {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_schema_evolution" -> (qSchemaEvolution _),
     "q_purge_cascade" -> (qPurgeCascade _),
     "q_sink_partition_prune" -> (qSinkPartitionPrune _),
     "q_sink_compact" -> (qSinkCompact _),
@@ -369,6 +406,19 @@ object Relational extends QueryModule {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_schema_evolution" ->
+      """WITH ev AS (
+        |  SELECT value, make_timestamp(epoch_us(ts)) AS ts FROM events)
+        |SELECT 1 AS batch, COUNT(*) AS n_rows,
+        |       CAST(0 AS BIGINT) AS n_with_col, CAST(0 AS BIGINT) AS sum_micro
+        |FROM ev WHERE ts < TIMESTAMP '2024-01-15 00:00:00'
+        |UNION ALL
+        |SELECT 2, COUNT(*),
+        |       COUNT(*),
+        |       CAST(COALESCE(SUM(CAST(FLOOR(value * 1000000 + 0.5) AS BIGINT)), 0)
+        |            AS BIGINT)
+        |FROM ev WHERE ts >= TIMESTAMP '2024-01-15 00:00:00'
+        |ORDER BY batch""".stripMargin,
     "q_purge_cascade" ->
       """WITH er AS (SELECT c_custkey FROM customer WHERE c_custkey % 97 = 0),
         |op AS (SELECT o_orderkey FROM orders

@@ -733,7 +733,59 @@ object Similarity extends QueryModule {
       .limit(10)
   }
 
+  /** Embedding-distribution drift monitor: per label, the cosine between
+    * the CENTROIDS of the even-id and odd-id halves of the corpus — the
+    * "did this batch's embedding distribution move" audit a pipeline runs
+    * between corpus versions (the split key stands in for version).
+    * Centroids are FLOOR-DIVIDED integer means of micro-int quantized
+    * components ([[qGramMatrix]] discipline) — the floor keeps them exact
+    * AND bounded by the quantization scale (|m| ≤ 10⁶ whatever the corpus
+    * size), so every dot/norm stays under 2⁵³ and its cast to double is
+    * EXACT in both engines — raw per-dim sums would outgrow 2⁵³ with the
+    * corpus and make the int→double cast itself a rounding step. (Also
+    * pinned the hard way here: quantize with the DOUBLE literal 1e6, not
+    * the int literal 1000000 — the latter multiplies the FLOAT component
+    * in single precision and shifts round() boundaries between engines;
+    * the [[qGramMatrix]] oracles already carry this discipline.)
+    * Output: one dot / (√·√) on exactly-cast doubles,
+    * rounded to 6 dp. Degenerate halves (all-zero vectors, the edge
+    * corpus) report NULL rather than a NaN the two engines could
+    * serialize differently.
+    *
+    * Scale shape: one posexplode (×64 rows) into a map-side-combinable
+    * aggregation to |labels|×64 rows; everything after runs on that tiny
+    * table. One corpus pass, one shuffle of partials. */
+  def qEmbedDrift(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+    val ex = e.select(col("label"), (col("vec_id") % 2 === 0).as("h0"),
+        posexplode(expr(
+          "transform(embedding, v -> CAST(round(v * 1e6) AS BIGINT))")))
+      .toDF("label", "h0", "i", "q")
+    val cnt = e.groupBy(col("label"))
+      .agg(sum(when(col("vec_id") % 2 === 0, 1L).otherwise(0L)).as("n_vec0"),
+        sum(when(col("vec_id") % 2 =!= 0, 1L).otherwise(0L)).as("n_vec1"))
+    val means = ex.groupBy(col("label"), col("i"))
+      .agg(sum(when(col("h0"), col("q")).otherwise(0L)).as("s0"),
+        sum(when(!col("h0"), col("q")).otherwise(0L)).as("s1"))
+      .join(broadcast(cnt), "label")
+      .select(col("label"),
+        expr("CASE WHEN n_vec0 = 0 THEN 0L ELSE div(s0, n_vec0) END").as("m0"),
+        expr("CASE WHEN n_vec1 = 0 THEN 0L ELSE div(s1, n_vec1) END").as("m1"))
+    val dots = means.groupBy(col("label"))
+      .agg(sum(expr("m0 * m1")).as("dot"),
+        sum(expr("m0 * m0")).as("nn0"),
+        sum(expr("m1 * m1")).as("nn1"))
+    dots.join(cnt, "label")
+      .select(col("label"), col("n_vec0"), col("n_vec1"),
+        when(col("nn0") === 0 || col("nn1") === 0, lit(null).cast("double"))
+          .otherwise(round(expr(
+            "CAST(dot AS DOUBLE) / (sqrt(CAST(nn0 AS DOUBLE)) * sqrt(CAST(nn1 AS DOUBLE)))"),
+            6) + lit(0.0)).as("centroid_cos"))
+      .orderBy(col("label"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_embed_drift"        -> (qEmbedDrift _),
     "q_embed_quantize"     -> (qEmbedQuantize _),
     "q_knn_classify"       -> (qKnnClassify _),
     "q_sim_sparse"         -> (qSimSparse _),
@@ -902,6 +954,40 @@ object Similarity extends QueryModule {
        |    FROM sub b JOIN $cbName c USING (s)) WHERE rn = 1""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "q_embed_drift" ->
+      """WITH ex AS (
+        |  SELECT label, vec_id % 2 = 0 AS h0,
+        |         UNNEST(LIST_TRANSFORM(embedding,
+        |                v -> CAST(ROUND(v * 1e6) AS BIGINT))) AS q,
+        |         UNNEST(RANGE(LEN(embedding))) AS i
+        |  FROM embeddings),
+        |cnt AS (
+        |  SELECT label,
+        |         CAST(SUM(CASE WHEN vec_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_vec0,
+        |         CAST(SUM(CASE WHEN vec_id % 2 = 0 THEN 0 ELSE 1 END) AS BIGINT) AS n_vec1
+        |  FROM embeddings GROUP BY label),
+        |means AS (
+        |  SELECT ex.label,
+        |         CASE WHEN n_vec0 = 0 THEN 0
+        |              ELSE CAST(SUM(CASE WHEN h0 THEN q ELSE 0 END) AS BIGINT) // n_vec0
+        |              END AS m0,
+        |         CASE WHEN n_vec1 = 0 THEN 0
+        |              ELSE CAST(SUM(CASE WHEN NOT h0 THEN q ELSE 0 END) AS BIGINT) // n_vec1
+        |              END AS m1
+        |  FROM ex JOIN cnt ON ex.label = cnt.label
+        |  GROUP BY ex.label, ex.i, cnt.n_vec0, cnt.n_vec1),
+        |dots AS (
+        |  SELECT label, CAST(SUM(m0 * m1) AS BIGINT) AS dot,
+        |         CAST(SUM(m0 * m0) AS BIGINT) AS nn0,
+        |         CAST(SUM(m1 * m1) AS BIGINT) AS nn1
+        |  FROM means GROUP BY label)
+        |SELECT d.label, c.n_vec0, c.n_vec1,
+        |       CASE WHEN d.nn0 = 0 OR d.nn1 = 0 THEN NULL
+        |            ELSE ROUND(CAST(d.dot AS DOUBLE) /
+        |                       (SQRT(CAST(d.nn0 AS DOUBLE)) * SQRT(CAST(d.nn1 AS DOUBLE))),
+        |                       6) + 0.0 END AS centroid_cos
+        |FROM dots d JOIN cnt c USING (label)
+        |ORDER BY d.label""".stripMargin,
     "q_ann_pq" ->
       s"""WITH e AS (
          |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings

@@ -783,6 +783,39 @@ class LlmOpsSpec extends SparkSpec {
     }
   }
 
+  test("embed drift: centroid cosine recomputes from quantized integer means") {
+    val got = Similarity.qEmbedDrift(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) None else Some(r.getDouble(3))))
+    val vecs = Tables.embeddings(spark, sf)
+      .select("vec_id", "label", "embedding").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getSeq[Float](2).toArray))
+    def q(v: Float): Long = BigDecimal(v.toDouble * 1e6)
+      .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+    val want = vecs.groupBy(_._2).toSeq.map { case (label, vs) =>
+      val (h0, h1) = vs.partition(_._1 % 2 == 0)
+      val dim = vs.head._3.length
+      val m0 = (0 until dim).map { i =>
+        if (h0.isEmpty) 0L else {
+          val s = h0.map(v => q(v._3(i))).sum; s / h0.length
+        }
+      }
+      val m1 = (0 until dim).map { i =>
+        if (h1.isEmpty) 0L else {
+          val s = h1.map(v => q(v._3(i))).sum; s / h1.length
+        }
+      }
+      val dot = m0.zip(m1).map { case (a, b) => a * b }.sum.toDouble
+      val n0 = m0.map(a => a * a).sum.toDouble
+      val n1 = m1.map(a => a * a).sum.toDouble
+      val cos = if (n0 == 0 || n1 == 0) None
+        else Some(BigDecimal(dot / (math.sqrt(n0) * math.sqrt(n1)))
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble + 0.0)
+      (label, h0.length.toLong, h1.length.toLong, cos)
+    }.sortBy(_._1)
+    assert(got.toSeq == want, "centroid cosine must replay from integer means")
+  }
+
   test("blocklist audit recomputes from a plain-Scala token scan") {
     val got = TextAnalysis.qTextBlocklist(spark, sf).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))

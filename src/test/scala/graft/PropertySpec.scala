@@ -242,4 +242,34 @@ class PropertySpec extends AnyFunSuite {
       }
     }
   }
+
+  test("large-star/small-star components equal union-find on random graphs") {
+    val s = spark
+    import s.implicits._
+    // sparse-ish random graphs over a small id space: plenty of multi-node
+    // components, chains, self-loop-free duplicates, and isolated-pair mixes
+    val edges = Gen.listOfN(30, Gen.zip(Gen.chooseNum(0L, 24L), Gen.chooseNum(0L, 24L)))
+      .map(_.filter { case (a, b) => a != b })
+    forAllSamples(edges, 8) { es =>
+      if (es.nonEmpty) {
+        val got = graft.ops.Graph.ccFromEdges(es.toDF("u", "v")).collect()
+          .map(r => (r.getLong(0), r.getLong(1))).toMap
+        val par = scala.collection.mutable.HashMap.empty[Long, Long]
+        def find(x: Long): Long = {
+          var r = x
+          while (par.getOrElse(r, r) != r) { par(r) = par.getOrElse(par(r), par(r)); r = par(r) }
+          r
+        }
+        es.foreach { case (a, b) =>
+          val (ra, rb) = (find(a), find(b))
+          if (ra != rb) par(math.max(ra, rb)) = math.min(ra, rb)
+        }
+        val nodes = es.flatMap { case (a, b) => Seq(a, b) }.toSet
+        val want = nodes.groupBy(find).flatMap { case (_, ns) =>
+          val m = ns.min; ns.map(_ -> m)
+        }
+        assert(got == want, s"component labels diverge on edge set $es")
+      }
+    }
+  }
 }

@@ -67,6 +67,20 @@ class RelationalSpec extends SparkSpec {
     assert(keys.length == 20 && keys.sameElements(keys.sorted))
   }
 
+  test("schema evolution: merged read reconciles the missing column as null, sums survive") {
+    val got = Relational.qSchemaEvolution(spark, sf).collect()
+      .map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    val ev = Tables.events(spark, sf)
+      .select(col("ts"), col("value")).collect()
+      .map(r => (r.getTimestamp(0), r.getDouble(1)))
+    val cut = java.sql.Timestamp.valueOf("2024-01-15 00:00:00")
+    val (early, late) = ev.partition(_._1.before(cut))
+    val lateSum = late.map { case (_, v) => math.floor(v * 1000000 + 0.5).toLong }.sum
+    assert(got(1) == ((early.length.toLong, 0L, 0L)),
+      "pre-evolution rows must surface the new column as NULL (count 0, sum 0)")
+    assert(got(2) == ((late.length.toLong, late.length.toLong, lateSum)))
+  }
+
   test("purge cascade: censuses match brute-force key chasing and leave no orphans") {
     val got = Relational.qPurgeCascade(spark, sf).collect()
       .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(4))).toMap

@@ -301,7 +301,52 @@ object Corpus extends QueryModule {
       .orderBy(col("pair"))
   }
 
+  /** Temperature-flattened dataset mixing (the Pile/Llama data-mixture
+    * recipe): per-source sampling weights w_s ∝ n_s^(1/2) (temperature
+    * α = ½ upweights small sources relative to proportional sampling),
+    * a half-corpus token budget, and DETERMINISTIC md5-threshold
+    * acceptance per document — re-running, repartitioning, or appending
+    * never flips an existing document's membership (the [[graft.ops
+    * .Reshape.qSampleSplit]] stability contract, applied per source).
+    *
+    * Exactness: w_s is √n_s floor-quantized to integer milli-units, so
+    * the weight TOTAL is an exact integer sum (a double Σ√n would sum in
+    * engine-specific order and wobble thresholds at the ulp); each
+    * source's acceptance threshold is one exact integer expression
+    * floor(budget·w_s·2³² / (Σw·n_s)) in DECIMAL(38,0), capped at 2³²,
+    * and acceptance compares the doc's md5-u32 against it. Oracle
+    * replays every integer identically.
+    *
+    * Scale shape: one |sources|-row census (map-side combinable), the
+    * threshold table broadcast back, acceptance map-only on the scan,
+    * one final census aggregation. Two corpus passes, no shuffle of the
+    * corpus itself. */
+  def qCorpusMixture(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"), col("n_chars"))
+    val census = docs.groupBy(col("source")).agg(count(lit(1)).as("n_s"))
+      .withColumn("w_milli", expr("CAST(floor(sqrt(CAST(n_s AS DOUBLE)) * 1000) AS BIGINT)"))
+    val tot = census.agg(sum(col("w_milli")).as("w_tot"),
+      expr("CAST(div(sum(n_s), 2) AS BIGINT)").as("budget"))
+    val thr = census.crossJoin(broadcast(tot))
+      .withColumn("thr_u32", expr(
+        """LEAST(CAST(4294967296 AS DECIMAL(38,0)),
+          |  CAST(budget AS DECIMAL(38,0)) * w_milli * 4294967296
+          |    div (CAST(w_tot AS DECIMAL(38,0)) * n_s))""".stripMargin))
+      .select(col("source"), col("n_s"), col("w_milli"), col("thr_u32"))
+    docs.join(broadcast(thr), "source")
+      .withColumn("u32", conv(substring(md5(concat(lit("mix:"),
+        col("doc_id").cast("string"))), 1, 8), 16, 10).cast("long"))
+      .groupBy(col("source"), col("n_s"), col("w_milli"))
+      .agg(sum(when(col("u32") < col("thr_u32"), 1L).otherwise(0L)).as("n_sampled"),
+        sum(when(col("u32") < col("thr_u32"), col("n_chars")).otherwise(0L))
+          .as("sampled_chars"))
+      .withColumn("accept_ppm", expr("div(1000000 * n_sampled, n_s)"))
+      .orderBy(col("source"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_corpus_mixture" -> (qCorpusMixture _),
     "q_corpus_drift"  -> (qCorpusDrift _),
     "q_bm25"          -> (qBm25 _),
     "q_decontaminate" -> (qDecontaminate _),
@@ -347,6 +392,36 @@ object Corpus extends QueryModule {
   }
 
   val oracle: Map[String, String] = Map(
+    "q_corpus_mixture" ->
+      """WITH census AS (
+        |  SELECT source, COUNT(*) AS n_s FROM documents GROUP BY source),
+        |wq AS (
+        |  SELECT source, n_s,
+        |         CAST(FLOOR(SQRT(CAST(n_s AS DOUBLE)) * 1000) AS BIGINT) AS w_milli
+        |  FROM census),
+        |tot AS (
+        |  SELECT CAST(SUM(w_milli) AS BIGINT) AS w_tot,
+        |         CAST(SUM(n_s) // 2 AS BIGINT) AS budget
+        |  FROM wq),
+        |thr AS (
+        |  SELECT source, n_s, w_milli,
+        |         LEAST(CAST(4294967296 AS HUGEINT),
+        |               (CAST(budget AS HUGEINT) * w_milli * 4294967296)
+        |                 // (CAST(w_tot AS HUGEINT) * n_s)) AS thr_u32
+        |  FROM wq CROSS JOIN tot),
+        |acc AS (
+        |  SELECT d.source, t.n_s, t.w_milli, d.n_chars,
+        |         CASE WHEN CAST('0x' || SUBSTR(MD5('mix:' || CAST(d.doc_id AS VARCHAR)),
+        |                         1, 8) AS BIGINT) < t.thr_u32
+        |              THEN 1 ELSE 0 END AS a
+        |  FROM documents d JOIN thr t USING (source))
+        |SELECT source, n_s, w_milli,
+        |       CAST(SUM(a) AS BIGINT) AS n_sampled,
+        |       CAST(SUM(CASE WHEN a = 1 THEN n_chars ELSE 0 END) AS BIGINT)
+        |         AS sampled_chars,
+        |       (1000000 * CAST(SUM(a) AS BIGINT)) // n_s AS accept_ppm
+        |FROM acc GROUP BY source, n_s, w_milli
+        |ORDER BY source""".stripMargin,
     "q_corpus_drift" -> corpusDriftOracle,
     "q_bm25" ->
       """WITH d AS (

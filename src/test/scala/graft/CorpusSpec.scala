@@ -321,4 +321,32 @@ class CorpusSpec extends SparkSpec {
     // src1 vs src3 equals src0 vs src3 (src1 ≡ src0 distributionally)
     assert(math.abs(got("src1|src3")._1 - got("src0|src3")._1) < 1e-12)
   }
+
+  test("corpus mixture: thresholds replay exactly; temperature favors small sources") {
+    val got = Corpus.qCorpusMixture(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(5)))
+    val docs = Tables.documents(spark, sf).select("doc_id", "source").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    def md5hex(s: String): String = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val census = docs.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    val wMilli = census.view.mapValues(n => math.floor(math.sqrt(n.toDouble) * 1000).toLong).toMap
+    val wTot = BigInt(wMilli.values.sum)
+    val budget = BigInt(census.values.sum / 2)
+    val thr = census.map { case (s, n) =>
+      s -> (budget * wMilli(s) * BigInt(4294967296L) / (wTot * n)).min(BigInt(4294967296L))
+    }
+    val want = docs.groupBy(_._2).map { case (s, ds) =>
+      val sampled = ds.count { case (id, _) =>
+        BigInt(java.lang.Long.parseLong(md5hex(s"mix:$id").take(8), 16)) < thr(s)
+      }
+      (s, census(s), wMilli(s), sampled.toLong, 1000000L * sampled / census(s))
+    }.toSeq.sortBy(_._1)
+    assert(got.toSeq == want, "membership must replay from the integer thresholds")
+    // temperature alpha=1/2: the smallest source's acceptance rate must be at
+    // least the largest source's (flattening upweights the tail)
+    val bySize = got.sortBy(_._2)
+    assert(bySize.head._5 >= bySize.last._5,
+      "sqrt-temperature must not sample small sources at a lower rate than large ones")
+  }
 }

@@ -392,7 +392,50 @@ object Graph extends QueryModule {
       .orderBy(col("dist_micro"), col("partkey"))
   }
 
+  /** Community detection by SYNCHRONOUS label propagation (3 fixed
+    * rounds) over the thresholded affinity graph — the O(E)-per-round
+    * community finder (Raghavan et al.) next to [[qGraphCc]]'s exact
+    * components: where CC merges everything reachable, LPA keeps densely
+    * connected neighborhoods apart. Async LPA is order-dependent;
+    * the sync variant with a TOTAL tie rule (max neighbor-label count,
+    * then MIN label) is deterministic, so three unrolled rounds replay
+    * bit-for-bit in the oracle. Fixed rounds rather than convergence:
+    * sync LPA can 2-cycle on bipartite-ish structure, so production runs
+    * bounded rounds — and a bounded unroll is also what SQL can express.
+    *
+    * Scale shape per round: one labels⋈edges equi-join on the neighbor
+    * end, one (node, label) count aggregation, one per-node argmax
+    * window (partition = node, rows = its distinct neighbor labels ≤
+    * degree — never a global window). All keys are high-cardinality
+    * node ids. */
+  def qCommunityLpa(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val parts = spark.sessionState.conf.numShufflePartitions
+    val e0 = strongEdges(spark, dir)
+    val sym = graft.plans.PartitionedCheckpoint.byKey(
+      e0.select(col("u"), col("v"))
+        .union(e0.select(col("v").as("u"), col("u").as("v"))), "v", parts)
+    var labels = sym.select(col("u").as("node")).distinct()
+      .withColumn("lbl", col("node"))
+    val byNode = Window.partitionBy(col("node"))
+      .orderBy(col("cnt").desc, col("nlbl"))
+    for (_ <- 1 to 3) {
+      labels = sym
+        .join(labels.select(col("node").as("v"), col("lbl").as("nlbl")), "v")
+        .groupBy(col("u").as("node"), col("nlbl"))
+        .agg(count(lit(1)).as("cnt"))
+        .withColumn("rk", row_number().over(byNode))
+        .filter(col("rk") === 1)
+        .select(col("node"), col("nlbl").as("lbl"))
+        .localCheckpoint()
+    }
+    labels.groupBy(col("lbl").as("community"))
+      .agg(count(lit(1)).as("n_nodes"), min(col("node")).as("min_node"))
+      .orderBy(col("community"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_community_lpa" -> (qCommunityLpa _),
     "q_pagerank"      -> (qPagerank _),
     "q_triangle"      -> (qTriangle _),
     "q_khop"          -> (qKhop _),
@@ -402,6 +445,37 @@ object Graph extends QueryModule {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_community_lpa" ->
+      """WITH pairs AS (
+        |  SELECT a.l_partkey AS u, b.l_partkey AS v
+        |  FROM lineitem a JOIN lineitem b
+        |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        |  GROUP BY 1, 2 HAVING COUNT(DISTINCT a.l_orderkey) >= 2),
+        |sym AS (SELECT u, v FROM pairs UNION ALL SELECT v, u FROM pairs),
+        |l0 AS (SELECT DISTINCT u AS node, u AS lbl FROM sym),
+        |r1 AS (
+        |  SELECT node, nlbl AS lbl FROM (
+        |    SELECT s.u AS node, l.lbl AS nlbl, COUNT(*) AS cnt,
+        |           ROW_NUMBER() OVER (PARTITION BY s.u
+        |             ORDER BY COUNT(*) DESC, l.lbl) AS rk
+        |    FROM sym s JOIN l0 l ON s.v = l.node
+        |    GROUP BY s.u, l.lbl) WHERE rk = 1),
+        |r2 AS (
+        |  SELECT node, nlbl AS lbl FROM (
+        |    SELECT s.u AS node, l.lbl AS nlbl, COUNT(*) AS cnt,
+        |           ROW_NUMBER() OVER (PARTITION BY s.u
+        |             ORDER BY COUNT(*) DESC, l.lbl) AS rk
+        |    FROM sym s JOIN r1 l ON s.v = l.node
+        |    GROUP BY s.u, l.lbl) WHERE rk = 1),
+        |r3 AS (
+        |  SELECT node, nlbl AS lbl FROM (
+        |    SELECT s.u AS node, l.lbl AS nlbl, COUNT(*) AS cnt,
+        |           ROW_NUMBER() OVER (PARTITION BY s.u
+        |             ORDER BY COUNT(*) DESC, l.lbl) AS rk
+        |    FROM sym s JOIN r2 l ON s.v = l.node
+        |    GROUP BY s.u, l.lbl) WHERE rk = 1)
+        |SELECT lbl AS community, COUNT(*) AS n_nodes, MIN(node) AS min_node
+        |FROM r3 GROUP BY lbl ORDER BY community""".stripMargin,
     "q_graph_cc" ->
       """WITH RECURSIVE pairs AS (
         |  SELECT a.l_partkey AS u, b.l_partkey AS v

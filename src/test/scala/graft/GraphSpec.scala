@@ -140,6 +140,39 @@ class GraphSpec extends SparkSpec {
     assert(got.count(_._3) == got.map(_._2).distinct.length)
   }
 
+  test("sync LPA communities match an in-memory 3-round replay; communities refine components") {
+    val got = Graph.qCommunityLpa(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val sym = strongPairs.keySet.toSeq.flatMap { case (a, b) => Seq((a, b), (b, a)) }
+    val adj = sym.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    var lbl = adj.keySet.map(n => n -> n).toMap
+    for (_ <- 1 to 3) {
+      lbl = adj.map { case (n, nbrs) =>
+        val counts = nbrs.groupBy(lbl).view.mapValues(_.size).toSeq
+        n -> counts.minBy { case (l, c) => (-c, l) }._1
+      }
+    }
+    val want = lbl.groupBy(_._2).toSeq
+      .map { case (c, ns) => (c, ns.size.toLong, ns.keys.min) }
+      .sortBy(_._1)
+    assert(got.toSeq == want, "sync argmax-with-min-tie labels must replay exactly")
+    // refinement: every LPA community lives inside one connected component
+    val par = scala.collection.mutable.HashMap.empty[Long, Long]
+    def find(x: Long): Long = {
+      var r = x
+      while (par.getOrElse(r, r) != r) { par(r) = par.getOrElse(par(r), par(r)); r = par(r) }
+      r
+    }
+    strongPairs.keySet.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) par(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    lbl.groupBy(_._2).values.foreach { members =>
+      assert(members.keys.map(find).toSet.size == 1,
+        "a community must never span two components")
+    }
+  }
+
   test("bounded weighted shortest paths match an in-memory 4-round relaxation") {
     val got = Graph.qShortestPath(spark, sf).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap

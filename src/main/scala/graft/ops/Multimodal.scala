@@ -95,6 +95,43 @@ object Multimodal extends QueryModule {
       .select(col("doc_id"), col("meta"), col("frames"),
         size(col("frames")).as("n_sampled"))
 
+  val ShardBytes = 65536L
+
+  /** WebDataset-style shard manifest: pack the binary payloads, in doc_id
+    * order, into 64 KiB byte-stripes — shard(doc) = ⌊byte-offset / 64 Ki⌋
+    * over the running payload size — and ship the per-shard manifest
+    * (doc count, bytes, id range) a training loader mounts. The offset
+    * rule is the deterministic streaming-tar packing (a doc whose payload
+    * straddles a stripe boundary belongs to the stripe its first byte
+    * lands in); the manifest is what makes shards addressable without
+    * opening them.
+    *
+    * Scale shape: the running byte offset is the CHUNKED-PREFIX pattern
+    * (Behavior.qRfm discipline) — per-1000-doc-id chunk sums broadcast
+    * back as offsets, the within-chunk running sum windows over ≤ 1000
+    * rows — never a global single-task window; the manifest aggregation
+    * is |shards| rows. */
+  def qShardManifest(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val d = withBinary(spark, dir)
+      .select(col("doc_id"), col("meta.n_bytes").cast("long").as("nb"))
+      .withColumn("chunk", expr("div(doc_id, 1000)"))
+    val byChunk = Window.orderBy(col("chunk"))
+    val offs = d.groupBy(col("chunk")).agg(sum(col("nb")).as("cb"))
+      .withColumn("off", coalesce(sum(col("cb")).over(
+        byChunk.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("chunk"), col("off"))
+    val inChunk = Window.partitionBy(col("chunk")).orderBy(col("doc_id"))
+    d.join(broadcast(offs), Seq("chunk"))
+      .withColumn("offset", col("off") + coalesce(sum(col("nb")).over(
+        inChunk.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("shard_id", expr(s"div(offset, ${ShardBytes}L)"))
+      .groupBy(col("shard_id"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("nb")).as("shard_bytes"),
+        min(col("doc_id")).as("min_doc"), max(col("doc_id")).as("max_doc"))
+      .orderBy(col("shard_id"))
+  }
+
   /** Metadata projection — the oracle-checkable face of the binary schema. */
   def qMultimodalMeta(spark: SparkSession, dir: String): DataFrame =
     withBinary(spark, dir)
@@ -243,9 +280,24 @@ object Multimodal extends QueryModule {
     "q_multimodal_meta" -> (qMultimodalMeta _),
     "q_multimodal_frames" -> (qMultimodalFrames _),
     "q_multimodal_phash" -> (qMultimodalPhash _),
+    "q_shard_manifest" -> (qShardManifest _),
   )
 
   val oracle: Map[String, String] = Map(
+    "q_shard_manifest" ->
+      s"""WITH d AS (
+        |  SELECT doc_id, CAST(OCTET_LENGTH(ENCODE(text)) AS BIGINT) AS nb
+        |  FROM documents),
+        |o AS (
+        |  SELECT doc_id, nb,
+        |         CAST(COALESCE(SUM(nb) OVER (ORDER BY doc_id
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |           AS BIGINT) AS "offset"
+        |  FROM d)
+        |SELECT "offset" // $ShardBytes AS shard_id, COUNT(*) AS n_docs,
+        |       CAST(SUM(nb) AS BIGINT) AS shard_bytes,
+        |       MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc
+        |FROM o GROUP BY 1 ORDER BY shard_id""".stripMargin,
     "q_multimodal_meta" ->
       s"""SELECT doc_id, 'application/octet-stream' AS mime,
         |       OCTET_LENGTH(ENCODE(text)) AS n_bytes,

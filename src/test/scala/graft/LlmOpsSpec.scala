@@ -783,6 +783,27 @@ class LlmOpsSpec extends SparkSpec {
     }
   }
 
+  test("shard manifest: replays the running-offset packing; bytes conserved, ranges disjoint") {
+    val got = Multimodal.qShardManifest(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    val docs = Tables.documents(spark, sf).select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1).getBytes("UTF-8").length.toLong))
+      .sortBy(_._1)
+    var off = 0L
+    val assign = docs.map { case (id, nb) =>
+      val shard = off / 65536L; off += nb; (shard, id, nb)
+    }
+    val want = assign.groupBy(_._1).toSeq.map { case (s, xs) =>
+      (s, xs.length.toLong, xs.map(_._3).sum, xs.map(_._2).min, xs.map(_._2).max)
+    }.sortBy(_._1)
+    assert(got.toSeq == want, "manifest must replay the streaming-tar offset rule")
+    assert(got.map(_._3).sum == docs.map(_._2).sum, "no byte lost or duplicated")
+    // id ranges are disjoint and ordered: packing in doc_id order
+    assert(got.sliding(2).forall {
+      case Array(a, b) => a._5 < b._4; case _ => true
+    })
+  }
+
   test("embed drift: centroid cosine recomputes from quantized integer means") {
     val got = Similarity.qEmbedDrift(spark, sf).collect()
       .map(r => (r.getInt(0), r.getLong(1), r.getLong(2),

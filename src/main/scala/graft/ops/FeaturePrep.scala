@@ -277,7 +277,49 @@ object FeaturePrep extends QueryModule {
       .orderBy(col("o_orderpriority"))
   }
 
+  /** Deterministic negative sampling for implicit-feedback training pairs
+    * (the recommender / contrastive-learning data op): per purchasing
+    * customer, 8 parts they did NOT buy, drawn by hashing
+    * 'neg:user:slot' into the contiguous part-key space, rejecting
+    * collisions with the user's positives, and keeping the first 8
+    * surviving slots — all of it a pure function of (user, slot), so
+    * re-runs and repartitions emit the identical pair set and the oracle
+    * replays it hash-for-hash. 16 slots for 8 keeps leave the emptying
+    * probability negligible at real positive/catalog ratios; a user with
+    * fewer survivors emits fewer — identically in both engines.
+    *
+    * Scale shape: this is a corpus TRANSFORM, not a serving lookup — the
+    * per-user work rides keyed joins end to end (positives via one
+    * orderkey join + distinct; the ×16 slot expansion broadcasts a 16-row
+    * dim against the distinct-user table; the rejection is one left-anti
+    * join on the high-cardinality (user, item) key; the keep-first-8
+    * window partitions by user, ≤ 16 rows each). Nothing broadcasts
+    * anything that grows with the corpus. */
+  def qNegativeSampling(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val li = Tables.lineitem(spark, dir).select(col("l_orderkey"), col("l_partkey"))
+    val o = Tables.orders(spark, dir)
+      .select(col("o_orderkey").as("l_orderkey"), col("o_custkey").as("u"))
+    val pos = li.join(o, "l_orderkey")
+      .select(col("u"), col("l_partkey").as("item")).distinct()
+    val np = Tables.part(spark, dir).agg((max(col("p_partkey")) + 1).as("np"))
+    val ks = spark.range(0, 16).select(col("id").cast("int").as("k"))
+    val cand = pos.select(col("u")).distinct()
+      .crossJoin(broadcast(ks))
+      .crossJoin(broadcast(np))
+      .withColumn("item", expr(
+        "CAST(conv(substring(md5(concat('neg:', CAST(u AS STRING), ':', " +
+          "CAST(k AS STRING))), 1, 15), 16, 10) AS BIGINT) % np"))
+    cand.join(pos, Seq("u", "item"), "left_anti")
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("u")).orderBy(col("k"))))
+      .filter(col("rk") <= 8)
+      .select(col("u"), col("rk"), col("k"), col("item").as("neg_item"))
+      .orderBy(col("u"), col("rk"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_negative_sampling" -> (qNegativeSampling _),
     "q_woe_encode"    -> (qWoeEncode _),
     "q_target_encode" -> (qTargetEncode _),
     "q_feature_scale" -> (qFeatureScale _),
@@ -288,6 +330,27 @@ object FeaturePrep extends QueryModule {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_negative_sampling" ->
+      """WITH pos AS (
+        |  SELECT DISTINCT o.o_custkey AS u, l.l_partkey AS item
+        |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
+        |np AS (SELECT MAX(p_partkey) + 1 AS np FROM part),
+        |ks AS (SELECT CAST(range AS INT) AS k FROM range(0, 16)),
+        |cand AS (
+        |  SELECT uu.u, ks.k,
+        |         CAST('0x' || SUBSTR(MD5('neg:' || CAST(uu.u AS VARCHAR) || ':' ||
+        |              CAST(ks.k AS VARCHAR)), 1, 15) AS BIGINT) % np.np AS item
+        |  FROM (SELECT DISTINCT u FROM pos) uu CROSS JOIN ks CROSS JOIN np),
+        |neg AS (
+        |  SELECT c.* FROM cand c
+        |  WHERE NOT EXISTS (SELECT 1 FROM pos p
+        |                    WHERE p.u = c.u AND p.item = c.item)),
+        |r AS (
+        |  SELECT u, k, item,
+        |         ROW_NUMBER() OVER (PARTITION BY u ORDER BY k) AS rk
+        |  FROM neg)
+        |SELECT u, rk, k, item AS neg_item
+        |FROM r WHERE rk <= 8 ORDER BY u, rk""".stripMargin,
     "q_woe_encode" ->
       """WITH cat AS (
         |  SELECT o_orderpriority,

@@ -191,6 +191,33 @@ class FeaturePrepSpec extends SparkSpec {
     assert(cos > 0.99, s"alignment $cos")
   }
 
+  test("negative_sampling: negatives never collide with positives, <=8 per user, deterministic") {
+    val rows = FeaturePrep.qNegativeSampling(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val pos = spark.read.parquet(s"$sf/lineitem.parquet")
+      .join(spark.read.parquet(s"$sf/orders.parquet"),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_custkey"), col("l_partkey"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val np = spark.read.parquet(s"$sf/part.parquet")
+      .agg(max(col("p_partkey"))).collect()(0).getLong(0) + 1
+    rows.foreach { r =>
+      val (u, item) = (r.getLong(0), r.getLong(3))
+      assert(!pos.contains((u, item)), s"negative collides with a positive: ($u,$item)")
+      assert(item >= 0 && item < np, s"negative outside catalog: $item")
+    }
+    // per-user caps + rank contiguity (1..n, n <= 8)
+    rows.groupBy(_.getLong(0)).foreach { case (u, rs) =>
+      val rks = rs.map(_.getInt(1)).sorted.toList
+      assert(rks == (1 to rks.length).toList, s"ranks not contiguous for $u")
+      assert(rks.length <= 8)
+    }
+    // determinism: a second evaluation emits the identical pair set
+    val again = FeaturePrep.qNegativeSampling(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getLong(3))).toSet
+    assert(again == rows.map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getLong(3))).toSet)
+  }
+
   private def dot(a: Array[Double], b: Array[Double]): Double =
     a.zip(b).map { case (x, y) => x * y }.sum
 

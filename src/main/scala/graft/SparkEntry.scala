@@ -9,7 +9,7 @@ object SparkEntry {
   /** All operator modules; each contributes query keys from SURVEY.md §2. */
   private val modules: Seq[QueryModule] = Seq(Relational, Joins, Aggregations, Windows, SetOps, Functions,
       StreamingShaped, Dedup, Similarity, TextAnalysis, Multimodal, Reshape, Corpus,
-      EventAnalytics, Profiling, Graph, Behavior, FeaturePrep)
+      EventAnalytics, Profiling, Graph, Behavior, FeaturePrep, Evaluation)
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     modules.map(_.queries).reduce(_ ++ _)

@@ -621,7 +621,44 @@ object EventAnalytics extends QueryModule {
       .orderBy(col("stage"))
   }
 
+  /** MATCH_RECOGNIZE-lite sequence-pattern census: encode each user's
+    * event history as a path string (one char per event — c/e/p/s/v —
+    * ordered by (ts, event_id), the house tie-break) and count users whose
+    * path matches each of three behavioral regexes: the strict funnel
+    * (view…click…purchase with no intervening purchase), error-then-
+    * recovery (an error later followed by a purchase), and bounce (a
+    * single event). The regexes use only literal classes/stars, the
+    * fragment of the language where Java regex and RE2 agree
+    * character-for-character.
+    *
+    * Scale shape: one per-user sort_array(collect_list) — per-user state
+    * bounded by that user's history, the same contract as sessionize —
+    * then a 3-row pattern dim CROSS-broadcast over the per-user paths and
+    * a map-side-combinable rollup to 3 rows. No corpus-sized window, no
+    * driver loop. */
+  def qSeqPattern(spark: SparkSession, dir: String): DataFrame = {
+    val paths = Tables.events(spark, dir)
+      .select(col("user_id"), col("ts"), col("event_id"),
+        substring(col("event_type"), 1, 1).as("c"))
+      .groupBy(col("user_id"))
+      .agg(concat_ws("", expr(
+        "transform(array_sort(collect_list(struct(ts, event_id, c))), x -> x.c)"))
+        .as("path"))
+    val pats = paths.sparkSession.createDataFrame(Seq(
+      ("funnel_vcp", "^.*v[^p]*c[^p]*p.*$"),
+      ("error_recovery", "^.*e.*p.*$"),
+      ("bounce", "^.$"))).toDF("pattern", "re")
+    paths.crossJoin(broadcast(pats))
+      .groupBy(col("pattern"))
+      .agg(count(lit(1)).as("n_users"),
+        sum(when(expr("regexp_like(path, re)"), 1L).otherwise(0L)).as("n_match"))
+      .withColumn("match_rate",
+        col("n_match").cast("double") / col("n_users").cast("double"))
+      .orderBy(col("pattern"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_seq_pattern"    -> (qSeqPattern _),
     "q_funnel_window" -> (qFunnelWindow _),
     "q_ohlc" -> (qOhlc _),
     "q_active_users" -> (qActiveUsers _),
@@ -671,6 +708,22 @@ object EventAnalytics extends QueryModule {
       |  FROM ver GROUP BY user_id, version)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "q_seq_pattern" ->
+      """WITH p AS (
+        |  SELECT user_id,
+        |         STRING_AGG(SUBSTR(event_type, 1, 1), '' ORDER BY ts, event_id) AS path
+        |  FROM events GROUP BY user_id),
+        |pats AS (
+        |  SELECT * FROM (VALUES
+        |    ('funnel_vcp', '^.*v[^p]*c[^p]*p.*$'),
+        |    ('error_recovery', '^.*e.*p.*$'),
+        |    ('bounce', '^.$')) AS t(pattern, re))
+        |SELECT pattern, COUNT(*) AS n_users,
+        |       CAST(SUM(CASE WHEN REGEXP_MATCHES(path, re) THEN 1 ELSE 0 END) AS BIGINT) AS n_match,
+        |       CAST(SUM(CASE WHEN REGEXP_MATCHES(path, re) THEN 1 ELSE 0 END) AS DOUBLE)
+        |         / CAST(COUNT(*) AS DOUBLE) AS match_rate
+        |FROM p CROSS JOIN pats
+        |GROUP BY pattern ORDER BY pattern""".stripMargin,
     "q_funnel_window" ->
       """WITH e AS (
         |  SELECT user_id, event_type, event_id, epoch_us(ts) AS tsm

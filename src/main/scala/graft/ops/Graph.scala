@@ -434,7 +434,69 @@ object Graph extends QueryModule {
       .orderBy(col("community"))
   }
 
+  /** 2-round integer HITS (Kleinberg hubs/authorities) over the directed
+    * co-purchase graph. Start h₀ = 1024 per node; each round is
+    * a ← Σ_in h, h ← Σ_out a, each immediately rescaled by `div 1024` —
+    * the rescale replaces the float L2 normalization with a deterministic
+    * integer shift, bounding value growth at ~d² per round so BIGINT holds
+    * even on 10⁵-degree hubs (d²·2¹⁰ per round ≪ 2⁶³).
+    *
+    * Scale shape: same as PageRank — the edge table is the only
+    * corpus-sized operand, every step is one equi-join + one map-side-
+    * combinable groupBy on node ids, and the final top-100 is a
+    * TakeOrdered, not a full sort. */
+  def qHits(spark: SparkSession, dir: String): DataFrame = {
+    val e = edges(spark, dir)
+    val nodes = e.select(col("src").as("node")).union(e.select(col("dst")))
+      .distinct()
+    var h = nodes.withColumn("h", lit(1024L))
+    var a: DataFrame = null
+    for (_ <- 1 to 2) {
+      a = e.join(h, e("src") === h("node"))
+        .groupBy(col("dst")).agg(expr("sum(h) div 1024").as("a"))
+        .select(col("dst").as("node"), col("a"))
+      h = e.join(a, e("dst") === a("node"))
+        .groupBy(col("src")).agg(expr("sum(a) div 1024").as("h"))
+        .select(col("src").as("node"), col("h"))
+    }
+    a.join(h, Seq("node"), "full_outer")
+      .select(col("node"), coalesce(col("a"), lit(0L)).as("authority"),
+        coalesce(col("h"), lit(0L)).as("hub"))
+      .orderBy(col("authority").desc, col("node"))
+      .limit(100)
+  }
+
+  /** 3-round k-core peel (k = 3) over the co-purchase graph: repeatedly
+    * drop nodes whose current degree is below k and restrict the edge set
+    * to survivors — after each round the census (nodes, directed edges)
+    * shows the shrinking candidate core. Three rounds are unrolled (the
+    * fixpoint needs O(peel depth); the round census itself is the
+    * deliverable — a monotone curve whose flattening certifies
+    * convergence, same contract as the unrolled LPA/SSSP keys).
+    *
+    * Scale shape per round: one map-side-combinable degree count, one
+    * semi-join of edges against the ≥k node set on each endpoint — all
+    * hash equi-joins on node ids, nothing corpus-broadcast. */
+  def qKcore(spark: SparkSession, dir: String): DataFrame = {
+    val k = 3
+    var e = edges(spark, dir)
+    val rounds = (1 to 3).map { round =>
+      val keep = e.groupBy(col("src")).agg(count(lit(1)).as("d"))
+        .filter(col("d") >= k).select(col("src").as("node"))
+      e = e.join(keep.withColumnRenamed("node", "src"), "src")
+        .join(keep.withColumnRenamed("node", "dst"), "dst")
+        .select(col("src"), col("dst"))
+      e.agg(countDistinct(col("src")).as("n_nodes"), count(lit(1)).as("n_edges"))
+        .withColumn("round", lit(round.toLong))
+    }
+    rounds.reduce(_ unionByName _)
+      .select(col("round"), col("n_nodes"), col("n_edges"))
+      .orderBy(col("round"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_kcore"         -> (qKcore _),
+    "q_hits"          -> (qHits _),
     "q_community_lpa" -> (qCommunityLpa _),
     "q_pagerank"      -> (qPagerank _),
     "q_triangle"      -> (qTriangle _),
@@ -445,6 +507,52 @@ object Graph extends QueryModule {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_kcore" ->
+      """WITH e0 AS (
+        |  SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+        |  FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+        |  WHERE a.l_partkey <> b.l_partkey),
+        |k1 AS (SELECT src AS node FROM e0 GROUP BY src HAVING COUNT(*) >= 3),
+        |e1 AS (SELECT e.src, e.dst FROM e0 e
+        |       JOIN k1 a ON e.src = a.node JOIN k1 b ON e.dst = b.node),
+        |k2 AS (SELECT src AS node FROM e1 GROUP BY src HAVING COUNT(*) >= 3),
+        |e2 AS (SELECT e.src, e.dst FROM e1 e
+        |       JOIN k2 a ON e.src = a.node JOIN k2 b ON e.dst = b.node),
+        |k3 AS (SELECT src AS node FROM e2 GROUP BY src HAVING COUNT(*) >= 3),
+        |e3 AS (SELECT e.src, e.dst FROM e2 e
+        |       JOIN k3 a ON e.src = a.node JOIN k3 b ON e.dst = b.node)
+        |SELECT * FROM (
+        |  SELECT CAST(1 AS BIGINT) AS round, COUNT(DISTINCT src) AS n_nodes, COUNT(*) AS n_edges FROM e1
+        |  UNION ALL
+        |  SELECT CAST(2 AS BIGINT), COUNT(DISTINCT src), COUNT(*) FROM e2
+        |  UNION ALL
+        |  SELECT CAST(3 AS BIGINT), COUNT(DISTINCT src), COUNT(*) FROM e3)
+        |ORDER BY round""".stripMargin,
+    "q_hits" ->
+      """WITH e AS (
+        |  SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+        |  FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+        |  WHERE a.l_partkey <> b.l_partkey),
+        |h0 AS (
+        |  SELECT node, CAST(1024 AS BIGINT) AS h FROM (
+        |    SELECT src AS node FROM e UNION SELECT dst FROM e)),
+        |a1 AS (
+        |  SELECT e.dst AS node, SUM(h.h) // 1024 AS a
+        |  FROM e JOIN h0 h ON e.src = h.node GROUP BY e.dst),
+        |h1 AS (
+        |  SELECT e.src AS node, SUM(a.a) // 1024 AS h
+        |  FROM e JOIN a1 a ON e.dst = a.node GROUP BY e.src),
+        |a2 AS (
+        |  SELECT e.dst AS node, SUM(h.h) // 1024 AS a
+        |  FROM e JOIN h1 h ON e.src = h.node GROUP BY e.dst),
+        |h2 AS (
+        |  SELECT e.src AS node, SUM(a.a) // 1024 AS h
+        |  FROM e JOIN a2 a ON e.dst = a.node GROUP BY e.src)
+        |SELECT COALESCE(a2.node, h2.node) AS node,
+        |       CAST(COALESCE(a2.a, 0) AS BIGINT) AS authority,
+        |       CAST(COALESCE(h2.h, 0) AS BIGINT) AS hub
+        |FROM a2 FULL OUTER JOIN h2 ON a2.node = h2.node
+        |ORDER BY authority DESC, node LIMIT 100""".stripMargin,
     "q_community_lpa" ->
       """WITH pairs AS (
         |  SELECT a.l_partkey AS u, b.l_partkey AS v

@@ -385,7 +385,35 @@ object Relational extends QueryModule {
       .orderBy(col("tbl"))
   }
 
+  /** Z-order (Morton) clustering audit over the orders fact — the
+    * data-layout decision a lakehouse writer makes before a big rewrite:
+    * interleave 4 customer-bucket bits with 4 order-month bits into an
+    * 8-bit z-value, assign 16 z-contiguous files, and report per file the
+    * row count, z-range, and how many distinct (customer-bucket,
+    * month-bucket) cells it holds — the locality evidence that a reader
+    * filtering on EITHER dimension prunes ~√files instead of all of them.
+    * Pure integer bit arithmetic (shift/mask/sum), identical in both
+    * engines; one map-side-combinable rollup to 16 rows — at 100 TB the
+    * same audit runs as a side output of the actual clustered write
+    * (`q_sink_compact` is the single-dimension sibling). */
+  def qZorder(spark: SparkSession, dir: String): DataFrame = {
+    Tables.orders(spark, dir)
+      .withColumn("cb", expr("o_custkey % 16"))
+      .withColumn("tb", expr("(year(o_orderdate) * 12 + month(o_orderdate)) % 16"))
+      .withColumn("z", expr(
+        """(cb % 2) * 2 + (tb % 2)
+          | + (shiftright(cb, 1) % 2) * 8 + (shiftright(tb, 1) % 2) * 4
+          | + (shiftright(cb, 2) % 2) * 32 + (shiftright(tb, 2) % 2) * 16
+          | + (shiftright(cb, 3) % 2) * 128 + (shiftright(tb, 3) % 2) * 64""".stripMargin))
+      .withColumn("file_id", expr("z div 16"))
+      .groupBy(col("file_id"))
+      .agg(count(lit(1)).as("n"), min(col("z")).as("z_min"), max(col("z")).as("z_max"),
+        countDistinct(col("cb"), col("tb")).as("n_cells"))
+      .orderBy(col("file_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_zorder" -> (qZorder _),
     "q_schema_evolution" -> (qSchemaEvolution _),
     "q_purge_cascade" -> (qPurgeCascade _),
     "q_sink_partition_prune" -> (qSinkPartitionPrune _),
@@ -406,6 +434,22 @@ object Relational extends QueryModule {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_zorder" ->
+      """WITH b AS (
+        |  SELECT o_custkey % 16 AS cb,
+        |         (YEAR(o_orderdate) * 12 + MONTH(o_orderdate)) % 16 AS tb
+        |  FROM orders),
+        |z AS (
+        |  SELECT cb, tb,
+        |         (cb % 2) * 2 + (tb % 2)
+        |         + ((cb >> 1) % 2) * 8 + ((tb >> 1) % 2) * 4
+        |         + ((cb >> 2) % 2) * 32 + ((tb >> 2) % 2) * 16
+        |         + ((cb >> 3) % 2) * 128 + ((tb >> 3) % 2) * 64 AS z
+        |  FROM b)
+        |SELECT z // 16 AS file_id, COUNT(*) AS n,
+        |       CAST(MIN(z) AS BIGINT) AS z_min, CAST(MAX(z) AS BIGINT) AS z_max,
+        |       COUNT(DISTINCT (cb, tb)) AS n_cells
+        |FROM z GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_schema_evolution" ->
       """WITH ev AS (
         |  SELECT value, make_timestamp(epoch_us(ts)) AS ts FROM events)

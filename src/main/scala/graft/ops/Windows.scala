@@ -423,7 +423,37 @@ object Windows extends QueryModule {
       .orderBy(col("d"))
   }
 
+  /** Skyline (Pareto frontier) of the part catalog — minimize retail price,
+    * maximize size: a part survives iff nothing is both cheaper-or-equal
+    * and bigger-or-equal with one strict. Classic multi-objective OLAP
+    * (Börzsönyi et al., ICDE 2001), decomposed so no operator ever owns a
+    * corpus-sized total order: dominance only depends on the DISTINCT-PRICE
+    * profile — bs(p) = max size at price p (map-side-combinable rollup,
+    * cardinality bounded by the price DOMAIN, not the corpus) and
+    * pm(p) = max size at any strictly cheaper price (one prefix-max window
+    * over that domain-bounded profile). A row survives iff
+    * sz = bs(pc) AND sz > pm(pc) (ties at the same (price, size) point
+    * dominate nothing strictly, so they all survive — same in both
+    * engines). The profile then BROADCASTS (domain-bounded, not a corpus
+    * fraction) back onto the base scan: one map-only filter, no self-join,
+    * no per-row window. */
+  def qSkyline(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val p = Tables.part(spark, dir)
+      .select(col("p_partkey"),
+        expr("CAST(round(p_retailprice * 100) AS BIGINT)").as("pc"),
+        col("p_size").cast("long").as("sz"))
+    val prof = p.groupBy(col("pc")).agg(max(col("sz")).as("bs"))
+      .withColumn("pm", max(col("bs")).over(
+        Window.orderBy(col("pc")).rowsBetween(Window.unboundedPreceding, -1)))
+    p.join(broadcast(prof), "pc")
+      .filter(col("sz") === col("bs") && (col("pm").isNull || col("sz") > col("pm")))
+      .select(col("p_partkey"), col("pc"), col("sz"))
+      .orderBy(col("pc"), col("p_partkey"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_skyline"        -> (qSkyline _),
     "q_win_slope"      -> (qWinSlope _),
     "q_rolling_corr"   -> (qRollingCorr _),
     "q_win_rank"       -> (qWinRank _),
@@ -444,6 +474,20 @@ object Windows extends QueryModule {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_skyline" ->
+      """WITH p AS (
+        |  SELECT p_partkey, CAST(ROUND(p_retailprice * 100) AS BIGINT) AS pc,
+        |         CAST(p_size AS BIGINT) AS sz
+        |  FROM part),
+        |prof AS (
+        |  SELECT pc, MAX(sz) AS bs,
+        |         MAX(MAX(sz)) OVER (ORDER BY pc
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm
+        |  FROM p GROUP BY pc)
+        |SELECT p.p_partkey, p.pc, p.sz
+        |FROM p JOIN prof ON p.pc = prof.pc
+        |WHERE p.sz = prof.bs AND (prof.pm IS NULL OR p.sz > prof.pm)
+        |ORDER BY p.pc, p.p_partkey""".stripMargin,
     "q_rolling_corr" ->
       """WITH daily AS (
         |  SELECT event_type, CAST(ts AS DATE) AS d,

@@ -442,4 +442,24 @@ class EventAnalyticsSpec extends SparkSpec {
       "same-timestamp tie must resolve by event_id")
     assert(d2.getAs[Long]("mean_micro") == 8000000L)
   }
+
+  test("seq_pattern: per-user path strings and regex matches replay in plain Scala") {
+    val rows = graft.ops.EventAnalytics.qSeqPattern(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(rows.keySet == Set("funnel_vcp", "error_recovery", "bounce"))
+    val ev = Tables.events(spark, sf)
+      .selectExpr("user_id", "unix_micros(ts)", "event_id", "substring(event_type,1,1)")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    val paths = ev.groupBy(_._1).map { case (_, es) =>
+      es.sortBy(e => (e._2, e._3)).map(_._4).mkString }
+    val pats = Map("funnel_vcp" -> "^.*v[^p]*c[^p]*p.*$",
+      "error_recovery" -> "^.*e.*p.*$", "bounce" -> "^.$")
+    pats.foreach { case (name, re) =>
+      val m = paths.count(_.matches(re)).toLong
+      val (nu, nm, rate) = rows(name)
+      assert(nu == paths.size.toLong, s"n_users for $name")
+      assert(nm == m, s"n_match for $name")
+      assert(rate == m.toDouble / paths.size.toDouble)
+    }
+  }
 }

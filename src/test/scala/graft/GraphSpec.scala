@@ -221,4 +221,57 @@ class GraphSpec extends SparkSpec {
     assert(got == want.toMap.map { case (k, v) => k -> v })
     assert(got(0) == seeds.size.toLong && got.values.sum <= adj.keySet.size.toLong)
   }
+
+  test("hits: authorities/hubs replay the integer iterations in plain Scala") {
+    val rows = graft.ops.Graph.qHits(spark, sf).collect()
+    assert(rows.nonEmpty && rows.length <= 100)
+    val li = spark.read.parquet(s"$sf/lineitem.parquet")
+      .select(org.apache.spark.sql.functions.col("l_orderkey"),
+        org.apache.spark.sql.functions.col("l_partkey"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val edges = (for {
+      (o1, p1) <- li; (o2, p2) <- li
+      if o1 == o2 && p1 != p2
+    } yield (p1, p2)).distinct
+    var h = edges.flatMap(e => Seq(e._1, e._2)).distinct.map(_ -> 1024L).toMap
+    var a = Map.empty[Long, Long]
+    for (_ <- 1 to 2) {
+      a = edges.filter(e => h.contains(e._1)).groupBy(_._2)
+        .map { case (n, es) => n -> es.map(e => h(e._1)).sum / 1024 }
+      h = edges.filter(e => a.contains(e._2)).groupBy(_._1)
+        .map { case (n, es) => n -> es.map(e => a(e._2)).sum / 1024 }
+    }
+    rows.foreach { r =>
+      val n = r.getLong(0)
+      assert(r.getLong(1) == a.getOrElse(n, 0L), s"authority of $n")
+      assert(r.getLong(2) == h.getOrElse(n, 0L), s"hub of $n")
+    }
+    // output is the top-100 by (authority desc, node)
+    val top = (a.keySet ++ h.keySet).toSeq
+      .map(n => (n, a.getOrElse(n, 0L))).sortBy { case (n, av) => (-av, n) }
+      .take(100).map(_._1)
+    assert(rows.map(_.getLong(0)).toSeq == top)
+  }
+
+  test("kcore: round census matches an in-memory peel; curve is monotone") {
+    val rows = graft.ops.Graph.qKcore(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(rows.map(_._1).toList == List(1L, 2L, 3L))
+    val li = spark.read.parquet(s"$sf/lineitem.parquet")
+      .select(org.apache.spark.sql.functions.col("l_orderkey"),
+        org.apache.spark.sql.functions.col("l_partkey"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    var edges = (for { (o1, p1) <- li; (o2, p2) <- li if o1 == o2 && p1 != p2 }
+      yield (p1, p2)).distinct
+    val census = (1 to 3).map { _ =>
+      val deg = edges.groupBy(_._1).view.mapValues(_.size).toMap
+      val keep = deg.filter(_._2 >= 3).keySet
+      edges = edges.filter(e => keep(e._1) && keep(e._2))
+      (edges.map(_._1).distinct.length.toLong, edges.length.toLong)
+    }
+    rows.zip(census).foreach { case ((_, n, m), (wn, wm)) =>
+      assert(n == wn && m == wm)
+    }
+    assert(rows.map(_._2).toList == rows.map(_._2).sorted.reverse.toList, "node curve monotone")
+  }
 }

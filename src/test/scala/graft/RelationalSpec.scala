@@ -135,4 +135,25 @@ class RelationalSpec extends SparkSpec {
     assert(got.toSeq == want)
     assert(got.map(_._1).toSet.subsetOf(Set("insert", "delete", "update", "unchanged")))
   }
+
+  test("zorder: files partition the rows, z-ranges are disjoint, cells replay the interleave") {
+    val rows = graft.ops.Relational.qZorder(spark, sf).collect()
+    val ords = spark.read.parquet(s"$sf/orders.parquet")
+      .selectExpr("CAST(o_custkey % 16 AS BIGINT)", "CAST((year(o_orderdate)*12 + month(o_orderdate)) % 16 AS BIGINT)")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    def morton(cb: Long, tb: Long): Long =
+      (0 until 4).map(i => (((cb >> i) & 1) << (2 * i + 1)) | (((tb >> i) & 1) << (2 * i))).sum
+    val byFile = ords.map { case (cb, tb) => (morton(cb, tb) / 16, (cb, tb, morton(cb, tb))) }
+      .groupBy(_._1)
+    assert(rows.map(_.getLong(1)).sum == ords.length.toLong)
+    rows.foreach { r =>
+      val g = byFile(r.getLong(0)).map(_._2)
+      assert(r.getLong(1) == g.length.toLong)
+      assert(r.getLong(2) == g.map(_._3).min && r.getLong(3) == g.map(_._3).max)
+      assert(r.getLong(4) == g.map(x => (x._1, x._2)).distinct.length.toLong)
+    }
+    // z-contiguous files: ranges must not overlap
+    val ranges = rows.map(r => (r.getLong(2), r.getLong(3))).sortBy(_._1)
+    ranges.sliding(2).foreach { case Array((_, hi), (lo, _)) => assert(hi < lo); case _ => () }
+  }
 }

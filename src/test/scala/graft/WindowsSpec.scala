@@ -219,4 +219,17 @@ class WindowsSpec extends SparkSpec {
       assert(r.getDouble(3) >= -1.0 && r.getDouble(3) <= 1.0)
     }
   }
+
+  test("skyline: survivors are exactly the non-dominated parts (brute force)") {
+    val rows = graft.ops.Windows.qSkyline(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(rows.nonEmpty)
+    val parts = spark.read.parquet(s"$sf/part.parquet")
+      .selectExpr("p_partkey", "CAST(round(p_retailprice*100) AS BIGINT)", "CAST(p_size AS BIGINT)")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    def dominated(x: (Long, Long, Long)) = parts.exists(y =>
+      y._2 <= x._2 && y._3 >= x._3 && (y._2 < x._2 || y._3 > x._3))
+    val want = parts.filterNot(dominated).sortBy(p => (p._2, p._1))
+    assert(rows.toSeq == want.toSeq)
+  }
 }

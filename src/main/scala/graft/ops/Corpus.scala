@@ -345,7 +345,62 @@ object Corpus extends QueryModule {
       .orderBy(col("source"))
   }
 
+  /** BPE-trainer inner-loop statistics: the adjacent-character pair
+    * frequencies over the corpus vocabulary, each pair weighted by its
+    * word's corpus frequency — the exact table a byte-pair-encoding
+    * trainer argmaxes to pick its next merge. Emits the top-20 merge
+    * candidates (count desc, pair lexical).
+    *
+    * Scale shape: the corpus collapses to the DISTINCT-WORD table first
+    * (map-side-combinable rollup, cardinality bounded by the vocabulary,
+    * not the corpus), so the per-character explode — the expensive
+    * fan-out — runs once per TYPE, not once per token occurrence. Top-20
+    * is a TakeOrdered. */
+  def qBpePairStats(spark: SparkSession, dir: String): DataFrame = {
+    val words = Tables.documents(spark, dir)
+      .select(explode(split(lower(trim(col("text"))), " ")).as("w"))
+      .filter(col("w") =!= "")
+      .groupBy(col("w")).agg(count(lit(1)).as("wf"))
+      .filter(length(col("w")) >= 2)
+    words
+      .select(col("wf"), explode(expr(
+        "transform(sequence(1, length(w) - 1), i -> struct(substring(w, i, 1) AS l, substring(w, i + 1, 1) AS r))"))
+        .as("p"))
+      .groupBy(col("p.l").as("left"), col("p.r").as("right"))
+      .agg(sum(col("wf")).as("pair_count"))
+      .orderBy(col("pair_count").desc, col("left"), col("right"))
+      .limit(20)
+  }
+
+  /** Per-source quality scorecard — the table a crawl-inclusion decision
+    * reads: document count, exact mean length, short-doc rate (< 100
+    * chars), exact-duplicate rate (md5(text) seen more than once within
+    * the source), and language spread. Everything is integer counting up
+    * to single IEEE divisions; the dup census rides a map-side-combinable
+    * (source, hash) rollup on the high-cardinality hash key — no
+    * self-join, no corpus-wide distinct. */
+  def qSourceQuality(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+    val dups = d.groupBy(col("source"), md5(col("text")).as("h"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("source"))
+      .agg(sum(when(col("c") > 1, col("c")).otherwise(0L)).as("dup_docs"))
+    d.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"),
+        sum(when(col("n_chars") < 100, 1L).otherwise(0L)).as("short_docs"),
+        countDistinct(col("lang")).as("n_langs"))
+      .join(dups, "source")
+      .withColumn("mean_chars", col("sum_chars").cast("double") / col("n_docs").cast("double"))
+      .withColumn("short_rate", col("short_docs").cast("double") / col("n_docs").cast("double"))
+      .withColumn("dup_rate", col("dup_docs").cast("double") / col("n_docs").cast("double"))
+      .select(col("source"), col("n_docs"), col("n_langs"), col("mean_chars"),
+        col("short_rate"), col("dup_docs"), col("dup_rate"))
+      .orderBy(col("source"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_source_quality" -> (qSourceQuality _),
+    "q_bpe_pair_stats" -> (qBpePairStats _),
     "q_corpus_mixture" -> (qCorpusMixture _),
     "q_corpus_drift"  -> (qCorpusDrift _),
     "q_bm25"          -> (qBm25 _),
@@ -392,6 +447,39 @@ object Corpus extends QueryModule {
   }
 
   val oracle: Map[String, String] = Map(
+    "q_source_quality" ->
+      """WITH dups AS (
+        |  SELECT source,
+        |         CAST(SUM(CASE WHEN c > 1 THEN c ELSE 0 END) AS BIGINT) AS dup_docs
+        |  FROM (SELECT source, MD5(text) AS h, COUNT(*) AS c
+        |        FROM documents GROUP BY 1, 2)
+        |  GROUP BY source),
+        |g AS (
+        |  SELECT source, COUNT(*) AS n_docs,
+        |         CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+        |         CAST(SUM(CASE WHEN n_chars < 100 THEN 1 ELSE 0 END) AS BIGINT) AS short_docs,
+        |         COUNT(DISTINCT lang) AS n_langs
+        |  FROM documents GROUP BY source)
+        |SELECT g.source, g.n_docs, g.n_langs,
+        |       CAST(g.sum_chars AS DOUBLE) / CAST(g.n_docs AS DOUBLE) AS mean_chars,
+        |       CAST(g.short_docs AS DOUBLE) / CAST(g.n_docs AS DOUBLE) AS short_rate,
+        |       d.dup_docs,
+        |       CAST(d.dup_docs AS DOUBLE) / CAST(g.n_docs AS DOUBLE) AS dup_rate
+        |FROM g JOIN dups d ON g.source = d.source
+        |ORDER BY g.source""".stripMargin,
+    "q_bpe_pair_stats" ->
+      """WITH words AS (
+        |  SELECT w, COUNT(*) AS wf FROM (
+        |    SELECT UNNEST(STRING_SPLIT(LOWER(TRIM(text)), ' ')) AS w FROM documents)
+        |  WHERE w <> '' GROUP BY w),
+        |pairs AS (
+        |  SELECT SUBSTR(w, CAST(i AS INT), 1) AS "left",
+        |         SUBSTR(w, CAST(i AS INT) + 1, 1) AS "right", wf
+        |  FROM (SELECT w, wf, UNNEST(GENERATE_SERIES(1, LENGTH(w) - 1)) AS i
+        |        FROM words WHERE LENGTH(w) >= 2))
+        |SELECT "left", "right", CAST(SUM(wf) AS BIGINT) AS pair_count
+        |FROM pairs GROUP BY 1, 2
+        |ORDER BY pair_count DESC, "left", "right" LIMIT 20""".stripMargin,
     "q_corpus_mixture" ->
       """WITH census AS (
         |  SELECT source, COUNT(*) AS n_s FROM documents GROUP BY source),

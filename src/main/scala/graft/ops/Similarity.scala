@@ -784,7 +784,66 @@ object Similarity extends QueryModule {
       .orderBy(col("label"))
   }
 
+  /** Per-class confusion matrix + precision/recall/F1 for the transductive
+    * LSH-bucket classifier: each vector's 8-bit sign code (first 8
+    * [[planeWeights]] hyperplanes — the write-time bucket key) predicts the
+    * bucket-majority label (ties → smallest label). This is the evaluation
+    * table for the cheapest serving-side classifier the engine offers —
+    * the answer "how good is the bucket label" before paying for k-NN.
+    *
+    * Exactness: the sign codes are the oracle-shared integer-weighted dot
+    * signs; everything after is integer counting, and P/R/F1 are each ONE
+    * IEEE division of exact integers (F1 = 2tp/(2tp+fp+fn) — no
+    * divide-then-combine float chain).
+    *
+    * Scale shape: one map-side-combinable rollup to (256 buckets × C
+    * labels), then window/joins over that TINY profile only; the bucket →
+    * prediction map (≤ 256 rows) never rejoins the corpus — confusion
+    * counts come from the profile itself. */
+  def qConfusion(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val codeExpr = (0 until 8).map { h =>
+      val planes = planeWeights(h).mkString("array(", ", ", ")")
+      s"""(CASE WHEN aggregate(zip_with(embedding, $planes,
+         |  (x, w) -> CAST(x AS DOUBLE) * w), 0D, (a, b) -> a + b) > 0
+         |  THEN ${1 << h} ELSE 0 END)""".stripMargin
+    }.mkString("(", " + ", ")")
+    val prof = Tables.embeddings(spark, dir)
+      .filter(size(col("embedding")) === 64 && expr(normSqExpr) > 0)
+      .withColumn("bucket", expr(codeExpr))
+      .groupBy(col("bucket"), col("label")).agg(count(lit(1)).as("n"))
+    val pred = prof
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("bucket")).orderBy(col("n").desc, col("label"))))
+      .filter(col("rk") === 1)
+      .select(col("bucket"), col("label").as("pred"))
+    val cells = prof.join(pred, "bucket")
+      .groupBy(col("pred"), col("label")).agg(sum(col("n")).as("n"))
+    val classes = cells.select(col("label").as("cls")).distinct()
+    classes
+      .join(cells.filter(col("pred") === col("label"))
+        .select(col("label").as("cls"), col("n").as("tp")), Seq("cls"), "left")
+      .join(cells.filter(col("pred") =!= col("label"))
+        .groupBy(col("pred").as("cls")).agg(sum(col("n")).as("fp")), Seq("cls"), "left")
+      .join(cells.filter(col("pred") =!= col("label"))
+        .groupBy(col("label").as("cls")).agg(sum(col("n")).as("fn")), Seq("cls"), "left")
+      .select(col("cls"), coalesce(col("tp"), lit(0L)).as("tp"),
+        coalesce(col("fp"), lit(0L)).as("fp"), coalesce(col("fn"), lit(0L)).as("fn"))
+      .withColumn("precision",
+        when(col("tp") + col("fp") > 0,
+          col("tp").cast("double") / (col("tp") + col("fp")).cast("double")))
+      .withColumn("recall",
+        when(col("tp") + col("fn") > 0,
+          col("tp").cast("double") / (col("tp") + col("fn")).cast("double")))
+      .withColumn("f1",
+        when(col("tp") * 2 + col("fp") + col("fn") > 0,
+          (col("tp") * 2).cast("double")
+            / (col("tp") * 2 + col("fp") + col("fn")).cast("double")))
+      .orderBy(col("cls"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_confusion"          -> (qConfusion _),
     "q_embed_drift"        -> (qEmbedDrift _),
     "q_embed_quantize"     -> (qEmbedQuantize _),
     "q_knn_classify"       -> (qKnnClassify _),
@@ -954,6 +1013,44 @@ object Similarity extends QueryModule {
        |    FROM sub b JOIN $cbName c USING (s)) WHERE rn = 1""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "q_confusion" -> {
+      val codeSql = (0 until 8).map { h =>
+        val dot = planeWeights(h).zipWithIndex
+          .map { case (w, j) => s"v[${j + 1}] * ($w)" }.mkString(" + ")
+        s"(CASE WHEN $dot > 0 THEN ${1 << h} ELSE 0 END)"
+      }.mkString("(", " + ", ")")
+      s"""WITH e AS (
+        |  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        |  WHERE LEN(embedding) = 64
+        |    AND LIST_AGGREGATE(LIST_TRANSFORM(CAST(embedding AS DOUBLE[]), x -> x * x), 'sum') > 0),
+        |prof AS (
+        |  SELECT $codeSql AS bucket, label, COUNT(*) AS n
+        |  FROM e GROUP BY 1, 2),
+        |pred AS (
+        |  SELECT bucket, label AS pred FROM (
+        |    SELECT bucket, label,
+        |           ROW_NUMBER() OVER (PARTITION BY bucket ORDER BY n DESC, label) AS rk
+        |    FROM prof) WHERE rk = 1),
+        |cells AS (
+        |  SELECT p.pred, f.label, CAST(SUM(f.n) AS BIGINT) AS n
+        |  FROM prof f JOIN pred p ON f.bucket = p.bucket
+        |  GROUP BY p.pred, f.label),
+        |cls AS (SELECT DISTINCT label AS cls FROM cells),
+        |m AS (
+        |  SELECT c.cls,
+        |    COALESCE((SELECT n FROM cells WHERE pred = c.cls AND label = c.cls), 0) AS tp,
+        |    COALESCE((SELECT CAST(SUM(n) AS BIGINT) FROM cells
+        |              WHERE pred = c.cls AND label <> pred), 0) AS fp,
+        |    COALESCE((SELECT CAST(SUM(n) AS BIGINT) FROM cells
+        |              WHERE label = c.cls AND label <> pred), 0) AS fn
+        |  FROM cls c)
+        |SELECT cls, tp, fp, fn,
+        |  CASE WHEN tp + fp > 0 THEN CAST(tp AS DOUBLE) / CAST(tp + fp AS DOUBLE) END AS precision,
+        |  CASE WHEN tp + fn > 0 THEN CAST(tp AS DOUBLE) / CAST(tp + fn AS DOUBLE) END AS recall,
+        |  CASE WHEN tp * 2 + fp + fn > 0
+        |       THEN CAST(tp * 2 AS DOUBLE) / CAST(tp * 2 + fp + fn AS DOUBLE) END AS f1
+        |FROM m ORDER BY cls""".stripMargin
+    },
     "q_embed_drift" ->
       """WITH ex AS (
         |  SELECT label, vec_id % 2 = 0 AS h0,

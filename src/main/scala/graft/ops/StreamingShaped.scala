@@ -68,7 +68,28 @@ object StreamingShaped extends QueryModule {
       .orderBy(col("user_id"), col("l_ts"), col("r_ts"))
   }
 
+  /** Streaming dedup, batch twin (`dropDuplicatesWithinWatermark` shape):
+    * collapse duplicate (user, event_type) arrivals inside each 1-hour
+    * event-time bucket to the FIRST occurrence by (ts, event_id) — the
+    * at-least-once-delivery repair every ingest pipeline runs before
+    * counting. Emits the per-type census (kept vs dropped) the repair
+    * reports. In the live form the 1-hour bucket is the watermark horizon
+    * that lets state for closed hours be evicted; the batch twin realizes
+    * the identical keep-first semantics as one map-side-combinable
+    * min-aggregation on (user, type, hour) — no window function, no
+    * per-key total order beyond the group's own min. */
+  def qStreamDedup(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(col("user_id"), col("event_type"),
+        window(col("ts"), "1 hour").as("w"))
+      .agg(count(lit(1)).as("arrivals"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("kept"),
+        sum(col("arrivals") - 1).as("dropped"))
+      .orderBy(col("event_type"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_stream_dedup"   -> (qStreamDedup _),
     "q_stream_tumble"  -> (qStreamTumble _),
     "q_stream_slide"   -> (qStreamSlide _),
     "q_stream_session" -> (qStreamSession _),
@@ -76,6 +97,14 @@ object StreamingShaped extends QueryModule {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_stream_dedup" ->
+      """WITH b AS (
+        |  SELECT user_id, event_type, DATE_TRUNC('hour', ts) AS h,
+        |         COUNT(*) AS arrivals
+        |  FROM events GROUP BY 1, 2, 3)
+        |SELECT event_type, COUNT(*) AS kept,
+        |       CAST(SUM(arrivals - 1) AS BIGINT) AS dropped
+        |FROM b GROUP BY event_type ORDER BY event_type""".stripMargin,
     "q_stream_tumble" ->
       """SELECT TIME_BUCKET(INTERVAL '10 minutes', ts) AS wstart, event_type,
         |       COUNT(*) AS n, ROUND(SUM(value), 4) AS sum_value

@@ -51,6 +51,19 @@ object Streams {
       .withWatermark("ts", "10 minutes")
       .dropDuplicatesWithinWatermark("event_id")
 
+  /** Live twin of [[graft.ops.StreamingShaped.qStreamDedup]]: keep one
+    * arrival per (user, event_type, event-time hour), dropping re-deliveries
+    * while the hour's state is inside the watermark horizon. The kept-key
+    * CENSUS is arrival-order independent (it's the distinct-key count), so
+    * the e2e test replays a shuffled stream and asserts census equality
+    * with the batch twin; which PHYSICAL row survives is arrival order by
+    * design — the same at-least-once contract as the engine it models. */
+  def dedupFirstPerHour(events: DataFrame): DataFrame =
+    events
+      .withColumn("hour_bucket", date_trunc("hour", col("ts")))
+      .withWatermark("ts", "1 hour")
+      .dropDuplicatesWithinWatermark("user_id", "event_type", "hour_bucket")
+
   /** Custom state machine: per-user running value totals via
     * mapGroupsWithState — arbitrary state beyond what windowed aggregation
     * expresses (the hook for sessionization with business rules, running

@@ -349,4 +349,49 @@ class CorpusSpec extends SparkSpec {
     assert(bySize.head._5 >= bySize.last._5,
       "sqrt-temperature must not sample small sources at a lower rate than large ones")
   }
+
+  test("bpe_pair_stats: pair counts replay the type-weighted adjacency exactly") {
+    val rows = graft.ops.Corpus.qBpePairStats(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    assert(rows.length == 20)
+    val words = Tables.documents(spark, sf)
+      .select(org.apache.spark.sql.functions.explode(
+        org.apache.spark.sql.functions.split(
+          org.apache.spark.sql.functions.lower(
+            org.apache.spark.sql.functions.trim(
+              org.apache.spark.sql.functions.col("text"))), " ")).as("w"))
+      .collect().map(_.getString(0)).filter(_.nonEmpty)
+    val wf = words.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val counts = scala.collection.mutable.Map.empty[(String, String), Long]
+    wf.foreach { case (w, f) =>
+      if (w.length >= 2) w.sliding(2).foreach { p =>
+        val k = (p.substring(0, 1), p.substring(1, 2))
+        counts(k) = counts.getOrElse(k, 0L) + f
+      }
+    }
+    val want = counts.toSeq.sortBy { case ((l, r), c) => (-c, l, r) }.take(20)
+      .map { case ((l, r), c) => (l, r, c) }
+    assert(rows.toSeq == want)
+  }
+
+  test("source_quality: dup and short rates replay per source") {
+    val rows = graft.ops.Corpus.qSourceQuality(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val docs = Tables.documents(spark, sf)
+      .select(org.apache.spark.sql.functions.col("source"),
+        org.apache.spark.sql.functions.col("text"),
+        org.apache.spark.sql.functions.col("n_chars"),
+        org.apache.spark.sql.functions.col("lang"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getString(3)))
+    rows.foreach { r =>
+      val g = docs.filter(_._1 == r.getString(0))
+      assert(r.getLong(1) == g.length.toLong)
+      assert(r.getLong(2) == g.map(_._4).distinct.length.toLong)
+      assert(r.getDouble(3) == g.map(_._3).sum.toDouble / g.length.toDouble)
+      assert(r.getDouble(4) == g.count(_._3 < 100).toDouble / g.length.toDouble)
+      val dup = g.groupBy(_._2).values.filter(_.length > 1).map(_.length.toLong).sum
+      assert(r.getLong(5) == dup)
+      assert(r.getDouble(6) == dup.toDouble / g.length.toDouble)
+    }
+  }
 }

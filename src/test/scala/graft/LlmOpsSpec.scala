@@ -900,4 +900,44 @@ class LlmOpsSpec extends SparkSpec {
     // out-of-domain text scores strictly higher than in-domain
     assert(got.find(_._1 == 3L).get._4 > got.find(_._1 == 2L).get._4)
   }
+
+  test("confusion: per-class cells are consistent and replay the bucket-majority classifier") {
+    val rows = Similarity.qConfusion(spark, sf).collect()
+    assert(rows.nonEmpty)
+    // replay: buckets from the integer sign codes over the same planes
+    val e = Tables.embeddings(spark, sf)
+      .filter(size(col("embedding")) === 64)
+      .select(col("vec_id"), col("label"), col("embedding"))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getSeq[Float](2).toArray))
+      .filter { case (_, _, v) => v.map(x => x.toDouble * x.toDouble).sum > 0 }
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val planes = (0 until 8).map { h =>
+      (0 until 64).map { j =>
+        val hex = md.digest(s"$h:$j".getBytes("UTF-8")).map("%02x".format(_)).mkString
+        java.lang.Long.parseLong(hex.take(15), 16) % 1000 - 500
+      }
+    }
+    def bucket(v: Array[Float]): Int = (0 until 8).map { h =>
+      var acc = 0.0
+      (0 until 64).foreach(j => acc += v(j).toDouble * planes(h)(j))
+      if (acc > 0) 1 << h else 0
+    }.sum
+    val prof = e.groupBy(x => (bucket(x._3), x._2)).view.mapValues(_.length.toLong).toMap
+    val pred = prof.keySet.map(_._1).map { b =>
+      b -> prof.filter(_._1._1 == b).toSeq
+        .sortBy { case ((_, l), n) => (-n, l) }.head._1._2
+    }.toMap
+    val cells = e.groupBy(x => (pred(bucket(x._3)), x._2)).view.mapValues(_.length.toLong).toMap
+    rows.foreach { r =>
+      val c = r.getInt(0)
+      val tp = cells.getOrElse((c, c), 0L)
+      val fp = cells.filter { case ((p, l), _) => p == c && l != c }.values.sum
+      val fn = cells.filter { case ((p, l), _) => l == c && p != c }.values.sum
+      assert((r.getLong(1), r.getLong(2), r.getLong(3)) == ((tp, fp, fn)), s"cells for class $c")
+      if (tp + fp > 0) assert(r.getDouble(4) == tp.toDouble / (tp + fp).toDouble)
+      if (tp + fn > 0) assert(r.getDouble(5) == tp.toDouble / (tp + fn).toDouble)
+      if (2 * tp + fp + fn > 0)
+        assert(r.getDouble(6) == (2 * tp).toDouble / (2 * tp + fp + fn).toDouble)
+    }
+  }
 }

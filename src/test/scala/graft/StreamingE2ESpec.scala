@@ -268,4 +268,27 @@ class StreamingE2ESpec extends SparkSpec {
         "array(CAST(1 AS FLOAT), CAST(0 AS FLOAT))) AS c").collect()(0).getDouble(0)
     assert(math.abs(r - 1.0) < 1e-12)
   }
+
+  test("streamed keyed dedup census equals the batch twin under a shuffled replay") {
+    // shuffled single-drain replay: arrival order scrambled (md5 of
+    // event_id), every key still inside one watermark horizon, so the
+    // kept-key census must equal the batch keep-first twin exactly
+    val src = java.nio.file.Files.createTempDirectory("dedup-src")
+    val shuffled = Tables.events(spark, sf)
+      .select(col("user_id"), col("event_type"), col("ts"))
+      .orderBy(md5(expr("CAST(ts AS STRING)")), col("user_id"))
+    shuffled.coalesce(1).write.mode("overwrite").parquet(src.toString)
+    val stream = spark.readStream.schema(shuffled.schema).parquet(src.toString)
+    val q = Streams.dedupFirstPerHour(stream)
+      .writeStream.format("memory").queryName("e2e_dedup")
+      .outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    val streamedCensus = spark.table("e2e_dedup")
+      .groupBy(col("event_type")).agg(count(lit(1)).as("kept"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val batchCensus = graft.ops.StreamingShaped.qStreamDedup(spark, sf)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(streamedCensus == batchCensus,
+      s"kept census diverged: $streamedCensus vs $batchCensus")
+  }
 }

@@ -214,4 +214,21 @@ class StreamingSpec extends SparkSpec {
     assert(back.except(expected).count() == 0 && expected.except(back).count() == 0,
       "JDBC table must equal the batch aggregate of all events")
   }
+
+  test("stream_dedup: kept+dropped partition arrivals; keep-first within the hour") {
+    val rows = graft.ops.StreamingShaped.qStreamDedup(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val ev = Tables.events(spark, sf)
+      .selectExpr("user_id", "event_type", "date_trunc('hour', ts)")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.get(2).toString))
+    val byType = ev.groupBy(_._2)
+    rows.foreach { case (t, kept, dropped) =>
+      val g = byType(t)
+      val groups = g.groupBy(e => (e._1, e._3)).values.toSeq
+      assert(kept == groups.length.toLong)
+      assert(dropped == groups.map(_.length.toLong - 1).sum)
+      assert(kept + dropped == g.length.toLong)
+    }
+    assert(rows.map(x => x._2 + x._3).sum == ev.length.toLong)
+  }
 }

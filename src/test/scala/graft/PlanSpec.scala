@@ -275,4 +275,50 @@ class PlanSpec extends SparkSpec {
         s"$q: serving batch must carry the vec_id < $capLit cap in its plan")
     }
   }
+
+  test("q_vocab_coverage broadcasts the capped vocab and take-orders the cut") {
+    val plan = planOf(graft.ops.Evaluation.qVocabCoverage(spark, sf))
+    assert(plan.contains("TakeOrderedAndProject"),
+      "top-1000 vocab cut must be a TakeOrdered, not a global sort")
+    assert(plan.contains("BroadcastHashJoin"),
+      "the K-row vocab must broadcast into the token rollup")
+  }
+
+  test("q_skyline broadcasts the domain-bounded price profile — no self-join") {
+    val plan = planOf(graft.ops.Windows.qSkyline(spark, sf))
+    assert(plan.contains("BroadcastHashJoin"),
+      "profile must broadcast back onto the base scan")
+    assert(!plan.contains("SortMergeJoin"),
+      "skyline must not shuffle-join the corpus against itself")
+  }
+
+  test("q_zorder / q_calibration_bins / q_kappa are single-pass partial aggregations") {
+    for ((name, df) <- Seq(
+      "q_zorder" -> graft.ops.Relational.qZorder(spark, sf),
+      "q_calibration_bins" -> graft.ops.Evaluation.qCalibrationBins(spark, sf),
+      "q_kappa" -> graft.ops.Evaluation.qKappa(spark, sf))) {
+      val plan = planOf(df)
+      assert("HashAggregate".r.findAllIn(plan).length >= 2,
+        s"$name: expected partial+final aggregate pair")
+      assert(!plan.contains("SortMergeJoin") && !plan.contains("Window"),
+        s"$name must be join-free and window-free: a pure rollup")
+    }
+  }
+
+  test("q_auc's prefix window runs over the rollup output, never raw events") {
+    // the Window's child must be an aggregate (the (dow, cents) profile) —
+    // a Window directly over the scan would own corpus-sized partitions.
+    // Pinned on the optimized LOGICAL plan: AQE wraps the physical tree
+    // until execution, hiding WindowExec from a static collect.
+    val opt = graft.ops.Evaluation.qAuc(spark, sf).queryExecution.optimizedPlan
+    val windows = opt.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window => w }
+    assert(windows.nonEmpty, "expected one window for the prefix sum")
+    windows.foreach { w =>
+      val childAggs = w.child.collect {
+        case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate => a }
+      assert(childAggs.nonEmpty,
+        "window input must be the aggregated distinct-score profile")
+    }
+  }
 }

@@ -57,14 +57,23 @@ object Aggregations extends QueryModule {
     * emits the boolean; the oracle computes the exact count and emits
     * literal TRUE, so the hash matches iff the bound actually holds.
     * Output carries only exact integers and booleans — nothing
-    * float-divergent. The exact twin rides in the same aggregate (one
-    * shuffle); production pipelines that can't afford the exact side use
-    * the sketch alone and certify on a sample. */
+    * float-divergent. Production pipelines that can't afford the exact
+    * side use the sketch alone and certify on a sample.
+    *
+    * One corpus pass, no Expand: mixing `countDistinct` with a
+    * non-distinct aggregate makes Spark rewrite through an Expand that
+    * replays every row once per aggregate class (measured 3.8 s at
+    * sf0.1). Instead the (flag, part) pairs are deduped first — a
+    * map-side-combinable partial aggregate — and BOTH sides run over the
+    * distinct pairs: the exact count is a plain `count`, and HLL++ is
+    * duplicate-insensitive (re-inserting a value cannot move a register),
+    * so the sketch estimate is bit-identical to the raw-input sketch. */
   def qAggApproxDistinct(spark: SparkSession, dir: String): DataFrame =
     Tables.lineitem(spark, dir)
+      .select(col("l_returnflag"), col("l_partkey")).distinct()
       .groupBy(col("l_returnflag"))
       .agg(
-        countDistinct(col("l_partkey")).as("n_exact"),
+        count(lit(1)).as("n_exact"),
         approx_count_distinct(col("l_partkey"), 0.01).as("approx"))
       .select(col("l_returnflag"), col("n_exact"),
         (abs(col("approx") - col("n_exact"))

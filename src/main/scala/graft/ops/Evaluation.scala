@@ -111,7 +111,16 @@ object Evaluation extends QueryModule {
     * CDF of geometric(1/2), via `52 - length(bin(m))`), the sign a second
     * independent hash bit. No floating log anywhere, so no cross-libm ulp
     * risk. The per-type rollup is map-side combinable; the noise is a
-    * map-only expression over ≤ |event_type| rows. */
+    * map-only expression over ≤ |event_type| rows.
+    *
+    * NOT a privacy guarantee: the noise is seeded DETERMINISTICALLY from
+    * the released group key (md5 of event_type), so anyone can recompute
+    * and subtract it — deterministic per-key seeding voids the ε = ln 2
+    * DP claim entirely. This key validates the MECHANISM'S ARITHMETIC
+    * SHAPE cross-engine (inverse-CDF geometric sampling, sign split,
+    * integer release), which is exactly what an oracle can check; a real
+    * release must draw the magnitude and sign from secret per-run
+    * randomness, which is by construction not oracle-replayable. */
   def qDpNoise(spark: SparkSession, dir: String): DataFrame = {
     Tables.events(spark, dir)
       .groupBy(col("event_type")).agg(count(lit(1)).as("true_n"))

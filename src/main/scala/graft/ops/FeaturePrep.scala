@@ -302,13 +302,17 @@ object FeaturePrep extends QueryModule {
       .select(col("o_orderkey").as("l_orderkey"), col("o_custkey").as("u"))
     val pos = li.join(o, "l_orderkey")
       .select(col("u"), col("l_partkey").as("item")).distinct()
-    val np = Tables.part(spark, dir).agg((max(col("p_partkey")) + 1).as("np"))
+    // draw into 1..max(p_partkey) — the ACTUAL catalog id range (TPC-H
+    // partkeys are dense from 1), not `hash % (max+1)` which could mint
+    // item 0 and gap ids no one can ever have bought, silently passing
+    // the positives anti-join as phantom "negatives"
+    val np = Tables.part(spark, dir).agg(max(col("p_partkey")).as("np"))
     val ks = spark.range(0, 16).select(col("id").cast("int").as("k"))
     val cand = pos.select(col("u")).distinct()
       .crossJoin(broadcast(ks))
       .crossJoin(broadcast(np))
       .withColumn("item", expr(
-        "CAST(conv(substring(md5(concat('neg:', CAST(u AS STRING), ':', " +
+        "1 + CAST(conv(substring(md5(concat('neg:', CAST(u AS STRING), ':', " +
           "CAST(k AS STRING))), 1, 15), 16, 10) AS BIGINT) % np"))
     cand.join(pos, Seq("u", "item"), "left_anti")
       .withColumn("rk", row_number().over(
@@ -334,11 +338,11 @@ object FeaturePrep extends QueryModule {
       """WITH pos AS (
         |  SELECT DISTINCT o.o_custkey AS u, l.l_partkey AS item
         |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
-        |np AS (SELECT MAX(p_partkey) + 1 AS np FROM part),
+        |np AS (SELECT MAX(p_partkey) AS np FROM part),
         |ks AS (SELECT CAST(range AS INT) AS k FROM range(0, 16)),
         |cand AS (
         |  SELECT uu.u, ks.k,
-        |         CAST('0x' || SUBSTR(MD5('neg:' || CAST(uu.u AS VARCHAR) || ':' ||
+        |         1 + CAST('0x' || SUBSTR(MD5('neg:' || CAST(uu.u AS VARCHAR) || ':' ||
         |              CAST(ks.k AS VARCHAR)), 1, 15) AS BIGINT) % np.np AS item
         |  FROM (SELECT DISTINCT u FROM pos) uu CROSS JOIN ks CROSS JOIN np),
         |neg AS (

@@ -29,11 +29,43 @@ object Graph extends QueryModule {
 
   private val Iterations = 3
 
+  /** Hot-basket guard: at most this many DISTINCT parts per order feed the
+    * co-purchase pair builders. Pair fanout per order is C(n,2), and the
+    * self-join on `l_orderkey` lands every pair of one order in ONE task —
+    * so a single pathological mega-basket (a 10⁵-line order at 100×) would
+    * be a single-key quadratic no salt can split, because the quadratic is
+    * the OUTPUT, not the shuffle. Capping at the 64 smallest partkeys per
+    * order bounds any order's contribution at C(64,2) = 2,016 pairs and
+    * its window partition at the basket size (streamed, not buffered).
+    * The cap is semantic, mirrored verbatim in every graph oracle; on the
+    * TPC-H-shaped corpus (baskets ≤ 7 lines) it never binds, so all nine
+    * graph keys are bit-identical with or without it. */
+  private[graft] val MaxBasketLines = 64
+
+  /** Distinct (order, part) basket lines, capped at [[MaxBasketLines]]
+    * smallest partkeys per order (deterministic: distinct first, then
+    * rank by partkey — duplicate lineitem rows for the same part can
+    * never displace a distinct part). */
+  private[graft] def cappedLines(li: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("l_orderkey")).orderBy(col("l_partkey"))
+    li.select(col("l_orderkey"), col("l_partkey")).distinct()
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= MaxBasketLines)
+      .select(col("l_orderkey"), col("l_partkey"))
+  }
+
   /** Distinct directed co-occurrence edges (both directions present). */
-  private def edges(spark: SparkSession, dir: String): DataFrame = {
-    val li = Tables.lineitem(spark, dir).select(col("l_orderkey"), col("l_partkey"))
-    val a = li.select(col("l_orderkey"), col("l_partkey").as("src"))
-    val b = li.select(col("l_orderkey"), col("l_partkey").as("dst"))
+  private def edges(spark: SparkSession, dir: String): DataFrame =
+    edgesFromLines(cappedLines(
+      Tables.lineitem(spark, dir).select(col("l_orderkey"), col("l_partkey"))))
+
+  /** The pair builder on an arbitrary capped (l_orderkey, l_partkey)
+    * frame — split out so the hot-basket guard is testable on planted
+    * mega-orders without writing parquet. */
+  private[graft] def edgesFromLines(lines: DataFrame): DataFrame = {
+    val a = lines.select(col("l_orderkey"), col("l_partkey").as("src"))
+    val b = lines.select(col("l_orderkey"), col("l_partkey").as("dst"))
     a.join(b, "l_orderkey")
       .filter(col("src") =!= col("dst"))
       .select(col("src"), col("dst")).distinct()
@@ -220,7 +252,13 @@ object Graph extends QueryModule {
     * the second hop so the wedge enumeration is map-side against the
     * sharded edge table; the per-(q,c) count is one map-side-combinable
     * shuffle of wedge pairs; adjacency kill reuses [[qTriangle]]'s packed
-    * broadcast probe (left_anti here — keep NON-edges). */
+    * broadcast probe (left_anti here — keep NON-edges). The probe carries
+    * qTriangle's limits with it: `shiftleft(id, 32) | id` packs collide if
+    * partkeys ever reach 2³², and the broadcast is the FULL |E| key set —
+    * linear in the distinct co-occurrence graph, not in the focus set —
+    * so past the point where |E| outgrows executor memory, swap in the
+    * same Scale.bloomPrune fallback documented at [[qTriangle]] (bounded
+    * bitset + a shuffling anti join) before scaling further. */
   def qLinkPredict(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val e = edges(spark, dir).localCheckpoint(eager = false)
@@ -255,13 +293,17 @@ object Graph extends QueryModule {
     * pipeline builds (and the same sparsification that keeps the DuckDB
     * closure oracle polynomial-sized at every SF). */
   private def strongEdges(spark: SparkSession, dir: String): DataFrame = {
-    val li = Tables.lineitem(spark, dir).select(col("l_orderkey"), col("l_partkey"))
+    val li = cappedLines(
+      Tables.lineitem(spark, dir).select(col("l_orderkey"), col("l_partkey")))
     val a = li.select(col("l_orderkey"), col("l_partkey").as("u"))
     val b = li.select(col("l_orderkey"), col("l_partkey").as("v"))
     a.join(b, "l_orderkey")
       .filter(col("u") < col("v"))
       .groupBy(col("u"), col("v"))
-      .agg(countDistinct(col("l_orderkey")).as("c"))
+      // plain count, NOT countDistinct: cappedLines is distinct on
+      // (order, part), so each order contributes any (u, v) pair exactly
+      // once — the distinct-aggregate Expand would be pure overhead
+      .agg(count(lit(1)).as("c"))
       .filter(col("c") >= 2)
   }
 
@@ -407,19 +449,35 @@ object Graph extends QueryModule {
     * end, one (node, label) count aggregation, one per-node argmax
     * window (partition = node, rows = its distinct neighbor labels ≤
     * degree — never a global window). All keys are high-cardinality
-    * node ids. */
+    * node ids. Adversarial-hub bound: even a planted celebrity node of
+    * degree D puts at most D (node, label) rows through its window
+    * partition — row_number streams them with O(1) state after the
+    * partition sort, so the worst single-task cost is the D·log D sort of
+    * one hub's label census, linear-ish in the hub's degree and
+    * independent of the corpus (planted-hub case in GraphSpec); and
+    * [[MaxBasketLines]] already caps how much degree any one ORDER can
+    * mint, so D itself grows only with genuinely distinct co-purchases. */
   def qCommunityLpa(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val parts = spark.sessionState.conf.numShufflePartitions
     val e0 = strongEdges(spark, dir)
     val sym = graft.plans.PartitionedCheckpoint.byKey(
       e0.select(col("u"), col("v"))
         .union(e0.select(col("v").as("u"), col("u").as("v"))), "v", parts)
+    lpaFromSym(sym, 3).groupBy(col("lbl").as("community"))
+      .agg(count(lit(1)).as("n_nodes"), min(col("node")).as("min_node"))
+      .orderBy(col("community"))
+  }
+
+  /** The synchronous-LPA loop on an arbitrary symmetrized (u, v) edge
+    * frame — split out so the planted-hub case in GraphSpec can drive it
+    * over a generated star graph. Returns the final (node, lbl) frame. */
+  private[graft] def lpaFromSym(sym: DataFrame, rounds: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     var labels = sym.select(col("u").as("node")).distinct()
       .withColumn("lbl", col("node"))
     val byNode = Window.partitionBy(col("node"))
       .orderBy(col("cnt").desc, col("nlbl"))
-    for (_ <- 1 to 3) {
+    for (_ <- 1 to rounds) {
       labels = sym
         .join(labels.select(col("node").as("v"), col("lbl").as("nlbl")), "v")
         .groupBy(col("u").as("node"), col("nlbl"))
@@ -429,9 +487,7 @@ object Graph extends QueryModule {
         .select(col("node"), col("nlbl").as("lbl"))
         .localCheckpoint()
     }
-    labels.groupBy(col("lbl").as("community"))
-      .agg(count(lit(1)).as("n_nodes"), min(col("node")).as("min_node"))
-      .orderBy(col("community"))
+    labels
   }
 
   /** 2-round integer HITS (Kleinberg hubs/authorities) over the directed
@@ -444,20 +500,39 @@ object Graph extends QueryModule {
     * Scale shape: same as PageRank — the edge table is the only
     * corpus-sized operand, every step is one equi-join + one map-side-
     * combinable groupBy on node ids, and the final top-100 is a
-    * TakeOrdered, not a full sort. */
+    * TakeOrdered, not a full sort.
+    *
+    * Exchange budget: the edge table is derived ONCE (lazy checkpoint)
+    * and hash-placed TWICE via [[graft.plans.PartitionedCheckpoint]] —
+    * on `src` for the authority step, on `dst` for the hub step, because
+    * HITS alternates join sides where PageRank reuses one — and every
+    * score table comes back placed on `node`, so all four per-round
+    * joins are exchange-free, sort-free SMJs; the only per-round
+    * movement left is each step's groupBy transpose, HITS' irreducible
+    * shuffle. The final full-outer join runs on two node-placed frames
+    * (exchange-free) into a TakeOrdered, so the terminal job plans ZERO
+    * exchanges (pinned in PlanSpec). */
   def qHits(spark: SparkSession, dir: String): DataFrame = {
-    val e = edges(spark, dir)
-    val nodes = e.select(col("src").as("node")).union(e.select(col("dst")))
+    val parts = spark.sessionState.conf.numShufflePartitions
+    val e0 = edges(spark, dir).localCheckpoint(eager = false)
+    val eSrc = graft.plans.PartitionedCheckpoint.byKey(e0, "src", parts)
+    val eDst = graft.plans.PartitionedCheckpoint.byKey(e0, "dst", parts)
+    val nodes = e0.select(col("src").as("node")).union(e0.select(col("dst")))
       .distinct()
-    var h = nodes.withColumn("h", lit(1024L))
+    var h = graft.plans.PartitionedCheckpoint.byKey(
+      nodes.withColumn("h", lit(1024L)), "node", parts)
     var a: DataFrame = null
     for (_ <- 1 to 2) {
-      a = e.join(h, e("src") === h("node"))
-        .groupBy(col("dst")).agg(expr("sum(h) div 1024").as("a"))
-        .select(col("dst").as("node"), col("a"))
-      h = e.join(a, e("dst") === a("node"))
-        .groupBy(col("src")).agg(expr("sum(a) div 1024").as("h"))
-        .select(col("src").as("node"), col("h"))
+      a = graft.plans.PartitionedCheckpoint.byKey(
+        eSrc.join(h, eSrc("src") === h("node"))
+          .groupBy(col("dst")).agg(expr("sum(h) div 1024").as("a"))
+          .select(col("dst").as("node"), col("a")),
+        "node", parts)
+      h = graft.plans.PartitionedCheckpoint.byKey(
+        eDst.join(a, eDst("dst") === a("node"))
+          .groupBy(col("src")).agg(expr("sum(a) div 1024").as("h"))
+          .select(col("src").as("node"), col("h")),
+        "node", parts)
     }
     a.join(h, Seq("node"), "full_outer")
       .select(col("node"), coalesce(col("a"), lit(0L)).as("authority"),
@@ -476,16 +551,22 @@ object Graph extends QueryModule {
     *
     * Scale shape per round: one map-side-combinable degree count, one
     * semi-join of edges against the ≥k node set on each endpoint — all
-    * hash equi-joins on node ids, nothing corpus-broadcast. */
+    * hash equi-joins on node ids, nothing corpus-broadcast. Each round's
+    * survivor edge set is EAGERLY localCheckpoint'ed (the [[qCommunityLpa]]
+    * discipline): the three census rows are unioned lazily into one final
+    * job, so without the per-round truncation round 3's census re-derives
+    * rounds 1–2 from scratch unless exchange reuse happens to catch the
+    * whole prefix (measured 7.4 s → ~4 s at sf0.1/32 threads). */
   def qKcore(spark: SparkSession, dir: String): DataFrame = {
     val k = 3
-    var e = edges(spark, dir)
+    var e = edges(spark, dir).localCheckpoint()
     val rounds = (1 to 3).map { round =>
       val keep = e.groupBy(col("src")).agg(count(lit(1)).as("d"))
         .filter(col("d") >= k).select(col("src").as("node"))
       e = e.join(keep.withColumnRenamed("node", "src"), "src")
         .join(keep.withColumnRenamed("node", "dst"), "dst")
         .select(col("src"), col("dst"))
+        .localCheckpoint()
       e.agg(countDistinct(col("src")).as("n_nodes"), count(lit(1)).as("n_edges"))
         .withColumn("round", lit(round.toLong))
     }
@@ -508,9 +589,15 @@ object Graph extends QueryModule {
 
   val oracle: Map[String, String] = Map(
     "q_kcore" ->
-      """WITH e0 AS (
+      """WITH lines AS (
+        |  SELECT l_orderkey, l_partkey FROM (
+        |    SELECT l_orderkey, l_partkey,
+        |           ROW_NUMBER() OVER (PARTITION BY l_orderkey ORDER BY l_partkey) AS rk
+        |    FROM (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem))
+        |  WHERE rk <= 64),
+        |e0 AS (
         |  SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
-        |  FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+        |  FROM lines a JOIN lines b ON a.l_orderkey = b.l_orderkey
         |  WHERE a.l_partkey <> b.l_partkey),
         |k1 AS (SELECT src AS node FROM e0 GROUP BY src HAVING COUNT(*) >= 3),
         |e1 AS (SELECT e.src, e.dst FROM e0 e
@@ -529,9 +616,15 @@ object Graph extends QueryModule {
         |  SELECT CAST(3 AS BIGINT), COUNT(DISTINCT src), COUNT(*) FROM e3)
         |ORDER BY round""".stripMargin,
     "q_hits" ->
-      """WITH e AS (
+      """WITH lines AS (
+        |  SELECT l_orderkey, l_partkey FROM (
+        |    SELECT l_orderkey, l_partkey,
+        |           ROW_NUMBER() OVER (PARTITION BY l_orderkey ORDER BY l_partkey) AS rk
+        |    FROM (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem))
+        |  WHERE rk <= 64),
+        |e AS (
         |  SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
-        |  FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+        |  FROM lines a JOIN lines b ON a.l_orderkey = b.l_orderkey
         |  WHERE a.l_partkey <> b.l_partkey),
         |h0 AS (
         |  SELECT node, CAST(1024 AS BIGINT) AS h FROM (
@@ -554,11 +647,17 @@ object Graph extends QueryModule {
         |FROM a2 FULL OUTER JOIN h2 ON a2.node = h2.node
         |ORDER BY authority DESC, node LIMIT 100""".stripMargin,
     "q_community_lpa" ->
-      """WITH pairs AS (
+      """WITH lines AS (
+        |  SELECT l_orderkey, l_partkey FROM (
+        |    SELECT l_orderkey, l_partkey,
+        |           ROW_NUMBER() OVER (PARTITION BY l_orderkey ORDER BY l_partkey) AS rk
+        |    FROM (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem))
+        |  WHERE rk <= 64),
+        |pairs AS (
         |  SELECT a.l_partkey AS u, b.l_partkey AS v
-        |  FROM lineitem a JOIN lineitem b
+        |  FROM lines a JOIN lines b
         |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
-        |  GROUP BY 1, 2 HAVING COUNT(DISTINCT a.l_orderkey) >= 2),
+        |  GROUP BY 1, 2 HAVING COUNT(*) >= 2),
         |sym AS (SELECT u, v FROM pairs UNION ALL SELECT v, u FROM pairs),
         |l0 AS (SELECT DISTINCT u AS node, u AS lbl FROM sym),
         |r1 AS (
@@ -585,11 +684,17 @@ object Graph extends QueryModule {
         |SELECT lbl AS community, COUNT(*) AS n_nodes, MIN(node) AS min_node
         |FROM r3 GROUP BY lbl ORDER BY community""".stripMargin,
     "q_graph_cc" ->
-      """WITH RECURSIVE pairs AS (
+      """WITH RECURSIVE lines AS (
+        |  SELECT l_orderkey, l_partkey FROM (
+        |    SELECT l_orderkey, l_partkey,
+        |           ROW_NUMBER() OVER (PARTITION BY l_orderkey ORDER BY l_partkey) AS rk
+        |    FROM (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem))
+        |  WHERE rk <= 64),
+        |pairs AS (
         |  SELECT a.l_partkey AS u, b.l_partkey AS v
-        |  FROM lineitem a JOIN lineitem b
+        |  FROM lines a JOIN lines b
         |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
-        |  GROUP BY 1, 2 HAVING COUNT(DISTINCT a.l_orderkey) >= 2),
+        |  GROUP BY 1, 2 HAVING COUNT(*) >= 2),
         |e AS (SELECT u, v FROM pairs UNION SELECT v, u FROM pairs),
         |reach(node, lbl) AS (
         |  SELECT u, u FROM e
@@ -599,12 +704,18 @@ object Graph extends QueryModule {
         |FROM reach GROUP BY node
         |ORDER BY component, node""".stripMargin,
     "q_shortest_path" ->
-      """WITH pairs AS (
+      """WITH lines AS (
+        |  SELECT l_orderkey, l_partkey FROM (
+        |    SELECT l_orderkey, l_partkey,
+        |           ROW_NUMBER() OVER (PARTITION BY l_orderkey ORDER BY l_partkey) AS rk
+        |    FROM (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem))
+        |  WHERE rk <= 64),
+        |pairs AS (
         |  SELECT a.l_partkey AS u, b.l_partkey AS v,
-        |         COUNT(DISTINCT a.l_orderkey) AS c
-        |  FROM lineitem a JOIN lineitem b
+        |         COUNT(*) AS c
+        |  FROM lines a JOIN lines b
         |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
-        |  GROUP BY 1, 2 HAVING COUNT(DISTINCT a.l_orderkey) >= 2),
+        |  GROUP BY 1, 2 HAVING COUNT(*) >= 2),
         |sym AS (SELECT u, v, c FROM pairs UNION ALL SELECT v, u, c FROM pairs),
         |w AS (SELECT u, v, (1000000 // c) + 1 AS w FROM sym),
         |pruned AS (
@@ -633,9 +744,15 @@ object Graph extends QueryModule {
         |SELECT node AS partkey, CAST(dist AS BIGINT) AS dist_micro
         |FROM d4 ORDER BY dist_micro, partkey""".stripMargin,
     "q_link_predict" ->
-      """WITH e AS (
+      """WITH lines AS (
+        |  SELECT l_orderkey, l_partkey FROM (
+        |    SELECT l_orderkey, l_partkey,
+        |           ROW_NUMBER() OVER (PARTITION BY l_orderkey ORDER BY l_partkey) AS rk
+        |    FROM (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem))
+        |  WHERE rk <= 64),
+        |e AS (
         |  SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
-        |  FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+        |  FROM lines a JOIN lines b ON a.l_orderkey = b.l_orderkey
         |  WHERE a.l_partkey <> b.l_partkey),
         |deg AS (SELECT src, COUNT(*) AS d FROM e GROUP BY src),
         |focus AS (
@@ -660,9 +777,15 @@ object Graph extends QueryModule {
         |FROM scored WHERE rk <= 5
         |ORDER BY qn, rk""".stripMargin,
     "q_khop" ->
-      """WITH e AS (
+      """WITH lines AS (
+        |  SELECT l_orderkey, l_partkey FROM (
+        |    SELECT l_orderkey, l_partkey,
+        |           ROW_NUMBER() OVER (PARTITION BY l_orderkey ORDER BY l_partkey) AS rk
+        |    FROM (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem))
+        |  WHERE rk <= 64),
+        |e AS (
         |  SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
-        |  FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+        |  FROM lines a JOIN lines b ON a.l_orderkey = b.l_orderkey
         |  WHERE a.l_partkey <> b.l_partkey),
         |s AS (SELECT DISTINCT src AS node FROM e WHERE src % 1000 = 0),
         |h1 AS (
@@ -682,9 +805,15 @@ object Graph extends QueryModule {
         |  UNION ALL SELECT 3, CAST(COUNT(*) AS BIGINT) FROM h3
         |) ORDER BY hop""".stripMargin,
     "q_pagerank" ->
-      """WITH e AS (
+      """WITH lines AS (
+        |  SELECT l_orderkey, l_partkey FROM (
+        |    SELECT l_orderkey, l_partkey,
+        |           ROW_NUMBER() OVER (PARTITION BY l_orderkey ORDER BY l_partkey) AS rk
+        |    FROM (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem))
+        |  WHERE rk <= 64),
+        |e AS (
         |  SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
-        |  FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+        |  FROM lines a JOIN lines b ON a.l_orderkey = b.l_orderkey
         |  WHERE a.l_partkey <> b.l_partkey),
         |deg AS (SELECT src, COUNT(*) AS d FROM e GROUP BY src),
         |r0 AS (SELECT DISTINCT src AS node, CAST(1000000 AS BIGINT) AS r FROM e),
@@ -703,9 +832,15 @@ object Graph extends QueryModule {
         |SELECT node AS partkey, CAST(r AS BIGINT) AS rank_micro
         |FROM r3 ORDER BY r DESC, node LIMIT 100""".stripMargin,
     "q_triangle" ->
-      """WITH e AS (
+      """WITH lines AS (
+        |  SELECT l_orderkey, l_partkey FROM (
+        |    SELECT l_orderkey, l_partkey,
+        |           ROW_NUMBER() OVER (PARTITION BY l_orderkey ORDER BY l_partkey) AS rk
+        |    FROM (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem))
+        |  WHERE rk <= 64),
+        |e AS (
         |  SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
-        |  FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+        |  FROM lines a JOIN lines b ON a.l_orderkey = b.l_orderkey
         |  WHERE a.l_partkey <> b.l_partkey),
         |und AS (SELECT src, dst FROM e WHERE src < dst),
         |deg AS (SELECT src AS node, COUNT(*) AS d FROM e GROUP BY src),

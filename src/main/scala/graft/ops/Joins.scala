@@ -278,6 +278,34 @@ object Joins extends QueryModule {
   private[graft] def bucketedSfx(dir: String): String =
     s"${Integer.toHexString(dir.hashCode)}_p${ProcessHandle.current().pid()}"
 
+  /** Reclaim bucketed-layout directories left behind by DEAD JVMs. The
+    * PID-nonce makes concurrent writers safe but means every new JVM
+    * writes a fresh `graft_bucketed_*` pair — without this sweep, tmpdir
+    * accumulates one layout per (dir, JVM) forever. A directory is
+    * deleted only when its embedded PID has no live process, so
+    * concurrent sessions are never touched. Catalog entries are NOT the
+    * leak: names are fixed per (dir, pid) and written with
+    * mode("overwrite"), so in-session re-runs replace in place (at most
+    * one table pair per distinct data dir per session), and a DROP in
+    * this function would break the lazily-returned join plan the caller
+    * has not executed yet. */
+  private def sweepStaleBucketed(): Unit = {
+    def deleteRec(f: java.io.File): Unit = {
+      Option(f.listFiles()).getOrElse(Array.empty[java.io.File]).foreach(deleteRec)
+      f.delete(): Unit
+    }
+    val tmp = new java.io.File(System.getProperty("java.io.tmpdir"))
+    val mine = s"_p${ProcessHandle.current().pid()}"
+    Option(tmp.listFiles()).getOrElse(Array.empty[java.io.File])
+      .filter(f => f.getName.startsWith("graft_bucketed_") && !f.getName.endsWith(mine))
+      .foreach { f =>
+        val pid = f.getName.substring(f.getName.lastIndexOf("_p") + 2)
+        val alive = pid.toLongOption.exists(p =>
+          ProcessHandle.of(p).map[java.lang.Boolean](_.isAlive).orElse(false))
+        if (!alive) deleteRec(f)
+      }
+  }
+
   /** Bucketed co-located join — the WRITE-side join lever the other join
     * keys only exercise at read time: both sides are laid out
     * `bucketBy(8, key)` + `sortBy(key)` into catalog tables (each bucket
@@ -292,6 +320,7 @@ object Joins extends QueryModule {
     * join/aggregate straight off the source tables — the bucketed round
     * trip must lose nothing. */
   def qJoinBucketed(spark: SparkSession, dir: String): DataFrame = {
+    sweepStaleBucketed()
     val sfx = bucketedSfx(dir)
     val root = s"${System.getProperty("java.io.tmpdir")}/graft_bucketed_$sfx"
     val tOrders = s"orders_bkt_$sfx"

@@ -315,7 +315,9 @@ object Similarity extends QueryModule {
     * embeddings), and the serving contract is rerank-after-ADC anyway, as
     * in [[qAnnIvfBatch]]. Unlike the cosine tiers,
     * EVERY number here is integer micro-unit arithmetic end-to-end
-    * (distances, means, LUT, scores) — no float op until the final
+    * (distances, means — via truncating-toward-zero integer division,
+    * the shared Spark `div` / DuckDB `//` semantics, NOT floor —
+    * LUT, scores) — no float op until the final
     * display division — so the DuckDB twin replays training, encoding, and
     * serving bit-for-bit, the strongest cross-engine guarantee in the
     * similarity family (the [[qEmbedQuantize]] property, extended to a
@@ -737,12 +739,16 @@ object Similarity extends QueryModule {
     * the CENTROIDS of the even-id and odd-id halves of the corpus — the
     * "did this batch's embedding distribution move" audit a pipeline runs
     * between corpus versions (the split key stands in for version).
-    * Centroids are FLOOR-DIVIDED integer means of micro-int quantized
-    * components ([[qGramMatrix]] discipline) — the floor keeps them exact
-    * AND bounded by the quantization scale (|m| ≤ 10⁶ whatever the corpus
-    * size), so every dot/norm stays under 2⁵³ and its cast to double is
-    * EXACT in both engines — raw per-dim sums would outgrow 2⁵³ with the
-    * corpus and make the int→double cast itself a rounding step. (Also
+    * Centroids are integer means of micro-int quantized components via
+    * TRUNCATING integer division — toward zero, NOT floor: Spark `div`
+    * and DuckDB `//` both truncate, which differs from floor exactly on
+    * the negative sums embeddings produce (the pinned shared semantics;
+    * see [[ivfCentroids]] and qForecastHolt, which state it the same
+    * way). The truncation keeps the means exact AND bounded by the
+    * quantization scale (|m| ≤ 10⁶ whatever the corpus size), so every
+    * dot/norm stays under 2⁵³ and its cast to double is EXACT in both
+    * engines — raw per-dim sums would outgrow 2⁵³ with the corpus and
+    * make the int→double cast itself a rounding step. (Also
     * pinned the hard way here: quantize with the DOUBLE literal 1e6, not
     * the int literal 1000000 — the latter multiplies the FLOAT component
     * in single precision and shifts round() boundaries between engines;

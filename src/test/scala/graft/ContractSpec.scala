@@ -49,6 +49,19 @@ class ContractSpec extends AnyFunSuite {
     assert(errored == 0, s"$errored keys errored (min=-1) in bench_full.json")
   }
 
+  test("BENCH_SCALING.json (when present) names only registered keys") {
+    // The scaling artifact must not drift from the registry: a renamed or
+    // deleted key whose curve stays in BENCH_SCALING.json reads as a live
+    // measurement of nothing. Every "q_*" key under any sf block must
+    // resolve to a registered query.
+    val p = java.nio.file.Paths.get("BENCH_SCALING.json")
+    assume(java.nio.file.Files.exists(p), "no BENCH_SCALING.json in cwd")
+    val txt = new String(java.nio.file.Files.readAllBytes(p), "UTF-8")
+    val named = "\"(q_[a-z0-9_]+)\"".r.findAllMatchIn(txt).map(_.group(1)).toSet
+    val ghosts = named -- SparkEntry.queries.keySet
+    assert(ghosts.isEmpty, s"BENCH_SCALING.json keys with no registered query: $ghosts")
+  }
+
   test("query families partition the key space") {
     val fromFamilies = SparkEntry.queryFamilies.values.flatMap(_.keySet).toSet
     assert(fromFamilies == SparkEntry.queries.keySet)

@@ -200,11 +200,14 @@ class FeaturePrepSpec extends SparkSpec {
       .select(col("o_custkey"), col("l_partkey"))
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     val np = spark.read.parquet(s"$sf/part.parquet")
-      .agg(max(col("p_partkey"))).collect()(0).getLong(0) + 1
+      .agg(max(col("p_partkey"))).collect()(0).getLong(0)
     rows.foreach { r =>
       val (u, item) = (r.getLong(0), r.getLong(3))
       assert(!pos.contains((u, item)), s"negative collides with a positive: ($u,$item)")
-      assert(item >= 0 && item < np, s"negative outside catalog: $item")
+      // 1..max(p_partkey): every negative is a REAL catalog id (TPC-H
+      // partkeys are dense from 1) — id 0 / gap phantoms would pass the
+      // anti-join trivially, since no one ever bought a nonexistent part
+      assert(item >= 1 && item <= np, s"negative outside catalog: $item")
     }
     // per-user caps + rank contiguity (1..n, n <= 8)
     rows.groupBy(_.getLong(0)).foreach { case (u, rs) =>

@@ -274,4 +274,40 @@ class GraphSpec extends SparkSpec {
     }
     assert(rows.map(_._2).toList == rows.map(_._2).sorted.reverse.toList, "node curve monotone")
   }
+
+  test("hot-basket guard: a planted 10k-line mega-order is capped at C(64,2) pairs") {
+    import spark.implicits._
+    val mega  = (1L to 10000L).map(p => (1L, p))       // one 10k-part order
+    val small = Seq((2L, 100001L), (2L, 100002L), (2L, 100003L))
+    val dup   = Seq((2L, 100002L))                     // duplicate line must not displace a part
+    val lines = (mega ++ small ++ dup).toDF("l_orderkey", "l_partkey")
+    val capped = Graph.cappedLines(lines)
+    val perOrder = capped.groupBy("l_orderkey").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(perOrder(1L) == Graph.MaxBasketLines.toLong, "mega-order clamped to the cap")
+    assert(perOrder(2L) == 3L, "normal baskets pass through untouched, duplicates dropped")
+    val kept = capped.filter($"l_orderkey" === 1L).collect().map(_.getLong(1)).sorted.toSeq
+    assert(kept == (1L to Graph.MaxBasketLines.toLong), "deterministic: the cap keeps the SMALLEST partkeys")
+    val cap = Graph.MaxBasketLines.toLong
+    assert(Graph.edgesFromLines(capped).count() == cap * (cap - 1) + 3L * 2L,
+      "directed pair fanout bounded at cap*(cap-1) per order")
+  }
+
+  test("lpa planted hub: a degree-5000 hub streams through its window and replays exactly") {
+    import spark.implicits._
+    val hub = 0L
+    val leaves = 1L to 5000L
+    val symSeq = leaves.map(l => (hub, l)) ++ leaves.map(l => (l, hub))
+    val got = Graph.lpaFromSym(symSeq.toDF("u", "v"), 2).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val adj = symSeq.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    var lbl = adj.keySet.map(n => n -> n).toMap
+    for (_ <- 1 to 2) {
+      lbl = adj.map { case (n, nbrs) =>
+        val counts = nbrs.groupBy(lbl).view.mapValues(_.size).toSeq
+        n -> counts.minBy { case (l, c) => (-c, l) }._1
+      }
+    }
+    assert(got == lbl, "hub label census (5000 rows in ONE window partition) must replay exactly")
+  }
 }

@@ -167,6 +167,36 @@ class PlanSpec extends SparkSpec {
       s"wedge self-join must not re-exchange the checkpointed apex layout:\n$plan")
   }
 
+  test("q_hits' terminal job is exchange-free: node-placed full-outer into TakeOrdered") {
+    // both final score tables come back from PartitionedCheckpoint placed
+    // on `node`, so the full-outer SMJ needs no exchange and no sort, and
+    // the top-100 is a TakeOrdered — the terminal stage plans ZERO
+    // exchanges. A regression here means a score table lost its layout
+    // and every HITS round is paying a full re-shuffle of the edge join.
+    val df = graft.ops.Graph.qHits(spark, sf)
+    df.write.format("noop").mode("overwrite").save()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"),
+      s"hits terminal plan must reuse the node placement:\n$plan")
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"top-100 must be a TakeOrdered, not a global sort:\n$plan")
+  }
+
+  test("q_kcore's census union reads three checkpointed round RDDs, no join re-derivation") {
+    // each round's survivor edge set is eagerly localCheckpoint'ed; the
+    // final census union must aggregate those three RDD scans directly —
+    // a Join in the terminal plan means a round prefix is being re-derived
+    // lazily (the pre-round-7 shape that made q_kcore the slowest key).
+    val df = graft.ops.Graph.qKcore(spark, sf)
+    val optimized = df.queryExecution.optimizedPlan
+    import org.apache.spark.sql.catalyst.plans.logical.Join
+    import org.apache.spark.sql.execution.LogicalRDD
+    assert(optimized.collect { case j: Join => j }.isEmpty,
+      s"census must not re-derive round joins:\n$optimized")
+    assert(optimized.collect { case r: LogicalRDD => r }.size == 3,
+      s"expected one checkpointed RDD per round:\n$optimized")
+  }
+
   test("q_win_count_distinct's running sum is chunked by day bucket") {
     val ex = exchangeKeys(graft.ops.Windows.qWinCountDistinct(spark, sf))
     assert(ex.exists(l => l.contains("event_type") && l.contains("bucket")),

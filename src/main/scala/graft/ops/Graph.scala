@@ -55,6 +55,58 @@ object Graph extends QueryModule {
       .select(col("l_orderkey"), col("l_partkey"))
   }
 
+  /** Up to this many distinct directed edges, the packed (src·2³²|dst)
+    * edge-key set broadcasts for the wedge/candidate probes — the
+    * measured 8× win over shuffling the wedge stream. Past it the
+    * broadcast build itself is the failure: 2.4M keys (~40 MB hashed)
+    * at sf0.1 are comfortable, but the sf1.0 probe's 24M keys failed
+    * the broadcast build outright in the 8 GiB driver — the cliff this
+    * constant exists to step over (caught by the round-7 sf1.0 sweep,
+    * not in production). */
+  private[graft] val BroadcastEdgeLimit = 8L * 1000 * 1000
+
+  /** Wedge-closing semi kill against the packed edge-key set, adaptive
+    * in |E|: under [[BroadcastEdgeLimit]] the key set broadcasts and the
+    * probe stream is filtered where it is produced (zero shuffle); past
+    * it, [[Scale.bloomPrune]] (a bounded 32 MB bitset broadcast, k=2)
+    * map-side kills the non-closing probes — a bloom never
+    * false-negatives, so no true match is lost — and only the ~fp+match
+    * survivors take the exact SORT-MERGE semi join. Merge, not
+    * shuffle-hash, deliberately: in the regime where this branch runs
+    * the edge set has already outgrown one memory budget, and an SHJ
+    * build partition is the next allocation to fail (observed at sf1.0:
+    * "can't acquire 32 MB to build hash relation" next to the cached
+    * edge checkpoints), while SMJ sorts spill gracefully. Exact in both
+    * regimes. */
+  private[graft] def edgeSemiKill(probe: DataFrame, eKeys: DataFrame,
+      nEdges: Long, limit: Long = BroadcastEdgeLimit): DataFrame =
+    if (nEdges <= limit) probe.join(broadcast(eKeys), Seq("_ek"), "left_semi")
+    // coalesce(8) bounds the bitset build at 8 concurrent 32 MB partial
+    // buffers (256 MB transient): 32 parallel BitsetAgg partials OOM'd the
+    // default 8 GiB heap next to the cached edge checkpoints — the build
+    // is a cheap scan, parallelism 8 costs nothing
+    else Scale.bloomPrune(probe, "_ek", eKeys.coalesce(8), "_ek", 1 << 28)
+      .join(eKeys.hint("merge"), Seq("_ek"), "left_semi")
+
+  /** Non-edge anti kill, adaptive in |E|: under the limit the key set
+    * broadcasts; past it the roles invert (the q_join_bloom
+    * runtime-filter shape) — the PROBE here is query-bounded (link
+    * prediction's candidate set tracks the focus hubs, not the corpus),
+    * so a bloom of the probe keys prunes the EDGE set map-side to
+    * ~|probe∩E| + fp·|E| rows, which broadcast into the exact anti
+    * join. A pruned-away edge key could only have matched nothing, so
+    * the anti semantics are exact. At scales where fp·|E| itself
+    * outgrows the broadcast, raise mBits (fp halves per doubling) or
+    * fall back to a plain shuffle-hash anti join. */
+  private[graft] def edgeAntiKill(probe: DataFrame, eKeys: DataFrame,
+      nEdges: Long, limit: Long = BroadcastEdgeLimit): DataFrame =
+    if (nEdges <= limit) probe.join(broadcast(eKeys), Seq("_ek"), "left_anti")
+    else {
+      val prunedE = Scale.bloomPrune(
+        eKeys, "_ek", probe.select(col("_ek")).coalesce(8), "_ek", 1 << 27)
+      probe.join(broadcast(prunedE), Seq("_ek"), "left_anti")
+    }
+
   /** Distinct directed co-occurrence edges (both directions present). */
   private def edges(spark: SparkSession, dir: String): DataFrame =
     edgesFromLines(cappedLines(
@@ -160,19 +212,18 @@ object Graph extends QueryModule {
         col("e1.u") === col("e2.u") && col("e1.v") < col("e2.v"))
       .select(col("e1.u").as("a"), col("e1.v").as("b"), col("e2.v").as("c"))
     // close the wedge: {b,c} adjacent? The id-ordered probe pair packs into
-    // one BIGINT (ids fit 32 bits) and probes a BROADCAST hash of the edge
-    // keys, so the 41M-row wedge stream (sf0.1; only ~5% of wedges close)
-    // is filtered where it is produced and NEVER shuffles — measured 8x
-    // faster than shuffling the wedges to a semi join (54 s -> 6.7 s
-    // steady). The broadcast is |E| of the DISTINCT co-occurrence graph
-    // (2.4M longs = ~40 MB here), which is far smaller than the fact table
-    // and the right trade until |E| outgrows executor memory — past that,
-    // swap in Scale.bloomPrune before a shuffling semi join (q_join_bloom's
-    // InjectRuntimeFilter shape), trading the map-side kill for a bounded
-    // 4 MB bitset plus a ~5%-of-wedges shuffle.
+    // one BIGINT (ids fit 32 bits) and probes the edge-key set via
+    // [[edgeSemiKill]] — broadcast under BroadcastEdgeLimit (the measured
+    // 8x win over shuffling the 41M-row sf0.1 wedge stream: 54 s -> 6.7 s),
+    // bloom-prefiltered shuffle-hash semi join past it (the sf1.0 probe's
+    // 24M-key broadcast failed the build in an 8 GiB driver; the bitset
+    // keeps the map-side kill with a bounded 32 MB broadcast). The one-row
+    // count that picks the regime reads the checkpointed edge RDD — the
+    // sanctioned scalar driver-side use.
     val eKeys = e.select(expr("shiftleft(src, 32) | dst").as("_ek"))
-    val tri = wedges.withColumn("_ek", expr("shiftleft(b, 32) | c"))
-      .join(broadcast(eKeys), Seq("_ek"), "left_semi")
+    val nEdges = e.count()
+    val tri = edgeSemiKill(
+      wedges.withColumn("_ek", expr("shiftleft(b, 32) | c")), eKeys, nEdges)
     // ONE evaluation of the wedge probe: a 3-branch unionAll of `tri`
     // would replay the whole 41M-wedge stream once per branch (Spark does
     // no cross-branch CSE); exploding the corner array emits the same
@@ -252,13 +303,15 @@ object Graph extends QueryModule {
     * the second hop so the wedge enumeration is map-side against the
     * sharded edge table; the per-(q,c) count is one map-side-combinable
     * shuffle of wedge pairs; adjacency kill reuses [[qTriangle]]'s packed
-    * broadcast probe (left_anti here — keep NON-edges). The probe carries
-    * qTriangle's limits with it: `shiftleft(id, 32) | id` packs collide if
-    * partkeys ever reach 2³², and the broadcast is the FULL |E| key set —
-    * linear in the distinct co-occurrence graph, not in the focus set —
-    * so past the point where |E| outgrows executor memory, swap in the
-    * same Scale.bloomPrune fallback documented at [[qTriangle]] (bounded
-    * bitset + a shuffling anti join) before scaling further. */
+    * probe (left_anti here — keep NON-edges), now via [[edgeAntiKill]]:
+    * under [[BroadcastEdgeLimit]] the full |E| key set broadcasts; past
+    * it the plan switches ITSELF to the runtime-filter shape (bloom of
+    * the query-bounded candidate keys prunes the edge set map-side to a
+    * broadcastable sliver) — the sf1.0 probe showed the raw |E|
+    * broadcast is linear in the co-occurrence graph, not the focus set,
+    * and fails the build first. One residual limit remains: the
+    * `shiftleft(id, 32) | id` pack collides if partkeys ever reach
+    * 2³². */
   def qLinkPredict(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val e = edges(spark, dir).localCheckpoint(eager = false)
@@ -272,9 +325,9 @@ object Graph extends QueryModule {
       .groupBy(col("qn"), col("d_q"), col("dst").as("c"))
       .agg(count(lit(1)).as("cn"))
     val eKeys = e.select(expr("shiftleft(src, 32) | dst").as("_ek"))
+    val nEdges = e.count()
     val w = Window.partitionBy(col("qn")).orderBy(col("jac_raw").desc, col("c"))
-    cand.withColumn("_ek", expr("shiftleft(qn, 32) | c"))
-      .join(broadcast(eKeys), Seq("_ek"), "left_anti")
+    edgeAntiKill(cand.withColumn("_ek", expr("shiftleft(qn, 32) | c")), eKeys, nEdges)
       .join(deg.select(col("src").as("c"), col("d").as("d_c")), "c")
       .withColumn("jac_raw",
         col("cn").cast("double") / (col("d_q") + col("d_c") - col("cn")).cast("double"))

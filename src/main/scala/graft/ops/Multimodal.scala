@@ -183,14 +183,34 @@ object Multimodal extends QueryModule {
     *     (ASCII payloads occupy ~20 of 256 byte values, so most bins are
     *     constant-below-mean for every doc and whole bands degenerate
     *     into corpus-sized buckets — measured before this design);
-    *  3. candidates by BANDED equi-join: 4 bands × 15 bits; Hamming ≤ 3
-    *     forces exact agreement on ≥ 1 band (pigeonhole recall 1.0) —
-    *     the same bucketed LSH shape as the MinHash/SimHash/embedding
-    *     tiers, never corpus-quadratic;
-    *  4. exact verify: bit_count(h1 ^ h2) ≤ 3 on candidates.
+    *  3. candidates by BANDED equi-join over DISTINCT HASH VALUES: 4
+    *     bands × 15 bits; Hamming ≤ 3 forces exact agreement on ≥ 1 band
+    *     (pigeonhole recall 1.0) — the same bucketed LSH shape as the
+    *     MinHash/SimHash/embedding tiers, never corpus-quadratic. The
+    *     collapse to values first is load-bearing on duplicate-heavy
+    *     corpora: the adversarial ASCII corpus yields ~116 distinct
+    *     hashes for 50k docs (sf1.0 probe), so banding/verifying doc
+    *     ROWS re-proved the same value-pair comparison thousands of
+    *     times per cluster and shuffled the full candidate volume
+    *     through a distinct (measured e≈2.8 across sf0.5→1.0, past the
+    *     e=2 output bound an exact tier should pay);
+    *  4. exact verify: bit_count(ha ^ hb) ≤ 3 on value pairs — at most
+    *     |distinct hashes|² band coincidences, usually far fewer;
+    *  5. expansion back to doc pairs via membership joins, with the
+    *     probe side CHUNKED (doc_id mod 8 + an 8-row broadcast spine on
+    *     the build side): a hash value shared by m docs would otherwise
+    *     expand its C(m,2) within-cluster pairs in ONE task per value —
+    *     the same single-task-quadratic class as the co-purchase
+    *     mega-basket, parallelized here instead of capped because the
+    *     pair list IS the contract. Each unordered doc pair is emitted
+    *     exactly once (hash pairs are value-deduped with ha ≤ hb; the
+    *     (da, db) orientation is normalized afterward), so no distinct
+    *     runs over the expanded set at all.
     * At 100 TB the phash table is one 60-bit integer per image; the band
-    * join buckets on (band, 15-bit key) and the corpus profile is a
-    * single broadcast row. */
+    * join buckets distinct values on (band, 15-bit key); the corpus
+    * profile is a single broadcast row; and the only corpus-sized
+    * shuffles are the histogram rollup and the final pair sort — the
+    * answer itself. */
   def qMultimodalPhash(spark: SparkSession, dir: String): DataFrame = {
     val NBins = 64
     val NBits = 60
@@ -258,21 +278,41 @@ object Multimodal extends QueryModule {
       // it per consumer and the key runs ~20× slower (measured 96 s vs
       // ~5 s at sf0.1)
       .localCheckpoint(eager = false)
-    val banded = phash.select(col("doc_id"), col("phash"),
+    // ---- value-collapsed banding: pair HASH VALUES, not doc rows ----
+    val hv = phash.select(col("phash")).distinct()
+    val bandedV = hv.select(col("phash"),
       explode(expr(
         """transform(sequence(0, 3),
           |  b -> struct(b AS band,
           |    (phash div shiftleft(CAST(1 AS BIGINT), b * 15)) % 32768 AS key))"""
           .stripMargin)).as("bk"))
-      .select(col("doc_id"), col("phash"), col("bk.band").as("band"), col("bk.key").as("key"))
-    banded.as("a").join(banded.as("b"), Seq("band", "key"))
-      .filter(col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"),
-        col("a.phash").as("h1"), col("b.phash").as("h2"))
-      .distinct()
-      .withColumn("hamming", expr("bit_count(h1 ^ h2)"))
+      .select(col("phash"), col("bk.band").as("band"), col("bk.key").as("key"))
+    // ha <= hb keeps the within-cluster (h, h) pair; a value pair agreeing
+    // on several bands dedups here, while the set is still value-sized
+    val hp = bandedV.as("a").join(bandedV.as("b"), Seq("band", "key"))
+      .filter(col("a.phash") <= col("b.phash"))
+      .select(col("a.phash").as("ha"), col("b.phash").as("hb"))
+      .withColumn("hamming", expr("bit_count(ha ^ hb)"))
       .filter(col("hamming") <= 3)
-      .select(col("d1"), col("d2"), col("h1"), col("h2"), col("hamming"))
+      .distinct()
+    // ---- chunked expansion: qualifying value pairs -> doc pairs ----
+    val chunks = 8
+    val spine = spark.range(0, chunks).select(col("id").as("cj"))
+    val mA = phash.select(col("phash").as("ha"), col("doc_id").as("da"))
+    val mB = phash.select(col("phash").as("hb_m"), col("doc_id").as("db"),
+      pmod(col("doc_id"), lit(chunks.toLong)).as("ck"))
+    hp.join(mA, "ha")
+      .crossJoin(broadcast(spine))
+      .join(mB, col("hb") === col("hb_m") && col("cj") === col("ck"))
+      // within-cluster (ha = hb): keep each unordered pair once; across
+      // clusters the (ha, hb) value pair is already unique, any (da, db)
+      .filter((col("ha") =!= col("hb")) || (col("da") < col("db")))
+      .select(
+        least(col("da"), col("db")).as("d1"),
+        greatest(col("da"), col("db")).as("d2"),
+        when(col("da") < col("db"), col("ha")).otherwise(col("hb")).as("h1"),
+        when(col("da") < col("db"), col("hb")).otherwise(col("ha")).as("h2"),
+        col("hamming"))
       .orderBy(col("d1"), col("d2"))
   }
 

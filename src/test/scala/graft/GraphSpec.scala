@@ -293,6 +293,26 @@ class GraphSpec extends SparkSpec {
       "directed pair fanout bounded at cap*(cap-1) per order")
   }
 
+  test("edge-probe kills: bloom regime returns exactly the broadcast regime's rows") {
+    import spark.implicits._
+    // packed keys 1..400 present; probes hit half of them plus misses
+    val eKeys = (1L to 400L).toDF("_ek")
+    val probe = (1L to 800L).map(i => (i * 3 % 1000, i)).toDF("_ek", "payload")
+    def sortRows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(identity).toSeq
+    // limit = Long.MaxValue -> broadcast path; limit = 0 -> bloom path
+    val semiB = sortRows(Graph.edgeSemiKill(probe, eKeys, 400L, Long.MaxValue))
+    val semiS = sortRows(Graph.edgeSemiKill(probe, eKeys, 400L, 0L))
+    assert(semiB == semiS && semiB.nonEmpty,
+      "bloom-prefiltered shuffle semi join must lose nothing and add nothing")
+    val antiB = sortRows(Graph.edgeAntiKill(probe, eKeys, 400L, Long.MaxValue))
+    val antiS = sortRows(Graph.edgeAntiKill(probe, eKeys, 400L, 0L))
+    assert(antiB == antiS && antiB.nonEmpty,
+      "candidate-bloom-pruned anti join must keep exactly the non-edges")
+    assert((semiB.map(_._2) ++ antiB.map(_._2)).sorted == probe.collect()
+      .map(_.getLong(1)).sorted.toSeq, "semi and anti partition the probe")
+  }
+
   test("lpa planted hub: a degree-5000 hub streams through its window and replays exactly") {
     import spark.implicits._
     val hub = 0L

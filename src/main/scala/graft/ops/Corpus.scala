@@ -372,6 +372,122 @@ object Corpus extends QueryModule {
       .limit(20)
   }
 
+  /** Unit separator between BPE tokens inside a word's working string.
+    * The corpus alphabet is plain printable text, so U+001F can never
+    * occur in a word; the builder still guards the invariant explicitly. */
+  private val BpeSep = "\u001F"
+
+  /** Word TYPE table as unit-separated character strings — the working
+    * representation a BPE merge rewrites. Vocabulary-bounded. */
+  private def bpeWords(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(explode(split(lower(trim(col("text"))), " ")).as("w"))
+      .filter(col("w") =!= "" && !col("w").contains(BpeSep))
+      .groupBy(col("w")).agg(count(lit(1)).as("wf"))
+      .filter(length(col("w")) >= 2)
+      .select(col("wf"),
+        rtrim(regexp_replace(col("w"), "(.)", "$1" + BpeSep), BpeSep).as("s"))
+
+  /** Adjacent-token pair frequencies over a (wf, s) working table. */
+  private def bpePairs(tokens: DataFrame): DataFrame =
+    tokens
+      .select(col("wf"), split(col("s"), BpeSep).as("t"))
+      .filter(size(col("t")) >= 2)
+      .select(col("wf"), explode(expr(
+        "transform(sequence(1, size(t) - 1), i -> struct(t[i-1] AS l, t[i] AS r))"))
+        .as("p"))
+      .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+      .agg(sum(col("wf")).as("pc"))
+
+  /** The winning merge of a pair table: highest corpus-weighted count,
+    * ties broken lexically — the BPE trainer's argmax, as a 1-row frame. */
+  private def bpeArgmax(pairs: DataFrame): DataFrame =
+    pairs.orderBy(col("pc").desc, col("l"), col("r")).limit(1)
+      .select(col("l").as("ml"), col("r").as("mr"), col("pc").as("mpc"))
+
+  /** Rewrite every word by the 1-row merge table: the winning adjacent
+    * pair fuses into one token. `replace` is left-to-right and
+    * non-overlapping in BOTH engines (Spark UTF8String.replace, DuckDB
+    * REPLACE) — exactly BPE's greedy merge convention, so "a a a" under
+    * merge (a,a) becomes (aa, a) identically on both sides. */
+  private def bpeApply(tokens: DataFrame, merge: DataFrame): DataFrame =
+    tokens.crossJoin(broadcast(merge))
+      .withColumn("s",
+        expr(s"replace(s, concat(ml, '$BpeSep', mr), concat(ml, mr))"))
+      .select(col("wf"), col("s"))
+
+  /** Two live iterations of the BPE trainer's merge loop — the step
+    * `q_bpe_pair_stats` only tabulates: round 1 picks the argmax adjacent
+    * pair and fuses it across the vocabulary, round 2 re-counts (tokens
+    * are now multi-character) and merges again, and the output carries
+    * both chosen merges plus the top-8 surviving candidates (round 3) —
+    * the trainer's next-iteration worklist.
+    *
+    * Scale shape: identical to `q_bpe_pair_stats` — the corpus collapses
+    * to the distinct-word TYPE table once (the only corpus-sized rollup,
+    * map-side combinable), and every rewrite/re-count runs per TYPE, so
+    * each extra merge round costs vocabulary, not corpus. The argmax rows
+    * are 1-row broadcasts. The TYPE table is lazily localCheckpointed:
+    * three pair censuses consume it and Catalyst has no cross-branch
+    * reuse. */
+  def qBpeMergeStep(spark: SparkSession, dir: String): DataFrame = {
+    val w0 = bpeWords(spark, dir).localCheckpoint(eager = false)
+    val m1 = bpeArgmax(bpePairs(w0))
+    val w1 = bpeApply(w0, m1).localCheckpoint(eager = false)
+    val m2 = bpeArgmax(bpePairs(w1))
+    val w2 = bpeApply(w1, m2)
+    val survivors = bpePairs(w2)
+      .orderBy(col("pc").desc, col("l"), col("r")).limit(8)
+    m1.select(lit(1L).as("round"), col("ml").as("left"),
+        col("mr").as("right"), col("mpc").as("pair_count"))
+      .unionAll(m2.select(lit(2L).as("round"), col("ml").as("left"),
+        col("mr").as("right"), col("mpc").as("pair_count")))
+      .unionAll(survivors.select(lit(3L).as("round"), col("l").as("left"),
+        col("r").as("right"), col("pc").as("pair_count")))
+      .orderBy(col("round"), col("pair_count").desc, col("left"), col("right"))
+  }
+
+  /** Good-Turing frequency-of-frequencies — the smoothing table an n-gram
+    * language model reads: for the 20 SMALLEST observed unigram
+    * frequencies r (the low-count region smoothing exists for — an
+    * absolute r ≤ 20 cut can be empty when the corpus vocabulary is
+    * small and every type is frequent),
+    * the number of word types N_r seen exactly r times, the smoothed
+    * re-estimate r* = (r+1)·N_{r+1}/N_r as a truncating ppm division
+    * (N_{r+1} is the count at EXACTLY r+1 — a gap in the frequency
+    * spectrum means 0, the standard unsmoothed-GT convention), and the
+    * corpus-level unseen-mass estimate p₀ = N₁/N.
+    *
+    * Scale shape: one corpus-sized token rollup to the TYPE table, one
+    * vocabulary-sized rollup to the frequency spectrum; the lead window
+    * runs UNPARTITIONED but over the spectrum, whose cardinality is the
+    * number of DISTINCT frequencies (hundreds at any corpus size —
+    * bounded-aggregate house rule), never the corpus. */
+  def qGoodTuring(spark: SparkSession, dir: String): DataFrame = {
+    val fof = Tables.documents(spark, dir)
+      .select(explode(split(lower(trim(col("text"))), " ")).as("w"))
+      .filter(col("w") =!= "")
+      .groupBy(col("w")).agg(count(lit(1)).as("wf"))
+      .groupBy(col("wf").as("r")).agg(count(lit(1)).as("n_r"))
+    val tot = fof.agg(
+      sum(col("r") * col("n_r")).cast("long").as("n_tokens"),
+      sum(col("n_r")).cast("long").as("n_types"),
+      sum(when(col("r") === 1, col("n_r")).otherwise(0L)).cast("long").as("n1"))
+    val w = Window.orderBy(col("r"))
+    fof
+      .withColumn("r_next", lead(col("r"), 1).over(w))
+      .withColumn("n_next", when(col("r_next") === col("r") + 1,
+        lead(col("n_r"), 1).over(w)).otherwise(0L))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 20)
+      .crossJoin(broadcast(tot))
+      .select(col("r"), col("n_r"),
+        expr("div(1000000 * (r + 1) * n_next, n_r)").as("r_star_ppm"),
+        col("n_tokens"), col("n_types"),
+        expr("div(1000000 * n1, n_tokens)").as("p0_ppm"))
+      .orderBy(col("r"))
+  }
+
   /** Per-source quality scorecard — the table a crawl-inclusion decision
     * reads: document count, exact mean length, short-doc rate (< 100
     * chars), exact-duplicate rate (md5(text) seen more than once within
@@ -401,6 +517,8 @@ object Corpus extends QueryModule {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_source_quality" -> (qSourceQuality _),
     "q_bpe_pair_stats" -> (qBpePairStats _),
+    "q_bpe_merge_step" -> (qBpeMergeStep _),
+    "q_good_turing"   -> (qGoodTuring _),
     "q_corpus_mixture" -> (qCorpusMixture _),
     "q_corpus_drift"  -> (qCorpusDrift _),
     "q_bm25"          -> (qBm25 _),
@@ -480,6 +598,73 @@ object Corpus extends QueryModule {
         |SELECT "left", "right", CAST(SUM(wf) AS BIGINT) AS pair_count
         |FROM pairs GROUP BY 1, 2
         |ORDER BY pair_count DESC, "left", "right" LIMIT 20""".stripMargin,
+    "q_bpe_merge_step" ->
+      """WITH words AS (
+        |  SELECT w, COUNT(*) AS wf FROM (
+        |    SELECT UNNEST(STRING_SPLIT(LOWER(TRIM(text)), ' ')) AS w FROM documents)
+        |  WHERE w <> '' AND STRPOS(w, CHR(31)) = 0 GROUP BY w),
+        |w0 AS (
+        |  SELECT wf, RTRIM(REGEXP_REPLACE(w, '(.)', '\1' || CHR(31), 'g'), CHR(31)) AS s
+        |  FROM words WHERE LENGTH(w) >= 2),
+        |p0 AS (
+        |  SELECT t[CAST(i AS INT)] AS l, t[CAST(i AS INT) + 1] AS r,
+        |         CAST(SUM(wf) AS BIGINT) AS pc
+        |  FROM (SELECT wf, t, UNNEST(GENERATE_SERIES(1, LEN(t) - 1)) AS i
+        |        FROM (SELECT wf, STRING_SPLIT(s, CHR(31)) AS t FROM w0)
+        |        WHERE LEN(t) >= 2)
+        |  GROUP BY 1, 2),
+        |m1 AS (SELECT l AS ml, r AS mr, pc AS mpc FROM p0
+        |       ORDER BY pc DESC, l, r LIMIT 1),
+        |w1 AS (SELECT wf, REPLACE(s, ml || CHR(31) || mr, ml || mr) AS s
+        |       FROM w0 CROSS JOIN m1),
+        |p1 AS (
+        |  SELECT t[CAST(i AS INT)] AS l, t[CAST(i AS INT) + 1] AS r,
+        |         CAST(SUM(wf) AS BIGINT) AS pc
+        |  FROM (SELECT wf, t, UNNEST(GENERATE_SERIES(1, LEN(t) - 1)) AS i
+        |        FROM (SELECT wf, STRING_SPLIT(s, CHR(31)) AS t FROM w1)
+        |        WHERE LEN(t) >= 2)
+        |  GROUP BY 1, 2),
+        |m2 AS (SELECT l AS ml, r AS mr, pc AS mpc FROM p1
+        |       ORDER BY pc DESC, l, r LIMIT 1),
+        |w2 AS (SELECT wf, REPLACE(s, ml || CHR(31) || mr, ml || mr) AS s
+        |       FROM w1 CROSS JOIN m2),
+        |p2 AS (
+        |  SELECT t[CAST(i AS INT)] AS l, t[CAST(i AS INT) + 1] AS r,
+        |         CAST(SUM(wf) AS BIGINT) AS pc
+        |  FROM (SELECT wf, t, UNNEST(GENERATE_SERIES(1, LEN(t) - 1)) AS i
+        |        FROM (SELECT wf, STRING_SPLIT(s, CHR(31)) AS t FROM w2)
+        |        WHERE LEN(t) >= 2)
+        |  GROUP BY 1, 2)
+        |SELECT * FROM (
+        |  SELECT CAST(1 AS BIGINT) AS round, ml AS "left", mr AS "right",
+        |         mpc AS pair_count FROM m1
+        |  UNION ALL
+        |  SELECT CAST(2 AS BIGINT), ml, mr, mpc FROM m2
+        |  UNION ALL
+        |  SELECT CAST(3 AS BIGINT), l, r, pc FROM (
+        |    SELECT l, r, pc FROM p2 ORDER BY pc DESC, l, r LIMIT 8))
+        |ORDER BY round, pair_count DESC, "left", "right"""".stripMargin,
+    "q_good_turing" ->
+      """WITH words AS (
+        |  SELECT w, COUNT(*) AS wf FROM (
+        |    SELECT UNNEST(STRING_SPLIT(LOWER(TRIM(text)), ' ')) AS w FROM documents)
+        |  WHERE w <> '' GROUP BY w),
+        |fof AS (SELECT wf AS r, CAST(COUNT(*) AS BIGINT) AS n_r FROM words GROUP BY wf),
+        |tot AS (SELECT CAST(SUM(r * n_r) AS BIGINT) AS n_tokens,
+        |               CAST(SUM(n_r) AS BIGINT) AS n_types,
+        |               CAST(SUM(CASE WHEN r = 1 THEN n_r ELSE 0 END) AS BIGINT) AS n1
+        |        FROM fof),
+        |led AS (SELECT r, n_r,
+        |               CASE WHEN LEAD(r) OVER (ORDER BY r) = r + 1
+        |                    THEN LEAD(n_r) OVER (ORDER BY r) ELSE 0 END AS n_next,
+        |               ROW_NUMBER() OVER (ORDER BY r) AS rk
+        |        FROM fof)
+        |SELECT r, n_r,
+        |       CAST((1000000 * (r + 1) * n_next) // n_r AS BIGINT) AS r_star_ppm,
+        |       n_tokens, n_types,
+        |       CAST((1000000 * n1) // n_tokens AS BIGINT) AS p0_ppm
+        |FROM led CROSS JOIN tot
+        |WHERE rk <= 20 ORDER BY r""".stripMargin,
     "q_corpus_mixture" ->
       """WITH census AS (
         |  SELECT source, COUNT(*) AS n_s FROM documents GROUP BY source),

@@ -628,7 +628,110 @@ object Graph extends QueryModule {
       .orderBy(col("round"))
   }
 
+  /** Degree assortativity of the co-purchase graph — Newman's r: the
+    * Pearson correlation of (deg(src), deg(dst)) over the directed edge
+    * list, the one-number summary of whether hubs attach to hubs
+    * (r > 0, social-network shape) or to leaves (r < 0, hub-and-spoke —
+    * what co-purchase graphs typically show). Emitted alongside the raw
+    * exact moments (m, Σd, Σd², Σdxdy) so the correlation is auditable.
+    *
+    * Determinism: every moment is an exact integer (LONG sums; the three
+    * cross-moments m·Σxy − Σx·Σy run in DECIMAL(38,0)/HUGEINT, since
+    * m·Σxy passes 2⁶³ near sf1.0); r itself is the single double
+    * division of those exact operands, floor-rounded at 1 ppm, NULL when
+    * either variance is ≤ 0 (degenerate regular graph) — identical
+    * arithmetic both engines.
+    *
+    * Scale shape: one degree rollup (map-side combinable, node-bounded)
+    * and two equi-joins decorating each edge endpoint with its degree —
+    * the same join pattern every other key in this family runs per
+    * round; the moment fold is a single global aggregate. The edge set
+    * is lazily localCheckpointed: the degree table AND the probe side
+    * both consume it and Catalyst has no cross-branch reuse. */
+  def qDegreeAssort(spark: SparkSession, dir: String): DataFrame = {
+    val e = edges(spark, dir).localCheckpoint(eager = false)
+    val deg = e.groupBy(col("src").as("node")).agg(count(lit(1)).as("deg"))
+    val moments = e
+      .join(deg.select(col("node").as("src"), col("deg").as("dx")), "src")
+      .join(deg.select(col("node").as("dst"), col("deg").as("dy")), "dst")
+      .agg(count(lit(1)).as("m"),
+        sum(col("dx")).as("sx"), sum(col("dy")).as("sy"),
+        sum(col("dx") * col("dy")).as("sxy"),
+        sum(col("dx") * col("dx")).as("sxx"),
+        sum(col("dy") * col("dy")).as("syy"))
+    moments
+      .withColumn("num", expr(
+        "CAST(m AS DECIMAL(38,0)) * sxy - CAST(sx AS DECIMAL(38,0)) * sy"))
+      .withColumn("denx", expr(
+        "CAST(m AS DECIMAL(38,0)) * sxx - CAST(sx AS DECIMAL(38,0)) * sx"))
+      .withColumn("deny", expr(
+        "CAST(m AS DECIMAL(38,0)) * syy - CAST(sy AS DECIMAL(38,0)) * sy"))
+      .withColumn("assort", when(
+        col("m") === 0 || col("denx") <= 0 || col("deny") <= 0, lit(null))
+        .otherwise(
+          floor(col("num").cast("double")
+            / sqrt(col("denx").cast("double") * col("deny").cast("double"))
+            * 1000000 + 0.5) / 1000000))
+      .select(col("m"), col("sx").as("s_deg"), col("sxy").as("s_xy"),
+        col("sxx").as("s_xx"), col("assort"))
+  }
+
+  /** Modularity of the LPA communities — the quality score that says
+    * whether `q_community_lpa`'s partition actually found structure:
+    * Q = Σ_c (intra_c/m − (d_c/m)²) over the symmetric (directed-double)
+    * strong-edge list, where intra_c counts directed edges with both
+    * endpoints in c, d_c sums member degrees, and m = |sym|. (On the
+    * directed-double representation of an undirected graph this equals
+    * the textbook undirected Q with its 2m denominators.) Both terms are
+    * truncating ppm divisions of exact integers — the (d_c)² cross-term
+    * runs in DECIMAL(38,0)/HUGEINT since 10⁶·d_c² passes 2⁶³ once d_c
+    * nears 10⁷. Emits the 10 largest communities with their
+    * contributions plus the global Q on every row.
+    *
+    * Scale shape: the label table is [[lpaFromSym]]'s (checkpointed per
+    * round, window bounded by per-node distinct neighbor labels = degree);
+    * intra_c decorates each edge endpoint with its label — the same two
+    * equi-joins every per-round LPA step already pays — and everything
+    * after aggregates by community label, so the tail is bounded by the
+    * number of communities. Top-10 is a TakeOrdered, the global Q a
+    * 1-row broadcast. */
+  def qGraphModularity(spark: SparkSession, dir: String): DataFrame = {
+    val parts = spark.sessionState.conf.numShufflePartitions
+    val e0 = strongEdges(spark, dir)
+    val sym = graft.plans.PartitionedCheckpoint.byKey(
+      e0.select(col("u"), col("v"))
+        .union(e0.select(col("v").as("u"), col("u").as("v"))), "v", parts)
+    val labels = lpaFromSym(sym, 3).localCheckpoint(eager = false)
+    val m = sym.agg(count(lit(1)).as("m"))
+    val intra = sym
+      .join(labels.select(col("node").as("u"), col("lbl").as("lu")), "u")
+      .join(labels.select(col("node").as("v"), col("lbl").as("lv")), "v")
+      .filter(col("lu") === col("lv"))
+      .groupBy(col("lu").as("community")).agg(count(lit(1)).as("intra"))
+    val dc = sym.groupBy(col("u").as("node")).agg(count(lit(1)).as("deg"))
+      .join(labels, "node")
+      .groupBy(col("lbl").as("community"))
+      .agg(count(lit(1)).as("n_nodes"), sum(col("deg")).as("d_c"))
+    val contrib = dc.join(intra, Seq("community"), "left")
+      .na.fill(0L, Seq("intra"))
+      .crossJoin(broadcast(m))
+      .withColumn("contrib_ppm", expr(
+        """div(1000000 * intra, m)
+          |- CAST(CAST(1000000 AS DECIMAL(38,0)) * d_c * d_c
+          |       div (CAST(m AS DECIMAL(38,0)) * m) AS BIGINT)""".stripMargin))
+    val cchk = contrib.localCheckpoint(eager = false)
+    val q = cchk.agg(sum(col("contrib_ppm")).as("q_ppm"))
+    cchk
+      .orderBy(col("n_nodes").desc, col("community")).limit(10)
+      .crossJoin(broadcast(q))
+      .select(col("community"), col("n_nodes"), col("intra"), col("d_c"),
+        col("contrib_ppm"), col("m"), col("q_ppm"))
+      .orderBy(col("n_nodes").desc, col("community"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_graph_modularity" -> (qGraphModularity _),
+    "q_degree_assort" -> (qDegreeAssort _),
     "q_kcore"         -> (qKcore _),
     "q_hits"          -> (qHits _),
     "q_community_lpa" -> (qCommunityLpa _),
@@ -641,6 +744,41 @@ object Graph extends QueryModule {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_degree_assort" ->
+      """WITH lines AS (
+        |  SELECT l_orderkey, l_partkey FROM (
+        |    SELECT l_orderkey, l_partkey,
+        |           ROW_NUMBER() OVER (PARTITION BY l_orderkey ORDER BY l_partkey) AS rk
+        |    FROM (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem))
+        |  WHERE rk <= 64),
+        |e0 AS (
+        |  SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+        |  FROM lines a JOIN lines b ON a.l_orderkey = b.l_orderkey
+        |  WHERE a.l_partkey <> b.l_partkey),
+        |deg AS (SELECT src AS node, CAST(COUNT(*) AS BIGINT) AS deg
+        |        FROM e0 GROUP BY src),
+        |j AS (SELECT dx.deg AS dx, dy.deg AS dy
+        |      FROM e0 e JOIN deg dx ON e.src = dx.node
+        |                JOIN deg dy ON e.dst = dy.node),
+        |s AS (SELECT CAST(COUNT(*) AS BIGINT) AS m,
+        |             CAST(SUM(dx) AS BIGINT) AS sx,
+        |             CAST(SUM(dy) AS BIGINT) AS sy,
+        |             CAST(SUM(dx * dy) AS BIGINT) AS sxy,
+        |             CAST(SUM(dx * dx) AS BIGINT) AS sxx,
+        |             CAST(SUM(dy * dy) AS BIGINT) AS syy
+        |      FROM j)
+        |SELECT m, sx AS s_deg, sxy AS s_xy, sxx AS s_xx,
+        |       CASE WHEN m = 0
+        |              OR CAST(m AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx <= 0
+        |              OR CAST(m AS HUGEINT) * syy - CAST(sy AS HUGEINT) * sy <= 0
+        |            THEN NULL
+        |            ELSE FLOOR(
+        |              CAST(CAST(m AS HUGEINT) * sxy - CAST(sx AS HUGEINT) * sy AS DOUBLE)
+        |              / SQRT(CAST(CAST(m AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx AS DOUBLE)
+        |                   * CAST(CAST(m AS HUGEINT) * syy - CAST(sy AS HUGEINT) * sy AS DOUBLE))
+        |              * 1000000 + 0.5) / 1000000
+        |       END AS assort
+        |FROM s""".stripMargin,
     "q_kcore" ->
       """WITH lines AS (
         |  SELECT l_orderkey, l_partkey FROM (
@@ -736,6 +874,65 @@ object Graph extends QueryModule {
         |    GROUP BY s.u, l.lbl) WHERE rk = 1)
         |SELECT lbl AS community, COUNT(*) AS n_nodes, MIN(node) AS min_node
         |FROM r3 GROUP BY lbl ORDER BY community""".stripMargin,
+    "q_graph_modularity" ->
+      """WITH lines AS (
+        |  SELECT l_orderkey, l_partkey FROM (
+        |    SELECT l_orderkey, l_partkey,
+        |           ROW_NUMBER() OVER (PARTITION BY l_orderkey ORDER BY l_partkey) AS rk
+        |    FROM (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem))
+        |  WHERE rk <= 64),
+        |pairs AS (
+        |  SELECT a.l_partkey AS u, b.l_partkey AS v
+        |  FROM lines a JOIN lines b
+        |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        |  GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+        |sym AS (SELECT u, v FROM pairs UNION ALL SELECT v, u FROM pairs),
+        |l0 AS (SELECT DISTINCT u AS node, u AS lbl FROM sym),
+        |r1 AS (
+        |  SELECT node, nlbl AS lbl FROM (
+        |    SELECT s.u AS node, l.lbl AS nlbl, COUNT(*) AS cnt,
+        |           ROW_NUMBER() OVER (PARTITION BY s.u
+        |             ORDER BY COUNT(*) DESC, l.lbl) AS rk
+        |    FROM sym s JOIN l0 l ON s.v = l.node
+        |    GROUP BY s.u, l.lbl) WHERE rk = 1),
+        |r2 AS (
+        |  SELECT node, nlbl AS lbl FROM (
+        |    SELECT s.u AS node, l.lbl AS nlbl, COUNT(*) AS cnt,
+        |           ROW_NUMBER() OVER (PARTITION BY s.u
+        |             ORDER BY COUNT(*) DESC, l.lbl) AS rk
+        |    FROM sym s JOIN r1 l ON s.v = l.node
+        |    GROUP BY s.u, l.lbl) WHERE rk = 1),
+        |r3 AS (
+        |  SELECT node, nlbl AS lbl FROM (
+        |    SELECT s.u AS node, l.lbl AS nlbl, COUNT(*) AS cnt,
+        |           ROW_NUMBER() OVER (PARTITION BY s.u
+        |             ORDER BY COUNT(*) DESC, l.lbl) AS rk
+        |    FROM sym s JOIN r2 l ON s.v = l.node
+        |    GROUP BY s.u, l.lbl) WHERE rk = 1),
+        |mm AS (SELECT CAST(COUNT(*) AS BIGINT) AS m FROM sym),
+        |intra AS (
+        |  SELECT lu.lbl AS community, CAST(COUNT(*) AS BIGINT) AS intra
+        |  FROM sym s JOIN r3 lu ON s.u = lu.node JOIN r3 lv ON s.v = lv.node
+        |  WHERE lu.lbl = lv.lbl GROUP BY lu.lbl),
+        |dc AS (
+        |  SELECT l.lbl AS community, CAST(COUNT(*) AS BIGINT) AS n_nodes,
+        |         CAST(SUM(d.deg) AS BIGINT) AS d_c
+        |  FROM (SELECT u AS node, COUNT(*) AS deg FROM sym GROUP BY u) d
+        |  JOIN r3 l ON d.node = l.node GROUP BY l.lbl),
+        |contrib AS (
+        |  SELECT dc.community, dc.n_nodes, COALESCE(i.intra, 0) AS intra,
+        |         dc.d_c,
+        |         CAST((1000000 * COALESCE(i.intra, 0)) // mm.m
+        |              - (CAST(1000000 AS HUGEINT) * dc.d_c * dc.d_c)
+        |                // (CAST(mm.m AS HUGEINT) * mm.m) AS BIGINT) AS contrib_ppm,
+        |         mm.m
+        |  FROM dc LEFT JOIN intra i ON dc.community = i.community
+        |          CROSS JOIN mm),
+        |qq AS (SELECT CAST(SUM(contrib_ppm) AS BIGINT) AS q_ppm FROM contrib)
+        |SELECT community, n_nodes, intra, d_c, contrib_ppm, m, q_ppm
+        |FROM (SELECT * FROM contrib ORDER BY n_nodes DESC, community LIMIT 10)
+        |     CROSS JOIN qq
+        |ORDER BY n_nodes DESC, community""".stripMargin,
     "q_graph_cc" ->
       """WITH RECURSIVE lines AS (
         |  SELECT l_orderkey, l_partkey FROM (

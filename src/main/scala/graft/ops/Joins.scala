@@ -346,7 +346,58 @@ object Joins extends QueryModule {
       .orderBy(col("c_mktsegment"))
   }
 
+  /** One row of the cardinality-estimation audit: the textbook equi-join
+    * size estimate |L|·|R| / max(ndv(L.k), ndv(R.k)) — what a
+    * cost-based optimizer reorders joins with — against the TRUE join
+    * cardinality, with the error in truncating ppm. */
+  private def cardAudit(name: String, l: DataFrame, lk: String,
+      r: DataFrame, rk: String): DataFrame = {
+    val stats = l.agg(count(lit(1)).as("n_left"),
+        countDistinct(col(lk)).as("ndv_left"))
+      .crossJoin(r.agg(count(lit(1)).as("n_right"),
+        countDistinct(col(rk)).as("ndv_right")))
+    val actual = l.select(col(lk).as("k"))
+      .join(r.select(col(rk).as("k")), "k")
+      .agg(count(lit(1)).as("actual_rows"))
+    stats.crossJoin(actual)
+      .withColumn("join_name", lit(name))
+      .withColumn("est_rows",
+        expr("div(n_left * n_right, greatest(ndv_left, ndv_right))"))
+      .withColumn("err_ppm", when(col("actual_rows") === 0, lit(null))
+        .otherwise(expr(
+          "div(1000000 * abs(est_rows - actual_rows), actual_rows)")))
+      .select(col("join_name"), col("n_left"), col("n_right"),
+        col("ndv_left"), col("ndv_right"), col("est_rows"),
+        col("actual_rows"), col("err_ppm"))
+  }
+
+  /** Join-cardinality estimation audit over the three FK joins a
+    * cost-based optimizer must order correctly (customer⋈orders,
+    * orders⋈lineitem, part⋈lineitem): the uniform-frequency estimate
+    * vs the measured truth. On uniform FK data the estimate should land
+    * within ppm noise; real skew (q_skew_audit's territory) is exactly
+    * what pushes it off — this key is the measuring stick.
+    *
+    * Scale shape: per audited join, two single-pass stat aggregates
+    * (count + exact count-distinct — at 100 TB the estimator reads the
+    * same numbers from HLL sketches, `q_agg_approx_distinct`'s
+    * machinery, and the audit runs on a sample) and one key-only join
+    * for the ground truth, projected to the key columns before the
+    * shuffle so the exchange carries 8 bytes a row. The three audits
+    * are independent 1-row pipelines unioned at the end. */
+  def qJoinCardEst(spark: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.customer(spark, dir)
+    val ord = Tables.orders(spark, dir)
+    val li = Tables.lineitem(spark, dir)
+    val part = Tables.part(spark, dir)
+    cardAudit("customer-orders", cust, "c_custkey", ord, "o_custkey")
+      .unionAll(cardAudit("orders-lineitem", ord, "o_orderkey", li, "l_orderkey"))
+      .unionAll(cardAudit("part-lineitem", part, "p_partkey", li, "l_partkey"))
+      .orderBy(col("join_name"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_join_card_est"  -> (qJoinCardEst _),
     "q_join_bucketed"  -> (qJoinBucketed _),
     "q_join_interval"  -> (qJoinInterval _),
     "q_join_inner"     -> (qJoinInner _),
@@ -365,6 +416,42 @@ object Joins extends QueryModule {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_join_card_est" ->
+      """WITH a AS (
+        |  SELECT 'customer-orders' AS join_name,
+        |         (SELECT COUNT(*) FROM customer) AS n_left,
+        |         (SELECT COUNT(*) FROM orders) AS n_right,
+        |         (SELECT COUNT(DISTINCT c_custkey) FROM customer) AS ndv_left,
+        |         (SELECT COUNT(DISTINCT o_custkey) FROM orders) AS ndv_right,
+        |         (SELECT COUNT(*) FROM customer c JOIN orders o
+        |            ON c.c_custkey = o.o_custkey) AS actual_rows),
+        |b AS (
+        |  SELECT 'orders-lineitem' AS join_name,
+        |         (SELECT COUNT(*) FROM orders) AS n_left,
+        |         (SELECT COUNT(*) FROM lineitem) AS n_right,
+        |         (SELECT COUNT(DISTINCT o_orderkey) FROM orders) AS ndv_left,
+        |         (SELECT COUNT(DISTINCT l_orderkey) FROM lineitem) AS ndv_right,
+        |         (SELECT COUNT(*) FROM orders o JOIN lineitem l
+        |            ON o.o_orderkey = l.l_orderkey) AS actual_rows),
+        |c AS (
+        |  SELECT 'part-lineitem' AS join_name,
+        |         (SELECT COUNT(*) FROM part) AS n_left,
+        |         (SELECT COUNT(*) FROM lineitem) AS n_right,
+        |         (SELECT COUNT(DISTINCT p_partkey) FROM part) AS ndv_left,
+        |         (SELECT COUNT(DISTINCT l_partkey) FROM lineitem) AS ndv_right,
+        |         (SELECT COUNT(*) FROM part p JOIN lineitem l
+        |            ON p.p_partkey = l.l_partkey) AS actual_rows),
+        |u AS (SELECT * FROM a UNION ALL SELECT * FROM b UNION ALL SELECT * FROM c)
+        |SELECT join_name, n_left, n_right, ndv_left, ndv_right,
+        |       CAST((n_left * n_right) // GREATEST(ndv_left, ndv_right) AS BIGINT)
+        |         AS est_rows,
+        |       actual_rows,
+        |       CASE WHEN actual_rows = 0 THEN NULL
+        |            ELSE CAST((1000000 * ABS((n_left * n_right)
+        |                   // GREATEST(ndv_left, ndv_right) - actual_rows))
+        |                   // actual_rows AS BIGINT)
+        |       END AS err_ppm
+        |FROM u ORDER BY join_name""".stripMargin,
     "q_join_bucketed" ->
       """SELECT c.c_mktsegment, COUNT(*) AS n_orders,
         |       ROUND(CAST(SUM(CAST(ROUND(o.o_totalprice * 100) AS BIGINT)) AS DOUBLE)

@@ -529,6 +529,51 @@ object Profiling extends QueryModule {
       .withColumn("diverse", col("l_div") >= lit(LDivThreshold))
       .orderBy(col("c_nationkey"))
 
+  /** t-closeness breach threshold: a group whose sensitive-attribute
+    * distribution sits more than t = 0.2 total-variation from the global
+    * distribution leaks attribute skew even when k-anonymous and
+    * l-diverse. */
+  private val TCloseThresholdPpm = 200000L
+
+  /** t-closeness audit — the third leg of the privacy triad after
+    * [[qKanon]] (groups can't be too SMALL) and [[qLdiversity]] (groups
+    * can't be too UNIFORM): per quasi-group (c_nationkey), the
+    * total-variation distance between the group's sensitive-attribute
+    * (c_mktsegment) distribution and the global one, as truncating ppm
+    * integers — TV = ½·Σ_v |p_g(v) − p(v)| over the full value domain,
+    * so a segment MISSING from a group contributes its whole global
+    * share.
+    *
+    * Scale shape: two map-side-combinable rollups (group×value census,
+    * global value census) whose outputs are bounded by |QI domain| ×
+    * |sensitive domain|, never row count; the full grid comes from a
+    * cross join of the GROUP census with the broadcast (value-census ×
+    * one-row total) table — both census-sized — and the per-group L1
+    * fold is an aggregation over that grid. Each |·| term is a
+    * truncating ppm division of exact longs, identical in both
+    * engines. */
+  def qTclose(spark: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.customer(spark, dir)
+      .select(col("c_nationkey"), col("c_mktsegment"))
+    val gcnt = cust.groupBy(col("c_nationkey"), col("c_mktsegment"))
+      .agg(count(lit(1)).as("c_gv"))
+    val gtot = gcnt.groupBy(col("c_nationkey")).agg(sum(col("c_gv")).as("n_g"))
+    val vcnt = cust.groupBy(col("c_mktsegment")).agg(count(lit(1)).as("c_v"))
+    val tot = cust.agg(count(lit(1)).as("n"))
+    gtot.crossJoin(broadcast(vcnt.crossJoin(tot)))
+      .join(gcnt, Seq("c_nationkey", "c_mktsegment"), "left")
+      .na.fill(0L, Seq("c_gv"))
+      .withColumn("d",
+        abs(expr("div(1000000 * c_gv, n_g) - div(1000000 * c_v, n)")))
+      .groupBy(col("c_nationkey"), col("n_g"))
+      .agg(sum(col("d")).as("l1_ppm"))
+      .withColumn("tv_ppm", expr("div(l1_ppm, 2)"))
+      .withColumn("breach", col("tv_ppm") > TCloseThresholdPpm)
+      .select(col("c_nationkey"), col("n_g").as("n_rows"),
+        col("l1_ppm"), col("tv_ppm"), col("breach"))
+      .orderBy(col("c_nationkey"))
+  }
+
   /** Day-of-week seasonal anomaly screen: each (event_type, day)'s cent
     * total against the mean of ITS OWN weekday within the type — the
     * baseline a Monday is fairly compared to (a flat mean flags every
@@ -892,6 +937,7 @@ object Profiling extends QueryModule {
     "q_acf"            -> (qAcf _),
     "q_kanon"          -> (qKanon _),
     "q_ldiversity"     -> (qLdiversity _),
+    "q_tclose"         -> (qTclose _),
     "q_seasonal_decompose" -> (qSeasonalDecompose _),
     "q_freshness"      -> (qFreshness _),
     "q_anomaly_seasonal" -> (qAnomalySeasonal _),
@@ -1078,6 +1124,29 @@ object Profiling extends QueryModule {
         |       COUNT(DISTINCT c_mktsegment) >= 5 AS diverse
         |FROM customer GROUP BY c_nationkey
         |ORDER BY c_nationkey""".stripMargin,
+    "q_tclose" ->
+      """WITH cust AS (SELECT c_nationkey, c_mktsegment FROM customer),
+        |gcnt AS (SELECT c_nationkey, c_mktsegment, COUNT(*) AS c_gv
+        |         FROM cust GROUP BY 1, 2),
+        |gtot AS (SELECT c_nationkey, CAST(SUM(c_gv) AS BIGINT) AS n_g
+        |         FROM gcnt GROUP BY 1),
+        |vcnt AS (SELECT c_mktsegment, COUNT(*) AS c_v FROM cust GROUP BY 1),
+        |tot AS (SELECT COUNT(*) AS n FROM cust),
+        |grid AS (SELECT g.c_nationkey, g.n_g, v.c_mktsegment, v.c_v, t.n
+        |         FROM gtot g CROSS JOIN vcnt v CROSS JOIN tot t),
+        |d AS (SELECT grid.c_nationkey, grid.n_g,
+        |             ABS((1000000 * COALESCE(gc.c_gv, 0)) // grid.n_g
+        |                 - (1000000 * grid.c_v) // grid.n) AS d
+        |      FROM grid LEFT JOIN gcnt gc
+        |        ON grid.c_nationkey = gc.c_nationkey
+        |       AND grid.c_mktsegment = gc.c_mktsegment),
+        |agg AS (SELECT c_nationkey, n_g AS n_rows,
+        |               CAST(SUM(d) AS BIGINT) AS l1_ppm
+        |        FROM d GROUP BY 1, 2)
+        |SELECT c_nationkey, n_rows, l1_ppm,
+        |       CAST(l1_ppm // 2 AS BIGINT) AS tv_ppm,
+        |       (l1_ppm // 2) > 200000 AS breach
+        |FROM agg ORDER BY c_nationkey""".stripMargin,
     "q_anomaly_seasonal" ->
       """WITH daily AS (
         |  SELECT event_type, CAST(ts AS DATE) AS d, DAYOFWEEK(CAST(ts AS DATE)) AS dow,

@@ -168,6 +168,71 @@ object Similarity extends QueryModule {
       .orderBy(col("qid"), col("rk"))
   }
 
+  /** NDCG gain at ranks 1..10 as ⌊10⁹/log₂(r+1)⌋ — fixed INTEGER
+    * literals computed once here and inlined into BOTH engines' queries,
+    * so the transcendental log never runs inside either engine and the
+    * whole metric stays in exact integer arithmetic. */
+  private val NdcgW: Seq[Long] =
+    (1 to 10).map(r => math.floor(1e9 / (math.log(r + 1.0) / math.log(2.0))).toLong)
+
+  /** Prefix sums of [[NdcgW]], entry k+1 = ideal DCG with k relevant
+    * docs (entry 1 = 0 relevant → 0). */
+  private val NdcgPrefix: Seq[Long] = NdcgW.scanLeft(0L)(_ + _)
+
+  /** Retrieval-quality evaluation of the brute-force k-NN retriever —
+    * the metric table an embedding-model or index change is judged by:
+    * for each of the [[ServingBatchCap]] serving-batch queries, retrieve
+    * the cosine top-10 (self excluded) and score it against the
+    * label-match relevance oracle: hits@10, MRR (truncating ppm of the
+    * first relevant rank), DCG/IDCG in the scaled-integer gain of
+    * [[NdcgW]], and NDCG as one exact ppm division. IDCG uses the true
+    * per-label candidate count (label census minus self, capped at 10),
+    * so a query whose class has < 10 members is normalized by ITS ideal,
+    * not a fictitious full page.
+    *
+    * Scale shape: the scoring pass is [[qKnnJoin]]'s — constant-size
+    * query batch broadcast × one corpus scan, per-qid top-10 window over
+    * a perfectly-distributed unique key; everything after is arithmetic
+    * on ≤ cap×10 rows plus a 10-row label-census broadcast. Evaluating a
+    * bigger query sample at 100 TB re-batches by the same cap, cost
+    * linear in batches × corpus. */
+  def qRetrievalEval(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    graft.functions.CosineSimilarity.register(spark)
+    val base = Tables.embeddings(spark, dir)
+      .filter(size(col("embedding")) === 64 && expr(normSqExpr) > 0)
+    val batch = base.filter(servingBatchPred)
+      .select(col("vec_id").as("qid"), col("label").as("qlabel"),
+        col("embedding").as("qvec"))
+    val labCnt = base.groupBy(col("label")).agg(count(lit(1)).as("n_label"))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("cos_raw").desc, col("vec_id"))
+    val wLits = NdcgW.mkString(", ")
+    val pLits = NdcgPrefix.mkString(", ")
+    base.crossJoin(broadcast(batch))
+      .filter(col("vec_id") =!= col("qid"))
+      .withColumn("cos_raw", expr("cosine_sim(embedding, qvec)"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 10)
+      .withColumn("rel", (col("label") === col("qlabel")).cast("long"))
+      .withColumn("gain",
+        expr(s"rel * element_at(array($wLits), CAST(rk AS INT))"))
+      .groupBy(col("qid"), col("qlabel"))
+      .agg(sum(col("rel")).as("hits_at_10"),
+        min(when(col("rel") === 1, col("rk"))).as("fr"),
+        sum(col("gain")).as("dcg"))
+      .join(broadcast(labCnt), col("qlabel") === col("label"))
+      .withColumn("n_rel", least(col("n_label") - 1, lit(10L)))
+      .withColumn("mrr_ppm", coalesce(expr("div(1000000, fr)"), lit(0L)))
+      .withColumn("idcg",
+        expr(s"element_at(array($pLits), CAST(n_rel AS INT) + 1)"))
+      .withColumn("ndcg_ppm", when(col("idcg") === 0, lit(null))
+        .otherwise(expr("div(1000000 * dcg, idcg)")))
+      .select(col("qid"), col("qlabel"), col("n_rel"), col("hits_at_10"),
+        col("mrr_ppm"), col("dcg"), col("idcg"), col("ndcg_ppm"))
+      .orderBy(col("qid"))
+  }
+
   /** Deterministic Lloyd k-means for the IVF index: seeded by the first
     * `k` vectors, `iters` fixed iterations of (assign to cosine-argmax
     * centroid, tie-broken by cid) → (centroid = member mean). The mean is
@@ -861,6 +926,7 @@ object Similarity extends QueryModule {
     "q_rag_retrieve"       -> (qRagRetrieve _),
     "q_rank_fusion"        -> (qRankFusion _),
     "q_knn_join"           -> (qKnnJoin _),
+    "q_retrieval_eval"     -> (qRetrievalEval _),
     "q_ann_lsh"            -> (qAnnLsh _),
     "q_ann_ivf"            -> (qAnnIvf _),
     "q_ann_ivf_batch"      -> (qAnnIvfBatch _),
@@ -1334,6 +1400,44 @@ object Similarity extends QueryModule {
         |  FROM scored)
         |SELECT qid, vec_id, ROUND(c, 6) AS cosine, rk
         |FROM rk WHERE rk <= 5 ORDER BY qid, rk""".stripMargin,
+    "q_retrieval_eval" ->
+      s"""WITH base AS (
+        |  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
+        |  WHERE LEN(embedding) = 64
+        |    AND LIST_AGGREGATE(LIST_TRANSFORM(CAST(embedding AS DOUBLE[]), x -> x * x), 'sum') > 0),
+        |q AS (
+        |  SELECT vec_id AS qid, label AS qlabel, emb AS qemb FROM base
+        |  WHERE $servingBatchSql),
+        |scored AS (
+        |  SELECT q.qid, q.qlabel, b.vec_id, b.label,
+        |         LIST_COSINE_SIMILARITY(b.emb, q.qemb) AS c
+        |  FROM base b CROSS JOIN q WHERE b.vec_id <> q.qid),
+        |rk AS (
+        |  SELECT qid, qlabel, label,
+        |         ROW_NUMBER() OVER (PARTITION BY qid ORDER BY c DESC, vec_id) AS rk
+        |  FROM scored),
+        |top AS (
+        |  SELECT qid, qlabel, rk,
+        |         CASE WHEN label = qlabel THEN 1 ELSE 0 END AS rel
+        |  FROM rk WHERE rk <= 10),
+        |lab AS (SELECT label, COUNT(*) AS n_label FROM base GROUP BY label),
+        |per AS (
+        |  SELECT qid, qlabel,
+        |         CAST(SUM(rel) AS BIGINT) AS hits_at_10,
+        |         MIN(CASE WHEN rel = 1 THEN rk END) AS fr,
+        |         CAST(SUM(rel * ([${NdcgW.mkString(", ")}])[CAST(rk AS INT)]) AS BIGINT) AS dcg
+        |  FROM top GROUP BY qid, qlabel),
+        |dec AS (
+        |  SELECT p.qid, p.qlabel,
+        |         LEAST(l.n_label - 1, 10) AS n_rel, p.hits_at_10,
+        |         CAST(COALESCE(1000000 // p.fr, 0) AS BIGINT) AS mrr_ppm, p.dcg,
+        |         ([${NdcgPrefix.mkString(", ")}])[CAST(LEAST(l.n_label - 1, 10) AS INT) + 1] AS idcg
+        |  FROM per p JOIN lab l ON p.qlabel = l.label)
+        |SELECT qid, qlabel, n_rel, hits_at_10, mrr_ppm, dcg,
+        |       CAST(idcg AS BIGINT) AS idcg,
+        |       CASE WHEN idcg = 0 THEN NULL
+        |            ELSE CAST((1000000 * dcg) // idcg AS BIGINT) END AS ndcg_ppm
+        |FROM dec ORDER BY qid""".stripMargin,
     "q_ann_lsh" -> {
       // identical integer weights, identical left-to-right accumulation:
       // v[1]*w1 + v[2]*w2 + ... mirrors Spark's sequential HOF aggregate

@@ -394,4 +394,36 @@ class CorpusSpec extends SparkSpec {
       assert(r.getDouble(6) == dup.toDouble / g.length.toDouble)
     }
   }
+
+  test("bpe_merge_step: two greedy merges on a planted vocabulary, by hand") {
+    import spark.implicits._
+    val d = java.nio.file.Files.createTempDirectory("bpe").toString
+    // wf: abab ×2, cd ×1. Round 1: (a,b) weighted 2·2=4 beats (b,a) 2 and
+    // (c,d) 1 → abab becomes (ab, ab) — the replace must fuse BOTH
+    // occurrences, left-to-right. Round 2: (ab,ab) pc 2 beats (c,d) 1.
+    // Survivors: only (c,d).
+    Seq((1L, "abab abab cd", "s")).toDF("doc_id", "text", "source")
+      .withColumn("lang", lit("en")).withColumn("n_chars", length(col("text")))
+      .write.mode("overwrite").parquet(s"$d/documents.parquet")
+    val rows = graft.ops.Corpus.qBpeMergeStep(spark, d).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3))).toSeq
+    assert(rows == Seq((1L, "a", "b", 4L), (2L, "ab", "ab", 2L), (3L, "c", "d", 1L)))
+  }
+
+  test("good_turing: spectrum, smoothed r*, and unseen mass on a planted corpus") {
+    import spark.implicits._
+    val d = java.nio.file.Files.createTempDirectory("gt").toString
+    // tokens a×2 b×2 c×1 → spectrum r=1:N=1, r=2:N=2; N=5 tokens, 3 types.
+    // r*: r=1 has N₂=2 → div(10⁶·2·2, 1) = 4,000,000; r=2 has no N₃ → 0.
+    // p₀ = div(10⁶·1, 5) = 200,000.
+    Seq((1L, "a a b b c", "s")).toDF("doc_id", "text", "source")
+      .withColumn("lang", lit("en")).withColumn("n_chars", length(col("text")))
+      .write.mode("overwrite").parquet(s"$d/documents.parquet")
+    val rows = graft.ops.Corpus.qGoodTuring(spark, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toSeq
+    assert(rows == Seq(
+      (1L, 1L, 4000000L, 5L, 3L, 200000L),
+      (2L, 2L, 0L, 5L, 3L, 200000L)))
+  }
 }

@@ -330,4 +330,49 @@ class GraphSpec extends SparkSpec {
     }
     assert(got == lbl, "hub label census (5000 rows in ONE window partition) must replay exactly")
   }
+
+  test("degree assortativity: planted star is exactly -1; regular graph is NULL") {
+    import spark.implicits._
+    // two baskets {1,2} and {1,3}: part 1 is the hub (deg 2), 2 and 3 are
+    // leaves (deg 1) — a pure star, whose assortativity is -1 by hand:
+    // edges with (dx,dy) = (2,1)x2 and (1,2)x2 → m=4, Σd=6, Σd²=10, Σxy=8,
+    // num = 4·8−36 = −4, den = √((4·10−36)²) = 4 → r = −1.
+    val d = java.nio.file.Files.createTempDirectory("assort").toString
+    Seq((10L, 1L), (10L, 2L), (20L, 1L), (20L, 3L))
+      .toDF("l_orderkey", "l_partkey")
+      .write.mode("overwrite").parquet(s"$d/lineitem.parquet")
+    val r = Graph.qDegreeAssort(spark, d).collect()(0)
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) ==
+      ((4L, 6L, 8L, 10L)))
+    assert(r.getDouble(4) == -1.0)
+
+    // one basket {1,2}: both endpoints degree 1 → zero variance → NULL,
+    // not a 0/0 NaN (which the two engines would disagree on).
+    val d2 = java.nio.file.Files.createTempDirectory("assort2").toString
+    Seq((10L, 1L), (10L, 2L)).toDF("l_orderkey", "l_partkey")
+      .write.mode("overwrite").parquet(s"$d2/lineitem.parquet")
+    val r2 = Graph.qDegreeAssort(spark, d2).collect()(0)
+    assert(r2.getLong(0) == 2L && r2.isNullAt(4))
+  }
+
+  test("modularity: two planted 3-cliques score Q = 0.5 exactly") {
+    import spark.implicits._
+    // strong edges need ≥ 2 co-occurring orders per pair: 2 orders per
+    // clique pair. Two disjoint triangles {1,2,3} and {4,5,6} → LPA
+    // settles on the min label per clique; sym m = 12, per community
+    // intra = 6, d_c = 6 → contrib = ⌊10⁶·6/12⌋ − ⌊10⁶·36/144⌋ = 250000,
+    // Q = 500000 ppm — the textbook 0.5 of two equal disconnected cliques.
+    val d = java.nio.file.Files.createTempDirectory("modularity").toString
+    val pairs = Seq((1L, 2L), (1L, 3L), (2L, 3L), (4L, 5L), (4L, 6L), (5L, 6L))
+    pairs.zipWithIndex.flatMap { case ((u, v), i) =>
+      Seq((2L * i, u), (2L * i, v), (2L * i + 1, u), (2L * i + 1, v))
+    }.toDF("l_orderkey", "l_partkey")
+      .write.mode("overwrite").parquet(s"$d/lineitem.parquet")
+    val got = Graph.qGraphModularity(spark, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6))).toSeq
+    assert(got == Seq(
+      (1L, 3L, 6L, 6L, 250000L, 12L, 500000L),
+      (4L, 3L, 6L, 6L, 250000L, 12L, 500000L)))
+  }
 }

@@ -142,4 +142,23 @@ class JoinsSpec extends SparkSpec {
     }.toSeq.filter(_._2 > 0).sortBy { case (k, n) => (-n, k) }.take(100)
     assert(got.toSeq == want, "pair counts must agree per supplier")
   }
+
+  test("join cardinality estimates replay the uniform formula against measured truth") {
+    val rows = Joins.qJoinCardEst(spark, sf).collect()
+    assert(rows.map(_.getString(0)).toSeq ==
+      Seq("customer-orders", "orders-lineitem", "part-lineitem"))
+    rows.foreach { r =>
+      val (nl, nr, dl, dr) = (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+      val (est, actual) = (r.getLong(5), r.getLong(6))
+      assert(est == nl * nr / math.max(dl, dr), "textbook estimate replays")
+      assert(r.getLong(7) == 1000000L * math.abs(est - actual) / actual)
+    }
+    // FK sanity pins the measured side: every lineitem names a real order,
+    // so the orders⋈lineitem truth is exactly |lineitem|.
+    val li = Tables.lineitem(spark, sf).count()
+    assert(rows(1).getLong(6) == li)
+    // and with ndv(orders.o_orderkey) = |orders| ≥ ndv(l_orderkey), the
+    // uniform estimate of an FK join is exact on this key
+    assert(rows(1).getLong(5) == li && rows(1).getLong(7) == 0L)
+  }
 }

@@ -940,4 +940,44 @@ class LlmOpsSpec extends SparkSpec {
         assert(r.getDouble(6) == (2 * tp).toDouble / (2 * tp + fp + fn).toDouble)
     }
   }
+
+  test("retrieval eval: hits/MRR/DCG/NDCG replay a driver-side brute-force retrieval") {
+    val emb = Tables.embeddings(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray, r.getAs[Number](2).longValue))
+      .filter { case (_, v, _) =>
+        v.length == 64 && v.map(x => x.toDouble * x.toDouble).sum > 0 }
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var dot = 0.0; var nx = 0.0; var ny = 0.0; var i = 0
+      while (i < 64) {
+        val x = a(i).toDouble; val y = b(i).toDouble
+        dot += x * y; nx += x * x; ny += y * y; i += 1
+      }
+      dot / (math.sqrt(nx) * math.sqrt(ny))
+    }
+    val w = (1 to 10).map(r => math.floor(1e9 / (math.log(r + 1.0) / math.log(2.0))).toLong)
+    val prefix = w.scanLeft(0L)(_ + _)
+    val labCnt = emb.groupBy(_._3).view.mapValues(_.length.toLong).toMap
+    val queries = emb.filter { case (id, _, _) => id % 40 == 0 && id < 2560 }
+    val want = queries.map { case (qid, qv, qlbl) =>
+      val top = emb.filter(_._1 != qid)
+        .map { case (id, v, l) => (id, cos(qv, v), l) }
+        .sortBy { case (id, c, _) => (-c, id) }.take(10)
+      val rel = top.map { case (_, _, l) => if (l == qlbl) 1L else 0L }
+      val hits = rel.sum
+      val fr = rel.indexOf(1L) match { case -1 => None; case i => Some(i + 1) }
+      val dcg = rel.zipWithIndex.map { case (r, i) => r * w(i) }.sum
+      val nRel = math.min(labCnt(qlbl) - 1, 10L)
+      val idcg = prefix(nRel.toInt)
+      (qid, (qlbl, nRel, hits, fr.map(1000000L / _).getOrElse(0L), dcg, idcg,
+        if (idcg == 0) None else Some(1000000L * dcg / idcg)))
+    }.toMap
+    val got = Similarity.qRetrievalEval(spark, sf).collect().map { r =>
+      r.getLong(0) -> ((r.getAs[Number](1).longValue, r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6),
+        if (r.isNullAt(7)) None else Some(r.getLong(7))))
+    }.toMap
+    assert(got.keySet == want.keySet, "one metric row per serving-batch query")
+    assert(got == want, "every metric must replay the brute-force retrieval exactly")
+    assert(got.nonEmpty)
+  }
 }

@@ -351,4 +351,53 @@ class PlanSpec extends SparkSpec {
         "window input must be the aggregated distinct-score profile")
     }
   }
+
+  test("q_retrieval_eval scores via the capped batch broadcast; censuses broadcast back") {
+    val capLit = (40L * graft.ops.Similarity.ServingBatchCap).toString
+    val opt = graft.ops.Similarity.qRetrievalEval(spark, sf)
+      .queryExecution.optimizedPlan.toString
+    assert(opt.contains(capLit),
+      "the serving-batch cap must bound the broadcast side at any corpus size")
+    val plan = planOf(graft.ops.Similarity.qRetrievalEval(spark, sf))
+    assert(!plan.contains("CartesianProduct"),
+      "the corpus×batch score pass must be a broadcast nested loop over the " +
+        "constant batch, never an unbounded cartesian")
+  }
+
+  test("q_tclose builds the value grid from censuses — the corpus is scanned, never gridded") {
+    val plan = planOf(graft.ops.Profiling.qTclose(spark, sf))
+    // the only broadcast input is the (sensitive-domain × 1-row total)
+    // table; the corpus side contributes two hash aggregates
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastExchange"),
+      "the domain census must broadcast")
+    assert(!plan.contains("CartesianProduct"),
+      "grid construction must never cross-join corpus-sized inputs")
+  }
+
+  test("q_join_card_est projects to bare keys before the truth-count shuffles") {
+    val opt = graft.ops.Joins.qJoinCardEst(spark, sf)
+      .queryExecution.optimizedPlan
+    // the keyed joins are the ground-truth counts; the condition-less ones
+    // are the 1-row stat cross-joins and may carry their scalar columns
+    val joins = opt.collect {
+      case j: org.apache.spark.sql.catalyst.plans.logical.Join
+        if j.condition.isDefined => j }
+    assert(joins.length == 3, "one keyed ground-truth join per audited pair")
+    joins.foreach { j =>
+      assert(j.left.output.length == 1 && j.right.output.length == 1,
+        s"ground-truth joins must carry exactly the key column, got " +
+          s"${j.left.output.map(_.name)} × ${j.right.output.map(_.name)}")
+    }
+  }
+
+  test("q_degree_assort / q_graph_modularity aggregate to bounded tails — no corpus windows") {
+    val assort = planOf(graft.ops.Graph.qDegreeAssort(spark, sf))
+    assert(!assort.contains("Window"),
+      "assortativity is joins + one global aggregate; a window would mean " +
+        "a per-edge rank crept in")
+    val mod = graft.ops.Graph.qGraphModularity(spark, sf)
+      .queryExecution.optimizedPlan.toString
+    assert(mod.contains("TakeOrdered") || mod.toLowerCase.contains("limit"),
+      "the community tail must be a take-ordered cut, not a full sort")
+  }
 }

@@ -452,4 +452,27 @@ class ProfilingSpec extends SparkSpec {
       assert(math.abs(r.getDouble(2) - cu) < 1e-6)
     }
   }
+
+  test("tclose: hand-computed TV distances, including a group MISSING a segment") {
+    import spark.implicits._
+    val d = java.nio.file.Files.createTempDirectory("tclose").toString
+    // global: A 3/7 → 428571 ppm, B 4/7 → 571428 ppm
+    // nation 1 (A,A,B): |666666−428571| + |333333−571428| = 476190 → tv 238095, breach
+    // nation 2 (A,B):   |500000−428571| + |500000−571428| = 142857 → tv 71428, ok
+    // nation 3 (B,B):   |0−428571| + |1000000−571428| = 857143 → tv 428571, breach
+    //   (the missing segment A contributes its FULL global share — the grid
+    //    left-join is what makes that term exist at all)
+    val rows = Seq((1, "A"), (1, "A"), (1, "B"), (2, "A"), (2, "B"),
+      (3, "B"), (3, "B"))
+    rows.zipWithIndex.map { case ((nk, seg), i) => (i.toLong, nk, seg) }
+      .toDF("c_custkey", "c_nationkey", "c_mktsegment")
+      .write.mode("overwrite").parquet(s"$d/customer.parquet")
+    val got = Profiling.qTclose(spark, d).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getBoolean(4))).toSeq
+    assert(got == Seq(
+      (1, 3L, 476190L, 238095L, true),
+      (2, 2L, 142857L, 71428L, false),
+      (3, 2L, 857143L, 428571L, true)))
+  }
 }

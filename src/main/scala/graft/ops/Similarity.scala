@@ -233,6 +233,76 @@ object Similarity extends QueryModule {
       .orderBy(col("qid"))
   }
 
+  /** ANN index-quality certificate: recall@5 of the batched IVF serving
+    * page ([[qAnnIvfBatch]]) against the exact brute-force page
+    * ([[qKnnJoin]]) for every serving-batch query, plus the mean — THE
+    * number an index rollout is gated on (labels measure the embedding,
+    * `q_retrieval_eval`; this measures the INDEX). Both pages and the
+    * intersection are exact integer counts; recall and its mean are
+    * truncating ppm divisions, so the oracle re-derives the trained IVF
+    * index (the `q_ann_ivf` CTE chain) and must agree bit-for-bit.
+    *
+    * Scale shape: the two page builds are the existing serving plans
+    * (constant-cap batch broadcasts × one corpus scan each); the
+    * comparison joins two ≤ cap×5-row pages on (qid, vec_id). Nothing
+    * new shuffles at corpus size. */
+  def qAnnRecall(spark: SparkSession, dir: String): DataFrame = {
+    val exact = qKnnJoin(spark, dir).select(col("qid"), col("vec_id"))
+    val served = qAnnIvfBatch(spark, dir)
+      .select(col("qid").as("q2"), col("vec_id").as("v2"))
+    val hits = exact
+      .join(served, col("qid") === col("q2") && col("vec_id") === col("v2"))
+      .groupBy(col("qid")).agg(count(lit(1)).as("n_hit"))
+    val per = exact.groupBy(col("qid")).agg(count(lit(1)).as("n_exact"))
+      .join(hits, Seq("qid"), "left")
+      .na.fill(0L, Seq("n_hit"))
+      .withColumn("recall_ppm", expr("div(1000000 * n_hit, n_exact)"))
+    val mean = per.agg(
+      expr("CAST(div(sum(recall_ppm), count(1)) AS BIGINT)").as("mean_recall_ppm"))
+    per.crossJoin(broadcast(mean))
+      .select(col("qid"), col("n_exact"), col("n_hit"), col("recall_ppm"),
+        col("mean_recall_ppm"))
+      .orderBy(col("qid"))
+  }
+
+  /** Embedding-corpus QA — the sanity audit an indexing pipeline runs
+    * BEFORE building ANN structures over a new embedding batch: the
+    * census of ragged vectors (wrong dimensionality) and zero-norm
+    * vectors (no direction — they poison cosine math; every similarity
+    * key here filters them, this key COUNTS them), plus a 10-bucket
+    * equi-width histogram of the squared-norm distribution (a collapsed
+    * or bimodal norm histogram is the classic symptom of a truncated or
+    * mixed-precision export).
+    *
+    * Determinism: the squared norm is the one float fold (list-ordered in
+    * both engines, the `cosineExpr` precedent), floored once into integer
+    * micro-units; bucket width and assignment are then pure integer
+    * division — div(max,10)+1 wide, so buckets are 0..9 at any scale.
+    *
+    * Scale shape: two single-pass aggregates (global census + max) and
+    * one map-side-combinable bucket rollup; the max and census are 1-row
+    * broadcasts. Nothing here is more than one corpus scan wide. */
+  def qEmbeddingQa(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+    val summary = e.agg(count(lit(1)).as("n_vecs"),
+      sum(when(size(col("embedding")) =!= 64, 1L).otherwise(0L)).as("n_ragged"),
+      sum(when(size(col("embedding")) === 64 && expr(normSqExpr) <= 0, 1L)
+        .otherwise(0L)).as("n_zero"))
+    val valid = e.filter(size(col("embedding")) === 64 && expr(normSqExpr) > 0)
+      .withColumn("nm", expr(s"CAST(floor(($normSqExpr) * 1000000) AS BIGINT)"))
+    val mx = valid.agg(max(col("nm")).as("maxm"))
+    valid.crossJoin(broadcast(mx))
+      .withColumn("w", expr("div(maxm, 10) + 1"))
+      .withColumn("bucket", expr("div(nm, w)"))
+      .groupBy(col("bucket"), col("w"))
+      .agg(count(lit(1)).as("n_in_bucket"))
+      .withColumn("lo_micro", col("bucket") * col("w"))
+      .crossJoin(broadcast(summary))
+      .select(col("bucket"), col("lo_micro"), col("n_in_bucket"),
+        col("n_vecs"), col("n_ragged"), col("n_zero"))
+      .orderBy(col("bucket"))
+  }
+
   /** Deterministic Lloyd k-means for the IVF index: seeded by the first
     * `k` vectors, `iters` fixed iterations of (assign to cosine-argmax
     * centroid, tie-broken by cid) → (centroid = member mean). The mean is
@@ -927,6 +997,8 @@ object Similarity extends QueryModule {
     "q_rank_fusion"        -> (qRankFusion _),
     "q_knn_join"           -> (qKnnJoin _),
     "q_retrieval_eval"     -> (qRetrievalEval _),
+    "q_embedding_qa"       -> (qEmbeddingQa _),
+    "q_ann_recall"         -> (qAnnRecall _),
     "q_ann_lsh"            -> (qAnnLsh _),
     "q_ann_ivf"            -> (qAnnIvf _),
     "q_ann_ivf_batch"      -> (qAnnIvfBatch _),
@@ -1438,6 +1510,67 @@ object Similarity extends QueryModule {
         |       CASE WHEN idcg = 0 THEN NULL
         |            ELSE CAST((1000000 * dcg) // idcg AS BIGINT) END AS ndcg_ppm
         |FROM dec ORDER BY qid""".stripMargin,
+    "q_embedding_qa" ->
+      """WITH e AS (
+        |  SELECT LEN(embedding) AS dim,
+        |         LIST_AGGREGATE(LIST_TRANSFORM(CAST(embedding AS DOUBLE[]),
+        |           x -> x * x), 'sum') AS nsq
+        |  FROM embeddings),
+        |summary AS (
+        |  SELECT COUNT(*) AS n_vecs,
+        |         CAST(SUM(CASE WHEN dim <> 64 THEN 1 ELSE 0 END) AS BIGINT) AS n_ragged,
+        |         CAST(SUM(CASE WHEN dim = 64 AND nsq <= 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_zero
+        |  FROM e),
+        |valid AS (
+        |  SELECT CAST(FLOOR(nsq * 1000000) AS BIGINT) AS nm
+        |  FROM e WHERE dim = 64 AND nsq > 0),
+        |mx AS (SELECT MAX(nm) // 10 + 1 AS w FROM valid),
+        |hist AS (
+        |  SELECT nm // w AS bucket, w, COUNT(*) AS n_in_bucket
+        |  FROM valid CROSS JOIN mx GROUP BY 1, 2)
+        |SELECT bucket, bucket * w AS lo_micro, n_in_bucket,
+        |       n_vecs, n_ragged, n_zero
+        |FROM hist CROSS JOIN summary
+        |ORDER BY bucket""".stripMargin,
+    "q_ann_recall" ->
+      s"""WITH $ivfCtes,
+        |qs AS (SELECT vec_id AS qid, v AS qvec FROM e WHERE $servingBatchSql),
+        |probes AS (
+        |  SELECT qid, qvec, cid FROM (
+        |    SELECT q.qid, q.qvec, c.cid,
+        |           ROW_NUMBER() OVER (PARTITION BY q.qid
+        |             ORDER BY LIST_COSINE_SIMILARITY(c.cvec, q.qvec) DESC, c.cid) AS pr
+        |    FROM qs q CROSS JOIN cent c) WHERE pr <= 4),
+        |served AS (
+        |  SELECT qid, vec_id FROM (
+        |    SELECT p.qid, a.vec_id,
+        |           ROW_NUMBER() OVER (PARTITION BY p.qid
+        |             ORDER BY LIST_COSINE_SIMILARITY(a.v, p.qvec) DESC, a.vec_id) AS rk
+        |    FROM assigned a JOIN probes p USING (cid)
+        |    WHERE a.vec_id <> p.qid) WHERE rk <= 5),
+        |exact AS (
+        |  SELECT qid, vec_id FROM (
+        |    SELECT q.qid, b.vec_id,
+        |           ROW_NUMBER() OVER (PARTITION BY q.qid
+        |             ORDER BY LIST_COSINE_SIMILARITY(b.v, q.qvec) DESC, b.vec_id) AS rk
+        |    FROM e b CROSS JOIN qs q WHERE b.vec_id <> q.qid) WHERE rk <= 5),
+        |hits AS (
+        |  SELECT x.qid, CAST(COUNT(*) AS BIGINT) AS n_hit
+        |  FROM exact x JOIN served s ON x.qid = s.qid AND x.vec_id = s.vec_id
+        |  GROUP BY x.qid),
+        |per AS (
+        |  SELECT x.qid, CAST(COUNT(*) AS BIGINT) AS n_exact,
+        |         COALESCE(MAX(h.n_hit), 0) AS n_hit
+        |  FROM exact x LEFT JOIN hits h ON x.qid = h.qid GROUP BY x.qid),
+        |dec AS (
+        |  SELECT qid, n_exact, n_hit,
+        |         CAST((1000000 * n_hit) // n_exact AS BIGINT) AS recall_ppm
+        |  FROM per),
+        |mean AS (
+        |  SELECT CAST(SUM(recall_ppm) // COUNT(*) AS BIGINT) AS mean_recall_ppm
+        |  FROM dec)
+        |SELECT qid, n_exact, n_hit, recall_ppm, mean_recall_ppm
+        |FROM dec CROSS JOIN mean ORDER BY qid""".stripMargin,
     "q_ann_lsh" -> {
       // identical integer weights, identical left-to-right accumulation:
       // v[1]*w1 + v[2]*w2 + ... mirrors Spark's sequential HOF aggregate

@@ -526,7 +526,58 @@ object TextAnalysis extends QueryModule {
       .orderBy(col("source"))
   }
 
+  /** RAKE keyphrase extraction — the classic stopword-delimited candidate
+    * scorer: a candidate phrase is a maximal run of non-stopword tokens,
+    * each word scores deg(w)/freq(w) over the candidate table (deg counts
+    * the lengths of every phrase containing the word — co-occurrence
+    * credit; freq its occurrences), and a phrase scores the sum of its
+    * member word scores. Emits the corpus top-15 (score desc, phrase) as
+    * truncating ppm integers: div(10⁶·deg, freq) per word, exact sums per
+    * phrase, so both engines agree bit-for-bit.
+    *
+    * Scale shape: one positional token explode (linear, the family's
+    * standard scan); run-ids come from a running stopword count and
+    * phrase lengths from a count, both over PER-DOC windows — partitioned
+    * by doc_id (and (doc_id, run)), so the exchange distributes perfectly
+    * and a task is bounded by one document's length (the q_text_chunk
+    * caveat: pathological single-doc corpora chunk first). The word-score
+    * table is vocabulary-bounded and BROADCASTS back onto members; the
+    * tail is a TakeOrdered cut. The phrase rebuild uses
+    * array_sort(collect_list(struct(pos, w))) — deterministic regardless
+    * of partition arrival order. */
+  def qTextKeyphrase(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = Tables.documents(spark, dir)
+      .select(col("doc_id"), posexplode(split(lower(trim(col("text"))), " ")))
+      .select(col("doc_id"), col("pos"), col("col").as("w"))
+      .filter(col("w") =!= "")
+      .withColumn("stop", col("w").isInCollection(stopwords))
+    val byDoc = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val byRun = Window.partitionBy(col("doc_id"), col("run"))
+    val members = toks
+      .withColumn("run", sum(when(col("stop"), 1L).otherwise(0L)).over(byDoc))
+      .filter(!col("stop"))
+      .withColumn("plen", count(lit(1)).over(byRun))
+    val wstats = members.groupBy(col("w"))
+      .agg(count(lit(1)).as("freq"), sum(col("plen")).as("deg"))
+      .withColumn("wscore_ppm", expr("div(1000000 * deg, freq)"))
+      .select(col("w"), col("wscore_ppm"))
+    members.join(broadcast(wstats), "w")
+      .groupBy(col("doc_id"), col("run"))
+      .agg(expr("concat_ws(' ', transform(array_sort(collect_list(struct(pos, w))), x -> x.w))")
+        .as("phrase"),
+        sum(col("wscore_ppm")).as("score_ppm"))
+      // identical phrases always carry identical scores (same member
+      // words), so (phrase, score) grouping is a pure occurrence census
+      .groupBy(col("phrase"), col("score_ppm"))
+      .agg(count(lit(1)).as("n_occurrences"))
+      .select(col("phrase"), col("n_occurrences"), col("score_ppm"))
+      .orderBy(col("score_ppm").desc, col("phrase"))
+      .limit(15)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_text_keyphrase"   -> (qTextKeyphrase _),
     "q_text_blocklist"   -> (qTextBlocklist _),
     "q_text_readability" -> (qTextReadability _),
     "q_text_perplexity"  -> (qTextPerplexity _),
@@ -550,6 +601,36 @@ object TextAnalysis extends QueryModule {
   private val blocklistSql = blocklist.map("'" + _ + "'").mkString(",")
 
   val oracle: Map[String, String] = Map(
+    "q_text_keyphrase" ->
+      s"""WITH toks AS (
+        |  SELECT doc_id, CAST(i AS INT) - 1 AS pos, t[CAST(i AS INT)] AS w
+        |  FROM (SELECT doc_id, t, UNNEST(GENERATE_SERIES(1, LEN(t))) AS i
+        |        FROM (SELECT doc_id, STRING_SPLIT(LOWER(TRIM(text)), ' ') AS t
+        |              FROM documents))
+        |  WHERE t[CAST(i AS INT)] <> ''),
+        |flagged AS (
+        |  SELECT doc_id, pos, w, w IN ($stopwordsSql) AS stop FROM toks),
+        |runs AS (
+        |  SELECT doc_id, pos, w, stop,
+        |         SUM(CASE WHEN stop THEN 1 ELSE 0 END)
+        |           OVER (PARTITION BY doc_id ORDER BY pos) AS run
+        |  FROM flagged),
+        |members AS (
+        |  SELECT doc_id, pos, w, run,
+        |         COUNT(*) OVER (PARTITION BY doc_id, run) AS plen
+        |  FROM runs WHERE NOT stop),
+        |wstats AS (
+        |  SELECT w, CAST((1000000 * SUM(plen)) // COUNT(*) AS BIGINT) AS wscore_ppm
+        |  FROM members GROUP BY w),
+        |cand AS (
+        |  SELECT m.doc_id, m.run,
+        |         STRING_AGG(m.w, ' ' ORDER BY m.pos) AS phrase,
+        |         CAST(SUM(s.wscore_ppm) AS BIGINT) AS score_ppm
+        |  FROM members m JOIN wstats s ON m.w = s.w
+        |  GROUP BY m.doc_id, m.run)
+        |SELECT phrase, COUNT(*) AS n_occurrences, score_ppm
+        |FROM cand GROUP BY phrase, score_ppm
+        |ORDER BY score_ppm DESC, phrase LIMIT 15""".stripMargin,
     "q_text_blocklist" ->
       s"""WITH hits AS (
         |  SELECT source,

@@ -410,6 +410,23 @@ class CorpusSpec extends SparkSpec {
     assert(rows == Seq((1L, "a", "b", 4L), (2L, "ab", "ab", 2L), (3L, "c", "d", 1L)))
   }
 
+  test("rake keyphrases: deg/freq scores and phrase census by hand") {
+    import spark.implicits._
+    val d = java.nio.file.Files.createTempDirectory("rake").toString
+    // stopwords split doc1 into "big data" + "fast data"; doc2 repeats
+    // "big data"; doc3's lone "fast" drags fast's deg/freq to 3/2.
+    // word scores (ppm): big 4/2=2e6, data 6/3=2e6, fast 3/2=1.5e6 →
+    // "big data" 4e6 ×2, "fast data" 3.5e6 ×1, "fast" 1.5e6 ×1.
+    Seq((1L, "big data is the fast data", "s"), (2L, "big data", "s"),
+      (3L, "fast", "s")).toDF("doc_id", "text", "source")
+      .withColumn("lang", lit("en")).withColumn("n_chars", length(col("text")))
+      .write.mode("overwrite").parquet(s"$d/documents.parquet")
+    val got = TextAnalysis.qTextKeyphrase(spark, d).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == Seq(("big data", 2L, 4000000L),
+      ("fast data", 1L, 3500000L), ("fast", 1L, 1500000L)))
+  }
+
   test("good_turing: spectrum, smoothed r*, and unseen mass on a planted corpus") {
     import spark.implicits._
     val d = java.nio.file.Files.createTempDirectory("gt").toString

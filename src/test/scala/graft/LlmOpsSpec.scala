@@ -941,6 +941,45 @@ class LlmOpsSpec extends SparkSpec {
     }
   }
 
+  test("ann recall certificate replays the page intersection of knn_join × ann_ivf_batch") {
+    val exact = Similarity.qKnnJoin(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val served = Similarity.qAnnIvfBatch(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val byQ = exact.groupBy(_._1)
+    val rows = Similarity.qAnnRecall(spark, sf).collect()
+    val got = rows.map(r => r.getLong(0) ->
+      ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got.keySet == byQ.keySet, "one recall row per exact-page query")
+    byQ.foreach { case (q, page) =>
+      val hit = page.count(served).toLong
+      assert(got(q) == ((page.length.toLong, hit, 1000000L * hit / page.length)),
+        s"qid $q recall must be the measured page intersection")
+    }
+    val means = rows.map(_.getLong(4)).distinct
+    assert(means.length == 1 &&
+      means(0) == rows.map(_.getLong(3)).sum / rows.length,
+      "the mean column is the truncating mean of per-query recalls")
+  }
+
+  test("embedding qa: ragged/zero census and norm histogram on planted vectors") {
+    import spark.implicits._
+    val d = java.nio.file.Files.createTempDirectory("embqa").toString
+    def vec(v: Float): Array[Float] = Array.tabulate(64)(i => if (i == 0) v else 0f)
+    // norms² in micro-units: 1e6 and 4e6 → w = div(4e6,10)+1 = 400001,
+    // buckets 2 and 9; one ragged, one zero-norm
+    Seq((0L, vec(1f), 0), (1L, vec(2f), 1),
+      (2L, Array(1f, 2f, 3f), 2), (3L, vec(0f), 3))
+      .toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$d/embeddings.parquet")
+    val got = Similarity.qEmbeddingQa(spark, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toSeq
+    assert(got == Seq(
+      (2L, 800002L, 1L, 4L, 1L, 1L),
+      (9L, 3600009L, 1L, 4L, 1L, 1L)))
+  }
+
   test("retrieval eval: hits/MRR/DCG/NDCG replay a driver-side brute-force retrieval") {
     val emb = Tables.embeddings(spark, sf).collect()
       .map(r => (r.getLong(0), r.getSeq[Float](1).toArray, r.getAs[Number](2).longValue))

@@ -409,11 +409,27 @@ object Corpus extends QueryModule {
     * pair fuses into one token. `replace` is left-to-right and
     * non-overlapping in BOTH engines (Spark UTF8String.replace, DuckDB
     * REPLACE) — exactly BPE's greedy merge convention, so "a a a" under
-    * merge (a,a) becomes (aa, a) identically on both sides. */
+    * merge (a,a) becomes (aa, a) identically on both sides.
+    *
+    * Token-boundary discipline: a naive `replace(s, ml␟mr, mlmr)` would
+    * match PARTIAL tokens once round 1 has created multi-char tokens —
+    * merge (x,a) must not fire on `x␟ab`. The working string is therefore
+    * rewritten to double-separator boundaries with single-separator ends
+    * (`␟x␟␟ab␟`) and the pattern anchored on both sides
+    * (`␟ml␟␟mr␟` → `␟mlmr␟`): a match now requires ml and mr to be WHOLE
+    * tokens, and because the replacement re-emits one boundary separator
+    * at each edge, adjacent chains still merge greedily left-to-right
+    * (`a a a a` → `aa aa`, `a a a` → `aa a`). The result folds back to
+    * the canonical single-separator form. Pure per-row string work in
+    * both engines — no change to the vocabulary-bounded scale shape. */
   private def bpeApply(tokens: DataFrame, merge: DataFrame): DataFrame =
     tokens.crossJoin(broadcast(merge))
-      .withColumn("s",
-        expr(s"replace(s, concat(ml, '$BpeSep', mr), concat(ml, mr))"))
+      .withColumn("s", expr(
+        s"replace(trim(BOTH '$BpeSep' FROM replace(" +
+          s"concat('$BpeSep', replace(s, '$BpeSep', '$BpeSep$BpeSep'), '$BpeSep'), " +
+          s"concat('$BpeSep', ml, '$BpeSep$BpeSep', mr, '$BpeSep'), " +
+          s"concat('$BpeSep', ml, mr, '$BpeSep'))), " +
+          s"'$BpeSep$BpeSep', '$BpeSep')"))
       .select(col("wf"), col("s"))
 
   /** Two live iterations of the BPE trainer's merge loop — the step
@@ -615,7 +631,11 @@ object Corpus extends QueryModule {
         |  GROUP BY 1, 2),
         |m1 AS (SELECT l AS ml, r AS mr, pc AS mpc FROM p0
         |       ORDER BY pc DESC, l, r LIMIT 1),
-        |w1 AS (SELECT wf, REPLACE(s, ml || CHR(31) || mr, ml || mr) AS s
+        |w1 AS (SELECT wf, REPLACE(TRIM(REPLACE(
+        |         CHR(31) || REPLACE(s, CHR(31), CHR(31) || CHR(31)) || CHR(31),
+        |         CHR(31) || ml || CHR(31) || CHR(31) || mr || CHR(31),
+        |         CHR(31) || ml || mr || CHR(31)),
+        |         CHR(31)), CHR(31) || CHR(31), CHR(31)) AS s
         |       FROM w0 CROSS JOIN m1),
         |p1 AS (
         |  SELECT t[CAST(i AS INT)] AS l, t[CAST(i AS INT) + 1] AS r,
@@ -626,7 +646,11 @@ object Corpus extends QueryModule {
         |  GROUP BY 1, 2),
         |m2 AS (SELECT l AS ml, r AS mr, pc AS mpc FROM p1
         |       ORDER BY pc DESC, l, r LIMIT 1),
-        |w2 AS (SELECT wf, REPLACE(s, ml || CHR(31) || mr, ml || mr) AS s
+        |w2 AS (SELECT wf, REPLACE(TRIM(REPLACE(
+        |         CHR(31) || REPLACE(s, CHR(31), CHR(31) || CHR(31)) || CHR(31),
+        |         CHR(31) || ml || CHR(31) || CHR(31) || mr || CHR(31),
+        |         CHR(31) || ml || mr || CHR(31)),
+        |         CHR(31)), CHR(31) || CHR(31), CHR(31)) AS s
         |       FROM w1 CROSS JOIN m2),
         |p2 AS (
         |  SELECT t[CAST(i AS INT)] AS l, t[CAST(i AS INT) + 1] AS r,

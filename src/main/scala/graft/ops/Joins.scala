@@ -296,13 +296,20 @@ object Joins extends QueryModule {
     }
     val tmp = new java.io.File(System.getProperty("java.io.tmpdir"))
     val mine = s"_p${ProcessHandle.current().pid()}"
+    // Strict suffix parse: a graft_bucketed_* name NOT ending in _p<digits>
+    // was not written by this layout scheme — its liveness cannot be
+    // established, so it is SKIPPED, never deleted.
+    val PidSfx = ".*_p(\\d+)$".r
     Option(tmp.listFiles()).getOrElse(Array.empty[java.io.File])
       .filter(f => f.getName.startsWith("graft_bucketed_") && !f.getName.endsWith(mine))
       .foreach { f =>
-        val pid = f.getName.substring(f.getName.lastIndexOf("_p") + 2)
-        val alive = pid.toLongOption.exists(p =>
-          ProcessHandle.of(p).map[java.lang.Boolean](_.isAlive).orElse(false))
-        if (!alive) deleteRec(f)
+        f.getName match {
+          case PidSfx(pid) =>
+            val alive = pid.toLongOption.exists(p =>
+              ProcessHandle.of(p).map[java.lang.Boolean](_.isAlive).orElse(false))
+            if (!alive) deleteRec(f)
+          case _ => () // malformed name: ownership unknown, leave it alone
+        }
       }
   }
 
@@ -361,11 +368,17 @@ object Joins extends QueryModule {
       .agg(count(lit(1)).as("actual_rows"))
     stats.crossJoin(actual)
       .withColumn("join_name", lit(name))
-      .withColumn("est_rows",
-        expr("div(n_left * n_right, greatest(ndv_left, ndv_right))"))
+      // |L|·|R| overflows BIGINT around sf1000 (6e9 × 1.5e9 ≈ 9e18 sits at
+      // the 2^63 edge); the product runs in DECIMAL(38,0) ↔ DuckDB HUGEINT
+      // — the same discipline as the graph cross-moments — and only the
+      // integral-divide result (row-count scale) is emitted as BIGINT.
+      .withColumn("est_rows", expr(
+        "CAST((CAST(n_left AS DECIMAL(38,0)) * n_right) div " +
+          "greatest(ndv_left, ndv_right) AS BIGINT)"))
       .withColumn("err_ppm", when(col("actual_rows") === 0, lit(null))
         .otherwise(expr(
-          "div(1000000 * abs(est_rows - actual_rows), actual_rows)")))
+          "CAST((CAST(1000000 AS DECIMAL(38,0)) * abs(est_rows - actual_rows)) " +
+            "div actual_rows AS BIGINT)")))
       .select(col("join_name"), col("n_left"), col("n_right"),
         col("ndv_left"), col("ndv_right"), col("est_rows"),
         col("actual_rows"), col("err_ppm"))
@@ -443,11 +456,12 @@ object Joins extends QueryModule {
         |            ON p.p_partkey = l.l_partkey) AS actual_rows),
         |u AS (SELECT * FROM a UNION ALL SELECT * FROM b UNION ALL SELECT * FROM c)
         |SELECT join_name, n_left, n_right, ndv_left, ndv_right,
-        |       CAST((n_left * n_right) // GREATEST(ndv_left, ndv_right) AS BIGINT)
-        |         AS est_rows,
+        |       CAST((CAST(n_left AS HUGEINT) * n_right)
+        |              // GREATEST(ndv_left, ndv_right) AS BIGINT) AS est_rows,
         |       actual_rows,
         |       CASE WHEN actual_rows = 0 THEN NULL
-        |            ELSE CAST((1000000 * ABS((n_left * n_right)
+        |            ELSE CAST((CAST(1000000 AS HUGEINT)
+        |                   * ABS((CAST(n_left AS HUGEINT) * n_right)
         |                   // GREATEST(ndv_left, ndv_right) - actual_rows))
         |                   // actual_rows AS BIGINT)
         |       END AS err_ppm

@@ -291,13 +291,18 @@ object Similarity extends QueryModule {
     val valid = e.filter(size(col("embedding")) === 64 && expr(normSqExpr) > 0)
       .withColumn("nm", expr(s"CAST(floor(($normSqExpr) * 1000000) AS BIGINT)"))
     val mx = valid.agg(max(col("nm")).as("maxm"))
-    valid.crossJoin(broadcast(mx))
+    val hist = valid.crossJoin(broadcast(mx))
       .withColumn("w", expr("div(maxm, 10) + 1"))
       .withColumn("bucket", expr("div(nm, w)"))
       .groupBy(col("bucket"), col("w"))
       .agg(count(lit(1)).as("n_in_bucket"))
       .withColumn("lo_micro", col("bucket") * col("w"))
-      .crossJoin(broadcast(summary))
+      .select(col("bucket"), col("lo_micro"), col("n_in_bucket"))
+    // The 1-row summary DRIVES the output (histogram left-joined on): a
+    // fully-broken batch — zero valid vectors, the exact case this audit
+    // exists for — still reports its n_vecs/n_ragged/n_zero census as one
+    // row with a NULL bucket, instead of vanishing with the empty histogram.
+    summary.join(broadcast(hist), lit(true), "left")
       .select(col("bucket"), col("lo_micro"), col("n_in_bucket"),
         col("n_vecs"), col("n_ragged"), col("n_zero"))
       .orderBy(col("bucket"))
@@ -1530,7 +1535,7 @@ object Similarity extends QueryModule {
         |  FROM valid CROSS JOIN mx GROUP BY 1, 2)
         |SELECT bucket, bucket * w AS lo_micro, n_in_bucket,
         |       n_vecs, n_ragged, n_zero
-        |FROM hist CROSS JOIN summary
+        |FROM summary LEFT JOIN hist ON TRUE
         |ORDER BY bucket""".stripMargin,
     "q_ann_recall" ->
       s"""WITH $ivfCtes,

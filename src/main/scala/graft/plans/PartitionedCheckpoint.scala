@@ -28,9 +28,15 @@ object PartitionedCheckpoint {
 
   /** Hash-place `df` on `key` into `numParts` partitions, sort each
     * partition by `key`, localCheckpoint, and return a DataFrame that
-    * remembers all of it. Lazy like `localCheckpoint(eager = false)`:
-    * materialized by the first action, cached MEMORY_AND_DISK. */
-  def byKey(df: DataFrame, key: String, numParts: Int): DataFrame = {
+    * remembers all of it. Lazy by default like
+    * `localCheckpoint(eager = false)`: materialized by the first action,
+    * cached MEMORY_AND_DISK. `eager = true` materializes NOW — the mode an
+    * iterative loop needs when it unpersists the superseded round via
+    * [[InternalDataFrames.unpersistCheckpoint]] (a lazy checkpoint cannot
+    * be dropped before something forces it, and a dropped local checkpoint
+    * is unrecoverable: lineage is already truncated). */
+  def byKey(df: DataFrame, key: String, numParts: Int,
+      eager: Boolean = false): DataFrame = {
     val spark = df.sparkSession
     val placed = df.repartition(numParts, col(key)).sortWithinPartitions(key)
     val qe = placed.queryExecution
@@ -41,6 +47,7 @@ object PartitionedCheckpoint {
     // mutable UnsafeRow per partition, which must not be cached as-is
     val rdd = qe.toRdd.map(_.copy())
     rdd.localCheckpoint()
+    if (eager) rdd.count(): Unit
     InternalDataFrames.ofPartitioned(spark, attrs, rdd,
       HashPartitioning(Seq(keyAttr), numParts),
       Seq(SortOrder(keyAttr, Ascending)))

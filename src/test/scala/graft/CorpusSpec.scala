@@ -410,6 +410,38 @@ class CorpusSpec extends SparkSpec {
     assert(rows == Seq((1L, "a", "b", 4L), (2L, "ab", "ab", 2L), (3L, "c", "d", 1L)))
   }
 
+  test("bpe_merge_step: round-2 merge must not fuse a PARTIAL token (x,a vs x␟ab)") {
+    import spark.implicits._
+    val d = java.nio.file.Files.createTempDirectory("bpecol").toString
+    // Vocabulary ab×5, xab×1, xa×3. Round 1: (a,b) pc 5+1=6 beats (x,a) 4
+    // → 'xab' becomes (x, ab). Round 2: (x,a) pc 3 (from the xa types)
+    // beats (x,ab) 1. The merge pattern must NOT match the 'a' PREFIX of
+    // token 'ab': a naive replace(s, x␟a, xa) fuses 'x␟ab' to 'xab' and
+    // the (x,ab) survivor vanishes. Correct round-3 survivors: (x,ab) 1.
+    Seq((1L, "ab ab ab ab ab xab xa xa xa", "s")).toDF("doc_id", "text", "source")
+      .withColumn("lang", lit("en")).withColumn("n_chars", length(col("text")))
+      .write.mode("overwrite").parquet(s"$d/documents.parquet")
+    val rows = graft.ops.Corpus.qBpeMergeStep(spark, d).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3))).toSeq
+    assert(rows == Seq((1L, "a", "b", 6L), (2L, "x", "a", 3L), (3L, "x", "ab", 1L)))
+  }
+
+  test("bpe_merge_step: whole-token anchoring keeps adjacent chains greedy (aaaa → aa aa)") {
+    import spark.implicits._
+    val d = java.nio.file.Files.createTempDirectory("bpechain").toString
+    // Vocabulary aaaa×3, aaa×2. Round 1 (a,a): pc 3·3 + 2·2 = 13; the
+    // boundary-anchored replace must still merge CHAINS left-to-right
+    // non-overlapping — aaaa → (aa,aa), aaa → (aa,a) — because each
+    // match re-emits one boundary separator. Round 2 (aa,aa) pc 3 fuses
+    // aaaa fully; survivor (aa,a) pc 2.
+    Seq((1L, "aaaa aaaa aaaa aaa aaa", "s")).toDF("doc_id", "text", "source")
+      .withColumn("lang", lit("en")).withColumn("n_chars", length(col("text")))
+      .write.mode("overwrite").parquet(s"$d/documents.parquet")
+    val rows = graft.ops.Corpus.qBpeMergeStep(spark, d).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3))).toSeq
+    assert(rows == Seq((1L, "a", "a", 13L), (2L, "aa", "aa", 3L), (3L, "aa", "a", 2L)))
+  }
+
   test("rake keyphrases: deg/freq scores and phrase census by hand") {
     import spark.implicits._
     val d = java.nio.file.Files.createTempDirectory("rake").toString

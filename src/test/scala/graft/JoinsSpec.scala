@@ -82,6 +82,24 @@ class JoinsSpec extends SparkSpec {
     assert(got.toSeq == want.toSeq)
   }
 
+  test("stale-bucketed sweep never deletes a directory whose name lacks a _p<pid> suffix") {
+    val tmp = System.getProperty("java.io.tmpdir")
+    // Malformed names: no pid suffix at all, and a non-numeric tail. Their
+    // ownership cannot be established, so the sweep must SKIP them — a
+    // lastIndexOf-based parse used to misread these and delete them.
+    val noPid = new java.io.File(tmp, "graft_bucketed_orphan")
+    val badPid = new java.io.File(tmp, "graft_bucketed_x_pabc")
+    // Well-formed with a certainly-dead pid: MUST be reclaimed.
+    val dead = new java.io.File(tmp, "graft_bucketed_y_p999999999")
+    try {
+      Seq(noPid, badPid, dead).foreach(f => assert(f.mkdir(), s"setup: $f"))
+      Joins.qJoinBucketed(spark, sf).collect(): Unit
+      assert(noPid.exists, "suffix-free name must be skipped, not deleted")
+      assert(badPid.exists, "non-numeric pid tail must be skipped, not deleted")
+      assert(!dead.exists, "well-formed dead-pid layout must be reclaimed")
+    } finally Seq(noPid, badPid, dead).foreach(_.delete())
+  }
+
   test("nearest-asof picks exactly one line per order at minimal day distance") {
     val df = Joins.qAsofNearest(spark, sf).cache()
     try {

@@ -980,6 +980,25 @@ class LlmOpsSpec extends SparkSpec {
       (9L, 3600009L, 1L, 4L, 1L, 1L)))
   }
 
+  test("embedding qa: the census row survives a fully-broken batch (zero valid vectors)") {
+    import spark.implicits._
+    val d = java.nio.file.Files.createTempDirectory("embqa0").toString
+    // Every vector is ragged or zero-norm — the histogram is empty, but
+    // the audit must still report the census (this corpus state is the
+    // whole reason the audit runs before an index build).
+    Seq((0L, Array(1f, 2f), 0), (1L, Array.fill(64)(0f), 1),
+      (2L, Array(3f), 2))
+      .toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$d/embeddings.parquet")
+    val rows = Similarity.qEmbeddingQa(spark, d).collect()
+    assert(rows.length == 1, "exactly one census row, no histogram rows")
+    val r = rows(0)
+    assert(r.isNullAt(0) && r.isNullAt(1) && r.isNullAt(2),
+      "bucket columns are NULL when no vector is valid")
+    assert((r.getLong(3), r.getLong(4), r.getLong(5)) == ((3L, 2L, 1L)),
+      "n_vecs/n_ragged/n_zero census intact")
+  }
+
   test("retrieval eval: hits/MRR/DCG/NDCG replay a driver-side brute-force retrieval") {
     val emb = Tables.embeddings(spark, sf).collect()
       .map(r => (r.getLong(0), r.getSeq[Float](1).toArray, r.getAs[Number](2).longValue))

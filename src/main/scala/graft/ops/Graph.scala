@@ -70,23 +70,48 @@ object Graph extends QueryModule {
     * probe stream is filtered where it is produced (zero shuffle); past
     * it, [[Scale.bloomPrune]] (a bounded 32 MB bitset broadcast, k=2)
     * map-side kills the non-closing probes — a bloom never
-    * false-negatives, so no true match is lost — and only the ~fp+match
-    * survivors take the exact SORT-MERGE semi join. Merge, not
-    * shuffle-hash, deliberately: in the regime where this branch runs
-    * the edge set has already outgrown one memory budget, and an SHJ
-    * build partition is the next allocation to fail (observed at sf1.0:
-    * "can't acquire 32 MB to build hash relation" next to the cached
-    * edge checkpoints), while SMJ sorts spill gracefully. Exact in both
-    * regimes. */
+    * false-negatives, so no true match is lost — and the ~fp+match
+    * survivors take a CHUNKED exact broadcast semi join: the key space
+    * is split by xxhash64(_ek) mod C into chunks of ≤ limit/2 keys, and
+    * each chunk's key slice (small enough to broadcast by construction)
+    * semi-kills the survivors that hash to the same chunk. A survivor
+    * can only match a key in its own chunk, so the union of the C
+    * disjoint branches is the exact answer.
+    *
+    * Why chunked-broadcast and not one big exact join (the round-7
+    * shape): the post-bloom SORT-MERGE semi join sorted both the
+    * survivor stream and the full |E| key set next to the cached edge
+    * checkpoints — at sf1.0 that sort OOM'd the default 8 GiB heap
+    * (and a shuffle-hash build partition is the next allocation to
+    * fail in the same regime, observed). The chunked form never
+    * materializes or sorts anything edge-sized: survivors are bloomed
+    * where they are produced, spooled ONCE to a disk-only cache (zero
+    * heap, read C times — without it each union branch would replay
+    * the corpus-sized probe self-join, Spark has no cross-branch CSE),
+    * and each branch is a map-side hash probe against a ≤ limit/2-key
+    * broadcast. Per-task peak memory is one chunk relation (~64 MB at
+    * limit = 8M), independent of |E|; the blocks are reclaimed by the
+    * ContextCleaner when the plan is collected. Exact in both regimes
+    * (GraphSpec pins broadcast ≡ chunked row-identity). */
   private[graft] def edgeSemiKill(probe: DataFrame, eKeys: DataFrame,
       nEdges: Long, limit: Long = BroadcastEdgeLimit): DataFrame =
     if (nEdges <= limit) probe.join(broadcast(eKeys), Seq("_ek"), "left_semi")
-    // coalesce(8) bounds the bitset build at 8 concurrent 32 MB partial
-    // buffers (256 MB transient): 32 parallel BitsetAgg partials OOM'd the
-    // default 8 GiB heap next to the cached edge checkpoints — the build
-    // is a cheap scan, parallelism 8 costs nothing
-    else Scale.bloomPrune(probe, "_ek", eKeys.coalesce(8), "_ek", 1 << 28)
-      .join(eKeys.hint("merge"), Seq("_ek"), "left_semi")
+    else {
+      // coalesce(8) bounds the bitset build at 8 concurrent 32 MB partial
+      // buffers (256 MB transient): 32 parallel BitsetAgg partials OOM'd
+      // the default 8 GiB heap next to the cached edge checkpoints — the
+      // build is a cheap scan, parallelism 8 costs nothing
+      val survivors = Scale
+        .bloomPrune(probe, "_ek", eKeys.coalesce(8), "_ek", 1 << 28)
+        .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
+      val target = math.max(1L, limit / 2)
+      val nChunks = math.min(64L, (nEdges + target - 1) / target).toInt
+      (0 until nChunks).map { i =>
+        val inChunk = pmod(xxhash64(col("_ek")), lit(nChunks.toLong)) === i
+        survivors.filter(inChunk)
+          .join(broadcast(eKeys.filter(inChunk)), Seq("_ek"), "left_semi")
+      }.reduce(_ unionAll _)
+    }
 
   /** Non-edge anti kill, adaptive in |E|: under the limit the key set
     * broadcasts; past it the roles invert (the q_join_bloom
@@ -215,11 +240,12 @@ object Graph extends QueryModule {
     // one BIGINT (ids fit 32 bits) and probes the edge-key set via
     // [[edgeSemiKill]] — broadcast under BroadcastEdgeLimit (the measured
     // 8x win over shuffling the 41M-row sf0.1 wedge stream: 54 s -> 6.7 s),
-    // bloom-prefiltered shuffle-hash semi join past it (the sf1.0 probe's
-    // 24M-key broadcast failed the build in an 8 GiB driver; the bitset
-    // keeps the map-side kill with a bounded 32 MB broadcast). The one-row
-    // count that picks the regime reads the checkpointed edge RDD — the
-    // sanctioned scalar driver-side use.
+    // bloom kill + chunked exact broadcast past it (the sf1.0 probe's
+    // 24M-key broadcast failed the build in an 8 GiB driver, and the
+    // round-7 post-bloom sort-merge close OOM'd the same heap — the
+    // chunked form never sorts or materializes anything edge-sized; see
+    // [[edgeSemiKill]]). The one-row count that picks the regime reads
+    // the checkpointed edge RDD — the sanctioned scalar driver-side use.
     val eKeys = e.select(expr("shiftleft(src, 32) | dst").as("_ek"))
     val nEdges = e.count()
     val tri = edgeSemiKill(
@@ -531,6 +557,7 @@ object Graph extends QueryModule {
     val byNode = Window.partitionBy(col("node"))
       .orderBy(col("cnt").desc, col("nlbl"))
     for (_ <- 1 to rounds) {
+      val prev = labels
       labels = sym
         .join(labels.select(col("node").as("v"), col("lbl").as("nlbl")), "v")
         .groupBy(col("u").as("node"), col("nlbl"))
@@ -538,7 +565,9 @@ object Graph extends QueryModule {
         .withColumn("rk", row_number().over(byNode))
         .filter(col("rk") === 1)
         .select(col("node"), col("nlbl").as("lbl"))
-        .localCheckpoint()
+        .localCheckpoint() // eager: prev's last consumer materialized
+      // no-op on the round-1 seed (a plain distinct, not a checkpoint)
+      org.apache.spark.sql.graftshim.InternalDataFrames.unpersistCheckpoint(prev)
     }
     labels
   }
@@ -555,37 +584,52 @@ object Graph extends QueryModule {
     * combinable groupBy on node ids, and the final top-100 is a
     * TakeOrdered, not a full sort.
     *
-    * Exchange budget: the edge table is derived ONCE (lazy checkpoint)
-    * and hash-placed TWICE via [[graft.plans.PartitionedCheckpoint]] —
-    * on `src` for the authority step, on `dst` for the hub step, because
-    * HITS alternates join sides where PageRank reuses one — and every
-    * score table comes back placed on `node`, so all four per-round
-    * joins are exchange-free, sort-free SMJs; the only per-round
-    * movement left is each step's groupBy transpose, HITS' irreducible
-    * shuffle. The final full-outer join runs on two node-placed frames
-    * (exchange-free) into a TakeOrdered, so the terminal job plans ZERO
-    * exchanges (pinned in PlanSpec). */
+    * Exchange budget: the edge table is hash-placed TWICE via
+    * [[graft.plans.PartitionedCheckpoint]] — on `src` for the authority
+    * step, on `dst` for the hub step, because HITS alternates join sides
+    * where PageRank reuses one — and every score table comes back placed
+    * on `node`, so all four per-round joins are exchange-free, sort-free
+    * SMJs; the only per-round movement left is each step's groupBy
+    * transpose, HITS' irreducible shuffle. The final full-outer join runs
+    * on two node-placed frames (exchange-free) into a TakeOrdered, so the
+    * terminal job plans ZERO exchanges (pinned in PlanSpec).
+    *
+    * Memory budget (the round-8 fix): the edge set is derived ONCE into
+    * the eager src placement, and the dst placement + node table re-read
+    * THAT cache — no third standalone edge copy is ever resident (round 7
+    * held e0 + eSrc + eDst at once, the 3× amplification that made this
+    * key heap-bound at 36.8 s at sf1.0). Superseded per-round score
+    * checkpoints are unpersisted as soon as their last consumer
+    * materializes. */
   def qHits(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.graftshim.InternalDataFrames.unpersistCheckpoint
     val parts = spark.sessionState.conf.numShufflePartitions
-    val e0 = edges(spark, dir).localCheckpoint(eager = false)
-    val eSrc = graft.plans.PartitionedCheckpoint.byKey(e0, "src", parts)
-    val eDst = graft.plans.PartitionedCheckpoint.byKey(e0, "dst", parts)
-    val nodes = e0.select(col("src").as("node")).union(e0.select(col("dst")))
+    val eSrc = graft.plans.PartitionedCheckpoint.byKey(
+      edges(spark, dir), "src", parts, eager = true)
+    val eDst = graft.plans.PartitionedCheckpoint.byKey(eSrc, "dst", parts,
+      eager = true)
+    val nodes = eSrc.select(col("src").as("node")).union(eSrc.select(col("dst")))
       .distinct()
     var h = graft.plans.PartitionedCheckpoint.byKey(
-      nodes.withColumn("h", lit(1024L)), "node", parts)
+      nodes.withColumn("h", lit(1024L)), "node", parts, eager = true)
     var a: DataFrame = null
     for (_ <- 1 to 2) {
+      val aPrev = a
+      val hPrev = h
       a = graft.plans.PartitionedCheckpoint.byKey(
         eSrc.join(h, eSrc("src") === h("node"))
           .groupBy(col("dst")).agg(expr("sum(h) div 1024").as("a"))
           .select(col("dst").as("node"), col("a")),
-        "node", parts)
+        "node", parts, eager = true)
+      // a_r just materialized: it was h_{r-1}'s last consumer, and a_{r-1}
+      // (consumed by h_{r-1}) has been dead since last round
+      unpersistCheckpoint(hPrev)
+      if (aPrev != null) unpersistCheckpoint(aPrev)
       h = graft.plans.PartitionedCheckpoint.byKey(
         eDst.join(a, eDst("dst") === a("node"))
           .groupBy(col("src")).agg(expr("sum(a) div 1024").as("h"))
           .select(col("src").as("node"), col("h")),
-        "node", parts)
+        "node", parts, eager = true)
     }
     a.join(h, Seq("node"), "full_outer")
       .select(col("node"), coalesce(col("a"), lit(0L)).as("authority"),
@@ -606,23 +650,38 @@ object Graph extends QueryModule {
     * semi-join of edges against the ≥k node set on each endpoint — all
     * hash equi-joins on node ids, nothing corpus-broadcast. Each round's
     * survivor edge set is EAGERLY localCheckpoint'ed (the [[qCommunityLpa]]
-    * discipline): the three census rows are unioned lazily into one final
-    * job, so without the per-round truncation round 3's census re-derives
-    * rounds 1–2 from scratch unless exchange reuse happens to catch the
-    * whole prefix (measured 7.4 s → ~4 s at sf0.1/32 threads). */
+    * discipline — without the per-round truncation round 3's census
+    * re-derives rounds 1–2 from scratch; measured 7.4 s → ~4 s at
+    * sf0.1/32 threads), and — the round-8 reclamation half — the
+    * SUPERSEDED round's edge set is unpersisted as soon as its successor
+    * materializes: what the terminal union reads is three eagerly
+    * checkpointed 1-ROW census frames, so at no point are two
+    * corpus-sized edge copies resident beyond the one transient
+    * (prev → next) handoff. Round 7 held all four edge generations in
+    * executor memory at once — the 3–6× amplification that made this
+    * key heap-bound (63.9 s) at sf1.0. */
   def qKcore(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.graftshim.InternalDataFrames.unpersistCheckpoint
     val k = 3
     var e = edges(spark, dir).localCheckpoint()
     val rounds = (1 to 3).map { round =>
-      val keep = e.groupBy(col("src")).agg(count(lit(1)).as("d"))
+      val prev = e
+      val keep = prev.groupBy(col("src")).agg(count(lit(1)).as("d"))
         .filter(col("d") >= k).select(col("src").as("node"))
-      e = e.join(keep.withColumnRenamed("node", "src"), "src")
+      e = prev.join(keep.withColumnRenamed("node", "src"), "src")
         .join(keep.withColumnRenamed("node", "dst"), "dst")
         .select(col("src"), col("dst"))
-        .localCheckpoint()
+        .localCheckpoint() // eager: materializes now — prev's last consumer
+      unpersistCheckpoint(prev)
+      // the census is eagerly checkpointed as ONE row so the next round
+      // may safely drop this round's edge set (a lazy census would read a
+      // truncated-lineage cache after its blocks are gone)
       e.agg(countDistinct(col("src")).as("n_nodes"), count(lit(1)).as("n_edges"))
         .withColumn("round", lit(round.toLong))
+        .localCheckpoint()
     }
+    // census₃ above was the final core set's last consumer
+    unpersistCheckpoint(e)
     rounds.reduce(_ unionByName _)
       .select(col("round"), col("n_nodes"), col("n_edges"))
       .orderBy(col("round"))

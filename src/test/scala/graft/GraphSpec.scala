@@ -300,11 +300,16 @@ class GraphSpec extends SparkSpec {
     val probe = (1L to 800L).map(i => (i * 3 % 1000, i)).toDF("_ek", "payload")
     def sortRows(df: org.apache.spark.sql.DataFrame) =
       df.collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(identity).toSeq
-    // limit = Long.MaxValue -> broadcast path; limit = 0 -> bloom path
+    // limit = Long.MaxValue -> broadcast path; limit = 0 -> bloom + chunked
+    // exact close at the 64-chunk cap; limit = 300 -> the realistic shape,
+    // ceil(400/150) = 3 chunks of ~133 keys each
     val semiB = sortRows(Graph.edgeSemiKill(probe, eKeys, 400L, Long.MaxValue))
     val semiS = sortRows(Graph.edgeSemiKill(probe, eKeys, 400L, 0L))
+    val semi3 = sortRows(Graph.edgeSemiKill(probe, eKeys, 400L, 300L))
     assert(semiB == semiS && semiB.nonEmpty,
-      "bloom-prefiltered shuffle semi join must lose nothing and add nothing")
+      "bloom + chunked broadcast semi close must lose nothing and add nothing")
+    assert(semiB == semi3,
+      "a 3-chunk key split must partition the matches exactly")
     val antiB = sortRows(Graph.edgeAntiKill(probe, eKeys, 400L, Long.MaxValue))
     val antiS = sortRows(Graph.edgeAntiKill(probe, eKeys, 400L, 0L))
     assert(antiB == antiS && antiB.nonEmpty,

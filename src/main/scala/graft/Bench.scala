@@ -19,7 +19,9 @@ import java.nio.file.{Files, Paths}
   * SPARK_GRAFT_BENCH_ONLY (comma-separated key filter for spot-benching
   * a subset — e.g. the sf0.5 scaling probe; a filtered run writes its
   * artifact to `bench_only.json`, never touching the driver-graded
-  * `bench_full.json`).
+  * `bench_full.json`), SPARK_GRAFT_CONC_OUT (a round-stamped path the
+  * concurrent pass is durably copied to — bench_full.json is overwritten
+  * by the driver's sequential rerun each round).
   */
 object Bench {
 
@@ -154,6 +156,18 @@ object Bench {
          |"concurrent":$concJson}""".stripMargin
     Files.writeString(
       Paths.get(if (only.isEmpty) "bench_full.json" else "bench_only.json"), full)
+    // Durable home for the concurrent-families evidence: the driver's own
+    // sequential rerun OVERWRITES bench_full.json each round (the round-7
+    // lesson — the builder's 4-thread pass vanished under it), so when
+    // SPARK_GRAFT_CONC_OUT names a round-stamped file the concurrent pass
+    // is ALSO written there, with the same-JVM sequential total alongside
+    // for the speedup ratio. The driver never touches that path.
+    sys.env.get("SPARK_GRAFT_CONC_OUT").foreach { out =>
+      if (concJson != "null")
+        Files.writeString(Paths.get(out),
+          s"""{"sf":"$sfDir","cpus":$cpus,"sequential_total_sec":${jsonNum(total)},
+             |"concurrent":$concJson}""".stripMargin)
+    }
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errors,"sf":"$sfDir"}""")
     spark.stop()
   }

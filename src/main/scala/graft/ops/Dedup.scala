@@ -150,35 +150,42 @@ object Dedup extends QueryModule {
     * (shared constants via [[mixConsts]]) are exact integer arithmetic both
     * engines reproduce, so the DuckDB twin generates the identical candidate
     * set; equality to the exact tier is additionally asserted in tests. */
-  def qDedupMinhash(spark: SparkSession, dir: String): DataFrame = {
-    // 48 min-hashes as 48 aggregate columns over the posting table: ONE
-    // codegen'd pass with map-side partial aggregation (a 48-seed row
-    // explosion costs ~10x more shuffle volume for the same result). The
-    // shingle is string-hashed ONCE; the 48 hash family members are affine
-    // transforms (a_s·x + b_s) mod 2^31-1 of the base's 31-bit residue —
-    // universal-hashing style, pure integer arithmetic that cannot overflow
-    // under ANSI mode (products ≤ 2^62), near-free vs. 48 string hashes per
-    // posting.
+  /** 24-band × 2-row MinHash signature table (doc_id, band, key) over a
+    * shingle table — the unit the LSH tier buckets on AND the record a
+    * durable band index persists (see [[MinhashIndex]]).
+    *
+    * 48 min-hashes as 48 aggregate columns over the posting table: ONE
+    * codegen'd pass with map-side partial aggregation (a 48-seed row
+    * explosion costs ~10x more shuffle volume for the same result). The
+    * shingle is string-hashed ONCE; the 48 hash family members are affine
+    * transforms (a_s·x + b_s) mod 2^31-1 of the base's 31-bit residue —
+    * universal-hashing style, pure integer arithmetic that cannot overflow
+    * under ANSI mode (products ≤ 2^62), near-free vs. 48 string hashes per
+    * posting. The band key packs the band's signature pair into one
+    * collision-free long (both sigs < M, so hi·M + lo < 2^62 — exact,
+    * engine-shared, unlike a seeded hash combine). */
+  private[graft] def bandSignatures(sh: DataFrame): DataFrame = {
     def mix(s: Int): org.apache.spark.sql.Column = {
       val (a, b) = mixConsts(s)
       expr(s"(hres * ${a}L + ${b}L) % ${M}L")
     }
-    // one checkpointed shingle table feeds signature building AND the verify
-    // step (intra-query reuse — see the note on jaccardPairs)
-    val shCk = shingleTable(Tables.documents(spark, dir)).localCheckpoint(eager = false)
-    val minhashes = shCk
+    val minhashes = sh
       .withColumn("hres", expr(s"${md5Hash60("shingle")} % ${M}L"))
       .groupBy(col("doc_id"))
       .agg(min(mix(0)).as("mh0"),
         (1 until 48).map(s => min(mix(s)).as(s"mh$s")): _*)
-    // 24 bands × 2 rows; the band key packs the band's signature pair into
-    // one collision-free long (both sigs < M, so hi·M + lo < 2^62 — exact,
-    // engine-shared, unlike a seeded hash combine)
-    val sig = minhashes
+    minhashes
       .select(col("doc_id"), explode(expr(
         (0 until 24).map(b => s"struct(${b} AS band, mh${2 * b} * ${M}L + mh${2 * b + 1} AS key)")
           .mkString("array(", ", ", ")"))).as("bk"))
       .select(col("doc_id"), col("bk.band"), col("bk.key"))
+  }
+
+  def qDedupMinhash(spark: SparkSession, dir: String): DataFrame = {
+    // one checkpointed shingle table feeds signature building AND the verify
+    // step (intra-query reuse — see the note on jaccardPairs)
+    val shCk = shingleTable(Tables.documents(spark, dir)).localCheckpoint(eager = false)
+    val sig = bandSignatures(shCk)
     val a = sig.select(col("band"), col("key"), col("doc_id").as("d1"))
     val b = sig.select(col("band"), col("key"), col("doc_id").as("d2"))
     val candidates = a.join(b, Seq("band", "key"))
@@ -227,6 +234,43 @@ object Dedup extends QueryModule {
       .groupBy("d1", "d2").agg(count(lit(1)).as("inter"))
     val w = Window.partitionBy(col("d1")).orderBy(col("jaccard_raw").desc, col("d2"))
     withJaccard(inter, sh)
+      .filter(col("jaccard_raw") >= JaccardThreshold)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("d1").as("doc_id"), col("d2").as("dup_of"),
+        round(col("jaccard_raw"), 6).as("jaccard"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Incremental dedup through the MINHASH BAND INDEX — the 100 TB twin of
+    * [[qDedupIncremental]]: the same batch-vs-corpus split (doc_id % 10),
+    * but candidates come from band-bucket collisions against the stored
+    * signature index instead of the full rare-shingle inverted index.
+    * qDedupIncremental's candidate cost is |batch postings| × collision
+    * density, which in dense corpora still touches every posting list the
+    * batch shares a shingle with; the band index caps probe fanout at
+    * 24 bands × bucket occupancy, the LSH guarantee — this is the ingest
+    * path a production pipeline keeps hot, with [[MinhashIndex]] as the
+    * durable form of the corpus side (same derivation, spec-pinned).
+    * Output contract matches qDedupIncremental: each new doc's best match
+    * (max Jaccard ≥ threshold, tie-broken by oldest id), exact-verified —
+    * banding only prunes candidates, never admits below-threshold pairs. */
+  def qMinhashIncremental(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val shCk = shingleTable(Tables.documents(spark, dir)).localCheckpoint(eager = false)
+    val sig = bandSignatures(shCk).localCheckpoint(eager = false)
+    val candidates = sig.filter(col("doc_id") % 10 === 0)
+      .select(col("band"), col("key"), col("doc_id").as("d1"))
+      .join(sig.filter(col("doc_id") % 10 =!= 0)
+        .select(col("band"), col("key"), col("doc_id").as("d2")), Seq("band", "key"))
+      .select("d1", "d2").distinct()
+    val rarePost = rarePostings(shCk)
+    val inter = candidates
+      .join(rarePost.select(col("doc_id").as("d1"), col("shingle")), "d1")
+      .join(rarePost.select(col("doc_id").as("d2"), col("shingle")), Seq("d2", "shingle"))
+      .groupBy("d1", "d2").agg(count(lit(1)).as("inter"))
+    val w = Window.partitionBy(col("d1")).orderBy(col("jaccard_raw").desc, col("d2"))
+    withJaccard(inter, shCk)
       .filter(col("jaccard_raw") >= JaccardThreshold)
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1)
@@ -719,6 +763,7 @@ object Dedup extends QueryModule {
     "q_dedup_clusters"  -> (qDedupClusters _),
     "q_dedup_survivors" -> (qDedupSurvivors _),
     "q_dedup_incremental" -> (qDedupIncremental _),
+    "q_minhash_incremental" -> (qMinhashIncremental _),
     "q_corpus_filter"   -> (qCorpusFilter _),
   )
 
@@ -962,6 +1007,52 @@ object Dedup extends QueryModule {
         |  FROM scored)
         |SELECT d1 AS doc_id, d2 AS dup_of, ROUND(jaccard_raw, 6) AS jaccard
         |FROM best WHERE rn = 1 ORDER BY doc_id""".stripMargin,
+    "q_minhash_incremental" -> {
+      // same signature CTEs as q_dedup_minhash (single mixConsts source),
+      // same batch/corpus split + best-match tail as q_dedup_incremental
+      val minExprs = (0 until 48).map { s =>
+        val (a, b) = mixConsts(s)
+        s"MIN((h * $a + $b) % $M)"
+      }.mkString(",\n        ")
+      s"""WITH $shingleCtes,
+        |hres AS (
+        |  SELECT doc_id, CAST('0x' || SUBSTR(MD5(shingle), 1, 15) AS BIGINT) % $M AS h
+        |  FROM shingles),
+        |sig AS (
+        |  SELECT doc_id, list_value(
+        |        $minExprs) AS mh
+        |  FROM hres GROUP BY doc_id),
+        |bands AS (
+        |  SELECT doc_id,
+        |         band,
+        |         mh[CAST(2 * band + 1 AS INTEGER)] * $M + mh[CAST(2 * band + 2 AS INTEGER)] AS key
+        |  FROM sig, range(24) t(band)),
+        |cand AS (
+        |  SELECT DISTINCT b1.doc_id AS d1, b2.doc_id AS d2
+        |  FROM bands b1 JOIN bands b2
+        |    ON b1.band = b2.band AND b1.key = b2.key
+        |  WHERE b1.doc_id % 10 = 0 AND b2.doc_id % 10 <> 0),
+        |inter AS (
+        |  SELECT d1, d2, COUNT(*) AS inter
+        |  FROM cand
+        |  JOIN postings p1 ON p1.doc_id = d1
+        |  JOIN postings p2 ON p2.doc_id = d2 AND p2.shingle = p1.shingle
+        |  GROUP BY d1, d2),
+        |scored AS (
+        |  SELECT d1, d2,
+        |         CAST(inter AS DOUBLE) / (s1.n_sh + s2.n_sh - inter) AS jaccard_raw
+        |  FROM inter
+        |  JOIN sizes s1 ON s1.doc_id = d1
+        |  JOIN sizes s2 ON s2.doc_id = d2
+        |  WHERE CAST(inter AS DOUBLE) / (s1.n_sh + s2.n_sh - inter) >= $JaccardThreshold),
+        |best AS (
+        |  SELECT d1, d2, jaccard_raw,
+        |         ROW_NUMBER() OVER (PARTITION BY d1
+        |           ORDER BY jaccard_raw DESC, d2) AS rn
+        |  FROM scored)
+        |SELECT d1 AS doc_id, d2 AS dup_of, ROUND(jaccard_raw, 6) AS jaccard
+        |FROM best WHERE rn = 1 ORDER BY doc_id""".stripMargin
+    },
     "q_dedup_minhash" -> {
       // the 48 min-aggregates interpolate the SAME affine constants the
       // Spark builder uses (mixConsts) — single source of truth

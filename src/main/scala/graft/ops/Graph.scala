@@ -208,8 +208,16 @@ object Graph extends QueryModule {
     // (both wedge sides) — without it Catalyst re-derives the lineitem
     // self-join + distinct once per reference (measured ~8x the work;
     // eager=false so plan dumps don't trigger jobs — same intra-query
-    // reuse pattern as qTextLangidNgram / Dedup.jaccardPairs)
-    val e = edges(spark, dir).localCheckpoint(eager = false)
+    // reuse pattern as qTextLangidNgram / Dedup.jaccardPairs).
+    // SERIALIZED cache, deliberately: both corpus-sized checkpoints here
+    // must coexist with the wedge stage's 32 concurrent aggregation
+    // tasks — at sf1.0 the deserialized row-object caches (~3 GiB for
+    // e + o) left too little headroom for the stage's page allocations
+    // and the default 8 GiB heap OOM'd; serialized they are ~5× smaller
+    // AND evictable under execution pressure (useDisk is forced by
+    // localCheckpoint, so eviction is recoverable).
+    val ser = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER
+    val e = edges(spark, dir).localCheckpoint(eager = false, ser)
     val und = e.filter(col("src") < col("dst")) // each undirected edge once
     val deg = e.groupBy(col("src")).agg(count(lit(1)).as("d"))
       .select(col("src").as("node"), col("d"))
@@ -231,7 +239,7 @@ object Graph extends QueryModule {
           when(col("d_src") < col("d_dst")
             || (col("d_src") === col("d_dst") && col("src") < col("dst")),
             col("dst")).otherwise(col("src")).as("v")),
-      "u", parts)
+      "u", parts, level = ser)
     // wedges at the apex: unordered out-neighbor pairs, fixed by id order
     val wedges = o.as("e1").join(o.as("e2"),
         col("e1.u") === col("e2.u") && col("e1.v") < col("e2.v"))
@@ -595,41 +603,36 @@ object Graph extends QueryModule {
     * terminal job plans ZERO exchanges (pinned in PlanSpec).
     *
     * Memory budget (the round-8 fix): the edge set is derived ONCE into
-    * the eager src placement, and the dst placement + node table re-read
-    * THAT cache — no third standalone edge copy is ever resident (round 7
+    * the src placement, and the dst placement + node table re-read THAT
+    * cache — no third standalone edge copy is ever resident (round 7
     * held e0 + eSrc + eDst at once, the 3× amplification that made this
-    * key heap-bound at 36.8 s at sf1.0). Superseded per-round score
-    * checkpoints are unpersisted as soon as their last consumer
-    * materializes. */
+    * key heap-bound at 36.8 s at sf1.0). Everything stays LAZY: the
+    * score tables are node-sized (≪ |E|), so there is nothing
+    * corpus-sized to reclaim mid-loop, and eagerly materializing every
+    * round was measured SLOWER at sf1.0 (77 s vs 36.8 s — seven
+    * blocking barrier jobs where the lazy pipeline overlaps its
+    * stages). */
   def qHits(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.graftshim.InternalDataFrames.unpersistCheckpoint
     val parts = spark.sessionState.conf.numShufflePartitions
     val eSrc = graft.plans.PartitionedCheckpoint.byKey(
-      edges(spark, dir), "src", parts, eager = true)
-    val eDst = graft.plans.PartitionedCheckpoint.byKey(eSrc, "dst", parts,
-      eager = true)
+      edges(spark, dir), "src", parts)
+    val eDst = graft.plans.PartitionedCheckpoint.byKey(eSrc, "dst", parts)
     val nodes = eSrc.select(col("src").as("node")).union(eSrc.select(col("dst")))
       .distinct()
     var h = graft.plans.PartitionedCheckpoint.byKey(
-      nodes.withColumn("h", lit(1024L)), "node", parts, eager = true)
+      nodes.withColumn("h", lit(1024L)), "node", parts)
     var a: DataFrame = null
     for (_ <- 1 to 2) {
-      val aPrev = a
-      val hPrev = h
       a = graft.plans.PartitionedCheckpoint.byKey(
         eSrc.join(h, eSrc("src") === h("node"))
           .groupBy(col("dst")).agg(expr("sum(h) div 1024").as("a"))
           .select(col("dst").as("node"), col("a")),
-        "node", parts, eager = true)
-      // a_r just materialized: it was h_{r-1}'s last consumer, and a_{r-1}
-      // (consumed by h_{r-1}) has been dead since last round
-      unpersistCheckpoint(hPrev)
-      if (aPrev != null) unpersistCheckpoint(aPrev)
+        "node", parts)
       h = graft.plans.PartitionedCheckpoint.byKey(
         eDst.join(a, eDst("dst") === a("node"))
           .groupBy(col("src")).agg(expr("sum(a) div 1024").as("h"))
           .select(col("src").as("node"), col("h")),
-        "node", parts, eager = true)
+        "node", parts)
     }
     a.join(h, Seq("node"), "full_outer")
       .select(col("node"), coalesce(col("a"), lit(0L)).as("authority"),

@@ -34,9 +34,18 @@ object PartitionedCheckpoint {
     * iterative loop needs when it unpersists the superseded round via
     * [[InternalDataFrames.unpersistCheckpoint]] (a lazy checkpoint cannot
     * be dropped before something forces it, and a dropped local checkpoint
-    * is unrecoverable: lineage is already truncated). */
+    * is unrecoverable: lineage is already truncated). `level` overrides the
+    * cache storage: corpus-sized checkpoints that must coexist with
+    * memory-hungry downstream stages belong in MEMORY_AND_DISK_SER (a
+    * 24M-row edge table caches ~5× smaller serialized than as row
+    * objects, and serialized blocks are evictable under execution
+    * pressure where a deserialized working set OOMs first — the
+    * q_triangle sf1.0 lesson). localCheckpoint always forces useDisk so
+    * truncated lineage stays recoverable after eviction. */
   def byKey(df: DataFrame, key: String, numParts: Int,
-      eager: Boolean = false): DataFrame = {
+      eager: Boolean = false,
+      level: org.apache.spark.storage.StorageLevel =
+        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK): DataFrame = {
     val spark = df.sparkSession
     val placed = df.repartition(numParts, col(key)).sortWithinPartitions(key)
     val qe = placed.queryExecution
@@ -46,6 +55,9 @@ object PartitionedCheckpoint {
     // same row-copy discipline as Dataset.checkpoint: the scan reuses one
     // mutable UnsafeRow per partition, which must not be cached as-is
     val rdd = qe.toRdd.map(_.copy())
+    // RDD.localCheckpoint honors a pre-set level (adding useDisk, which
+    // keeps the truncated lineage recoverable after eviction)
+    rdd.persist(level)
     rdd.localCheckpoint()
     if (eager) rdd.count(): Unit
     InternalDataFrames.ofPartitioned(spark, attrs, rdd,

@@ -62,6 +62,29 @@ class ContractSpec extends AnyFunSuite {
     assert(ghosts.isEmpty, s"BENCH_SCALING.json keys with no registered query: $ghosts")
   }
 
+  test("the newest VERIFY_sf0.1 artifact names every registered key") {
+    // The round-7 drift class: the registry moved to 253 keys while the
+    // committed sf0.1 full-verify artifact still recorded 243 — ten keys
+    // silently had no sf0.1 oracle row and nothing flagged it. The NEWEST
+    // round-stamped artifact must carry one PASS row per registered key
+    // and zero FAIL rows; an older artifact lagging the registry is fine
+    // (history), the newest one lagging is drift.
+    import scala.jdk.CollectionConverters._
+    val pat = "VERIFY_sf0\\.1_r(\\d+)\\.txt".r
+    val arts = java.nio.file.Files.list(java.nio.file.Paths.get("."))
+      .iterator().asScala.map(_.getFileName.toString)
+      .collect { case n @ pat(r) => (r.toInt, n) }.toSeq.sortBy(_._1)
+    assume(arts.nonEmpty, "no VERIFY_sf0.1_r*.txt artifact committed yet")
+    val newest = arts.last._2
+    val txt = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(newest)), "UTF-8")
+    val missing = SparkEntry.queries.keySet
+      .filterNot(k => txt.contains(s"PASS  $k ("))
+    assert(missing.isEmpty,
+      s"registered keys with no PASS row in $newest: $missing")
+    assert(!txt.contains("FAIL"), s"FAIL rows present in $newest")
+  }
+
   test("query families partition the key space") {
     val fromFamilies = SparkEntry.queryFamilies.values.flatMap(_.keySet).toSet
     assert(fromFamilies == SparkEntry.queries.keySet)

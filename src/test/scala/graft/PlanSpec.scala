@@ -197,6 +197,23 @@ class PlanSpec extends SparkSpec {
       s"expected one checkpointed RDD per round:\n$optimized")
   }
 
+  test("q_sim_sparse consumes ONE weighted-postings checkpoint — no parquet re-derivation, no cartesian") {
+    // The tf·idf weight table is checkpointed once and feeds three
+    // consumers (both posting self-join sides + the norm rollup). A
+    // FileScan in the terminal plan means a consumer re-derives the
+    // tf/df/weight pipeline from parquet (3× the work); a cartesian or
+    // BNL join means the token equi-join degenerated. Pinned after the
+    // round-7 driver tail showed a 2.1× move on this key — the plan
+    // shape is the invariant, contention is not.
+    val df = graft.ops.Similarity.qSimSparse(spark, sf)
+    df.write.format("noop").mode("overwrite").save()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Scan parquet"),
+      s"all corpus reads must come from the weight checkpoint:\n$plan")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoop"),
+      s"posting self-join must stay an equi-join:\n$plan")
+  }
+
   test("q_win_count_distinct's running sum is chunked by day bucket") {
     val ex = exchangeKeys(graft.ops.Windows.qWinCountDistinct(spark, sf))
     assert(ex.exists(l => l.contains("event_type") && l.contains("bucket")),

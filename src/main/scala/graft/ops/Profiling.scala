@@ -930,7 +930,79 @@ object Profiling extends QueryModule {
       .orderBy(col("rule"))
   }
 
+  /** Count-Min sketch certificate (Cormode & Muthukrishnan 2005) — the
+    * third member of the mergeable-sketch family next to the HLL and
+    * quantile certificates: d=4 hash rows × w=256 buckets built from
+    * md5-derived bucket ids (identical in both engines), probed with the
+    * 10 highest-frequency tokens. The output carries the exact count, the
+    * CM estimate (min over the 4 row cells), and the overcount — the
+    * estimate can NEVER undercount, which the spec asserts. Scale shape:
+    * the sketch is a ≤ 1024-cell map-side-combinable rollup (each map
+    * task contributes 4 increments per token, partials merge by cell
+    * addition — the textbook mergeable summary), the probe set is 10
+    * rows, and the probe join broadcasts the sketch. At 100 TB the full
+    * token shuffle never happens: only the 1024 cells and the heavy-key
+    * candidates move. */
+  def qCountMin(spark: SparkSession, dir: String): DataFrame = {
+    val W = 256
+    def bucket(j: Int, tok: org.apache.spark.sql.Column) =
+      (conv(substring(md5(concat(lit(s"$j:"), tok)), 1, 15), 16, 10)
+        .cast("long") % W).as(s"b$j")
+    val toks = Tables.documents(spark, dir)
+      .select(explode(split(lower(trim(col("text"))), " ")).as("tok"))
+      .filter(col("tok") =!= "")
+      .localCheckpoint(eager = false) // feeds the sketch AND the exact top-10
+    val cells = toks
+      .select(explode(array((0 until 4).map(j =>
+        struct(lit(j).as("row_id"), bucket(j, col("tok")).as("bucket"))): _*))
+        .as("c"))
+      .groupBy(col("c.row_id").as("row_id"), col("c.bucket").as("bucket"))
+      .agg(count(lit(1)).as("cell"))
+    val top10 = toks.groupBy(col("tok")).agg(count(lit(1)).as("true_count"))
+      .orderBy(col("true_count").desc, col("tok")).limit(10)
+    top10
+      .select(col("tok"), col("true_count"), explode(array((0 until 4).map(j =>
+        struct(lit(j).as("row_id"), bucket(j, col("tok")).as("bucket"))): _*))
+        .as("p"))
+      .join(broadcast(cells),
+        col("p.row_id") === cells("row_id") && col("p.bucket") === cells("bucket"))
+      .groupBy(col("tok"), col("true_count"))
+      .agg(min(col("cell")).as("cm_estimate"))
+      .select(col("tok").as("token"), col("true_count"), col("cm_estimate"),
+        (col("cm_estimate") - col("true_count")).as("overcount"))
+      .orderBy(col("true_count").desc, col("token"))
+  }
+
+  /** Worst-slice finder — the dataset-debugging QA pass that ranks
+    * (lang, source) slices by a per-document quality metric (distinct-token
+    * ratio, in ppm integers) against the global mean, keeping only slices
+    * with enough support to matter (≥ 4 docs — sized so the HAVING filter
+    * is exercised at every test SF; a production run would use hundreds). One map-side-combinable
+    * rollup over the corpus plus a 1-row broadcast of the global mean; the
+    * slice table is bounded by |lang|×|source|, so the final sort is noise
+    * at any scale. */
+  def qSliceFinder(spark: SparkSession, dir: String): DataFrame = {
+    val perDoc = Tables.documents(spark, dir)
+      .withColumn("toks", split(lower(trim(col("text"))), " "))
+      .select(col("lang"), col("source"),
+        expr("div(1000000 * cast(size(array_distinct(toks)) as bigint), size(toks))")
+          .as("ratio_ppm"))
+      .localCheckpoint(eager = false) // feeds the slice rollup AND the global mean
+    val global = perDoc.agg(
+      expr("div(sum(ratio_ppm), count(1))").as("global_avg_ppm"))
+    perDoc.groupBy(col("lang"), col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        expr("div(sum(ratio_ppm), count(1))").as("slice_avg_ppm"))
+      .filter(col("n_docs") >= 4)
+      .crossJoin(broadcast(global))
+      .withColumn("delta_ppm", col("slice_avg_ppm") - col("global_avg_ppm"))
+      .orderBy(col("slice_avg_ppm").asc, col("lang"), col("source"))
+      .limit(10)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_count_min"      -> (qCountMin _),
+    "q_slice_finder"   -> (qSliceFinder _),
     "q_forecast_holt"  -> (qForecastHolt _),
     "q_dq_rules"       -> (qDqRules _),
     "q_bootstrap_ci"   -> (qBootstrapCi _),
@@ -1465,5 +1537,46 @@ object Profiling extends QueryModule {
         |WHERE s.std_c > 0
         |  AND ABS((CAST(c.vc AS DOUBLE) - s.mean_c) / s.std_c) > 2.5
         |ORDER BY c.event_id""".stripMargin,
+    "q_count_min" ->
+      """WITH toks AS (
+        |  SELECT tok FROM (
+        |    SELECT UNNEST(STRING_SPLIT(LOWER(TRIM(text)), ' ')) AS tok
+        |    FROM documents) WHERE tok <> ''),
+        |rows4 AS (SELECT UNNEST([0, 1, 2, 3]) AS row_id),
+        |cells AS (
+        |  SELECT row_id,
+        |         CAST('0x' || SUBSTR(MD5(CAST(row_id AS VARCHAR) || ':' || tok), 1, 15)
+        |           AS BIGINT) % 256 AS bucket,
+        |         CAST(COUNT(*) AS BIGINT) AS cell
+        |  FROM toks CROSS JOIN rows4 GROUP BY 1, 2),
+        |top10 AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS true_count
+        |          FROM toks GROUP BY tok ORDER BY true_count DESC, tok LIMIT 10)
+        |SELECT t.tok AS token, t.true_count, MIN(c.cell) AS cm_estimate,
+        |       MIN(c.cell) - t.true_count AS overcount
+        |FROM top10 t
+        |CROSS JOIN rows4 r
+        |JOIN cells c ON c.row_id = r.row_id AND c.bucket =
+        |  CAST('0x' || SUBSTR(MD5(CAST(r.row_id AS VARCHAR) || ':' || t.tok), 1, 15)
+        |    AS BIGINT) % 256
+        |GROUP BY 1, 2
+        |ORDER BY true_count DESC, token""".stripMargin,
+    "q_slice_finder" ->
+      """WITH per_doc AS (
+        |  SELECT lang, source,
+        |         (1000000 * CAST(LEN(LIST_DISTINCT(toks)) AS BIGINT)) // LEN(toks)
+        |           AS ratio_ppm
+        |  FROM (SELECT lang, source, STRING_SPLIT(LOWER(TRIM(text)), ' ') AS toks
+        |        FROM documents)),
+        |g AS (SELECT CAST(SUM(ratio_ppm) // COUNT(*) AS BIGINT) AS global_avg_ppm
+        |      FROM per_doc)
+        |SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |       CAST(SUM(ratio_ppm) // COUNT(*) AS BIGINT) AS slice_avg_ppm,
+        |       g.global_avg_ppm,
+        |       CAST(SUM(ratio_ppm) // COUNT(*) AS BIGINT) - g.global_avg_ppm AS delta_ppm
+        |FROM per_doc CROSS JOIN g
+        |GROUP BY lang, source, g.global_avg_ppm
+        |HAVING COUNT(*) >= 4
+        |ORDER BY slice_avg_ppm ASC, lang, source
+        |LIMIT 10""".stripMargin,
   )
 }

@@ -988,7 +988,39 @@ object Similarity extends QueryModule {
       .orderBy(col("cls"))
   }
 
+  /** Hard-negative mining for contrastive embedding training — for each
+    * serving-batch query, the top-3 most-similar vectors of a DIFFERENT
+    * label: the negatives that actually move a contrastive loss (random
+    * negatives are trivially separated; the hard ones sit just across the
+    * decision boundary). Same scale shape as [[qKnnJoin]]: the constant-
+    * size query batch broadcasts, the corpus is scanned once partition-
+    * parallel, only (qid, vec_id, score) triples shuffle to the per-query
+    * top-k WindowGroupLimit. The label inequality is applied BEFORE
+    * scoring, so mismatched candidates never evaluate the 64-dim dot
+    * product they cannot win. */
+  def qHardNegatives(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    graft.functions.CosineSimilarity.register(spark)
+    val base = Tables.embeddings(spark, dir)
+      .filter(size(col("embedding")) === 64 && expr(normSqExpr) > 0)
+    val batch = base.filter(servingBatchPred)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"),
+        col("label").as("qlabel"))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("cos_raw").desc, col("vec_id"))
+    base.crossJoin(broadcast(batch))
+      .filter(col("label") =!= col("qlabel"))
+      .withColumn("cos_raw", expr("cosine_sim(embedding, qvec)"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 3)
+      .select(col("qid"), col("qlabel"), col("vec_id").as("neg_id"),
+        col("label").as("neg_label"), round(col("cos_raw"), 6).as("cosine"),
+        col("rk"))
+      .orderBy(col("qid"), col("rk"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_hard_negatives"     -> (qHardNegatives _),
     "q_confusion"          -> (qConfusion _),
     "q_embed_drift"        -> (qEmbedDrift _),
     "q_embed_quantize"     -> (qEmbedQuantize _),
@@ -1461,6 +1493,25 @@ object Similarity extends QueryModule {
         |  SELECT qid, label, votes,
         |         ROW_NUMBER() OVER (PARTITION BY qid ORDER BY votes DESC, label) AS vr
         |  FROM votes) WHERE vr = 1 ORDER BY qid""".stripMargin,
+    "q_hard_negatives" ->
+      s"""WITH base AS (
+        |  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
+        |  WHERE LEN(embedding) = 64
+        |    AND LIST_AGGREGATE(LIST_TRANSFORM(CAST(embedding AS DOUBLE[]), x -> x * x), 'sum') > 0),
+        |q AS (
+        |  SELECT vec_id AS qid, label AS qlabel, emb AS qemb
+        |  FROM base WHERE $servingBatchSql),
+        |scored AS (
+        |  SELECT q.qid, q.qlabel, b.vec_id, b.label,
+        |         LIST_COSINE_SIMILARITY(b.emb, q.qemb) AS c
+        |  FROM base b CROSS JOIN q WHERE b.label <> q.qlabel),
+        |rk AS (
+        |  SELECT qid, qlabel, vec_id, label, c,
+        |         ROW_NUMBER() OVER (PARTITION BY qid ORDER BY c DESC, vec_id) AS rk
+        |  FROM scored)
+        |SELECT qid, qlabel, vec_id AS neg_id, label AS neg_label,
+        |       ROUND(c, 6) AS cosine, rk
+        |FROM rk WHERE rk <= 3 ORDER BY qid, rk""".stripMargin,
     "q_knn_join" ->
       s"""WITH base AS (
         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings

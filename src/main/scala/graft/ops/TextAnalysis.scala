@@ -576,7 +576,67 @@ object TextAnalysis extends QueryModule {
       .limit(15)
   }
 
+  /** Overlapped RAG chunking (size 32, stride 16) — the production retrieval
+    * shape [[qTextChunk]]'s disjoint windows cannot express: consecutive
+    * chunks share a 16-token overlap so no answer span is ever split across
+    * a boundary unseen. Each chunk row carries its start offset and token
+    * count; the per-document accounting identity
+    * `sum(n_tokens) = n_doc_tokens + overlap` is what the spec asserts.
+    * Map-only: one explode over ⌈n/stride⌉ window starts per document, a
+    * slice per start — no shuffle at all until the output sort, and none of
+    * THAT at 100 TB where chunks stream straight to the retrieval indexer. */
+  def qChunkOverlap(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), split(lower(trim(col("text"))), " ").as("_toks"))
+      .select(col("doc_id"), col("_toks"),
+        explode(expr(
+          """CASE WHEN size(_toks) = 0 THEN array()
+            |ELSE sequence(0, CAST(div(size(_toks) - 1, 16) AS INT)) END"""
+            .stripMargin)).as("_ci"))
+      .select(col("doc_id"), col("_ci").cast("bigint").as("chunk_idx"),
+        (col("_ci").cast("bigint") * 16).as("start_pos"),
+        expr("slice(_toks, _ci * 16 + 1, 32)").as("_ctoks"))
+      .select(col("doc_id"), col("chunk_idx"), col("start_pos"),
+        size(col("_ctoks")).cast("bigint").as("n_tokens"),
+        array_join(col("_ctoks"), " ").as("chunk"))
+      .orderBy(col("doc_id"), col("chunk_idx"))
+
+  /** Winnowing document fingerprints (Schleimer, Wilkerson & Aiken 2003,
+    * the MOSS algorithm) — the guarantee-carrying fingerprint selector:
+    * hash every 4-token shingle (the shared md5 60-bit primitive), slide a
+    * window of 4 consecutive hashes, keep each window's MINIMUM — any match
+    * of ≥ 7 consecutive tokens between two documents is then guaranteed to
+    * share a fingerprint (no fixed-stride scheme can promise that). Output
+    * is the plagiarism hot-spot table: fingerprints selected by ≥ 2
+    * documents, with document frequency, top 50.
+    * Scale shape: per-document array work is map-only (transform over
+    * shingle starts, then window minima via a second transform + slice);
+    * only DISTINCT per-doc fingerprints shuffle to the df rollup — the
+    * corpus never pairs with itself. */
+  def qWinnowFingerprint(spark: SparkSession, dir: String): DataFrame = {
+    val fps = Tables.documents(spark, dir)
+      .select(col("doc_id"), split(lower(trim(col("text"))), " ").as("toks"))
+      .filter(size(col("toks")) >= 4)
+      .withColumn("hashes", expr(
+        """transform(sequence(0, size(toks) - 4),
+          |  i -> CAST(conv(substring(md5(concat_ws(' ',
+          |         toks[i], toks[i+1], toks[i+2], toks[i+3])), 1, 15), 16, 10)
+          |       AS BIGINT))""".stripMargin))
+      .filter(size(col("hashes")) >= 4)
+      .withColumn("fp", explode(expr(
+        """array_distinct(transform(sequence(0, size(hashes) - 4),
+          |  i -> array_min(slice(hashes, i + 1, 4))))""".stripMargin)))
+      .select(col("doc_id"), col("fp"))
+    fps.groupBy(col("fp"))
+      .agg(count(lit(1)).as("df"))
+      .filter(col("df") >= 2)
+      .orderBy(col("df").desc, col("fp"))
+      .limit(50)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_chunk_overlap"    -> (qChunkOverlap _),
+    "q_winnow_fingerprint" -> (qWinnowFingerprint _),
     "q_text_keyphrase"   -> (qTextKeyphrase _),
     "q_text_blocklist"   -> (qTextBlocklist _),
     "q_text_readability" -> (qTextReadability _),
@@ -601,6 +661,33 @@ object TextAnalysis extends QueryModule {
   private val blocklistSql = blocklist.map("'" + _ + "'").mkString(",")
 
   val oracle: Map[String, String] = Map(
+    "q_chunk_overlap" ->
+      """WITH t AS (
+        |  SELECT doc_id, STRING_SPLIT(LOWER(TRIM(text)), ' ') AS toks FROM documents)
+        |SELECT doc_id, i AS chunk_idx, i * 16 AS start_pos,
+        |       CAST(LEN(toks[CAST(i AS INT)*16+1 : CAST(i AS INT)*16+32]) AS BIGINT) AS n_tokens,
+        |       ARRAY_TO_STRING(toks[CAST(i AS INT)*16+1 : CAST(i AS INT)*16+32], ' ') AS chunk
+        |FROM t, UNNEST(RANGE(0, (LEN(toks) - 1) // 16 + 1)) AS u(i)
+        |WHERE LEN(toks) > 0
+        |ORDER BY doc_id, chunk_idx""".stripMargin,
+    "q_winnow_fingerprint" ->
+      """WITH t AS (
+        |  SELECT doc_id, STRING_SPLIT(LOWER(TRIM(text)), ' ') AS toks FROM documents),
+        |h AS (
+        |  SELECT doc_id,
+        |         LIST_TRANSFORM(GENERATE_SERIES(1, CAST(LEN(toks) AS INT) - 3),
+        |           i -> CAST('0x' || SUBSTR(MD5(toks[i] || ' ' || toks[i+1] || ' '
+        |                  || toks[i+2] || ' ' || toks[i+3]), 1, 15) AS BIGINT)) AS hashes
+        |  FROM t WHERE LEN(toks) >= 4),
+        |w AS (
+        |  SELECT doc_id,
+        |         UNNEST(LIST_DISTINCT(
+        |           LIST_TRANSFORM(GENERATE_SERIES(1, CAST(LEN(hashes) AS INT) - 3),
+        |             i -> LIST_AGGREGATE(hashes[i : i+3], 'min')))) AS fp
+        |  FROM h WHERE LEN(hashes) >= 4)
+        |SELECT fp, CAST(COUNT(*) AS BIGINT) AS df
+        |FROM w GROUP BY fp HAVING COUNT(*) >= 2
+        |ORDER BY df DESC, fp LIMIT 50""".stripMargin,
     "q_text_keyphrase" ->
       s"""WITH toks AS (
         |  SELECT doc_id, CAST(i AS INT) - 1 AS pos, t[CAST(i AS INT)] AS w

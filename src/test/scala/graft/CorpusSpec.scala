@@ -475,4 +475,110 @@ class CorpusSpec extends SparkSpec {
       (1L, 1L, 4000000L, 5L, 3L, 200000L),
       (2L, 2L, 0L, 5L, 3L, 200000L)))
   }
+
+  test("preference_pairs: chosen/rejected replay the max/min struct per cell") {
+    val docs = Tables.documents(spark, sf)
+      .select(col("lang"), col("source"), col("doc_id"), col("text"), col("n_chars"))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getString(3), r.getLong(4)))
+    def score(text: String, nChars: Long): Long =
+      text.trim.toLowerCase.split(" ", -1).distinct.length.toLong * 1000 + nChars
+    val want = docs.groupBy(t => (t._1, t._2)).toSeq.flatMap {
+      case ((lang, src), xs) =>
+        val scored = xs.map(t => (score(t._4, t._5), t._3)).toSeq
+        val ch = scored.max // lexicographic (s, doc_id) == struct ordering
+        val rj = scored.min
+        if (xs.length >= 2 && ch._1 > rj._1)
+          Some((lang, src, xs.length.toLong, ch._2, ch._1, rj._2, rj._1,
+            ch._1 - rj._1))
+        else None
+    }.sortBy(t => (t._1, t._2))
+    val got = Corpus.qPreferencePairs(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7))).toSeq
+    assert(got == want)
+    assert(got.forall(_._8 > 0), "every pair must carry a positive margin")
+  }
+
+  test("ngram_backoff: observed rows replay c12/c1, unseen rows 0.4·c2/N") {
+    val toksByDoc = Tables.documents(spark, sf).select(col("text")).collect()
+      .map(_.getString(0).trim.toLowerCase.split(" ", -1).toSeq).toSeq
+    val uni = toksByDoc.flatten.filter(_.nonEmpty)
+      .groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val big = toksByDoc.flatMap(t => if (t.length < 2) Seq.empty
+      else t.sliding(2).map(p => (p(0), p(1))).toSeq)
+      .filter(p => p._1.nonEmpty && p._2.nonEmpty)
+      .groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val nTot = uni.values.sum
+    val top10 = uni.toSeq.sortBy { case (w, c) => (-c, w) }.take(10).map(_._1)
+    val rare10 = uni.toSeq.sortBy { case (w, c) => (c, w) }.take(10).map(_._1)
+    val topBig = big.toSeq.sortBy { case ((w1, w2), c) => (-c, w1, w2) }
+      .take(10).map(_._1)
+    val probes = (topBig ++ top10.zip(rare10)).distinct
+    val want = probes.map { case (w1, w2) =>
+      val seen = big.contains((w1, w2))
+      val score = if (seen) 1000000L * big((w1, w2)) / uni(w1)
+                  else 400000L * uni(w2) / nTot
+      (w1, w2, seen, score)
+    }.sortBy(t => (t._1, t._2))
+    val got = Corpus.qNgramBackoff(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getBoolean(2), r.getLong(3)))
+      .toSeq
+    assert(got == want)
+    assert(got.exists(_._3) && got.exists(!_._3),
+      "probe set must exercise BOTH the observed and the backoff branch")
+  }
+
+  test("curriculum_bins: bins partition the corpus and replay the quartile arithmetic") {
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("n_chars"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    val toks = docs.map { case (id, nc, t) =>
+      (id, nc, t.trim.toLowerCase.split(" ", -1).toSeq.filter(_.nonEmpty)) }
+    val uni = toks.flatMap(_._3).groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val nTot = uni.values.sum
+    val rel = uni.map { case (w, c) => w -> 1000000L * c / nTot }
+    val perDoc = toks.map { case (id, nc, ts) =>
+      val d = ts.map(rel).sum / ts.length
+      (id, nc, d, d / 10) }
+    val n = perDoc.length.toLong
+    val prof = perDoc.groupBy(_._4).view.mapValues(_.length.toLong).toSeq.sortBy(_._1)
+    val cum = prof.scanLeft((0L, 0L)) { case ((_, acc), (b, c)) => (b, acc + c) }.drop(1)
+    def th(k: Long): Long = cum.find(_._2 >= (k * n + 3) / 4).get._1
+    val (t1, t2, t3) = (th(1), th(2), th(3))
+    val want = perDoc.groupBy { case (_, _, _, b) =>
+      1 + (if (b > t1) 1 else 0) + (if (b > t2) 1 else 0) + (if (b > t3) 1 else 0) }
+      .toSeq.map { case (bin, xs) =>
+        (bin, xs.length.toLong, xs.map(_._3).min, xs.map(_._3).max,
+          xs.map(_._2).sum / xs.length) }
+      .sortBy(_._1)
+    val got = Corpus.qCurriculumBins(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSeq
+    assert(got == want)
+    assert(got.map(_._2).sum == n, "bins must partition every document")
+    assert(got.size >= 2, "the quartile split must actually split this corpus")
+    // non-overlapping difficulty ranges in bin order
+    got.sliding(2).foreach { case Seq(a, b) => assert(a._4 <= b._3 + 9,
+      s"bucket-granular bins must be ordered: ${a._4} vs ${b._3}")
+      case _ => () }
+  }
+
+  test("tokenizer_fertility: per-language rollup replays the subtoken regex") {
+    val docs = Tables.documents(spark, sf)
+      .select(col("lang"), col("text"), col("n_chars")).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    val subRe = "[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]".r
+    val want = docs.groupBy(_._1).toSeq.map { case (lang, xs) =>
+      val w = xs.map(_._2.trim.toLowerCase.split(" ", -1).length.toLong).sum
+      val st = xs.map(t => subRe.findAllIn(t._2).length.toLong).sum
+      val ch = xs.map(_._3).sum
+      (lang, xs.length.toLong, w, st, 1000000L * st / w, 1000000L * ch / st)
+    }.sortBy(_._1)
+    val got = Corpus.qTokenizerFertility(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toSeq
+    assert(got == want)
+  }
 }

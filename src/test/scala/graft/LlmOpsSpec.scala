@@ -1038,4 +1038,158 @@ class LlmOpsSpec extends SparkSpec {
     assert(got == want, "every metric must replay the brute-force retrieval exactly")
     assert(got.nonEmpty)
   }
+
+  test("dup_cross_source: pair matrix replays the cluster arithmetic") {
+    val docs = Tables.documents(spark, sf)
+      .select(col("source"), col("text")).collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    val chunks = docs.flatMap { case (src, t) =>
+      val toks = t.trim.toLowerCase.split(" ", -1).toSeq
+      toks.grouped(16).map(g => (src, g.mkString(" ")))
+    }
+    val perSrc = chunks.groupBy(identity).view.mapValues(_.length.toLong).toSeq
+      .map { case ((src, chunk), cnt) => (chunk, src, cnt) }
+    val byChunk = perSrc.groupBy(_._1)
+    val agg = scala.collection.mutable.Map.empty[(String, String), (Long, Long)]
+    byChunk.values.foreach { grp =>
+      for ((_, sa, ca) <- grp; (_, sb, cb) <- grp if sa <= sb) {
+        val pairs = if (sa == sb) ca * (ca - 1) / 2 else ca * cb
+        if (pairs > 0) {
+          val (p0, c0) = agg.getOrElse((sa, sb), (0L, 0L))
+          agg((sa, sb)) = (p0 + pairs, c0 + 1)
+        }
+      }
+    }
+    val want = agg.toSeq.map { case ((sa, sb), (p, c)) => (sa, sb, p, c) }
+      .sortBy(t => (t._1, t._2))
+    val got = Dedup.qDupCrossSource(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(got == want)
+    assert(got.nonEmpty, "the corpus plants boilerplate paragraphs — matrix must be non-empty")
+  }
+
+  test("chunk_overlap: stride-16 chunks replay and reconstruct every document") {
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val want = docs.toSeq.flatMap { case (id, t) =>
+      val toks = t.trim.toLowerCase.split(" ", -1).toSeq
+      if (toks.isEmpty) Seq.empty
+      else (0 to (toks.length - 1) / 16).map { i =>
+        val c = toks.slice(i * 16, i * 16 + 32)
+        (id, i.toLong, i.toLong * 16, c.length.toLong, c.mkString(" "))
+      }
+    }.sortBy(t => (t._1, t._2))
+    val got = TextAnalysis.qChunkOverlap(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getString(4))).toSeq
+    assert(got == want)
+    // the overlap invariant: first-16-of-each-chunk + tail of the last
+    // chunk reconstructs the document exactly
+    got.groupBy(_._1).foreach { case (id, rows) =>
+      val orig = docs.find(_._1 == id).get._2.trim.toLowerCase.split(" ", -1).toSeq
+      val sorted = rows.sortBy(_._2)
+      val rebuilt = sorted.init.flatMap(_._5.split(" ", -1).take(16)) ++
+        sorted.last._5.split(" ", -1)
+      assert(rebuilt == orig, s"doc $id must reassemble from overlapped chunks")
+    }
+  }
+
+  test("winnow_fingerprint: hot-spot table replays, and a ≥7-token shared run " +
+    "is guaranteed a shared fingerprint") {
+    def md5hex(s: String): String = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    def h60(s: String): Long = java.lang.Long.parseLong(md5hex(s).take(15), 16)
+    def fps(text: String): Set[Long] = {
+      val toks = text.trim.toLowerCase.split(" ", -1).toSeq
+      if (toks.length < 7) Set.empty
+      else {
+        val hashes = toks.sliding(4).map(g => h60(g.mkString(" "))).toIndexedSeq
+        hashes.sliding(4).map(_.min).toSet
+      }
+    }
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val want = docs.flatMap { case (_, t) => fps(t) }
+      .groupBy(identity).view.mapValues(_.size.toLong).toSeq
+      .filter(_._2 >= 2)
+      .sortBy { case (fp, df) => (-df, fp) }.take(50)
+      .map { case (fp, df) => (fp, df) }
+    val got = TextAnalysis.qWinnowFingerprint(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got == want)
+    // Schleimer's guarantee on a planted pair: 8 shared consecutive tokens
+    // → ≥ 5 shared shingle hashes → at least one shared window minimum
+    val shared = "k1 k2 k3 k4 k5 k6 k7 k8"
+    val a = fps(s"x1 x2 x3 $shared y1 y2 y3")
+    val b = fps(s"z1 z2 z3 z4 $shared w1 w2")
+    assert((a intersect b).nonEmpty,
+      "winnowing must fingerprint a shared 8-token run from both documents")
+  }
+
+  test("hard_negatives: planted geometry — top cross-label vectors in order") {
+    import spark.implicits._
+    val d = java.nio.file.Files.createTempDirectory("hardneg").toString
+    def vec(i: Int, v: Float): Seq[Float] =
+      Seq.tabulate(64)(j => if (j == i) v else 0.0f)
+    // qid 0 (label 0); candidates: 1,2 carry label 1 (cos 1.0 and 0.0),
+    // 3 carries label 0 (excluded however similar).
+    Seq(
+      (0L, vec(0, 1.0f), 0),
+      (1L, vec(0, 2.0f), 1),  // same direction as q → cos 1.0
+      (2L, vec(1, 1.0f), 1),  // orthogonal → cos 0.0
+      (3L, vec(0, 3.0f), 0))  // label-match: never a negative
+      .toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$d/embeddings.parquet")
+    val got = Similarity.qHardNegatives(spark, d).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getInt(3),
+        r.getDouble(4), r.getInt(5))).toSeq
+    assert(got == Seq(
+      (0L, 0, 1L, 1, 1.0, 1),
+      (0L, 0, 2L, 1, 0.0, 2)))
+  }
+
+  test("er_linkage: census identities hold and blocking misses are real") {
+    val r = Dedup.qErLinkage(spark, sf).collect()
+    assert(r.length == 1)
+    val row = r.head
+    val (nEnt, nPred, tp, fp, fn) = (row.getLong(0), row.getLong(1),
+      row.getLong(2), row.getLong(3), row.getLong(4))
+    assert(nEnt == Tables.part(spark, sf).count(),
+      "one dirty twin per part — ground truth covers the whole table")
+    assert(tp + fp == nPred, "every predicted link is either TP or FP")
+    assert(fn == nEnt - tp, "top-1 linking: each entity is linked once or missed")
+    assert(row.getLong(5) == 1000000L * tp / nPred)
+    assert(row.getLong(6) == 1000000L * tp / nEnt)
+    assert(tp > 0L)
+    assert(fn > 0L, "first-char deletions must change the blocking key → misses")
+    assert(row.getLong(6) < 1000000L, "recall honestly below 1.0")
+  }
+
+  test("er_linkage: planted parts — pos≠1 twins link, pos=1 twins block out") {
+    import spark.implicits._
+    val d = java.nio.file.Files.createTempDirectory("erlink").toString
+    // Mutually dissimilar long names (pairwise JW << 0.9) in ONE block:
+    // the only candidate a dirty twin can match is its own clean source,
+    // and only when the deleted character was not the first one.
+    val names = Seq("alpha widget chassis", "birch lantern casing",
+      "copper valve housing", "delta rotor manifold", "ember socket bracket")
+    names.zipWithIndex.map { case (n, i) =>
+      (i.toLong, n, "Brand#1", "ECONOMY", 7, 100.0 + i)
+    }.toDF("p_partkey", "p_name", "p_brand", "p_type", "p_size", "p_retailprice")
+      .write.mode("overwrite").parquet(s"$d/part.parquet")
+    def md5hex(s: String): String = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    def pos(name: String, key: Long): Long =
+      java.lang.Long.parseLong(md5hex(s"$name:$key").take(15), 16) % name.length + 1
+    val misses = names.zipWithIndex.count { case (n, i) => pos(n, i.toLong) == 1L }
+    val hits = names.length - misses
+    val row = Dedup.qErLinkage(spark, d).collect().head
+    assert(row.getLong(0) == names.length.toLong)
+    assert(row.getLong(1) == hits.toLong, "non-first-char twins all link")
+    assert(row.getLong(2) == hits.toLong)
+    assert(row.getLong(3) == 0L, "dissimilar names admit no false links")
+    assert(row.getLong(4) == misses.toLong)
+  }
 }

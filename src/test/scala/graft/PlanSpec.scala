@@ -407,6 +407,71 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("q_preference_pairs is one max/min-struct rollup — no window, no join") {
+    val plan = planOf(graft.ops.Corpus.qPreferencePairs(spark, sf))
+    assert(!plan.contains("Window"),
+      "chosen/rejected must come from the associative struct rollup, not a rank window")
+    assert(!plan.contains("Join"),
+      "one aggregation pass; a join means the oracle's two-sided shape leaked in")
+  }
+
+  test("q_count_min probes the sketch via broadcast — cells never shuffle the corpus") {
+    val plan = planOf(graft.ops.Profiling.qCountMin(spark, sf))
+    assert(plan.contains("BroadcastHashJoin"),
+      "the ≤1024-cell sketch must broadcast to the 10-row probe set")
+    assert(!plan.contains("SortMergeJoin"),
+      "a sort-merge probe would shuffle both sides of a 10×1024 join")
+  }
+
+  test("q_chunk_overlap is map-only until the output sort — no join, no aggregation") {
+    val plan = planOf(graft.ops.TextAnalysis.qChunkOverlap(spark, sf))
+    assert(!plan.contains("Join"), "chunking must not pair the corpus with anything")
+    assert(!plan.contains("HashAggregate"),
+      "chunk rows stream straight out; an aggregate means a census crept in")
+    assert(plan.contains("Generate"), "the window-start explode is the operator's core")
+  }
+
+  test("q_winnow_fingerprint take-orders the hot-spot cut and never self-joins") {
+    val plan = planOf(graft.ops.TextAnalysis.qWinnowFingerprint(spark, sf))
+    assert(plan.contains("TakeOrderedAndProject"),
+      "top-50 must be a take-ordered cut, not a global sort")
+    assert(!plan.contains("Join"),
+      "fingerprint selection is per-document array work + one df rollup")
+  }
+
+  test("q_er_linkage / q_dup_cross_source block their joins — no cartesian candidates") {
+    // 1-row census cross-joins (BroadcastNestedLoopJoin over aggregates) are
+    // the repo's stat-join idiom and fine; the pin is that every join
+    // carrying REAL data is keyed. Assert on the optimized logical plan:
+    // any join over a side with more than one output row class must have a
+    // condition — i.e. no condition-less join whose inputs aren't aggregates.
+    def unkeyedDataJoins(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.queryExecution.optimizedPlan.collect {
+        case j: org.apache.spark.sql.catalyst.plans.logical.Join
+            if j.condition.isEmpty &&
+              !j.children.forall {
+                case _: org.apache.spark.sql.catalyst.plans.logical.Aggregate => true
+                case p => p.maxRows.exists(_ <= 1)
+              } => j.simpleString(2)
+      }
+    val er = graft.ops.Dedup.qErLinkage(spark, sf)
+    assert(unkeyedDataJoins(er).isEmpty,
+      s"the ER candidate join must run on the (brand, size) blocking keys: ${unkeyedDataJoins(er)}")
+    assert(!planOf(er).contains("CartesianProduct"))
+    val dx = graft.ops.Dedup.qDupCrossSource(spark, sf)
+    assert(unkeyedDataJoins(dx).isEmpty,
+      "the pair matrix joins per-(hash, source) rollups on h, never raw chunks")
+    assert(!planOf(dx).contains("CartesianProduct"))
+  }
+
+  test("q_hard_negatives rides the serving-cap broadcast into a WindowGroupLimit") {
+    val plan = planOf(graft.ops.Similarity.qHardNegatives(spark, sf))
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastHashJoin"),
+      "the constant-size query batch must broadcast against the corpus scan")
+    assert(plan.contains("WindowGroupLimit"),
+      "the per-query top-3 must prune partially before the final window")
+  }
+
   test("q_degree_assort / q_graph_modularity aggregate to bounded tails — no corpus windows") {
     val assort = planOf(graft.ops.Graph.qDegreeAssort(spark, sf))
     assert(!assort.contains("Window"),

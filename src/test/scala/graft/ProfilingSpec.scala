@@ -475,4 +475,50 @@ class ProfilingSpec extends SparkSpec {
       (2, 2L, 142857L, 71428L, false),
       (3, 2L, 857143L, 428571L, true)))
   }
+
+  test("count_min: sketch replays cell-for-cell and never undercounts") {
+    val toks = Tables.documents(spark, sf).select(col("text")).collect()
+      .flatMap(_.getString(0).trim.toLowerCase.split(" ", -1)).filter(_.nonEmpty)
+    def md5hex(s: String): String = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    def bucket(j: Int, t: String): Long =
+      java.lang.Long.parseLong(md5hex(s"$j:$t").take(15), 16) % 256
+    val cells = scala.collection.mutable.Map.empty[(Int, Long), Long]
+      .withDefaultValue(0L)
+    toks.foreach(t => (0 until 4).foreach { j =>
+      cells((j, bucket(j, t))) += 1
+    })
+    val counts = toks.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val want = counts.toSeq.sortBy { case (t, c) => (-c, t) }.take(10)
+      .map { case (t, c) =>
+        val est = (0 until 4).map(j => cells((j, bucket(j, t)))).min
+        (t, c, est, est - c)
+      }
+    val got = Profiling.qCountMin(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(got == want)
+    assert(got.forall(_._4 >= 0L), "a Count-Min estimate can never undercount")
+  }
+
+  test("slice_finder: worst slices replay the ppm ratio rollup") {
+    val docs = Tables.documents(spark, sf)
+      .select(col("lang"), col("source"), col("text")).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2)))
+    def ratio(text: String): Long = {
+      val t = text.trim.toLowerCase.split(" ", -1)
+      1000000L * t.distinct.length / t.length
+    }
+    val perDoc = docs.map(t => (t._1, t._2, ratio(t._3)))
+    val globalAvg = perDoc.map(_._3).sum / perDoc.length
+    val want = perDoc.groupBy(t => (t._1, t._2)).toSeq
+      .map { case ((lang, src), xs) =>
+        (lang, src, xs.length.toLong, xs.map(_._3).sum / xs.length) }
+      .filter(_._3 >= 4)
+      .map(t => (t._1, t._2, t._3, t._4, globalAvg, t._4 - globalAvg))
+      .sortBy(t => (t._4, t._1, t._2)).take(10)
+    val got = Profiling.qSliceFinder(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toSeq
+    assert(got == want)
+  }
 }

@@ -430,7 +430,7 @@ object Corpus extends QueryModule {
           s"concat('$BpeSep', ml, '$BpeSep$BpeSep', mr, '$BpeSep'), " +
           s"concat('$BpeSep', ml, mr, '$BpeSep'))), " +
           s"'$BpeSep$BpeSep', '$BpeSep')"))
-      .select(col("wf"), col("s"))
+      .drop("ml", "mr", "mpc") // pass through every other column (wf, or w for encode)
 
   /** Two live iterations of the BPE trainer's merge loop — the step
     * `q_bpe_pair_stats` only tabulates: round 1 picks the argmax adjacent
@@ -686,7 +686,238 @@ object Corpus extends QueryModule {
       .orderBy(col("bin"))
   }
 
+  /** CCNet-style LM-quality bucketing — the head/middle/tail split CCNet
+    * cuts a crawl into before sampling: each document is scored by the
+    * per-bigram stupid-backoff LM trained on the corpus itself (the exact
+    * scoring rule `q_ngram_backoff` probes: seen bigram → 10⁶·c12/c1,
+    * unseen → 0.4·10⁶·c2/N, truncating integer ppm so both engines agree
+    * bit-for-bit), documents are ranked per LANGUAGE, and the per-language
+    * terciles become the head (most-probable), middle, tail buckets a
+    * pipeline samples with different rates. Output: one census row per
+    * (lang, tier) with the doc count, ppm score range, and mean chars.
+    *
+    * Scale shape: the LM tables are TYPE-bounded (unigrams |V|, bigrams
+    * |V|²-capped but in practice ≪ corpus; both broadcast here — on an
+    * open-vocabulary corpus the bigram join degrades gracefully to a
+    * shuffle-hash join keyed on the bigram, never anything corpus²), the
+    * corpus pass is one bigram explode (linear in tokens) feeding a
+    * per-doc rollup, and the tercile thresholds come from a cumulative
+    * window over the ≤10³-row per-language bucket PROFILE — the
+    * `q_curriculum_bins` lesson: never a corpus-sized global sort. */
+  def qCcnetBuckets(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .withColumn("toks", split(lower(trim(col("text"))), " "))
+    val bigramsOf = expr(
+      """CASE WHEN size(toks) < 2 THEN array()
+        |ELSE transform(sequence(0, size(toks) - 2),
+        |  i -> struct(toks[i] AS w1, toks[i + 1] AS w2)) END""".stripMargin)
+    // vocabulary-bounded; feeds the two unigram joins AND the total
+    val uni = docs.select(explode(col("toks")).as("w"))
+      .filter(col("w") =!= "")
+      .groupBy(col("w")).agg(count(lit(1)).as("c"))
+      .localCheckpoint(eager = false)
+    val big = docs.select(explode(bigramsOf).as("b"))
+      .select(col("b.w1").as("w1"), col("b.w2").as("w2"))
+      .filter(col("w1") =!= "" && col("w2") =!= "")
+      .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
+    val nTot = uni.agg(sum(col("c")).cast("long").as("n_tot"))
+    val docBig = docs
+      .select(col("doc_id"), col("lang"), col("n_chars"), explode(bigramsOf).as("b"))
+      .select(col("doc_id"), col("lang"), col("n_chars"),
+        col("b.w1").as("w1"), col("b.w2").as("w2"))
+      .filter(col("w1") =!= "" && col("w2") =!= "")
+    val perDoc = docBig
+      .join(broadcast(big), Seq("w1", "w2"), "left")
+      .join(broadcast(uni.select(col("w").as("w1"), col("c").as("c1"))), Seq("w1"))
+      .join(broadcast(uni.select(col("w").as("w2"), col("c").as("c2"))), Seq("w2"))
+      .crossJoin(broadcast(nTot))
+      .withColumn("score_ppm",
+        when(col("c12").isNotNull, expr("div(1000000 * c12, c1)"))
+          .otherwise(expr("div(400000 * c2, n_tot)")))
+      .groupBy(col("doc_id"), col("lang"), col("n_chars"))
+      .agg(expr("div(sum(score_ppm), count(1))").as("m_ppm"))
+      .withColumn("bucket", expr("div(m_ppm, 1000)"))
+      .localCheckpoint(eager = false) // feeds the profile AND the census
+    val prof = perDoc.groupBy(col("lang"), col("bucket")).agg(count(lit(1)).as("cn"))
+    val cum = prof
+      .withColumn("cum", sum(col("cn"))
+        .over(Window.partitionBy(col("lang")).orderBy(col("bucket"))))
+      .join(broadcast(perDoc.groupBy(col("lang")).agg(count(lit(1)).as("nl"))), Seq("lang"))
+    val th = cum.groupBy(col("lang")).agg(
+      min(when(col("cum") >= expr("div(1 * nl + 2, 3)"), col("bucket"))).as("t1"),
+      min(when(col("cum") >= expr("div(2 * nl + 2, 3)"), col("bucket"))).as("t2"))
+    perDoc.join(broadcast(th), Seq("lang"))
+      .withColumn("tier_n", lit(1)
+        + when(col("bucket") > col("t1"), 1).otherwise(0)
+        + when(col("bucket") > col("t2"), 1).otherwise(0))
+      .withColumn("tier", expr(
+        "CASE tier_n WHEN 3 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END"))
+      .groupBy(col("lang"), col("tier"))
+      .agg(count(lit(1)).as("n_docs"),
+        min(col("m_ppm")).as("min_ppm"), max(col("m_ppm")).as("max_ppm"),
+        expr("div(sum(n_chars), count(1))").as("avg_chars"))
+      .orderBy(col("lang"), col("tier"))
+  }
+
+  /** Tokenizer APPLICATION — encode the whole corpus with the 2-merge BPE
+    * vocabulary `q_bpe_merge_step` trains, and report the per-language
+    * compression card a tokenizer team reads before freezing a vocab:
+    * words, emitted subtokens, fertility (subtokens per word, ppm),
+    * tokens-per-char (the compression dual), and the fraction of word
+    * occurrences the learned merges actually shortened. Training replays
+    * `q_bpe_merge_step` exactly (same type table, same argmax/tie rules),
+    * so the applied merges ARE the trained ones, cross-checked in tests.
+    *
+    * Scale shape: the encode cost is VOCABULARY-bounded, not corpus-
+    * bounded — merges rewrite the distinct-word TYPE table once (the
+    * boundary-anchored replace of `bpeApply`), and the corpus only pays
+    * one (lang, word) rollup plus a broadcast join from that rollup to
+    * the ≤|V|-row encoded table. At 100 TB the corpus-sized pass is the
+    * map-side-combinable word count; everything else is |V|. */
+  def qBpeEncode(spark: SparkSession, dir: String): DataFrame = {
+    val wl = Tables.documents(spark, dir)
+      .select(col("lang"), explode(split(lower(trim(col("text"))), " ")).as("w"))
+      .filter(col("w") =!= "" && !col("w").contains(BpeSep))
+      .groupBy(col("lang"), col("w")).agg(count(lit(1)).as("wf"))
+      .localCheckpoint(eager = false) // feeds the type table AND the census join
+    // training twin of qBpeMergeStep: global type table, len >= 2
+    val w0 = bpeWords(spark, dir).localCheckpoint(eager = false)
+    val m1 = bpeArgmax(bpePairs(w0))
+    val m2 = bpeArgmax(bpePairs(bpeApply(w0, m1)))
+    // encode EVERY type (len-1 words pass the anchored replace untouched)
+    val types = wl.select(col("w")).distinct()
+      .select(col("w"),
+        rtrim(regexp_replace(col("w"), "(.)", "$1" + BpeSep), BpeSep).as("s"))
+    val enc = bpeApply(bpeApply(types, m1), m2)
+      .select(col("w"), size(split(col("s"), BpeSep)).cast("long").as("n_sub"))
+    wl.join(broadcast(enc), Seq("w"))
+      .groupBy(col("lang"))
+      .agg(sum(col("wf")).as("n_words"),
+        sum(col("wf") * col("n_sub")).as("n_subtokens"),
+        sum(col("wf") * length(col("w")).cast("long")).as("n_chars_w"),
+        sum(when(col("n_sub") < length(col("w")), col("wf")).otherwise(0L))
+          .as("n_merged_words"))
+      .select(col("lang"), col("n_words"), col("n_subtokens"),
+        expr("div(1000000 * n_subtokens, n_words)").as("fertility_ppm"),
+        expr("div(1000000 * n_subtokens, n_chars_w)").as("tokens_per_char_ppm"),
+        expr("div(1000000 * n_merged_words, n_words)").as("merged_word_ppm"))
+      .orderBy(col("lang"))
+  }
+
+  /** Temperature-scaled mixture weights — the multilingual sampling rule
+    * (mT5/XLM-R style): cell probability p = n/N is flattened to p^α so
+    * rare (lang, source) cells are upsampled; α = 1/4, computed as
+    * sqrt(sqrt(p)) because IEEE-754 requires sqrt to be CORRECTLY
+    * ROUNDED — two sqrts give bit-identical doubles in every conforming
+    * engine, where a library pow() would not. The per-cell weight is
+    * quantized to an integer (floor micro-units) BEFORE any sum, so no
+    * result ever depends on float summation order. Output per cell:
+    * raw count, weight, normalized share, the expected docs drawn into a
+    * budget = N/4 epoch, and the resulting upsampling factor in ppm
+    * (>10⁶ means the cell is repeated).
+    *
+    * Scale shape: one map-side-combinable rollup to the |lang|×|source|
+    * cell table; everything after is cell-bounded arithmetic over two
+    * 1-row broadcasts. The cheapest shape there is. */
+  def qTemperatureMixture(spark: SparkSession, dir: String): DataFrame = {
+    val cells = Tables.documents(spark, dir)
+      .groupBy(col("lang"), col("source")).agg(count(lit(1)).as("n_docs"))
+      .localCheckpoint(eager = false) // feeds the total AND the weights
+    val tot = cells.agg(sum(col("n_docs")).as("n_tot"))
+    val w = cells.crossJoin(broadcast(tot))
+      .withColumn("w_micro", expr(
+        "CAST(floor(sqrt(sqrt(CAST(n_docs AS DOUBLE) / CAST(n_tot AS DOUBLE))) * 1000000) AS BIGINT)"))
+    val wTot = w.agg(sum(col("w_micro")).as("w_tot"))
+    w.crossJoin(broadcast(wTot))
+      .select(col("lang"), col("source"), col("n_docs"), col("w_micro"),
+        expr("div(1000000 * w_micro, w_tot)").as("share_ppm"),
+        expr("div(div(n_tot, 4) * w_micro, w_tot)").as("epoch_docs"),
+        expr("div(1000000 * div(div(n_tot, 4) * w_micro, w_tot), n_docs)")
+          .as("upsample_ppm"))
+      .orderBy(col("lang"), col("source"))
+  }
+
+  /** Deterministic epoch shuffle + shard placement — the data-ordering
+    * step a training run needs before reading: every document gets a
+    * fresh pseudo-random position each epoch (keyed md5, no RNG state),
+    * is routed to one of 16 shards, and ordered within its shard. The
+    * output is the per-(epoch, shard) placement CERTIFICATE: doc count,
+    * the first and last document served, and a positional checksum
+    * Σ (pos·doc_id) mod 1000000007 that any two independent
+    * implementations of the same shuffle must reproduce exactly — the
+    * cross-engine proof that the full permutation, not just the
+    * membership, matches.
+    *
+    * Scale shape: hash + route is map-only; the only stateful step is a
+    * row_number window PARTITIONED on (epoch, shard) — embarrassingly
+    * parallel, each partition sorts its own shard. The modular checksum
+    * keeps every accumulator in BIGINT range at any corpus size (terms
+    * < 10⁹ each; re-reduce cadence documented for >10⁹-row shards). */
+  def qEpochShuffle(spark: SparkSession, dir: String): DataFrame = {
+    val M = 1000000007L
+    val epochs = spark.range(1, 4).toDF("epoch")
+    val keyed = Tables.documents(spark, dir).select(col("doc_id"))
+      .crossJoin(broadcast(epochs))
+      .withColumn("u", expr(
+        "CAST(conv(substring(md5(concat('ep', CAST(epoch AS STRING), ':', " +
+          "CAST(doc_id AS STRING))), 1, 15), 16, 10) AS BIGINT)"))
+      .withColumn("shard", expr("u % 16"))
+    keyed
+      .withColumn("pos", row_number().over(
+        Window.partitionBy(col("epoch"), col("shard")).orderBy(col("u"), col("doc_id"))))
+      .groupBy(col("epoch"), col("shard"))
+      .agg(count(lit(1)).as("n_docs"),
+        expr("min_by(doc_id, pos)").as("head_doc"),
+        expr("max_by(doc_id, pos)").as("tail_doc"),
+        expr(s"sum(((pos % $M) * (doc_id % $M)) % $M) % $M").as("order_checksum"))
+      .orderBy(col("epoch"), col("shard"))
+  }
+
+  /** T5-style span-corruption batch prep — the census of the denoising
+    * objective: tokens are masked in (up to) 3-token spans chosen by a
+    * deterministic keyed hash at rate 3/20 per span slot (≈15% of tokens),
+    * each contiguous masked span collapses to one sentinel in the input
+    * and expands to sentinel+span in the target. Output per language:
+    * docs, tokens, masked tokens, spans, the exact input/target token
+    * budgets a batch packer allocates from, the realized corruption rate,
+    * and the mean span length (ppm).
+    *
+    * Scale shape: pure map — the mask is evaluated per token via a
+    * higher-order `filter` over `sequence(0, n-1)` inside codegen (no
+    * explode: the corpus is never multiplied by document length before
+    * aggregation — the `char_entropy` lesson), followed by one
+    * map-side-combinable rollup to |lang| rows. */
+  def qSpanCorruption(spark: SparkSession, dir: String): DataFrame = {
+    def maskCount(seqExpr: String, gExpr: String) =
+      s"""CAST(size(filter($seqExpr,
+         |  x -> CAST(conv(substring(md5(concat('span:', CAST(doc_id AS STRING), ':',
+         |    CAST($gExpr AS STRING))), 1, 15), 16, 10) AS BIGINT) % 20 < 3)) AS LONG)""".stripMargin
+    Tables.documents(spark, dir)
+      .withColumn("toks", split(lower(trim(col("text"))), " "))
+      .withColumn("n", size(col("toks")).cast("long"))
+      .withColumn("m", expr(maskCount("sequence(0, CAST(n AS INT) - 1)", "div(x, 3)")))
+      .withColumn("sp", expr(maskCount("sequence(0, CAST(div(n - 1, 3) AS INT))", "x")))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n")).as("n_tokens"),
+        sum(col("m")).as("n_masked"),
+        sum(col("sp")).as("n_spans"),
+        sum(col("n") - col("m") + col("sp")).as("input_tokens"),
+        sum(col("m") + col("sp")).as("target_tokens"))
+      .select(col("lang"), col("n_docs"), col("n_tokens"), col("n_masked"),
+        col("n_spans"), col("input_tokens"), col("target_tokens"),
+        expr("div(1000000 * n_masked, n_tokens)").as("corrupt_ppm"),
+        when(col("n_spans") === 0, lit(null).cast("long"))
+          .otherwise(expr("div(1000000 * n_masked, n_spans)")).as("mean_span_ppm"))
+      .orderBy(col("lang"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_ccnet_buckets" -> (qCcnetBuckets _),
+    "q_bpe_encode" -> (qBpeEncode _),
+    "q_temperature_mixture" -> (qTemperatureMixture _),
+    "q_epoch_shuffle" -> (qEpochShuffle _),
+    "q_span_corruption" -> (qSpanCorruption _),
     "q_curriculum_bins" -> (qCurriculumBins _),
     "q_preference_pairs" -> (qPreferencePairs _),
     "q_ngram_backoff" -> (qNgramBackoff _),
@@ -740,7 +971,186 @@ object Corpus extends QueryModule {
         |) ORDER BY pair""".stripMargin
   }
 
+  /** Shared CTE prefix: replays q_bpe_merge_step's training (words → w0 →
+    * p0 → m1 → w1 → p1 → m2) so q_bpe_encode's oracle applies the SAME
+    * merges the merge-step key verifies. Kept as one string so the two
+    * oracles can never drift apart. */
+  private val bpeTrainCte: String =
+    """words AS (
+      |  SELECT w, COUNT(*) AS wf FROM (
+      |    SELECT UNNEST(STRING_SPLIT(LOWER(TRIM(text)), ' ')) AS w FROM documents)
+      |  WHERE w <> '' AND STRPOS(w, CHR(31)) = 0 GROUP BY w),
+      |w0 AS (
+      |  SELECT wf, RTRIM(REGEXP_REPLACE(w, '(.)', '\1' || CHR(31), 'g'), CHR(31)) AS s
+      |  FROM words WHERE LENGTH(w) >= 2),
+      |p0 AS (
+      |  SELECT t[CAST(i AS INT)] AS l, t[CAST(i AS INT) + 1] AS r,
+      |         CAST(SUM(wf) AS BIGINT) AS pc
+      |  FROM (SELECT wf, t, UNNEST(GENERATE_SERIES(1, LEN(t) - 1)) AS i
+      |        FROM (SELECT wf, STRING_SPLIT(s, CHR(31)) AS t FROM w0)
+      |        WHERE LEN(t) >= 2)
+      |  GROUP BY 1, 2),
+      |m1 AS (SELECT l AS ml, r AS mr, pc AS mpc FROM p0
+      |       ORDER BY pc DESC, l, r LIMIT 1),
+      |w1 AS (SELECT wf, REPLACE(TRIM(REPLACE(
+      |         CHR(31) || REPLACE(s, CHR(31), CHR(31) || CHR(31)) || CHR(31),
+      |         CHR(31) || ml || CHR(31) || CHR(31) || mr || CHR(31),
+      |         CHR(31) || ml || mr || CHR(31)),
+      |         CHR(31)), CHR(31) || CHR(31), CHR(31)) AS s
+      |       FROM w0 CROSS JOIN m1),
+      |p1 AS (
+      |  SELECT t[CAST(i AS INT)] AS l, t[CAST(i AS INT) + 1] AS r,
+      |         CAST(SUM(wf) AS BIGINT) AS pc
+      |  FROM (SELECT wf, t, UNNEST(GENERATE_SERIES(1, LEN(t) - 1)) AS i
+      |        FROM (SELECT wf, STRING_SPLIT(s, CHR(31)) AS t FROM w1)
+      |        WHERE LEN(t) >= 2)
+      |  GROUP BY 1, 2),
+      |m2 AS (SELECT l AS ml, r AS mr, pc AS mpc FROM p1
+      |       ORDER BY pc DESC, l, r LIMIT 1)""".stripMargin
+
   val oracle: Map[String, String] = Map(
+    "q_ccnet_buckets" ->
+      """WITH d AS (SELECT doc_id, lang, n_chars,
+        |                  STRING_SPLIT(LOWER(TRIM(text)), ' ') AS t FROM documents),
+        |uni AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS c
+        |        FROM (SELECT UNNEST(t) AS w FROM d) WHERE w <> '' GROUP BY w),
+        |big AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c12 FROM (
+        |          SELECT t[CAST(i AS INT)] AS w1, t[CAST(i AS INT) + 1] AS w2
+        |          FROM (SELECT t, UNNEST(GENERATE_SERIES(1, LEN(t) - 1)) AS i
+        |                FROM d WHERE LEN(t) >= 2))
+        |        WHERE w1 <> '' AND w2 <> '' GROUP BY 1, 2),
+        |tot AS (SELECT CAST(SUM(c) AS BIGINT) AS n_tot FROM uni),
+        |db AS (SELECT doc_id, lang, n_chars, w1, w2 FROM (
+        |         SELECT doc_id, lang, n_chars,
+        |                t[CAST(i AS INT)] AS w1, t[CAST(i AS INT) + 1] AS w2
+        |         FROM (SELECT doc_id, lang, n_chars, t,
+        |                      UNNEST(GENERATE_SERIES(1, LEN(t) - 1)) AS i
+        |               FROM d WHERE LEN(t) >= 2))
+        |       WHERE w1 <> '' AND w2 <> ''),
+        |per_doc AS (
+        |  SELECT db.doc_id, db.lang, db.n_chars,
+        |         CAST(SUM(CASE WHEN big.c12 IS NOT NULL THEN (1000000 * big.c12) // u1.c
+        |              ELSE (400000 * u2.c) // tot.n_tot END) // COUNT(*) AS BIGINT) AS m_ppm
+        |  FROM db
+        |  LEFT JOIN big ON big.w1 = db.w1 AND big.w2 = db.w2
+        |  JOIN uni u1 ON u1.w = db.w1
+        |  JOIN uni u2 ON u2.w = db.w2
+        |  CROSS JOIN tot
+        |  GROUP BY 1, 2, 3),
+        |pd AS (SELECT *, m_ppm // 1000 AS bucket FROM per_doc),
+        |prof AS (SELECT lang, bucket, CAST(COUNT(*) AS BIGINT) AS cn
+        |         FROM pd GROUP BY 1, 2),
+        |nl AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS nl FROM pd GROUP BY lang),
+        |cum AS (SELECT prof.lang, bucket,
+        |               SUM(cn) OVER (PARTITION BY prof.lang ORDER BY bucket) AS cum,
+        |               nl.nl
+        |        FROM prof JOIN nl ON nl.lang = prof.lang),
+        |th AS (SELECT lang,
+        |         MIN(CASE WHEN cum >= (1 * nl + 2) // 3 THEN bucket END) AS t1,
+        |         MIN(CASE WHEN cum >= (2 * nl + 2) // 3 THEN bucket END) AS t2
+        |       FROM cum GROUP BY lang)
+        |SELECT pd.lang,
+        |       CASE 1 + CASE WHEN bucket > t1 THEN 1 ELSE 0 END
+        |              + CASE WHEN bucket > t2 THEN 1 ELSE 0 END
+        |         WHEN 3 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END AS tier,
+        |       CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |       MIN(m_ppm) AS min_ppm, MAX(m_ppm) AS max_ppm,
+        |       CAST(SUM(n_chars) // COUNT(*) AS BIGINT) AS avg_chars
+        |FROM pd JOIN th ON th.lang = pd.lang
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q_bpe_encode" ->
+      s"""WITH tokl AS (
+        |  SELECT lang, w FROM (
+        |    SELECT lang, UNNEST(STRING_SPLIT(LOWER(TRIM(text)), ' ')) AS w
+        |    FROM documents)
+        |  WHERE w <> '' AND STRPOS(w, CHR(31)) = 0),
+        |wl AS (SELECT lang, w, CAST(COUNT(*) AS BIGINT) AS wf FROM tokl GROUP BY 1, 2),
+        |$bpeTrainCte,
+        |types AS (SELECT w, RTRIM(REGEXP_REPLACE(w, '(.)', '\\1' || CHR(31), 'g'),
+        |                          CHR(31)) AS s
+        |          FROM (SELECT DISTINCT w FROM wl)),
+        |t1 AS (SELECT w, REPLACE(TRIM(REPLACE(
+        |         CHR(31) || REPLACE(s, CHR(31), CHR(31) || CHR(31)) || CHR(31),
+        |         CHR(31) || ml || CHR(31) || CHR(31) || mr || CHR(31),
+        |         CHR(31) || ml || mr || CHR(31)),
+        |         CHR(31)), CHR(31) || CHR(31), CHR(31)) AS s
+        |       FROM types CROSS JOIN m1),
+        |t2 AS (SELECT w, REPLACE(TRIM(REPLACE(
+        |         CHR(31) || REPLACE(s, CHR(31), CHR(31) || CHR(31)) || CHR(31),
+        |         CHR(31) || ml || CHR(31) || CHR(31) || mr || CHR(31),
+        |         CHR(31) || ml || mr || CHR(31)),
+        |         CHR(31)), CHR(31) || CHR(31), CHR(31)) AS s
+        |       FROM t1 CROSS JOIN m2),
+        |enc AS (SELECT w, CAST(LEN(STRING_SPLIT(s, CHR(31))) AS BIGINT) AS n_sub FROM t2)
+        |SELECT wl.lang,
+        |       CAST(SUM(wl.wf) AS BIGINT) AS n_words,
+        |       CAST(SUM(wl.wf * e.n_sub) AS BIGINT) AS n_subtokens,
+        |       (1000000 * CAST(SUM(wl.wf * e.n_sub) AS BIGINT))
+        |         // CAST(SUM(wl.wf) AS BIGINT) AS fertility_ppm,
+        |       (1000000 * CAST(SUM(wl.wf * e.n_sub) AS BIGINT))
+        |         // CAST(SUM(wl.wf * LENGTH(wl.w)) AS BIGINT) AS tokens_per_char_ppm,
+        |       (1000000 * CAST(SUM(CASE WHEN e.n_sub < LENGTH(wl.w) THEN wl.wf
+        |                               ELSE 0 END) AS BIGINT))
+        |         // CAST(SUM(wl.wf) AS BIGINT) AS merged_word_ppm
+        |FROM wl JOIN enc e ON e.w = wl.w
+        |GROUP BY wl.lang ORDER BY wl.lang""".stripMargin,
+    "q_temperature_mixture" ->
+      """WITH cells AS (SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS n_docs
+        |               FROM documents GROUP BY 1, 2),
+        |tot AS (SELECT CAST(SUM(n_docs) AS BIGINT) AS n_tot FROM cells),
+        |w AS (SELECT lang, source, n_docs, n_tot,
+        |        CAST(FLOOR(SQRT(SQRT(CAST(n_docs AS DOUBLE) / CAST(n_tot AS DOUBLE)))
+        |               * 1000000) AS BIGINT) AS w_micro
+        |      FROM cells CROSS JOIN tot),
+        |wt AS (SELECT CAST(SUM(w_micro) AS BIGINT) AS w_tot FROM w)
+        |SELECT lang, source, n_docs, w_micro,
+        |       (1000000 * w_micro) // w_tot AS share_ppm,
+        |       ((n_tot // 4) * w_micro) // w_tot AS epoch_docs,
+        |       (1000000 * (((n_tot // 4) * w_micro) // w_tot)) // n_docs AS upsample_ppm
+        |FROM w CROSS JOIN wt
+        |ORDER BY lang, source""".stripMargin,
+    "q_epoch_shuffle" ->
+      """WITH e AS (SELECT doc_id, epoch FROM documents
+        |           CROSS JOIN (SELECT UNNEST(GENERATE_SERIES(1, 3)) AS epoch)),
+        |k AS (SELECT doc_id, epoch,
+        |        CAST('0x' || SUBSTR(MD5('ep' || CAST(epoch AS VARCHAR) || ':'
+        |               || CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) AS u
+        |      FROM e),
+        |k2 AS (SELECT doc_id, epoch, u, u % 16 AS shard FROM k),
+        |p AS (SELECT doc_id, epoch, shard,
+        |        ROW_NUMBER() OVER (PARTITION BY epoch, shard ORDER BY u, doc_id) AS pos
+        |      FROM k2)
+        |SELECT epoch, shard, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |       ARG_MIN(doc_id, pos) AS head_doc,
+        |       ARG_MAX(doc_id, pos) AS tail_doc,
+        |       CAST(SUM(((pos % 1000000007) * (doc_id % 1000000007)) % 1000000007)
+        |              % 1000000007 AS BIGINT) AS order_checksum
+        |FROM p GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q_span_corruption" ->
+      """WITH d AS (SELECT doc_id, lang,
+        |                  STRING_SPLIT(LOWER(TRIM(text)), ' ') AS t FROM documents),
+        |s AS (SELECT lang,
+        |        CAST(LEN(t) AS BIGINT) AS n,
+        |        CAST(LEN(list_filter(range(0, LEN(t)),
+        |          x -> CAST('0x' || SUBSTR(MD5('span:' || CAST(doc_id AS VARCHAR) || ':'
+        |                 || CAST(x // 3 AS VARCHAR)), 1, 15) AS BIGINT) % 20 < 3))
+        |          AS BIGINT) AS m,
+        |        CAST(LEN(list_filter(range(0, (LEN(t) - 1) // 3 + 1),
+        |          x -> CAST('0x' || SUBSTR(MD5('span:' || CAST(doc_id AS VARCHAR) || ':'
+        |                 || CAST(x AS VARCHAR)), 1, 15) AS BIGINT) % 20 < 3))
+        |          AS BIGINT) AS sp
+        |      FROM d)
+        |SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |       CAST(SUM(n) AS BIGINT) AS n_tokens,
+        |       CAST(SUM(m) AS BIGINT) AS n_masked,
+        |       CAST(SUM(sp) AS BIGINT) AS n_spans,
+        |       CAST(SUM(n - m + sp) AS BIGINT) AS input_tokens,
+        |       CAST(SUM(m + sp) AS BIGINT) AS target_tokens,
+        |       (1000000 * CAST(SUM(m) AS BIGINT)) // CAST(SUM(n) AS BIGINT) AS corrupt_ppm,
+        |       CASE WHEN SUM(sp) = 0 THEN NULL
+        |            ELSE (1000000 * CAST(SUM(m) AS BIGINT)) // CAST(SUM(sp) AS BIGINT)
+        |       END AS mean_span_ppm
+        |FROM s GROUP BY lang ORDER BY lang""".stripMargin,
     "q_source_quality" ->
       """WITH dups AS (
         |  SELECT source,

@@ -581,4 +581,142 @@ class CorpusSpec extends SparkSpec {
         r.getLong(4), r.getLong(5))).toSeq
     assert(got == want)
   }
+
+  private def md5hex15(s: String): Long = java.lang.Long.parseLong(
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(15), 16)
+
+  test("temperature_mixture: quarter-power weights and epoch budgets replay in integers") {
+    import spark.implicits._
+    val d = java.nio.file.Files.createTempDirectory("tmix").toString
+    val sizes = Seq("s1" -> 1, "s2" -> 4, "s3" -> 16, "s4" -> 64)
+    sizes.flatMap { case (s, n) => (0 until n).map(i => (s"$s-$i".hashCode.toLong, "x", "en", s)) }
+      .toDF("doc_id", "text", "lang", "source")
+      .withColumn("n_chars", length(col("text")))
+      .write.mode("overwrite").parquet(s"$d/documents.parquet")
+    val nTot = sizes.map(_._2).sum.toLong // 85
+    val w = sizes.map { case (s, n) =>
+      s -> math.floor(math.sqrt(math.sqrt(n.toDouble / nTot)) * 1000000).toLong
+    }.toMap
+    val wTot = w.values.sum
+    val want = sizes.map { case (s, n) =>
+      val epochDocs = (nTot / 4) * w(s) / wTot
+      ("en", s, n.toLong, w(s), 1000000L * w(s) / wTot, epochDocs,
+        1000000L * epochDocs / n)
+    }
+    val got = Corpus.qTemperatureMixture(spark, d).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6))).toSeq
+    assert(got == want, s"got $got")
+    // alpha = 1/4 flattening: rarer cells must be upsampled strictly harder
+    val up = got.sortBy(_._3).map(_._7)
+    assert(up == up.sorted.reverse && up.distinct == up,
+      "upsample factor must strictly decrease with cell size")
+  }
+
+  test("epoch_shuffle: the full permutation certificate replays from keyed md5") {
+    val M = 1000000007L
+    val docs = Tables.documents(spark, sf).select("doc_id").collect().map(_.getLong(0))
+    val want = (for {
+      epoch <- 1L to 3L
+      doc <- docs
+      u = md5hex15(s"ep$epoch:$doc")
+    } yield (epoch, u % 16, u, doc))
+      .groupBy(t => (t._1, t._2)).toSeq.map { case ((epoch, shard), rows) =>
+        val ordered = rows.sortBy(t => (t._3, t._4)).zipWithIndex
+        val chk = ordered.map { case ((_, _, _, doc), i) =>
+          (((i + 1) % M) * (doc % M)) % M
+        }.sum % M
+        (epoch, shard, rows.size.toLong, ordered.head._1._4, ordered.last._1._4, chk)
+      }.sortBy(t => (t._1, t._2))
+    val got = Corpus.qEpochShuffle(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toSeq
+    assert(got == want, "placement certificate must replay bit-for-bit")
+    // epochs genuinely reshuffle: at least one shard changes its head doc
+    val heads = got.groupBy(_._1).view.mapValues(_.map(r => r._2 -> r._4).toMap).toMap
+    assert(heads(1L) != heads(2L) && heads(2L) != heads(3L),
+      "per-epoch keys must produce different orders")
+  }
+
+  test("span_corruption: mask census replays the keyed 3-token-span hash") {
+    val docs = Tables.documents(spark, sf).select("doc_id", "lang", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    val per = docs.map { case (id, lang, text) =>
+      val n = text.toLowerCase.trim.split(" ", -1).length.toLong
+      val mask = (g: Long) => md5hex15(s"span:$id:$g") % 20 < 3
+      val m = (0L until n).count(i => mask(i / 3)).toLong
+      val sp = (0L to (n - 1) / 3).count(mask).toLong
+      (lang, n, m, sp)
+    }
+    val want = per.groupBy(_._1).toSeq.map { case (lang, rows) =>
+      val (n, m, sp) = (rows.map(_._2).sum, rows.map(_._3).sum, rows.map(_._4).sum)
+      (lang, rows.size.toLong, n, m, sp, n - m + sp, m + sp, 1000000L * m / n,
+        if (sp == 0) null else java.lang.Long.valueOf(1000000L * m / sp))
+    }.sortBy(_._1)
+    val got = Corpus.qSpanCorruption(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7),
+        if (r.isNullAt(8)) null else java.lang.Long.valueOf(r.getLong(8)))).toSeq
+    assert(got == want, "span census must replay the keyed hash exactly")
+    // the rate targets 3/20 = 15%; the realized rate must sit near it, and the
+    // input/target budgets must satisfy the sentinel identity
+    want.foreach { case (_, _, n, m, sp, in, tgt, ppm, _) =>
+      assert(ppm > 100000 && ppm < 200000, s"corruption rate drifted: $ppm ppm")
+      assert(in + tgt == n + 2 * sp, "input+target must equal tokens + 2 sentinels/span")
+    }
+  }
+
+  test("ccnet_buckets: identical docs collapse to one tail tier; real-corpus tiers are ordered and complete") {
+    import spark.implicits._
+    val d = java.nio.file.Files.createTempDirectory("ccnet").toString
+    Seq(1L, 2L, 3L, 4L).map(id => (id, "a b c", "en", "s"))
+      .toDF("doc_id", "text", "lang", "source")
+      .withColumn("n_chars", length(col("text")))
+      .write.mode("overwrite").parquet(s"$d/documents.parquet")
+    // every doc scores the same: both bigrams are seen with c12 = c1, so
+    // score = 10^6 exactly; one bucket -> t1 = t2 -> everything is 'tail'
+    val tiny = Corpus.qCcnetBuckets(spark, d).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(tiny.toSeq == Seq(("en", "tail", 4L, 1000000L, 1000000L)))
+
+    val rows = Corpus.qCcnetBuckets(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    // completeness: per-language doc counts must sum to docs with >= 1 bigram
+    val docBigrams = Tables.documents(spark, sf).select("lang", "text").collect()
+      .map(r => (r.getString(0), r.getString(1).toLowerCase.trim.split(" ", -1)))
+      .filter { case (_, t) => t.sliding(2).exists(p => p.length == 2 && p.forall(_.nonEmpty)) }
+    val wantCounts = docBigrams.groupBy(_._1).view.mapValues(_.length.toLong).toMap
+    val gotCounts = rows.groupBy(_._1).view.mapValues(_.map(_._3).sum).toMap
+    assert(gotCounts == wantCounts, "tiers must partition every scoreable doc")
+    // ordering: tail scores < middle scores < head scores within each language
+    rows.groupBy(_._1).foreach { case (lang, rs) =>
+      val byTier = rs.map(r => r._2 -> ((r._4, r._5))).toMap
+      for ((lo, hi) <- Seq("tail" -> "middle", "middle" -> "head"))
+        for (l <- byTier.get(lo); h <- byTier.get(hi))
+          assert(l._2 < h._1, s"$lang: $lo max ${l._2} must sit below $hi min ${h._1}")
+    }
+  }
+
+  test("bpe_encode: planted 2-merge vocabulary compresses by hand; merges match bpe_merge_step") {
+    import spark.implicits._
+    val d = java.nio.file.Files.createTempDirectory("bpenc").toString
+    Seq((1L, "abab abab ab"), (2L, "ab cd cd"))
+      .toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("s"))
+      .withColumn("n_chars", length(col("text")))
+      .write.mode("overwrite").parquet(s"$d/documents.parquet")
+    // training: (a,b) wins round 1 with weight 6; round 2 ties (ab,ab)=2 vs
+    // (c,d)=2, lexical tie-break picks (ab,ab)
+    val merges = Corpus.qBpeMergeStep(spark, d).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
+      .filter(_._1 <= 2).toSeq
+    assert(merges == Seq((1L, "a", "b", 6L), (2L, "ab", "ab", 2L)))
+    // encode: abab -> [abab], ab -> [ab], cd -> [c, d]; each word occurs twice
+    // n_words 6, subtokens 2+2+4 = 8, chars 16, merged-word occurrences 4
+    val got = Corpus.qBpeEncode(spark, d).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    assert(got.toSeq == Seq(("en", 6L, 8L, 1333333L, 500000L, 666666L)), s"got ${got.toSeq}")
+  }
 }

@@ -472,6 +472,38 @@ class PlanSpec extends SparkSpec {
       "the per-query top-3 must prune partially before the final window")
   }
 
+  test("q_temperature_mixture / q_span_corruption are rollups — no shuffle joins, no row expansion") {
+    val tm = planOf(graft.ops.Corpus.qTemperatureMixture(spark, sf))
+    assert(!tm.contains("SortMergeJoin") && !tm.contains("Window"),
+      "cell arithmetic rides 1-row broadcasts; a shuffle join or window is a regression")
+    val sc = planOf(graft.ops.Corpus.qSpanCorruption(spark, sf))
+    assert(!sc.contains("Join"), "the mask is per-row; nothing to join")
+    assert(!sc.contains("Generate"),
+      "the mask must run inside higher-order filter — an explode multiplies " +
+        "the corpus by document length before the rollup")
+    assert(sc.contains("HashAggregate"), "the census is one map-combinable rollup")
+  }
+
+  test("q_epoch_shuffle windows per (epoch, shard) — partition-parallel, no global sort") {
+    val plan = planOf(graft.ops.Corpus.qEpochShuffle(spark, sf))
+    val winLine = plan.linesIterator.find(_.contains("Window")).getOrElse("")
+    assert(winLine.contains("shard"),
+      s"row_number must partition on (epoch, shard), not run globally: $winLine")
+    assert(!plan.contains("SortMergeJoin"),
+      "the 3-row epoch table must broadcast against the doc scan")
+  }
+
+  test("q_ccnet_buckets / q_bpe_encode keep every data join broadcast") {
+    val cc = planOf(graft.ops.Corpus.qCcnetBuckets(spark, sf))
+    assert(!cc.contains("SortMergeJoin") && !cc.contains("CartesianProduct"),
+      "LM tables are type-bounded and must broadcast against the bigram stream")
+    val bp = planOf(graft.ops.Corpus.qBpeEncode(spark, sf))
+    assert(bp.contains("BroadcastHashJoin"),
+      "the vocabulary-bounded encoded type table must broadcast to the (lang, word) rollup")
+    assert(!bp.contains("SortMergeJoin"),
+      "no corpus-sized side may reach a shuffle join in the encode pass")
+  }
+
   test("q_degree_assort / q_graph_modularity aggregate to bounded tails — no corpus windows") {
     val assort = planOf(graft.ops.Graph.qDegreeAssort(spark, sf))
     assert(!assort.contains("Window"),

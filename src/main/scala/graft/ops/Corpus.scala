@@ -704,7 +704,13 @@ object Corpus extends QueryModule {
     * per-doc rollup, and the tercile thresholds come from a cumulative
     * window over the ≤10³-row per-language bucket PROFILE — the
     * `q_curriculum_bins` lesson: never a corpus-sized global sort. */
-  def qCcnetBuckets(spark: SparkSession, dir: String): DataFrame = {
+  /** Per-document stupid-backoff bigram-LM score (the CCNet quality
+    * signal), factored out so the tercile cut ([[qCcnetBuckets]]) and the
+    * threshold sweep ([[qFilterSweep]]) share ONE derivation — the LM
+    * tables, the ppm scoring rule, and the 1k-ppm bucket grain cannot
+    * drift between the two certificates. Returns (doc_id, lang, n_chars,
+    * m_ppm, bucket). */
+  private def lmScoredDocs(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
       .withColumn("toks", split(lower(trim(col("text"))), " "))
     val bigramsOf = expr(
@@ -737,6 +743,11 @@ object Corpus extends QueryModule {
       .groupBy(col("doc_id"), col("lang"), col("n_chars"))
       .agg(expr("div(sum(score_ppm), count(1))").as("m_ppm"))
       .withColumn("bucket", expr("div(m_ppm, 1000)"))
+    perDoc
+  }
+
+  def qCcnetBuckets(spark: SparkSession, dir: String): DataFrame = {
+    val perDoc = lmScoredDocs(spark, dir)
       .localCheckpoint(eager = false) // feeds the profile AND the census
     val prof = perDoc.groupBy(col("lang"), col("bucket")).agg(count(lit(1)).as("cn"))
     val cum = prof
@@ -757,6 +768,47 @@ object Corpus extends QueryModule {
         min(col("m_ppm")).as("min_ppm"), max(col("m_ppm")).as("max_ppm"),
         expr("div(sum(n_chars), count(1))").as("avg_chars"))
       .orderBy(col("lang"), col("tier"))
+  }
+
+  /** Quality-filter threshold sweep — the tuning curve a corpus build
+    * consults BEFORE fixing its CCNet-style cut: for each global decile
+    * threshold of the bigram-LM score distribution, how many documents and
+    * characters survive a "keep score ≥ threshold" filter. The selectivity
+    * curve (kept ppm per candidate threshold) is what turns "filter at the
+    * 70th percentile" from folklore into a measured trade-off.
+    *
+    * Scale shape: one corpus pass builds the per-document scores (shared
+    * derivation with [[qCcnetBuckets]] via [[lmScoredDocs]]), ONE rollup
+    * reduces them to the bounded score-bucket profile (≤10³ rows), and the
+    * entire 9-threshold sweep runs on that profile — the corpus is never
+    * multiplied by the number of candidate thresholds. */
+  def qFilterSweep(spark: SparkSession, dir: String): DataFrame = {
+    val prof = lmScoredDocs(spark, dir)
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("cn"), sum(col("n_chars")).as("ch"))
+      .localCheckpoint(eager = false) // bounded profile feeds cum + sweep
+    val n = prof.agg(sum(col("cn")).as("n_all"))
+    val cumd = prof
+      .withColumn("cum", sum(col("cn")).over(Window.orderBy(col("bucket"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .crossJoin(broadcast(n))
+    val tAggs = (1 to 9).map(k =>
+      min(when(col("cum") >= expr(s"div($k * n_all + 9, 10)"), col("bucket")))
+        .as(s"t$k"))
+    val th = cumd.agg(tAggs.head, tAggs.tail: _*)
+    val thresholds = th.select(explode(expr(
+      (1 to 9).map(k => s"struct($k AS k, t$k AS threshold_bucket)")
+        .mkString("array(", ", ", ")"))).as("s"))
+      .select(col("s.k"), col("s.threshold_bucket"))
+    prof.crossJoin(broadcast(thresholds))
+      .filter(col("bucket") >= col("threshold_bucket"))
+      .groupBy(col("k"), col("threshold_bucket"))
+      .agg(sum(col("cn")).as("n_docs_kept"), sum(col("ch")).as("chars_kept"))
+      .crossJoin(broadcast(n))
+      .withColumn("kept_ppm", expr("div(1000000 * n_docs_kept, n_all)"))
+      .select(col("k"), col("threshold_bucket"), col("n_docs_kept"),
+        col("kept_ppm"), col("chars_kept"))
+      .orderBy(col("k"))
   }
 
   /** Tokenizer APPLICATION — encode the whole corpus with the 2-merge BPE
@@ -912,7 +964,92 @@ object Corpus extends QueryModule {
       .orderBy(col("lang"))
   }
 
+  /** SFT chat-template rendering census — the formatting pass that turns
+    * mined instruction data into model-ready sequences: each document is
+    * split into a prompt (first 8 tokens) and a response (the rest),
+    * rendered into the chat markup the trainer consumes
+    * (`<|user|>…<|assistant|>…<|end|>`), and budgeted (3 special tokens +
+    * content; truncation flagged at the 64-token context). The per-(lang,
+    * source) rollup carries the rendered-character sum so the cross-engine
+    * hash pins the STRING CONSTRUCTION itself, not just the counts — a
+    * template drift (missing newline, swapped marker) changes the sum.
+    *
+    * Scale shape: pure map over the corpus, one map-side-combinable rollup
+    * to |lang×source| cells. Nothing shuffles but the 100-cell result. */
+  def qChatTemplate(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .withColumn("toks", split(lower(trim(col("text"))), " "))
+      .withColumn("n", size(col("toks")).cast("long"))
+      .withColumn("rendered", expr(
+        """concat('<|user|>\n', concat_ws(' ', slice(toks, 1, 8)),
+          |  '\n<|assistant|>\n',
+          |  concat_ws(' ', slice(toks, 9, greatest(size(toks) - 8, 0))), '<|end|>')"""
+          .stripMargin))
+      .withColumn("seq_tokens", col("n") + lit(3L))
+      .groupBy(col("lang"), col("source"))
+      .agg(count(lit(1)).as("n_records"),
+        sum(when(col("seq_tokens") > 64, 1L).otherwise(0L)).as("n_truncated"),
+        sum(col("seq_tokens")).as("sum_seq_tokens"),
+        max(col("seq_tokens")).as("max_seq_tokens"),
+        sum(length(col("rendered")).cast("long")).as("sum_rendered_chars"))
+      .withColumn("trunc_ppm", expr("div(1000000 * n_truncated, n_records)"))
+      .orderBy(col("lang"), col("source"))
+
+  /** Dataset card — the one-page "datasheet for the dataset" a corpus
+    * release ships with, computed as a single certificate table of named
+    * integer facts: sizes (docs, tokens, vocabulary, languages, sources),
+    * hygiene (exact-duplicate ppm, short-doc ppm), and shape (mean/p50/p90
+    * document length). Percentiles come from the BOUNDED length-bucket
+    * profile (cumulative counts over ≤ token-length-domain rows), never a
+    * corpus-wide sort — the `q_curriculum_bins` discipline.
+    *
+    * Scale shape: three map-side-combinable rollups (corpus stats, dup
+    * groups, length profile) + cell-bounded assembly. The card is the
+    * cheapest full-corpus artifact there is — and the first thing a 100 TB
+    * ingest should publish. */
+  def qDatasetCard(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .withColumn("toks", split(lower(trim(col("text"))), " "))
+      .withColumn("n", size(col("toks")).cast("long"))
+      .localCheckpoint(eager = false) // feeds stats, dups, vocab, profile
+    val basic = docs.agg(count(lit(1)).as("n_docs"), sum(col("n")).as("n_tokens"),
+      countDistinct(col("lang")).as("n_langs"),
+      countDistinct(col("source")).as("n_sources"),
+      sum(when(col("n") < 35, 1L).otherwise(0L)).as("n_short"))
+    val vocab = docs.select(explode(col("toks")).as("token"))
+      .agg(countDistinct(col("token")).as("vocab_size"))
+    val dups = docs.groupBy(md5(lower(trim(col("text")))).as("h"))
+      .agg(count(lit(1)).as("c"))
+      .agg(coalesce(sum(when(col("c") > 1, col("c"))), lit(0L)).as("n_dup_docs"))
+    val prof = docs.groupBy(col("n")).agg(count(lit(1)).as("c"))
+      .withColumn("cum", sum(col("c")).over(
+        Window.orderBy(col("n")).rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val pcts = prof.crossJoin(broadcast(basic.select(col("n_docs").as("nd"))))
+      .agg(min(when(col("cum") >= expr("div(nd + 1, 2)"), col("n"))).as("p50_doc_tokens"),
+        min(when(col("cum") >= expr("least(div(9 * nd, 10) + 1, nd)"), col("n")))
+          .as("p90_doc_tokens"))
+    basic.crossJoin(broadcast(vocab)).crossJoin(broadcast(dups))
+      .crossJoin(broadcast(pcts))
+      .select(explode(expr(
+        """array(
+          |  struct('n_docs' AS metric, n_docs AS value),
+          |  struct('n_tokens' AS metric, n_tokens AS value),
+          |  struct('n_langs' AS metric, n_langs AS value),
+          |  struct('n_sources' AS metric, n_sources AS value),
+          |  struct('vocab_size' AS metric, vocab_size AS value),
+          |  struct('dup_doc_ppm' AS metric, div(1000000 * n_dup_docs, n_docs) AS value),
+          |  struct('short_doc_ppm' AS metric, div(1000000 * n_short, n_docs) AS value),
+          |  struct('mean_doc_tokens_milli' AS metric, div(1000 * n_tokens, n_docs) AS value),
+          |  struct('p50_doc_tokens' AS metric, p50_doc_tokens AS value),
+          |  struct('p90_doc_tokens' AS metric, p90_doc_tokens AS value))""".stripMargin)).as("m"))
+      .select(col("m.metric"), col("m.value"))
+      .orderBy(col("metric"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_filter_sweep" -> (qFilterSweep _),
+    "q_chat_template" -> (qChatTemplate _),
+    "q_dataset_card" -> (qDatasetCard _),
     "q_ccnet_buckets" -> (qCcnetBuckets _),
     "q_bpe_encode" -> (qBpeEncode _),
     "q_temperature_mixture" -> (qTemperatureMixture _),
@@ -1008,36 +1145,135 @@ object Corpus extends QueryModule {
       |m2 AS (SELECT l AS ml, r AS mr, pc AS mpc FROM p1
       |       ORDER BY pc DESC, l, r LIMIT 1)""".stripMargin
 
+  /** Shared DuckDB CTE prefix for the bigram-LM document score — the twin
+    * of [[lmScoredDocs]], interpolated by BOTH the ccnet-buckets and
+    * filter-sweep oracles so the scoring rule has one SQL home too. Ends
+    * with `pd(doc_id, lang, n_chars, m_ppm, bucket)`. */
+  private val lmScoreCtes: String =
+    """d AS (SELECT doc_id, lang, n_chars,
+      |                  STRING_SPLIT(LOWER(TRIM(text)), ' ') AS t FROM documents),
+      |uni AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS c
+      |        FROM (SELECT UNNEST(t) AS w FROM d) WHERE w <> '' GROUP BY w),
+      |big AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c12 FROM (
+      |          SELECT t[CAST(i AS INT)] AS w1, t[CAST(i AS INT) + 1] AS w2
+      |          FROM (SELECT t, UNNEST(GENERATE_SERIES(1, LEN(t) - 1)) AS i
+      |                FROM d WHERE LEN(t) >= 2))
+      |        WHERE w1 <> '' AND w2 <> '' GROUP BY 1, 2),
+      |tot AS (SELECT CAST(SUM(c) AS BIGINT) AS n_tot FROM uni),
+      |db AS (SELECT doc_id, lang, n_chars, w1, w2 FROM (
+      |         SELECT doc_id, lang, n_chars,
+      |                t[CAST(i AS INT)] AS w1, t[CAST(i AS INT) + 1] AS w2
+      |         FROM (SELECT doc_id, lang, n_chars, t,
+      |                      UNNEST(GENERATE_SERIES(1, LEN(t) - 1)) AS i
+      |               FROM d WHERE LEN(t) >= 2))
+      |       WHERE w1 <> '' AND w2 <> ''),
+      |per_doc AS (
+      |  SELECT db.doc_id, db.lang, db.n_chars,
+      |         CAST(SUM(CASE WHEN big.c12 IS NOT NULL THEN (1000000 * big.c12) // u1.c
+      |              ELSE (400000 * u2.c) // tot.n_tot END) // COUNT(*) AS BIGINT) AS m_ppm
+      |  FROM db
+      |  LEFT JOIN big ON big.w1 = db.w1 AND big.w2 = db.w2
+      |  JOIN uni u1 ON u1.w = db.w1
+      |  JOIN uni u2 ON u2.w = db.w2
+      |  CROSS JOIN tot
+      |  GROUP BY 1, 2, 3),
+      |pd AS (SELECT *, m_ppm // 1000 AS bucket FROM per_doc)""".stripMargin
+
   val oracle: Map[String, String] = Map(
+    "q_filter_sweep" -> {
+      val tCols = (1 to 9).map(k =>
+        s"MIN(CASE WHEN cum >= ($k * n_all + 9) // 10 THEN bucket END) AS t$k")
+        .mkString(",\n        |         ")
+      val tRows = (1 to 9).map(k => s"SELECT $k AS k, t$k AS threshold_bucket FROM th")
+        .mkString("\n        |  UNION ALL ")
+      s"""WITH $lmScoreCtes,
+        |prof AS (SELECT bucket, CAST(COUNT(*) AS BIGINT) AS cn,
+        |                CAST(SUM(n_chars) AS BIGINT) AS ch
+        |         FROM pd GROUP BY 1),
+        |n AS (SELECT CAST(SUM(cn) AS BIGINT) AS n_all FROM prof),
+        |cumd AS (SELECT bucket, cn, ch, n_all,
+        |                SUM(cn) OVER (ORDER BY bucket
+        |                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |         FROM prof CROSS JOIN n),
+        |th AS (SELECT $tCols
+        |       FROM cumd),
+        |thresholds AS (
+        |  $tRows)
+        |SELECT k, threshold_bucket,
+        |       CAST(SUM(cn) AS BIGINT) AS n_docs_kept,
+        |       (1000000 * CAST(SUM(cn) AS BIGINT)) // MIN(n.n_all) AS kept_ppm,
+        |       CAST(SUM(ch) AS BIGINT) AS chars_kept
+        |FROM prof JOIN thresholds ON prof.bucket >= thresholds.threshold_bucket
+        |CROSS JOIN n
+        |GROUP BY 1, 2 ORDER BY k""".stripMargin
+    },
+    "q_chat_template" ->
+      """WITH d AS (
+        |  SELECT lang, source, STRING_SPLIT(LOWER(TRIM(text)), ' ') AS t
+        |  FROM documents),
+        |r AS (
+        |  SELECT lang, source, CAST(LEN(t) AS BIGINT) + 3 AS seq_tokens,
+        |         '<|user|>' || CHR(10) || ARRAY_TO_STRING(t[1:8], ' ')
+        |         || CHR(10) || '<|assistant|>' || CHR(10)
+        |         || ARRAY_TO_STRING(t[9:], ' ') || '<|end|>' AS rendered
+        |  FROM d)
+        |SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS n_records,
+        |       CAST(SUM(CASE WHEN seq_tokens > 64 THEN 1 ELSE 0 END) AS BIGINT)
+        |         AS n_truncated,
+        |       CAST(SUM(seq_tokens) AS BIGINT) AS sum_seq_tokens,
+        |       MAX(seq_tokens) AS max_seq_tokens,
+        |       CAST(SUM(LENGTH(rendered)) AS BIGINT) AS sum_rendered_chars,
+        |       (1000000 * CAST(SUM(CASE WHEN seq_tokens > 64 THEN 1 ELSE 0 END)
+        |          AS BIGINT)) // CAST(COUNT(*) AS BIGINT) AS trunc_ppm
+        |FROM r GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q_dataset_card" ->
+      """WITH d AS (
+        |  SELECT doc_id, lang, source, text,
+        |         CAST(LEN(STRING_SPLIT(LOWER(TRIM(text)), ' ')) AS BIGINT) AS n
+        |  FROM documents),
+        |basic AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |         CAST(SUM(n) AS BIGINT) AS n_tokens,
+        |         CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+        |         CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources,
+        |         CAST(SUM(CASE WHEN n < 35 THEN 1 ELSE 0 END) AS BIGINT) AS n_short
+        |  FROM d),
+        |vocab AS (
+        |  SELECT CAST(COUNT(DISTINCT token) AS BIGINT) AS vocab_size
+        |  FROM (SELECT UNNEST(STRING_SPLIT(LOWER(TRIM(text)), ' ')) AS token
+        |        FROM documents)),
+        |dups AS (
+        |  SELECT CAST(COALESCE(SUM(CASE WHEN c > 1 THEN c END), 0) AS BIGINT)
+        |           AS n_dup_docs
+        |  FROM (SELECT MD5(LOWER(TRIM(text))) AS h, COUNT(*) AS c
+        |        FROM documents GROUP BY 1)),
+        |prof AS (
+        |  SELECT n, COUNT(*) AS c,
+        |         SUM(COUNT(*)) OVER (ORDER BY n
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM d GROUP BY n),
+        |pcts AS (
+        |  SELECT MIN(CASE WHEN cum >= (b.n_docs + 1) // 2 THEN n END)
+        |           AS p50_doc_tokens,
+        |         MIN(CASE WHEN cum >= LEAST((9 * b.n_docs) // 10 + 1, b.n_docs)
+        |                  THEN n END) AS p90_doc_tokens
+        |  FROM prof CROSS JOIN basic b)
+        |SELECT metric, value FROM (
+        |  SELECT 'n_docs' AS metric, n_docs AS value FROM basic
+        |  UNION ALL SELECT 'n_tokens', n_tokens FROM basic
+        |  UNION ALL SELECT 'n_langs', n_langs FROM basic
+        |  UNION ALL SELECT 'n_sources', n_sources FROM basic
+        |  UNION ALL SELECT 'vocab_size', vocab_size FROM vocab
+        |  UNION ALL SELECT 'dup_doc_ppm', (1000000 * n_dup_docs) // n_docs
+        |            FROM basic CROSS JOIN dups
+        |  UNION ALL SELECT 'short_doc_ppm', (1000000 * n_short) // n_docs FROM basic
+        |  UNION ALL SELECT 'mean_doc_tokens_milli', (1000 * n_tokens) // n_docs
+        |            FROM basic
+        |  UNION ALL SELECT 'p50_doc_tokens', p50_doc_tokens FROM pcts
+        |  UNION ALL SELECT 'p90_doc_tokens', p90_doc_tokens FROM pcts)
+        |ORDER BY metric""".stripMargin,
     "q_ccnet_buckets" ->
-      """WITH d AS (SELECT doc_id, lang, n_chars,
-        |                  STRING_SPLIT(LOWER(TRIM(text)), ' ') AS t FROM documents),
-        |uni AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS c
-        |        FROM (SELECT UNNEST(t) AS w FROM d) WHERE w <> '' GROUP BY w),
-        |big AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c12 FROM (
-        |          SELECT t[CAST(i AS INT)] AS w1, t[CAST(i AS INT) + 1] AS w2
-        |          FROM (SELECT t, UNNEST(GENERATE_SERIES(1, LEN(t) - 1)) AS i
-        |                FROM d WHERE LEN(t) >= 2))
-        |        WHERE w1 <> '' AND w2 <> '' GROUP BY 1, 2),
-        |tot AS (SELECT CAST(SUM(c) AS BIGINT) AS n_tot FROM uni),
-        |db AS (SELECT doc_id, lang, n_chars, w1, w2 FROM (
-        |         SELECT doc_id, lang, n_chars,
-        |                t[CAST(i AS INT)] AS w1, t[CAST(i AS INT) + 1] AS w2
-        |         FROM (SELECT doc_id, lang, n_chars, t,
-        |                      UNNEST(GENERATE_SERIES(1, LEN(t) - 1)) AS i
-        |               FROM d WHERE LEN(t) >= 2))
-        |       WHERE w1 <> '' AND w2 <> ''),
-        |per_doc AS (
-        |  SELECT db.doc_id, db.lang, db.n_chars,
-        |         CAST(SUM(CASE WHEN big.c12 IS NOT NULL THEN (1000000 * big.c12) // u1.c
-        |              ELSE (400000 * u2.c) // tot.n_tot END) // COUNT(*) AS BIGINT) AS m_ppm
-        |  FROM db
-        |  LEFT JOIN big ON big.w1 = db.w1 AND big.w2 = db.w2
-        |  JOIN uni u1 ON u1.w = db.w1
-        |  JOIN uni u2 ON u2.w = db.w2
-        |  CROSS JOIN tot
-        |  GROUP BY 1, 2, 3),
-        |pd AS (SELECT *, m_ppm // 1000 AS bucket FROM per_doc),
+      s"""WITH $lmScoreCtes,
         |prof AS (SELECT lang, bucket, CAST(COUNT(*) AS BIGINT) AS cn
         |         FROM pd GROUP BY 1, 2),
         |nl AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS nl FROM pd GROUP BY lang),

@@ -816,6 +816,62 @@ object Dedup extends QueryModule {
         expr("div(1000000 * tp, n_entities)").as("recall_ppm"))
   }
 
+  /** Golden-record survivorship — the MERGE half of master-data management
+    * (the match half is [[qErLinkage]]): three synthesized source feeds of
+    * the customer entity disagree in the standard ways (the CRM drops
+    * account balances, billing upper-cases names and carries no segment,
+    * the legacy feed is stale and gappy), and the golden record takes each
+    * ATTRIBUTE independently from the highest-priority feed where it is
+    * non-null. The priority-wins rule is expressed as a plain MIN over a
+    * priority-prefixed encoding (digit-prefixed strings; offset-shifted
+    * integers for money) — an abelian aggregate both engines order
+    * identically, needing no window and no per-entity sort. Provenance
+    * (which feed won each attribute, how many feeds carried the entity)
+    * rides along.
+    *
+    * Scale shape: the feed union is map-only; ONE hash aggregation on the
+    * entity key builds every golden attribute and the provenance in the
+    * same pass — at 100 TB this is a single shuffle on custkey, partial
+    * aggregation applying to every MIN. */
+  def qGoldenRecord(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir)
+      .withColumn("cents", expr("CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT)"))
+    val crm = c.select(col("c_custkey").as("k"), lit(1L).as("prio"),
+      when(expr("c_custkey % 7 = 0"), lit(null).cast("string"))
+        .otherwise(col("c_name")).as("name"),
+      when(expr("c_custkey % 3 = 0"), lit(null).cast("long"))
+        .otherwise(col("cents")).as("bal"),
+      when(expr("c_custkey % 11 = 0"), lit(null).cast("string"))
+        .otherwise(col("c_mktsegment")).as("seg"))
+    val billing = c.select(col("c_custkey").as("k"), lit(2L).as("prio"),
+      upper(col("c_name")).as("name"), col("cents").as("bal"),
+      lit(null).cast("string").as("seg"))
+    val legacy = c.filter(expr("c_custkey % 5 <> 0"))
+      .select(col("c_custkey").as("k"), lit(3L).as("prio"),
+        when(expr("c_custkey % 2 = 0"), lit(null).cast("string"))
+          .otherwise(col("c_name")).as("name"),
+        (col("cents") - 10000L).as("bal"), lit("UNKNOWN").as("seg"))
+    // priority-prefixed encodings: MIN picks the highest-priority non-null
+    def strEnc(a: String) = expr(s"min(CASE WHEN $a IS NOT NULL " +
+      s"THEN concat(CAST(prio AS STRING), ':', $a) END)")
+    crm.unionByName(billing).unionByName(legacy)
+      .groupBy(col("k"))
+      .agg(strEnc("name").as("name_enc"),
+        min(when(col("bal").isNotNull,
+          col("prio") * 1000000000000L + (col("bal") + 1000000000L))).as("bal_enc"),
+        strEnc("seg").as("seg_enc"),
+        count(lit(1)).as("n_feeds"))
+      .select(col("k").as("c_custkey"),
+        expr("substring(name_enc, 3)").as("golden_name"),
+        expr("bal_enc % 1000000000000L - 1000000000L").as("golden_bal_cents"),
+        expr("substring(seg_enc, 3)").as("golden_segment"),
+        expr("CAST(substring(name_enc, 1, 1) AS BIGINT)").as("name_prio"),
+        expr("div(bal_enc, 1000000000000L)").as("bal_prio"),
+        expr("CAST(substring(seg_enc, 1, 1) AS BIGINT)").as("seg_prio"),
+        col("n_feeds"))
+      .orderBy(col("c_custkey"))
+  }
+
   /** Cross-source duplication matrix — the "which crawls duplicate which"
     * card a corpus audit ships before choosing mixture weights: for every
     * unordered source pair, the number of duplicated-PARAGRAPH pairs
@@ -863,6 +919,8 @@ object Dedup extends QueryModule {
     "q_dedup_containment" -> (qDedupContainment _),
     "q_dedup_fuzzy"     -> (qFuzzyPairs _),
     "q_fuzzy_jw"        -> (qFuzzyJw _),
+    "q_train_test_leakage" -> (qTrainTestLeakage _),
+    "q_golden_record"   -> (qGoldenRecord _),
     "q_setsim_join"     -> (qSetsimJoin _),
     "q_dedup_paragraph" -> (qDedupParagraph _),
     "q_dedup_exact"     -> (qDedupExact _),
@@ -875,6 +933,52 @@ object Dedup extends QueryModule {
     "q_minhash_incremental" -> (qMinhashIncremental _),
     "q_corpus_filter"   -> (qCorpusFilter _),
   )
+
+  /** Train/test split-leakage audit — the eval-integrity check a training
+    * run does AFTER the split, not against an external benchmark
+    * (`q_decontaminate`'s job) but against ITSELF: a deterministic keyed
+    * hash sends ~10% of documents to the test split, MinHash band keys are
+    * joined STRICTLY across the split boundary (test probes × train
+    * postings — never test×test or train×train, so candidate volume is
+    * split-product-bounded, not corpus²), candidates are exact-Jaccard
+    * verified at the shared ≥ 0.6 threshold, and the output is the
+    * per-language leak census: test docs, leaked test docs (≥1 near-dup in
+    * train), leak ppm.
+    *
+    * Scale shape: identical to `q_dedup_minhash`'s banded tier — the
+    * band-key shuffle is the only corpus-sized movement, and the split
+    * predicate prunes candidates BEFORE the verify join. At 100 TB this is
+    * the decontamination pass run per split refresh. */
+  def qTrainTestLeakage(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .withColumn("is_test", expr(
+        "CAST(conv(substring(md5(concat('split:', CAST(doc_id AS STRING))), 1, 15), " +
+          "16, 10) AS BIGINT) % 10 = 0"))
+      .localCheckpoint(eager = false) // feeds the shingles AND the lang census
+    val shCk = shingleTable(docs).localCheckpoint(eager = false)
+    val sig = bandSignatures(shCk)
+      .join(docs.select(col("doc_id"), col("is_test")), "doc_id")
+    val te = sig.filter(col("is_test"))
+      .select(col("band"), col("key"), col("doc_id").as("d1"))
+    val tr = sig.filter(!col("is_test"))
+      .select(col("band"), col("key"), col("doc_id").as("d2"))
+    val candidates = te.join(tr, Seq("band", "key")).select("d1", "d2").distinct()
+    val rarePost = rarePostings(shCk)
+    val inter = candidates
+      .join(rarePost.select(col("doc_id").as("d1"), col("shingle")), "d1")
+      .join(rarePost.select(col("doc_id").as("d2"), col("shingle")), Seq("d2", "shingle"))
+      .groupBy("d1", "d2").agg(count(lit(1)).as("inter"))
+    val leaked = withJaccard(inter, shCk)
+      .filter(col("jaccard_raw") >= JaccardThreshold)
+      .select(col("d1")).distinct()
+    docs.filter(col("is_test"))
+      .join(leaked, col("doc_id") === col("d1"), "left")
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_test"),
+        sum(when(col("d1").isNotNull, 1L).otherwise(0L)).as("n_leaked"))
+      .withColumn("leak_ppm", expr("div(1000000 * n_leaked, n_test)"))
+      .orderBy(col("lang"))
+  }
 
   /** Shingle/posting CTE prefix shared by the near-dup oracle chain AND the
     * MinHash oracle (which generates candidates its own way but verifies
@@ -918,6 +1022,95 @@ object Dedup extends QueryModule {
   private val nearDupCtes: String = nearDupCtesFrom("documents")
 
   val oracle: Map[String, String] = Map(
+    "q_golden_record" ->
+      """WITH c AS (
+        |  SELECT c_custkey, c_name, c_mktsegment,
+        |         CAST(FLOOR(c_acctbal * 100 + 0.5) AS BIGINT) AS cents
+        |  FROM customer),
+        |feeds AS (
+        |  SELECT c_custkey AS k, CAST(1 AS BIGINT) AS prio,
+        |         CASE WHEN c_custkey % 7 = 0 THEN NULL ELSE c_name END AS name,
+        |         CASE WHEN c_custkey % 3 = 0 THEN NULL ELSE cents END AS bal,
+        |         CASE WHEN c_custkey % 11 = 0 THEN NULL ELSE c_mktsegment END AS seg
+        |  FROM c
+        |  UNION ALL
+        |  SELECT c_custkey, 2, UPPER(c_name), cents, NULL FROM c
+        |  UNION ALL
+        |  SELECT c_custkey, 3,
+        |         CASE WHEN c_custkey % 2 = 0 THEN NULL ELSE c_name END,
+        |         cents - 10000, 'UNKNOWN'
+        |  FROM c WHERE c_custkey % 5 <> 0),
+        |g AS (
+        |  SELECT k,
+        |         MIN(CASE WHEN name IS NOT NULL
+        |                  THEN CAST(prio AS VARCHAR) || ':' || name END) AS name_enc,
+        |         MIN(CASE WHEN bal IS NOT NULL
+        |                  THEN prio * 1000000000000 + (bal + 1000000000) END) AS bal_enc,
+        |         MIN(CASE WHEN seg IS NOT NULL
+        |                  THEN CAST(prio AS VARCHAR) || ':' || seg END) AS seg_enc,
+        |         CAST(COUNT(*) AS BIGINT) AS n_feeds
+        |  FROM feeds GROUP BY k)
+        |SELECT k AS c_custkey,
+        |       SUBSTR(name_enc, 3) AS golden_name,
+        |       CAST(bal_enc % 1000000000000 - 1000000000 AS BIGINT) AS golden_bal_cents,
+        |       SUBSTR(seg_enc, 3) AS golden_segment,
+        |       CAST(SUBSTR(name_enc, 1, 1) AS BIGINT) AS name_prio,
+        |       CAST(bal_enc // 1000000000000 AS BIGINT) AS bal_prio,
+        |       CAST(SUBSTR(seg_enc, 1, 1) AS BIGINT) AS seg_prio,
+        |       n_feeds
+        |FROM g ORDER BY c_custkey""".stripMargin,
+    "q_train_test_leakage" -> {
+      // interpolates the SAME affine constants (mixConsts) as the Spark
+      // bandSignatures — single source of truth, like q_dedup_minhash
+      val minExprs = (0 until 48).map { s =>
+        val (a, b) = mixConsts(s)
+        s"MIN((h * $a + $b) % $M)"
+      }.mkString(",\n        ")
+      s"""WITH $shingleCtes,
+        |split AS (
+        |  SELECT doc_id, lang,
+        |         (CAST('0x' || SUBSTR(MD5('split:' || CAST(doc_id AS VARCHAR)), 1, 15)
+        |               AS BIGINT) % 10 = 0) AS is_test
+        |  FROM documents),
+        |hres AS (
+        |  SELECT doc_id, CAST('0x' || SUBSTR(MD5(shingle), 1, 15) AS BIGINT) % $M AS h
+        |  FROM shingles),
+        |sig AS (
+        |  SELECT doc_id, list_value(
+        |        $minExprs) AS mh
+        |  FROM hres GROUP BY doc_id),
+        |bands AS (
+        |  SELECT doc_id,
+        |         band,
+        |         mh[CAST(2 * band + 1 AS INTEGER)] * $M + mh[CAST(2 * band + 2 AS INTEGER)] AS key
+        |  FROM sig, range(24) t(band)),
+        |cand AS (
+        |  SELECT DISTINCT b1.doc_id AS d1, b2.doc_id AS d2
+        |  FROM bands b1 JOIN bands b2
+        |    ON b1.band = b2.band AND b1.key = b2.key
+        |  JOIN split s1 ON s1.doc_id = b1.doc_id
+        |  JOIN split s2 ON s2.doc_id = b2.doc_id
+        |  WHERE s1.is_test AND NOT s2.is_test),
+        |inter AS (
+        |  SELECT d1, d2, COUNT(*) AS inter
+        |  FROM cand
+        |  JOIN postings p1 ON p1.doc_id = d1
+        |  JOIN postings p2 ON p2.doc_id = d2 AND p2.shingle = p1.shingle
+        |  GROUP BY d1, d2),
+        |leaked AS (
+        |  SELECT DISTINCT d1
+        |  FROM inter
+        |  JOIN sizes s1 ON s1.doc_id = d1
+        |  JOIN sizes s2 ON s2.doc_id = d2
+        |  WHERE CAST(inter AS DOUBLE) / (s1.n_sh + s2.n_sh - inter) >= $JaccardThreshold)
+        |SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_test,
+        |       CAST(SUM(CASE WHEN l.d1 IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |         AS n_leaked,
+        |       (1000000 * CAST(SUM(CASE WHEN l.d1 IS NOT NULL THEN 1 ELSE 0 END)
+        |          AS BIGINT)) // CAST(COUNT(*) AS BIGINT) AS leak_ppm
+        |FROM split LEFT JOIN leaked l ON split.doc_id = l.d1
+        |WHERE is_test GROUP BY lang ORDER BY lang""".stripMargin
+    },
     "q_dup_cross_source" ->
       """WITH t AS (
         |  SELECT source, STRING_SPLIT(LOWER(TRIM(text)), ' ') AS toks FROM documents),

@@ -1000,7 +1000,98 @@ object Profiling extends QueryModule {
       .limit(10)
   }
 
+  /** Bloom-filter DESIGN certificate — before a 100 TB join relies on a
+    * bloom runtime filter (the `q_join_bloom` path), this audit measures
+    * the filter's ACTUAL false-positive rate against its fill-ratio
+    * estimate on real key distributions: members are the urgent-order
+    * customers, the filter is m=16384 bits × k=4 keyed md5 hashes
+    * (mergeable: the bit set is a distinct-union, so per-partition filters
+    * OR together), probes are the customers NOT in the member set, and a
+    * probe is a false positive iff all 4 of its bit positions are set.
+    * Output: member/bit/probe counts, measured FPR, and the standard
+    * (bits_set/m)^k estimate — both in exact integer ppm.
+    *
+    * Scale shape: the bit set is ≤ 16384 rows → broadcast; probes stream
+    * past it map-side (a positions-join + count-4 rollup); everything else
+    * is cell arithmetic on a 1-row frame. */
+  def qBloomFpr(spark: SparkSession, dir: String): DataFrame = {
+    val mBits = 16384L
+    def positions(df: DataFrame, key: String): DataFrame =
+      df.select(col(key).as("k"),
+          explode(expr("sequence(0, 3)")).as("i"))
+        .withColumn("pos", expr(
+          s"CAST(conv(substring(md5(concat('bf', CAST(i AS STRING), ':', " +
+            s"CAST(k AS STRING))), 1, 15), 16, 10) AS BIGINT) % $mBits"))
+    val members = Tables.orders(spark, dir)
+      .filter(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_custkey")).distinct()
+      .localCheckpoint(eager = false) // feeds the bit set AND the probe anti-join
+    val bits = positions(members, "o_custkey").select(col("pos")).distinct()
+      .localCheckpoint(eager = false) // feeds n_bits_set AND the probe join
+    val probes = Tables.customer(spark, dir)
+      .join(members, col("c_custkey") === col("o_custkey"), "left_anti")
+      .select(col("c_custkey"))
+    val fp = positions(probes, "c_custkey")
+      .join(broadcast(bits), Seq("pos"))
+      .groupBy(col("k")).agg(countDistinct(col("i")).as("hits"))
+      .filter(col("hits") === 4)
+      .agg(count(lit(1)).as("n_false_pos"))
+    val card = members.agg(count(lit(1)).as("n_members"))
+      .crossJoin(bits.agg(count(lit(1)).as("n_bits_set")))
+      .crossJoin(probes.agg(count(lit(1)).as("n_probes")))
+    card.crossJoin(broadcast(fp))
+      .withColumn("fpr_ppm", expr("div(1000000 * n_false_pos, greatest(n_probes, 1L))"))
+      .withColumn("fill_ppm", expr(s"div(1000000 * n_bits_set, ${mBits}L)"))
+      // (bits/m)^4 in ppm via two exact integer squarings — no libm pow
+      .withColumn("r2_ppm", expr("div(fill_ppm * fill_ppm, 1000000L)"))
+      .withColumn("est_fpr_ppm", expr("div(r2_ppm * r2_ppm, 1000000L)"))
+      .select(col("n_members"), col("n_bits_set"), col("n_probes"), col("n_false_pos"),
+        col("fpr_ppm"), col("fill_ppm"), col("est_fpr_ppm"))
+  }
+
+  /** Theil–Sen robust trend — the median-of-pairwise-slopes estimator that
+    * survives the outlier days OLS folds into the fit: the daily revenue
+    * series per event type (30 points) expands to its bounded pair set
+    * (435 pairs), each pair contributes an exact integer slope in
+    * cents-ppm/day (sign-split so truncation is toward zero in both
+    * engines), and the estimate is the lower-median slope by rank. Output
+    * per event type: days, pairs, the Theil–Sen slope, and the slope
+    * range.
+    *
+    * Scale shape: the series is DOMAIN-bounded (days in a fixed window),
+    * so the pair self-join is per-type constant work after one
+    * map-side-combinable daily rollup — the corpus never pairs with
+    * itself, only the 30-row profile does, partition-parallel per type. */
+  def qTheilSen(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(spark, dir)
+      .groupBy(col("event_type"),
+        expr("CAST(datediff(to_date(ts), DATE '2024-01-01') AS BIGINT)").as("d"))
+      .agg(expr("sum(CAST(round(value * 100) AS BIGINT))").as("y"))
+      .localCheckpoint(eager = false) // tiny profile feeds both pair sides
+    val a = daily.select(col("event_type"), col("d").as("d1"), col("y").as("y1"))
+    val b = daily.select(col("event_type"), col("d").as("d2"), col("y").as("y2"))
+    val slopes = a.join(b, Seq("event_type")).filter(col("d1") < col("d2"))
+      .withColumn("slope_ppm", expr(
+        "CAST(sign(y2 - y1) AS BIGINT) * div(1000000 * abs(y2 - y1), d2 - d1)"))
+    val ranked = slopes
+      .withColumn("rk", row_number().over(Window.partitionBy(col("event_type"))
+        .orderBy(col("slope_ppm"), col("d1"), col("d2"))))
+      .withColumn("n_pairs", count(lit(1)).over(Window.partitionBy(col("event_type"))))
+    ranked.filter(expr("rk = div(n_pairs + 1, 2)"))
+      .join(daily.groupBy(col("event_type")).agg(count(lit(1)).as("n_days")),
+        Seq("event_type"))
+      .join(slopes.groupBy(col("event_type"))
+        .agg(min(col("slope_ppm")).as("min_slope_ppm"),
+          max(col("slope_ppm")).as("max_slope_ppm")), Seq("event_type"))
+      .select(col("event_type"), col("n_days"), col("n_pairs"),
+        col("slope_ppm").as("ts_slope_ppm"),
+        col("min_slope_ppm"), col("max_slope_ppm"))
+      .orderBy(col("event_type"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_bloom_fpr"      -> (qBloomFpr _),
+    "q_theil_sen"      -> (qTheilSen _),
     "q_count_min"      -> (qCountMin _),
     "q_slice_finder"   -> (qSliceFinder _),
     "q_forecast_holt"  -> (qForecastHolt _),
@@ -1065,6 +1156,68 @@ object Profiling extends QueryModule {
   }
 
   val oracle: Map[String, String] = Map(
+    "q_bloom_fpr" ->
+      """WITH members AS (
+        |  SELECT DISTINCT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'),
+        |bits AS (
+        |  SELECT DISTINCT
+        |         CAST('0x' || SUBSTR(MD5('bf' || CAST(i AS VARCHAR) || ':'
+        |              || CAST(o_custkey AS VARCHAR)), 1, 15) AS BIGINT) % 16384 AS pos
+        |  FROM members, UNNEST(RANGE(0, 4)) AS t(i)),
+        |probes AS (
+        |  SELECT c_custkey FROM customer
+        |  WHERE c_custkey NOT IN (SELECT o_custkey FROM members)),
+        |hits AS (
+        |  SELECT p.c_custkey, COUNT(DISTINCT t.i) AS nhit
+        |  FROM probes p, UNNEST(RANGE(0, 4)) AS t(i)
+        |  JOIN bits b ON b.pos =
+        |       CAST('0x' || SUBSTR(MD5('bf' || CAST(t.i AS VARCHAR) || ':'
+        |            || CAST(p.c_custkey AS VARCHAR)), 1, 15) AS BIGINT) % 16384
+        |  GROUP BY 1),
+        |fp AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_false_pos FROM hits WHERE nhit = 4),
+        |card AS (
+        |  SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM members) AS n_members,
+        |         (SELECT CAST(COUNT(*) AS BIGINT) FROM bits) AS n_bits_set,
+        |         (SELECT CAST(COUNT(*) AS BIGINT) FROM probes) AS n_probes)
+        |SELECT n_members, n_bits_set, n_probes, n_false_pos,
+        |       (1000000 * n_false_pos) // GREATEST(n_probes, 1) AS fpr_ppm,
+        |       (1000000 * n_bits_set) // 16384 AS fill_ppm,
+        |       ((((1000000 * n_bits_set) // 16384) * ((1000000 * n_bits_set) // 16384))
+        |          // 1000000)
+        |       * ((((1000000 * n_bits_set) // 16384) * ((1000000 * n_bits_set) // 16384))
+        |          // 1000000) // 1000000 AS est_fpr_ppm
+        |FROM card CROSS JOIN fp""".stripMargin,
+    "q_theil_sen" ->
+      """WITH daily AS (
+        |  SELECT event_type,
+        |         CAST(DATEDIFF('day', DATE '2024-01-01', CAST(ts AS DATE)) AS BIGINT) AS d,
+        |         CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS y
+        |  FROM events GROUP BY 1, 2),
+        |slopes AS (
+        |  SELECT a.event_type, a.d AS d1, b.d AS d2,
+        |         CAST(SIGN(b.y - a.y) AS BIGINT)
+        |           * ((1000000 * ABS(b.y - a.y)) // (b.d - a.d)) AS slope_ppm
+        |  FROM daily a JOIN daily b
+        |    ON a.event_type = b.event_type AND a.d < b.d),
+        |ranked AS (
+        |  SELECT event_type, slope_ppm,
+        |         ROW_NUMBER() OVER (PARTITION BY event_type
+        |                            ORDER BY slope_ppm, d1, d2) AS rk,
+        |         COUNT(*) OVER (PARTITION BY event_type) AS n_pairs
+        |  FROM slopes),
+        |med AS (
+        |  SELECT event_type, n_pairs, slope_ppm AS ts_slope_ppm
+        |  FROM ranked WHERE rk = (n_pairs + 1) // 2),
+        |nd AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_days
+        |       FROM daily GROUP BY 1),
+        |rng AS (SELECT event_type, MIN(slope_ppm) AS min_slope_ppm,
+        |               MAX(slope_ppm) AS max_slope_ppm
+        |        FROM slopes GROUP BY 1)
+        |SELECT m.event_type, n_days, CAST(n_pairs AS BIGINT) AS n_pairs, ts_slope_ppm,
+        |       min_slope_ppm, max_slope_ppm
+        |FROM med m JOIN nd ON nd.event_type = m.event_type
+        |JOIN rng ON rng.event_type = m.event_type
+        |ORDER BY m.event_type""".stripMargin,
     "q_forecast_holt" ->
       """WITH RECURSIVE daily AS (
         |  SELECT event_type, CAST(ts AS DATE) AS d,

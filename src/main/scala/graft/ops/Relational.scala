@@ -2,6 +2,7 @@ package graft.ops
 
 import graft.Tables
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Core relational operators: scan, project, filter, null handling,
@@ -412,7 +413,152 @@ object Relational extends QueryModule {
       .orderBy(col("file_id"))
   }
 
+  /** Zone-map data-skipping certificate — the quantitative answer to "which
+    * LAYOUT should this table be rewritten into?": the same lineitem rows
+    * are assigned to 64 synthetic files under three layouts (hash-shuffled,
+    * date-linear, z-ordered on part×date), per-file min/max zone maps are
+    * computed for both predicate columns, and a fixed 2-dimensional range
+    * predicate is evaluated against the maps exactly the way a parquet
+    * reader prunes row groups. Output per layout: file count, files a
+    * zone-map reader must scan, rows inside those files, true matching
+    * rows, and the read amplification (rows scanned per matching row, ppm)
+    * — shuffled ≈ full scan, date-linear prunes the date dimension only,
+    * z-order prunes BOTH (the multi-dimensional-locality payoff that
+    * motivates `q_zorder`'s layout).
+    *
+    * Scale shape: file assignment is pure map arithmetic (no global sort —
+    * the layouts are defined by key-range/bit-interleave functions, which
+    * is exactly how a distributed rewrite routes rows); the zone maps are
+    * one map-side-combinable rollup to 3×64 cells; the verdict is
+    * cell-bounded. At 100 TB this audit is a side-output of the write. */
+  def qZonemapPrune(spark: SparkSession, dir: String): DataFrame = {
+    val (pLo, pHi, dLo, dHi) = (1024L, 1535L, 600L, 1100L)
+    // px: integer cents of the price, folded to a fixed 0..4095 domain so
+    // the predicate window is populated at EVERY scale factor (l_partkey's
+    // domain grows with sf; a key-based px would leave the window empty at
+    // small sf and the certificate vacuous)
+    val files = Tables.lineitem(spark, dir)
+      .withColumn("px", expr("CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) % 4096"))
+      .withColumn("dx", expr("CAST(datediff(to_date(l_shipdate), DATE '1995-01-01') AS BIGINT)"))
+      // three layouts for the same row: hash (worst), date-linear, morton
+      .withColumn("f_hash", expr(
+        "CAST(conv(substring(md5(concat('zm:', CAST(l_orderkey AS STRING), ':', " +
+          "CAST(l_linenumber AS STRING))), 1, 15), 16, 10) AS BIGINT) % 64"))
+      .withColumn("f_lin", expr("least(div(dx, 38), 63L)"))
+      .withColumn("zx", expr("least(div(px, 512), 7L)"))
+      .withColumn("zy", expr("least(div(dx, 301), 7L)"))
+      .withColumn("f_z", expr(
+        """(zx % 2) * 2 + (zy % 2)
+          | + (shiftright(zx, 1) % 2) * 8 + (shiftright(zy, 1) % 2) * 4
+          | + (shiftright(zx, 2) % 2) * 32 + (shiftright(zy, 2) % 2) * 16""".stripMargin))
+      .select(col("px"), col("dx"), explode(expr(
+        "array(struct('shuffled' AS layout, f_hash AS file_id)," +
+          " struct('linear_date' AS layout, f_lin AS file_id)," +
+          " struct('zorder' AS layout, f_z AS file_id))")).as("lf"))
+      .select(col("lf.layout"), col("lf.file_id"), col("px"), col("dx"))
+      .groupBy(col("layout"), col("file_id"))
+      .agg(count(lit(1)).as("n_rows"),
+        min(col("px")).as("min_px"), max(col("px")).as("max_px"),
+        min(col("dx")).as("min_dx"), max(col("dx")).as("max_dx"),
+        sum(when(col("px").between(pLo, pHi) && col("dx").between(dLo, dHi), 1L)
+          .otherwise(0L)).as("n_match"))
+    files
+      .withColumn("scanned", col("max_px") >= pLo && col("min_px") <= pHi &&
+        col("max_dx") >= dLo && col("min_dx") <= dHi)
+      .groupBy(col("layout"))
+      .agg(count(lit(1)).as("n_files"),
+        sum(when(col("scanned"), 1L).otherwise(0L)).as("files_scanned"),
+        sum(col("n_rows")).as("rows_total"),
+        sum(when(col("scanned"), col("n_rows")).otherwise(0L)).as("rows_scanned"),
+        sum(col("n_match")).as("rows_matching"))
+      .withColumn("read_amp_ppm",
+        expr("div(1000000 * rows_scanned, greatest(rows_matching, 1L))"))
+      .orderBy(col("layout"))
+  }
+
+  /** Incremental view maintenance certificate — the lakehouse pattern that
+    * keeps a materialized aggregate fresh WITHOUT re-scanning the base
+    * table: the per-priority (count, revenue) view over pre-2000 orders is
+    * maintained algebraically from a CDC delta (inserts = year-2000
+    * orders, deletes = simulated cancellations in the base window) by
+    * adding insert partials and subtracting delete partials — legal
+    * because count/sum are abelian-group aggregates. The output pairs the
+    * maintained values with a full recompute over the post-delta state and
+    * asserts equality per group: the cross-engine proof that delta
+    * maintenance is exact, not approximate.
+    *
+    * Scale shape: the delta passes are delta-sized (the entire point —
+    * at 100 TB the base is never re-read); the recompute column exists
+    * only because this is a certificate. Money sums are integer cents
+    * (floor(price·100+0.5)) so the group merge is exact and
+    * order-independent in both engines. */
+  def qIvmAgg(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+      .withColumn("cents", expr("CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)"))
+    val base = o.filter(col("o_orderdate") < lit("2000-01-01").cast("timestamp"))
+    val inserts = o.filter(col("o_orderdate") >= lit("2000-01-01").cast("timestamp") &&
+      col("o_orderdate") < lit("2001-01-01").cast("timestamp"))
+    val deletes = base.filter(expr("o_orderkey % 37 = 0"))
+    def agg(df: DataFrame, n: String, c: String): DataFrame =
+      df.groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as(n), sum(col("cents")).as(c))
+    val maintained = agg(base, "n_b", "c_b")
+      .join(agg(inserts, "n_i", "c_i"), Seq("o_orderpriority"), "full")
+      .join(agg(deletes, "n_d", "c_d"), Seq("o_orderpriority"), "full")
+      .na.fill(0L)
+      .select(col("o_orderpriority"),
+        (col("n_b") + col("n_i") - col("n_d")).as("n_maintained"),
+        (col("c_b") + col("c_i") - col("c_d")).as("cents_maintained"))
+    val recomputed = agg(
+      base.filter(expr("o_orderkey % 37 <> 0")).unionByName(inserts),
+      "n_recomputed", "cents_recomputed")
+    maintained.join(recomputed, Seq("o_orderpriority"), "full")
+      .select(col("o_orderpriority"), col("n_maintained"), col("cents_maintained"),
+        col("n_recomputed"), col("cents_recomputed"),
+        (col("n_maintained") === col("n_recomputed") &&
+          col("cents_maintained") === col("cents_recomputed")).as("consistent"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  /** Compaction planning certificate — the OPTIMIZE scheduler's first
+    * step: given the current small-file census (orders sharded by calendar
+    * month — the natural ingest partitioning, with real size skew), plan
+    * the merge groups a compactor would execute: files sorted largest-first
+    * (the FFD-style greedy order) fill contiguous target-sized bins
+    * (target = ⌈total/8⌉, so the plan is scale-invariant), and each bin
+    * reports its file count, row total, fill ratio vs target, and size
+    * range. The plan itself is what a table service submits as its merge
+    * job list.
+    *
+    * Scale shape: the file census is one map-side-combinable rollup to
+    * |months| rows; the planning window runs over that BOUNDED profile
+    * (≤ hundreds of rows at any corpus size — file counts grow with data
+    * but the per-table file LIST is always metadata-sized), never the
+    * fact table. */
+  def qCompactionPlan(spark: SparkSession, dir: String): DataFrame = {
+    val fileCensus = Tables.orders(spark, dir)
+      .groupBy(expr("year(o_orderdate) * 100 + month(o_orderdate)").as("file_id"))
+      .agg(count(lit(1)).as("n_rows"))
+      .localCheckpoint(eager = false) // bounded profile feeds total AND plan
+    val target = fileCensus.agg(expr("div(sum(n_rows), 8) + 1").as("target_rows"))
+    fileCensus.crossJoin(broadcast(target))
+      .withColumn("cum_before", coalesce(sum(col("n_rows")).over(
+        Window.orderBy(col("n_rows").desc, col("file_id"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("group_id", expr("div(cum_before, target_rows)"))
+      .groupBy(col("group_id"))
+      .agg(count(lit(1)).as("n_files"),
+        sum(col("n_rows")).as("group_rows"),
+        max(col("n_rows")).as("largest_file_rows"),
+        min(col("n_rows")).as("smallest_file_rows"),
+        expr("div(1000000 * sum(n_rows), min(target_rows))").as("fill_ppm"))
+      .orderBy(col("group_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_compaction_plan" -> (qCompactionPlan _),
+    "q_zonemap_prune" -> (qZonemapPrune _),
+    "q_ivm_agg" -> (qIvmAgg _),
     "q_zorder" -> (qZorder _),
     "q_schema_evolution" -> (qSchemaEvolution _),
     "q_purge_cascade" -> (qPurgeCascade _),
@@ -434,6 +580,106 @@ object Relational extends QueryModule {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_compaction_plan" ->
+      """WITH census AS (
+        |  SELECT YEAR(o_orderdate) * 100 + MONTH(o_orderdate) AS file_id,
+        |         CAST(COUNT(*) AS BIGINT) AS n_rows
+        |  FROM orders GROUP BY 1),
+        |tgt AS (SELECT CAST(SUM(n_rows) AS BIGINT) // 8 + 1 AS target_rows FROM census),
+        |planned AS (
+        |  SELECT file_id, n_rows, target_rows,
+        |         CAST(COALESCE(SUM(n_rows) OVER (ORDER BY n_rows DESC, file_id
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+        |           AS cum_before
+        |  FROM census CROSS JOIN tgt)
+        |SELECT CAST(cum_before // target_rows AS BIGINT) AS group_id,
+        |       CAST(COUNT(*) AS BIGINT) AS n_files,
+        |       CAST(SUM(n_rows) AS BIGINT) AS group_rows,
+        |       MAX(n_rows) AS largest_file_rows,
+        |       MIN(n_rows) AS smallest_file_rows,
+        |       (1000000 * CAST(SUM(n_rows) AS BIGINT)) // MIN(target_rows) AS fill_ppm
+        |FROM planned GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_zonemap_prune" ->
+      """WITH r AS (
+        |  SELECT CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT) % 4096 AS px,
+        |         CAST(DATEDIFF('day', DATE '1995-01-01', CAST(l_shipdate AS DATE))
+        |              AS BIGINT) AS dx,
+        |         CAST('0x' || SUBSTR(MD5('zm:' || CAST(l_orderkey AS VARCHAR) || ':'
+        |              || CAST(l_linenumber AS VARCHAR)), 1, 15) AS BIGINT) % 64 AS f_hash
+        |  FROM lineitem),
+        |z AS (
+        |  SELECT px, dx, f_hash,
+        |         LEAST(dx // 38, 63) AS f_lin,
+        |         LEAST(px // 512, 7) AS zx, LEAST(dx // 301, 7) AS zy
+        |  FROM r),
+        |stacked AS (
+        |  SELECT px, dx, 'shuffled' AS layout, f_hash AS file_id FROM z
+        |  UNION ALL
+        |  SELECT px, dx, 'linear_date', f_lin FROM z
+        |  UNION ALL
+        |  SELECT px, dx, 'zorder',
+        |         (zx % 2) * 2 + (zy % 2)
+        |         + ((zx >> 1) % 2) * 8 + ((zy >> 1) % 2) * 4
+        |         + ((zx >> 2) % 2) * 32 + ((zy >> 2) % 2) * 16
+        |  FROM z),
+        |zonemaps AS (
+        |  SELECT layout, file_id, COUNT(*) AS n_rows,
+        |         MIN(px) AS min_px, MAX(px) AS max_px,
+        |         MIN(dx) AS min_dx, MAX(dx) AS max_dx,
+        |         CAST(SUM(CASE WHEN px BETWEEN 1024 AND 1535
+        |                        AND dx BETWEEN 600 AND 1100
+        |                       THEN 1 ELSE 0 END) AS BIGINT) AS n_match
+        |  FROM stacked GROUP BY 1, 2),
+        |flagged AS (
+        |  SELECT *, (max_px >= 1024 AND min_px <= 1535
+        |             AND max_dx >= 600 AND min_dx <= 1100) AS scanned
+        |  FROM zonemaps)
+        |SELECT layout, CAST(COUNT(*) AS BIGINT) AS n_files,
+        |       CAST(SUM(CASE WHEN scanned THEN 1 ELSE 0 END) AS BIGINT) AS files_scanned,
+        |       CAST(SUM(n_rows) AS BIGINT) AS rows_total,
+        |       CAST(SUM(CASE WHEN scanned THEN n_rows ELSE 0 END) AS BIGINT) AS rows_scanned,
+        |       CAST(SUM(n_match) AS BIGINT) AS rows_matching,
+        |       (1000000 * CAST(SUM(CASE WHEN scanned THEN n_rows ELSE 0 END) AS BIGINT))
+        |         // GREATEST(CAST(SUM(n_match) AS BIGINT), 1) AS read_amp_ppm
+        |FROM flagged GROUP BY layout ORDER BY layout""".stripMargin,
+    "q_ivm_agg" ->
+      """WITH o AS (
+        |  SELECT o_orderkey, o_orderpriority, o_orderdate,
+        |         CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+        |  FROM orders),
+        |base AS (SELECT * FROM o WHERE o_orderdate < TIMESTAMP '2000-01-01'),
+        |ins AS (SELECT * FROM o WHERE o_orderdate >= TIMESTAMP '2000-01-01'
+        |                          AND o_orderdate < TIMESTAMP '2001-01-01'),
+        |del AS (SELECT * FROM base WHERE o_orderkey % 37 = 0),
+        |ab AS (SELECT o_orderpriority, COUNT(*) AS n_b, SUM(cents) AS c_b
+        |       FROM base GROUP BY 1),
+        |ai AS (SELECT o_orderpriority, COUNT(*) AS n_i, SUM(cents) AS c_i
+        |       FROM ins GROUP BY 1),
+        |ad AS (SELECT o_orderpriority, COUNT(*) AS n_d, SUM(cents) AS c_d
+        |       FROM del GROUP BY 1),
+        |m AS (
+        |  SELECT COALESCE(ab.o_orderpriority, ai.o_orderpriority, ad.o_orderpriority)
+        |           AS o_orderpriority,
+        |         COALESCE(n_b, 0) + COALESCE(n_i, 0) - COALESCE(n_d, 0) AS n_maintained,
+        |         COALESCE(c_b, 0) + COALESCE(c_i, 0) - COALESCE(c_d, 0) AS cents_maintained
+        |  FROM ab
+        |  FULL JOIN ai ON ab.o_orderpriority = ai.o_orderpriority
+        |  FULL JOIN ad ON COALESCE(ab.o_orderpriority, ai.o_orderpriority)
+        |                    = ad.o_orderpriority),
+        |rc AS (
+        |  SELECT o_orderpriority, COUNT(*) AS n_recomputed, SUM(cents) AS cents_recomputed
+        |  FROM (SELECT * FROM base WHERE o_orderkey % 37 <> 0
+        |        UNION ALL SELECT * FROM ins)
+        |  GROUP BY 1)
+        |SELECT m.o_orderpriority,
+        |       CAST(n_maintained AS BIGINT) AS n_maintained,
+        |       CAST(cents_maintained AS BIGINT) AS cents_maintained,
+        |       CAST(n_recomputed AS BIGINT) AS n_recomputed,
+        |       CAST(cents_recomputed AS BIGINT) AS cents_recomputed,
+        |       (n_maintained = n_recomputed
+        |        AND cents_maintained = cents_recomputed) AS consistent
+        |FROM m FULL JOIN rc ON m.o_orderpriority = rc.o_orderpriority
+        |ORDER BY m.o_orderpriority""".stripMargin,
     "q_zorder" ->
       """WITH b AS (
         |  SELECT o_custkey % 16 AS cb,

@@ -88,7 +88,31 @@ object StreamingShaped extends QueryModule {
         sum(col("arrivals") - 1).as("dropped"))
       .orderBy(col("event_type"))
 
+  /** Windowed trending top-k, batch twin — the "what's hot this hour"
+    * leaderboard a live dashboard materializes per closed window: event
+    * counts per (1-hour tumble, type), then the top 3 types per window by
+    * (count DESC, type) — a total order, so the board is deterministic.
+    * In the live form the same aggregate runs under a watermark and the
+    * rank is applied per finalized window by the sink (foreachBatch); the
+    * batch twin IS that per-window computation.
+    *
+    * Scale shape: one hash aggregation on (window, type) — partial
+    * aggregation applies — then a rank window PARTITIONED by window
+    * bucket, which Spark plans as WindowGroupLimit-able per-partition
+    * work: no global sort, state bounded by |types| per bucket. */
+  def qStreamTopk(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("w"))
+          .orderBy(col("n").desc, col("event_type"))))
+      .filter(col("rk") <= 3)
+      .select(col("w.start").as("wstart"), col("rk"), col("event_type"), col("n"))
+      .orderBy(col("wstart"), col("rk"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_stream_topk"    -> (qStreamTopk _),
     "q_stream_dedup"   -> (qStreamDedup _),
     "q_stream_tumble"  -> (qStreamTumble _),
     "q_stream_slide"   -> (qStreamSlide _),
@@ -97,6 +121,18 @@ object StreamingShaped extends QueryModule {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_stream_topk" ->
+      """WITH counts AS (
+        |  SELECT TIME_BUCKET(INTERVAL '1 hour', ts) AS wstart, event_type,
+        |         CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM events GROUP BY 1, 2),
+        |ranked AS (
+        |  SELECT wstart, event_type, n,
+        |         ROW_NUMBER() OVER (PARTITION BY wstart
+        |                            ORDER BY n DESC, event_type) AS rk
+        |  FROM counts)
+        |SELECT wstart, CAST(rk AS INT) AS rk, event_type, n
+        |FROM ranked WHERE rk <= 3 ORDER BY wstart, rk""".stripMargin,
     "q_stream_dedup" ->
       """WITH b AS (
         |  SELECT user_id, event_type, DATE_TRUNC('hour', ts) AS h,

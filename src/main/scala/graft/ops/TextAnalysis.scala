@@ -634,7 +634,54 @@ object TextAnalysis extends QueryModule {
       .limit(50)
   }
 
+  /** Trained bag-of-token linear classifier + confusion matrix — the
+    * fastText-shaped quality/language classifier every pretraining pipeline
+    * runs at ingest, expressed entirely in exact integer arithmetic: class
+    * weights are add-one-smoothed token frequencies in ppm
+    * (w(lang, token) = ⌊10⁶·(cnt+1)/(tot_lang+V)⌋ over the full lang ×
+    * vocabulary grid, so every class scores every token), a document's
+    * class score is Σ occurrences·w, and the prediction is the argmax
+    * (ties to the lexicographically first class). The output is the
+    * (true, predicted) confusion matrix — self-classification on the
+    * training corpus, the standard train-fit audit.
+    *
+    * Scale shape: the MODEL is vocabulary×classes-sized (here 31×5) — it
+    * broadcasts; scoring is one map-side join from per-doc token counts
+    * (≤|V| rows per doc) and two rollups (doc×class, then argmax). No
+    * floats anywhere, so the cross-engine hash compares exact integers. */
+  def qTextClassify(spark: SparkSession, dir: String): DataFrame = {
+    val docTok = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"),
+        explode(split(lower(trim(col("text"))), " ")).as("token"))
+      .localCheckpoint(eager = false) // feeds training counts AND scoring
+    val cnt = docTok.groupBy(col("lang"), col("token")).agg(count(lit(1)).as("cnt"))
+    val tot = docTok.groupBy(col("lang")).agg(count(lit(1)).as("tot"))
+    val vocab = docTok.select(col("token")).distinct()
+      .localCheckpoint(eager = false) // feeds V AND the grid
+    val v = vocab.agg(count(lit(1)).as("v_size"))
+    val grid = tot.crossJoin(vocab).crossJoin(broadcast(v))
+    val weights = grid
+      .join(cnt, Seq("lang", "token"), "left").na.fill(0L, Seq("cnt"))
+      .select(col("lang").as("w_lang"), col("token"),
+        expr("div(1000000 * (cnt + 1), tot + v_size)").as("w_ppm"))
+    val perDoc = docTok.groupBy(col("doc_id"), col("lang"), col("token"))
+      .agg(count(lit(1)).as("occ"))
+    val scored = perDoc
+      .join(broadcast(weights), Seq("token"))
+      .groupBy(col("doc_id"), col("lang"), col("w_lang"))
+      .agg(sum(col("occ") * col("w_ppm")).as("score"))
+    val pred = scored
+      .withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("doc_id"))
+          .orderBy(col("score").desc, col("w_lang"))))
+      .filter(col("rk") === 1)
+    pred.groupBy(col("lang").as("true_lang"), col("w_lang").as("pred_lang"))
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy(col("true_lang"), col("pred_lang"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_text_classify"    -> (qTextClassify _),
     "q_chunk_overlap"    -> (qChunkOverlap _),
     "q_winnow_fingerprint" -> (qWinnowFingerprint _),
     "q_text_keyphrase"   -> (qTextKeyphrase _),
@@ -661,6 +708,37 @@ object TextAnalysis extends QueryModule {
   private val blocklistSql = blocklist.map("'" + _ + "'").mkString(",")
 
   val oracle: Map[String, String] = Map(
+    "q_text_classify" ->
+      """WITH tok AS (
+        |  SELECT doc_id, lang,
+        |         UNNEST(STRING_SPLIT(LOWER(TRIM(text)), ' ')) AS token
+        |  FROM documents),
+        |cnt AS (SELECT lang, token, CAST(COUNT(*) AS BIGINT) AS cnt
+        |        FROM tok GROUP BY 1, 2),
+        |tot AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS tot FROM tok GROUP BY 1),
+        |vocab AS (SELECT DISTINCT token FROM tok),
+        |v AS (SELECT CAST(COUNT(*) AS BIGINT) AS v_size FROM vocab),
+        |weights AS (
+        |  SELECT t.lang AS w_lang, vocab.token,
+        |         (1000000 * (COALESCE(c.cnt, 0) + 1)) // (t.tot + v.v_size) AS w_ppm
+        |  FROM tot t CROSS JOIN vocab CROSS JOIN v
+        |  LEFT JOIN cnt c ON c.lang = t.lang AND c.token = vocab.token),
+        |per_doc AS (
+        |  SELECT doc_id, lang, token, CAST(COUNT(*) AS BIGINT) AS occ
+        |  FROM tok GROUP BY 1, 2, 3),
+        |scored AS (
+        |  SELECT d.doc_id, d.lang, w.w_lang, SUM(d.occ * w.w_ppm) AS score
+        |  FROM per_doc d JOIN weights w ON w.token = d.token
+        |  GROUP BY 1, 2, 3),
+        |pred AS (
+        |  SELECT doc_id, lang, w_lang,
+        |         ROW_NUMBER() OVER (PARTITION BY doc_id
+        |                            ORDER BY score DESC, w_lang) AS rk
+        |  FROM scored)
+        |SELECT lang AS true_lang, w_lang AS pred_lang,
+        |       CAST(COUNT(*) AS BIGINT) AS n_docs
+        |FROM pred WHERE rk = 1
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "q_chunk_overlap" ->
       """WITH t AS (
         |  SELECT doc_id, STRING_SPLIT(LOWER(TRIM(text)), ' ') AS toks FROM documents)

@@ -1,0 +1,199 @@
+package graft
+
+import graft.ops.{Corpus, Dedup, Profiling, Relational, TextAnalysis}
+import org.apache.spark.sql.functions._
+
+/** Round-8 wave-III operators: lakehouse certificates (zone maps, IVM,
+  * bloom design), robust stats, and the SFT/classifier corpus ops. Each
+  * test asserts a SEMANTIC property the oracle hash alone can't localize. */
+class WaveThreeSpec extends SparkSpec {
+
+  test("q_zonemap_prune: matching rows are layout-invariant and zorder prunes both dims") {
+    val rows = Relational.qZonemapPrune(spark, sf).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(rows.keySet == Set("shuffled", "linear_date", "zorder"))
+    // the predicate's answer cannot depend on the file layout
+    val matching = rows.values.map(_.getAs[Long]("rows_matching")).toSet
+    assert(matching.size == 1, s"layout changed the answer: $matching")
+    val total = rows.values.map(_.getAs[Long]("rows_total")).toSet
+    assert(total.size == 1)
+    // a scanned-files reader never reads fewer rows than the true answer
+    rows.values.foreach { r =>
+      assert(r.getAs[Long]("rows_scanned") >= r.getAs[Long]("rows_matching"))
+    }
+    // hash layout destroys locality: zone maps skip nothing (every file
+    // spans the whole key range at this density), so shuffled reads the
+    // most; zorder prunes BOTH dimensions so it reads the least
+    val sh = rows("shuffled").getAs[Long]("rows_scanned")
+    val zo = rows("zorder").getAs[Long]("rows_scanned")
+    val ld = rows("linear_date").getAs[Long]("rows_scanned")
+    assert(zo < ld && ld < sh, s"expected zorder < linear < shuffled, got $zo / $ld / $sh")
+  }
+
+  test("q_zonemap_prune assigns files by arithmetic, not a global sort") {
+    val plan = Relational.qZonemapPrune(spark, sf).queryExecution.executedPlan.toString
+    assert(!plan.contains("rangepartitioning(px") && !plan.contains("rangepartitioning(dx"),
+      "layout assignment must be map-side routing, not a sort")
+  }
+
+  test("q_ivm_agg: delta maintenance is exact for every group") {
+    val rows = Relational.qIvmAgg(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Boolean]("consistent"),
+        s"maintained != recomputed for ${r.getString(0)}")
+      assert(r.getAs[Long]("n_maintained") == r.getAs[Long]("n_recomputed"))
+    }
+  }
+
+  test("q_bloom_fpr: no false negatives by construction, FPR coherent with fill") {
+    val r = Profiling.qBloomFpr(spark, sf).collect()(0)
+    val (members, bits, probes, fp) = (r.getAs[Long]("n_members"),
+      r.getAs[Long]("n_bits_set"), r.getAs[Long]("n_probes"), r.getAs[Long]("n_false_pos"))
+    assert(members > 0 && probes > 0)
+    assert(bits <= members * 4, "k=4 hashes set at most 4 bits per member")
+    assert(fp <= probes)
+    // measured FPR must sit near the (fill)^4 estimate — a broken hash
+    // (all keys landing on one bit) or a broken probe join lands far away
+    val est = r.getAs[Long]("est_fpr_ppm"); val meas = r.getAs[Long]("fpr_ppm")
+    assert(meas <= 4 * est + 2000, s"measured $meas ppm vs estimate $est ppm")
+  }
+
+  test("q_theil_sen: pair counts are exact and the median sits inside the range") {
+    Profiling.qTheilSen(spark, sf).collect().foreach { r =>
+      val d = r.getAs[Long]("n_days"); val p = r.getAs[Long]("n_pairs")
+      assert(p == d * (d - 1) / 2, s"pairs $p != C($d,2)")
+      val ts = r.getAs[Long]("ts_slope_ppm")
+      assert(ts >= r.getAs[Long]("min_slope_ppm") && ts <= r.getAs[Long]("max_slope_ppm"))
+    }
+  }
+
+  test("q_text_classify: confusion matrix conserves the corpus and stays in-label") {
+    val docs = Tables.documents(spark, sf)
+    val langs = docs.select("lang").distinct().collect().map(_.getString(0)).toSet
+    val conf = TextAnalysis.qTextClassify(spark, sf).collect()
+    assert(conf.map(_.getAs[Long]("n_docs")).sum == docs.count(),
+      "every document classifies exactly once")
+    conf.foreach { r =>
+      assert(langs.contains(r.getString(0)) && langs.contains(r.getString(1)))
+    }
+  }
+
+  test("q_text_classify broadcasts the weight table (model is vocab-sized)") {
+    val plan = TextAnalysis.qTextClassify(spark, sf).queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), "weights must broadcast, not shuffle")
+  }
+
+  test("q_train_test_leakage: split census matches and leaks are real cross-split near-dups") {
+    val leak = Dedup.qTrainTestLeakage(spark, sf).collect()
+    val docs = Tables.documents(spark, sf)
+      .withColumn("is_test", expr(
+        "CAST(conv(substring(md5(concat('split:', CAST(doc_id AS STRING))), 1, 15), " +
+          "16, 10) AS BIGINT) % 10 = 0"))
+    val testByLang = docs.filter(col("is_test")).groupBy("lang").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    leak.foreach { r =>
+      assert(r.getAs[Long]("n_test") == testByLang(r.getString(0)))
+      assert(r.getAs[Long]("n_leaked") <= r.getAs[Long]("n_test"))
+    }
+    // every leaked doc the banded tier reports must be confirmable by the
+    // exact tier: cross-split near pairs at the same threshold
+    val split = docs.select(col("doc_id"), col("is_test"))
+    val exactPairs = Dedup.qDedupNear(spark, sf)
+      .join(split.select(col("doc_id").as("d1"), col("is_test").as("t1")), "d1")
+      .join(split.select(col("doc_id").as("d2"), col("is_test").as("t2")), "d2")
+    val exactLeaked = exactPairs
+      .filter((col("t1") && !col("t2")) || (col("t2") && !col("t1")))
+      .select(explode(array(
+        when(col("t1"), col("d1")).otherwise(col("d2"))))).distinct().count()
+    val reported = leak.map(_.getAs[Long]("n_leaked")).sum
+    assert(reported <= exactLeaked,
+      s"banded tier reported $reported leaks but exact tier only confirms $exactLeaked")
+    assert(exactLeaked == 0 || reported >= (exactLeaked * 9) / 10,
+      s"banded recall too low: $reported of $exactLeaked")
+  }
+
+  test("q_chat_template: budgets follow the token count and the markup is fixed-size") {
+    val rows = Corpus.qChatTemplate(spark, sf).collect()
+    val docs = Tables.documents(spark, sf).count()
+    assert(rows.map(_.getAs[Long]("n_records")).sum == docs)
+    val maxToks = Tables.documents(spark, sf)
+      .select(max(size(split(lower(trim(col("text"))), " ")))).collect()(0).getInt(0)
+    rows.foreach { r =>
+      // seq budget = tokens + 3 markers, bounded by the corpus' longest doc
+      assert(r.getAs[Long]("max_seq_tokens") <= maxToks + 3)
+      assert(r.getAs[Long]("sum_seq_tokens") > r.getAs[Long]("n_records") * 3)
+    }
+  }
+
+  test("q_compaction_plan: bins conserve rows and respect the fill target") {
+    val plan = Relational.qCompactionPlan(spark, sf).collect()
+    val total = Tables.orders(spark, sf).count()
+    assert(plan.map(_.getAs[Long]("group_rows")).sum == total,
+      "every file lands in exactly one merge group")
+    val target = total / 8 + 1
+    plan.foreach { r =>
+      // a group only exceeds target by its last (straddling) file
+      assert(r.getAs[Long]("group_rows") < target + r.getAs[Long]("largest_file_rows"))
+      assert(r.getAs[Long]("smallest_file_rows") <= r.getAs[Long]("largest_file_rows"))
+    }
+  }
+
+  test("q_filter_sweep: selectivity is monotone in the threshold") {
+    val sweep = Corpus.qFilterSweep(spark, sf).collect().sortBy(_.getAs[Int]("k"))
+    assert(sweep.length == 9)
+    sweep.sliding(2).foreach { case Array(a, b) =>
+      assert(b.getAs[Long]("n_docs_kept") <= a.getAs[Long]("n_docs_kept"),
+        "a stricter threshold can never keep more docs")
+      assert(b.getAs[Long]("threshold_bucket") >= a.getAs[Long]("threshold_bucket"))
+    }
+    // decile thresholds: the k-th cut keeps at most the top (10-k+1)/10
+    // (bucket granularity can round up at the boundary, never below)
+    val n = Tables.documents(spark, sf).count()
+    assert(sweep.last.getAs[Long]("n_docs_kept") <= (n * 2) / 10 + 1)
+  }
+
+  test("q_stream_topk: every window emits a complete, count-ordered board") {
+    val rows = graft.ops.StreamingShaped.qStreamTopk(spark, sf).collect()
+    rows.groupBy(_.getAs[java.sql.Timestamp]("wstart")).foreach { case (_, rs) =>
+      val byRank = rs.sortBy(_.getAs[Int]("rk"))
+      assert(byRank.map(_.getAs[Int]("rk")).toSeq == (1 to byRank.length),
+        "ranks are dense from 1")
+      byRank.sliding(2).foreach {
+        case Array(a, b) => assert(a.getAs[Long]("n") >= b.getAs[Long]("n"))
+        case _ =>
+      }
+    }
+  }
+
+  test("q_golden_record: priority-wins survivorship picks the right feed per attribute") {
+    val g = Dedup.qGoldenRecord(spark, sf).collect()
+      .map(r => r.getAs[Long]("c_custkey") -> r).toMap
+    val c = Tables.customer(spark, sf).collect()
+      .map(r => r.getAs[Long]("c_custkey") -> r).toMap
+    assert(g.keySet == c.keySet, "one golden record per entity")
+    g.foreach { case (k, r) =>
+      val name = c(k).getAs[String]("c_name")
+      if (k % 7 == 0) { // CRM gap → billing's uppercased name wins
+        assert(r.getAs[String]("golden_name") == name.toUpperCase)
+        assert(r.getAs[Long]("name_prio") == 2L)
+      } else {
+        assert(r.getAs[String]("golden_name") == name)
+        assert(r.getAs[Long]("name_prio") == 1L)
+      }
+      // balance: CRM drops k%3=0 → billing (fresh) backfills, never legacy's stale value
+      assert(r.getAs[Long]("bal_prio") == (if (k % 3 == 0) 2L else 1L))
+      assert(r.getAs[Long]("n_feeds") == (if (k % 5 == 0) 2L else 3L))
+    }
+  }
+
+  test("q_dataset_card: facts are internally consistent") {
+    val card = Corpus.qDatasetCard(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getAs[Long]("value")).toMap
+    assert(card("n_docs") == Tables.documents(spark, sf).count())
+    assert(card("p50_doc_tokens") <= card("p90_doc_tokens"))
+    assert(card("mean_doc_tokens_milli") >= card("p50_doc_tokens") * 1000 / 2)
+    assert(card("dup_doc_ppm") <= 1000000L && card("short_doc_ppm") <= 1000000L)
+    assert(card("n_tokens") >= card("n_docs") * 30, "generator docs are ≥30 tokens")
+  }
+}

@@ -409,7 +409,45 @@ object Joins extends QueryModule {
       .orderBy(col("join_name"))
   }
 
+  /** Salting PLAN certificate — the sizing step BEFORE `q_join_salted`'s
+    * mechanism runs: from the per-key row-count profile of a join key with
+    * planted hot keys (~27% of lineitem collapsed onto 2 celebrity keys —
+    * the shape a viral product or a default/null surrogate key produces),
+    * compute each key's salt count against the per-task row target
+    * (⌈total/32⌉, one shuffle partition's fair share) and report the plan
+    * grouped by salt count: how many keys need splitting, the worst task
+    * size before and after, and the dim-side replication the salts cost.
+    * The certificate's claim: after salting, NO task exceeds the target
+    * (max_task_rows_after ≤ target for every row) — skew is bounded by
+    * plan, not by luck.
+    *
+    * Scale shape: the profile is ONE map-side-combinable rollup to |keys|
+    * rows; the plan is arithmetic on the profile. At 100 TB this audit is
+    * what an adaptive engine's skew-join rule computes from shuffle-map
+    * sizes — expressed here as an explicit, testable table. */
+  def qSkewSaltPlan(spark: SparkSession, dir: String): DataFrame = {
+    val cnts = Tables.lineitem(spark, dir)
+      // planted celebrity keys: ~27% of rows fold onto 2 hot ids — the
+      // magnitude at which a fair hash partitioning actually breaks
+      .withColumn("k", expr(
+        "CASE WHEN l_partkey % 11 < 3 THEN l_partkey % 2 ELSE l_partkey END"))
+      .groupBy(col("k")).agg(count(lit(1)).as("cnt"))
+    val tot = cnts.agg(sum(col("cnt")).as("total"))
+    cnts.crossJoin(broadcast(tot))
+      .withColumn("target", expr("div(total, 32) + 1"))
+      .withColumn("n_salts", expr("div(cnt + target - 1, target)"))
+      .groupBy(col("n_salts"))
+      .agg(count(lit(1)).as("n_keys"),
+        sum(col("cnt")).as("rows_total"),
+        max(col("cnt")).as("max_task_rows_before"),
+        max(expr("div(cnt + n_salts - 1, n_salts)")).as("max_task_rows_after"),
+        sum(col("n_salts")).as("dim_replication"),
+        min(col("target")).as("target_rows"))
+      .orderBy(col("n_salts"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_skew_salt_plan" -> (qSkewSaltPlan _),
     "q_join_card_est"  -> (qJoinCardEst _),
     "q_join_bucketed"  -> (qJoinBucketed _),
     "q_join_interval"  -> (qJoinInterval _),
@@ -429,6 +467,24 @@ object Joins extends QueryModule {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_skew_salt_plan" ->
+      """WITH cnts AS (
+        |  SELECT CASE WHEN l_partkey % 11 < 3 THEN l_partkey % 2
+        |              ELSE l_partkey END AS k,
+        |         CAST(COUNT(*) AS BIGINT) AS cnt
+        |  FROM lineitem GROUP BY 1),
+        |tot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS total FROM cnts),
+        |planned AS (
+        |  SELECT k, cnt, total // 32 + 1 AS target,
+        |         (cnt + (total // 32 + 1) - 1) // (total // 32 + 1) AS n_salts
+        |  FROM cnts CROSS JOIN tot)
+        |SELECT n_salts, CAST(COUNT(*) AS BIGINT) AS n_keys,
+        |       CAST(SUM(cnt) AS BIGINT) AS rows_total,
+        |       MAX(cnt) AS max_task_rows_before,
+        |       MAX((cnt + n_salts - 1) // n_salts) AS max_task_rows_after,
+        |       CAST(SUM(n_salts) AS BIGINT) AS dim_replication,
+        |       MIN(target) AS target_rows
+        |FROM planned GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_join_card_est" ->
       """WITH a AS (
         |  SELECT 'customer-orders' AS join_name,

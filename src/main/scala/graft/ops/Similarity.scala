@@ -1019,7 +1019,91 @@ object Similarity extends QueryModule {
       .orderBy(col("qid"), col("rk"))
   }
 
+  /** NN-descent k-NN-graph construction — ONE refinement round of the
+    * standard distributed ANN-graph builder (Dong et al.'s neighbor-of-
+    * neighbor principle: my neighbor's neighbor is probably my neighbor),
+    * with a recall certificate against exact ground truth on a sampled
+    * query set. Round 0 seeds a top-4 graph from 8-bit LSH bucket
+    * collisions (cheap, low-recall); round 1 rescores each node against
+    * its CURRENT neighbors' neighbors (symmetrized) and re-takes the
+    * top 4. The output row per round — candidate pairs scored, graph
+    * edges, recall@4 — is the measured claim that one NoN round buys a
+    * large recall step at bucket-join cost, no all-pairs anywhere.
+    *
+    * Scale shape: round 0 is an equi-join on the 8-bit code (bucket sizes
+    * ~n/256, candidate volume ~n²/256 — the LSH contract); round 1's
+    * candidates are ≤ (2k)² per node from joining the 4-edge graph with
+    * itself on the shared endpoint; ground truth is sample×corpus with the
+    * codegen'd [[graft.functions.CosineSimilarity]], never corpus². Each
+    * top-k is a rank window partitioned by node. */
+  def qAnnNndescent(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    graft.functions.CosineSimilarity.register(spark)
+    // TWO independent 6-bit sign codes (planes 0-5 and 8-13). One table
+    // would make round 0 degenerate: its buckets are complete candidate
+    // cliques, so every in-bucket pair is already scored and the NoN round
+    // can never leave a bucket — measured cand1 == cand0 on this corpus.
+    // Cross-table composition (my table-A neighbor's table-B neighbor) is
+    // what gives NN-descent new candidates to score.
+    def codeOf(planes0: Int): String = (0 until 6).map { h =>
+      val planes = planeWeights(planes0 + h).mkString("array(", ", ", ")")
+      s"""(CASE WHEN aggregate(zip_with(embedding, $planes,
+         |  (x, w) -> CAST(x AS DOUBLE) * w), 0D, (a, b) -> a + b) > 0
+         |  THEN ${1 << h} ELSE 0 END)""".stripMargin
+    }.mkString("(", " + ", ")")
+    val base = Tables.embeddings(spark, dir)
+      .filter(size(col("embedding")) === 64 && expr(normSqExpr) > 0)
+      .select(col("vec_id"), col("embedding"),
+        expr(codeOf(0)).as("code_a"), expr(codeOf(8)).as("code_b"))
+      .localCheckpoint(eager = false) // feeds buckets, scoring, truth
+    val va = base.select(col("vec_id").as("a"), col("embedding").as("va"))
+    val vb = base.select(col("vec_id").as("b"), col("embedding").as("vb"))
+    def topk(cand: DataFrame): DataFrame =
+      cand.join(va, "a").join(vb, "b")
+        .withColumn("cos", expr("cosine_sim(va, vb)"))
+        .withColumn("rk", row_number().over(
+          Window.partitionBy(col("a")).orderBy(col("cos").desc, col("b"))))
+        .filter(col("rk") <= 4).select(col("a"), col("b"))
+    def bucketPairs(c: String): DataFrame =
+      base.select(col("vec_id").as("a"), col(c).as("code"))
+        .join(base.select(col("vec_id").as("b"), col(c).as("code")), "code")
+        .filter(col("a") =!= col("b")).select(col("a"), col("b"))
+    val cand0 = bucketPairs("code_a").unionByName(bucketPairs("code_b")).distinct()
+      .localCheckpoint(eager = false) // counted AND scored
+    val nn0 = topk(cand0).localCheckpoint(eager = false) // graph + next round
+    // symmetrize, then neighbors-of-neighbors through the shared endpoint
+    val u = nn0.unionByName(nn0.select(col("b").as("a"), col("a").as("b")))
+      .distinct().localCheckpoint(eager = false)
+    val cand1 = u.select(col("a"), col("b").as("m"))
+      .join(u.select(col("a").as("m"), col("b")), "m")
+      .filter(col("a") =!= col("b")).select(col("a"), col("b"))
+      .unionByName(u).distinct()
+      .localCheckpoint(eager = false)
+    val nn1 = topk(cand1)
+    // exact ground truth on the sampled queries (every 50th node)
+    val sample = base.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("a"), col("embedding").as("va"))
+    val exact = sample.crossJoin(vb).filter(col("a") =!= col("b"))
+      .withColumn("cos", expr("cosine_sim(va, vb)"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("a")).orderBy(col("cos").desc, col("b"))))
+      .filter(col("rk") <= 4).select(col("a"), col("b"))
+      .localCheckpoint(eager = false) // compared against both rounds
+    def report(round: Int, cand: DataFrame, nn: DataFrame): DataFrame = {
+      val hits = nn.join(exact, Seq("a", "b")).agg(count(lit(1)).as("hits"))
+      val truth = exact.agg(count(lit(1)).as("n_truth"))
+      cand.agg(count(lit(1)).as("n_candidates"))
+        .crossJoin(nn.agg(count(lit(1)).as("knn_edges")))
+        .crossJoin(broadcast(hits)).crossJoin(broadcast(truth))
+        .select(lit(round.toLong).as("round"), col("n_candidates"),
+          col("knn_edges"),
+          expr("div(1000000 * hits, n_truth)").as("recall_ppm"))
+    }
+    report(0, cand0, nn0).unionByName(report(1, cand1, nn1)).orderBy(col("round"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_ann_nndescent"      -> (qAnnNndescent _),
     "q_hard_negatives"     -> (qHardNegatives _),
     "q_confusion"          -> (qConfusion _),
     "q_embed_drift"        -> (qEmbedDrift _),
@@ -1194,6 +1278,69 @@ object Similarity extends QueryModule {
        |    FROM sub b JOIN $cbName c USING (s)) WHERE rn = 1""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "q_ann_nndescent" -> {
+      // identical integer plane weights + left-to-right accumulation as
+      // the Spark code8 (shared planeWeights source of truth)
+      def codeSqlOf(planes0: Int): String = (0 until 6).map { h =>
+        val dot = planeWeights(planes0 + h).zipWithIndex
+          .map { case (w, j) => s"v[${j + 1}] * ($w)" }.mkString(" + ")
+        s"(CASE WHEN $dot > 0 THEN ${1 << h} ELSE 0 END)"
+      }.mkString("(", " + ", ")")
+      s"""WITH e AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        |  WHERE LEN(embedding) = 64
+        |    AND LIST_AGGREGATE(LIST_TRANSFORM(CAST(embedding AS DOUBLE[]),
+        |          x -> x * x), 'sum') > 0),
+        |coded AS (SELECT vec_id, v, ${codeSqlOf(0)} AS code_a,
+        |                 ${codeSqlOf(8)} AS code_b FROM e),
+        |cand0 AS (
+        |  SELECT DISTINCT a, b FROM (
+        |    SELECT c1.vec_id AS a, c2.vec_id AS b
+        |    FROM coded c1 JOIN coded c2 ON c1.code_a = c2.code_a
+        |    WHERE c1.vec_id <> c2.vec_id
+        |    UNION ALL
+        |    SELECT c1.vec_id, c2.vec_id
+        |    FROM coded c1 JOIN coded c2 ON c1.code_b = c2.code_b
+        |    WHERE c1.vec_id <> c2.vec_id)),
+        |nn0 AS (SELECT a, b FROM (
+        |  SELECT cand0.a, cand0.b,
+        |         ROW_NUMBER() OVER (PARTITION BY cand0.a
+        |           ORDER BY LIST_COSINE_SIMILARITY(ea.v, eb.v) DESC, cand0.b) AS rk
+        |  FROM cand0 JOIN e ea ON ea.vec_id = cand0.a
+        |             JOIN e eb ON eb.vec_id = cand0.b) WHERE rk <= 4),
+        |u AS (SELECT DISTINCT a, b FROM (
+        |  SELECT a, b FROM nn0 UNION ALL SELECT b, a FROM nn0)),
+        |cand1 AS (SELECT DISTINCT a, b FROM (
+        |  SELECT u1.a, u2.b FROM u u1 JOIN u u2 ON u1.b = u2.a
+        |  WHERE u1.a <> u2.b
+        |  UNION ALL SELECT a, b FROM u)),
+        |nn1 AS (SELECT a, b FROM (
+        |  SELECT cand1.a, cand1.b,
+        |         ROW_NUMBER() OVER (PARTITION BY cand1.a
+        |           ORDER BY LIST_COSINE_SIMILARITY(ea.v, eb.v) DESC, cand1.b) AS rk
+        |  FROM cand1 JOIN e ea ON ea.vec_id = cand1.a
+        |             JOIN e eb ON eb.vec_id = cand1.b) WHERE rk <= 4),
+        |sample AS (SELECT vec_id AS a, v FROM e WHERE vec_id % 50 = 0),
+        |exact AS (SELECT a, b FROM (
+        |  SELECT s.a, e2.vec_id AS b,
+        |         ROW_NUMBER() OVER (PARTITION BY s.a
+        |           ORDER BY LIST_COSINE_SIMILARITY(s.v, e2.v) DESC, e2.vec_id) AS rk
+        |  FROM sample s JOIN e e2 ON e2.vec_id <> s.a) WHERE rk <= 4)
+        |SELECT CAST(0 AS BIGINT) AS round,
+        |       (SELECT CAST(COUNT(*) AS BIGINT) FROM cand0) AS n_candidates,
+        |       (SELECT CAST(COUNT(*) AS BIGINT) FROM nn0) AS knn_edges,
+        |       (1000000 * (SELECT CAST(COUNT(*) AS BIGINT)
+        |                   FROM nn0 JOIN exact USING (a, b)))
+        |         // (SELECT CAST(COUNT(*) AS BIGINT) FROM exact) AS recall_ppm
+        |UNION ALL
+        |SELECT CAST(1 AS BIGINT),
+        |       (SELECT CAST(COUNT(*) AS BIGINT) FROM cand1),
+        |       (SELECT CAST(COUNT(*) AS BIGINT) FROM nn1),
+        |       (1000000 * (SELECT CAST(COUNT(*) AS BIGINT)
+        |                   FROM nn1 JOIN exact USING (a, b)))
+        |         // (SELECT CAST(COUNT(*) AS BIGINT) FROM exact)
+        |ORDER BY round""".stripMargin
+    },
     "q_confusion" -> {
       val codeSql = (0 until 8).map { h =>
         val dot = planeWeights(h).zipWithIndex

@@ -111,7 +111,39 @@ object StreamingShaped extends QueryModule {
       .select(col("w.start").as("wstart"), col("rk"), col("event_type"), col("n"))
       .orderBy(col("wstart"), col("rk"))
 
+  /** Watermark-lateness census — the measurement that SIZES a watermark
+    * before a streaming job commits to one: replaying each source's events
+    * in arrival order (event_id is the ingest sequence; event_type stands
+    * in for the source partition whose running max event-time drives the
+    * watermark), count how many events would arrive LATE under candidate
+    * delays of 0s / 60s / 5min / 15min, plus the worst observed disorder.
+    * The table answers "withWatermark('ts', how much?)" with data instead
+    * of folklore — pick the smallest delay whose late count is acceptable.
+    *
+    * Scale shape: one window pass per source partition (running max over
+    * arrival order — exactly the state the live watermark tracker keeps),
+    * then a single map-side-combinable rollup; the four candidate delays
+    * are conditional sums in the SAME pass, so the corpus is scanned once,
+    * never once-per-candidate. */
+  def qWatermarkLateness(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .select(col("event_type"), col("event_id"), expr("unix_micros(ts)").as("us"))
+      .withColumn("wm_us", max(col("us")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("event_type"))
+          .orderBy(col("event_id")).rowsBetween(Long.MinValue, -1)))
+      .withColumn("disorder_us", greatest(coalesce(col("wm_us") - col("us"), lit(0L)), lit(0L)))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        max(col("disorder_us")).as("max_disorder_us"),
+        sum(when(col("disorder_us") > 0L, 1L).otherwise(0L)).as("late_0s"),
+        sum(when(col("disorder_us") > 60000000L, 1L).otherwise(0L)).as("late_60s"),
+        sum(when(col("disorder_us") > 300000000L, 1L).otherwise(0L)).as("late_300s"),
+        sum(when(col("disorder_us") > 900000000L, 1L).otherwise(0L)).as("late_900s"))
+      .withColumn("late_60s_ppm", expr("div(1000000 * late_60s, n_events)"))
+      .orderBy(col("event_type"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_watermark_lateness" -> (qWatermarkLateness _),
     "q_stream_topk"    -> (qStreamTopk _),
     "q_stream_dedup"   -> (qStreamDedup _),
     "q_stream_tumble"  -> (qStreamTumble _),
@@ -121,6 +153,31 @@ object StreamingShaped extends QueryModule {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_watermark_lateness" ->
+      """WITH e AS (
+        |  SELECT event_type, event_id, epoch_us(ts) AS us FROM events),
+        |w AS (
+        |  SELECT event_type, us,
+        |         MAX(us) OVER (PARTITION BY event_type ORDER BY event_id
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS wm_us
+        |  FROM e),
+        |d AS (
+        |  SELECT event_type,
+        |         GREATEST(COALESCE(wm_us - us, 0), 0) AS disorder_us
+        |  FROM w)
+        |SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_events,
+        |       MAX(disorder_us) AS max_disorder_us,
+        |       CAST(SUM(CASE WHEN disorder_us > 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |         AS late_0s,
+        |       CAST(SUM(CASE WHEN disorder_us > 60000000 THEN 1 ELSE 0 END) AS BIGINT)
+        |         AS late_60s,
+        |       CAST(SUM(CASE WHEN disorder_us > 300000000 THEN 1 ELSE 0 END) AS BIGINT)
+        |         AS late_300s,
+        |       CAST(SUM(CASE WHEN disorder_us > 900000000 THEN 1 ELSE 0 END) AS BIGINT)
+        |         AS late_900s,
+        |       (1000000 * CAST(SUM(CASE WHEN disorder_us > 60000000 THEN 1 ELSE 0 END)
+        |          AS BIGINT)) // CAST(COUNT(*) AS BIGINT) AS late_60s_ppm
+        |FROM d GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_stream_topk" ->
       """WITH counts AS (
         |  SELECT TIME_BUCKET(INTERVAL '1 hour', ts) AS wstart, event_type,

@@ -1,6 +1,6 @@
 package graft
 
-import graft.ops.{Corpus, Dedup, Profiling, Relational, TextAnalysis}
+import graft.ops.{Corpus, Dedup, Profiling, Relational, Similarity, TextAnalysis}
 import org.apache.spark.sql.functions._
 
 /** Round-8 wave-III operators: lakehouse certificates (zone maps, IVM,
@@ -185,6 +185,42 @@ class WaveThreeSpec extends SparkSpec {
       assert(r.getAs[Long]("bal_prio") == (if (k % 3 == 0) 2L else 1L))
       assert(r.getAs[Long]("n_feeds") == (if (k % 5 == 0) 2L else 3L))
     }
+  }
+
+  test("q_skew_salt_plan: salting bounds every task at the target") {
+    val plan = graft.ops.Joins.qSkewSaltPlan(spark, sf).collect()
+    assert(plan.map(_.getAs[Long]("rows_total")).sum ==
+      Tables.lineitem(spark, sf).count(), "plan conserves the fact rows")
+    assert(plan.exists(_.getAs[Long]("n_salts") > 1), "planted skew must need salting")
+    plan.foreach { r =>
+      assert(r.getAs[Long]("max_task_rows_after") <= r.getAs[Long]("target_rows"),
+        s"salts=${r.getAs[Long]("n_salts")}: task bound violated")
+      assert(r.getAs[Long]("max_task_rows_after") <= r.getAs[Long]("max_task_rows_before"))
+    }
+  }
+
+  test("q_watermark_lateness: late counts shrink as the delay grows") {
+    val rows = graft.ops.StreamingShaped.qWatermarkLateness(spark, sf).collect()
+    assert(rows.map(_.getAs[Long]("n_events")).sum == Tables.events(spark, sf).count())
+    rows.foreach { r =>
+      val l = Seq("late_0s", "late_60s", "late_300s", "late_900s").map(r.getAs[Long])
+      assert(l == l.sorted.reverse, s"lateness must be monotone in delay: $l")
+      assert(l.head <= r.getAs[Long]("n_events"))
+      assert(r.getAs[Long]("max_disorder_us") >= 0L)
+    }
+  }
+
+  test("q_ann_nndescent: the NoN round adds candidates and never loses recall") {
+    val rows = Similarity.qAnnNndescent(spark, sf).collect().sortBy(_.getAs[Long]("round"))
+    assert(rows.length == 2)
+    val (r0, r1) = (rows(0), rows(1))
+    assert(r1.getAs[Long]("n_candidates") > r0.getAs[Long]("n_candidates"),
+      "cross-table NoN must surface pairs no single bucket table scored")
+    assert(r1.getAs[Long]("recall_ppm") >= r0.getAs[Long]("recall_ppm"),
+      "rescoring a superset of candidates can only improve top-4 recall")
+    val n = Tables.embeddings(spark, sf)
+      .filter(expr("size(embedding) = 64")).count()
+    rows.foreach(r => assert(r.getAs[Long]("knn_edges") <= 4 * n))
   }
 
   test("q_dataset_card: facts are internally consistent") {

@@ -101,14 +101,8 @@ object StreamingShaped extends QueryModule {
     * bucket, which Spark plans as WindowGroupLimit-able per-partition
     * work: no global sort, state bounded by |types| per bucket. */
   def qStreamTopk(spark: SparkSession, dir: String): DataFrame =
-    Tables.events(spark, dir)
-      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
-      .agg(count(lit(1)).as("n"))
-      .withColumn("rk", row_number().over(
-        org.apache.spark.sql.expressions.Window.partitionBy(col("w"))
-          .orderBy(col("n").desc, col("event_type"))))
-      .filter(col("rk") <= 3)
-      .select(col("w.start").as("wstart"), col("rk"), col("event_type"), col("n"))
+    graft.streaming.Streams.rankTopk(
+        graft.streaming.Streams.hourlyTypeCounts(Tables.events(spark, dir)))
       .orderBy(col("wstart"), col("rk"))
 
   /** Watermark-lateness census — the measurement that SIZES a watermark

@@ -44,6 +44,30 @@ object Streams {
       .select(col("user_id"), col("w.start").as("session_start"),
         col("w.end").as("session_end"), col("n_events"))
 
+  /** Watermarked per-(hour, type) counts — the aggregation half of the
+    * trending-top-k leaderboard ([[graft.ops.StreamingShaped.qStreamTopk]]
+    * runs [[rankTopk]] over exactly this on batch input). In the live form
+    * the rank is applied per finalized window by the sink (foreachBatch /
+    * on the completed table): rank is not incrementally maintainable
+    * inside the streaming aggregation itself, and doesn't need to be —
+    * each closed window's board is final. */
+  def hourlyTypeCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("w.start").as("wstart"), col("event_type"), col("n"))
+
+  /** Top-k board per window from the counts table — total order
+    * (n DESC, type) so the board is deterministic. */
+  def rankTopk(counts: DataFrame, k: Int = 3): DataFrame =
+    counts
+      .withColumn("rk", org.apache.spark.sql.functions.row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("wstart"))
+          .orderBy(col("n").desc, col("event_type"))))
+      .filter(col("rk") <= k)
+      .select(col("wstart"), col("rk"), col("event_type"), col("n"))
+
   /** Stateful exact dedup by event_id within the watermark horizon —
     * the streaming twin of batch dropDuplicates. */
   def dedupEvents(events: DataFrame): DataFrame =

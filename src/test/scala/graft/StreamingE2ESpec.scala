@@ -31,6 +31,19 @@ class StreamingE2ESpec extends SparkSpec {
     assert(streamed.except(batch).isEmpty && batch.except(streamed).isEmpty)
   }
 
+  test("live trending top-k equals the batch leaderboard") {
+    // the live half: watermarked per-(hour, type) counts over the stream;
+    // the rank half runs on the finalized table — the foreachBatch shape
+    val q = Streams.hourlyTypeCounts(Streams.readEventsStream(spark, eventsDir))
+      .writeStream.format("memory").queryName("e2e_topk")
+      .outputMode("complete").start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = Streams.rankTopk(spark.table("e2e_topk"))
+    val batch = graft.ops.StreamingShaped.qStreamTopk(spark, sf)
+    assert(streamed.count() > 0)
+    assert(streamed.except(batch).isEmpty && batch.except(streamed).isEmpty)
+  }
+
   test("session windows via file stream conserve events") {
     val q = Streams.sessionCounts(Streams.readEventsStream(spark, eventsDir))
       .writeStream.format("memory").queryName("e2e_session")

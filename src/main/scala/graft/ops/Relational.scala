@@ -520,6 +520,39 @@ object Relational extends QueryModule {
       .orderBy(col("o_orderpriority"))
   }
 
+  /** Dynamic partition pruning certificate — the runtime half of partition
+    * pruning ([[qSinkPartitionPrune]] is the static half): the fact table
+    * is written partitioned by calendar month, the month dimension is
+    * filtered on an attribute the fact doesn't carry (quarter), and the
+    * join key is the partition column — so the months to scan are only
+    * known at RUNTIME, from the broadcast dim. Spark inserts a
+    * DynamicPruningSubquery into the fact scan's partition filters and the
+    * scan reads 3 of ~80 month directories; without DPP it reads all of
+    * them and discards 96% post-join. The executed plan is spec-pinned to
+    * contain the dynamic-pruning filter. At 100 TB this is THE mechanism
+    * that makes star-schema queries touch only the partitions the dim
+    * filter implies. */
+  def qJoinDpp(spark: SparkSession, dir: String): DataFrame = {
+    val sink = s"$sinkRoot${Integer.toHexString(dir.hashCode)}/orders_by_month"
+    Tables.orders(spark, dir)
+      .withColumn("omonth",
+        expr("CAST(year(o_orderdate) * 100 + month(o_orderdate) AS INT)"))
+      .write.mode("overwrite").partitionBy("omonth").parquet(sink)
+    val fact = spark.read.parquet(sink)
+    // month dim: every calendar month with its quarter label — the filter
+    // column exists ONLY here, so pruning must flow through the join
+    val dim = spark.range(0, 12L * 10)
+      .select((lit(1995) + col("id") / 12).cast("int").as("y"),
+        (col("id") % 12 + 1).cast("int").as("m"))
+      .select((col("y") * 100 + col("m")).cast("int").as("omonth"),
+        concat(col("y"), lit("-Q"), ((col("m") - 1) / 3 + 1).cast("int")).as("quarter"))
+    fact.join(broadcast(dim.filter(col("quarter") === "1996-Q1")), "omonth")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"),
+        sum(expr("CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)")).as("cents"))
+      .orderBy(col("o_orderpriority"))
+  }
+
   /** Compaction planning certificate — the OPTIMIZE scheduler's first
     * step: given the current small-file census (orders sharded by calendar
     * month — the natural ingest partitioning, with real size skew), plan
@@ -556,6 +589,7 @@ object Relational extends QueryModule {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_join_dpp" -> (qJoinDpp _),
     "q_compaction_plan" -> (qCompactionPlan _),
     "q_zonemap_prune" -> (qZonemapPrune _),
     "q_ivm_agg" -> (qIvmAgg _),
@@ -580,6 +614,13 @@ object Relational extends QueryModule {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_join_dpp" ->
+      """SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n,
+        |       CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+        |         AS cents
+        |FROM orders
+        |WHERE YEAR(o_orderdate) = 1996 AND MONTH(o_orderdate) <= 3
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_compaction_plan" ->
       """WITH census AS (
         |  SELECT YEAR(o_orderdate) * 100 + MONTH(o_orderdate) AS file_id,

@@ -187,6 +187,18 @@ class WaveThreeSpec extends SparkSpec {
     }
   }
 
+  test("q_join_dpp: the fact scan carries a runtime dynamic-pruning partition filter") {
+    val df = Relational.qJoinDpp(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.toLowerCase.contains("dynamicpruning"),
+      "partition filter must come from the broadcast dim at runtime:\n" +
+        plan.linesIterator.take(25).mkString("\n"))
+    // and the answer matches a direct quarter filter on the source
+    val direct = Tables.orders(spark, sf)
+      .filter(expr("year(o_orderdate) = 1996 AND month(o_orderdate) <= 3")).count()
+    assert(df.agg(sum("n")).collect()(0).getLong(0) == direct)
+  }
+
   test("q_skew_salt_plan: salting bounds every task at the target") {
     val plan = graft.ops.Joins.qSkewSaltPlan(spark, sf).collect()
     assert(plan.map(_.getAs[Long]("rows_total")).sum ==

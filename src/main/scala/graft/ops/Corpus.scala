@@ -1046,7 +1046,81 @@ object Corpus extends QueryModule {
       .orderBy(col("metric"))
   }
 
+  /** Prefix-cache hit-rate census — the SERVING-side planning number a
+    * KV-cache-sharing deployment wants from its corpus: how many requests
+    * share an exact 3-token prefix with an earlier one (each group of c
+    * identical prefixes serves c−1 requests from cache), and how many
+    * prefix-characters of recompute that saves. The per-(lang, prefix)
+    * rollup is the only corpus-sized pass; everything after is
+    * group-bounded arithmetic.
+    *
+    * Scale shape: one map-side-combinable hash aggregation on (lang,
+    * prefix); at 100 TB this is the exact shape of the prefix-popularity
+    * table a router builds to decide what to pin. */
+  def qPrefixCache(spark: SparkSession, dir: String): DataFrame = {
+    val pref = Tables.documents(spark, dir)
+      .withColumn("toks", split(lower(trim(col("text"))), " "))
+      .select(col("lang"),
+        expr("concat_ws(' ', slice(toks, 1, 3))").as("prefix"))
+      .withColumn("plen", length(col("prefix")).cast("long"))
+    pref.groupBy(col("lang"), col("prefix"))
+      .agg(count(lit(1)).as("c"), min(col("plen")).as("plen"))
+      .groupBy(col("lang"))
+      .agg(sum(col("c")).as("n_docs"),
+        count(lit(1)).as("n_prefixes"),
+        sum((col("c") - 1) * col("plen")).as("chars_saved"),
+        max(col("c")).as("hottest_prefix_docs"))
+      .withColumn("cache_hit_ppm",
+        expr("div(1000000 * (n_docs - n_prefixes), n_docs)"))
+      .orderBy(col("lang"))
+  }
+
+  /** Preference-pair degeneracy audit (ROUGE-style set overlap) — the QA
+    * pass RLHF data runs before training: a chosen/rejected pair whose
+    * texts are near-identical teaches the reward model nothing (and a
+    * pair with zero overlap is probably mis-mined), so for every mined
+    * pair ([[qPreferencePairs]]'s exact max/min-struct selection, reused
+    * verbatim) compute unigram- and bigram-set F1 between the two sides —
+    * 2·|A∩B|/(|A|+|B|) in exact ppm — and roll up per language with the
+    * degenerate count (F1 > 0.5).
+    *
+    * Scale shape: pair mining is the one corpus rollup; overlap is
+    * map-only per pair on the ≤|lang×source| mined pairs, each scoring
+    * one array_intersect of two bounded token sets. */
+  def qRougeOverlap(spark: SparkSession, dir: String): DataFrame = {
+    val toksOf = (c: String) => split(lower(trim(col(c))), " ")
+    def gramsExpr(t: String) =
+      s"""CASE WHEN size($t) < 2 THEN array()
+         |ELSE transform(sequence(0, size($t) - 2),
+         |  i -> concat($t[i], ' ', $t[i + 1])) END""".stripMargin
+    val pairs = qPreferencePairs(spark, dir)
+      .select(col("lang"), col("source"), col("chosen_id"), col("rejected_id"))
+    val docs = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+    val scored = pairs
+      .join(docs.select(col("doc_id").as("chosen_id"), col("text").as("t_ch")), "chosen_id")
+      .join(docs.select(col("doc_id").as("rejected_id"), col("text").as("t_rj")), "rejected_id")
+      .withColumn("a1", array_distinct(toksOf("t_ch")))
+      .withColumn("b1", array_distinct(toksOf("t_rj")))
+      .withColumn("ta", toksOf("t_ch")).withColumn("tb", toksOf("t_rj"))
+      .withColumn("a2", array_distinct(expr(gramsExpr("ta"))))
+      .withColumn("b2", array_distinct(expr(gramsExpr("tb"))))
+      .select(col("lang"),
+        expr("div(2000000 * CAST(size(array_intersect(a1, b1)) AS BIGINT), " +
+          "size(a1) + size(b1))").as("uni_f1_ppm"),
+        expr("div(2000000 * CAST(size(array_intersect(a2, b2)) AS BIGINT), " +
+          "greatest(size(a2) + size(b2), 1))").as("bi_f1_ppm"))
+    scored.groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_pairs"),
+        expr("div(sum(uni_f1_ppm), count(1))").as("mean_uni_f1_ppm"),
+        expr("div(sum(bi_f1_ppm), count(1))").as("mean_bi_f1_ppm"),
+        max(col("bi_f1_ppm")).as("max_bi_f1_ppm"),
+        sum(when(col("bi_f1_ppm") > 500000L, 1L).otherwise(0L)).as("n_degenerate"))
+      .orderBy(col("lang"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_prefix_cache" -> (qPrefixCache _),
+    "q_rouge_overlap" -> (qRougeOverlap _),
     "q_filter_sweep" -> (qFilterSweep _),
     "q_chat_template" -> (qChatTemplate _),
     "q_dataset_card" -> (qDatasetCard _),
@@ -1180,6 +1254,69 @@ object Corpus extends QueryModule {
       |pd AS (SELECT *, m_ppm // 1000 AS bucket FROM per_doc)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "q_prefix_cache" ->
+      """WITH p AS (
+        |  SELECT lang,
+        |         ARRAY_TO_STRING((STRING_SPLIT(LOWER(TRIM(text)), ' '))[1:3], ' ')
+        |           AS prefix
+        |  FROM documents),
+        |g AS (
+        |  SELECT lang, prefix, CAST(COUNT(*) AS BIGINT) AS c,
+        |         CAST(MIN(LENGTH(prefix)) AS BIGINT) AS plen
+        |  FROM p GROUP BY 1, 2)
+        |SELECT lang, CAST(SUM(c) AS BIGINT) AS n_docs,
+        |       CAST(COUNT(*) AS BIGINT) AS n_prefixes,
+        |       CAST(SUM((c - 1) * plen) AS BIGINT) AS chars_saved,
+        |       MAX(c) AS hottest_prefix_docs,
+        |       (1000000 * (CAST(SUM(c) AS BIGINT) - CAST(COUNT(*) AS BIGINT)))
+        |         // CAST(SUM(c) AS BIGINT) AS cache_hit_ppm
+        |FROM g GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_rouge_overlap" ->
+      """WITH scored AS (
+        |  SELECT lang, source, doc_id,
+        |         CAST(LEN(LIST_DISTINCT(STRING_SPLIT(LOWER(TRIM(text)), ' '))) AS BIGINT)
+        |           * 1000 + n_chars AS s
+        |  FROM documents),
+        |ch AS (SELECT lang, source, doc_id, s, ROW_NUMBER() OVER (
+        |         PARTITION BY lang, source ORDER BY s DESC, doc_id DESC) AS rk
+        |       FROM scored),
+        |rj AS (SELECT lang, source, doc_id, s, ROW_NUMBER() OVER (
+        |         PARTITION BY lang, source ORDER BY s ASC, doc_id ASC) AS rk
+        |       FROM scored),
+        |n AS (SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS n_docs
+        |      FROM scored GROUP BY 1, 2),
+        |pairs AS (
+        |  SELECT n.lang, ch.doc_id AS chosen_id, rj.doc_id AS rejected_id
+        |  FROM n
+        |  JOIN ch ON ch.lang = n.lang AND ch.source = n.source AND ch.rk = 1
+        |  JOIN rj ON rj.lang = n.lang AND rj.source = n.source AND rj.rk = 1
+        |  WHERE n.n_docs >= 2 AND ch.s > rj.s),
+        |grams AS (
+        |  SELECT doc_id,
+        |         LIST_DISTINCT(STRING_SPLIT(LOWER(TRIM(text)), ' ')) AS g1,
+        |         LIST_DISTINCT(CASE WHEN LEN(STRING_SPLIT(LOWER(TRIM(text)), ' ')) < 2
+        |           THEN []
+        |           ELSE LIST_TRANSFORM(
+        |             RANGE(1, LEN(STRING_SPLIT(LOWER(TRIM(text)), ' '))),
+        |             i -> STRING_SPLIT(LOWER(TRIM(text)), ' ')[i] || ' '
+        |                  || STRING_SPLIT(LOWER(TRIM(text)), ' ')[i + 1]) END) AS g2
+        |  FROM documents),
+        |f AS (
+        |  SELECT p.lang,
+        |         (2000000 * CAST(LEN(LIST_INTERSECT(a.g1, b.g1)) AS BIGINT))
+        |           // (LEN(a.g1) + LEN(b.g1)) AS uni_f1_ppm,
+        |         (2000000 * CAST(LEN(LIST_INTERSECT(a.g2, b.g2)) AS BIGINT))
+        |           // GREATEST(LEN(a.g2) + LEN(b.g2), 1) AS bi_f1_ppm
+        |  FROM pairs p
+        |  JOIN grams a ON a.doc_id = p.chosen_id
+        |  JOIN grams b ON b.doc_id = p.rejected_id)
+        |SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+        |       CAST(SUM(uni_f1_ppm) // COUNT(*) AS BIGINT) AS mean_uni_f1_ppm,
+        |       CAST(SUM(bi_f1_ppm) // COUNT(*) AS BIGINT) AS mean_bi_f1_ppm,
+        |       MAX(bi_f1_ppm) AS max_bi_f1_ppm,
+        |       CAST(SUM(CASE WHEN bi_f1_ppm > 500000 THEN 1 ELSE 0 END) AS BIGINT)
+        |         AS n_degenerate
+        |FROM f GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_filter_sweep" -> {
       val tCols = (1 to 9).map(k =>
         s"MIN(CASE WHEN cum >= ($k * n_all + 9) // 10 THEN bucket END) AS t$k")

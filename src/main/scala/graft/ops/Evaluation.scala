@@ -280,7 +280,47 @@ object Evaluation extends QueryModule {
       .orderBy(col("dow"))
   }
 
+  /** Kendall rank agreement between two scoring functions — the metric an
+    * eval harness reports when deciding whether a cheap ranker can stand
+    * in for an expensive one: over each language's top-30 documents (by
+    * score A = length, the cheap signal), how often do score A and
+    * score B = lexical diversity order a pair the same way? Exact
+    * integers: concordant/discordant from cross-multiplied sign
+    * comparisons, ties counted separately, tau-a in ppm.
+    *
+    * Scale shape: the candidate lists are rank-window-bounded (30 per
+    * language), so the pair self-join is per-language CONSTANT work
+    * (435 pairs) after one corpus scan — the `q_theil_sen` bounded-profile
+    * discipline applied to rank correlation. */
+  def qRankTau(spark: SparkSession, dir: String): DataFrame = {
+    val scored = Tables.documents(spark, dir)
+      .withColumn("toks", split(lower(trim(col("text"))), " "))
+      .select(col("lang"), col("doc_id"), col("n_chars").as("score_a"),
+        expr("div(1000000 * cast(size(array_distinct(toks)) as bigint), size(toks))")
+          .as("score_b"))
+    val top = scored
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("lang")).orderBy(col("score_a").desc, col("doc_id"))))
+      .filter(col("rk") <= 30)
+      .localCheckpoint(eager = false) // bounded list feeds both pair sides
+    val l = top.select(col("lang"), col("doc_id").as("i"),
+      col("score_a").as("a1"), col("score_b").as("b1"))
+    val r = top.select(col("lang"), col("doc_id").as("j"),
+      col("score_a").as("a2"), col("score_b").as("b2"))
+    l.join(r, Seq("lang")).filter(col("i") < col("j"))
+      .withColumn("s", expr(
+        "CAST(sign(a1 - a2) AS BIGINT) * CAST(sign(b1 - b2) AS BIGINT)"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(when(col("s") > 0, 1L).otherwise(0L)).as("concordant"),
+        sum(when(col("s") < 0, 1L).otherwise(0L)).as("discordant"),
+        sum(when(col("s") === 0, 1L).otherwise(0L)).as("ties"))
+      .withColumn("tau_ppm", expr("div(1000000 * (concordant - discordant), n_pairs)"))
+      .orderBy(col("lang"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_rank_tau"         -> (qRankTau _),
     "q_offpolicy_ips"    -> (qOffpolicyIps _),
     "q_kappa"            -> (qKappa _),
     "q_coldstart"        -> (qColdstart _),
@@ -293,6 +333,31 @@ object Evaluation extends QueryModule {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_rank_tau" ->
+      """WITH scored AS (
+        |  SELECT lang, doc_id, n_chars AS score_a,
+        |         (1000000 * CAST(LEN(LIST_DISTINCT(STRING_SPLIT(LOWER(TRIM(text)), ' ')))
+        |            AS BIGINT))
+        |           // CAST(LEN(STRING_SPLIT(LOWER(TRIM(text)), ' ')) AS BIGINT) AS score_b
+        |  FROM documents),
+        |top AS (
+        |  SELECT lang, doc_id, score_a, score_b FROM (
+        |    SELECT *, ROW_NUMBER() OVER (PARTITION BY lang
+        |                                 ORDER BY score_a DESC, doc_id) AS rk
+        |    FROM scored) WHERE rk <= 30),
+        |pairs AS (
+        |  SELECT l.lang,
+        |         CAST(SIGN(l.score_a - r.score_a) AS BIGINT)
+        |           * CAST(SIGN(l.score_b - r.score_b) AS BIGINT) AS s
+        |  FROM top l JOIN top r ON l.lang = r.lang AND l.doc_id < r.doc_id)
+        |SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+        |       CAST(SUM(CASE WHEN s > 0 THEN 1 ELSE 0 END) AS BIGINT) AS concordant,
+        |       CAST(SUM(CASE WHEN s < 0 THEN 1 ELSE 0 END) AS BIGINT) AS discordant,
+        |       CAST(SUM(CASE WHEN s = 0 THEN 1 ELSE 0 END) AS BIGINT) AS ties,
+        |       (1000000 * (CAST(SUM(CASE WHEN s > 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |                   - CAST(SUM(CASE WHEN s < 0 THEN 1 ELSE 0 END) AS BIGINT)))
+        |         // CAST(COUNT(*) AS BIGINT) AS tau_ppm
+        |FROM pairs GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_offpolicy_ips" ->
       """WITH e AS (
         |  SELECT DAYOFWEEK(ts) + 1 AS dow,

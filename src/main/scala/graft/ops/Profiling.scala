@@ -973,6 +973,43 @@ object Profiling extends QueryModule {
       .orderBy(col("true_count").desc, col("token"))
   }
 
+  /** Second-frequency-moment (self-join size) sketch certificate — the
+    * AMS/CMS estimate a cost-based optimizer uses to size a join BEFORE
+    * running it: F2 = Σ c_k² is the exact row count of the key's
+    * self-join, and the Count-Min row dot product Σ_j cell_j² NEVER
+    * underestimates it (cross terms are non-negative), so min over the 4
+    * independent rows is a one-sided bound, exactly like
+    * [[qCountMin]]'s point estimates. Output: exact F2 (from the key
+    * profile), the sketch estimate, and the overestimate in ppm — the
+    * measured price of estimating a 6M-row join from 1 KB of state.
+    *
+    * Scale shape: the sketch is ONE map-side-combinable rollup into 4×256
+    * mergeable cells (per-partition sketches OR together by addition);
+    * the exact side is the key profile the skew audit already pays for.
+    * At 100 TB only the sketch side would run — the exact column exists
+    * because this is a certificate. */
+  def qF2Sketch(spark: SparkSession, dir: String): DataFrame = {
+    val W = 256
+    def bucket(j: Int, k: org.apache.spark.sql.Column) =
+      (conv(substring(md5(concat(lit(s"$j:"), k.cast("string"))), 1, 15), 16, 10)
+        .cast("long") % W)
+    val keys = Tables.lineitem(spark, dir).select(col("l_partkey").as("k"))
+      .localCheckpoint(eager = false) // feeds the sketch AND the exact F2
+    val cells = keys
+      .select(explode(array((0 until 4).map(j =>
+        struct(lit(j).as("row_id"), bucket(j, col("k")).as("bucket"))): _*)).as("c"))
+      .groupBy(col("c.row_id").as("row_id"), col("c.bucket").as("bucket"))
+      .agg(count(lit(1)).as("cell"))
+    val est = cells.groupBy(col("row_id"))
+      .agg(sum(col("cell") * col("cell")).as("row_est"))
+      .agg(min(col("row_est")).as("f2_est"))
+    val exact = keys.groupBy(col("k")).agg(count(lit(1)).as("c"))
+      .agg(count(lit(1)).as("n_keys"), sum(col("c") * col("c")).as("f2_exact"))
+    exact.crossJoin(broadcast(est))
+      .select(col("n_keys"), col("f2_exact"), col("f2_est"),
+        expr("div(1000000 * (f2_est - f2_exact), f2_exact)").as("over_ppm"))
+  }
+
   /** Worst-slice finder — the dataset-debugging QA pass that ranks
     * (lang, source) slices by a per-document quality metric (distinct-token
     * ratio, in ppm integers) against the global mean, keeping only slices
@@ -1092,6 +1129,7 @@ object Profiling extends QueryModule {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_bloom_fpr"      -> (qBloomFpr _),
     "q_theil_sen"      -> (qTheilSen _),
+    "q_f2_sketch"      -> (qF2Sketch _),
     "q_count_min"      -> (qCountMin _),
     "q_slice_finder"   -> (qSliceFinder _),
     "q_forecast_holt"  -> (qForecastHolt _),
@@ -1156,6 +1194,26 @@ object Profiling extends QueryModule {
   }
 
   val oracle: Map[String, String] = Map(
+    "q_f2_sketch" ->
+      """WITH keys AS (SELECT CAST(l_partkey AS VARCHAR) AS k FROM lineitem),
+        |cells AS (
+        |  SELECT j AS row_id,
+        |         CAST('0x' || SUBSTR(MD5(CAST(j AS VARCHAR) || ':' || k), 1, 15)
+        |              AS BIGINT) % 256 AS bucket,
+        |         CAST(COUNT(*) AS BIGINT) AS cell
+        |  FROM keys, UNNEST(RANGE(0, 4)) AS t(j)
+        |  GROUP BY 1, 2),
+        |est AS (
+        |  SELECT MIN(row_est) AS f2_est FROM (
+        |    SELECT row_id, CAST(SUM(cell * cell) AS BIGINT) AS row_est
+        |    FROM cells GROUP BY 1)),
+        |exact AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS n_keys,
+        |         CAST(SUM(c * c) AS BIGINT) AS f2_exact
+        |  FROM (SELECT k, CAST(COUNT(*) AS BIGINT) AS c FROM keys GROUP BY k))
+        |SELECT n_keys, f2_exact, f2_est,
+        |       (1000000 * (f2_est - f2_exact)) // f2_exact AS over_ppm
+        |FROM exact CROSS JOIN est""".stripMargin,
     "q_bloom_fpr" ->
       """WITH members AS (
         |  SELECT DISTINCT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'),

@@ -231,7 +231,30 @@ object Reshape extends QueryModule {
       .orderBy(col("split"))
   }
 
+  /** SQL PIVOT clause surface — the same reshape as [[qPivot]]'s DataFrame
+    * `.pivot(...)`, but through the SQL grammar a BI layer emits (`PIVOT
+    * (agg FOR col IN (...))` with multiple aggregates, which names output
+    * columns `{value}_{alias}`). Money pivots in exact integer cents.
+    * Plans identically to the DataFrame form: one hash aggregation on the
+    * group key with the pivot values as conditional aggregates — the IN
+    * list is compile-time-bounded, so the row explosion a naive
+    * crosstab would pay never happens. */
+  def qSqlPivot(spark: SparkSession, dir: String): DataFrame = {
+    val sfx = java.lang.Integer.toHexString(dir.hashCode)
+    val v = s"orders_pivot_$sfx"
+    Tables.orders(spark, dir).createOrReplaceTempView(v)
+    try spark.sql(
+      s"""SELECT * FROM (
+        |  SELECT o_orderpriority AS priority, year(o_orderdate) AS yr,
+        |         CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+        |  FROM $v)
+        |PIVOT (COUNT(cents) AS n, SUM(cents) AS cents FOR yr IN (1995, 1996, 1997))
+        |ORDER BY priority""".stripMargin)
+    finally spark.catalog.dropTempView(v)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_sql_pivot"  -> (qSqlPivot _),
     "q_sample_split"      -> (qSampleSplit _),
     "q_pivot"             -> (qPivot _),
     "q_unpivot"           -> (qUnpivot _),
@@ -244,6 +267,24 @@ object Reshape extends QueryModule {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_sql_pivot" ->
+      """SELECT o_orderpriority AS priority,
+        |       CAST(COUNT(CASE WHEN YEAR(o_orderdate) = 1995 THEN 1 END) AS BIGINT)
+        |         AS "1995_n",
+        |       CAST(SUM(CASE WHEN YEAR(o_orderdate) = 1995
+        |                THEN CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) END)
+        |            AS BIGINT) AS "1995_cents",
+        |       CAST(COUNT(CASE WHEN YEAR(o_orderdate) = 1996 THEN 1 END) AS BIGINT)
+        |         AS "1996_n",
+        |       CAST(SUM(CASE WHEN YEAR(o_orderdate) = 1996
+        |                THEN CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) END)
+        |            AS BIGINT) AS "1996_cents",
+        |       CAST(COUNT(CASE WHEN YEAR(o_orderdate) = 1997 THEN 1 END) AS BIGINT)
+        |         AS "1997_n",
+        |       CAST(SUM(CASE WHEN YEAR(o_orderdate) = 1997
+        |                THEN CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) END)
+        |            AS BIGINT) AS "1997_cents"
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_sql_lateral" ->
       """SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
         |FROM customer c,

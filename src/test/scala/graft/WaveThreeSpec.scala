@@ -235,6 +235,57 @@ class WaveThreeSpec extends SparkSpec {
     rows.foreach(r => assert(r.getAs[Long]("knn_edges") <= 4 * n))
   }
 
+  test("q_f2_sketch: the CMS row dot product never underestimates F2") {
+    val r = Profiling.qF2Sketch(spark, sf).collect()(0)
+    assert(r.getAs[Long]("f2_est") >= r.getAs[Long]("f2_exact"),
+      "cross terms are non-negative — the estimate is one-sided")
+    assert(r.getAs[Long]("over_ppm") >= 0L)
+    assert(r.getAs[Long]("f2_exact") >= Tables.lineitem(spark, sf).count(),
+      "F2 >= F1 always")
+  }
+
+  test("q_sql_pivot: the SQL PIVOT clause conserves the grouped rows") {
+    val p = graft.ops.Reshape.qSqlPivot(spark, sf).collect()
+    assert(p.length == 5, "one row per priority")
+    val pivotN = p.map(r => Seq("1995_n", "1996_n", "1997_n").map(r.getAs[Long]).sum).sum
+    val direct = Tables.orders(spark, sf)
+      .filter(expr("year(o_orderdate) BETWEEN 1995 AND 1997")).count()
+    assert(pivotN == direct)
+  }
+
+  test("q_rank_tau: pair algebra is exact and tau is bounded") {
+    graft.ops.Evaluation.qRankTau(spark, sf).collect().foreach { r =>
+      val (c, d, t) = (r.getAs[Long]("concordant"), r.getAs[Long]("discordant"),
+        r.getAs[Long]("ties"))
+      assert(c + d + t == r.getAs[Long]("n_pairs"))
+      assert(r.getAs[Long]("n_pairs") == 30L * 29 / 2)
+      assert(math.abs(r.getAs[Long]("tau_ppm")) <= 1000000L)
+    }
+  }
+
+  test("q_prefix_cache: group arithmetic conserves docs and bounds the hit rate") {
+    val rows = Corpus.qPrefixCache(spark, sf).collect()
+    assert(rows.map(_.getAs[Long]("n_docs")).sum == Tables.documents(spark, sf).count())
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_prefixes") <= r.getAs[Long]("n_docs"))
+      val hit = r.getAs[Long]("cache_hit_ppm")
+      assert(hit >= 0L && hit < 1000000L)
+      assert((r.getAs[Long]("hottest_prefix_docs") > 1) == (hit > 0L))
+    }
+  }
+
+  test("q_rouge_overlap: one row per mined pair, F1 bounded, grams tighter than unigrams") {
+    val mined = Corpus.qPreferencePairs(spark, sf).count()
+    val rows = Corpus.qRougeOverlap(spark, sf).collect()
+    assert(rows.map(_.getAs[Long]("n_pairs")).sum == mined)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("mean_uni_f1_ppm") <= 1000000L)
+      // shared bigrams require shared unigrams: bigram F1 can't exceed ~uni
+      assert(r.getAs[Long]("mean_bi_f1_ppm") <= r.getAs[Long]("mean_uni_f1_ppm"))
+      assert(r.getAs[Long]("n_degenerate") <= r.getAs[Long]("n_pairs"))
+    }
+  }
+
   test("q_dataset_card: facts are internally consistent") {
     val card = Corpus.qDatasetCard(spark, sf).collect()
       .map(r => r.getString(0) -> r.getAs[Long]("value")).toMap

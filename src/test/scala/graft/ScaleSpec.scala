@@ -72,13 +72,60 @@ class ScaleSpec extends SparkSpec {
     val (zScan, zRows) = scanned(s"$base/zorder")
     val (lScan, lRows) = scanned(s"$base/linear")
     assert(zRows == 1024 && lRows == 1024, "both layouts return the same box")
-    // box [0,32)^2 = z < 1024 touches ~3 of the 64 z-range files
-    // (repartitionByRange samples boundaries, so rectangles are contiguous
-    // z-slabs, not power-of-two aligned — measured ~2,957 rows scanned);
-    // the linear layout reads all 8 x-range files that carry the full y
-    // range (8,192 rows). Assert the conservative 2x bound.
-    assert(zScan * 2 <= lScan,
-      s"z-order must out-prune the linear layout: z=$zScan linear=$lScan")
+    // Arithmetic z-slabs are deterministic and bit-aligned on this
+    // power-of-two grid: slab 0 = z in [0, 1024) = EXACTLY the query box
+    // [0,32)^2, so the scan reads one file / one row group — 1,024 rows,
+    // no more. The linear layout reads all 8 x-range files that carry the
+    // full y range (8,192 rows). Exact assertions: any sampling or
+    // misalignment regression fails this deterministically.
+    assert(zScan == 1024,
+      s"aligned z-slab layout must scan exactly the matching file: z=$zScan")
+    assert(lScan == 8192,
+      s"linear layout scans the 8 x-files spanning all y: linear=$lScan")
+  }
+
+  test("zorderBy output files cover disjoint z ranges, deterministically") {
+    import org.apache.spark.sql.functions._
+    val grid = spark.range(1 << 14).select(
+      (col("id") % 128).as("x"), ((col("id") / 128) % 128).as("y"),
+      col("id").as("payload"))
+    def slabRanges(): Seq[(Long, Long)] = {
+      val parts = Scale.zorderBy(grid, "x", "y", 16)
+        .withColumn("z", Scale.zorder(col("x"), col("y")))
+        .withColumn("pid", spark_partition_id())
+        .groupBy("pid").agg(min("z").as("lo"), max("z").as("hi"))
+        .orderBy("lo")
+        .collect().map(r => (r.getLong(1), r.getLong(2))).toSeq
+      parts
+    }
+    val r1 = slabRanges()
+    assert(r1.size == 16, s"all 16 slabs populated on a uniform grid: ${r1.size}")
+    r1.sliding(2).foreach { case Seq((_, hi), (lo, _)) =>
+      assert(hi < lo, s"z ranges must be disjoint: hi=$hi lo=$lo")
+    case _ => ()
+    }
+    // bit-aligned: each slab spans exactly 2^14/16 = 1024 z values
+    r1.zipWithIndex.foreach { case ((lo, hi), i) =>
+      assert(lo == i * 1024L && hi == i * 1024L + 1023L,
+        s"slab $i must be the aligned [${i * 1024}, ${i * 1024 + 1023}] range, got [$lo, $hi]")
+    }
+    // no sampling anywhere: a second run yields the identical layout
+    assert(slabRanges() == r1, "layout must be deterministic run-to-run")
+  }
+
+  test("injectiveHashTokens routes slab s to partition s for common fan-outs") {
+    for (n <- Seq(1, 2, 3, 16, 64, 200)) {
+      val toks = Scale.injectiveHashTokens(n)
+      assert(toks.distinct.length == n)
+      // the contract: Spark's own hash partitioning of the token == slab id
+      val ids = spark.createDataFrame(
+        toks.zipWithIndex.map { case (t, s) => (s, t) }.toSeq).toDF("slab", "tok")
+        .repartition(n, col("tok"))
+        .select(col("slab"), spark_partition_id().as("pid"))
+        .collect()
+      ids.foreach(r => assert(r.getInt(0) == r.getInt(1),
+        s"n=$n: slab ${r.getInt(0)} landed in partition ${r.getInt(1)}"))
+    }
   }
 
   test("compaction collapses a many-small-files layout and preserves the data") {

@@ -998,7 +998,9 @@ object Corpus extends QueryModule {
   /** Dataset card — the one-page "datasheet for the dataset" a corpus
     * release ships with, computed as a single certificate table of named
     * integer facts: sizes (docs, tokens, vocabulary, languages, sources),
-    * hygiene (exact-duplicate ppm, short-doc ppm), and shape (mean/p50/p90
+    * hygiene (REMOVABLE exact-duplicate ppm — c−1 excess copies per
+    * duplicate group, what a dedup pass would delete; short-doc ppm), and
+    * shape (mean/p50/p90
     * document length). Percentiles come from the BOUNDED length-bucket
     * profile (cumulative counts over ≤ token-length-domain rows), never a
     * corpus-wide sort — the `q_curriculum_bins` discipline.
@@ -1018,9 +1020,12 @@ object Corpus extends QueryModule {
       sum(when(col("n") < 35, 1L).otherwise(0L)).as("n_short"))
     val vocab = docs.select(explode(col("toks")).as("token"))
       .agg(countDistinct(col("token")).as("vocab_size"))
+    // c-1 per group: the EXCESS copies an exact-dedup pass would remove
+    // (sum(c) would double-count the kept representative — a pairwise dup
+    // would read as 2x the removable rate)
     val dups = docs.groupBy(md5(lower(trim(col("text")))).as("h"))
       .agg(count(lit(1)).as("c"))
-      .agg(coalesce(sum(when(col("c") > 1, col("c"))), lit(0L)).as("n_dup_docs"))
+      .agg(coalesce(sum(when(col("c") > 1, col("c") - 1)), lit(0L)).as("n_dup_docs"))
     val prof = docs.groupBy(col("n")).agg(count(lit(1)).as("c"))
       .withColumn("cum", sum(col("c")).over(
         Window.orderBy(col("n")).rowsBetween(Window.unboundedPreceding, Window.currentRow)))
@@ -1253,6 +1258,27 @@ object Corpus extends QueryModule {
       |  GROUP BY 1, 2, 3),
       |pd AS (SELECT *, m_ppm // 1000 AS bucket FROM per_doc)""".stripMargin
 
+  /** Shared preference-pair mining CTEs (scored/ch/rj/n): one source of
+    * truth for WHICH (chosen, rejected) pair each (lang, source) cell
+    * yields, interpolated by BOTH the q_preference_pairs oracle and the
+    * q_rouge_overlap oracle — a change to the scoring rule or tie-break
+    * propagates to the overlap audit automatically instead of silently
+    * desynchronizing the two (the lmScoreCtes discipline). */
+  private val pairMiningCtes: String =
+    """scored AS (
+      |  SELECT lang, source, doc_id,
+      |         CAST(LEN(LIST_DISTINCT(STRING_SPLIT(LOWER(TRIM(text)), ' '))) AS BIGINT)
+      |           * 1000 + n_chars AS s
+      |  FROM documents),
+      |ch AS (SELECT lang, source, doc_id, s, ROW_NUMBER() OVER (
+      |         PARTITION BY lang, source ORDER BY s DESC, doc_id DESC) AS rk
+      |       FROM scored),
+      |rj AS (SELECT lang, source, doc_id, s, ROW_NUMBER() OVER (
+      |         PARTITION BY lang, source ORDER BY s ASC, doc_id ASC) AS rk
+      |       FROM scored),
+      |n AS (SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS n_docs
+      |      FROM scored GROUP BY 1, 2)""".stripMargin
+
   val oracle: Map[String, String] = Map(
     "q_prefix_cache" ->
       """WITH p AS (
@@ -1272,19 +1298,7 @@ object Corpus extends QueryModule {
         |         // CAST(SUM(c) AS BIGINT) AS cache_hit_ppm
         |FROM g GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_rouge_overlap" ->
-      """WITH scored AS (
-        |  SELECT lang, source, doc_id,
-        |         CAST(LEN(LIST_DISTINCT(STRING_SPLIT(LOWER(TRIM(text)), ' '))) AS BIGINT)
-        |           * 1000 + n_chars AS s
-        |  FROM documents),
-        |ch AS (SELECT lang, source, doc_id, s, ROW_NUMBER() OVER (
-        |         PARTITION BY lang, source ORDER BY s DESC, doc_id DESC) AS rk
-        |       FROM scored),
-        |rj AS (SELECT lang, source, doc_id, s, ROW_NUMBER() OVER (
-        |         PARTITION BY lang, source ORDER BY s ASC, doc_id ASC) AS rk
-        |       FROM scored),
-        |n AS (SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS n_docs
-        |      FROM scored GROUP BY 1, 2),
+      s"""WITH $pairMiningCtes,
         |pairs AS (
         |  SELECT n.lang, ch.doc_id AS chosen_id, rj.doc_id AS rejected_id
         |  FROM n
@@ -1380,7 +1394,7 @@ object Corpus extends QueryModule {
         |  FROM (SELECT UNNEST(STRING_SPLIT(LOWER(TRIM(text)), ' ')) AS token
         |        FROM documents)),
         |dups AS (
-        |  SELECT CAST(COALESCE(SUM(CASE WHEN c > 1 THEN c END), 0) AS BIGINT)
+        |  SELECT CAST(COALESCE(SUM(CASE WHEN c > 1 THEN c - 1 END), 0) AS BIGINT)
         |           AS n_dup_docs
         |  FROM (SELECT MD5(LOWER(TRIM(text))) AS h, COUNT(*) AS c
         |        FROM documents GROUP BY 1)),
@@ -1758,19 +1772,7 @@ object Corpus extends QueryModule {
         |FROM ranked WHERE rk <= 3
         |ORDER BY doc_id, tfidf DESC, token""".stripMargin,
     "q_preference_pairs" ->
-      """WITH scored AS (
-        |  SELECT lang, source, doc_id,
-        |         CAST(LEN(LIST_DISTINCT(STRING_SPLIT(LOWER(TRIM(text)), ' '))) AS BIGINT)
-        |           * 1000 + n_chars AS s
-        |  FROM documents),
-        |ch AS (SELECT lang, source, doc_id, s, ROW_NUMBER() OVER (
-        |         PARTITION BY lang, source ORDER BY s DESC, doc_id DESC) AS rk
-        |       FROM scored),
-        |rj AS (SELECT lang, source, doc_id, s, ROW_NUMBER() OVER (
-        |         PARTITION BY lang, source ORDER BY s ASC, doc_id ASC) AS rk
-        |       FROM scored),
-        |n AS (SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS n_docs
-        |      FROM scored GROUP BY 1, 2)
+      s"""WITH $pairMiningCtes
         |SELECT n.lang, n.source, n.n_docs,
         |       ch.doc_id AS chosen_id, ch.s AS chosen_score,
         |       rj.doc_id AS rejected_id, rj.s AS rejected_score,

@@ -1021,6 +1021,32 @@ object Dedup extends QueryModule {
 
   private val nearDupCtes: String = nearDupCtesFrom("documents")
 
+  /** Shared MinHash signature/banding CTE block (hres → 48-hash sig →
+    * 24 two-hash bands), interpolating the SAME affine constants the Spark
+    * builder uses (mixConsts). One source of truth for the hash family,
+    * band count, and band-key packing across EVERY oracle that bands
+    * minhashes (q_dedup_minhash, q_train_test_leakage) — a change to any
+    * of the three propagates to all of them instead of silently
+    * desynchronizing. Expects a `shingles(doc_id, shingle)` CTE in scope. */
+  private val minhashSigBandCtes: String = {
+    val minExprs = (0 until 48).map { s =>
+      val (a, b) = mixConsts(s)
+      s"MIN((h * $a + $b) % $M)"
+    }.mkString(",\n        ")
+    s"""hres AS (
+      |  SELECT doc_id, CAST('0x' || SUBSTR(MD5(shingle), 1, 15) AS BIGINT) % $M AS h
+      |  FROM shingles),
+      |sig AS (
+      |  SELECT doc_id, list_value(
+      |        $minExprs) AS mh
+      |  FROM hres GROUP BY doc_id),
+      |bands AS (
+      |  SELECT doc_id,
+      |         band,
+      |         mh[CAST(2 * band + 1 AS INTEGER)] * $M + mh[CAST(2 * band + 2 AS INTEGER)] AS key
+      |  FROM sig, range(24) t(band))""".stripMargin
+  }
+
   val oracle: Map[String, String] = Map(
     "q_golden_record" ->
       """WITH c AS (
@@ -1060,30 +1086,15 @@ object Dedup extends QueryModule {
         |       n_feeds
         |FROM g ORDER BY c_custkey""".stripMargin,
     "q_train_test_leakage" -> {
-      // interpolates the SAME affine constants (mixConsts) as the Spark
-      // bandSignatures — single source of truth, like q_dedup_minhash
-      val minExprs = (0 until 48).map { s =>
-        val (a, b) = mixConsts(s)
-        s"MIN((h * $a + $b) % $M)"
-      }.mkString(",\n        ")
+      // the sig/bands block is the SHARED minhashSigBandCtes — identical
+      // hash family, band count, and key packing as q_dedup_minhash
       s"""WITH $shingleCtes,
+        |$minhashSigBandCtes,
         |split AS (
         |  SELECT doc_id, lang,
         |         (CAST('0x' || SUBSTR(MD5('split:' || CAST(doc_id AS VARCHAR)), 1, 15)
         |               AS BIGINT) % 10 = 0) AS is_test
         |  FROM documents),
-        |hres AS (
-        |  SELECT doc_id, CAST('0x' || SUBSTR(MD5(shingle), 1, 15) AS BIGINT) % $M AS h
-        |  FROM shingles),
-        |sig AS (
-        |  SELECT doc_id, list_value(
-        |        $minExprs) AS mh
-        |  FROM hres GROUP BY doc_id),
-        |bands AS (
-        |  SELECT doc_id,
-        |         band,
-        |         mh[CAST(2 * band + 1 AS INTEGER)] * $M + mh[CAST(2 * band + 2 AS INTEGER)] AS key
-        |  FROM sig, range(24) t(band)),
         |cand AS (
         |  SELECT DISTINCT b1.doc_id AS d1, b2.doc_id AS d2
         |  FROM bands b1 JOIN bands b2
@@ -1369,25 +1380,10 @@ object Dedup extends QueryModule {
         |SELECT d1 AS doc_id, d2 AS dup_of, ROUND(jaccard_raw, 6) AS jaccard
         |FROM best WHERE rn = 1 ORDER BY doc_id""".stripMargin,
     "q_minhash_incremental" -> {
-      // same signature CTEs as q_dedup_minhash (single mixConsts source),
-      // same batch/corpus split + best-match tail as q_dedup_incremental
-      val minExprs = (0 until 48).map { s =>
-        val (a, b) = mixConsts(s)
-        s"MIN((h * $a + $b) % $M)"
-      }.mkString(",\n        ")
+      // signature/banding block shared with q_dedup_minhash; same
+      // batch/corpus split + best-match tail as q_dedup_incremental
       s"""WITH $shingleCtes,
-        |hres AS (
-        |  SELECT doc_id, CAST('0x' || SUBSTR(MD5(shingle), 1, 15) AS BIGINT) % $M AS h
-        |  FROM shingles),
-        |sig AS (
-        |  SELECT doc_id, list_value(
-        |        $minExprs) AS mh
-        |  FROM hres GROUP BY doc_id),
-        |bands AS (
-        |  SELECT doc_id,
-        |         band,
-        |         mh[CAST(2 * band + 1 AS INTEGER)] * $M + mh[CAST(2 * band + 2 AS INTEGER)] AS key
-        |  FROM sig, range(24) t(band)),
+        |$minhashSigBandCtes,
         |cand AS (
         |  SELECT DISTINCT b1.doc_id AS d1, b2.doc_id AS d2
         |  FROM bands b1 JOIN bands b2
@@ -1415,25 +1411,9 @@ object Dedup extends QueryModule {
         |FROM best WHERE rn = 1 ORDER BY doc_id""".stripMargin
     },
     "q_dedup_minhash" -> {
-      // the 48 min-aggregates interpolate the SAME affine constants the
-      // Spark builder uses (mixConsts) — single source of truth
-      val minExprs = (0 until 48).map { s =>
-        val (a, b) = mixConsts(s)
-        s"MIN((h * $a + $b) % $M)"
-      }.mkString(",\n        ")
+      // signature/banding block shared with q_train_test_leakage
       s"""WITH $shingleCtes,
-        |hres AS (
-        |  SELECT doc_id, CAST('0x' || SUBSTR(MD5(shingle), 1, 15) AS BIGINT) % $M AS h
-        |  FROM shingles),
-        |sig AS (
-        |  SELECT doc_id, list_value(
-        |        $minExprs) AS mh
-        |  FROM hres GROUP BY doc_id),
-        |bands AS (
-        |  SELECT doc_id,
-        |         band,
-        |         mh[CAST(2 * band + 1 AS INTEGER)] * $M + mh[CAST(2 * band + 2 AS INTEGER)] AS key
-        |  FROM sig, range(24) t(band)),
+        |$minhashSigBandCtes,
         |cand AS (
         |  SELECT DISTINCT b1.doc_id AS d1, b2.doc_id AS d2
         |  FROM bands b1 JOIN bands b2

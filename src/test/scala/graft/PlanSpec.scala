@@ -321,6 +321,14 @@ class PlanSpec extends SparkSpec {
       assert(opt.contains(capLit),
         s"$q: serving batch must carry the vec_id < $capLit cap in its plan")
     }
+    // nndescent's exact-truth page follows the same discipline at stride 50:
+    // without the cap the truth side is an n²/50 crossJoin (quadratic at
+    // 100×); with it, a ≤64-row broadcast page against one linear scan.
+    val truthCap = (50L * graft.ops.Similarity.ServingBatchCap).toString
+    val nnOpt = SparkEntry.queries("q_ann_nndescent")(spark, sf)
+      .queryExecution.optimizedPlan.toString
+    assert(nnOpt.contains(truthCap),
+      s"q_ann_nndescent: exact-truth batch must carry the vec_id < $truthCap cap")
   }
 
   test("q_vocab_coverage broadcasts the capped vocab and take-orders the cut") {

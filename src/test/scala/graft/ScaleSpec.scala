@@ -52,8 +52,14 @@ class ScaleSpec extends SparkSpec {
       col("id").as("payload"))
     val base = java.nio.file.Files.createTempDirectory("zorder").toString
     // linear layout: clustered on x only — y stats span the full range in
-    // every file, so a y predicate skips nothing
-    grid.repartitionByRange(64, col("x")).sortWithinPartitions(col("x"))
+    // every file, so a y predicate skips nothing. Built with the same
+    // deterministic arithmetic-slab routing as zorderBy (x div 4 → one of
+    // 64 files): repartitionByRange's sampled boundaries occasionally put
+    // a file boundary mid-x-value, which flaked the exact scan count.
+    val linToks = Scale.injectiveHashTokens(64).mkString("array(", ",", ")")
+    grid.withColumn("_tok", expr(s"element_at($linToks, int(x div 4) + 1)"))
+      .repartition(64, col("_tok"))
+      .sortWithinPartitions(col("x")).drop("_tok")
       .write.mode("overwrite").parquet(s"$base/linear")
     // z-order: each of the 64 files covers a 32x32 rectangle of (x, y)
     Scale.zorderBy(grid, "x", "y", 64)

@@ -534,8 +534,37 @@ object Dedup extends QueryModule {
     *     the corpus.
     * The completeness lemma is asserted against brute-force all-pairs in
     * LlmOpsSpec; the oracle replays the identical construction. */
-  def qSetsimJoin(spark: SparkSession, dir: String): DataFrame = {
-    val toks = Tables.documents(spark, dir)
+  def qSetsimJoin(spark: SparkSession, dir: String): DataFrame =
+    ppjoinPairs(Tables.documents(spark, dir))
+      .orderBy(col("d1"), col("d2"))
+
+  /** Decade-scale PPJoin certificate: the SAME prefix/positional/verify
+    * pipeline as [[qSetsimJoin]], over the deterministic mod-4 document
+    * slice (doc_id ≡ 0 (mod 4) — ~1/16 of the candidate pairs in the
+    * dense regime where the TRUE answer is quadratic), emitted as a 1-row
+    * census of exact integer sums instead of the pair frame. The full
+    * q_setsim_join oracle exhausts the single-process DuckDB's disk at
+    * sf1.0 (zero value mismatches); the slice keeps the identical exact
+    * join verifiable at the decade point, and the compared frame is one
+    * row at any scale. Document frequencies (and hence prefixes) are
+    * computed WITHIN the slice — self-consistent on both engines. */
+  def qSetsimCert(spark: SparkSession, dir: String): DataFrame =
+    ppjoinPairs(Tables.documents(spark, dir).filter(col("doc_id") % 4 === 0))
+      .agg(count(lit(1)).as("n_pairs"),
+        coalesce(sum(col("o")), lit(0L)).as("sum_o"),
+        coalesce(sum(col("n1")), lit(0L)).as("sum_n1"),
+        coalesce(sum(col("n2")), lit(0L)).as("sum_n2"),
+        coalesce(sum(floor(col("o").cast("double")
+          / (col("n1") + col("n2") - col("o")) * 1000000 + 0.5).cast("long")),
+          lit(0L)).as("sum_jaccard_ppm"),
+        coalesce(sum((col("d1") * 31L + col("d2")) % 1000000007L), lit(0L))
+          .as("chk"))
+
+  /** Shared core of [[qSetsimJoin]]/[[qSetsimCert]]: the exact
+    * threshold-0.8 bigram-set similarity join over an arbitrary document
+    * frame, as (d1, d2, o, n1, n2, jaccard). */
+  private def ppjoinPairs(documents: DataFrame): DataFrame = {
+    val toks = documents
       .withColumn("t", split(lower(trim(col("text"))), " "))
       .select(col("doc_id"), explode(array_distinct(expr(
         """CASE WHEN size(t) < 2 THEN array()
@@ -573,7 +602,6 @@ object Dedup extends QueryModule {
         col("o").cast("double") / (col("n1") + col("n2") - col("o"))
           * 1000000 + 0.5) / 1000000)
       .select(col("d1"), col("d2"), col("o"), col("n1"), col("n2"), col("jaccard"))
-      .orderBy(col("d1"), col("d2"))
   }
 
   /** Paragraph-level exact dedup with in-place reassembly — the CCNet step
@@ -721,6 +749,54 @@ object Dedup extends QueryModule {
   def qDedupPipeline(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
       .localCheckpoint(eager = false)
+    val (keep1, keep2, keep3) = funnelKeeps(spark, dir, docs)
+    docs.agg(count(lit(1)).as("n0"))
+      .crossJoin(keep1.agg(count(lit(1)).as("n1")))
+      .crossJoin(keep2.agg(count(lit(1)).as("n2")))
+      .crossJoin(keep3.agg(count(lit(1)).as("n3")))
+      .selectExpr(
+        """stack(3,
+          |  '1_exact',    n0, n0 - n1, n1,
+          |  '2_near',     n1, n1 - n2, n2,
+          |  '3_semantic', n2, n2 - n3, n3) AS (stage, docs_in, dropped, docs_out)"""
+          .stripMargin)
+      .orderBy(col("stage"))
+  }
+
+  /** Decade-scale funnel certificate: the SAME exact→near→semantic funnel
+    * as [[qDedupPipeline]], over the deterministic mod-4 document slice
+    * (~1/16 of the near-dup candidate volume — the stage whose postings
+    * self-join exhausts the single-process DuckDB's disk at sf1.0), with
+    * an exact surviving-doc_id sum per stage added to the census. Keeps
+    * the identical three-stage composition verifiable at the decade point
+    * inside the oracle's budget; the compared frame is 3 rows at any
+    * scale. */
+  def qDedupPipelineCert(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+      .filter(col("doc_id") % 4 === 0)
+      .localCheckpoint(eager = false)
+    val (keep1, keep2, keep3) = funnelKeeps(spark, dir, docs)
+    def census(k: DataFrame, n: String, c: String): DataFrame =
+      k.agg(count(lit(1)).as(n), coalesce(sum(col("doc_id")), lit(0L)).as(c))
+    docs.agg(count(lit(1)).as("n0"))
+      .crossJoin(census(keep1, "n1", "c1"))
+      .crossJoin(census(keep2, "n2", "c2"))
+      .crossJoin(census(keep3, "n3", "c3"))
+      .selectExpr(
+        """stack(3,
+          |  '1_exact',    n0, n0 - n1, n1, c1,
+          |  '2_near',     n1, n1 - n2, n2, c2,
+          |  '3_semantic', n2, n2 - n3, n3, c3)
+          |  AS (stage, docs_in, dropped, docs_out, chk_out)""".stripMargin)
+      .orderBy(col("stage"))
+  }
+
+  /** Shared funnel stages of [[qDedupPipeline]]/[[qDedupPipelineCert]]:
+    * keep1 (exact keep-first), keep2 (keep1 minus banded near-dup losers),
+    * keep3 (keep2 minus embedding-near-dup losers — the embedding pair
+    * set is corpus-wide; restricting keep2 restricts the join output). */
+  private def funnelKeeps(spark: SparkSession, dir: String,
+      docs: DataFrame): (DataFrame, DataFrame, DataFrame) = {
     val keep1 = docs.groupBy(lower(trim(col("text"))).as("norm"))
       .agg(min(col("doc_id")).as("doc_id")).select(col("doc_id"))
       .localCheckpoint(eager = false)
@@ -735,17 +811,7 @@ object Dedup extends QueryModule {
       .join(keep2.select(col("doc_id").as("v2")), Seq("v2"))
       .select(col("v2").as("doc_id")).distinct()
     val keep3 = keep2.join(losers3, Seq("doc_id"), "left_anti")
-    docs.agg(count(lit(1)).as("n0"))
-      .crossJoin(keep1.agg(count(lit(1)).as("n1")))
-      .crossJoin(keep2.agg(count(lit(1)).as("n2")))
-      .crossJoin(keep3.agg(count(lit(1)).as("n3")))
-      .selectExpr(
-        """stack(3,
-          |  '1_exact',    n0, n0 - n1, n1,
-          |  '2_near',     n1, n1 - n2, n2,
-          |  '3_semantic', n2, n2 - n3, n3) AS (stage, docs_in, dropped, docs_out)"""
-          .stripMargin)
-      .orderBy(col("stage"))
+    (keep1, keep2, keep3)
   }
 
   /** Blocked entity-resolution linkage with a precision/recall census — the
@@ -915,6 +981,8 @@ object Dedup extends QueryModule {
     "q_er_linkage"      -> (qErLinkage _),
     "q_dup_cross_source" -> (qDupCrossSource _),
     "q_dedup_pipeline"  -> (qDedupPipeline _),
+    "q_dedup_pipeline_cert" -> (qDedupPipelineCert _),
+    "q_setsim_cert"     -> (qSetsimCert _),
     "q_dedup_substring" -> (qDedupSubstring _),
     "q_dedup_containment" -> (qDedupContainment _),
     "q_dedup_fuzzy"     -> (qFuzzyPairs _),
@@ -1046,6 +1114,65 @@ object Dedup extends QueryModule {
       |         mh[CAST(2 * band + 1 AS INTEGER)] * $M + mh[CAST(2 * band + 2 AS INTEGER)] AS key
       |  FROM sig, range(24) t(band))""".stripMargin
   }
+
+  /** Shared PPJoin CTE chain (bigram toks → sizes/dfreq → rarity-ranked
+    * prefix → positional-filtered candidates → exact-verified `scored`)
+    * over an arbitrary base-document CTE — the SQL twin of
+    * [[ppjoinPairs]], interpolated by both the q_setsim_join and
+    * q_setsim_cert oracles. */
+  private def ppjoinCtes(base: String): String =
+    s"""base AS (
+       |  SELECT doc_id, STRING_SPLIT(LOWER(TRIM(text)), ' ') AS t FROM $base),
+       |toks AS (
+       |  SELECT DISTINCT doc_id, token FROM (
+       |    SELECT doc_id, UNNEST(LIST_TRANSFORM(RANGE(1, LEN(t)),
+       |      i -> t[i] || ' ' || t[i + 1])) AS token
+       |    FROM base)),
+       |sizes AS (SELECT doc_id, COUNT(*) AS n FROM toks GROUP BY doc_id),
+       |dfreq AS (SELECT token, COUNT(*) AS df FROM toks GROUP BY token),
+       |ranked AS (
+       |  SELECT t.doc_id, t.token, s.n,
+       |         ROW_NUMBER() OVER (PARTITION BY t.doc_id ORDER BY f.df, t.token) AS rn
+       |  FROM toks t JOIN dfreq f USING (token) JOIN sizes s USING (doc_id)),
+       |pref AS (
+       |  SELECT doc_id, token, n, rn FROM ranked
+       |  WHERE rn <= n - ((8 * n + 9) // 10) + 1),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+       |  FROM pref a JOIN pref b USING (token)
+       |  WHERE a.doc_id < b.doc_id
+       |    AND 1 + LEAST(a.n - a.rn, b.n - b.rn) >= (4 * (a.n + b.n) + 8) // 9),
+       |dict AS (
+       |  SELECT doc_id, LIST(token) AS s FROM toks GROUP BY doc_id),
+       |scored AS (
+       |  SELECT c.d1, c.d2,
+       |         CAST(LEN(LIST_INTERSECT(da.s, db.s)) AS BIGINT) AS o,
+       |         CAST(LEN(da.s) AS BIGINT) AS n1, CAST(LEN(db.s) AS BIGINT) AS n2
+       |  FROM cand c
+       |  JOIN dict da ON da.doc_id = c.d1
+       |  JOIN dict db ON db.doc_id = c.d2)""".stripMargin
+
+  /** Shared funnel CTE chain (s1docs → near_pairs → keep2 → epairs →
+    * keep3) over an arbitrary base-document CTE — the SQL twin of
+    * [[funnelKeeps]], interpolated by both the q_dedup_pipeline and
+    * q_dedup_pipeline_cert oracles. */
+  private def funnelCtes(base: String): String =
+    s"""s1docs AS (
+       |  SELECT d.doc_id, d.text FROM $base d
+       |  JOIN (SELECT MIN(doc_id) AS doc_id FROM $base
+       |        GROUP BY LOWER(TRIM(text))) k USING (doc_id)),
+       |${nearDupCtesFrom("s1docs")},
+       |keep2 AS (
+       |  SELECT doc_id FROM s1docs
+       |  WHERE doc_id NOT IN (SELECT d2 FROM near_pairs)),
+       |${Similarity.embedPairCtes},
+       |losers3 AS (
+       |  SELECT DISTINCT p.v2 FROM epairs p
+       |  JOIN keep2 k1 ON k1.doc_id = p.v1
+       |  JOIN keep2 k2 ON k2.doc_id = p.v2),
+       |keep3 AS (
+       |  SELECT doc_id FROM keep2
+       |  WHERE doc_id NOT IN (SELECT v2 FROM losers3))""".stripMargin
 
   val oracle: Map[String, String] = Map(
     "q_golden_record" ->
@@ -1182,22 +1309,7 @@ object Dedup extends QueryModule {
         |FROM pred CROSS JOIN n
         |GROUP BY n.n_entities""".stripMargin,
     "q_dedup_pipeline" ->
-      s"""WITH s1docs AS (
-         |  SELECT d.doc_id, d.text FROM documents d
-         |  JOIN (SELECT MIN(doc_id) AS doc_id FROM documents
-         |        GROUP BY LOWER(TRIM(text))) k USING (doc_id)),
-         |${nearDupCtesFrom("s1docs")},
-         |keep2 AS (
-         |  SELECT doc_id FROM s1docs
-         |  WHERE doc_id NOT IN (SELECT d2 FROM near_pairs)),
-         |${Similarity.embedPairCtes},
-         |losers3 AS (
-         |  SELECT DISTINCT p.v2 FROM epairs p
-         |  JOIN keep2 k1 ON k1.doc_id = p.v1
-         |  JOIN keep2 k2 ON k2.doc_id = p.v2),
-         |keep3 AS (
-         |  SELECT doc_id FROM keep2
-         |  WHERE doc_id NOT IN (SELECT v2 FROM losers3)),
+      s"""WITH ${funnelCtes("documents")},
          |counts AS (
          |  SELECT (SELECT COUNT(*) FROM documents) AS n0,
          |         (SELECT COUNT(*) FROM s1docs) AS n1,
@@ -1210,6 +1322,26 @@ object Dedup extends QueryModule {
          |  SELECT '2_near', n1, n1 - n2, n2 FROM counts
          |  UNION ALL
          |  SELECT '3_semantic', n2, n2 - n3, n3 FROM counts)
+         |ORDER BY stage""".stripMargin,
+    "q_dedup_pipeline_cert" ->
+      s"""WITH docs4 AS (SELECT * FROM documents WHERE doc_id % 4 = 0),
+         |${funnelCtes("docs4")},
+         |counts AS (
+         |  SELECT (SELECT COUNT(*) FROM docs4) AS n0,
+         |         (SELECT COUNT(*) FROM s1docs) AS n1,
+         |         (SELECT CAST(COALESCE(SUM(doc_id), 0) AS BIGINT) FROM s1docs) AS c1,
+         |         (SELECT COUNT(*) FROM keep2) AS n2,
+         |         (SELECT CAST(COALESCE(SUM(doc_id), 0) AS BIGINT) FROM keep2) AS c2,
+         |         (SELECT COUNT(*) FROM keep3) AS n3,
+         |         (SELECT CAST(COALESCE(SUM(doc_id), 0) AS BIGINT) FROM keep3) AS c3)
+         |SELECT stage, docs_in, dropped, docs_out, chk_out FROM (
+         |  SELECT '1_exact' AS stage, n0 AS docs_in, n0 - n1 AS dropped,
+         |         n1 AS docs_out, c1 AS chk_out
+         |  FROM counts
+         |  UNION ALL
+         |  SELECT '2_near', n1, n1 - n2, n2, c2 FROM counts
+         |  UNION ALL
+         |  SELECT '3_semantic', n2, n2 - n3, n3, c3 FROM counts)
          |ORDER BY stage""".stripMargin,
     "q_dedup_substring" ->
       """WITH toks AS (
@@ -1294,42 +1426,25 @@ object Dedup extends QueryModule {
         |FROM tot LEFT JOIN ka ON ka.doc_id = tot.doc_id
         |ORDER BY tot.doc_id""".stripMargin,
     "q_setsim_join" ->
-      """WITH base AS (
-        |  SELECT doc_id, STRING_SPLIT(LOWER(TRIM(text)), ' ') AS t FROM documents),
-        |toks AS (
-        |  SELECT DISTINCT doc_id, token FROM (
-        |    SELECT doc_id, UNNEST(LIST_TRANSFORM(RANGE(1, LEN(t)),
-        |      i -> t[i] || ' ' || t[i + 1])) AS token
-        |    FROM base)),
-        |sizes AS (SELECT doc_id, COUNT(*) AS n FROM toks GROUP BY doc_id),
-        |dfreq AS (SELECT token, COUNT(*) AS df FROM toks GROUP BY token),
-        |ranked AS (
-        |  SELECT t.doc_id, t.token, s.n,
-        |         ROW_NUMBER() OVER (PARTITION BY t.doc_id ORDER BY f.df, t.token) AS rn
-        |  FROM toks t JOIN dfreq f USING (token) JOIN sizes s USING (doc_id)),
-        |pref AS (
-        |  SELECT doc_id, token, n, rn FROM ranked
-        |  WHERE rn <= n - ((8 * n + 9) // 10) + 1),
-        |cand AS (
-        |  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
-        |  FROM pref a JOIN pref b USING (token)
-        |  WHERE a.doc_id < b.doc_id
-        |    AND 1 + LEAST(a.n - a.rn, b.n - b.rn) >= (4 * (a.n + b.n) + 8) // 9),
-        |dict AS (
-        |  SELECT doc_id, LIST(token) AS s FROM toks GROUP BY doc_id),
-        |scored AS (
-        |  SELECT c.d1, c.d2,
-        |         CAST(LEN(LIST_INTERSECT(da.s, db.s)) AS BIGINT) AS o,
-        |         CAST(LEN(da.s) AS BIGINT) AS n1, CAST(LEN(db.s) AS BIGINT) AS n2
-        |  FROM cand c
-        |  JOIN dict da ON da.doc_id = c.d1
-        |  JOIN dict db ON db.doc_id = c.d2)
+      s"""WITH ${ppjoinCtes("documents")}
         |SELECT d1, d2, o, n1, n2,
         |       FLOOR(CAST(o AS DOUBLE) / (n1 + n2 - o) * 1000000 + 0.5)
         |         / 1000000 AS jaccard
         |FROM scored
         |WHERE o * 10 >= (n1 + n2 - o) * 8
         |ORDER BY d1, d2""".stripMargin,
+    "q_setsim_cert" ->
+      s"""WITH d4 AS (SELECT * FROM documents WHERE doc_id % 4 = 0),
+        |${ppjoinCtes("d4")}
+        |SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
+        |       CAST(COALESCE(SUM(o), 0) AS BIGINT) AS sum_o,
+        |       CAST(COALESCE(SUM(n1), 0) AS BIGINT) AS sum_n1,
+        |       CAST(COALESCE(SUM(n2), 0) AS BIGINT) AS sum_n2,
+        |       CAST(COALESCE(SUM(CAST(FLOOR(CAST(o AS DOUBLE) / (n1 + n2 - o)
+        |           * 1000000 + 0.5) AS BIGINT)), 0) AS BIGINT) AS sum_jaccard_ppm,
+        |       CAST(COALESCE(SUM((d1 * 31 + d2) % 1000000007), 0) AS BIGINT) AS chk
+        |FROM scored
+        |WHERE o * 10 >= (n1 + n2 - o) * 8""".stripMargin,
     "q_fuzzy_jw" ->
       """SELECT a.p_partkey AS a_key, b.p_partkey AS b_key,
         |       a.p_name AS a_name, b.p_name AS b_name,

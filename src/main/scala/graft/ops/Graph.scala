@@ -203,6 +203,55 @@ object Graph extends QueryModule {
     * the (tri DESC, node) output order are total, so the DuckDB twin
     * running the same orientation reproduces the rows bit-for-bit. */
   def qTriangle(spark: SparkSession, dir: String): DataFrame = {
+    val (tri, deg) = triangleParts(spark, dir, apexMod = 1L)
+    // ONE evaluation of the wedge probe: a 3-branch unionAll of `tri`
+    // would replay the whole 41M-wedge stream once per branch (Spark does
+    // no cross-branch CSE); exploding the corner array emits the same
+    // three rows per triangle in a single pass.
+    val corners = tri.select(
+      explode(array(col("a"), col("b"), col("c"))).as("node"))
+    corners.groupBy(col("node")).agg(count(lit(1)).as("triangles"))
+      .join(deg, "node")
+      .select(col("node").as("partkey"), col("d").as("degree"), col("triangles"),
+        round(lit(2.0) * col("triangles") / (col("d") * (col("d") - 1)), 6)
+          .as("clustering"))
+      .orderBy(col("triangles").desc, col("partkey"))
+      .limit(100)
+  }
+
+  /** Decade-scale triangle certificate: the SAME oriented-wedge pipeline
+    * as [[qTriangle]], restricted to the deterministic 1/8 apex slice
+    * u ≡ 0 (mod 8) and emitted as a 16-row census (per c-residue bucket:
+    * triangle count, exact corner sums, and a mod-p corner checksum)
+    * instead of the per-node frame. Purpose: the full q_triangle oracle's
+    * wedge join exhausts the single-process DuckDB's disk at sf1.0 —
+    * zero value mismatches, pure resource exhaustion — so this twin gives
+    * the decade point a VERIFIABLE row: the apex restriction cuts the
+    * oracle's wedge volume ~8x (an sf1.0 slice still exceeds a full sf0.1
+    * run) while exercising the identical orientation, wedge, and close
+    * logic; the bounded census keeps the compared frame at 16 rows at any
+    * scale. Spark-side cost is also ~1/8: the apex filter lands on the
+    * checkpointed oriented table BEFORE the self-join. */
+  def qTriangleCert(spark: SparkSession, dir: String): DataFrame = {
+    val (tri, _) = triangleParts(spark, dir, apexMod = 8L)
+    tri.groupBy((col("c") % 16).as("bucket"))
+      .agg(count(lit(1)).as("n_triangles"),
+        sum(col("a")).as("sum_a"), sum(col("b")).as("sum_b"),
+        sum(col("c")).as("sum_c"),
+        sum((col("a") * 1009L + col("b") * 31L + col("c")) % 1000000007L)
+          .as("chk"))
+      .orderBy(col("bucket"))
+  }
+
+  /** The shared core of [[qTriangle]]/[[qTriangleCert]]: the exact
+    * triangle set (a, b, c) from the degree-oriented wedge algorithm,
+    * plus the degree table (the corner census needs it and recomputing it
+    * would re-derive the checkpointed edge set). `apexMod` > 1 restricts
+    * wedge enumeration to apexes u ≡ 0 (mod apexMod) — a deterministic
+    * slice of the triangle set, since each triangle has exactly one apex
+    * under the orientation. */
+  private def triangleParts(spark: SparkSession, dir: String,
+      apexMod: Long): (DataFrame, DataFrame) = {
     // localCheckpoint: the edge table feeds THREE consumers (undirected
     // half, degree table, wedge-closing probe) and the oriented table two
     // (both wedge sides) — without it Catalyst re-derives the lineitem
@@ -240,8 +289,12 @@ object Graph extends QueryModule {
             || (col("d_src") === col("d_dst") && col("src") < col("dst")),
             col("dst")).otherwise(col("src")).as("v")),
       "u", parts, level = ser)
-    // wedges at the apex: unordered out-neighbor pairs, fixed by id order
-    val wedges = o.as("e1").join(o.as("e2"),
+    // wedges at the apex: unordered out-neighbor pairs, fixed by id order.
+    // The cert's apex restriction lands HERE, before the self-join — the
+    // wedge stream (the stage's dominant volume) shrinks by the slice
+    // factor, not just the output.
+    val oa = if (apexMod > 1L) o.filter(col("u") % apexMod === 0) else o
+    val wedges = oa.as("e1").join(o.as("e2"),
         col("e1.u") === col("e2.u") && col("e1.v") < col("e2.v"))
       .select(col("e1.u").as("a"), col("e1.v").as("b"), col("e2.v").as("c"))
     // close the wedge: {b,c} adjacent? The id-ordered probe pair packs into
@@ -258,19 +311,8 @@ object Graph extends QueryModule {
     val nEdges = e.count()
     val tri = edgeSemiKill(
       wedges.withColumn("_ek", expr("shiftleft(b, 32) | c")), eKeys, nEdges)
-    // ONE evaluation of the wedge probe: a 3-branch unionAll of `tri`
-    // would replay the whole 41M-wedge stream once per branch (Spark does
-    // no cross-branch CSE); exploding the corner array emits the same
-    // three rows per triangle in a single pass.
-    val corners = tri.select(
-      explode(array(col("a"), col("b"), col("c"))).as("node"))
-    corners.groupBy(col("node")).agg(count(lit(1)).as("triangles"))
-      .join(deg, "node")
-      .select(col("node").as("partkey"), col("d").as("degree"), col("triangles"),
-        round(lit(2.0) * col("triangles") / (col("d") * (col("d") - 1)), 6)
-          .as("clustering"))
-      .orderBy(col("triangles").desc, col("partkey"))
-      .limit(100)
+      .select(col("a"), col("b"), col("c"))
+    (tri, deg)
   }
 
   /** K-hop neighborhood reach (frontier-expansion BFS, the third classic
@@ -663,10 +705,36 @@ object Graph extends QueryModule {
     * (prev → next) handoff. Round 7 held all four edge generations in
     * executor memory at once — the 3–6× amplification that made this
     * key heap-bound (63.9 s) at sf1.0. */
-  def qKcore(spark: SparkSession, dir: String): DataFrame = {
+  def qKcore(spark: SparkSession, dir: String): DataFrame =
+    kcorePeel(edges(spark, dir))
+      .select(col("round"), col("n_nodes"), col("n_edges"))
+      .orderBy(col("round"))
+
+  /** Decade-scale k-core certificate: the SAME 3-round k ≥ 3 peel as
+    * [[qKcore]] over the deterministic mod-4 induced subgraph (both
+    * endpoints ≡ 0 (mod 4) — ~1/16 of the edges), with exact endpoint-sum
+    * checksums added to the per-round census. The full q_kcore oracle's
+    * three round-filter join chains exhaust the single-process DuckDB's
+    * disk at sf1.0 (zero value mismatches); the induced-subgraph twin
+    * keeps the identical peel logic verifiable at the decade point inside
+    * the oracle's budget, and the census never exceeds 3 rows. */
+  def qKcoreCert(spark: SparkSession, dir: String): DataFrame =
+    kcorePeel(edges(spark, dir)
+      .filter(col("src") % 4 === 0 && col("dst") % 4 === 0))
+      .select(col("round"), col("n_nodes"), col("n_edges"),
+        col("sum_src"), col("sum_dst"))
+      .orderBy(col("round"))
+
+  /** Shared peel loop of [[qKcore]]/[[qKcoreCert]]: 3 rounds of
+    * "keep nodes with out-degree ≥ 3, induce", each round's census one
+    * eagerly-checkpointed row (so the next round may safely drop this
+    * round's edge set — a lazy census would read a truncated-lineage
+    * cache after its blocks are gone), each round's edge set reclaimed
+    * via unpersistCheckpoint once its successor materializes. */
+  private def kcorePeel(e0: DataFrame): DataFrame = {
     import org.apache.spark.sql.graftshim.InternalDataFrames.unpersistCheckpoint
     val k = 3
-    var e = edges(spark, dir).localCheckpoint()
+    var e = e0.localCheckpoint()
     val rounds = (1 to 3).map { round =>
       val prev = e
       val keep = prev.groupBy(col("src")).agg(count(lit(1)).as("d"))
@@ -676,18 +744,15 @@ object Graph extends QueryModule {
         .select(col("src"), col("dst"))
         .localCheckpoint() // eager: materializes now — prev's last consumer
       unpersistCheckpoint(prev)
-      // the census is eagerly checkpointed as ONE row so the next round
-      // may safely drop this round's edge set (a lazy census would read a
-      // truncated-lineage cache after its blocks are gone)
-      e.agg(countDistinct(col("src")).as("n_nodes"), count(lit(1)).as("n_edges"))
+      e.agg(countDistinct(col("src")).as("n_nodes"), count(lit(1)).as("n_edges"),
+          coalesce(sum(col("src")), lit(0L)).as("sum_src"),
+          coalesce(sum(col("dst")), lit(0L)).as("sum_dst"))
         .withColumn("round", lit(round.toLong))
         .localCheckpoint()
     }
     // census₃ above was the final core set's last consumer
     unpersistCheckpoint(e)
     rounds.reduce(_ unionByName _)
-      .select(col("round"), col("n_nodes"), col("n_edges"))
-      .orderBy(col("round"))
   }
 
   /** Degree assortativity of the co-purchase graph — Newman's r: the
@@ -795,6 +860,8 @@ object Graph extends QueryModule {
     "q_graph_modularity" -> (qGraphModularity _),
     "q_degree_assort" -> (qDegreeAssort _),
     "q_kcore"         -> (qKcore _),
+    "q_kcore_cert"    -> (qKcoreCert _),
+    "q_triangle_cert" -> (qTriangleCert _),
     "q_hits"          -> (qHits _),
     "q_community_lpa" -> (qCommunityLpa _),
     "q_pagerank"      -> (qPagerank _),
@@ -805,18 +872,43 @@ object Graph extends QueryModule {
     "q_shortest_path" -> (qShortestPath _),
   )
 
+  /** Shared oracle CTE block: the 64-capped order lines + the distinct
+    * directed co-purchase edge set — the exact SQL twin of
+    * [[cappedLines]]/[[edges]]. One source of truth for the cap and the
+    * pair build across every graph-family oracle that consumes the plain
+    * directed edge list (q_degree_assort, q_kcore, q_hits, q_link_predict,
+    * q_khop, q_pagerank, q_triangle and the decade certificates) — a
+    * change to the cap or the edge semantics propagates to all of them. */
+  private def edgeCtes(edgeName: String): String =
+    s"""lines AS (
+      |  SELECT l_orderkey, l_partkey FROM (
+      |    SELECT l_orderkey, l_partkey,
+      |           ROW_NUMBER() OVER (PARTITION BY l_orderkey ORDER BY l_partkey) AS rk
+      |    FROM (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem))
+      |  WHERE rk <= 64),
+      |$edgeName AS (
+      |  SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+      |  FROM lines a JOIN lines b ON a.l_orderkey = b.l_orderkey
+      |  WHERE a.l_partkey <> b.l_partkey)""".stripMargin
+
+  /** Shared 3-round k ≥ 3 peel CTE chain over an `e0` edge CTE — the SQL
+    * twin of [[kcorePeel]], interpolated by both the q_kcore and
+    * q_kcore_cert oracles so the round count / threshold / induce rule
+    * stay in one place. */
+  private val kcorePeelCtes: String =
+    """k1 AS (SELECT src AS node FROM e0 GROUP BY src HAVING COUNT(*) >= 3),
+      |e1 AS (SELECT e.src, e.dst FROM e0 e
+      |       JOIN k1 a ON e.src = a.node JOIN k1 b ON e.dst = b.node),
+      |k2 AS (SELECT src AS node FROM e1 GROUP BY src HAVING COUNT(*) >= 3),
+      |e2 AS (SELECT e.src, e.dst FROM e1 e
+      |       JOIN k2 a ON e.src = a.node JOIN k2 b ON e.dst = b.node),
+      |k3 AS (SELECT src AS node FROM e2 GROUP BY src HAVING COUNT(*) >= 3),
+      |e3 AS (SELECT e.src, e.dst FROM e2 e
+      |       JOIN k3 a ON e.src = a.node JOIN k3 b ON e.dst = b.node)""".stripMargin
+
   val oracle: Map[String, String] = Map(
     "q_degree_assort" ->
-      """WITH lines AS (
-        |  SELECT l_orderkey, l_partkey FROM (
-        |    SELECT l_orderkey, l_partkey,
-        |           ROW_NUMBER() OVER (PARTITION BY l_orderkey ORDER BY l_partkey) AS rk
-        |    FROM (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem))
-        |  WHERE rk <= 64),
-        |e0 AS (
-        |  SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
-        |  FROM lines a JOIN lines b ON a.l_orderkey = b.l_orderkey
-        |  WHERE a.l_partkey <> b.l_partkey),
+      s"""WITH ${edgeCtes("e0")},
         |deg AS (SELECT src AS node, CAST(COUNT(*) AS BIGINT) AS deg
         |        FROM e0 GROUP BY src),
         |j AS (SELECT dx.deg AS dx, dy.deg AS dy
@@ -842,25 +934,8 @@ object Graph extends QueryModule {
         |       END AS assort
         |FROM s""".stripMargin,
     "q_kcore" ->
-      """WITH lines AS (
-        |  SELECT l_orderkey, l_partkey FROM (
-        |    SELECT l_orderkey, l_partkey,
-        |           ROW_NUMBER() OVER (PARTITION BY l_orderkey ORDER BY l_partkey) AS rk
-        |    FROM (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem))
-        |  WHERE rk <= 64),
-        |e0 AS (
-        |  SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
-        |  FROM lines a JOIN lines b ON a.l_orderkey = b.l_orderkey
-        |  WHERE a.l_partkey <> b.l_partkey),
-        |k1 AS (SELECT src AS node FROM e0 GROUP BY src HAVING COUNT(*) >= 3),
-        |e1 AS (SELECT e.src, e.dst FROM e0 e
-        |       JOIN k1 a ON e.src = a.node JOIN k1 b ON e.dst = b.node),
-        |k2 AS (SELECT src AS node FROM e1 GROUP BY src HAVING COUNT(*) >= 3),
-        |e2 AS (SELECT e.src, e.dst FROM e1 e
-        |       JOIN k2 a ON e.src = a.node JOIN k2 b ON e.dst = b.node),
-        |k3 AS (SELECT src AS node FROM e2 GROUP BY src HAVING COUNT(*) >= 3),
-        |e3 AS (SELECT e.src, e.dst FROM e2 e
-        |       JOIN k3 a ON e.src = a.node JOIN k3 b ON e.dst = b.node)
+      s"""WITH ${edgeCtes("e0")},
+        |$kcorePeelCtes
         |SELECT * FROM (
         |  SELECT CAST(1 AS BIGINT) AS round, COUNT(DISTINCT src) AS n_nodes, COUNT(*) AS n_edges FROM e1
         |  UNION ALL
@@ -868,17 +943,26 @@ object Graph extends QueryModule {
         |  UNION ALL
         |  SELECT CAST(3 AS BIGINT), COUNT(DISTINCT src), COUNT(*) FROM e3)
         |ORDER BY round""".stripMargin,
+    "q_kcore_cert" ->
+      s"""WITH ${edgeCtes("eall")},
+        |e0 AS (SELECT src, dst FROM eall WHERE src % 4 = 0 AND dst % 4 = 0),
+        |$kcorePeelCtes
+        |SELECT * FROM (
+        |  SELECT CAST(1 AS BIGINT) AS round, COUNT(DISTINCT src) AS n_nodes,
+        |         COUNT(*) AS n_edges,
+        |         CAST(COALESCE(SUM(src), 0) AS BIGINT) AS sum_src,
+        |         CAST(COALESCE(SUM(dst), 0) AS BIGINT) AS sum_dst FROM e1
+        |  UNION ALL
+        |  SELECT CAST(2 AS BIGINT), COUNT(DISTINCT src), COUNT(*),
+        |         CAST(COALESCE(SUM(src), 0) AS BIGINT),
+        |         CAST(COALESCE(SUM(dst), 0) AS BIGINT) FROM e2
+        |  UNION ALL
+        |  SELECT CAST(3 AS BIGINT), COUNT(DISTINCT src), COUNT(*),
+        |         CAST(COALESCE(SUM(src), 0) AS BIGINT),
+        |         CAST(COALESCE(SUM(dst), 0) AS BIGINT) FROM e3)
+        |ORDER BY round""".stripMargin,
     "q_hits" ->
-      """WITH lines AS (
-        |  SELECT l_orderkey, l_partkey FROM (
-        |    SELECT l_orderkey, l_partkey,
-        |           ROW_NUMBER() OVER (PARTITION BY l_orderkey ORDER BY l_partkey) AS rk
-        |    FROM (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem))
-        |  WHERE rk <= 64),
-        |e AS (
-        |  SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
-        |  FROM lines a JOIN lines b ON a.l_orderkey = b.l_orderkey
-        |  WHERE a.l_partkey <> b.l_partkey),
+      s"""WITH ${edgeCtes("e")},
         |h0 AS (
         |  SELECT node, CAST(1024 AS BIGINT) AS h FROM (
         |    SELECT src AS node FROM e UNION SELECT dst FROM e)),
@@ -1056,16 +1140,7 @@ object Graph extends QueryModule {
         |SELECT node AS partkey, CAST(dist AS BIGINT) AS dist_micro
         |FROM d4 ORDER BY dist_micro, partkey""".stripMargin,
     "q_link_predict" ->
-      """WITH lines AS (
-        |  SELECT l_orderkey, l_partkey FROM (
-        |    SELECT l_orderkey, l_partkey,
-        |           ROW_NUMBER() OVER (PARTITION BY l_orderkey ORDER BY l_partkey) AS rk
-        |    FROM (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem))
-        |  WHERE rk <= 64),
-        |e AS (
-        |  SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
-        |  FROM lines a JOIN lines b ON a.l_orderkey = b.l_orderkey
-        |  WHERE a.l_partkey <> b.l_partkey),
+      s"""WITH ${edgeCtes("e")},
         |deg AS (SELECT src, COUNT(*) AS d FROM e GROUP BY src),
         |focus AS (
         |  SELECT src AS qn, d AS d_q FROM deg ORDER BY d DESC, src LIMIT 25),
@@ -1089,16 +1164,7 @@ object Graph extends QueryModule {
         |FROM scored WHERE rk <= 5
         |ORDER BY qn, rk""".stripMargin,
     "q_khop" ->
-      """WITH lines AS (
-        |  SELECT l_orderkey, l_partkey FROM (
-        |    SELECT l_orderkey, l_partkey,
-        |           ROW_NUMBER() OVER (PARTITION BY l_orderkey ORDER BY l_partkey) AS rk
-        |    FROM (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem))
-        |  WHERE rk <= 64),
-        |e AS (
-        |  SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
-        |  FROM lines a JOIN lines b ON a.l_orderkey = b.l_orderkey
-        |  WHERE a.l_partkey <> b.l_partkey),
+      s"""WITH ${edgeCtes("e")},
         |s AS (SELECT DISTINCT src AS node FROM e WHERE src % 1000 = 0),
         |h1 AS (
         |  SELECT DISTINCT e.dst AS node FROM e JOIN s ON e.src = s.node
@@ -1117,16 +1183,7 @@ object Graph extends QueryModule {
         |  UNION ALL SELECT 3, CAST(COUNT(*) AS BIGINT) FROM h3
         |) ORDER BY hop""".stripMargin,
     "q_pagerank" ->
-      """WITH lines AS (
-        |  SELECT l_orderkey, l_partkey FROM (
-        |    SELECT l_orderkey, l_partkey,
-        |           ROW_NUMBER() OVER (PARTITION BY l_orderkey ORDER BY l_partkey) AS rk
-        |    FROM (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem))
-        |  WHERE rk <= 64),
-        |e AS (
-        |  SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
-        |  FROM lines a JOIN lines b ON a.l_orderkey = b.l_orderkey
-        |  WHERE a.l_partkey <> b.l_partkey),
+      s"""WITH ${edgeCtes("e")},
         |deg AS (SELECT src, COUNT(*) AS d FROM e GROUP BY src),
         |r0 AS (SELECT DISTINCT src AS node, CAST(1000000 AS BIGINT) AS r FROM e),
         |r1 AS (
@@ -1144,28 +1201,8 @@ object Graph extends QueryModule {
         |SELECT node AS partkey, CAST(r AS BIGINT) AS rank_micro
         |FROM r3 ORDER BY r DESC, node LIMIT 100""".stripMargin,
     "q_triangle" ->
-      """WITH lines AS (
-        |  SELECT l_orderkey, l_partkey FROM (
-        |    SELECT l_orderkey, l_partkey,
-        |           ROW_NUMBER() OVER (PARTITION BY l_orderkey ORDER BY l_partkey) AS rk
-        |    FROM (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem))
-        |  WHERE rk <= 64),
-        |e AS (
-        |  SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
-        |  FROM lines a JOIN lines b ON a.l_orderkey = b.l_orderkey
-        |  WHERE a.l_partkey <> b.l_partkey),
-        |und AS (SELECT src, dst FROM e WHERE src < dst),
-        |deg AS (SELECT src AS node, COUNT(*) AS d FROM e GROUP BY src),
-        |o AS (
-        |  SELECT CASE WHEN ds.d < dd.d OR (ds.d = dd.d AND u.src < u.dst)
-        |              THEN u.src ELSE u.dst END AS u,
-        |         CASE WHEN ds.d < dd.d OR (ds.d = dd.d AND u.src < u.dst)
-        |              THEN u.dst ELSE u.src END AS v
-        |  FROM und u JOIN deg ds ON u.src = ds.node JOIN deg dd ON u.dst = dd.node),
-        |tri AS (
-        |  SELECT e1.u AS a, e1.v AS b, e2.v AS c
-        |  FROM o e1 JOIN o e2 ON e1.u = e2.u AND e1.v < e2.v
-        |  WHERE EXISTS (SELECT 1 FROM e WHERE e.src = e1.v AND e.dst = e2.v)),
+      s"""WITH ${edgeCtes("e")},
+        |${triangleCtes(apexMod = 1)},
         |corners AS (
         |  SELECT a AS node FROM tri
         |  UNION ALL SELECT b FROM tri
@@ -1175,5 +1212,37 @@ object Graph extends QueryModule {
         |       ROUND(2.0 * t.triangles / (d.d * (d.d - 1)), 6) AS clustering
         |FROM t JOIN deg d ON t.node = d.node
         |ORDER BY t.triangles DESC, t.node LIMIT 100""".stripMargin,
+    "q_triangle_cert" ->
+      s"""WITH ${edgeCtes("e")},
+        |${triangleCtes(apexMod = 8)}
+        |SELECT c % 16 AS bucket, CAST(COUNT(*) AS BIGINT) AS n_triangles,
+        |       CAST(SUM(a) AS BIGINT) AS sum_a,
+        |       CAST(SUM(b) AS BIGINT) AS sum_b,
+        |       CAST(SUM(c) AS BIGINT) AS sum_c,
+        |       CAST(SUM((a * 1009 + b * 31 + c) % 1000000007) AS BIGINT) AS chk
+        |FROM tri GROUP BY 1 ORDER BY bucket""".stripMargin,
   )
+
+  /** Shared orientation + wedge + close CTE chain (und/deg/o/tri) over an
+    * `e` edge CTE — the SQL twin of [[triangleParts]], interpolated by
+    * both the q_triangle and q_triangle_cert oracles. `apexMod` > 1
+    * restricts the wedge apex exactly like the Spark side, cutting the
+    * oracle's wedge volume by the slice factor (what makes the cert
+    * feasible for the single-process oracle at sf1.0). */
+  private def triangleCtes(apexMod: Int): String = {
+    val apexPred = if (apexMod > 1) s" AND e1.u % $apexMod = 0" else ""
+    s"""und AS (SELECT src, dst FROM e WHERE src < dst),
+      |deg AS (SELECT src AS node, COUNT(*) AS d FROM e GROUP BY src),
+      |o AS (
+      |  SELECT CASE WHEN ds.d < dd.d OR (ds.d = dd.d AND u.src < u.dst)
+      |              THEN u.src ELSE u.dst END AS u,
+      |         CASE WHEN ds.d < dd.d OR (ds.d = dd.d AND u.src < u.dst)
+      |              THEN u.dst ELSE u.src END AS v
+      |  FROM und u JOIN deg ds ON u.src = ds.node JOIN deg dd ON u.dst = dd.node),
+      |tri AS (
+      |  SELECT e1.u AS a, e1.v AS b, e2.v AS c
+      |  FROM o e1 JOIN o e2 ON e1.u = e2.u AND e1.v < e2.v$apexPred
+      |  WHERE EXISTS (SELECT 1 FROM e WHERE e.src = e1.v AND e.dst = e2.v))"""
+      .stripMargin
+  }
 }

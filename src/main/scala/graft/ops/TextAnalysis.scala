@@ -616,13 +616,18 @@ object TextAnalysis extends QueryModule {
   def qWinnowFingerprint(spark: SparkSession, dir: String): DataFrame = {
     val fps = Tables.documents(spark, dir)
       .select(col("doc_id"), split(lower(trim(col("text"))), " ").as("toks"))
-      .filter(size(col("toks")) >= 4)
+      // one winnow window needs >= 4 hashes = >= 7 tokens. The guard MUST
+      // be phrased on the token count: a size(hashes) >= 4 predicate gets
+      // pushed below the projection and re-inlines the whole per-4-gram
+      // md5 transform into the scan filter, so every document paid its
+      // dominant hash pass TWICE (measured 7.0 s -> 3.6 s at sf0.1/32
+      // cpus when the filter stopped hashing).
+      .filter(size(col("toks")) >= 7)
       .withColumn("hashes", expr(
         """transform(sequence(0, size(toks) - 4),
           |  i -> CAST(conv(substring(md5(concat_ws(' ',
           |         toks[i], toks[i+1], toks[i+2], toks[i+3])), 1, 15), 16, 10)
           |       AS BIGINT))""".stripMargin))
-      .filter(size(col("hashes")) >= 4)
       .withColumn("fp", explode(expr(
         """array_distinct(transform(sequence(0, size(hashes) - 4),
           |  i -> array_min(slice(hashes, i + 1, 4))))""".stripMargin)))

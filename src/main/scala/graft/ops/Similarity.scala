@@ -328,7 +328,22 @@ object Similarity extends QueryModule {
     * window distributes perfectly); the update explodes 64 dims and hash-
     * aggregates — one shuffle of (k × 64) running sums. A production run
     * raises k and iters; the plan shape is unchanged. */
-  private def ivfCentroids(e: DataFrame, k: Int, iters: Int): DataFrame = {
+  /** Nearest-centroid assignment (cosine, ties to the smallest cid) — ONE
+    * definition shared by the in-query IVF keys and the durable
+    * [[IvfIndex]], so index-side and query-side assignment can't drift.
+    * Input columns (vec_id, embedding, ...); output (vec_id, embedding,
+    * cid). */
+  private[graft] def assignToCentroids(vectors: DataFrame, cent: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("vec_id")).orderBy(col("csim").desc, col("cid"))
+    vectors.crossJoin(broadcast(cent))
+      .withColumn("csim", expr("cosine_sim(embedding, cvec)"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("embedding"), col("cid"))
+  }
+
+  private[ops] def ivfCentroids(e: DataFrame, k: Int, iters: Int): DataFrame = {
     val assignW = org.apache.spark.sql.expressions.Window
       .partitionBy(col("vec_id")).orderBy(col("csim").desc, col("cid"))
     var cent = e.filter(col("vec_id") < k)
@@ -375,12 +390,7 @@ object Similarity extends QueryModule {
     val e = Tables.embeddings(spark, dir)
       .filter(size(col("embedding")) === 64 && expr(normSqExpr) > 0)
     val cent = ivfCentroids(e, 16, 2)
-    val assignW = Window.partitionBy(col("vec_id")).orderBy(col("csim").desc, col("cid"))
-    val assigned = e.crossJoin(broadcast(cent))
-      .withColumn("csim", expr("cosine_sim(embedding, cvec)"))
-      .withColumn("rn", row_number().over(assignW))
-      .filter(col("rn") === 1)
-      .select(col("vec_id"), col("embedding"), col("cid"))
+    val assigned = assignToCentroids(e, cent)
     val queries = e.filter(servingBatchPred)
       .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
     val probeW = Window.partitionBy(col("qid")).orderBy(col("qsim").desc, col("cid"))
@@ -396,6 +406,39 @@ object Similarity extends QueryModule {
       .withColumn("rk", row_number().over(rankW))
       .filter(col("rk") <= 5)
       .select(col("qid"), col("vec_id"), round(col("cos_raw"), 6).as("cosine"), col("rk"))
+      .orderBy(col("qid"), col("rk"))
+  }
+
+  /** Durable-index IVF serving — the streaming-ingest twin of
+    * [[qAnnIvfBatch]], exercising [[IvfIndex]] end to end the way
+    * `q_minhash_incremental` + `ops/MinhashIndex` do for dedup: train the
+    * index on the initial corpus (vec_id % 10 ≠ 0), UPSERT the new batch
+    * (the stride-10 vectors) against the FROZEN centroids — assignment
+    * cost ∝ |batch|, the standard IVF ingest contract (centroids retrain
+    * offline) — then serve the standard 64-query page from the stored
+    * index. Because upsert assigns with the same final centroids init
+    * used, the stored assignments equal a from-scratch assignment of the
+    * full corpus with init-trained centroids — which is exactly what the
+    * DuckDB twin unrolls (shared ivfCtesFrom + ivfProbeSql blocks), and
+    * what IvfIndexSpec pins structurally (two-batch upsert ≡ from-scratch,
+    * idempotent re-upsert).
+    *
+    * 100 TB shape: identical to q_ann_ivf_batch's serving plan — the
+    * corpus side stays partition-parallel keyed by its stored list
+    * assignment (at scale, the cid is the table's partition column, so a
+    * probe reads 4/16 of the data); the 64-query page and its probe lists
+    * broadcast; index growth is append-only parquet. */
+  def qIvfIncremental(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.CosineSimilarity.register(spark)
+    val e = Tables.embeddings(spark, dir)
+      .filter(size(col("embedding")) === 64 && expr(normSqExpr) > 0)
+      .select(col("vec_id"), col("embedding"))
+    val path = s"${Relational.sinkRoot}${Integer.toHexString(dir.hashCode)}/ivf_index"
+    IvfIndex.init(spark, e.filter(col("vec_id") % 10 =!= 0), path)
+    IvfIndex.upsert(spark, e.filter(col("vec_id") % 10 === 0), path)
+    val queries = e.filter(servingBatchPred)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    IvfIndex.probe(spark, queries, path)
       .orderBy(col("qid"), col("rk"))
   }
 
@@ -1131,6 +1174,7 @@ object Similarity extends QueryModule {
     "q_ann_lsh"            -> (qAnnLsh _),
     "q_ann_ivf"            -> (qAnnIvf _),
     "q_ann_ivf_batch"      -> (qAnnIvfBatch _),
+    "q_ivf_incremental"    -> (qIvfIncremental _),
     "q_dedup_embedding"    -> (qDedupEmbedding _),
     "q_semdedup"           -> (qSemdedup _),
     "q_mmr_diversify"      -> (qMmrDiversify _),
@@ -1211,19 +1255,28 @@ object Similarity extends QueryModule {
     * index): eligible vectors `e`, the two unrolled k-means iterations
     * ending in `cent`, and the list `assigned`ment — the SQL twin of
     * [[ivfCentroids]] + the assignment step. */
-  private val ivfCtes: String =
-    """e AS (
+  /** The unrolled IVF training + assignment CTE chain, parameterized by
+    * the TRAINING-set predicate: seeds, both Lloyd iterations, and the
+    * integer centroid means run over `et` (the training slice); the final
+    * `assigned` lists cover the FULL corpus under the trained centroids —
+    * exactly [[ivfCentroids]]+[[assignToCentroids]], and exactly what the
+    * durable [[IvfIndex]]'s init+upsert composition produces. One block
+    * shared by every IVF oracle (full-corpus training = TRUE; the
+    * incremental key trains on the init slice only). */
+  private def ivfCtesFrom(trainPred: String): String =
+    s"""e AS (
       |  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
       |  WHERE LEN(embedding) = 64
       |    AND LIST_AGGREGATE(LIST_TRANSFORM(CAST(embedding AS DOUBLE[]), x -> x * x), 'sum') > 0),
+      |et AS (SELECT * FROM e WHERE $trainPred),
       |cent0 AS (
-      |  SELECT vec_id AS cid, v AS cvec FROM e WHERE vec_id < 16),
+      |  SELECT vec_id AS cid, v AS cvec FROM et WHERE vec_id < 16),
       |asg1 AS (
       |  SELECT vec_id, v, cid FROM (
-      |    SELECT e.vec_id, e.v, c.cid,
-      |           ROW_NUMBER() OVER (PARTITION BY e.vec_id
-      |             ORDER BY LIST_COSINE_SIMILARITY(e.v, c.cvec) DESC, c.cid) AS rn
-      |    FROM e CROSS JOIN cent0 c) WHERE rn = 1),
+      |    SELECT et.vec_id, et.v, c.cid,
+      |           ROW_NUMBER() OVER (PARTITION BY et.vec_id
+      |             ORDER BY LIST_COSINE_SIMILARITY(et.v, c.cvec) DESC, c.cid) AS rn
+      |    FROM et CROSS JOIN cent0 c) WHERE rn = 1),
       |m1 AS (
       |  SELECT cid, d AS dim,
       |         SUM(CAST(ROUND(v[CAST(d + 1 AS INTEGER)] * 1e6) AS BIGINT)) AS s,
@@ -1238,10 +1291,10 @@ object Similarity extends QueryModule {
       |  FROM cent0 c LEFT JOIN new1 n USING (cid)),
       |asg2 AS (
       |  SELECT vec_id, v, cid FROM (
-      |    SELECT e.vec_id, e.v, c.cid,
-      |           ROW_NUMBER() OVER (PARTITION BY e.vec_id
-      |             ORDER BY LIST_COSINE_SIMILARITY(e.v, c.cvec) DESC, c.cid) AS rn
-      |    FROM e CROSS JOIN cent1 c) WHERE rn = 1),
+      |    SELECT et.vec_id, et.v, c.cid,
+      |           ROW_NUMBER() OVER (PARTITION BY et.vec_id
+      |             ORDER BY LIST_COSINE_SIMILARITY(et.v, c.cvec) DESC, c.cid) AS rn
+      |    FROM et CROSS JOIN cent1 c) WHERE rn = 1),
       |m2 AS (
       |  SELECT cid, d AS dim,
       |         SUM(CAST(ROUND(v[CAST(d + 1 AS INTEGER)] * 1e6) AS BIGINT)) AS s,
@@ -1260,6 +1313,29 @@ object Similarity extends QueryModule {
       |           ROW_NUMBER() OVER (PARTITION BY e.vec_id
       |             ORDER BY LIST_COSINE_SIMILARITY(e.v, c.cvec) DESC, c.cid) AS rn
       |    FROM e CROSS JOIN cent c) WHERE rn = 1)""".stripMargin
+
+  private val ivfCtes: String = ivfCtesFrom("TRUE")
+
+  /** The batched-serving tail shared by the q_ann_ivf_batch and
+    * q_ivf_incremental oracles: the 64-query page, nprobe=4 probe lists,
+    * and the exact top-5 rerank — identical ranking/tie rules to
+    * [[IvfIndex.probe]]. */
+  private lazy val ivfProbeSql: String =
+    s"""qs AS (SELECT vec_id AS qid, v AS qvec FROM e WHERE $servingBatchSql),
+      |probes AS (
+      |  SELECT qid, qvec, cid FROM (
+      |    SELECT q.qid, q.qvec, c.cid,
+      |           ROW_NUMBER() OVER (PARTITION BY q.qid
+      |             ORDER BY LIST_COSINE_SIMILARITY(c.cvec, q.qvec) DESC, c.cid) AS pr
+      |    FROM qs q CROSS JOIN cent c) WHERE pr <= 4),
+      |scored AS (
+      |  SELECT p.qid, a.vec_id, LIST_COSINE_SIMILARITY(a.v, p.qvec) AS cos_raw,
+      |         ROW_NUMBER() OVER (PARTITION BY p.qid
+      |           ORDER BY LIST_COSINE_SIMILARITY(a.v, p.qvec) DESC, a.vec_id) AS rk
+      |  FROM assigned a JOIN probes p USING (cid)
+      |  WHERE a.vec_id <> p.qid)
+      |SELECT qid, vec_id, ROUND(cos_raw, 6) AS cosine, rk
+      |FROM scored WHERE rk <= 5 ORDER BY qid, rk""".stripMargin
 
   private val mmrRound: Int => String = r =>
     s"""c$r AS (
@@ -1820,21 +1896,10 @@ object Similarity extends QueryModule {
         |LIMIT 10""".stripMargin,
     "q_ann_ivf_batch" ->
       s"""WITH $ivfCtes,
-        |qs AS (SELECT vec_id AS qid, v AS qvec FROM e WHERE $servingBatchSql),
-        |probes AS (
-        |  SELECT qid, qvec, cid FROM (
-        |    SELECT q.qid, q.qvec, c.cid,
-        |           ROW_NUMBER() OVER (PARTITION BY q.qid
-        |             ORDER BY LIST_COSINE_SIMILARITY(c.cvec, q.qvec) DESC, c.cid) AS pr
-        |    FROM qs q CROSS JOIN cent c) WHERE pr <= 4),
-        |scored AS (
-        |  SELECT p.qid, a.vec_id, LIST_COSINE_SIMILARITY(a.v, p.qvec) AS cos_raw,
-        |         ROW_NUMBER() OVER (PARTITION BY p.qid
-        |           ORDER BY LIST_COSINE_SIMILARITY(a.v, p.qvec) DESC, a.vec_id) AS rk
-        |  FROM assigned a JOIN probes p USING (cid)
-        |  WHERE a.vec_id <> p.qid)
-        |SELECT qid, vec_id, ROUND(cos_raw, 6) AS cosine, rk
-        |FROM scored WHERE rk <= 5 ORDER BY qid, rk""".stripMargin,
+        |$ivfProbeSql""".stripMargin,
+    "q_ivf_incremental" ->
+      s"""WITH ${ivfCtesFrom("vec_id % 10 <> 0")},
+        |$ivfProbeSql""".stripMargin,
     "q_dedup_embedding" ->
       s"""WITH $embedPairCtes
          |SELECT v1, v2, ROUND(cos_raw, 6) AS cosine

@@ -144,7 +144,12 @@ object Bench {
         import scala.jdk.CollectionConverters._
         Some((wall, famTimes.asScala.toSeq.sortBy(_._1)))
       }
-    val qs = results.map(s => "\"" + s.name + "\":" + s.min)
+    // stdout line values at millisecond resolution: the driver's stdout
+    // capture is bounded (~8 KB — round 8's full-precision ~9.6 KB line
+    // was truncated mid-key and parsed as null); full ns precision lives
+    // in bench_full.json.
+    val qs = results.map(s =>
+      "\"" + s.name + "\":" + (if (s.min < 0) "-1" else f"${s.min}%.3f"))
       .mkString("{", ",", "}")
     val errors = results.collect { case s if s.min < 0 => "\"" + s.name + "\"" }
       .mkString("[", ",", "]")

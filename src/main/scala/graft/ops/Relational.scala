@@ -588,7 +588,49 @@ object Relational extends QueryModule {
       .orderBy(col("group_id"))
   }
 
+  /** Atomic-commit-protocol certificate — the snapshot-isolation audit one
+    * step past `q_compaction_plan`/`q_ivm_agg`: a scripted two-writer race
+    * on a [[TxnLog]] table. Writer A appends a batch while writer B plans
+    * a compaction against the STALE version-0 snapshot; A claims v1 via
+    * put-if-absent, B's first commit attempt loses the race, revalidates
+    * its base files against the real head (all still live — an append
+    * conflicts with nothing), and retries as v2. The certificate is the
+    * per-version census from PINNED snapshot reads: version, action,
+    * commit attempts, live-file count, rows, and an exact event_id-sum
+    * checksum. The oracle recomputes the content censuses from the events
+    * table — so the hash matches iff v1 = v0 + exactly the batch (append
+    * atomicity), v2 ≡ v1 in content (compaction changes LAYOUT only:
+    * snapshot isolation), file counts follow the protocol (4 → 5 → 2),
+    * and B really did pay the retry (attempts = 2).
+    *
+    * Scale shape: commits move file LISTS (KB), never data; every census
+    * read is a pinned-version scan. At 100 TB this is the audit a table
+    * service runs after every OPTIMIZE to prove the rewrite lost
+    * nothing. */
+  def qTxnCommit(spark: SparkSession, dir: String): DataFrame = {
+    val path = s"$sinkRoot${Integer.toHexString(dir.hashCode)}/txn_${System.nanoTime()}"
+    val ev = Tables.events(spark, dir)
+      .select(col("event_id"), col("user_id"), col("event_type"), col("ts"))
+    TxnLog.init(ev.filter(col("event_id") % 5 =!= 0), path, nFiles = 4)
+    // B's stale view is v0; A commits first
+    val (_, appendAttempts) = TxnLog.append(ev.filter(col("event_id") % 5 === 0), path)
+    val (v2, compactAttempts) = TxnLog.compactFrom(spark, path, baseVersion = 0L)
+    val meta = Map(0L -> ("init", 1), 1L -> ("append", appendAttempts),
+      2L -> ("compact", compactAttempts))
+    (0L to v2).map { v =>
+      val (action, attempts) = meta(v)
+      TxnLog.read(spark, path, v)
+        .agg(count(lit(1)).as("n_rows"),
+          coalesce(sum(col("event_id")), lit(0L)).as("chk"))
+        .select(lit(v).as("version"), lit(action).as("action"),
+          lit(attempts.toLong).as("attempts"),
+          lit(TxnLog.liveFiles(path, v).size.toLong).as("n_files"),
+          col("n_rows"), col("chk"))
+    }.reduce(_ unionByName _).orderBy(col("version"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_txn_commit" -> (qTxnCommit _),
     "q_join_dpp" -> (qJoinDpp _),
     "q_compaction_plan" -> (qCompactionPlan _),
     "q_zonemap_prune" -> (qZonemapPrune _),
@@ -621,6 +663,24 @@ object Relational extends QueryModule {
         |FROM orders
         |WHERE YEAR(o_orderdate) = 1996 AND MONTH(o_orderdate) <= 3
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_txn_commit" ->
+      """WITH b AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+        |         CAST(COALESCE(SUM(event_id), 0) AS BIGINT) AS s
+        |  FROM events WHERE event_id % 5 <> 0),
+        |a AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+        |         CAST(COALESCE(SUM(event_id), 0) AS BIGINT) AS s
+        |  FROM events)
+        |SELECT version, action, attempts, n_files, n_rows, chk FROM (
+        |  SELECT CAST(0 AS BIGINT) AS version, 'init' AS action,
+        |         CAST(1 AS BIGINT) AS attempts, CAST(4 AS BIGINT) AS n_files,
+        |         b.n AS n_rows, b.s AS chk FROM b
+        |  UNION ALL
+        |  SELECT 1, 'append', 1, 5, a.n, a.s FROM a
+        |  UNION ALL
+        |  SELECT 2, 'compact', 2, 2, a.n, a.s FROM a)
+        |ORDER BY version""".stripMargin,
     "q_compaction_plan" ->
       """WITH census AS (
         |  SELECT YEAR(o_orderdate) * 100 + MONTH(o_orderdate) AS file_id,

@@ -1126,7 +1126,132 @@ object Profiling extends QueryModule {
       .orderBy(col("event_type"))
   }
 
+  /** Population Stability Index — the train/serve feature-drift score every
+    * model monitor computes between a reference window and the current one.
+    * Here: events.value binned into 10 fixed $50 buckets (domain [0, 500)),
+    * reference = first two weeks vs current = the rest of the month; add-one
+    * (Laplace) smoothing so an empty bucket contributes a finite term
+    * instead of ln(0). Per-bucket contribution (p−q)·ln(p/q) is ppm-floored
+    * into an integer BEFORE the total sum (the q_chisq discipline), so the
+    * headline PSI is an order-independent integer both engines agree on
+    * bit-for-bit.
+    *
+    * Scale shape: ONE map-side-combinable aggregation over the fact (two
+    * conditional counts per bucket), then all windows/joins run on the
+    * 10-row bucket spine. The spine left-join keeps structurally-empty
+    * buckets in the score — at 100 TB a bucket the current window never
+    * hits is exactly the drift signal PSI exists to catch. */
+  def qPsi(spark: SparkSession, dir: String): DataFrame = {
+    val cut = lit("2024-01-15 00:00:00").cast("timestamp")
+    val counts = Tables.events(spark, dir)
+      .filter(col("value").isNotNull && col("ts").isNotNull)
+      .withColumn("bucket", least(lit(9L), floor(col("value") / 50.0)))
+      .groupBy(col("bucket"))
+      .agg(count(when(col("ts") < cut, 1)).as("n_ref"),
+        count(when(col("ts") >= cut, 1)).as("n_cur"))
+    val spine = spark.range(0, 10).select(col("id").as("bucket"))
+    val wall = Window.partitionBy()
+    spine.join(counts, Seq("bucket"), "left")
+      .select(col("bucket"),
+        coalesce(col("n_ref"), lit(0L)).as("n_ref"),
+        coalesce(col("n_cur"), lit(0L)).as("n_cur"))
+      .withColumn("t_ref", sum(col("n_ref")).over(wall))
+      .withColumn("t_cur", sum(col("n_cur")).over(wall))
+      .withColumn("psi_ppm", expr(
+        """CAST(FLOOR((CAST(n_ref + 1 AS DOUBLE) / CAST(t_ref + 10 AS DOUBLE)
+          |      - CAST(n_cur + 1 AS DOUBLE) / CAST(t_cur + 10 AS DOUBLE))
+          |  * LN((CAST(n_ref + 1 AS DOUBLE) / CAST(t_ref + 10 AS DOUBLE))
+          |      / (CAST(n_cur + 1 AS DOUBLE) / CAST(t_cur + 10 AS DOUBLE)))
+          |  * 1000000 + 0.5) AS BIGINT)""".stripMargin))
+      .withColumn("psi_total_ppm", sum(col("psi_ppm")).over(wall))
+      .select(col("bucket"), col("n_ref"), col("n_cur"),
+        col("psi_ppm"), col("psi_total_ppm"))
+      .orderBy(col("bucket"))
+  }
+
+  /** Two-sample Kolmogorov–Smirnov drift statistic between the click and
+    * purchase value distributions — the nonparametric "did these two
+    * populations come from the same distribution" test a pipeline runs
+    * when PSI's fixed bins are too coarse. D = max over the merged value
+    * domain of |F₁(x) − F₂(x)|; each empirical CDF point Cᵢ/nᵢ is one IEEE
+    * division of exactly-represented integers, so both engines score every
+    * candidate x identically and the argmax (ties broken by smallest value)
+    * is deterministic.
+    *
+    * Scale shape: the global cumulative counts use the repo's two-phase
+    * chunked-prefix idiom (q_hist_equidepth): per-value counts rank INSIDE
+    * fixed $25 price chunks, the ~20-row per-chunk total table prefix-sums
+    * under a broadcast, and local cumsum + chunk offset = global CDF — no
+    * task ever windows more than one chunk, where a single ORDER-BY-value
+    * window would serialize the 100 TB sort into one reducer. The final
+    * argmax is a TakeOrdered top-1, not a driver collect. */
+  def qKsDrift(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .filter(col("value").isNotNull && col("event_type").isin("click", "purchase"))
+      .select(col("event_type").as("pop"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("pc"))
+    val perPc = ev.groupBy(col("pc"))
+      .agg(count(when(col("pop") === "click", 1)).as("k1"),
+        count(when(col("pop") === "purchase", 1)).as("k2"))
+      .withColumn("chunk", expr("pc div 2500"))
+    val byChunk = Window.orderBy(col("chunk"))
+    val offs = perPc.groupBy(col("chunk"))
+      .agg(sum(col("k1")).as("ck1"), sum(col("k2")).as("ck2"))
+      .withColumn("off1", coalesce(sum(col("ck1")).over(
+        byChunk.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("off2", coalesce(sum(col("ck2")).over(
+        byChunk.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("chunk"), col("off1"), col("off2"))
+    val tot = ev.groupBy().agg(
+      count(when(col("pop") === "click", 1)).as("n1"),
+      count(when(col("pop") === "purchase", 1)).as("n2"))
+    val wc = Window.partitionBy(col("chunk")).orderBy(col("pc"))
+    perPc.join(broadcast(offs), "chunk")
+      .withColumn("c1", sum(col("k1")).over(wc) + col("off1"))
+      .withColumn("c2", sum(col("k2")).over(wc) + col("off2"))
+      .crossJoin(broadcast(tot))
+      .withColumn("diff", expr(
+        "abs(CAST(c1 AS DOUBLE) / CAST(n1 AS DOUBLE) - CAST(c2 AS DOUBLE) / CAST(n2 AS DOUBLE))"))
+      .orderBy(col("diff").desc, col("pc"))
+      .limit(1)
+      .select(lit("click").as("pop_a"), lit("purchase").as("pop_b"),
+        col("n1"), col("n2"), col("pc").as("arg_pc"),
+        expr("CAST(FLOOR(diff * 1000000 + 0.5) AS BIGINT)").as("ks_ppm"))
+  }
+
+  /** Mutual information between documents.lang and documents.source in ppm
+    * — the feature-dependence audit run before stratifying a corpus on two
+    * axes (independent axes ⇒ MI ≈ 0 ⇒ stratifying on both buys nothing).
+    * Cell contribution (n/t)·ln(n·t / (n_l·n_s)) follows the q_ngram_pmi ln
+    * discipline on exactly-cast doubles and is ppm-floored per cell before
+    * the total (the q_chisq shape), so the headline MI is an integer sum.
+    *
+    * Scale shape: one map-side-combinable (lang, source) count — every
+    * margin and the total are windows over the |langs|·|sources| CELL table
+    * (bounded by vocabulary, not corpus), mirroring q_chisq exactly. */
+  def qMutualInfo(spark: SparkSession, dir: String): DataFrame = {
+    val cells = Tables.documents(spark, dir)
+      .groupBy(col("lang"), col("source")).agg(count(lit(1)).as("n"))
+    val wall = Window.partitionBy()
+    cells
+      .withColumn("n_l", sum(col("n")).over(Window.partitionBy(col("lang"))))
+      .withColumn("n_s", sum(col("n")).over(Window.partitionBy(col("source"))))
+      .withColumn("t", sum(col("n")).over(wall))
+      .withColumn("mi_ppm", expr(
+        """CAST(FLOOR(CAST(n AS DOUBLE) / CAST(t AS DOUBLE)
+          |  * LN(CAST(n AS DOUBLE) * CAST(t AS DOUBLE)
+          |       / (CAST(n_l AS DOUBLE) * CAST(n_s AS DOUBLE)))
+          |  * 1000000 + 0.5) AS BIGINT)""".stripMargin))
+      .withColumn("mi_total_ppm", sum(col("mi_ppm")).over(wall))
+      .select(col("lang"), col("source"), col("n"),
+        col("mi_ppm"), col("mi_total_ppm"))
+      .orderBy(col("lang"), col("source"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_psi"            -> (qPsi _),
+    "q_ks_drift"       -> (qKsDrift _),
+    "q_mutual_info"    -> (qMutualInfo _),
     "q_bloom_fpr"      -> (qBloomFpr _),
     "q_theil_sen"      -> (qTheilSen _),
     "q_f2_sketch"      -> (qF2Sketch _),
@@ -1194,6 +1319,80 @@ object Profiling extends QueryModule {
   }
 
   val oracle: Map[String, String] = Map(
+    "q_psi" ->
+      """WITH ev AS (
+        |  SELECT LEAST(9, CAST(FLOOR(value / 50.0) AS BIGINT)) AS bucket, ts
+        |  FROM events WHERE value IS NOT NULL AND ts IS NOT NULL),
+        |cnt AS (
+        |  SELECT bucket,
+        |    COUNT(*) FILTER (WHERE ts <  TIMESTAMP '2024-01-15 00:00:00') AS n_ref,
+        |    COUNT(*) FILTER (WHERE ts >= TIMESTAMP '2024-01-15 00:00:00') AS n_cur
+        |  FROM ev GROUP BY bucket),
+        |spine AS (SELECT UNNEST(RANGE(0, 10)) AS bucket),
+        |filled AS (
+        |  SELECT s.bucket,
+        |         CAST(COALESCE(c.n_ref, 0) AS BIGINT) AS n_ref,
+        |         CAST(COALESCE(c.n_cur, 0) AS BIGINT) AS n_cur
+        |  FROM spine s LEFT JOIN cnt c USING (bucket)),
+        |tot AS (SELECT CAST(SUM(n_ref) AS BIGINT) AS t_ref,
+        |               CAST(SUM(n_cur) AS BIGINT) AS t_cur FROM filled),
+        |scored AS (
+        |  SELECT bucket, n_ref, n_cur,
+        |    CAST(FLOOR((CAST(n_ref + 1 AS DOUBLE) / CAST(t_ref + 10 AS DOUBLE)
+        |          - CAST(n_cur + 1 AS DOUBLE) / CAST(t_cur + 10 AS DOUBLE))
+        |      * LN((CAST(n_ref + 1 AS DOUBLE) / CAST(t_ref + 10 AS DOUBLE))
+        |          / (CAST(n_cur + 1 AS DOUBLE) / CAST(t_cur + 10 AS DOUBLE)))
+        |      * 1000000 + 0.5) AS BIGINT) AS psi_ppm
+        |  FROM filled CROSS JOIN tot)
+        |SELECT bucket, n_ref, n_cur, psi_ppm,
+        |       CAST(SUM(psi_ppm) OVER () AS BIGINT) AS psi_total_ppm
+        |FROM scored ORDER BY bucket""".stripMargin,
+    "q_ks_drift" ->
+      """WITH ev AS (
+        |  SELECT event_type AS pop, CAST(ROUND(value * 100) AS BIGINT) AS pc
+        |  FROM events
+        |  WHERE value IS NOT NULL AND event_type IN ('click', 'purchase')),
+        |per_pc AS (
+        |  SELECT pc,
+        |    COUNT(*) FILTER (WHERE pop = 'click')    AS k1,
+        |    COUNT(*) FILTER (WHERE pop = 'purchase') AS k2
+        |  FROM ev GROUP BY pc),
+        |tot AS (
+        |  SELECT COUNT(*) FILTER (WHERE pop = 'click')    AS n1,
+        |         COUNT(*) FILTER (WHERE pop = 'purchase') AS n2 FROM ev),
+        |cum AS (
+        |  SELECT pc,
+        |    CAST(SUM(k1) OVER (ORDER BY pc) AS BIGINT) AS c1,
+        |    CAST(SUM(k2) OVER (ORDER BY pc) AS BIGINT) AS c2
+        |  FROM per_pc),
+        |scored AS (
+        |  SELECT pc, n1, n2,
+        |    ABS(CAST(c1 AS DOUBLE) / CAST(n1 AS DOUBLE)
+        |        - CAST(c2 AS DOUBLE) / CAST(n2 AS DOUBLE)) AS diff
+        |  FROM cum CROSS JOIN tot)
+        |SELECT 'click' AS pop_a, 'purchase' AS pop_b, n1, n2, pc AS arg_pc,
+        |       CAST(FLOOR(diff * 1000000 + 0.5) AS BIGINT) AS ks_ppm
+        |FROM scored ORDER BY diff DESC, pc LIMIT 1""".stripMargin,
+    "q_mutual_info" ->
+      """WITH cells AS (
+        |  SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM documents GROUP BY lang, source),
+        |m AS (
+        |  SELECT lang, source, n,
+        |         CAST(SUM(n) OVER (PARTITION BY lang)   AS BIGINT) AS n_l,
+        |         CAST(SUM(n) OVER (PARTITION BY source) AS BIGINT) AS n_s,
+        |         CAST(SUM(n) OVER ()                    AS BIGINT) AS t
+        |  FROM cells),
+        |scored AS (
+        |  SELECT lang, source, n,
+        |    CAST(FLOOR(CAST(n AS DOUBLE) / CAST(t AS DOUBLE)
+        |      * LN(CAST(n AS DOUBLE) * CAST(t AS DOUBLE)
+        |           / (CAST(n_l AS DOUBLE) * CAST(n_s AS DOUBLE)))
+        |      * 1000000 + 0.5) AS BIGINT) AS mi_ppm
+        |  FROM m)
+        |SELECT lang, source, n, mi_ppm,
+        |       CAST(SUM(mi_ppm) OVER () AS BIGINT) AS mi_total_ppm
+        |FROM scored ORDER BY lang, source""".stripMargin,
     "q_f2_sketch" ->
       """WITH keys AS (SELECT CAST(l_partkey AS VARCHAR) AS k FROM lineitem),
         |cells AS (

@@ -1153,7 +1153,67 @@ object Similarity extends QueryModule {
     report(0, cand0, nn0).unionByName(report(1, cand1, nn1)).orderBy(col("round"))
   }
 
+  /** The 64×16 Johnson–Lindenstrauss ±1 sign matrix, keyed by
+    * md5("jl:i:k") first hex nibble (< '8' → +1) — the same cross-engine
+    * keyed-hash family every sketch in the repo draws from, so the DuckDB
+    * oracle regenerates the identical matrix from SQL md5 while the Spark
+    * side pays the 1,024 hashes ONCE at plan build (a driver-side literal,
+    * zero per-row hashing). Orientation: sgn(k)(i). */
+  private lazy val jlSgn: IndexedSeq[IndexedSeq[Int]] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    (0 until 16).map { k =>
+      (0 until 64).map { i =>
+        val hex = md.digest(s"jl:$i:$k".getBytes("UTF-8"))
+          .map("%02x".format(_)).mkString
+        if (hex.charAt(0) < '8') 1 else -1
+      }
+    }
+  }
+  private lazy val jlSgnLit: String =
+    jlSgn.map(_.mkString("array(", ",", ")")).mkString("array(", ",", ")")
+
+  /** Johnson–Lindenstrauss random sign projection 64 → 16 dims with a
+    * distance-preservation certificate — the embedding-compression pass a
+    * 100 TB vector pipeline runs before indexing (4× fewer bytes per
+    * vector, pairwise geometry preserved in expectation: E‖Pa−Pb‖² =
+    * d′·‖a−b‖²). Components are micro-int quantized (the qEmbedQuantize /
+    * qGramMatrix discipline), so every projected coordinate is an EXACT
+    * 64-term signed integer sum — order-independent, < 2⁵³ — and both
+    * squared distances are exact BIGINTs; the only floating step is the
+    * final ratio, one IEEE division ppm-floored identically in both
+    * engines.
+    *
+    * Scale shape: the projection is a pure per-row expression (map-only,
+    * codegen'd, no shuffle — THE point of JL at scale); the certificate
+    * audits pairwise ratios over the constant ≤64-row serving batch
+    * (≤2,016 pairs at any corpus size), never corpus×corpus. */
+  def qJlProjection(spark: SparkSession, dir: String): DataFrame = {
+    val proj = Tables.embeddings(spark, dir)
+      .filter(servingBatchPred && size(col("embedding")) === 64)
+      .withColumn("m", expr(
+        "transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000000 + 0.5) AS BIGINT))"))
+      .withColumn("p", expr(
+        s"""transform(sequence(0, 15), k ->
+           |  aggregate(zip_with(m, element_at($jlSgnLit, k + 1),
+           |    (x, s) -> x * CAST(s AS BIGINT)),
+           |    CAST(0 AS BIGINT), (a, v) -> a + v))""".stripMargin))
+      .select(col("vec_id"), col("m"), col("p"))
+    val a = proj.select(col("vec_id").as("vec_a"), col("m").as("ma"), col("p").as("pa"))
+    val b = proj.select(col("vec_id").as("vec_b"), col("m").as("mb"), col("p").as("pb"))
+    a.join(broadcast(b), col("vec_a") < col("vec_b"))
+      .withColumn("d_orig", expr(
+        "aggregate(zip_with(ma, mb, (x, y) -> (x - y) * (x - y)), CAST(0 AS BIGINT), (a, v) -> a + v)"))
+      .withColumn("d_proj", expr(
+        "aggregate(zip_with(pa, pb, (x, y) -> (x - y) * (x - y)), CAST(0 AS BIGINT), (a, v) -> a + v)"))
+      .filter(col("d_orig") > 0)
+      .select(col("vec_a"), col("vec_b"), col("d_orig"), col("d_proj"),
+        expr("CAST(FLOOR(CAST(d_proj AS DOUBLE) * 1000000 / (16.0 * CAST(d_orig AS DOUBLE)) + 0.5) AS BIGINT)")
+          .as("ratio_ppm"))
+      .orderBy(col("vec_a"), col("vec_b"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_jl_projection"      -> (qJlProjection _),
     "q_ann_nndescent"      -> (qAnnNndescent _),
     "q_hard_negatives"     -> (qHardNegatives _),
     "q_confusion"          -> (qConfusion _),
@@ -1362,6 +1422,41 @@ object Similarity extends QueryModule {
        |    FROM sub b JOIN $cbName c USING (s)) WHERE rn = 1""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "q_jl_projection" ->
+      s"""WITH sgn AS (
+        |  SELECT gi.i, gk.k,
+        |    CASE WHEN SUBSTRING(MD5('jl:' || CAST(gi.i AS VARCHAR) || ':' || CAST(gk.k AS VARCHAR)), 1, 1)
+        |      IN ('0','1','2','3','4','5','6','7') THEN 1 ELSE -1 END AS s
+        |  FROM (SELECT UNNEST(RANGE(0, 64)) AS i) gi
+        |  CROSS JOIN (SELECT UNNEST(RANGE(0, 16)) AS k) gk),
+        |e AS (
+        |  SELECT vec_id,
+        |    LIST_TRANSFORM(CAST(embedding AS DOUBLE[]),
+        |      x -> CAST(FLOOR(x * 1000000 + 0.5) AS BIGINT)) AS m
+        |  FROM embeddings WHERE $servingBatchSql AND LEN(embedding) = 64),
+        |comp AS (
+        |  SELECT e.vec_id, gs.i AS i, e.m[CAST(gs.i + 1 AS INTEGER)] AS mi
+        |  FROM e CROSS JOIN (SELECT UNNEST(RANGE(0, 64)) AS i) gs),
+        |proj AS (
+        |  SELECT c.vec_id, s.k, CAST(SUM(c.mi * s.s) AS BIGINT) AS p
+        |  FROM comp c JOIN sgn s ON s.i = c.i
+        |  GROUP BY c.vec_id, s.k),
+        |pv AS (SELECT vec_id, LIST(p ORDER BY k) AS pvec FROM proj GROUP BY vec_id),
+        |pairs AS (
+        |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+        |    CAST(LIST_AGGREGATE(LIST_TRANSFORM(range(64),
+        |      j -> (a.m[CAST(j + 1 AS INTEGER)] - b.m[CAST(j + 1 AS INTEGER)])
+        |         * (a.m[CAST(j + 1 AS INTEGER)] - b.m[CAST(j + 1 AS INTEGER)])), 'sum') AS BIGINT) AS d_orig,
+        |    CAST(LIST_AGGREGATE(LIST_TRANSFORM(range(16),
+        |      j -> (pa.pvec[CAST(j + 1 AS INTEGER)] - pb.pvec[CAST(j + 1 AS INTEGER)])
+        |         * (pa.pvec[CAST(j + 1 AS INTEGER)] - pb.pvec[CAST(j + 1 AS INTEGER)])), 'sum') AS BIGINT) AS d_proj
+        |  FROM e a JOIN e b ON a.vec_id < b.vec_id
+        |  JOIN pv pa ON pa.vec_id = a.vec_id
+        |  JOIN pv pb ON pb.vec_id = b.vec_id)
+        |SELECT vec_a, vec_b, d_orig, d_proj,
+        |       CAST(FLOOR(CAST(d_proj AS DOUBLE) * 1000000 / (16.0 * CAST(d_orig AS DOUBLE)) + 0.5) AS BIGINT) AS ratio_ppm
+        |FROM pairs WHERE d_orig > 0
+        |ORDER BY vec_a, vec_b""".stripMargin,
     "q_ann_nndescent" -> {
       // identical integer plane weights + left-to-right accumulation as
       // the Spark code8 (shared planeWeights source of truth)

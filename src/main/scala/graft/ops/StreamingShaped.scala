@@ -136,7 +136,24 @@ object StreamingShaped extends QueryModule {
       .withColumn("late_60s_ppm", expr("div(1000000 * late_60s, n_events)"))
       .orderBy(col("event_type"))
 
+  /** Stream-static enrichment, batch twin: the EXACT code path is
+    * [[graft.streaming.Streams.enrichedTierCounts]] (unified Dataset API —
+    * its watermark is a no-op on batch input), joining every event to the
+    * 5-row static tier dimension and rolling up hourly counts + exact cent
+    * revenue per business tier. The live form is exercised end-to-end in
+    * StreamingE2ESpec against this twin.
+    *
+    * Scale shape: a broadcast join (the static side is dimension-sized by
+    * definition — stream-static joins hold no state) followed by one
+    * map-side-combinable (window, tier) aggregation; the stream is never
+    * shuffled except to merge partial aggregates. */
+  def qStreamEnrich(spark: SparkSession, dir: String): DataFrame =
+    graft.streaming.Streams.enrichedTierCounts(
+        Tables.events(spark, dir), graft.streaming.Streams.tierDim(spark))
+      .orderBy(col("wstart"), col("tier"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_stream_enrich"  -> (qStreamEnrich _),
     "q_watermark_lateness" -> (qWatermarkLateness _),
     "q_stream_topk"    -> (qStreamTopk _),
     "q_stream_dedup"   -> (qStreamDedup _),
@@ -147,6 +164,16 @@ object StreamingShaped extends QueryModule {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_stream_enrich" ->
+      """WITH tiers(event_type, tier) AS (VALUES
+        |  ('click', 'engagement'), ('view', 'engagement'),
+        |  ('purchase', 'revenue'), ('signup', 'growth'), ('error', 'ops')),
+        |j AS (
+        |  SELECT TIME_BUCKET(INTERVAL '1 hour', e.ts) AS wstart, t.tier,
+        |         CAST(ROUND(e.value * 100) AS BIGINT) AS cents
+        |  FROM events e JOIN tiers t USING (event_type))
+        |SELECT wstart, tier, COUNT(*) AS n, CAST(SUM(cents) AS BIGINT) AS cents
+        |FROM j GROUP BY wstart, tier ORDER BY wstart, tier""".stripMargin,
     "q_watermark_lateness" ->
       """WITH e AS (
         |  SELECT event_type, event_id, epoch_us(ts) AS us FROM events),

@@ -323,6 +323,34 @@ object Streams {
       }
   }
 
+  /** The static event-type → business-tier dimension used by
+    * [[enrichedTierCounts]] — in production a metastore lookup table; here
+    * a literal so batch twin, live stream, and the DuckDB oracle all pin
+    * the same five rows. */
+  def tierDim(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    Seq(("click", "engagement"), ("view", "engagement"),
+      ("purchase", "revenue"), ("signup", "growth"), ("error", "ops"))
+      .toDF("event_type", "tier")
+  }
+
+  /** Stream-static enrichment — the canonical "join the firehose to a
+    * dimension" serving shape: each event broadcast-joined to the static
+    * tier table on event_type (stream-static joins keep NO state — the
+    * static side is re-broadcast per micro-batch, so this scales with the
+    * dim, not the stream), then watermarked hourly counts + exact cent
+    * revenue per tier. Unified-API twin: on batch input the watermark is a
+    * no-op and the SAME function is what the oracle verifies
+    * ([[graft.ops.StreamingShaped.qStreamEnrich]]). */
+  def enrichedTierCounts(events: DataFrame, tiers: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .join(broadcast(tiers), "event_type")
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("tier"))
+      .agg(count(lit(1)).as("n"),
+        sum(expr("CAST(round(value * 100) AS BIGINT)")).as("cents"))
+      .select(col("w.start").as("wstart"), col("tier"), col("n"), col("cents"))
+
   /** File-source entry: tail a DIRECTORY of parquet event files as a stream
     * (the file source rejects single files; production: Kafka source, same
     * downstream plan). Applies the same nanos→micros ts normalization as

@@ -84,4 +84,35 @@ class CosineSimilaritySpec extends SparkSpec {
     assert(e.getMessage.toLowerCase.contains("cosine_sim") ||
       e.getMessage.contains("2 arguments"))
   }
+
+  test("jl_projection: integer projection and both distances replay exactly in the driver") {
+    val rows = Tables.embeddings(spark, sf)
+      .filter(expr("vec_id % 40 = 0 AND vec_id < 2560") && size(col("embedding")) === 64)
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def sgn(i: Int, k: Int): Long = {
+      val hex = md.digest(s"jl:$i:$k".getBytes("UTF-8")).map("%02x".format(_)).mkString
+      if (hex.charAt(0) < '8') 1L else -1L
+    }
+    val m = rows.map { case (id, e) =>
+      id -> e.map(x => math.floor(x.toDouble * 1000000 + 0.5).toLong) }.toMap
+    val p = rows.map { case (id, _) =>
+      id -> (0 until 16).map(k => (0 until 64).map(i => m(id)(i) * sgn(i, k)).sum).toArray
+    }.toMap
+    val got = Similarity.qJlProjection(spark, sf).collect()
+    assert(got.nonEmpty, "serving batch must yield pairs at every sf")
+    got.foreach { r =>
+      val (a, b) = (r.getLong(0), r.getLong(1))
+      val dOrig = (0 until 64).map(i => { val d = m(a)(i) - m(b)(i); d * d }).sum
+      val dProj = (0 until 16).map(k => { val d = p(a)(k) - p(b)(k); d * d }).sum
+      assert(r.getLong(2) == dOrig && r.getLong(3) == dProj, s"pair ($a,$b)")
+      assert(r.getLong(4) ==
+        math.floor(dProj.toDouble * 1000000 / (16.0 * dOrig.toDouble) + 0.5).toLong)
+    }
+    // the JL property itself: mean pairwise ratio concentrates near 1.
+    // Deterministic (fixed data, fixed md5 signs) — not a statistical gate.
+    val mean = got.map(_.getLong(4)).sum.toDouble / got.length
+    assert(mean > 700000 && mean < 1300000, s"mean ratio_ppm $mean off the JL band")
+  }
 }

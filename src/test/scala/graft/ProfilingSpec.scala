@@ -521,4 +521,72 @@ class ProfilingSpec extends SparkSpec {
         r.getLong(4), r.getLong(5))).toSeq
     assert(got == want)
   }
+
+  test("psi replays the smoothed (p-q)ln(p/q) per bucket from raw counts") {
+    val cut = java.sql.Timestamp.valueOf("2024-01-15 00:00:00")
+    val raw = Tables.events(spark, sf)
+      .filter(col("value").isNotNull && col("ts").isNotNull)
+      .select(col("value"), col("ts")).collect()
+      .map(r => (math.min(9L, math.floor(r.getDouble(0) / 50.0).toLong),
+        r.getTimestamp(1).before(cut)))
+    val nRef = (0L to 9L).map(b => raw.count(t => t._1 == b && t._2).toLong)
+    val nCur = (0L to 9L).map(b => raw.count(t => t._1 == b && !t._2).toLong)
+    val tRef = nRef.sum; val tCur = nCur.sum
+    val want = (0 until 10).map { b =>
+      val p = (nRef(b) + 1).toDouble / (tRef + 10).toDouble
+      val q = (nCur(b) + 1).toDouble / (tCur + 10).toDouble
+      math.floor((p - q) * math.log(p / q) * 1000000 + 0.5).toLong
+    }
+    val got = Profiling.qPsi(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(got.length == 10)
+    got.foreach { case (b, r, c, ppm, tot) =>
+      assert(r == nRef(b.toInt) && c == nCur(b.toInt), s"bucket $b counts")
+      assert(ppm == want(b.toInt), s"bucket $b psi term")
+      assert(tot == want.sum, "headline PSI is the integer sum of terms")
+    }
+  }
+
+  test("ks_drift finds the exact sup-distance between the two empirical CDFs") {
+    val vals = Tables.events(spark, sf)
+      .filter(col("value").isNotNull && col("event_type").isin("click", "purchase"))
+      .select(col("event_type"), expr("CAST(round(value * 100) AS BIGINT)")).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    val v1 = vals.filter(_._1 == "click").map(_._2).sorted
+    val v2 = vals.filter(_._1 == "purchase").map(_._2).sorted
+    val pcs = (v1 ++ v2).distinct.sorted
+    val scored = pcs.map { pc =>
+      val c1 = v1.count(_ <= pc).toDouble / v1.length
+      val c2 = v2.count(_ <= pc).toDouble / v2.length
+      (pc, math.abs(c1 - c2))
+    }
+    val best = scored.minBy { case (pc, d) => (-d, pc) }
+    val r = Profiling.qKsDrift(spark, sf).collect()
+    assert(r.length == 1)
+    assert(r(0).getAs[Long]("n1") == v1.length && r(0).getAs[Long]("n2") == v2.length)
+    assert(r(0).getAs[Long]("arg_pc") == best._1)
+    assert(r(0).getAs[Long]("ks_ppm") ==
+      math.floor(best._2 * 1000000 + 0.5).toLong)
+  }
+
+  test("mutual_info: headline MI is nonnegative and cells replay from counts") {
+    val cells = Tables.documents(spark, sf)
+      .groupBy(col("lang"), col("source")).agg(count(lit(1)).as("n")).collect()
+      .map(r => ((r.getString(0), r.getString(1)), r.getLong(2))).toMap
+    val nl = cells.groupBy(_._1._1).view.mapValues(_.values.sum).toMap
+    val ns = cells.groupBy(_._1._2).view.mapValues(_.values.sum).toMap
+    val t = cells.values.sum
+    val got = Profiling.qMutualInfo(spark, sf).collect()
+    got.foreach { r =>
+      val (l, s, n) = (r.getString(0), r.getString(1), r.getLong(2))
+      assert(n == cells((l, s)))
+      val want = math.floor(n.toDouble / t.toDouble
+        * math.log(n.toDouble * t.toDouble / (nl(l).toDouble * ns(s).toDouble))
+        * 1000000 + 0.5).toLong
+      assert(r.getAs[Long]("mi_ppm") == want, s"cell ($l,$s)")
+    }
+    // MI of a joint distribution is >= 0 (ppm floor can shave at most
+    // 0.5ppm per cell, and lang x source here is far from independent)
+    assert(got.head.getAs[Long]("mi_total_ppm") >= 0L)
+  }
 }

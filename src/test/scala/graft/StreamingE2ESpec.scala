@@ -31,6 +31,22 @@ class StreamingE2ESpec extends SparkSpec {
     assert(streamed.except(batch).isEmpty && batch.except(streamed).isEmpty)
   }
 
+  test("stream-static tier enrichment equals the batch twin") {
+    val q = Streams.enrichedTierCounts(
+        Streams.readEventsStream(spark, eventsDir), Streams.tierDim(spark))
+      .writeStream.format("memory").queryName("e2e_enrich")
+      .outputMode("complete").start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.table("e2e_enrich")
+    val batch = Streams.enrichedTierCounts(
+      Tables.events(spark, sf), Streams.tierDim(spark))
+    assert(streamed.count() > 0)
+    assert(streamed.except(batch).isEmpty && batch.except(streamed).isEmpty)
+    // every event lands in exactly one (window, tier) cell: counts conserve
+    val n = streamed.agg(sum("n")).collect()(0).getLong(0)
+    assert(n == Tables.events(spark, sf).count())
+  }
+
   test("live trending top-k equals the batch leaderboard") {
     // the live half: watermarked per-(hour, type) counts over the stream;
     // the rank half runs on the finalized table — the foreachBatch shape

@@ -233,7 +233,18 @@ object Graph extends QueryModule {
     * scale. Spark-side cost is also ~1/8: the apex filter lands on the
     * checkpointed oriented table BEFORE the self-join. */
   def qTriangleCert(spark: SparkSession, dir: String): DataFrame = {
-    val (tri, _) = triangleParts(spark, dir, apexMod = 8L)
+    // DISK_ONLY checkpoints, unlike the hot-path qTriangle: a certificate
+    // is an audit job re-submitted many times from one long-lived driver
+    // (verify, min-of-two bench, a scheduler's nightly audit), and each
+    // submission builds FRESH edge/oriented checkpoints whose heap blocks
+    // are reclaimed only by GC+ContextCleaner — three sf1.0 generations
+    // of MEMORY_AND_DISK_SER blocks raced allocation and OOM'd the
+    // default 8 GiB heap (measured round 9). On disk the generations cost
+    // ~200 MB of /tmp each and zero heap; the slice pass re-reads them
+    // once, so the audit's wall barely moves while its memory footprint
+    // becomes invocation-count-independent.
+    val (tri, _) = triangleParts(spark, dir, apexMod = 8L,
+      level = org.apache.spark.storage.StorageLevel.DISK_ONLY)
     tri.groupBy((col("c") % 16).as("bucket"))
       .agg(count(lit(1)).as("n_triangles"),
         sum(col("a")).as("sum_a"), sum(col("b")).as("sum_b"),
@@ -251,7 +262,10 @@ object Graph extends QueryModule {
     * slice of the triangle set, since each triangle has exactly one apex
     * under the orientation. */
   private def triangleParts(spark: SparkSession, dir: String,
-      apexMod: Long): (DataFrame, DataFrame) = {
+      apexMod: Long,
+      level: org.apache.spark.storage.StorageLevel =
+        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+      : (DataFrame, DataFrame) = {
     // localCheckpoint: the edge table feeds THREE consumers (undirected
     // half, degree table, wedge-closing probe) and the oriented table two
     // (both wedge sides) — without it Catalyst re-derives the lineitem
@@ -265,7 +279,7 @@ object Graph extends QueryModule {
     // and the default 8 GiB heap OOM'd; serialized they are ~5× smaller
     // AND evictable under execution pressure (useDisk is forced by
     // localCheckpoint, so eviction is recoverable).
-    val ser = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER
+    val ser = level
     val e = edges(spark, dir).localCheckpoint(eager = false, ser)
     val und = e.filter(col("src") < col("dst")) // each undirected edge once
     val deg = e.groupBy(col("src")).agg(count(lit(1)).as("d"))

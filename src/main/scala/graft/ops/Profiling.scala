@@ -1010,6 +1010,62 @@ object Profiling extends QueryModule {
         expr("div(1000000 * (f2_est - f2_exact), f2_exact)").as("over_ppm"))
   }
 
+  /** HyperLogLog distinct-count certificate (Flajolet et al. 2007) — the
+    * F0 member of the mergeable-sketch family next to [[qCountMin]] (point
+    * frequencies) and [[qF2Sketch]] (join size): m=256 registers built
+    * from a 60-bit md5-derived hash (low 8 bits route the bucket, the
+    * remaining 52 carry the geometric observable), register value
+    * ρ = 53 − bitlength(w) = leading-zeros-in-52-bits + 1. The raw HLL
+    * estimate α·m²/Σ 2^−M_b is reproduced as EXACT integer arithmetic in
+    * both engines: scale the harmonic sum by 2^R (R = max register, empty
+    * registers contribute 2^R each) and evaluate
+    * ⌊α_ppm·m²·2^R / (10⁶·S_scaled)⌋ in DECIMAL(38,0)/HUGEINT, with
+    * α_ppm = 718273 (= ⌊10⁶·0.7213/(1+1.079/256)⌋ — a fixed rational so
+    * there is no float in the pipeline at all). No small-range/linear-
+    * counting branch: the probed column's cardinality (distinct l_partkey
+    * ≈ 20%·|part| per TPC-H) sits above 2.5·m at every test SF ≥ 0.01,
+    * which is the regime the raw formula is specified for; the certificate
+    * emits the register census checksum so a future engine port can be
+    * diffed register-by-register.
+    *
+    * Scale shape: the sketch is ONE map-side-combinable groupBy into ≤256
+    * cells (per-partition registers merge by MAX — the canonical mergeable
+    * summary; at 100 TB each executor ships 2 KB). The exact distinct
+    * count exists because this is a certificate; the production path would
+    * run the register rollup alone. */
+  def qHllSketch(spark: SparkSession, dir: String): DataFrame = {
+    val M = 256
+    val regs = Tables.lineitem(spark, dir)
+      .select(col("l_partkey").cast("string").as("k"))
+      .withColumn("h", conv(substring(md5(concat(lit("hll:"), col("k"))), 1, 15), 16, 10)
+        .cast("long"))
+      .select((col("h") % M).as("bucket"), expr("h div 256").as("w"))
+      .withColumn("rho", when(col("w") === 0, lit(53))
+        .otherwise(lit(53) - length(expr("bin(w)"))))
+      .groupBy(col("bucket")).agg(max(col("rho")).as("m_b"))
+      .localCheckpoint(eager = false) // ≤256 rows feed summary AND the harmonic sum
+    val summary = regs.agg(
+        count(lit(1)).as("n_used"),
+        max(col("m_b")).cast("long").as("r_max"),
+        sum(expr("(bucket + 1) * m_b")).as("reg_chk"))
+    val sScaled = regs.crossJoin(broadcast(summary))
+      .agg(sum(expr("shiftleft(CAST(1 AS BIGINT), CAST(r_max - m_b AS INT))")).as("s_used"))
+    val exact = Tables.lineitem(spark, dir)
+      .agg(countDistinct(col("l_partkey")).as("n_exact"))
+    summary.crossJoin(broadcast(sScaled)).crossJoin(broadcast(exact))
+      .withColumn("s_scaled", expr(
+        s"s_used + ($M - n_used) * shiftleft(CAST(1 AS BIGINT), CAST(r_max AS INT))"))
+      .withColumn("hll_est", expr(
+        s"""CAST(CAST(718273 AS DECIMAL(38,0)) * ${M.toLong * M}
+           |  * CAST(shiftleft(CAST(1 AS BIGINT), CAST(r_max AS INT)) AS DECIMAL(38,0))
+           |  div (CAST(1000000 AS DECIMAL(38,0)) * CAST(s_scaled AS DECIMAL(38,0)))
+           |  AS BIGINT)""".stripMargin))
+      .select(lit(M.toLong).as("m"), col("n_used"), col("r_max"), col("reg_chk"),
+        col("s_scaled"), col("hll_est"), col("n_exact"),
+        expr("div(1000000 * abs(hll_est - n_exact), n_exact)").as("abs_err_ppm"),
+        (col("hll_est") >= col("n_exact")).as("over"))
+  }
+
   /** Worst-slice finder — the dataset-debugging QA pass that ranks
     * (lang, source) slices by a per-document quality metric (distinct-token
     * ratio, in ppm integers) against the global mean, keeping only slices
@@ -1219,6 +1275,55 @@ object Profiling extends QueryModule {
         expr("CAST(FLOOR(diff * 1000000 + 0.5) AS BIGINT)").as("ks_ppm"))
   }
 
+  /** Mann–Whitney U (Wilcoxon rank-sum) two-sample test between the click
+    * and purchase value distributions — the RANK-based sibling of
+    * [[qKsDrift]]'s CDF sup-distance: U detects stochastic dominance
+    * (one population's values systematically larger) where KS detects any
+    * shape difference. Ranks are midranks over the exact-cent spine; with
+    * ties the midrank 2·C(v)+t+1 is an odd-integer DOUBLE of the average
+    * rank, so every statistic is exact BIGINT arithmetic end to end:
+    * U1_2x = Σ k1·(2C+t+1) − n1(n1+1), E[2·U1] = n1·n2, and the
+    * tie-correction term Σ(t³−t) is emitted for a downstream variance
+    * computation. No float, no sqrt — the certificate publishes the exact
+    * integers a z-score would be assembled from.
+    *
+    * Scale shape: identical to [[qKsDrift]] — one per-cent-value rollup
+    * (map-side combinable; the spine is bounded by value granularity, not
+    * row count), then the chunked-prefix global cumsum: per-chunk totals
+    * broadcast as offsets, the within-chunk window partitioned by chunk.
+    * No single-reducer global sort at any size. */
+  def qMannWhitney(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .filter(col("value").isNotNull && col("event_type").isin("click", "purchase"))
+      .select(col("event_type").as("pop"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("pc"))
+    val perPc = ev.groupBy(col("pc"))
+      .agg(count(when(col("pop") === "click", 1)).as("k1"),
+        count(when(col("pop") === "purchase", 1)).as("k2"))
+      .withColumn("t", col("k1") + col("k2"))
+      .withColumn("chunk", expr("pc div 2500"))
+    val byChunk = Window.orderBy(col("chunk"))
+    val offs = perPc.groupBy(col("chunk")).agg(sum(col("t")).as("ct"))
+      .withColumn("off", coalesce(sum(col("ct")).over(
+        byChunk.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("chunk"), col("off"))
+    val wc = Window.partitionBy(col("chunk")).orderBy(col("pc"))
+    val tot = ev.groupBy().agg(
+      count(when(col("pop") === "click", 1)).as("n1"),
+      count(when(col("pop") === "purchase", 1)).as("n2"))
+    perPc.join(broadcast(offs), "chunk")
+      .withColumn("c_before", sum(col("t")).over(wc) + col("off") - col("t"))
+      .agg(sum(expr("k1 * (2 * c_before + t + 1)")).as("r1_2x"),
+        sum(expr("t * t * t - t")).as("tie_cubes"))
+      .crossJoin(broadcast(tot))
+      .select(lit("click").as("pop_a"), lit("purchase").as("pop_b"),
+        col("n1"), col("n2"),
+        (col("r1_2x") - expr("n1 * (n1 + 1)")).as("u1_2x"),
+        expr("n1 * n2").as("mu_2x"),
+        (col("r1_2x") - expr("n1 * (n1 + 1) + n1 * n2")).as("delta_2x"),
+        col("tie_cubes"))
+  }
+
   /** Mutual information between documents.lang and documents.source in ppm
     * — the feature-dependence audit run before stratifying a corpus on two
     * axes (independent axes ⇒ MI ≈ 0 ⇒ stratifying on both buys nothing).
@@ -1251,10 +1356,12 @@ object Profiling extends QueryModule {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_psi"            -> (qPsi _),
     "q_ks_drift"       -> (qKsDrift _),
+    "q_mann_whitney"   -> (qMannWhitney _),
     "q_mutual_info"    -> (qMutualInfo _),
     "q_bloom_fpr"      -> (qBloomFpr _),
     "q_theil_sen"      -> (qTheilSen _),
     "q_f2_sketch"      -> (qF2Sketch _),
+    "q_hll_sketch"     -> (qHllSketch _),
     "q_count_min"      -> (qCountMin _),
     "q_slice_finder"   -> (qSliceFinder _),
     "q_forecast_holt"  -> (qForecastHolt _),
@@ -1373,6 +1480,30 @@ object Profiling extends QueryModule {
         |SELECT 'click' AS pop_a, 'purchase' AS pop_b, n1, n2, pc AS arg_pc,
         |       CAST(FLOOR(diff * 1000000 + 0.5) AS BIGINT) AS ks_ppm
         |FROM scored ORDER BY diff DESC, pc LIMIT 1""".stripMargin,
+    "q_mann_whitney" ->
+      """WITH ev AS (
+        |  SELECT event_type AS pop, CAST(ROUND(value * 100) AS BIGINT) AS pc
+        |  FROM events
+        |  WHERE value IS NOT NULL AND event_type IN ('click', 'purchase')),
+        |per AS (
+        |  SELECT pc,
+        |    CAST(COUNT(*) FILTER (WHERE pop = 'click') AS BIGINT) AS k1,
+        |    CAST(COUNT(*) FILTER (WHERE pop = 'purchase') AS BIGINT) AS k2
+        |  FROM ev GROUP BY pc),
+        |w AS (
+        |  SELECT pc, k1, k2, k1 + k2 AS t,
+        |    COALESCE(SUM(k1 + k2) OVER (ORDER BY pc
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS c_before
+        |  FROM per),
+        |tot AS (SELECT CAST(SUM(k1) AS BIGINT) AS n1,
+        |               CAST(SUM(k2) AS BIGINT) AS n2 FROM per)
+        |SELECT 'click' AS pop_a, 'purchase' AS pop_b, n1, n2,
+        |  CAST(SUM(k1 * (2 * c_before + t + 1)) AS BIGINT) - n1 * (n1 + 1) AS u1_2x,
+        |  n1 * n2 AS mu_2x,
+        |  CAST(SUM(k1 * (2 * c_before + t + 1)) AS BIGINT)
+        |    - (n1 * (n1 + 1) + n1 * n2) AS delta_2x,
+        |  CAST(SUM(t * t * t - t) AS BIGINT) AS tie_cubes
+        |FROM w CROSS JOIN tot GROUP BY n1, n2""".stripMargin,
     "q_mutual_info" ->
       """WITH cells AS (
         |  SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS n
@@ -1947,6 +2078,38 @@ object Profiling extends QueryModule {
         |WHERE s.std_c > 0
         |  AND ABS((CAST(c.vc AS DOUBLE) - s.mean_c) / s.std_c) > 2.5
         |ORDER BY c.event_id""".stripMargin,
+    "q_hll_sketch" ->
+      """WITH regs AS (
+        |  SELECT bucket, MAX(rho) AS m_b FROM (
+        |    SELECT h % 256 AS bucket,
+        |           CASE WHEN h // 256 = 0 THEN 53
+        |                ELSE 53 - LENGTH(BIN(h // 256)) END AS rho
+        |    FROM (SELECT CAST('0x' || SUBSTR(MD5('hll:' || CAST(l_partkey AS VARCHAR)), 1, 15)
+        |                 AS BIGINT) AS h
+        |          FROM lineitem))
+        |  GROUP BY bucket),
+        |s AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_used,
+        |             CAST(MAX(m_b) AS BIGINT) AS r_max,
+        |             CAST(SUM((bucket + 1) * m_b) AS BIGINT) AS reg_chk
+        |      FROM regs),
+        |hs AS (SELECT CAST(SUM(1::BIGINT << CAST(s.r_max - m_b AS INTEGER)) AS BIGINT) AS s_used
+        |       FROM regs CROSS JOIN s),
+        |sc AS (SELECT s.*, hs.s_used,
+        |              hs.s_used + (256 - s.n_used) * (1::BIGINT << CAST(s.r_max AS INTEGER))
+        |                AS s_scaled
+        |       FROM s CROSS JOIN hs),
+        |ex AS (SELECT CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS n_exact FROM lineitem)
+        |SELECT CAST(256 AS BIGINT) AS m, n_used, r_max, reg_chk, s_scaled,
+        |       CAST(CAST(718273 AS HUGEINT) * 65536 * (1::HUGEINT << CAST(r_max AS INTEGER))
+        |            // (1000000::HUGEINT * s_scaled) AS BIGINT) AS hll_est,
+        |       n_exact,
+        |       (1000000 * ABS(CAST(CAST(718273 AS HUGEINT) * 65536
+        |            * (1::HUGEINT << CAST(r_max AS INTEGER))
+        |            // (1000000::HUGEINT * s_scaled) AS BIGINT) - n_exact)) // n_exact
+        |         AS abs_err_ppm,
+        |       CAST(CAST(718273 AS HUGEINT) * 65536 * (1::HUGEINT << CAST(r_max AS INTEGER))
+        |            // (1000000::HUGEINT * s_scaled) AS BIGINT) >= n_exact AS over
+        |FROM sc CROSS JOIN ex""".stripMargin,
     "q_count_min" ->
       """WITH toks AS (
         |  SELECT tok FROM (

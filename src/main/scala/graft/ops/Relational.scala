@@ -607,6 +607,68 @@ object Relational extends QueryModule {
     * read is a pinned-version scan. At 100 TB this is the audit a table
     * service runs after every OPTIMIZE to prove the rewrite lost
     * nothing. */
+  /** Change-data-feed certificate — the versioned-table feature downstream
+    * consumers subscribe to (Delta CDF / Iceberg changelog): the feed
+    * between versions N and N+1 is derived from the COMMIT DELTA, never
+    * from the table. The log records which files each commit added and
+    * removed, so the feed scans only those files: inserts = added∖removed,
+    * deletes = removed∖added (bag semantics via exceptAll — a compaction
+    * adds and removes files whose contents cancel exactly, so its feed is
+    * EMPTY, which is the certificate's point). The script builds a
+    * 3-version table (init → append → compact) and emits per-event-type
+    * insert/delete censuses per transition plus a '*' total row; the
+    * append transition must equal exactly the appended batch and the
+    * compact transition must be all-zero.
+    *
+    * Scale shape: feed cost ∝ churn (the added/removed files), never table
+    * size — a 100 TB table whose commit touched 2 files yields a 2-file
+    * scan. The exceptAll is a hash anti-semi pass over those files only;
+    * in this scripted certificate the compaction's churn is the whole
+    * (test-sized) table, which is what lets the zero-row claim be
+    * verified. */
+  def qChangeFeed(spark: SparkSession, dir: String): DataFrame = {
+    val path = s"$sinkRoot${Integer.toHexString(dir.hashCode)}/cdf_${System.nanoTime()}"
+    val ev = Tables.events(spark, dir)
+      .select(col("event_id"), col("user_id"), col("event_type"), col("ts"))
+    TxnLog.init(ev.filter(col("event_id") % 3 =!= 0), path, nFiles = 4)
+    TxnLog.append(ev.filter(col("event_id") % 3 === 0), path)
+    TxnLog.compactFrom(spark, path, baseVersion = 1L)
+    val actions = Map(1L -> "append", 2L -> "compact")
+    (1L to 2L).map { v =>
+      val prev = TxnLog.liveFiles(path, v - 1)
+      val next = TxnLog.liveFiles(path, v)
+      def rd(fs: Seq[String]): DataFrame =
+        if (fs.isEmpty) spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], ev.schema)
+        else spark.read.parquet(fs: _*)
+      // bag-diff over ONLY the commit's churn: added vs removed files
+      val ins = rd(next.diff(prev)).exceptAll(rd(prev.diff(next)))
+        .localCheckpoint(eager = false) // feeds per-type AND total censuses
+      val del = rd(prev.diff(next)).exceptAll(rd(next.diff(prev)))
+        .localCheckpoint(eager = false)
+      val insT = ins.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_ins"), sum(col("event_id")).as("chk_ins"))
+      val delT = del.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_del"), sum(col("event_id")).as("chk_del"))
+      val perType = insT.join(delT, Seq("event_type"), "full_outer")
+        .select(lit(v - 1).as("from_v"), lit(v).as("to_v"),
+          lit(actions(v)).as("action"), col("event_type"),
+          coalesce(col("n_ins"), lit(0L)).as("n_ins"),
+          coalesce(col("n_del"), lit(0L)).as("n_del"),
+          coalesce(col("chk_ins"), lit(0L)).as("chk_ins"),
+          coalesce(col("chk_del"), lit(0L)).as("chk_del"))
+      val total = ins
+        .agg(count(lit(1)).as("n_ins"),
+          coalesce(sum(col("event_id")), lit(0L)).as("chk_ins"))
+        .crossJoin(del.agg(count(lit(1)).as("n_del"),
+          coalesce(sum(col("event_id")), lit(0L)).as("chk_del")))
+        .select(lit(v - 1).as("from_v"), lit(v).as("to_v"),
+          lit(actions(v)).as("action"), lit("*").as("event_type"),
+          col("n_ins"), col("n_del"), col("chk_ins"), col("chk_del"))
+      perType.unionByName(total)
+    }.reduce(_ unionByName _).orderBy(col("from_v"), col("event_type"))
+  }
+
   def qTxnCommit(spark: SparkSession, dir: String): DataFrame = {
     val path = s"$sinkRoot${Integer.toHexString(dir.hashCode)}/txn_${System.nanoTime()}"
     val ev = Tables.events(spark, dir)
@@ -631,6 +693,7 @@ object Relational extends QueryModule {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_txn_commit" -> (qTxnCommit _),
+    "q_change_feed" -> (qChangeFeed _),
     "q_join_dpp" -> (qJoinDpp _),
     "q_compaction_plan" -> (qCompactionPlan _),
     "q_zonemap_prune" -> (qZonemapPrune _),
@@ -663,6 +726,27 @@ object Relational extends QueryModule {
         |FROM orders
         |WHERE YEAR(o_orderdate) = 1996 AND MONTH(o_orderdate) <= 3
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_change_feed" ->
+      """WITH b AS (
+        |  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+        |         CAST(SUM(event_id) AS BIGINT) AS s
+        |  FROM events WHERE event_id % 3 = 0 GROUP BY event_type),
+        |t AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+        |         CAST(COALESCE(SUM(event_id), 0) AS BIGINT) AS s
+        |  FROM events WHERE event_id % 3 = 0)
+        |SELECT from_v, to_v, action, event_type, n_ins, n_del, chk_ins, chk_del
+        |FROM (
+        |  SELECT CAST(0 AS BIGINT) AS from_v, CAST(1 AS BIGINT) AS to_v,
+        |         'append' AS action, event_type, n AS n_ins,
+        |         CAST(0 AS BIGINT) AS n_del, s AS chk_ins,
+        |         CAST(0 AS BIGINT) AS chk_del
+        |  FROM b
+        |  UNION ALL
+        |  SELECT 0, 1, 'append', '*', t.n, 0, t.s, 0 FROM t
+        |  UNION ALL
+        |  SELECT 1, 2, 'compact', '*', 0, 0, 0, 0)
+        |ORDER BY from_v, event_type""".stripMargin,
     "q_txn_commit" ->
       """WITH b AS (
         |  SELECT CAST(COUNT(*) AS BIGINT) AS n,

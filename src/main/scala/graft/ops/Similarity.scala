@@ -1212,7 +1212,57 @@ object Similarity extends QueryModule {
       .orderBy(col("vec_a"), col("vec_b"))
   }
 
+  /** Greedy k-center coreset selection (Gonzalez 1985, the classic
+    * 2-approximation) — the diverse-subset primitive of training-data
+    * pruning: pick the vector farthest from the already-chosen set, K
+    * times, so the selected K cover the corpus with the smallest max
+    * distance any greedy method certifies. Distances are EXACT BIGINT
+    * squared-L2 over the micro-int quantized embedding (the
+    * q_jl_projection / q_embed_quantize discipline), and every tie breaks
+    * on vec_id — the whole trajectory is deterministic and replays
+    * bit-for-bit in the oracle's unrolled 8-step CTE chain. Output: one
+    * row per pick with its distance-to-set at selection time; the last
+    * row's dist2 is the certified (K−1)-center covering radius.
+    *
+    * Scale shape: exactly K passes over the corpus, each a map (squared
+    * L2 to ONE broadcast center, running min) + a TakeOrdered(1) argmax —
+    * never a pairwise join, never a global sort. The running min-distance
+    * column makes each pass O(n·d); per-iteration lazy localCheckpoints
+    * stop the self-referencing lineage from doubling per step. At 100 TB
+    * this is K linear scans — the known lower bound for exact greedy
+    * k-center — and each scan's reduce moves ONE row. */
+  def qKcenter(spark: SparkSession, dir: String): DataFrame = {
+    val K = 8
+    val d2 = "aggregate(zip_with(m, cm, (x, y) -> (x - y) * (x - y)), " +
+      "CAST(0 AS BIGINT), (a, b) -> a + b)"
+    val v = Tables.embeddings(spark, dir)
+      .filter(size(col("embedding")) === 64)
+      .select(col("vec_id"), expr(
+        "transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000000 + 0.5) AS BIGINT))")
+        .as("m"))
+      .localCheckpoint(eager = false) // K scan passes reuse the quantized table
+    val seed = v.orderBy(col("vec_id")).limit(1).localCheckpoint(eager = false)
+    var cur = v.crossJoin(broadcast(seed.select(col("m").as("cm"))))
+      .select(col("vec_id"), col("m"), expr(d2).as("mind"))
+      .localCheckpoint(eager = false)
+    val picks = scala.collection.mutable.Buffer(
+      seed.select(lit(0L).as("pick_rank"), col("vec_id"), lit(0L).as("dist2")))
+    for (i <- 1 until K) {
+      val p = cur.orderBy(col("mind").desc, col("vec_id")).limit(1)
+        .localCheckpoint(eager = false) // 1 row: the next center
+      picks += p.select(lit(i.toLong).as("pick_rank"), col("vec_id"),
+        col("mind").as("dist2"))
+      if (i < K - 1)
+        cur = cur.crossJoin(broadcast(p.select(col("m").as("cm"))))
+          .select(col("vec_id"), col("m"),
+            least(col("mind"), expr(d2)).as("mind"))
+          .localCheckpoint(eager = false)
+    }
+    picks.reduce(_ unionByName _).orderBy(col("pick_rank"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_kcenter"            -> (qKcenter _),
     "q_jl_projection"      -> (qJlProjection _),
     "q_ann_nndescent"      -> (qAnnNndescent _),
     "q_hard_negatives"     -> (qHardNegatives _),
@@ -1421,7 +1471,44 @@ object Similarity extends QueryModule {
        |             c.code) AS rn
        |    FROM sub b JOIN $cbName c USING (s)) WHERE rn = 1""".stripMargin
 
+  /** Unrolled greedy chain for the q_kcenter oracle: d_i = running min
+    * distance after center i, p_i = argmax of d_{i-1} (ties on vec_id). */
+  private def kcenterSql: String = {
+    val K = 8
+    def d2(a: String, b: String) =
+      s"""CAST(LIST_AGGREGATE(LIST_TRANSFORM(range(64),
+         |      j -> ($a.m[CAST(j + 1 AS INTEGER)] - $b.m[CAST(j + 1 AS INTEGER)])
+         |         * ($a.m[CAST(j + 1 AS INTEGER)] - $b.m[CAST(j + 1 AS INTEGER)])), 'sum')
+         |    AS BIGINT)""".stripMargin
+    val steps = (1 until K).map { i =>
+      val pick =
+        s"p$i AS (SELECT vec_id, m, mind FROM d${i - 1} ORDER BY mind DESC, vec_id LIMIT 1)"
+      val relax = if (i < K - 1)
+        s""",
+           |d$i AS (SELECT d.vec_id, d.m, LEAST(d.mind, ${d2("d", s"p$i")}) AS mind
+           |        FROM d${i - 1} d CROSS JOIN p$i)""".stripMargin
+      else ""
+      pick + relax
+    }.mkString(",\n")
+    val out = (s"SELECT CAST(0 AS BIGINT) AS pick_rank, vec_id, CAST(0 AS BIGINT) AS dist2 FROM c0" +:
+      (1 until K).map(i =>
+        s"SELECT CAST($i AS BIGINT), vec_id, mind FROM p$i")).mkString("\n  UNION ALL ")
+    s"""WITH v AS (
+       |  SELECT vec_id,
+       |    LIST_TRANSFORM(CAST(embedding AS DOUBLE[]),
+       |      x -> CAST(FLOOR(x * 1000000 + 0.5) AS BIGINT)) AS m
+       |  FROM embeddings WHERE LEN(embedding) = 64),
+       |c0 AS (SELECT vec_id, m FROM v ORDER BY vec_id LIMIT 1),
+       |d0 AS (SELECT v.vec_id, v.m, ${d2("v", "c0")} AS mind
+       |       FROM v CROSS JOIN c0),
+       |$steps
+       |SELECT pick_rank, vec_id, dist2 FROM (
+       |  $out)
+       |ORDER BY pick_rank""".stripMargin
+  }
+
   val oracle: Map[String, String] = Map(
+    "q_kcenter" -> kcenterSql,
     "q_jl_projection" ->
       s"""WITH sgn AS (
         |  SELECT gi.i, gk.k,

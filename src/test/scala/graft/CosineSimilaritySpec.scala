@@ -115,4 +115,30 @@ class CosineSimilaritySpec extends SparkSpec {
     val mean = got.map(_.getLong(4)).sum.toDouble / got.length
     assert(mean > 700000 && mean < 1300000, s"mean ratio_ppm $mean off the JL band")
   }
+
+  test("kcenter: greedy farthest-point trajectory replays exactly; radii non-increasing") {
+    val vecs = Tables.embeddings(spark, sf)
+      .filter(size(col("embedding")) === 64)
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) ->
+        r.getSeq[Float](1).map(x => math.floor(x.toDouble * 1000000 + 0.5).toLong).toArray)
+      .sortBy(_._1)
+    def d2(a: Array[Long], b: Array[Long]): Long =
+      a.indices.map(i => { val d = a(i) - b(i); d * d }).sum
+    val byId = vecs.toMap
+    var centers = List(vecs.head._1)
+    var mind = vecs.map { case (id, m) => id -> d2(m, byId(centers.head)) }.toMap
+    val want = scala.collection.mutable.Buffer((0L, vecs.head._1, 0L))
+    for (i <- 1 until 8) {
+      val (pid, pd) = mind.toSeq.maxBy { case (id, d) => (d, -id) }
+      want += ((i.toLong, pid, pd))
+      centers ::= pid
+      mind = mind.map { case (id, d) => id -> math.min(d, d2(byId(id), byId(pid))) }
+    }
+    val got = Similarity.qKcenter(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == want.toSeq, "greedy trajectory must replay pick for pick")
+    val radii = got.drop(1).map(_._3)
+    assert(radii == radii.sorted.reverse, "covering radius never increases")
+  }
 }

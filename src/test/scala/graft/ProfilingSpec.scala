@@ -500,6 +500,49 @@ class ProfilingSpec extends SparkSpec {
     assert(got.forall(_._4 >= 0L), "a Count-Min estimate can never undercount")
   }
 
+  test("hll_sketch: registers and integer estimate replay bit-for-bit") {
+    def md5hex(s: String): String = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val keys = Tables.lineitem(spark, sf).select(col("l_partkey")).collect()
+      .map(_.getLong(0))
+    val regs = scala.collection.mutable.Map.empty[Long, Long].withDefaultValue(0L)
+    keys.foreach { k =>
+      val h = java.lang.Long.parseLong(md5hex(s"hll:$k").take(15), 16)
+      val (bucket, w) = (h % 256, h / 256)
+      val rho = if (w == 0) 53L else 53L - java.lang.Long.toBinaryString(w).length
+      regs(bucket) = math.max(regs(bucket), rho)
+    }
+    val nUsed = regs.size.toLong
+    val rMax = regs.values.max
+    val regChk = regs.map { case (b, m) => (b + 1) * m }.sum
+    val sScaled = regs.values.map(m => 1L << (rMax - m)).sum +
+      (256 - nUsed) * (1L << rMax.toInt)
+    val est = (BigInt(718273) * 65536 * (BigInt(1) << rMax.toInt) /
+      (BigInt(1000000) * sScaled)).toLong
+    val nExact = keys.distinct.length.toLong
+    val want = (256L, nUsed, rMax, regChk, sScaled, est, nExact,
+      1000000L * math.abs(est - nExact) / nExact, est >= nExact)
+    val got = Profiling.qHllSketch(spark, sf).collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+        r.getLong(5), r.getLong(6), r.getLong(7), r.getBoolean(8))).toSeq
+    assert(got == Seq(want), "register census + integer HLL estimate must replay")
+    // mergeability: registers from two disjoint halves MAX-merge to the whole
+    val halves = keys.zipWithIndex.partition(_._2 % 2 == 0)
+    def regsOf(ks: Array[Long]): Map[Long, Long] = {
+      val m = scala.collection.mutable.Map.empty[Long, Long].withDefaultValue(0L)
+      ks.foreach { k =>
+        val h = java.lang.Long.parseLong(md5hex(s"hll:$k").take(15), 16)
+        val rho = if (h / 256 == 0) 53L else 53L - java.lang.Long.toBinaryString(h / 256).length
+        m(h % 256) = math.max(m(h % 256), rho)
+      }
+      m.toMap
+    }
+    val (ra, rb) = (regsOf(halves._1.map(_._1)), regsOf(halves._2.map(_._1)))
+    val merged = (ra.keySet ++ rb.keySet).map(b =>
+      b -> math.max(ra.getOrElse(b, 0L), rb.getOrElse(b, 0L))).toMap
+    assert(merged == regs.toMap, "HLL registers merge by per-bucket MAX")
+  }
+
   test("slice_finder: worst slices replay the ppm ratio rollup") {
     val docs = Tables.documents(spark, sf)
       .select(col("lang"), col("source"), col("text")).collect()
@@ -567,6 +610,33 @@ class ProfilingSpec extends SparkSpec {
     assert(r(0).getAs[Long]("arg_pc") == best._1)
     assert(r(0).getAs[Long]("ks_ppm") ==
       math.floor(best._2 * 1000000 + 0.5).toLong)
+  }
+
+  test("mann_whitney: doubled-midrank U replays a brute-force rank sum") {
+    val vals = Tables.events(spark, sf)
+      .filter(col("value").isNotNull && col("event_type").isin("click", "purchase"))
+      .select(col("event_type"), expr("CAST(round(value * 100) AS BIGINT)")).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    val all = vals.map(_._2).sorted
+    // brute-force doubled midrank of value v: 2*(#below) + (#tied) + 1
+    def rank2x(v: Long): Long = 2L * all.count(_ < v) + all.count(_ == v) + 1
+    val v1 = vals.filter(_._1 == "click").map(_._2)
+    val v2 = vals.filter(_._1 == "purchase").map(_._2)
+    val (n1, n2) = (v1.length.toLong, v2.length.toLong)
+    val r1x2 = v1.map(rank2x).sum
+    val u1x2 = r1x2 - n1 * (n1 + 1)
+    val tieCubes = all.groupBy(identity).values
+      .map(g => { val t = g.length.toLong; t * t * t - t }).sum
+    val r = Profiling.qMannWhitney(spark, sf).collect()
+    assert(r.length == 1)
+    assert(r(0).getAs[Long]("n1") == n1 && r(0).getAs[Long]("n2") == n2)
+    assert(r(0).getAs[Long]("u1_2x") == u1x2)
+    assert(r(0).getAs[Long]("mu_2x") == n1 * n2)
+    assert(r(0).getAs[Long]("delta_2x") == u1x2 - n1 * n2)
+    assert(r(0).getAs[Long]("tie_cubes") == tieCubes)
+    // U1 + U2 = n1*n2 identity (doubled): recompute U2 from the flipped side
+    val u2x2 = v2.map(rank2x).sum - n2 * (n2 + 1)
+    assert(u1x2 + u2x2 == 2 * n1 * n2, "U1 + U2 = n1*n2 must hold exactly")
   }
 
   test("mutual_info: headline MI is nonnegative and cells replay from counts") {

@@ -68,4 +68,20 @@ class TxnLogSpec extends SparkSpec {
     val head = TxnLog.read(spark, path, 2L)
     assert(head.count() == evs.count(), "no append may be lost or doubled")
   }
+
+  test("change feed: append transition = exactly the batch, compaction = empty") {
+    val got = graft.ops.Relational.qChangeFeed(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getString(3),
+        r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7))).toSeq
+    val batch = Tables.events(spark, sf).filter(col("event_id") % 3 === 0)
+      .select(col("event_type"), col("event_id")).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    val perType = batch.groupBy(_._1).toSeq.map { case (et, xs) =>
+      (0L, 1L, "append", et, xs.length.toLong, 0L, xs.map(_._2).sum, 0L)
+    }
+    val want = (perType :+
+      (0L, 1L, "append", "*", batch.length.toLong, 0L, batch.map(_._2).sum, 0L) :+
+      (1L, 2L, "compact", "*", 0L, 0L, 0L, 0L)).sortBy(t => (t._1, t._4))
+    assert(got == want, "CDF must be derived from commit churn exactly")
+  }
 }

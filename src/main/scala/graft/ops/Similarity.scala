@@ -1261,7 +1261,72 @@ object Similarity extends QueryModule {
     picks.reduce(_ unionByName _).orderBy(col("pick_rank"))
   }
 
+  /** Two unrolled Lloyd iterations of k-means (k=8) — the clustering
+    * primitive behind semantic dedup, IVF list training, and
+    * stratified-corpus partitioning, pinned as an exact-arithmetic
+    * certificate: micro-int coordinates, exact BIGINT squared-L2
+    * assignment (ties to the lower centroid id via lexicographic
+    * struct-min), and integer centroid updates
+    * ⌊(Σ+shift·n)/n⌋−shift (the +2·10⁶ shift keeps every dividend
+    * positive so truncating and flooring division agree across engines).
+    * Init is hash-ranked (md5 over vec_id — deterministic pseudo-random
+    * seeding). Output: per-cluster census after the second assignment
+    * (members, vec_id checksum, exact inertia, centroid checksum).
+    *
+    * Scale shape: each assignment is MAP-ONLY — the k centroids ride in
+    * as a sorted 8-row broadcast array and the argmin is a codegen'd
+    * array_min over a transform, so the corpus is never row-expanded k×
+    * (the naive crossJoin would be). Each update is one shuffle of 64
+    * map-side-combined partial sums. Two iterations = two scans + two
+    * bounded aggregations, at any corpus size. */
+  def qKmeans(spark: SparkSession, dir: String): DataFrame = {
+    val K = 8
+    val Shift = 2000000L
+    val d2 = "aggregate(zip_with(m, ce.c, (x, y) -> (x - y) * (x - y)), " +
+      "CAST(0 AS BIGINT), (a, b) -> a + b)"
+    val v = Tables.embeddings(spark, dir)
+      .filter(size(col("embedding")) === 64)
+      .select(col("vec_id"), expr(
+        "transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000000 + 0.5) AS BIGINT))")
+        .as("m"))
+      .localCheckpoint(eager = false) // four passes (2× assign, 2× update)
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("h"), col("vec_id"))
+    val init = v
+      .withColumn("h", md5(concat(lit("km:"), col("vec_id").cast("string"))))
+      .orderBy(col("h"), col("vec_id")).limit(K)
+      .select((row_number().over(w) - 1).cast("long").as("cid"), col("m").as("c"))
+    def assign(cents: DataFrame): DataFrame = {
+      val packed = cents.agg(
+        sort_array(collect_list(struct(col("cid"), col("c")))).as("cents"))
+      v.crossJoin(broadcast(packed))
+        .withColumn("a", expr(
+          s"array_min(transform(cents, ce -> named_struct('bd', $d2, 'bc', ce.cid)))"))
+        .select(col("vec_id"), col("m"), col("a.bc").as("cid"), col("a.bd").as("d"))
+    }
+    def update(assigned: DataFrame): DataFrame = {
+      val sums = (0 until 64).map(i => sum(expr(s"m[$i]")).as(s"s$i")) :+
+        count(lit(1)).as("n")
+      val cDims = (0 until 64)
+        .map(i => s"div(s$i + $Shift * n, n) - $Shift").mkString(", ")
+      assigned.groupBy(col("cid")).agg(sums.head, sums.tail: _*)
+        .select(col("cid"), expr(s"array($cDims)").as("c"))
+    }
+    val a2 = assign(update(assign(init))).localCheckpoint(eager = false)
+    val c2 = update(a2)
+    val stats = a2.groupBy(col("cid")).agg(
+      count(lit(1)).as("n_members"),
+      sum(col("vec_id")).as("member_chk"),
+      sum(col("d")).as("inertia"))
+    stats.join(c2, "cid")
+      .select(col("cid"), col("n_members"), col("member_chk"), col("inertia"),
+        expr("aggregate(zip_with(c, sequence(CAST(1 AS BIGINT), 64), (x, j) -> x * j), " +
+          "CAST(0 AS BIGINT), (a, b) -> a + b)").as("centroid_chk"))
+      .orderBy(col("cid"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_kmeans"             -> (qKmeans _),
     "q_kcenter"            -> (qKcenter _),
     "q_jl_projection"      -> (qJlProjection _),
     "q_ann_nndescent"      -> (qAnnNndescent _),
@@ -1507,7 +1572,50 @@ object Similarity extends QueryModule {
        |ORDER BY pick_rank""".stripMargin
   }
 
+  /** Two unrolled Lloyd iterations for the q_kmeans oracle — same
+    * hash-ranked init, shifted integer centroid division, and (d, cid)
+    * tie-break as the Spark side. */
+  private def kmeansSql: String = {
+    def d2 =
+      """CAST(LIST_AGGREGATE(LIST_TRANSFORM(range(64),
+        |      j -> (v.m[CAST(j + 1 AS INTEGER)] - i.c[CAST(j + 1 AS INTEGER)])
+        |         * (v.m[CAST(j + 1 AS INTEGER)] - i.c[CAST(j + 1 AS INTEGER)])), 'sum')
+        |    AS BIGINT)""".stripMargin
+    def iter(n: Int, cents: String) =
+      s"""d$n AS (SELECT v.vec_id, v.m, i.cid, $d2 AS d
+         |        FROM v CROSS JOIN $cents i),
+         |a$n AS (SELECT vec_id, m, cid, d FROM (
+         |          SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
+         |          FROM d$n) WHERE rn = 1),
+         |s$n AS (SELECT cid, gj.j, CAST(SUM(m[CAST(gj.j + 1 AS INTEGER)]) AS BIGINT) AS s,
+         |               CAST(COUNT(*) AS BIGINT) AS n
+         |        FROM a$n CROSS JOIN (SELECT UNNEST(RANGE(0, 64)) AS j) gj
+         |        GROUP BY cid, gj.j),
+         |c$n AS (SELECT cid, LIST((s + 2000000 * n) // n - 2000000 ORDER BY j) AS c
+         |        FROM s$n GROUP BY cid)""".stripMargin
+    s"""WITH v AS (
+       |  SELECT vec_id,
+       |    LIST_TRANSFORM(CAST(embedding AS DOUBLE[]),
+       |      x -> CAST(FLOOR(x * 1000000 + 0.5) AS BIGINT)) AS m
+       |  FROM embeddings WHERE LEN(embedding) = 64),
+       |seed AS (SELECT vec_id, m, MD5('km:' || CAST(vec_id AS VARCHAR)) AS h
+       |         FROM v ORDER BY h, vec_id LIMIT 8),
+       |c0 AS (SELECT ROW_NUMBER() OVER (ORDER BY h, vec_id) - 1 AS cid, m AS c FROM seed),
+       |${iter(1, "c0")},
+       |${iter(2, "c1")}
+       |SELECT a.cid, CAST(COUNT(*) AS BIGINT) AS n_members,
+       |       CAST(SUM(a.vec_id) AS BIGINT) AS member_chk,
+       |       CAST(SUM(a.d) AS BIGINT) AS inertia,
+       |       MIN(CAST(LIST_AGGREGATE(LIST_TRANSFORM(range(64),
+       |         j -> c2.c[CAST(j + 1 AS INTEGER)] * (j + 1)), 'sum') AS BIGINT))
+       |         AS centroid_chk
+       |FROM a2 a JOIN c2 ON c2.cid = a.cid
+       |GROUP BY a.cid
+       |ORDER BY a.cid""".stripMargin
+  }
+
   val oracle: Map[String, String] = Map(
+    "q_kmeans" -> kmeansSql,
     "q_kcenter" -> kcenterSql,
     "q_jl_projection" ->
       s"""WITH sgn AS (

@@ -116,6 +116,45 @@ class CosineSimilaritySpec extends SparkSpec {
     assert(mean > 700000 && mean < 1300000, s"mean ratio_ppm $mean off the JL band")
   }
 
+  test("kmeans: two Lloyd iterations replay exactly; inertia never increases") {
+    val vecs = Tables.embeddings(spark, sf)
+      .filter(size(col("embedding")) === 64)
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) ->
+        r.getSeq[Float](1).map(x => math.floor(x.toDouble * 1000000 + 0.5).toLong).toArray)
+      .sortBy(_._1)
+    def md5hex(s: String): String = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    def d2(a: Array[Long], b: Array[Long]): Long =
+      a.indices.map(i => { val d = a(i) - b(i); d * d }).sum
+    val c0 = vecs.sortBy { case (id, _) => (md5hex(s"km:$id"), id) }.take(8)
+      .zipWithIndex.map { case ((_, m), i) => i.toLong -> m }.toMap
+    def assign(cents: Map[Long, Array[Long]]) = vecs.map { case (id, m) =>
+      val (cid, d) = cents.toSeq.map { case (c, cm) => (c, d2(m, cm)) }
+        .minBy { case (c, dd) => (dd, c) }
+      (id, m, cid, d)
+    }
+    def update(a: Seq[(Long, Array[Long], Long, Long)]) =
+      a.groupBy(_._3).map { case (cid, xs) =>
+        cid -> Array.tabulate(64) { i =>
+          val s = xs.map(_._2(i)).sum; val n = xs.length
+          (s + 2000000L * n) / n - 2000000L
+        }
+      }
+    val a1 = assign(c0); val c1 = update(a1)
+    val a2 = assign(c1); val c2 = update(a2)
+    val want = a2.groupBy(_._3).toSeq.map { case (cid, xs) =>
+      (cid, xs.length.toLong, xs.map(_._1).sum, xs.map(_._4).sum,
+        c2(cid).zipWithIndex.map { case (x, j) => x * (j + 1) }.sum)
+    }.sortBy(_._1)
+    val got = Similarity.qKmeans(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toSeq
+    assert(got == want, "per-cluster census after 2 Lloyd iterations must replay")
+    // Lloyd monotonicity: J(a2, c1) <= J(a1, c0)
+    assert(a2.map(_._4).sum <= a1.map(_._4).sum, "inertia must not increase")
+  }
+
   test("kcenter: greedy farthest-point trajectory replays exactly; radii non-increasing") {
     val vecs = Tables.embeddings(spark, sf)
       .filter(size(col("embedding")) === 64)

@@ -316,7 +316,45 @@ object Multimodal extends QueryModule {
       .orderBy(col("d1"), col("d2"))
   }
 
+  final case class DocHist16(doc_id: Long, hist: Array[Long], total: Long)
+
+  /** Decode→resize as an oracle-checkable query key: the typed
+    * mapPartitions "decode" pass builds a 16-bin high-nibble byte
+    * histogram in EXACT integer counts (the stub decoder's shape, minus
+    * the float normalization that would never cross-engine hash), then
+    * the "resize" pools adjacent bins 16→8 — the integer twin of
+    * [[resizeStub]]'s pair-averaging, exactly what image downsampling
+    * does to a feature map. Output is per-doc ppm weights of the 8 pooled
+    * bins (flattened to scalar columns — the driver's checker can't hash
+    * array cells).
+    *
+    * Scale shape: one mapPartitions pass over the payload column (no
+    * shuffle — the per-doc histogram never leaves its partition), then
+    * pure projection. The orderBy exists for the deterministic dump; a
+    * production pipeline would write the unordered result. At 100 TB this
+    * is the canonical embarrassingly-parallel decode pass: cost = bytes
+    * scanned / executors, state = 16 longs per in-flight doc. */
+  def qMultimodalResize(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val hists = withBinary(spark, dir)
+      .select(col("doc_id"), col("bytes")).as[DocBlob]
+      .mapPartitions { it =>
+        it.map { blob =>
+          val hist = new Array[Long](16)
+          blob.bytes.foreach(b => hist((b & 0xFF) >> 4) += 1L)
+          DocHist16(blob.doc_id, hist, blob.bytes.length.toLong)
+        }
+      }
+    hists.toDF()
+      .select(col("doc_id") +: col("total") +: (0 until 8).map(i => expr(
+        s"""CASE WHEN total = 0 THEN CAST(0 AS BIGINT)
+           |ELSE div(1000000 * (hist[${2 * i}] + hist[${2 * i + 1}]), total)
+           |END""".stripMargin).as(s"p$i")): _*)
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_multimodal_resize" -> (qMultimodalResize _),
     "q_multimodal_meta" -> (qMultimodalMeta _),
     "q_multimodal_frames" -> (qMultimodalFrames _),
     "q_multimodal_phash" -> (qMultimodalPhash _),
@@ -324,6 +362,31 @@ object Multimodal extends QueryModule {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_multimodal_resize" -> {
+      val binSums = (0 until 16)
+        .map(b => s"CAST(SUM(CASE WHEN v = $b THEN 1 ELSE 0 END) AS BIGINT)")
+        .mkString("[", ", ", "]")
+      val pooled = (0 until 8).map(i =>
+        s"""CASE WHEN total = 0 THEN CAST(0 AS BIGINT)
+           |            ELSE (1000000 * (bins[${2 * i + 1}] + bins[${2 * i + 2}])) // total
+           |       END AS p$i""".stripMargin).mkString(",\n       ")
+      s"""WITH hx AS (
+        |  SELECT doc_id, hex(ENCODE(text)) AS h FROM documents),
+        |vals AS (
+        |  SELECT doc_id,
+        |         UNNEST(CASE WHEN LEN(h) < 2 THEN [CAST(NULL AS INTEGER)]
+        |                ELSE LIST_TRANSFORM(range(LEN(h) // 2), i ->
+        |                  CAST(STRPOS('0123456789ABCDEF',
+        |                         SUBSTRING(h, CAST(2 * i + 1 AS INTEGER), 1)) - 1
+        |                    AS INTEGER)) END) AS v
+        |  FROM hx),
+        |hist AS (
+        |  SELECT doc_id, $binSums AS bins, CAST(COUNT(v) AS BIGINT) AS total
+        |  FROM vals GROUP BY doc_id)
+        |SELECT doc_id, total,
+        |       $pooled
+        |FROM hist ORDER BY doc_id""".stripMargin
+    },
     "q_shard_manifest" ->
       s"""WITH d AS (
         |  SELECT doc_id, CAST(OCTET_LENGTH(ENCODE(text)) AS BIGINT) AS nb

@@ -585,6 +585,27 @@ class LlmOpsSpec extends SparkSpec {
     assert(fp(0) != fp(1), "reordered tokens must change the fingerprint")
   }
 
+  test("multimodal resize: pooled ppm bins replay from a driver-side byte histogram") {
+    val docs = Tables.documents(spark, sf).select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).getBytes("UTF-8")).toMap
+    val got = Multimodal.qMultimodalResize(spark, sf).collect()
+    assert(got.length == docs.size)
+    got.foreach { r =>
+      val bytes = docs(r.getLong(0))
+      val hist = new Array[Long](16)
+      bytes.foreach(b => hist((b & 0xFF) >> 4) += 1L)
+      assert(r.getLong(1) == bytes.length.toLong)
+      (0 until 8).foreach { i =>
+        val want = if (bytes.isEmpty) 0L
+          else 1000000L * (hist(2 * i) + hist(2 * i + 1)) / bytes.length
+        assert(r.getLong(2 + i) == want, s"doc ${r.getLong(0)} pooled bin $i")
+      }
+      // pooling conserves mass: the 8 ppm weights sum to ~1e6 (floor loss < 8)
+      val s = (0 until 8).map(j => r.getLong(2 + j)).sum
+      assert(s > 999992 && s <= 1000000, s"ppm mass $s out of band")
+    }
+  }
+
   test("multimodal: features are L1-normalized histograms; frame sampling counts") {
     val feats = Multimodal.features(spark, sf).collect()
     assert(feats.nonEmpty)

@@ -870,7 +870,50 @@ object Graph extends QueryModule {
       .orderBy(col("n_nodes").desc, col("community"))
   }
 
+  /** Deterministic random-walk corpus over the co-purchase graph — the
+    * DeepWalk/node2vec data-prep primitive: a walk corpus IS training data
+    * (each walk becomes a "sentence" for a skip-gram embedder), so the
+    * walk generator belongs to the training-data pipeline the same way
+    * tokenization does. "Random" is derandomized the repo's usual way:
+    * step s at node u moves to argmin over out-neighbors v of
+    * md5("s:u:v") — an unbiased-per-step, seedless choice both engines
+    * compute identically (the md5 ranking stands in for the RNG draw; a
+    * production walker would swap the hash for a seeded splitmix and keep
+    * every shape below). Seeds: every node ≡ 0 mod 250; 3 steps; output
+    * one row per (walk, step, node).
+    *
+    * Scale shape: each step is ONE equi-join of the walk frontier against
+    * the hash-placed edge layout ([[graft.plans.PartitionedCheckpoint]] —
+    * the same exchange-free discipline as the other iterative graph ops)
+    * followed by a struct-min groupBy on walk_id (map-side combinable).
+    * Cost per step ∝ frontier out-degree, state = |walks| rows; walks
+    * never materialize the neighborhood beyond their own frontier. At
+    * 100 TB this is exactly DeepWalk's shape: linear passes, no
+    * quadratics, no driver state. */
+  def qRandomWalk(spark: SparkSession, dir: String): DataFrame = {
+    val Steps = 3
+    val parts = spark.sessionState.conf.numShufflePartitions
+    val e = graft.plans.PartitionedCheckpoint.byKey(edges(spark, dir), "src", parts)
+    var cur = e.select(col("src").as("node")).distinct()
+      .filter(col("node") % 250 === 0)
+      .select(col("node").as("walk_id"), col("node"))
+    val rows = scala.collection.mutable.Buffer(
+      cur.select(col("walk_id"), lit(0L).as("step"), col("node")))
+    for (s <- 1 to Steps) {
+      cur = e.join(cur, e("src") === cur("node"))
+        .withColumn("h", md5(concat(lit(s"$s:"), col("src").cast("string"),
+          lit(":"), col("dst").cast("string"))))
+        .groupBy(col("walk_id"))
+        .agg(min(struct(col("h"), col("dst"))).as("pick"))
+        .select(col("walk_id"), col("pick.dst").as("node"))
+        .localCheckpoint(eager = false) // frontier feeds output AND next step
+      rows += cur.select(col("walk_id"), lit(s.toLong).as("step"), col("node"))
+    }
+    rows.reduce(_ unionByName _).orderBy(col("walk_id"), col("step"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_random_walk" -> (qRandomWalk _),
     "q_graph_modularity" -> (qGraphModularity _),
     "q_degree_assort" -> (qDegreeAssort _),
     "q_kcore"         -> (qKcore _),
@@ -920,7 +963,31 @@ object Graph extends QueryModule {
       |e3 AS (SELECT e.src, e.dst FROM e2 e
       |       JOIN k3 a ON e.src = a.node JOIN k3 b ON e.dst = b.node)""".stripMargin
 
+  /** Unrolled 3-step walk for the q_random_walk oracle: per step, the
+    * md5-argmin neighbor via ROW_NUMBER over (hash, dst). */
+  private def randomWalkSql: String = {
+    def step(n: Int, prev: String, prevCol: String) =
+      s"""p$n AS (SELECT walk_id, dst FROM (
+         |  SELECT $prev.walk_id AS walk_id, e.dst,
+         |         ROW_NUMBER() OVER (PARTITION BY $prev.walk_id
+         |           ORDER BY MD5('$n:' || CAST(e.src AS VARCHAR) || ':' || CAST(e.dst AS VARCHAR)),
+         |                    e.dst) AS rn
+         |  FROM $prev JOIN e ON e.src = $prev.$prevCol) WHERE rn = 1)""".stripMargin
+    s"""WITH ${edgeCtes("e")},
+       |w0 AS (SELECT DISTINCT src AS walk_id, src AS node FROM e WHERE src % 250 = 0),
+       |${step(1, "w0", "node")},
+       |${step(2, "p1", "dst")},
+       |${step(3, "p2", "dst")}
+       |SELECT walk_id, step, node FROM (
+       |  SELECT walk_id, CAST(0 AS BIGINT) AS step, node FROM w0
+       |  UNION ALL SELECT walk_id, 1, dst FROM p1
+       |  UNION ALL SELECT walk_id, 2, dst FROM p2
+       |  UNION ALL SELECT walk_id, 3, dst FROM p3)
+       |ORDER BY walk_id, step""".stripMargin
+  }
+
   val oracle: Map[String, String] = Map(
+    "q_random_walk" -> randomWalkSql,
     "q_degree_assort" ->
       s"""WITH ${edgeCtes("e0")},
         |deg AS (SELECT src AS node, CAST(COUNT(*) AS BIGINT) AS deg

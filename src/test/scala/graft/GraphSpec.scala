@@ -222,6 +222,36 @@ class GraphSpec extends SparkSpec {
     assert(got(0) == seeds.size.toLong && got.values.sum <= adj.keySet.size.toLong)
   }
 
+  test("random walk: md5-argmin trajectory replays an in-memory walk; edges respected") {
+    val li = Tables.lineitem(spark, sf).select("l_orderkey", "l_partkey").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val adj = scala.collection.mutable.HashMap.empty[Long, Set[Long]]
+    li.groupBy(_._1).values.foreach { grp =>
+      val parts = grp.map(_._2).distinct
+      for (a <- parts; b <- parts if a != b)
+        adj(a) = adj.getOrElse(a, Set.empty) + b
+    }
+    def md5hex(s: String): String = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val seeds = adj.keySet.filter(_ % 250 == 0).toSeq.sorted
+    val want = seeds.flatMap { w =>
+      var node = w
+      (w, 0L, w) +: (1 to 3).map { s =>
+        node = adj(node).map(v => (md5hex(s"$s:$node:$v"), v)).min._2
+        (w, s.toLong, node)
+      }
+    }.sortBy(t => (t._1, t._2))
+    val got = Graph.qRandomWalk(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == want, "walk trajectories must replay hash-pick for hash-pick")
+    // every transition is a real edge
+    got.groupBy(_._1).values.foreach { steps =>
+      val path = steps.sortBy(_._2).map(_._3)
+      path.sliding(2).foreach { case Seq(a, b) =>
+        assert(adj(a).contains(b), s"step $a -> $b is not an edge") }
+    }
+  }
+
   test("hits: authorities/hubs replay the integer iterations in plain Scala") {
     val rows = graft.ops.Graph.qHits(spark, sf).collect()
     assert(rows.nonEmpty && rows.length <= 100)

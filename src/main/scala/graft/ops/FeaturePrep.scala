@@ -322,7 +322,62 @@ object FeaturePrep extends QueryModule {
       .orderBy(col("u"), col("rk"))
   }
 
+  /** Distributed GBDT split finder — ONE boosting round's histogram pass,
+    * the primitive a tree trainer (XGBoost/LightGBM "hist" mode) runs per
+    * node per feature: bin every row into per-feature candidate buckets,
+    * map-side-combine (count, exact cent-sum) per bin, prefix-sum the
+    * ≤61-row bin spine into per-threshold left/right partitions, and
+    * score each candidate split's variance reduction
+    * gain = ⌊S_L²/n_L⌋ + ⌊S_R²/n_R⌋ − ⌊S²/n⌋ (the SSE-decrease
+    * numerator; squared sums run in DECIMAL(38,0)/HUGEINT — S² reaches
+    * ~10²² at sf0.1, past BIGINT — with one floor division per term, so
+    * both engines emit identical integers). Label: l_extendedprice cents;
+    * features: l_quantity (integer thresholds) and l_discount
+    * (cent-of-discount thresholds). Output: every candidate split with
+    * its exact partition sums and gain — the full certificate a trainer's
+    * argmax would consume.
+    *
+    * Scale shape: the ONLY corpus-sized work is the (feature, bin)
+    * rollup — map-side combinable into ≤61 cells; prefix sums and gains
+    * window over the bin spine (bounded by the candidate grid, not the
+    * data). This is precisely why histogram-mode GBDT trains on clusters:
+    * per tree node, one linear pass + kilobytes of state. */
+  def qTreeSplit(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val li = Tables.lineitem(spark, dir)
+      .select(col("l_quantity").cast("long").as("qty"),
+        expr("CAST(round(l_discount * 100) AS BIGINT)").as("disc"),
+        expr("CAST(round(l_extendedprice * 100) AS BIGINT)").as("cents"))
+    val bins = li
+      .select(explode(array(
+        struct(lit("quantity").as("feature"), col("qty").as("bin")),
+        struct(lit("discount").as("feature"), col("disc").as("bin")))).as("fb"),
+        col("cents"))
+      .groupBy(col("fb.feature").as("feature"), col("fb.bin").as("bin"))
+      .agg(count(lit(1)).as("n"), sum(col("cents")).as("s"))
+    val w = Window.partitionBy(col("feature")).orderBy(col("bin"))
+    val wAll = Window.partitionBy(col("feature"))
+    val gain =
+      """CAST(
+        |  ((CAST(s_l AS DECIMAL(38,0)) * CAST(s_l AS DECIMAL(38,0))) div CAST(n_l AS DECIMAL(38,0)))
+        |  + ((CAST(s_t - s_l AS DECIMAL(38,0)) * CAST(s_t - s_l AS DECIMAL(38,0))) div CAST(n_t - n_l AS DECIMAL(38,0)))
+        |  - ((CAST(s_t AS DECIMAL(38,0)) * CAST(s_t AS DECIMAL(38,0))) div CAST(n_t AS DECIMAL(38,0)))
+        |AS BIGINT)""".stripMargin
+    bins
+      .withColumn("n_l", sum(col("n")).over(w))
+      .withColumn("s_l", sum(col("s")).over(w))
+      .withColumn("n_t", sum(col("n")).over(wAll))
+      .withColumn("s_t", sum(col("s")).over(wAll))
+      .filter(col("n_l") < col("n_t")) // the top bin is "everything left": no split
+      .select(col("feature"), col("bin").as("threshold"),
+        col("n_l"), col("s_l"),
+        (col("n_t") - col("n_l")).as("n_r"), (col("s_t") - col("s_l")).as("s_r"),
+        expr(gain).as("gain"))
+      .orderBy(col("feature"), col("threshold"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_tree_split" -> (qTreeSplit _),
     "q_negative_sampling" -> (qNegativeSampling _),
     "q_woe_encode"    -> (qWoeEncode _),
     "q_target_encode" -> (qTargetEncode _),
@@ -334,6 +389,32 @@ object FeaturePrep extends QueryModule {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_tree_split" ->
+      """WITH li AS (
+        |  SELECT CAST(l_quantity AS BIGINT) AS qty,
+        |         CAST(ROUND(l_discount * 100) AS BIGINT) AS disc,
+        |         CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS cents
+        |  FROM lineitem),
+        |bins AS (
+        |  SELECT feature, bin, CAST(COUNT(*) AS BIGINT) AS n,
+        |         CAST(SUM(cents) AS BIGINT) AS s
+        |  FROM (SELECT 'quantity' AS feature, qty AS bin, cents FROM li
+        |        UNION ALL SELECT 'discount', disc, cents FROM li)
+        |  GROUP BY 1, 2),
+        |pre AS (
+        |  SELECT feature, bin,
+        |         CAST(SUM(n) OVER (PARTITION BY feature ORDER BY bin) AS BIGINT) AS n_l,
+        |         CAST(SUM(s) OVER (PARTITION BY feature ORDER BY bin) AS BIGINT) AS s_l,
+        |         CAST(SUM(n) OVER (PARTITION BY feature) AS BIGINT) AS n_t,
+        |         CAST(SUM(s) OVER (PARTITION BY feature) AS BIGINT) AS s_t
+        |  FROM bins)
+        |SELECT feature, bin AS threshold, n_l, s_l,
+        |       n_t - n_l AS n_r, s_t - s_l AS s_r,
+        |       CAST(((CAST(s_l AS HUGEINT) * s_l) // n_l)
+        |          + ((CAST(s_t - s_l AS HUGEINT) * (s_t - s_l)) // (n_t - n_l))
+        |          - ((CAST(s_t AS HUGEINT) * s_t) // n_t) AS BIGINT) AS gain
+        |FROM pre WHERE n_l < n_t
+        |ORDER BY feature, threshold""".stripMargin,
     "q_negative_sampling" ->
       """WITH pos AS (
         |  SELECT DISTINCT o.o_custkey AS u, l.l_partkey AS item

@@ -10,6 +10,37 @@ import org.apache.spark.sql.functions._
   * be caught here. */
 class FeaturePrepSpec extends SparkSpec {
 
+  test("tree_split: histogram splits replay in BigInt; gain is nonnegative SSE reduction") {
+    val rows = Tables.lineitem(spark, sf)
+      .select(col("l_quantity").cast("long"),
+        expr("CAST(round(l_discount * 100) AS BIGINT)"),
+        expr("CAST(round(l_extendedprice * 100) AS BIGINT)")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    def splits(binsOf: ((Long, Long, Long)) => Long, feature: String) = {
+      val bins = rows.groupBy(binsOf).toSeq.map { case (b, xs) =>
+        (b, xs.length.toLong, xs.map(_._3).sum) }.sortBy(_._1)
+      val (nT, sT) = (bins.map(_._2).sum, bins.map(_._3).sum)
+      var (nL, sL) = (0L, 0L)
+      bins.flatMap { case (b, n, s) =>
+        nL += n; sL += s
+        if (nL < nT) {
+          val gain = (BigInt(sL) * sL / nL + BigInt(sT - sL) * (sT - sL) / (nT - nL)
+            - BigInt(sT) * sT / nT).toLong
+          Some((feature, b, nL, sL, nT - nL, sT - sL, gain))
+        } else None
+      }
+    }
+    val want = (splits(_._2, "discount") ++ splits(_._1, "quantity"))
+      .sortBy(t => (t._1, t._2))
+    val got = FeaturePrep.qTreeSplit(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6))).toSeq
+    assert(got == want, "every candidate split must replay bin for bin")
+    // true gain >= 0 by convexity; the three floor divisions can shave at
+    // most 2 below an exact-zero gain
+    assert(got.forall(_._7 >= -2L), "SSE reduction can't go below floor slack")
+  }
+
   test("feature_scale: z and minmax recompute from plain-Scala group stats") {
     val rows = FeaturePrep.qFeatureScale(spark, sf).collect()
     assert(rows.nonEmpty)

@@ -1324,6 +1324,50 @@ object Profiling extends QueryModule {
         col("tie_cubes"))
   }
 
+  /** Gini coefficient of per-customer revenue — the concentration
+    * certificate a capacity planner reads before sharding on a key: G≈0
+    * means customer-keyed partitions balance; G→1 means a few whales own
+    * the table and the key needs salting ([[qSkewAudit]] profiles count
+    * skew; this weighs VALUE skew). Exact arithmetic throughout:
+    * G = (2·Σᵢ i·vᵢ − (n+1)·Σv) / (n·Σv) over ascending-ranked integer
+    * cent totals, with ties folded through the value histogram — a run of
+    * k equal values starting after C predecessors contributes
+    * v·k·(2C+k+1) to 2·Σ i·vᵢ regardless of intra-tie order, so the
+    * statistic is deterministic without a total order on customers. The
+    * ppm quotient runs in DECIMAL(38,0)/HUGEINT (numerator ≈ 10²⁴ at
+    * sf1.0).
+    *
+    * Scale shape: one groupBy per customer (map-side combinable), one
+    * groupBy per distinct TOTAL (bounded by value granularity), then the
+    * chunked-prefix cumsum over the value spine — per-chunk offsets
+    * broadcast, within-chunk windows partition-parallel, no global
+    * single-reducer sort ([[qKsDrift]] discipline). */
+  def qGini(spark: SparkSession, dir: String): DataFrame = {
+    val perCust = Tables.orders(spark, dir)
+      .groupBy(col("o_custkey"))
+      .agg(sum(expr("CAST(round(o_totalprice * 100) AS BIGINT)")).as("v"))
+    val perVal = perCust.groupBy(col("v")).agg(count(lit(1)).as("k"))
+      .withColumn("chunk", expr("v div 1000000"))
+    val byChunk = Window.orderBy(col("chunk"))
+    val offs = perVal.groupBy(col("chunk")).agg(sum(col("k")).as("ck"))
+      .withColumn("off", coalesce(sum(col("ck")).over(
+        byChunk.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("chunk"), col("off"))
+    val wc = Window.partitionBy(col("chunk")).orderBy(col("v"))
+    perVal.join(broadcast(offs), "chunk")
+      .withColumn("c_before", sum(col("k")).over(wc) + col("off") - col("k"))
+      .agg(sum(col("k")).as("n"),
+        sum(expr("v * k")).as("sum_v"),
+        sum(expr("v * k * (2 * c_before + k + 1)")).as("two_rank_sum"))
+      .select(col("n").as("n_customers"), col("sum_v").as("total_cents"),
+        (col("two_rank_sum") - expr("(n + 1) * sum_v")).as("gini_num"),
+        expr("n * sum_v").as("gini_den"),
+        expr("""CAST((CAST(1000000 AS DECIMAL(38,0))
+               |  * CAST(two_rank_sum - (n + 1) * sum_v AS DECIMAL(38,0)))
+               |  div CAST(n * sum_v AS DECIMAL(38,0)) AS BIGINT)""".stripMargin)
+          .as("gini_ppm"))
+  }
+
   /** Mutual information between documents.lang and documents.source in ppm
     * — the feature-dependence audit run before stratifying a corpus on two
     * axes (independent axes ⇒ MI ≈ 0 ⇒ stratifying on both buys nothing).
@@ -1357,6 +1401,7 @@ object Profiling extends QueryModule {
     "q_psi"            -> (qPsi _),
     "q_ks_drift"       -> (qKsDrift _),
     "q_mann_whitney"   -> (qMannWhitney _),
+    "q_gini"           -> (qGini _),
     "q_mutual_info"    -> (qMutualInfo _),
     "q_bloom_fpr"      -> (qBloomFpr _),
     "q_theil_sen"      -> (qTheilSen _),
@@ -1504,6 +1549,28 @@ object Profiling extends QueryModule {
         |    - (n1 * (n1 + 1) + n1 * n2) AS delta_2x,
         |  CAST(SUM(t * t * t - t) AS BIGINT) AS tie_cubes
         |FROM w CROSS JOIN tot GROUP BY n1, n2""".stripMargin,
+    "q_gini" ->
+      """WITH pc AS (
+        |  SELECT o_custkey,
+        |         CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS v
+        |  FROM orders GROUP BY o_custkey),
+        |pv AS (SELECT v, CAST(COUNT(*) AS BIGINT) AS k FROM pc GROUP BY v),
+        |w AS (
+        |  SELECT v, k,
+        |    COALESCE(SUM(k) OVER (ORDER BY v
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS c_before
+        |  FROM pv),
+        |agg AS (
+        |  SELECT CAST(SUM(k) AS BIGINT) AS n,
+        |         CAST(SUM(v * k) AS BIGINT) AS sum_v,
+        |         CAST(SUM(v * k * (2 * c_before + k + 1)) AS BIGINT) AS two_rank_sum
+        |  FROM w)
+        |SELECT n AS n_customers, sum_v AS total_cents,
+        |       two_rank_sum - (n + 1) * sum_v AS gini_num,
+        |       n * sum_v AS gini_den,
+        |       CAST((1000000::HUGEINT * (two_rank_sum - (n + 1) * sum_v))
+        |            // (CAST(n AS HUGEINT) * sum_v) AS BIGINT) AS gini_ppm
+        |FROM agg""".stripMargin,
     "q_mutual_info" ->
       """WITH cells AS (
         |  SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS n

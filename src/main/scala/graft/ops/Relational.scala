@@ -669,6 +669,41 @@ object Relational extends QueryModule {
     }.reduce(_ unionByName _).orderBy(col("from_v"), col("event_type"))
   }
 
+  /** VACUUM retention certificate — the GC half of the commit protocol
+    * ([[qTxnCommit]] proves commits, this proves the cleanup): after
+    * init → append → stale-base compaction, the table root holds 6 data
+    * files but only 2 are live at the head; vacuum(keep = head) must
+    * delete exactly the 4 superseded files and drop the pre-head log
+    * entries, while the pinned head read — taken AFTER the deletes —
+    * still returns every row (vacuum shrinks history, never the
+    * present). The certificate row carries the protocol-determined file
+    * counts as literals and the post-vacuum content census from the
+    * surviving snapshot; the oracle recomputes the censuses from the
+    * events table, so a vacuum that deleted a LIVE file flips the hash.
+    *
+    * Scale shape: vacuum moves file NAMES (set difference over the log's
+    * lists) and unlink calls — no data pass at all; the content census
+    * is one pinned-version scan. At 100 TB the retained-set diff is the
+    * entire cost, which is why real formats vacuum continuously. */
+  def qTxnVacuum(spark: SparkSession, dir: String): DataFrame = {
+    val path = s"$sinkRoot${Integer.toHexString(dir.hashCode)}/vac_${System.nanoTime()}"
+    val ev = Tables.events(spark, dir)
+      .select(col("event_id"), col("user_id"), col("event_type"), col("ts"))
+    TxnLog.init(ev.filter(col("event_id") % 5 =!= 0), path, nFiles = 4)
+    TxnLog.append(ev.filter(col("event_id") % 5 === 0), path)
+    val (head, _) = TxnLog.compactFrom(spark, path, baseVersion = 0L)
+    val before = TxnLog.allDataFiles(path).size.toLong
+    val (removed, retained) = TxnLog.vacuum(path, keepFromVersion = head)
+    TxnLog.read(spark, path, head)
+      .agg(count(lit(1)).as("n_rows"),
+        coalesce(sum(col("event_id")), lit(0L)).as("chk"))
+      .select(lit(head).as("head_version"),
+        lit(before).as("n_files_before"),
+        lit(removed.size.toLong).as("n_removed"),
+        lit(retained.size.toLong).as("n_retained"),
+        col("n_rows"), col("chk"))
+  }
+
   def qTxnCommit(spark: SparkSession, dir: String): DataFrame = {
     val path = s"$sinkRoot${Integer.toHexString(dir.hashCode)}/txn_${System.nanoTime()}"
     val ev = Tables.events(spark, dir)
@@ -693,6 +728,7 @@ object Relational extends QueryModule {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_txn_commit" -> (qTxnCommit _),
+    "q_txn_vacuum" -> (qTxnVacuum _),
     "q_change_feed" -> (qChangeFeed _),
     "q_join_dpp" -> (qJoinDpp _),
     "q_compaction_plan" -> (qCompactionPlan _),
@@ -726,6 +762,14 @@ object Relational extends QueryModule {
         |FROM orders
         |WHERE YEAR(o_orderdate) = 1996 AND MONTH(o_orderdate) <= 3
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_txn_vacuum" ->
+      """SELECT CAST(2 AS BIGINT) AS head_version,
+        |       CAST(6 AS BIGINT) AS n_files_before,
+        |       CAST(4 AS BIGINT) AS n_removed,
+        |       CAST(2 AS BIGINT) AS n_retained,
+        |       CAST(COUNT(*) AS BIGINT) AS n_rows,
+        |       CAST(COALESCE(SUM(event_id), 0) AS BIGINT) AS chk
+        |FROM events""".stripMargin,
     "q_change_feed" ->
       """WITH b AS (
         |  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,

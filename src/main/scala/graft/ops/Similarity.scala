@@ -1231,15 +1231,17 @@ object Similarity extends QueryModule {
     * stop the self-referencing lineage from doubling per step. At 100 TB
     * this is K linear scans — the known lower bound for exact greedy
     * k-center — and each scan's reduce moves ONE row. */
+  /** One greedy pick: the farthest-from-set argmax as a TakeOrdered(1) —
+    * split out for the PlanSpec pin (checkpoint materialization hides the
+    * composed op's inner plans). */
+  private[graft] def kcenterPick(cur: DataFrame): DataFrame =
+    cur.orderBy(col("mind").desc, col("vec_id")).limit(1)
+
   def qKcenter(spark: SparkSession, dir: String): DataFrame = {
     val K = 8
     val d2 = "aggregate(zip_with(m, cm, (x, y) -> (x - y) * (x - y)), " +
       "CAST(0 AS BIGINT), (a, b) -> a + b)"
-    val v = Tables.embeddings(spark, dir)
-      .filter(size(col("embedding")) === 64)
-      .select(col("vec_id"), expr(
-        "transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000000 + 0.5) AS BIGINT))")
-        .as("m"))
+    val v = quantizedVecs(spark, dir)
       .localCheckpoint(eager = false) // K scan passes reuse the quantized table
     val seed = v.orderBy(col("vec_id")).limit(1).localCheckpoint(eager = false)
     var cur = v.crossJoin(broadcast(seed.select(col("m").as("cm"))))
@@ -1248,7 +1250,7 @@ object Similarity extends QueryModule {
     val picks = scala.collection.mutable.Buffer(
       seed.select(lit(0L).as("pick_rank"), col("vec_id"), lit(0L).as("dist2")))
     for (i <- 1 until K) {
-      val p = cur.orderBy(col("mind").desc, col("vec_id")).limit(1)
+      val p = kcenterPick(cur)
         .localCheckpoint(eager = false) // 1 row: the next center
       picks += p.select(lit(i.toLong).as("pick_rank"), col("vec_id"),
         col("mind").as("dist2"))
@@ -1279,16 +1281,35 @@ object Similarity extends QueryModule {
     * (the naive crossJoin would be). Each update is one shuffle of 64
     * map-side-combined partial sums. Two iterations = two scans + two
     * bounded aggregations, at any corpus size. */
-  def qKmeans(spark: SparkSession, dir: String): DataFrame = {
-    val K = 8
-    val Shift = 2000000L
+  /** One k-means assignment pass — split out so PlanSpec can pin the
+    * map-only shape (lazy checkpoints materialize before the composed
+    * op's executedPlan prints, hiding the inner plan): the k centroids
+    * arrive as ONE sorted broadcast array row and the argmin is a
+    * codegen'd array_min over a transform — no explode, no k-fold row
+    * expansion, no shuffle. */
+  private[graft] def kmeansAssign(v: DataFrame, cents: DataFrame): DataFrame = {
     val d2 = "aggregate(zip_with(m, ce.c, (x, y) -> (x - y) * (x - y)), " +
       "CAST(0 AS BIGINT), (a, b) -> a + b)"
-    val v = Tables.embeddings(spark, dir)
+    val packed = cents.agg(
+      sort_array(collect_list(struct(col("cid"), col("c")))).as("cents"))
+    v.crossJoin(broadcast(packed))
+      .withColumn("a", expr(
+        s"array_min(transform(cents, ce -> named_struct('bd', $d2, 'bc', ce.cid)))"))
+      .select(col("vec_id"), col("m"), col("a.bc").as("cid"), col("a.bd").as("d"))
+  }
+
+  /** The micro-int quantized vector table shared by the clustering ops. */
+  private[graft] def quantizedVecs(spark: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(spark, dir)
       .filter(size(col("embedding")) === 64)
       .select(col("vec_id"), expr(
         "transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000000 + 0.5) AS BIGINT))")
         .as("m"))
+
+  def qKmeans(spark: SparkSession, dir: String): DataFrame = {
+    val K = 8
+    val Shift = 2000000L
+    val v = quantizedVecs(spark, dir)
       .localCheckpoint(eager = false) // four passes (2× assign, 2× update)
     val w = org.apache.spark.sql.expressions.Window
       .orderBy(col("h"), col("vec_id"))
@@ -1296,14 +1317,7 @@ object Similarity extends QueryModule {
       .withColumn("h", md5(concat(lit("km:"), col("vec_id").cast("string"))))
       .orderBy(col("h"), col("vec_id")).limit(K)
       .select((row_number().over(w) - 1).cast("long").as("cid"), col("m").as("c"))
-    def assign(cents: DataFrame): DataFrame = {
-      val packed = cents.agg(
-        sort_array(collect_list(struct(col("cid"), col("c")))).as("cents"))
-      v.crossJoin(broadcast(packed))
-        .withColumn("a", expr(
-          s"array_min(transform(cents, ce -> named_struct('bd', $d2, 'bc', ce.cid)))"))
-        .select(col("vec_id"), col("m"), col("a.bc").as("cid"), col("a.bd").as("d"))
-    }
+    def assign(cents: DataFrame): DataFrame = kmeansAssign(v, cents)
     def update(assigned: DataFrame): DataFrame = {
       val sums = (0 until 64).map(i => sum(expr(s"m[$i]")).as(s"s$i")) :+
         count(lit(1)).as("n")

@@ -65,12 +65,17 @@ object TxnLog {
     }
   }
 
+  private val writeSeq = new java.util.concurrent.atomic.AtomicLong(0L)
+
   /** Write `df` as `nFiles` parquet files under an unclaimed subdirectory
     * and return their paths — data lands BEFORE any commit references it,
     * so a lost race leaves only unreferenced files (GC'd by vacuum),
-    * never a torn table. */
+    * never a torn table. The dir name carries a process-unique sequence
+    * number: nanoTime alone can collide across writer threads (observed
+    * as a 1-in-N flake in the threaded-append test), and two writers
+    * sharing a data dir interleave their part files into both commits. */
   private def writeData(df: DataFrame, path: String, tag: String, nFiles: Int): Seq[String] = {
-    val dir = s"$path/data/${tag}_${System.nanoTime()}"
+    val dir = s"$path/data/${tag}_${System.nanoTime()}_${writeSeq.incrementAndGet()}"
     df.repartition(nFiles).write.parquet(dir)
     new java.io.File(dir).listFiles()
       .filter(_.getName.endsWith(".parquet")).map(_.getAbsolutePath).toSeq.sorted
@@ -119,5 +124,33 @@ object TxnLog {
       v = headVersion(path) + 1
     }
     throw new IllegalStateException("unreachable")
+  }
+
+  /** All data files ever written under the table root (live or not). */
+  def allDataFiles(path: String): Seq[String] = {
+    val dataRoot = java.nio.file.Paths.get(path, "data").toFile
+    if (!dataRoot.exists()) Seq.empty
+    else dataRoot.listFiles().toSeq.flatMap(_.listFiles())
+      .filter(_.getName.endsWith(".parquet")).map(_.getAbsolutePath).sorted
+  }
+
+  /** VACUUM: physically delete data files referenced by NO version ≥
+    * `keepFromVersion`, then drop the older log entries — the retention
+    * GC every table format schedules after rewrites (a compaction leaves
+    * its replaced base files on disk so time travel keeps working; vacuum
+    * is the moment that grace expires). Returns (removedFiles,
+    * retainedFiles). Readers pinned at a retained version are unaffected
+    * — exactly the Delta/Iceberg contract: vacuum shrinks HISTORY, never
+    * the present. */
+  def vacuum(path: String, keepFromVersion: Long): (Seq[String], Seq[String]) = {
+    val head = headVersion(path)
+    require(keepFromVersion >= 0 && keepFromVersion <= head,
+      s"retention boundary v$keepFromVersion outside [0, v$head]")
+    val retained = (keepFromVersion to head).flatMap(v => liveFiles(path, v)).distinct
+    val removed = allDataFiles(path).diff(retained)
+    removed.foreach(f => java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(f)))
+    (0L until keepFromVersion).foreach(v =>
+      java.nio.file.Files.deleteIfExists(vFile(path, v)))
+    (removed, retained)
   }
 }

@@ -512,6 +512,52 @@ class PlanSpec extends SparkSpec {
       "no corpus-sized side may reach a shuffle join in the encode pass")
   }
 
+  test("q_kmeans / q_kcenter: centroids broadcast, corpus never row-expands or self-joins") {
+    // pin the BUILDING BLOCKS: the composed ops lazy-checkpoint between
+    // iterations, so their executedPlan prints materialized ExistingRDDs
+    // and would hide a regression inside an iteration
+    import org.apache.spark.sql.functions._
+    val v = graft.ops.Similarity.quantizedVecs(spark, sf)
+    val cents = v.limit(8).select(col("vec_id").as("cid"), col("m").as("c"))
+    val assign = planOf(graft.ops.Similarity.kmeansAssign(v, cents))
+    assert(!assign.contains("CartesianProduct"),
+      "centroid delivery must broadcast, never a cartesian")
+    assert(!assign.contains("Generate"),
+      "the argmin rides array_min over the packed centroid array — an " +
+        "explode would re-expand the corpus k-fold")
+    assert(assign.contains("BroadcastNestedLoopJoin") || assign.contains("BroadcastExchange"),
+      "the packed 1-row centroid array must arrive as a broadcast")
+    val pick = planOf(graft.ops.Similarity.kcenterPick(
+      v.withColumn("mind", lit(1L))))
+    assert(pick.contains("TakeOrderedAndProject"),
+      "each greedy pick must be a TakeOrdered argmax, not a global sort")
+  }
+
+  test("q_tree_split rolls up map-side into the bin spine — no corpus window, no join") {
+    val plan = planOf(graft.ops.FeaturePrep.qTreeSplit(spark, sf))
+    assert("HashAggregate".r.findAllIn(plan).length >= 2,
+      "bin rollup must run partial (map-side) + final")
+    assert(!plan.contains("Join"),
+      "prefix sums and totals are windows over the bin spine, not joins")
+  }
+
+  test("q_random_walk steps are equi-joins against the placed edge layout") {
+    val plan = planOf(graft.ops.Graph.qRandomWalk(spark, sf))
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      "every step must be an equi-join on src")
+  }
+
+  test("q_hll_sketch / q_mann_whitney: corpus-sized work is one partial rollup each") {
+    val hll = planOf(graft.ops.Profiling.qHllSketch(spark, sf))
+    assert(!hll.contains("Window"),
+      "register census and harmonic sum aggregate over <=256 rows; a window " +
+        "would mean per-row ranking crept in")
+    val mw = graft.ops.Profiling.qMannWhitney(spark, sf)
+      .queryExecution.optimizedPlan.toString
+    assert(!mw.toLowerCase.contains("cartesian"),
+      "totals join back as 1-row broadcasts")
+  }
+
   test("q_degree_assort / q_graph_modularity aggregate to bounded tails — no corpus windows") {
     val assort = planOf(graft.ops.Graph.qDegreeAssort(spark, sf))
     assert(!assort.contains("Window"),

@@ -639,6 +639,24 @@ class ProfilingSpec extends SparkSpec {
     assert(u1x2 + u2x2 == 2 * n1 * n2, "U1 + U2 = n1*n2 must hold exactly")
   }
 
+  test("gini: tie-folded rank formula replays a brute-force sorted Lorenz sum") {
+    val totals = Tables.orders(spark, sf)
+      .select(col("o_custkey"), expr("CAST(round(o_totalprice * 100) AS BIGINT)"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).values.map(_.map(_._2).sum).toSeq.sorted
+    val n = totals.length.toLong
+    val sumV = totals.sum
+    val twoRank = totals.zipWithIndex.map { case (v, i) => 2L * (i + 1) * v }.sum
+    val num = twoRank - (n + 1) * sumV
+    val den = n * sumV
+    val ppm = (BigInt(1000000) * num / den).toLong
+    val r = Profiling.qGini(spark, sf).collect()
+    assert(r.length == 1)
+    assert((r(0).getLong(0), r(0).getLong(1), r(0).getLong(2), r(0).getLong(3),
+      r(0).getLong(4)) == ((n, sumV, num, den, ppm)))
+    assert(num >= 0 && ppm < 1000000, "G lives in [0, 1) for positive values")
+  }
+
   test("mutual_info: headline MI is nonnegative and cells replay from counts") {
     val cells = Tables.documents(spark, sf)
       .groupBy(col("lang"), col("source")).agg(count(lit(1)).as("n")).collect()

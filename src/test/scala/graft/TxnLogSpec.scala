@@ -69,6 +69,29 @@ class TxnLogSpec extends SparkSpec {
     assert(head.count() == evs.count(), "no append may be lost or doubled")
   }
 
+  test("vacuum deletes only superseded files; retained snapshots read intact") {
+    val path = freshPath("txn_vacuum")
+    TxnLog.init(evs.filter(col("event_id") % 5 =!= 0), path, nFiles = 4)
+    TxnLog.append(evs.filter(col("event_id") % 5 === 0), path)
+    val (head, _) = TxnLog.compactFrom(spark, path, baseVersion = 0L)
+    assert(TxnLog.allDataFiles(path).size == 6)
+    // keep v1 too: NOTHING dies — v1 still references the 4 init files
+    // (retention must UNION the live sets of every retained version)
+    val (removed1, retained1) = TxnLog.vacuum(path, keepFromVersion = 1L)
+    assert(removed1.isEmpty && retained1.size == 6,
+      s"got ${removed1.size} removed / ${retained1.size} retained")
+    // v1 still reads completely after the vacuum
+    assert(TxnLog.read(spark, path, 1L).count() == evs.count())
+    // v0's log entry is gone: time travel below the boundary must fail
+    intercept[Exception] { TxnLog.read(spark, path, 0L).count() }
+    // tighten retention to the head: the 4 compacted-away base files die
+    val (removed2, retained2) = TxnLog.vacuum(path, keepFromVersion = head)
+    assert(removed2.size == 4 && retained2.size == 2)
+    assert(TxnLog.read(spark, path, head).count() == evs.count())
+    // boundary validation
+    intercept[IllegalArgumentException] { TxnLog.vacuum(path, head + 1) }
+  }
+
   test("change feed: append transition = exactly the batch, compaction = empty") {
     val got = graft.ops.Relational.qChangeFeed(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getString(3),

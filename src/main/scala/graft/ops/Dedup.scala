@@ -977,7 +977,65 @@ object Dedup extends QueryModule {
       .orderBy(col("source_a"), col("source_b"))
   }
 
+  /** Source-pair overlap from MERGED MINWISE SKETCHES, exact-verified —
+    * the union trick that makes k-min sketches more than per-set
+    * summaries: each source keeps k=32 per-hash minima over its shingle
+    * multiset (a map-side-combinable MIN rollup — the same mergeability
+    * as [[Profiling.qHllSketch]]'s MAX registers), and for any pair the
+    * match fraction of the 32 minima is an unbiased Jaccard estimate —
+    * computed WITHOUT touching the corpus again. The exact side
+    * (distinct-membership shingle equi-join, per-key fanout bounded by
+    * |sources|²) exists because this is a certificate; at 100 TB only the
+    * sketch tier runs, and "which sources duplicate each other" costs
+    * |sources|·k cells instead of a cross-source shingle join. This is
+    * the source-level SKETCH tier above [[qDupCrossSource]]'s exact
+    * cluster arithmetic.
+    *
+    * All comparisons are on md5 hex strings and exact integers; estimate
+    * and truth are both emitted in ppm with the absolute gap. */
+  def qSourceOverlap(spark: SparkSession, dir: String): DataFrame = {
+    val K = 32
+    val sh = Tables.documents(spark, dir)
+      .withColumn("toks", split(lower(trim(col("text"))), " "))
+      .select(col("source"), explode(expr(
+        """CASE WHEN size(toks) < 3 THEN array()
+          |ELSE transform(sequence(0, size(toks) - 3), i -> concat_ws(' ', slice(toks, i + 1, 3)))
+          |END""".stripMargin)).as("shingle"))
+      .localCheckpoint(eager = false) // feeds the sketch AND the exact census
+    val minCols = (0 until K).map(i =>
+      min(md5(concat(lit(s"$i:"), col("shingle")))).as(s"h$i"))
+    val mins = sh.groupBy(col("source")).agg(minCols.head, minCols.tail: _*)
+    val matchExpr = (0 until K)
+      .map(i => s"CASE WHEN a.h$i = b.h$i THEN 1 ELSE 0 END").mkString(" + ")
+    val est = mins.as("a").join(broadcast(mins.as("b")),
+        col("a.source") < col("b.source"))
+      .select(col("a.source").as("source_a"), col("b.source").as("source_b"),
+        expr(s"CAST($matchExpr AS BIGINT)").as("n_match"))
+    val ss = sh.distinct()
+    val sizes = ss.groupBy(col("source")).agg(count(lit(1)).as("n"))
+    val inter = ss.as("x").join(ss.as("y"),
+        col("x.shingle") === col("y.shingle") && col("x.source") < col("y.source"))
+      .groupBy(col("x.source").as("source_a"), col("y.source").as("source_b"))
+      .agg(count(lit(1)).as("inter"))
+    est
+      .join(inter, Seq("source_a", "source_b"), "left")
+      .join(broadcast(sizes.select(col("source").as("source_a"), col("n").as("n_a"))),
+        "source_a")
+      .join(broadcast(sizes.select(col("source").as("source_b"), col("n").as("n_b"))),
+        "source_b")
+      .withColumn("inter", coalesce(col("inter"), lit(0L)))
+      .withColumn("uni", col("n_a") + col("n_b") - col("inter"))
+      .select(col("source_a"), col("source_b"), col("n_match"),
+        expr(s"div(1000000 * n_match, $K)").as("est_ppm"),
+        col("n_a"), col("n_b"), col("inter"), col("uni"),
+        expr("div(1000000 * inter, uni)").as("jac_ppm"),
+        expr(s"abs(div(1000000 * n_match, $K) - div(1000000 * inter, uni))")
+          .as("err_ppm"))
+      .orderBy(col("source_a"), col("source_b"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_source_overlap" -> (qSourceOverlap _),
     "q_er_linkage"      -> (qErLinkage _),
     "q_dup_cross_source" -> (qDupCrossSource _),
     "q_dedup_pipeline"  -> (qDedupPipeline _),
@@ -1174,7 +1232,52 @@ object Dedup extends QueryModule {
        |  SELECT doc_id FROM keep2
        |  WHERE doc_id NOT IN (SELECT v2 FROM losers3))""".stripMargin
 
+  /** q_source_overlap oracle: same 32 per-hash minima, same membership
+    * equi-join exact side. */
+  private def sourceOverlapSql: String = {
+    val K = 32
+    val minSel = (0 until K)
+      .map(i => s"MIN(MD5('$i:' || shingle)) AS h$i").mkString(", ")
+    val matchSum = (0 until K)
+      .map(i => s"CASE WHEN a.h$i = b.h$i THEN 1 ELSE 0 END").mkString(" + ")
+    s"""WITH toks AS (
+       |  SELECT source, STRING_SPLIT(LOWER(TRIM(text)), ' ') AS t FROM documents),
+       |sh AS (
+       |  SELECT source, UNNEST(LIST_TRANSFORM(
+       |    RANGE(1, GREATEST(LEN(t) - 2, 0) + 1),
+       |    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS shingle
+       |  FROM toks),
+       |mins AS (SELECT source, $minSel FROM sh GROUP BY source),
+       |est AS (
+       |  SELECT a.source AS source_a, b.source AS source_b,
+       |         CAST($matchSum AS BIGINT) AS n_match
+       |  FROM mins a JOIN mins b ON a.source < b.source),
+       |ss AS (SELECT DISTINCT source, shingle FROM sh),
+       |sizes AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n FROM ss GROUP BY source),
+       |i AS (
+       |  SELECT x.source AS source_a, y.source AS source_b,
+       |         CAST(COUNT(*) AS BIGINT) AS inter
+       |  FROM ss x JOIN ss y ON x.shingle = y.shingle AND x.source < y.source
+       |  GROUP BY 1, 2)
+       |SELECT e.source_a, e.source_b, e.n_match,
+       |       (1000000 * e.n_match) // $K AS est_ppm,
+       |       na.n AS n_a, nb.n AS n_b,
+       |       COALESCE(i.inter, 0) AS inter,
+       |       na.n + nb.n - COALESCE(i.inter, 0) AS uni,
+       |       (1000000 * COALESCE(i.inter, 0))
+       |         // (na.n + nb.n - COALESCE(i.inter, 0)) AS jac_ppm,
+       |       ABS((1000000 * e.n_match) // $K
+       |         - (1000000 * COALESCE(i.inter, 0))
+       |           // (na.n + nb.n - COALESCE(i.inter, 0))) AS err_ppm
+       |FROM est e
+       |LEFT JOIN i ON i.source_a = e.source_a AND i.source_b = e.source_b
+       |JOIN sizes na ON na.source = e.source_a
+       |JOIN sizes nb ON nb.source = e.source_b
+       |ORDER BY e.source_a, e.source_b""".stripMargin
+  }
+
   val oracle: Map[String, String] = Map(
+    "q_source_overlap" -> sourceOverlapSql,
     "q_golden_record" ->
       """WITH c AS (
         |  SELECT c_custkey, c_name, c_mktsegment,

@@ -329,10 +329,14 @@ object FeaturePrep extends QueryModule {
     * ≤61-row bin spine into per-threshold left/right partitions, and
     * score each candidate split's variance reduction
     * gain = ⌊S_L²/n_L⌋ + ⌊S_R²/n_R⌋ − ⌊S²/n⌋ (the SSE-decrease
-    * numerator; squared sums run in DECIMAL(38,0)/HUGEINT — S² reaches
-    * ~10²² at sf0.1, past BIGINT — with one floor division per term, so
-    * both engines emit identical integers). Label: l_extendedprice cents;
-    * features: l_quantity (integer thresholds) and l_discount
+    * numerator; squared sums run in DECIMAL(38,0)/HUGEINT with one floor
+    * division per term, so both engines emit identical integers). Label:
+    * l_extendedprice in WHOLE DOLLARS — deliberately coarser than the
+    * house cent convention, because Spark's `div` returns BIGINT and the
+    * quotient S²/n in cents² already exceeds Long at sf0.1 (≈1.7·10¹⁹,
+    * caught by the 10× verify); dollar units keep every quotient under
+    * ~10¹⁷ through sf10 while changing nothing about the split ranking.
+    * Features: l_quantity (integer thresholds) and l_discount
     * (cent-of-discount thresholds). Output: every candidate split with
     * its exact partition sums and gain — the full certificate a trainer's
     * argmax would consume.
@@ -347,14 +351,14 @@ object FeaturePrep extends QueryModule {
     val li = Tables.lineitem(spark, dir)
       .select(col("l_quantity").cast("long").as("qty"),
         expr("CAST(round(l_discount * 100) AS BIGINT)").as("disc"),
-        expr("CAST(round(l_extendedprice * 100) AS BIGINT)").as("cents"))
+        expr("CAST(round(l_extendedprice) AS BIGINT)").as("dollars"))
     val bins = li
       .select(explode(array(
         struct(lit("quantity").as("feature"), col("qty").as("bin")),
         struct(lit("discount").as("feature"), col("disc").as("bin")))).as("fb"),
-        col("cents"))
+        col("dollars"))
       .groupBy(col("fb.feature").as("feature"), col("fb.bin").as("bin"))
-      .agg(count(lit(1)).as("n"), sum(col("cents")).as("s"))
+      .agg(count(lit(1)).as("n"), sum(col("dollars")).as("s"))
     val w = Window.partitionBy(col("feature")).orderBy(col("bin"))
     val wAll = Window.partitionBy(col("feature"))
     val gain =
@@ -393,13 +397,13 @@ object FeaturePrep extends QueryModule {
       """WITH li AS (
         |  SELECT CAST(l_quantity AS BIGINT) AS qty,
         |         CAST(ROUND(l_discount * 100) AS BIGINT) AS disc,
-        |         CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS cents
+        |         CAST(ROUND(l_extendedprice) AS BIGINT) AS dollars
         |  FROM lineitem),
         |bins AS (
         |  SELECT feature, bin, CAST(COUNT(*) AS BIGINT) AS n,
-        |         CAST(SUM(cents) AS BIGINT) AS s
-        |  FROM (SELECT 'quantity' AS feature, qty AS bin, cents FROM li
-        |        UNION ALL SELECT 'discount', disc, cents FROM li)
+        |         CAST(SUM(dollars) AS BIGINT) AS s
+        |  FROM (SELECT 'quantity' AS feature, qty AS bin, dollars FROM li
+        |        UNION ALL SELECT 'discount', disc, dollars FROM li)
         |  GROUP BY 1, 2),
         |pre AS (
         |  SELECT feature, bin,

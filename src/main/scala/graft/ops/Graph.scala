@@ -912,7 +912,36 @@ object Graph extends QueryModule {
     rows.reduce(_ unionByName _).orderBy(col("walk_id"), col("step"))
   }
 
+  /** Power-law exponent MLE over the out-degree distribution — the
+    * graph-shape audit run before sizing anything degree-dependent
+    * (wedge counts, LSH bucket skew, walk mixing): the continuous-MLE
+    * α = 1 + n·[Σᵢ ln(dᵢ/(d_min−½))]⁻¹ (Clauset–Shalizi–Newman 2009)
+    * with d_min = 1, folded through the DEGREE HISTOGRAM — a run of k
+    * nodes at degree d contributes k·ln(2d), ppm-floored per cell before
+    * the integer total (the q_mutual_info ln discipline), so the headline
+    * α is exact integer arithmetic over exactly-cast doubles in both
+    * engines. Output also carries the edge-count checksum Σ d·k and the
+    * max degree — enough to re-derive the tail plot.
+    *
+    * Scale shape: one degree rollup (map-side combinable) + one rollup
+    * over the DEGREE SPINE (bounded by max degree, not node count). */
+  def qPowerlaw(spark: SparkSession, dir: String): DataFrame = {
+    val degHist = edges(spark, dir)
+      .groupBy(col("src")).agg(count(lit(1)).as("d"))
+      .groupBy(col("d")).agg(count(lit(1)).as("k"))
+    degHist
+      .withColumn("cell_ppm", expr(
+        "CAST(FLOOR(CAST(k AS DOUBLE) * LN(2.0 * CAST(d AS DOUBLE)) * 1000000 + 0.5) AS BIGINT)"))
+      .agg(sum(col("k")).as("n_nodes"),
+        max(col("d")).as("max_degree"),
+        sum(expr("d * k")).as("n_edges"),
+        sum(col("cell_ppm")).as("s_ppm"))
+      .select(col("n_nodes"), col("max_degree"), col("n_edges"), col("s_ppm"),
+        expr("1000000 + div(1000000000000 * n_nodes, s_ppm)").as("alpha_ppm"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_powerlaw" -> (qPowerlaw _),
     "q_random_walk" -> (qRandomWalk _),
     "q_graph_modularity" -> (qGraphModularity _),
     "q_degree_assort" -> (qDegreeAssort _),
@@ -987,6 +1016,22 @@ object Graph extends QueryModule {
   }
 
   val oracle: Map[String, String] = Map(
+    "q_powerlaw" ->
+      s"""WITH ${edgeCtes("e")},
+        |deg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS d FROM e GROUP BY src),
+        |hist AS (SELECT d, CAST(COUNT(*) AS BIGINT) AS k FROM deg GROUP BY d),
+        |cells AS (
+        |  SELECT d, k,
+        |         CAST(FLOOR(CAST(k AS DOUBLE) * LN(2.0 * CAST(d AS DOUBLE)) * 1000000 + 0.5)
+        |           AS BIGINT) AS cell_ppm
+        |  FROM hist)
+        |SELECT CAST(SUM(k) AS BIGINT) AS n_nodes,
+        |       MAX(d) AS max_degree,
+        |       CAST(SUM(d * k) AS BIGINT) AS n_edges,
+        |       CAST(SUM(cell_ppm) AS BIGINT) AS s_ppm,
+        |       1000000 + (1000000000000 * CAST(SUM(k) AS BIGINT)) // CAST(SUM(cell_ppm) AS BIGINT)
+        |         AS alpha_ppm
+        |FROM cells""".stripMargin,
     "q_random_walk" -> randomWalkSql,
     "q_degree_assort" ->
       s"""WITH ${edgeCtes("e0")},

@@ -14,7 +14,7 @@ class FeaturePrepSpec extends SparkSpec {
     val rows = Tables.lineitem(spark, sf)
       .select(col("l_quantity").cast("long"),
         expr("CAST(round(l_discount * 100) AS BIGINT)"),
-        expr("CAST(round(l_extendedprice * 100) AS BIGINT)")).collect()
+        expr("CAST(round(l_extendedprice) AS BIGINT)")).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
     def splits(binsOf: ((Long, Long, Long)) => Long, feature: String) = {
       val bins = rows.groupBy(binsOf).toSeq.map { case (b, xs) =>

@@ -222,6 +222,30 @@ class GraphSpec extends SparkSpec {
     assert(got(0) == seeds.size.toLong && got.values.sum <= adj.keySet.size.toLong)
   }
 
+  test("powerlaw: degree-histogram MLE replays; alpha above 1 by construction") {
+    val li = Tables.lineitem(spark, sf).select("l_orderkey", "l_partkey").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val deg = scala.collection.mutable.HashMap.empty[Long, Set[Long]]
+    li.groupBy(_._1).values.foreach { grp =>
+      val parts = grp.map(_._2).distinct
+      for (a <- parts; b <- parts if a != b)
+        deg(a) = deg.getOrElse(a, Set.empty) + b
+    }
+    val hist = deg.view.mapValues(_.size.toLong).values
+      .groupBy(identity).view.mapValues(_.size.toLong).toSeq
+    val n = hist.map(_._2).sum
+    val nEdges = hist.map { case (d, k) => d * k }.sum
+    val sPpm = hist.map { case (d, k) =>
+      math.floor(k.toDouble * math.log(2.0 * d.toDouble) * 1000000 + 0.5).toLong }.sum
+    val alphaPpm = 1000000L + 1000000000000L * n / sPpm
+    val got = Graph.qPowerlaw(spark, sf).collect()
+    assert(got.length == 1)
+    assert((got(0).getLong(0), got(0).getLong(1), got(0).getLong(2),
+      got(0).getLong(3), got(0).getLong(4)) ==
+      ((n, hist.map(_._1).max, nEdges, sPpm, alphaPpm)))
+    assert(got(0).getLong(4) > 1000000L, "MLE alpha is strictly above 1")
+  }
+
   test("random walk: md5-argmin trajectory replays an in-memory walk; edges respected") {
     val li = Tables.lineitem(spark, sf).select("l_orderkey", "l_partkey").collect()
       .map(r => (r.getLong(0), r.getLong(1)))

@@ -585,6 +585,45 @@ class LlmOpsSpec extends SparkSpec {
     assert(fp(0) != fp(1), "reordered tokens must change the fingerprint")
   }
 
+  test("source_overlap: minwise match estimate replays; sketch merges by MIN") {
+    val docs = Tables.documents(spark, sf).select("source", "text").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    def shingles(t: String): Seq[String] = {
+      val toks = t.trim.toLowerCase.split(" ", -1)
+      if (toks.length < 3) Seq.empty
+      else (0 to toks.length - 3).map(i => toks.slice(i, i + 3).mkString(" "))
+    }
+    def md5hex(s: String): String = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val bySrc = docs.groupBy(_._1).view.mapValues(_.flatMap(d => shingles(d._2))).toMap
+    val minsOf = bySrc.view.mapValues(shs =>
+      (0 until 32).map(i => shs.map(s => md5hex(s"$i:$s")).min)).toMap
+    val setsOf = bySrc.view.mapValues(_.toSet).toMap
+    val srcs = bySrc.keys.toSeq.sorted
+    val want = (for {
+      a <- srcs; b <- srcs if a < b
+    } yield {
+      val nMatch = (0 until 32).count(i => minsOf(a)(i) == minsOf(b)(i)).toLong
+      val inter = (setsOf(a) & setsOf(b)).size.toLong
+      val uni = setsOf(a).size + setsOf(b).size - inter
+      val (estP, jacP) = (1000000L * nMatch / 32, 1000000L * inter / uni)
+      (a, b, nMatch, estP, setsOf(a).size.toLong, setsOf(b).size.toLong,
+        inter, uni, jacP, math.abs(estP - jacP))
+    }).sortBy(t => (t._1, t._2))
+    val got = Dedup.qSourceOverlap(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7), r.getLong(8),
+        r.getLong(9))).toSeq
+    assert(got == want, "every source pair must replay sketch and truth")
+    // mergeability: the sketch of a union is the elementwise MIN of sketches
+    val (sa, sb) = (srcs(0), srcs(1))
+    val unionMins = (0 until 32).map(i =>
+      (bySrc(sa) ++ bySrc(sb)).map(s => md5hex(s"$i:$s")).min)
+    assert(unionMins == (0 until 32).map(i =>
+      Seq(minsOf(sa)(i), minsOf(sb)(i)).min),
+      "k-min sketches must merge by per-hash MIN")
+  }
+
   test("multimodal resize: pooled ppm bins replay from a driver-side byte histogram") {
     val docs = Tables.documents(spark, sf).select("doc_id", "text").collect()
       .map(r => r.getLong(0) -> r.getString(1).getBytes("UTF-8")).toMap

@@ -966,13 +966,13 @@ object Graph extends QueryModule {
     * q_khop, q_pagerank, q_triangle and the decade certificates) — a
     * change to the cap or the edge semantics propagates to all of them. */
   private def edgeCtes(edgeName: String): String =
-    s"""lines AS (
+    s"""lines AS MATERIALIZED (
       |  SELECT l_orderkey, l_partkey FROM (
       |    SELECT l_orderkey, l_partkey,
       |           ROW_NUMBER() OVER (PARTITION BY l_orderkey ORDER BY l_partkey) AS rk
       |    FROM (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem))
       |  WHERE rk <= 64),
-      |$edgeName AS (
+      |$edgeName AS MATERIALIZED (
       |  SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
       |  FROM lines a JOIN lines b ON a.l_orderkey = b.l_orderkey
       |  WHERE a.l_partkey <> b.l_partkey)""".stripMargin
@@ -982,14 +982,14 @@ object Graph extends QueryModule {
     * q_kcore_cert oracles so the round count / threshold / induce rule
     * stay in one place. */
   private val kcorePeelCtes: String =
-    """k1 AS (SELECT src AS node FROM e0 GROUP BY src HAVING COUNT(*) >= 3),
-      |e1 AS (SELECT e.src, e.dst FROM e0 e
+    """k1 AS MATERIALIZED (SELECT src AS node FROM e0 GROUP BY src HAVING COUNT(*) >= 3),
+      |e1 AS MATERIALIZED (SELECT e.src, e.dst FROM e0 e
       |       JOIN k1 a ON e.src = a.node JOIN k1 b ON e.dst = b.node),
-      |k2 AS (SELECT src AS node FROM e1 GROUP BY src HAVING COUNT(*) >= 3),
-      |e2 AS (SELECT e.src, e.dst FROM e1 e
+      |k2 AS MATERIALIZED (SELECT src AS node FROM e1 GROUP BY src HAVING COUNT(*) >= 3),
+      |e2 AS MATERIALIZED (SELECT e.src, e.dst FROM e1 e
       |       JOIN k2 a ON e.src = a.node JOIN k2 b ON e.dst = b.node),
-      |k3 AS (SELECT src AS node FROM e2 GROUP BY src HAVING COUNT(*) >= 3),
-      |e3 AS (SELECT e.src, e.dst FROM e2 e
+      |k3 AS MATERIALIZED (SELECT src AS node FROM e2 GROUP BY src HAVING COUNT(*) >= 3),
+      |e3 AS MATERIALIZED (SELECT e.src, e.dst FROM e2 e
       |       JOIN k3 a ON e.src = a.node JOIN k3 b ON e.dst = b.node)""".stripMargin
 
   /** Unrolled 3-step walk for the q_random_walk oracle: per step, the
@@ -1071,7 +1071,7 @@ object Graph extends QueryModule {
         |ORDER BY round""".stripMargin,
     "q_kcore_cert" ->
       s"""WITH ${edgeCtes("eall")},
-        |e0 AS (SELECT src, dst FROM eall WHERE src % 4 = 0 AND dst % 4 = 0),
+        |e0 AS MATERIALIZED (SELECT src, dst FROM eall WHERE src % 4 = 0 AND dst % 4 = 0),
         |$kcorePeelCtes
         |SELECT * FROM (
         |  SELECT CAST(1 AS BIGINT) AS round, COUNT(DISTINCT src) AS n_nodes,

@@ -1674,14 +1674,14 @@ object Similarity extends QueryModule {
           .map { case (w, j) => s"v[${j + 1}] * ($w)" }.mkString(" + ")
         s"(CASE WHEN $dot > 0 THEN ${1 << h} ELSE 0 END)"
       }.mkString("(", " + ", ")")
-      s"""WITH e AS (
+      s"""WITH e AS MATERIALIZED (
         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
         |  WHERE LEN(embedding) = 64
         |    AND LIST_AGGREGATE(LIST_TRANSFORM(CAST(embedding AS DOUBLE[]),
         |          x -> x * x), 'sum') > 0),
-        |coded AS (SELECT vec_id, v, ${codeSqlOf(0)} AS code_a,
+        |coded AS MATERIALIZED (SELECT vec_id, v, ${codeSqlOf(0)} AS code_a,
         |                 ${codeSqlOf(8)} AS code_b FROM e),
-        |cand0 AS (
+        |cand0 AS MATERIALIZED (
         |  SELECT DISTINCT a, b FROM (
         |    SELECT c1.vec_id AS a, c2.vec_id AS b
         |    FROM coded c1 JOIN coded c2 ON c1.code_a = c2.code_a
@@ -1690,27 +1690,27 @@ object Similarity extends QueryModule {
         |    SELECT c1.vec_id, c2.vec_id
         |    FROM coded c1 JOIN coded c2 ON c1.code_b = c2.code_b
         |    WHERE c1.vec_id <> c2.vec_id)),
-        |nn0 AS (SELECT a, b FROM (
+        |nn0 AS MATERIALIZED (SELECT a, b FROM (
         |  SELECT cand0.a, cand0.b,
         |         ROW_NUMBER() OVER (PARTITION BY cand0.a
         |           ORDER BY LIST_COSINE_SIMILARITY(ea.v, eb.v) DESC, cand0.b) AS rk
         |  FROM cand0 JOIN e ea ON ea.vec_id = cand0.a
         |             JOIN e eb ON eb.vec_id = cand0.b) WHERE rk <= 4),
-        |u AS (SELECT DISTINCT a, b FROM (
+        |u AS MATERIALIZED (SELECT DISTINCT a, b FROM (
         |  SELECT a, b FROM nn0 UNION ALL SELECT b, a FROM nn0)),
-        |cand1 AS (SELECT DISTINCT a, b FROM (
+        |cand1 AS MATERIALIZED (SELECT DISTINCT a, b FROM (
         |  SELECT u1.a, u2.b FROM u u1 JOIN u u2 ON u1.b = u2.a
         |  WHERE u1.a <> u2.b
         |  UNION ALL SELECT a, b FROM u)),
-        |nn1 AS (SELECT a, b FROM (
+        |nn1 AS MATERIALIZED (SELECT a, b FROM (
         |  SELECT cand1.a, cand1.b,
         |         ROW_NUMBER() OVER (PARTITION BY cand1.a
         |           ORDER BY LIST_COSINE_SIMILARITY(ea.v, eb.v) DESC, cand1.b) AS rk
         |  FROM cand1 JOIN e ea ON ea.vec_id = cand1.a
         |             JOIN e eb ON eb.vec_id = cand1.b) WHERE rk <= 4),
-        |sample AS (SELECT vec_id AS a, v FROM e
+        |sample AS MATERIALIZED (SELECT vec_id AS a, v FROM e
         |           WHERE vec_id % 50 = 0 AND vec_id < ${50L * ServingBatchCap}),
-        |exact AS (SELECT a, b FROM (
+        |exact AS MATERIALIZED (SELECT a, b FROM (
         |  SELECT s.a, e2.vec_id AS b,
         |         ROW_NUMBER() OVER (PARTITION BY s.a
         |           ORDER BY LIST_COSINE_SIMILARITY(s.v, e2.v) DESC, e2.vec_id) AS rk

@@ -1002,16 +1002,24 @@ object Dedup extends QueryModule {
           |ELSE transform(sequence(0, size(toks) - 3), i -> concat_ws(' ', slice(toks, i + 1, 3)))
           |END""".stripMargin)).as("shingle"))
       .localCheckpoint(eager = false) // feeds the sketch AND the exact census
-    val minCols = (0 until K).map(i =>
-      min(md5(concat(lit(s"$i:"), col("shingle")))).as(s"h$i"))
-    val mins = sh.groupBy(col("source")).agg(minCols.head, minCols.tail: _*)
+    // distinct membership FIRST: per-source minima over the distinct set
+    // equal the multiset minima, and hashing only DISTINCT shingles makes
+    // the 32-way md5 fan-out vocabulary-bounded instead of corpus-bounded
+    // (measured 4.7 s -> the md5 pass was 80M calls over the raw stream)
+    val ss = sh.distinct().localCheckpoint(eager = false)
+    val hashCols = (0 until K).map(i =>
+      md5(concat(lit(s"$i:"), col("shingle"))).as(s"h$i"))
+    val hashes = ss.select(col("shingle")).distinct()
+      .select(col("shingle") +: hashCols: _*)
+    val minCols = (0 until K).map(i => min(col(s"h$i")).as(s"h$i"))
+    val mins = ss.join(hashes, "shingle")
+      .groupBy(col("source")).agg(minCols.head, minCols.tail: _*)
     val matchExpr = (0 until K)
       .map(i => s"CASE WHEN a.h$i = b.h$i THEN 1 ELSE 0 END").mkString(" + ")
     val est = mins.as("a").join(broadcast(mins.as("b")),
         col("a.source") < col("b.source"))
       .select(col("a.source").as("source_a"), col("b.source").as("source_b"),
         expr(s"CAST($matchExpr AS BIGINT)").as("n_match"))
-    val ss = sh.distinct()
     val sizes = ss.groupBy(col("source")).agg(count(lit(1)).as("n"))
     val inter = ss.as("x").join(ss.as("y"),
         col("x.shingle") === col("y.shingle") && col("x.source") < col("y.source"))

@@ -1120,16 +1120,16 @@ object Dedup extends QueryModule {
   private def shingleCtesFrom(src: String): String =
     s"""toks AS (
        |  SELECT doc_id, STRING_SPLIT(LOWER(TRIM(text)), ' ') AS t FROM $src),
-       |shingles AS (
+       |shingles AS MATERIALIZED (
        |  SELECT doc_id, UNNEST(LIST_DISTINCT(LIST_TRANSFORM(
        |    RANGE(1, GREATEST(LEN(t) - 2, 0) + 1),
        |    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS shingle
        |  FROM toks),
        |rare AS (
        |  SELECT shingle FROM shingles GROUP BY shingle HAVING COUNT(*) <= $StopShingleDf),
-       |postings AS (
+       |postings AS MATERIALIZED (
        |  SELECT s.doc_id, s.shingle FROM shingles s JOIN rare USING (shingle)),
-       |sizes AS (
+       |sizes AS MATERIALIZED (
        |  SELECT doc_id, COUNT(*) AS n_sh FROM shingles GROUP BY doc_id)""".stripMargin
 
   private val shingleCtes: String = shingleCtesFrom("documents")
@@ -1145,7 +1145,7 @@ object Dedup extends QueryModule {
        |  SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS inter
        |  FROM postings a JOIN postings b USING (shingle)
        |  WHERE a.doc_id < b.doc_id GROUP BY d1, d2),
-       |near_pairs AS (
+       |near_pairs AS MATERIALIZED (
        |  SELECT d1, d2,
        |         CAST(inter AS DOUBLE) / (s1.n_sh + s2.n_sh - inter) AS jaccard_raw
        |  FROM cand
@@ -1167,14 +1167,14 @@ object Dedup extends QueryModule {
       val (a, b) = mixConsts(s)
       s"MIN((h * $a + $b) % $M)"
     }.mkString(",\n        ")
-    s"""hres AS (
+    s"""hres AS MATERIALIZED (
       |  SELECT doc_id, CAST('0x' || SUBSTR(MD5(shingle), 1, 15) AS BIGINT) % $M AS h
       |  FROM shingles),
-      |sig AS (
+      |sig AS MATERIALIZED (
       |  SELECT doc_id, list_value(
       |        $minExprs) AS mh
       |  FROM hres GROUP BY doc_id),
-      |bands AS (
+      |bands AS MATERIALIZED (
       |  SELECT doc_id,
       |         band,
       |         mh[CAST(2 * band + 1 AS INTEGER)] * $M + mh[CAST(2 * band + 2 AS INTEGER)] AS key
@@ -1189,7 +1189,7 @@ object Dedup extends QueryModule {
   private def ppjoinCtes(base: String): String =
     s"""base AS (
        |  SELECT doc_id, STRING_SPLIT(LOWER(TRIM(text)), ' ') AS t FROM $base),
-       |toks AS (
+       |toks AS MATERIALIZED (
        |  SELECT DISTINCT doc_id, token FROM (
        |    SELECT doc_id, UNNEST(LIST_TRANSFORM(RANGE(1, LEN(t)),
        |      i -> t[i] || ' ' || t[i + 1])) AS token
@@ -1200,7 +1200,7 @@ object Dedup extends QueryModule {
        |  SELECT t.doc_id, t.token, s.n,
        |         ROW_NUMBER() OVER (PARTITION BY t.doc_id ORDER BY f.df, t.token) AS rn
        |  FROM toks t JOIN dfreq f USING (token) JOIN sizes s USING (doc_id)),
-       |pref AS (
+       |pref AS MATERIALIZED (
        |  SELECT doc_id, token, n, rn FROM ranked
        |  WHERE rn <= n - ((8 * n + 9) // 10) + 1),
        |cand AS (
@@ -1208,9 +1208,9 @@ object Dedup extends QueryModule {
        |  FROM pref a JOIN pref b USING (token)
        |  WHERE a.doc_id < b.doc_id
        |    AND 1 + LEAST(a.n - a.rn, b.n - b.rn) >= (4 * (a.n + b.n) + 8) // 9),
-       |dict AS (
+       |dict AS MATERIALIZED (
        |  SELECT doc_id, LIST(token) AS s FROM toks GROUP BY doc_id),
-       |scored AS (
+       |scored AS MATERIALIZED (
        |  SELECT c.d1, c.d2,
        |         CAST(LEN(LIST_INTERSECT(da.s, db.s)) AS BIGINT) AS o,
        |         CAST(LEN(da.s) AS BIGINT) AS n1, CAST(LEN(db.s) AS BIGINT) AS n2
@@ -1223,12 +1223,12 @@ object Dedup extends QueryModule {
     * [[funnelKeeps]], interpolated by both the q_dedup_pipeline and
     * q_dedup_pipeline_cert oracles. */
   private def funnelCtes(base: String): String =
-    s"""s1docs AS (
+    s"""s1docs AS MATERIALIZED (
        |  SELECT d.doc_id, d.text FROM $base d
        |  JOIN (SELECT MIN(doc_id) AS doc_id FROM $base
        |        GROUP BY LOWER(TRIM(text))) k USING (doc_id)),
        |${nearDupCtesFrom("s1docs")},
-       |keep2 AS (
+       |keep2 AS MATERIALIZED (
        |  SELECT doc_id FROM s1docs
        |  WHERE doc_id NOT IN (SELECT d2 FROM near_pairs)),
        |${Similarity.embedPairCtes},

@@ -1358,14 +1358,14 @@ object Graph extends QueryModule {
   private def triangleCtes(apexMod: Int): String = {
     val apexPred = if (apexMod > 1) s" AND e1.u % $apexMod = 0" else ""
     s"""und AS (SELECT src, dst FROM e WHERE src < dst),
-      |deg AS (SELECT src AS node, COUNT(*) AS d FROM e GROUP BY src),
-      |o AS (
+      |deg AS MATERIALIZED (SELECT src AS node, COUNT(*) AS d FROM e GROUP BY src),
+      |o AS MATERIALIZED (
       |  SELECT CASE WHEN ds.d < dd.d OR (ds.d = dd.d AND u.src < u.dst)
       |              THEN u.src ELSE u.dst END AS u,
       |         CASE WHEN ds.d < dd.d OR (ds.d = dd.d AND u.src < u.dst)
       |              THEN u.dst ELSE u.src END AS v
       |  FROM und u JOIN deg ds ON u.src = ds.node JOIN deg dd ON u.dst = dd.node),
-      |tri AS (
+      |tri AS MATERIALIZED (
       |  SELECT e1.u AS a, e1.v AS b, e2.v AS c
       |  FROM o e1 JOIN o e2 ON e1.u = e2.u AND e1.v < e2.v$apexPred
       |  WHERE EXISTS (SELECT 1 FROM e WHERE e.src = e1.v AND e.dst = e2.v))"""

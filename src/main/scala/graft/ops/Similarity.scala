@@ -2217,17 +2217,17 @@ object Similarity extends QueryModule {
     * emb_-prefixed to compose with the shingle chain without collisions. */
   // lazy: referenced by the `oracle` val above during object init
   private[ops] lazy val embedPairCtes: String =
-    """emb_e AS (
+    """emb_e AS MATERIALIZED (
       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
       |  WHERE LEN(embedding) = 64
       |    AND LIST_AGGREGATE(LIST_TRANSFORM(CAST(embedding AS DOUBLE[]), x -> x * x), 'sum') > 0),
-      |emb_b AS (
+      |emb_b AS MATERIALIZED (
       |  SELECT vec_id, v, band,
       |         LIST_AGGREGATE(LIST_TRANSFORM(range(8), j ->
       |           CASE WHEN v[CAST(band * 8 + j + 1 AS INTEGER)] >= 0
       |                THEN CAST(1 AS BIGINT) << CAST(j AS INTEGER) ELSE 0 END), 'sum') AS key
       |  FROM emb_e, range(8) t(band)),
-      |epairs AS (
+      |epairs AS MATERIALIZED (
       |  SELECT DISTINCT b1.vec_id AS v1, b2.vec_id AS v2,
       |         LIST_COSINE_SIMILARITY(b1.v, b2.v) AS cos_raw
       |  FROM emb_b b1 JOIN emb_b b2

@@ -4,12 +4,14 @@ import java.lang.management.ManagementFactory
 import java.nio.file.{Files, Paths}
 
 /** Headline benchmark. Stdout contract (driver-parsed): ONE JSON line
-  * `{"metric":"total","value":N,"unit":"sec","queries":{...},"errors":[...],
-  * "sf":...}`. Everything else — both timing samples per query, per-query
-  * GC-time deltas, JVM counters, and the optional concurrent-families pass
-  * — goes to `bench_full.json` in the working directory, so no measurement
-  * is ever lost to stdout truncation (round-2 lesson: the captured tail
-  * kept 69/136 timings).
+  * `{"metric":"total","value":N,"unit":"sec","total_sec":N,"n":…,
+  * "n_errors":…,"errors":[…≤8…],"sf":…}` — TOTALS ONLY, <200 bytes,
+  * because the driver retains just the last 2000 bytes of stdout and a
+  * 314-key per-query map (~7 KB) truncates mid-line and parses as null
+  * (the BENCH_r08/r09 failure). Every per-query number — both timing
+  * samples, GC-time deltas, JVM counters, and the optional
+  * concurrent-families pass — goes to `bench_full.json` in the working
+  * directory, so no measurement is ever lost to stdout truncation.
   *
   * Env knobs: SPARK_GRAFT_SF_DIR (data), SPARK_GRAFT_CPUS (local[N] +
   * shuffle partitions), SPARK_GRAFT_BENCH_THREADS (>1 enables the
@@ -144,15 +146,15 @@ object Bench {
         import scala.jdk.CollectionConverters._
         Some((wall, famTimes.asScala.toSeq.sortBy(_._1)))
       }
-    // stdout line values at millisecond resolution: the driver's stdout
-    // capture is bounded (~8 KB — round 8's full-precision ~9.6 KB line
-    // was truncated mid-key and parsed as null); full ns precision lives
-    // in bench_full.json.
-    val qs = results.map(s =>
-      "\"" + s.name + "\":" + (if (s.min < 0) "-1" else f"${s.min}%.3f"))
-      .mkString("{", ",", "}")
+    // The driver keeps only the LAST 2000 BYTES of stdout (BENCH_r09's
+    // "tail" is exactly 2000 chars starting mid-line — which is why two
+    // rounds of per-query stdout maps parsed as null even after the
+    // ms-precision shrink: 314 keys × ~20 bytes ≈ 7 KB). The stdout line
+    // is therefore TOTALS-ONLY (<200 bytes, can never truncate); every
+    // per-query number lives in bench_full.json.
     val errors = results.collect { case s if s.min < 0 => "\"" + s.name + "\"" }
-      .mkString("[", ",", "]")
+      .take(8).mkString("[", ",", "]")
+    val nErrors = results.count(_.min < 0)
     val total = results.map(_.min).filter(_ >= 0).sum
     // Full artifact: every sample, GC attribution, JVM shape, concurrency.
     val rt = Runtime.getRuntime
@@ -186,7 +188,7 @@ object Bench {
           s"""{"sf":"$sfDir","cpus":$cpus,"sequential_total_sec":${jsonNum(total)},
              |"concurrent":$concJson}""".stripMargin)
     }
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errors,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","total_sec":${f"$total%.3f"},"n":${results.size},"n_errors":$nErrors,"errors":$errors,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

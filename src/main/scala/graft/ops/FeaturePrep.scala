@@ -336,8 +336,12 @@ object FeaturePrep extends QueryModule {
     * quotient S²/n in cents² already exceeds Long at sf0.1 (≈1.7·10¹⁹,
     * caught by the 10× verify); dollar units keep every quotient under
     * ~10¹⁷ through sf10 while changing nothing about the split ranking.
-    * Features: l_quantity (integer thresholds) and l_discount
-    * (cent-of-discount thresholds). Output: every candidate split with
+    * Features: l_quantity (integer thresholds — binned via explicit
+    * `round()` on BOTH engines, because Spark's bare `cast("long")`
+    * truncates decimals while DuckDB's BIGINT cast rounds: TPC-H
+    * quantities happen to be integral, but a fractional quantity would
+    * otherwise land the same row in different bins per engine) and
+    * l_discount (cent-of-discount thresholds). Output: every candidate split with
     * its exact partition sums and gain — the full certificate a trainer's
     * argmax would consume.
     *
@@ -349,7 +353,7 @@ object FeaturePrep extends QueryModule {
   def qTreeSplit(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val li = Tables.lineitem(spark, dir)
-      .select(col("l_quantity").cast("long").as("qty"),
+      .select(expr("CAST(round(l_quantity) AS BIGINT)").as("qty"),
         expr("CAST(round(l_discount * 100) AS BIGINT)").as("disc"),
         expr("CAST(round(l_extendedprice) AS BIGINT)").as("dollars"))
     val bins = li
@@ -395,7 +399,7 @@ object FeaturePrep extends QueryModule {
   val oracle: Map[String, String] = Map(
     "q_tree_split" ->
       """WITH li AS (
-        |  SELECT CAST(l_quantity AS BIGINT) AS qty,
+        |  SELECT CAST(ROUND(l_quantity) AS BIGINT) AS qty,
         |         CAST(ROUND(l_discount * 100) AS BIGINT) AS disc,
         |         CAST(ROUND(l_extendedprice) AS BIGINT) AS dollars
         |  FROM lineitem),

@@ -937,7 +937,11 @@ object Graph extends QueryModule {
         sum(expr("d * k")).as("n_edges"),
         sum(col("cell_ppm")).as("s_ppm"))
       .select(col("n_nodes"), col("max_degree"), col("n_edges"), col("s_ppm"),
-        expr("1000000 + div(1000000000000 * n_nodes, s_ppm)").as("alpha_ppm"))
+        // 10¹²·n_nodes overflows Long past ~9.2M nodes (~sf50); route the
+        // quotient through DECIMAL(38,0)/HUGEINT like the q_gini /
+        // q_hll_sketch ppm certificates so the headline never wraps.
+        expr("CAST(1000000 + div(CAST(1000000000000 AS DECIMAL(38,0)) * n_nodes, s_ppm) AS BIGINT)")
+          .as("alpha_ppm"))
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1029,7 +1033,8 @@ object Graph extends QueryModule {
         |       MAX(d) AS max_degree,
         |       CAST(SUM(d * k) AS BIGINT) AS n_edges,
         |       CAST(SUM(cell_ppm) AS BIGINT) AS s_ppm,
-        |       1000000 + (1000000000000 * CAST(SUM(k) AS BIGINT)) // CAST(SUM(cell_ppm) AS BIGINT)
+        |       CAST(1000000 + (1000000000000::HUGEINT * CAST(SUM(k) AS BIGINT))
+        |              // CAST(SUM(cell_ppm) AS BIGINT) AS BIGINT)
         |         AS alpha_ppm
         |FROM cells""".stripMargin,
     "q_random_walk" -> randomWalkSql,

@@ -1333,9 +1333,16 @@ object Profiling extends QueryModule {
     * cent totals, with ties folded through the value histogram — a run of
     * k equal values starting after C predecessors contributes
     * v·k·(2C+k+1) to 2·Σ i·vᵢ regardless of intra-tie order, so the
-    * statistic is deterministic without a total order on customers. The
-    * ppm quotient runs in DECIMAL(38,0)/HUGEINT (numerator ≈ 10²⁴ at
-    * sf1.0).
+    * statistic is deterministic without a total order on customers.
+    * Values are WHOLE DOLLARS (the [[graft.ops.FeaturePrep.qTreeSplit]]
+    * unit discipline, not the house cents): the rank sum ≈ 2n·Σv is
+    * ~4.6·10¹⁶ at sf1 in dollars but would hit the Long wall near sf2–3
+    * in cents — and it is additionally ACCUMULATED in DECIMAL(38,0) /
+    * HUGEINT (not merely quotient-cast after a Long sum), so the headline
+    * gini_ppm stays exact arbitrarily far; only the BIGINT certificate
+    * columns gini_num/gini_den bound the envelope, at ~sf14 (gini_den =
+    * n·Σv grows quadratically in sf), past which Spark nulls and DuckDB
+    * errors — loud on both engines, never silently wrong.
     *
     * Scale shape: one groupBy per customer (map-side combinable), one
     * groupBy per distinct TOTAL (bounded by value granularity), then the
@@ -1345,9 +1352,9 @@ object Profiling extends QueryModule {
   def qGini(spark: SparkSession, dir: String): DataFrame = {
     val perCust = Tables.orders(spark, dir)
       .groupBy(col("o_custkey"))
-      .agg(sum(expr("CAST(round(o_totalprice * 100) AS BIGINT)")).as("v"))
+      .agg(sum(expr("CAST(round(o_totalprice) AS BIGINT)")).as("v"))
     val perVal = perCust.groupBy(col("v")).agg(count(lit(1)).as("k"))
-      .withColumn("chunk", expr("v div 1000000"))
+      .withColumn("chunk", expr("v div 100000"))
     val byChunk = Window.orderBy(col("chunk"))
     val offs = perVal.groupBy(col("chunk")).agg(sum(col("k")).as("ck"))
       .withColumn("off", coalesce(sum(col("ck")).over(
@@ -1358,13 +1365,16 @@ object Profiling extends QueryModule {
       .withColumn("c_before", sum(col("k")).over(wc) + col("off") - col("k"))
       .agg(sum(col("k")).as("n"),
         sum(expr("v * k")).as("sum_v"),
-        sum(expr("v * k * (2 * c_before + k + 1)")).as("two_rank_sum"))
-      .select(col("n").as("n_customers"), col("sum_v").as("total_cents"),
-        (col("two_rank_sum") - expr("(n + 1) * sum_v")).as("gini_num"),
-        expr("n * sum_v").as("gini_den"),
+        sum(expr("""CAST(v AS DECIMAL(18,0)) * CAST(k AS DECIMAL(10,0))
+                   |  * CAST(2 * c_before + k + 1 AS DECIMAL(19,0))""".stripMargin))
+          .as("two_rank_sum"))
+      .select(col("n").as("n_customers"), col("sum_v").as("total_dollars"),
+        expr("CAST(two_rank_sum - CAST(n + 1 AS DECIMAL(20,0)) * sum_v AS BIGINT)")
+          .as("gini_num"),
+        expr("CAST(CAST(n AS DECIMAL(20,0)) * sum_v AS BIGINT)").as("gini_den"),
         expr("""CAST((CAST(1000000 AS DECIMAL(38,0))
-               |  * CAST(two_rank_sum - (n + 1) * sum_v AS DECIMAL(38,0)))
-               |  div CAST(n * sum_v AS DECIMAL(38,0)) AS BIGINT)""".stripMargin)
+               |  * (two_rank_sum - CAST(n + 1 AS DECIMAL(20,0)) * sum_v))
+               |  div (CAST(n AS DECIMAL(20,0)) * sum_v) AS BIGINT)""".stripMargin)
           .as("gini_ppm"))
   }
 
@@ -1552,7 +1562,7 @@ object Profiling extends QueryModule {
     "q_gini" ->
       """WITH pc AS (
         |  SELECT o_custkey,
-        |         CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS v
+        |         CAST(SUM(CAST(ROUND(o_totalprice) AS BIGINT)) AS BIGINT) AS v
         |  FROM orders GROUP BY o_custkey),
         |pv AS (SELECT v, CAST(COUNT(*) AS BIGINT) AS k FROM pc GROUP BY v),
         |w AS (
@@ -1563,12 +1573,12 @@ object Profiling extends QueryModule {
         |agg AS (
         |  SELECT CAST(SUM(k) AS BIGINT) AS n,
         |         CAST(SUM(v * k) AS BIGINT) AS sum_v,
-        |         CAST(SUM(v * k * (2 * c_before + k + 1)) AS BIGINT) AS two_rank_sum
+        |         SUM(CAST(v AS HUGEINT) * k * (2 * c_before + k + 1)) AS two_rank_sum
         |  FROM w)
-        |SELECT n AS n_customers, sum_v AS total_cents,
-        |       two_rank_sum - (n + 1) * sum_v AS gini_num,
-        |       n * sum_v AS gini_den,
-        |       CAST((1000000::HUGEINT * (two_rank_sum - (n + 1) * sum_v))
+        |SELECT n AS n_customers, sum_v AS total_dollars,
+        |       CAST(two_rank_sum - CAST(n + 1 AS HUGEINT) * sum_v AS BIGINT) AS gini_num,
+        |       CAST(CAST(n AS HUGEINT) * sum_v AS BIGINT) AS gini_den,
+        |       CAST((1000000::HUGEINT * (two_rank_sum - CAST(n + 1 AS HUGEINT) * sum_v))
         |            // (CAST(n AS HUGEINT) * sum_v) AS BIGINT) AS gini_ppm
         |FROM agg""".stripMargin,
     "q_mutual_info" ->

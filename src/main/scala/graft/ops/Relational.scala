@@ -693,7 +693,9 @@ object Relational extends QueryModule {
     TxnLog.append(ev.filter(col("event_id") % 5 === 0), path)
     val (head, _) = TxnLog.compactFrom(spark, path, baseVersion = 0L)
     val before = TxnLog.allDataFiles(path).size.toLong
-    val (removed, retained) = TxnLog.vacuum(path, keepFromVersion = head)
+    // graceMillis = 0 is safe ONLY because this certificate is single-
+    // threaded: every writer above has committed before vacuum scans
+    val (removed, retained) = TxnLog.vacuum(path, keepFromVersion = head, graceMillis = 0L)
     TxnLog.read(spark, path, head)
       .agg(count(lit(1)).as("n_rows"),
         coalesce(sum(col("event_id")), lit(0L)).as("chk"))
@@ -726,7 +728,55 @@ object Relational extends QueryModule {
     }.reduce(_ unionByName _).orderBy(col("version"))
   }
 
+  /** Row-level MERGE through the transaction log — the certificate for
+    * [[TxnLog.merge]], racing two merges over OVERLAPPING key spaces and
+    * proving exactly-once key-wins in LOG ORDER: merge A (fresh base)
+    * bumps every %7 key; merge B is replayed from a DELIBERATELY STALE
+    * base v0 with %3-key updates (values derived from the v0 snapshot)
+    * plus %13-derived inserts, so the protocol must detect A inside B's
+    * key space (A's rewrite replaced B's affected files / carries %21
+    * keys), RESTART from the real head, and reapply — deterministic
+    * replay: B pays exactly 3 commit attempts (stale claim, conflict
+    * detection, clean commit) and 1 restart. Final state ≡ applying the
+    * merges in commit order — for %21 keys B's value wins outright (2×
+    * the ORIGINAL cents, not 2× A's bump), which is precisely what
+    * distinguishes log-order serialization from lost-update interleaving.
+    * The oracle rebuilds all three snapshots from the events table.
+    *
+    * Scale shape: each merge rewrites only key-matched files (file
+    * discovery = one semi-join carrying FILE NAMES to the driver — the
+    * kilobytes a log entry holds); censuses are per-version scans. */
+  def qTxnMerge(spark: SparkSession, dir: String): DataFrame = {
+    val path = s"$sinkRoot${Integer.toHexString(dir.hashCode)}/mrg_${System.nanoTime()}"
+    val ev = Tables.events(spark, dir)
+      .select(col("event_id"), expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+    TxnLog.init(ev, path, nFiles = 4)
+    val a = ev.filter(col("event_id") % 7 === 0)
+      .withColumn("cents", col("cents") + 1000)
+    val (v1, attA, rsA) = TxnLog.merge(spark, path, a, "event_id")
+    val b = ev.filter(col("event_id") % 3 === 0)
+      .withColumn("cents", col("cents") * 2)
+      .unionByName(ev.filter(col("event_id") % 13 === 0)
+        .select((col("event_id") + lit(1000000000L)).as("event_id"),
+          lit(777L).as("cents")))
+    val (v2, attB, rsB) = TxnLog.mergeFrom(spark, path, b, "event_id", baseVersion = 0L)
+    val meta = Map(0L -> ("init", 1L, 0L),
+      v1 -> ("merge_fresh", attA.toLong, rsA.toLong),
+      v2 -> ("merge_stale", attB.toLong, rsB.toLong))
+    (0L to v2).map { v =>
+      val (action, att, rs) = meta(v)
+      TxnLog.read(spark, path, v)
+        .agg(count(lit(1)).as("n_rows"),
+          coalesce(sum(col("event_id")), lit(0L)).as("chk_id"),
+          coalesce(sum(col("cents")), lit(0L)).as("chk_cents"))
+        .select(lit(v).as("version"), lit(action).as("action"),
+          lit(att).as("attempts"), lit(rs).as("restarts"),
+          col("n_rows"), col("chk_id"), col("chk_cents"))
+    }.reduce(_ unionByName _).orderBy(col("version"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_txn_merge" -> (qTxnMerge _),
     "q_txn_commit" -> (qTxnCommit _),
     "q_txn_vacuum" -> (qTxnVacuum _),
     "q_change_feed" -> (qChangeFeed _),
@@ -791,6 +841,40 @@ object Relational extends QueryModule {
         |  UNION ALL
         |  SELECT 1, 2, 'compact', '*', 0, 0, 0, 0)
         |ORDER BY from_v, event_type""".stripMargin,
+    "q_txn_merge" ->
+      """WITH ev AS (
+        |  SELECT event_id, CAST(ROUND(value * 100) AS BIGINT) AS cents FROM events),
+        |v1 AS (
+        |  SELECT event_id,
+        |         CASE WHEN event_id % 7 = 0 THEN cents + 1000 ELSE cents END AS cents
+        |  FROM ev),
+        |v2 AS (
+        |  SELECT event_id,
+        |         CASE WHEN event_id % 3 = 0 THEN cents * 2
+        |              WHEN event_id % 7 = 0 THEN cents + 1000
+        |              ELSE cents END AS cents
+        |  FROM ev
+        |  UNION ALL
+        |  SELECT event_id + 1000000000, CAST(777 AS BIGINT)
+        |  FROM ev WHERE event_id % 13 = 0),
+        |c0 AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+        |              CAST(COALESCE(SUM(event_id), 0) AS BIGINT) AS si,
+        |              CAST(COALESCE(SUM(cents), 0) AS BIGINT) AS sc FROM ev),
+        |c1 AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+        |              CAST(COALESCE(SUM(event_id), 0) AS BIGINT) AS si,
+        |              CAST(COALESCE(SUM(cents), 0) AS BIGINT) AS sc FROM v1),
+        |c2 AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+        |              CAST(COALESCE(SUM(event_id), 0) AS BIGINT) AS si,
+        |              CAST(COALESCE(SUM(cents), 0) AS BIGINT) AS sc FROM v2)
+        |SELECT version, action, attempts, restarts, n_rows, chk_id, chk_cents FROM (
+        |  SELECT CAST(0 AS BIGINT) AS version, 'init' AS action,
+        |         CAST(1 AS BIGINT) AS attempts, CAST(0 AS BIGINT) AS restarts,
+        |         c0.n AS n_rows, c0.si AS chk_id, c0.sc AS chk_cents FROM c0
+        |  UNION ALL
+        |  SELECT 1, 'merge_fresh', 1, 0, c1.n, c1.si, c1.sc FROM c1
+        |  UNION ALL
+        |  SELECT 2, 'merge_stale', 3, 1, c2.n, c2.si, c2.sc FROM c2)
+        |ORDER BY version""".stripMargin,
     "q_txn_commit" ->
       """WITH b AS (
         |  SELECT CAST(COUNT(*) AS BIGINT) AS n,

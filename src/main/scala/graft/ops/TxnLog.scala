@@ -26,16 +26,55 @@ object TxnLog {
 
   private def logDir(path: String) = java.nio.file.Paths.get(path, "_txnlog")
   private def vFile(path: String, v: Long) = logDir(path).resolve(s"v$v.txt")
+  private def ckptFile(path: String) = logDir(path).resolve("_last_checkpoint")
+
+  /** Every `CheckpointInterval`-th commit refreshes `_last_checkpoint`, so
+    * head resolution replays at most this many existence probes past the
+    * recorded version instead of LISTing the whole log — the Delta
+    * `_last_checkpoint` mechanism. (Each v<N>.txt is already a FULL live-
+    * file snapshot, so unlike Delta no action replay is needed — only the
+    * head SEARCH was O(versions).) */
+  val CheckpointInterval = 8L
+
+  /** Best-effort monotonic advance of the `_last_checkpoint` hint. A racing
+    * writer can only leave a SMALLER committed version behind — never a
+    * version that doesn't exist — and a stale hint costs extra probes, not
+    * correctness ([[resolveHead]] walks forward until a version is absent). */
+  private def advanceCheckpoint(path: String, v: Long): Unit = {
+    try {
+      val cur = readCheckpoint(path)
+      if (v > cur) {
+        val tmp = java.nio.file.Files.createTempFile(logDir(path), "ckpt", ".tmp")
+        java.nio.file.Files.writeString(tmp, v.toString)
+        java.nio.file.Files.move(tmp, ckptFile(path),
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      }
+    } catch { case _: java.io.IOException => () } // a hint, never load-bearing
+  }
+
+  private def readCheckpoint(path: String): Long =
+    try java.nio.file.Files.readString(ckptFile(path)).trim.toLong
+    catch { case _: Throwable => -1L }
+
+  /** Head search by forward existence probes from the checkpoint hint:
+    * returns (head, probes). Probe count ≤ tail-since-checkpoint + 1 —
+    * bounded by [[CheckpointInterval]] under steady commits (spec-pinned)
+    * — where the directory LIST it replaces is O(total versions) on an
+    * object store. */
+  private[graft] def resolveHead(path: String): (Long, Int) = {
+    if (!logDir(path).toFile.exists()) return (-1L, 0)
+    var v = readCheckpoint(path) // -1 when absent: probe from v0
+    var probes = 0
+    var next = v + 1
+    while ({ probes += 1; java.nio.file.Files.exists(vFile(path, next)) }) {
+      v = next; next += 1
+    }
+    (v, probes)
+  }
 
   /** Highest committed version, or -1 for an empty log. */
-  def headVersion(path: String): Long = {
-    val d = logDir(path).toFile
-    if (!d.exists()) -1L
-    else d.listFiles().map(_.getName)
-      .collect { case n if n.startsWith("v") && n.endsWith(".txt") =>
-        n.stripPrefix("v").stripSuffix(".txt").toLong }
-      .foldLeft(-1L)(math.max)
-  }
+  def headVersion(path: String): Long = resolveHead(path)._1
 
   /** Live data files (absolute paths) at `version`. */
   def liveFiles(path: String, version: Long): Seq[String] =
@@ -58,6 +97,7 @@ object TxnLog {
     // conditional-PUT primitive a real table format runs on)
     try {
       java.nio.file.Files.move(tmp, vFile(path, version))
+      if (version % CheckpointInterval == 0L) advanceCheckpoint(path, version)
       true
     } catch {
       case _: java.nio.file.FileAlreadyExistsException =>
@@ -126,6 +166,83 @@ object TxnLog {
     throw new IllegalStateException("unreachable")
   }
 
+  /** `input_file_name()` URIs back to the absolute paths the log stores. */
+  private def toLocalPath(uri: String): String =
+    if (uri.startsWith("file:")) java.net.URI.create(uri).getPath else uri
+
+  /** Row-level MERGE (upsert by `key`) committed through the log — the
+    * scalable dual of the reference's replace-mode load
+    * (create-data-lake.py:38-62) and the missing lakehouse write op next
+    * to append/compact/vacuum/CDF: only the live files that CONTAIN a
+    * matched key are rewritten (surviving rows anti-joined + the full
+    * change set, [[Relational.mergeByKey]] semantics); every other file
+    * survives by name. Commit revalidates against the real head on every
+    * race loss — a lost race against a DISJOINT writer (appended or
+    * rewrote only unmatched-key files) just re-claims the next version,
+    * while a lost race that touched this merge's key space (a rewritten
+    * affected file, or a new live file carrying a matched key) RESTARTS
+    * the whole merge from the new head, because committing the stale
+    * rewrite would resurrect replaced rows or leave a duplicate key.
+    * Restart-then-reapply is what makes two racing merges serialize to
+    * exactly the log order (TxnLogSpec races them; `q_txn_merge` pins the
+    * deterministic stale-base replay).
+    *
+    * `changes` must be key-unique (standard MERGE precondition). Returns
+    * (committedVersion, commitAttempts, restarts).
+    *
+    * 100 TB shape: reads touch (a) one pruned scan locating affected
+    * files — at production scale the key→file check is a zone-map /
+    * bloom metadata probe, here an `input_file_name()` semi-join — and
+    * (b) only the affected files' rows for the rewrite; the change-set
+    * side broadcasts. The collect moves FILE NAMES (the same kilobytes a
+    * log entry holds), never rows. */
+  def merge(spark: SparkSession, path: String, changes: DataFrame, key: String,
+      maxRestarts: Int = 8): (Long, Int, Int) =
+    mergeFrom(spark, path, changes, key, headVersion(path), maxRestarts)
+
+  /** [[merge]] with an explicit (possibly stale) base version — the seam
+    * the certificate uses to force a deterministic conflict replay. */
+  private[graft] def mergeFrom(spark: SparkSession, path: String, changes: DataFrame,
+      key: String, baseVersion: Long, maxRestarts: Int = 8): (Long, Int, Int) = {
+    val keysDf = changes.select(col(key)).distinct()
+    var attempts = 0
+    var restarts = 0
+    var base = baseVersion
+    while (restarts <= maxRestarts) {
+      val baseLive = liveFiles(path, base)
+      val affected = read(spark, path, base)
+        .withColumn("_file", input_file_name())
+        .join(broadcast(keysDf), Seq(key), "left_semi")
+        .select(col("_file")).distinct()
+        .collect().map(r => toLocalPath(r.getString(0))).toSeq.sorted
+      val survivors =
+        if (affected.isEmpty) changes
+        else spark.read.parquet(affected: _*)
+          .join(broadcast(keysDf), Seq(key), "left_anti")
+          .unionByName(changes)
+      val newFiles = writeData(survivors, path, "merge", 1)
+      var v = base + 1
+      var restart = false
+      while (!restart) {
+        attempts += 1
+        val headLive = liveFiles(path, v - 1)
+        val newSinceBase = headLive.diff(baseLive)
+        val foreignKeyHit = newSinceBase.nonEmpty &&
+          !spark.read.parquet(newSinceBase: _*)
+            .join(broadcast(keysDf), Seq(key), "left_semi").isEmpty
+        if (!affected.forall(headLive.contains) || foreignKeyHit) {
+          // conflict in this merge's key space: the stale rewrite is dead
+          // (its files stay unreferenced until vacuum); recompute from head
+          restarts += 1; restart = true; base = v - 1
+        } else if (tryCommit(path, v, headLive.diff(affected) ++ newFiles)) {
+          return (v, attempts, restarts)
+        } else v = headVersion(path) + 1
+      }
+    }
+    throw new IllegalStateException(
+      s"merge starved after $maxRestarts restarts ($attempts commit attempts)")
+  }
+
   /** All data files ever written under the table root (live or not). */
   def allDataFiles(path: String): Seq[String] = {
     val dataRoot = java.nio.file.Paths.get(path, "data").toFile
@@ -141,16 +258,34 @@ object TxnLog {
     * is the moment that grace expires). Returns (removedFiles,
     * retainedFiles). Readers pinned at a retained version are unaffected
     * — exactly the Delta/Iceberg contract: vacuum shrinks HISTORY, never
-    * the present. */
-  def vacuum(path: String, keepFromVersion: Long): (Seq[String], Seq[String]) = {
+    * the present.
+    *
+    * `graceMillis` protects IN-FLIGHT WRITERS: [[writeData]] lands data
+    * files BEFORE [[tryCommit]] claims a version, so at the instant
+    * vacuum scans, an unreferenced file may belong to a writer that is
+    * about to commit — deleting it would let that writer commit a version
+    * referencing dead files (a torn table). Files whose mtime is within
+    * `graceMillis` of now are therefore NEVER deleted, regardless of
+    * reference state; the window must exceed the longest write-to-commit
+    * latency (Delta's equivalent knob defaults to 7 days). Pass 0 ONLY
+    * when no writer is in flight — the single-process certificate tests
+    * do, after joining every writer thread. */
+  def vacuum(path: String, keepFromVersion: Long,
+             graceMillis: Long = 15L * 60 * 1000): (Seq[String], Seq[String]) = {
     val head = headVersion(path)
     require(keepFromVersion >= 0 && keepFromVersion <= head,
       s"retention boundary v$keepFromVersion outside [0, v$head]")
     val retained = (keepFromVersion to head).flatMap(v => liveFiles(path, v)).distinct
-    val removed = allDataFiles(path).diff(retained)
-    removed.foreach(f => java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(f)))
+    val cutoff = System.currentTimeMillis() - graceMillis
+    val (inGrace, removable) = allDataFiles(path).diff(retained)
+      .partition(f => new java.io.File(f).lastModified() >= cutoff)
+    removable.foreach(f => java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(f)))
+    // the checkpoint hint must land INSIDE the surviving contiguous range
+    // BEFORE any log entry below it dies, or a crash between the two steps
+    // would leave head resolution probing from a deleted prefix
+    advanceCheckpoint(path, keepFromVersion)
     (0L until keepFromVersion).foreach(v =>
       java.nio.file.Files.deleteIfExists(vFile(path, v)))
-    (removed, retained)
+    (removable, (retained ++ inGrace).distinct)
   }
 }

@@ -323,6 +323,38 @@ object Streams {
       }
   }
 
+  /** foreachBatch → durable-index ingest: every micro-batch upserts into a
+    * persistent index, the streaming half of the [[graft.ops.MinhashIndex]]
+    * / [[graft.ops.IvfIndex]] state machines. Both upserts are idempotent
+    * (anti-join on already-stored ids), so the at-least-once micro-batch
+    * replay a crash between sink write and checkpoint commit causes lands
+    * exactly-once in the index — the same contract as [[startJdbcUpsert]],
+    * with the id anti-join playing the role of the keyed DELETE. Append
+    * output mode: rows enter the index once and centroid/signature rules
+    * are frozen, so nothing is ever re-emitted. */
+  def startIndexIngest(stream: DataFrame, checkpointDir: String)(
+      upsert: DataFrame => Unit): org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) => upsert(batch) }
+      .start()
+
+  /** Stream documents (doc_id, text, …) into a durable MinHash band index
+    * — the live dedup-ingest twin of [[graft.ops.MinhashIndex.upsert]]. */
+  def startMinhashIngest(docs: DataFrame, indexPath: String,
+      checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery =
+    startIndexIngest(docs, checkpointDir)(b =>
+      graft.ops.MinhashIndex.upsert(b.sparkSession, b, indexPath))
+
+  /** Stream vectors (vec_id, embedding) into a durable IVF index under its
+    * frozen centroids — the live ANN-ingest twin of
+    * [[graft.ops.IvfIndex.upsert]]. */
+  def startIvfIngest(vectors: DataFrame, indexPath: String,
+      checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery =
+    startIndexIngest(vectors, checkpointDir)(b =>
+      graft.ops.IvfIndex.upsert(b.sparkSession, b, indexPath))
+
   /** The static event-type → business-tier dimension used by
     * [[enrichedTierCounts]] — in production a metastore lookup table; here
     * a literal so batch twin, live stream, and the DuckDB oracle all pin

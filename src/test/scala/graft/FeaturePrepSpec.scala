@@ -12,7 +12,7 @@ class FeaturePrepSpec extends SparkSpec {
 
   test("tree_split: histogram splits replay in BigInt; gain is nonnegative SSE reduction") {
     val rows = Tables.lineitem(spark, sf)
-      .select(col("l_quantity").cast("long"),
+      .select(expr("CAST(round(l_quantity) AS BIGINT)"),
         expr("CAST(round(l_discount * 100) AS BIGINT)"),
         expr("CAST(round(l_extendedprice) AS BIGINT)")).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))

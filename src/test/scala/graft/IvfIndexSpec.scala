@@ -43,6 +43,41 @@ class IvfIndexSpec extends SparkSpec {
       "re-upserting an already-ingested batch must be a no-op")
   }
 
+  test("LIVE streaming ingest across forced micro-batches: index and probe equal the batch twin") {
+    graft.functions.CosineSimilarity.register(spark)
+    val tmp = java.nio.file.Files.createTempDirectory("ivf_stream").toString
+    val stage = s"$tmp/in"; val cp = s"$tmp/cp"; val path = s"$tmp/idx"
+    val v = vectors
+    val seed = v.filter(col("vec_id") % 4 === 0)
+    IvfIndex.init(spark, seed, path) // centroids train once, then freeze
+    // stage the remaining vectors as TWO parquet files → two micro-batches
+    v.filter(col("vec_id") % 4 =!= 0).repartition(2).write.parquet(stage)
+    val stream = spark.readStream
+      .schema(spark.read.parquet(stage).schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(stage)
+    val q = graft.streaming.Streams.startIvfIngest(stream, path, cp)
+    try q.processAllAvailable() finally q.stop()
+    assert(q.recentProgress.count(_.numInputRows > 0) >= 2,
+      "the split must actually exercise ≥2 non-empty micro-batches")
+    val cent = spark.read.parquet(s"$path/centroids")
+    assert(lists(spark.read.parquet(s"$path/assignments")) ==
+      lists(Similarity.assignToCentroids(v, cent)),
+      "streamed index must equal the from-scratch full assignment")
+    // and the serving path reads the streamed state identically to an
+    // index built by the batch init+upsert sequence on the same corpus
+    val batchPath = s"$tmp/idx_batch"
+    IvfIndex.init(spark, seed, batchPath)
+    IvfIndex.upsert(spark, v.filter(col("vec_id") % 4 =!= 0), batchPath)
+    val queries = v.filter(col("vec_id") % 40 === 0 && col("vec_id") < 2560)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    def page(p: String) = IvfIndex.probe(spark, queries, p)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).toSet
+    val streamed = page(path)
+    assert(streamed.nonEmpty && streamed == page(batchPath),
+      "probe over streamed state must equal probe over batch-built state")
+  }
+
   test("probe from the upserted index equals the in-query serving result") {
     graft.functions.CosineSimilarity.register(spark)
     val path = java.nio.file.Files.createTempDirectory("ivf_probe").toString + "/idx"

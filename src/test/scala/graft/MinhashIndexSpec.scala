@@ -33,6 +33,27 @@ class MinhashIndexSpec extends SparkSpec {
       "re-upserting an already-ingested batch must be a no-op")
   }
 
+  test("LIVE streaming ingest across forced micro-batches equals the from-scratch index") {
+    val tmp = java.nio.file.Files.createTempDirectory("mh_stream").toString
+    val stage = s"$tmp/in"; val cp = s"$tmp/cp"; val path = s"$tmp/idx"
+    val d = docs
+    MinhashIndex.init(d.filter(col("doc_id") % 3 === 0), path)
+    // stage the remainder as TWO parquet files; maxFilesPerTrigger=1 turns
+    // each into its own micro-batch, so the foreachBatch upsert runs ≥2×
+    d.filter(col("doc_id") % 3 =!= 0).repartition(2).write.parquet(stage)
+    val stream = spark.readStream
+      .schema(spark.read.parquet(stage).schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(stage)
+    val q = graft.streaming.Streams.startMinhashIngest(stream, path, cp)
+    try q.processAllAvailable() finally q.stop()
+    assert(q.recentProgress.count(_.numInputRows > 0) >= 2,
+      "the split must actually exercise ≥2 non-empty micro-batches")
+    assert(rows(spark.read.parquet(path)) ==
+      rows(Dedup.bandSignatures(Dedup.shingleTable(d))),
+      "streamed index must equal the from-scratch signature table")
+  }
+
   test("probe returns exactly the band-collision candidates of the query twin") {
     val path = java.nio.file.Files.createTempDirectory("mh_probe").toString + "/idx"
     val d = docs

@@ -641,14 +641,15 @@ class ProfilingSpec extends SparkSpec {
 
   test("gini: tie-folded rank formula replays a brute-force sorted Lorenz sum") {
     val totals = Tables.orders(spark, sf)
-      .select(col("o_custkey"), expr("CAST(round(o_totalprice * 100) AS BIGINT)"))
+      .select(col("o_custkey"), expr("CAST(round(o_totalprice) AS BIGINT)"))
       .collect().map(r => (r.getLong(0), r.getLong(1)))
       .groupBy(_._1).values.map(_.map(_._2).sum).toSeq.sorted
     val n = totals.length.toLong
     val sumV = totals.sum
-    val twoRank = totals.zipWithIndex.map { case (v, i) => 2L * (i + 1) * v }.sum
-    val num = twoRank - (n + 1) * sumV
-    val den = n * sumV
+    // replay in BigInt — the operator itself accumulates in DECIMAL(38,0)
+    val twoRank = totals.zipWithIndex.map { case (v, i) => BigInt(2L * (i + 1)) * v }.sum
+    val num = (twoRank - BigInt(n + 1) * sumV).toLong
+    val den = (BigInt(n) * sumV).toLong
     val ppm = (BigInt(1000000) * num / den).toLong
     val r = Profiling.qGini(spark, sf).collect()
     assert(r.length == 1)

@@ -77,7 +77,7 @@ class TxnLogSpec extends SparkSpec {
     assert(TxnLog.allDataFiles(path).size == 6)
     // keep v1 too: NOTHING dies — v1 still references the 4 init files
     // (retention must UNION the live sets of every retained version)
-    val (removed1, retained1) = TxnLog.vacuum(path, keepFromVersion = 1L)
+    val (removed1, retained1) = TxnLog.vacuum(path, keepFromVersion = 1L, graceMillis = 0L)
     assert(removed1.isEmpty && retained1.size == 6,
       s"got ${removed1.size} removed / ${retained1.size} retained")
     // v1 still reads completely after the vacuum
@@ -85,11 +85,107 @@ class TxnLogSpec extends SparkSpec {
     // v0's log entry is gone: time travel below the boundary must fail
     intercept[Exception] { TxnLog.read(spark, path, 0L).count() }
     // tighten retention to the head: the 4 compacted-away base files die
-    val (removed2, retained2) = TxnLog.vacuum(path, keepFromVersion = head)
+    val (removed2, retained2) = TxnLog.vacuum(path, keepFromVersion = head, graceMillis = 0L)
     assert(removed2.size == 4 && retained2.size == 2)
     assert(TxnLog.read(spark, path, head).count() == evs.count())
     // boundary validation
     intercept[IllegalArgumentException] { TxnLog.vacuum(path, head + 1) }
+  }
+
+  test("merge rewrites ONLY the files containing matched keys; content = mergeByKey") {
+    val path = freshPath("txn_merge")
+    val base = evs.select(col("event_id"), col("user_id"))
+    TxnLog.init(base, path, nFiles = 4)
+    val live0 = TxnLog.liveFiles(path, 0L)
+    // target exactly the keys of ONE live file: since keys are unique,
+    // every other file is key-disjoint and must survive BY NAME
+    val victim = live0.head
+    val changes = spark.read.parquet(victim)
+      .select(col("event_id"), (col("user_id") + 5000000L).as("user_id"))
+    val (v1, att, rs) = TxnLog.merge(spark, path, changes, "event_id")
+    assert(v1 == 1L && att == 1 && rs == 0)
+    val live1 = TxnLog.liveFiles(path, 1L)
+    assert(!live1.contains(victim), "the matched file must be rewritten out")
+    assert(live0.filterNot(_ == victim).forall(live1.contains),
+      "key-disjoint files must survive by name, not be rewritten")
+    assert(live1.size == live0.size, "one file out, one merge file in")
+    val want = graft.ops.Relational.mergeByKey(base, changes, "event_id")
+    val got = TxnLog.read(spark, path, 1L)
+    assert(got.count() == want.count())
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty,
+      "merged table must equal the library MERGE of the same change set")
+  }
+
+  test("racing merges over overlapping keys serialize to exactly the log order") {
+    val path = freshPath("txn_merge_race")
+    val base = evs.select(col("event_id"), col("user_id"))
+    TxnLog.init(base, path, nFiles = 3)
+    val m1 = base.filter(col("event_id") % 4 === 0).withColumn("user_id", lit(111L))
+    val m2 = base.filter(col("event_id") % 6 === 0).withColumn("user_id", lit(222L))
+    val results = new java.util.concurrent.ConcurrentHashMap[String, Long]()
+    val threads = Seq(("m1", m1), ("m2", m2)).map { case (tag, ch) =>
+      new Thread(() => {
+        val (v, _, _) = TxnLog.merge(spark, path, ch, "event_id")
+        results.put(tag, v)
+      })
+    }
+    threads.foreach(_.start()); threads.foreach(_.join())
+    assert(results.size == 2, "both merges must eventually commit")
+    assert(Set(results.get("m1"), results.get("m2")) == Set(1L, 2L),
+      s"merges must claim distinct consecutive versions, got $results")
+    // expected = the merges applied in COMMIT order (whoever holds v1 first)
+    val inOrder = Seq(("m1", results.get("m1")), ("m2", results.get("m2")))
+      .sortBy(_._2).map { case (tag, _) => if (tag == "m1") m1 else m2 }
+    val want = inOrder.foldLeft(base)((acc, ch) =>
+      graft.ops.Relational.mergeByKey(acc, ch, "event_id"))
+    val got = TxnLog.read(spark, path, 2L)
+    assert(got.count() == want.count())
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty,
+      "final state must equal applying the merges in log order — " +
+        "overlapping %12 keys carry the LATER merge's value")
+  }
+
+  test("checkpointed head resolution probes the tail, not the whole log") {
+    val path = freshPath("txn_ckpt")
+    val one = evs.select(col("event_id"), col("user_id")).limit(5)
+    TxnLog.init(one, path, nFiles = 1) // v0: checkpoint written (0 % 8 == 0)
+    (1 to 10).foreach(_ => TxnLog.append(one, path)) // v1..v10; ckpt at v8
+    val (head, probes) = TxnLog.resolveHead(path)
+    assert(head == 10L)
+    assert(probes <= TxnLog.CheckpointInterval.toInt + 1,
+      s"resolution must replay at most the tail past the checkpoint, probed $probes")
+    // vacuum drops log entries BELOW the boundary; the checkpoint hint must
+    // move inside the surviving range or head resolution would see a hole
+    TxnLog.vacuum(path, keepFromVersion = 9L, graceMillis = 0L)
+    val (head2, probes2) = TxnLog.resolveHead(path)
+    assert(head2 == 10L, "head must survive a vacuum that drops the checkpointed prefix")
+    assert(probes2 <= 3, s"post-vacuum resolution probes from the boundary, probed $probes2")
+    assert(TxnLog.read(spark, path, 10L).count() == one.count() * 11)
+  }
+
+  test("vacuum grace window shields an in-flight writer's landed-not-committed files") {
+    val path = freshPath("txn_grace")
+    TxnLog.init(evs.filter(col("event_id") % 5 =!= 0), path, nFiles = 2)
+    val (head, _) = TxnLog.compactFrom(spark, path, baseVersion = 0L)
+    // simulate a writer mid-flight: data landed under the table root but
+    // no version references it yet (exactly writeData-before-tryCommit)
+    val inflight = java.nio.file.Paths.get(path, "data", "append_inflight_1")
+    java.nio.file.Files.createDirectories(inflight)
+    val part = inflight.resolve("part-00000.parquet")
+    java.nio.file.Files.writeString(part, "pending")
+    // default grace: the fresh unreferenced file survives even though the
+    // 2 compacted-away init files (also unreferenced, also fresh) would
+    // normally go — grace is reference-state-blind by design
+    val (removedNow, retainedNow) = TxnLog.vacuum(path, keepFromVersion = head)
+    assert(removedNow.isEmpty, s"grace must shield fresh files, removed $removedNow")
+    assert(retainedNow.contains(part.toString))
+    assert(java.nio.file.Files.exists(part))
+    // once the file ages past the window it is a true orphan and dies
+    assert(part.toFile.setLastModified(System.currentTimeMillis() - 3600_000L))
+    val (removedOld, _) = TxnLog.vacuum(path, keepFromVersion = head)
+    assert(removedOld == Seq(part.toString),
+      s"aged orphan must be collected alone (init files aged too? $removedOld)")
+    assert(!java.nio.file.Files.exists(part))
   }
 
   test("change feed: append transition = exactly the batch, compaction = empty") {

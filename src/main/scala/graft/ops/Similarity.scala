@@ -1062,42 +1062,41 @@ object Similarity extends QueryModule {
       .orderBy(col("qid"), col("rk"))
   }
 
-  /** NN-descent k-NN-graph construction — ONE refinement round of the
-    * standard distributed ANN-graph builder (Dong et al.'s neighbor-of-
-    * neighbor principle: my neighbor's neighbor is probably my neighbor),
-    * with a recall certificate against exact ground truth on a sampled
-    * query set. Round 0 seeds a top-4 graph from 8-bit LSH bucket
-    * collisions (cheap, low-recall); round 1 rescores each node against
-    * its CURRENT neighbors' neighbors (symmetrized) and re-takes the
-    * top 4. The output row per round — candidate pairs scored, graph
-    * edges, recall@4 — is the measured claim that one NoN round buys a
-    * large recall step at bucket-join cost, no all-pairs anywhere.
-    *
-    * Scale shape: round 0 is an equi-join on the 8-bit code (bucket sizes
-    * ~n/256, candidate volume ~n²/256 — the LSH contract); round 1's
-    * candidates are ≤ (2k)² per node from joining the 4-edge graph with
-    * itself on the shared endpoint; ground truth is sample×corpus with the
-    * codegen'd [[graft.functions.CosineSimilarity]], never corpus². Each
-    * top-k is a rank window partitioned by node. */
-  def qAnnNndescent(spark: SparkSession, dir: String): DataFrame = {
+  /** The two independent 6-bit sign codes (planes 0–5 / 8–13) the
+    * NN-descent seed round buckets on. One table would make round 0
+    * degenerate: its buckets are complete candidate cliques, so every
+    * in-bucket pair is already scored and the NoN round can never leave a
+    * bucket — measured cand1 == cand0 on this corpus. Cross-table
+    * composition (my table-A neighbor's table-B neighbor) is what gives
+    * NN-descent new candidates to score. Kept in lockstep with the
+    * codeSqlOf literals in the q_ann_nndescent / q_ann_graph_serve
+    * oracles (shared [[planeWeights]] source of truth). */
+  private def signCode6(planes0: Int): String = (0 until 6).map { h =>
+    val planes = planeWeights(planes0 + h).mkString("array(", ", ", ")")
+    s"""(CASE WHEN aggregate(zip_with(embedding, $planes,
+       |  (x, w) -> CAST(x AS DOUBLE) * w), 0D, (a, b) -> a + b) > 0
+       |  THEN ${1 << h} ELSE 0 END)""".stripMargin
+  }.mkString("(", " + ", ")")
+
+  /** Intermediate frames of the NN-descent build, shared by
+    * [[qAnnNndescent]] (which reports per-round counts + recall) and the
+    * durable [[KnnGraphIndex]] / [[qAnnGraphServe]] serving path (which
+    * consume only the final `nn1` edge set). `base` carries the sign
+    * codes and is lazily checkpointed — callers reuse it for truth
+    * sampling without re-deriving the scan. */
+  private[ops] case class KnnParts(base: DataFrame, cand0: DataFrame,
+    nn0: DataFrame, cand1: DataFrame, nn1: DataFrame)
+
+  /** One NN-descent refinement round over `vectors` (vec_id, embedding —
+    * pre-filtered to 64-dim nonzero): LSH-bucket seed top-4, then
+    * neighbor-of-neighbor rescore, the [[qAnnNndescent]] chain verbatim.
+    * `nn1` is NOT checkpointed here — single-consumer callers stream it,
+    * multi-consumer callers (beam serving) checkpoint it themselves. */
+  private[ops] def knnGraphParts(vectors: DataFrame): KnnParts = {
     import org.apache.spark.sql.expressions.Window
-    graft.functions.CosineSimilarity.register(spark)
-    // TWO independent 6-bit sign codes (planes 0-5 and 8-13). One table
-    // would make round 0 degenerate: its buckets are complete candidate
-    // cliques, so every in-bucket pair is already scored and the NoN round
-    // can never leave a bucket — measured cand1 == cand0 on this corpus.
-    // Cross-table composition (my table-A neighbor's table-B neighbor) is
-    // what gives NN-descent new candidates to score.
-    def codeOf(planes0: Int): String = (0 until 6).map { h =>
-      val planes = planeWeights(planes0 + h).mkString("array(", ", ", ")")
-      s"""(CASE WHEN aggregate(zip_with(embedding, $planes,
-         |  (x, w) -> CAST(x AS DOUBLE) * w), 0D, (a, b) -> a + b) > 0
-         |  THEN ${1 << h} ELSE 0 END)""".stripMargin
-    }.mkString("(", " + ", ")")
-    val base = Tables.embeddings(spark, dir)
-      .filter(size(col("embedding")) === 64 && expr(normSqExpr) > 0)
+    val base = vectors
       .select(col("vec_id"), col("embedding"),
-        expr(codeOf(0)).as("code_a"), expr(codeOf(8)).as("code_b"))
+        expr(signCode6(0)).as("code_a"), expr(signCode6(8)).as("code_b"))
       .localCheckpoint(eager = false) // feeds buckets, scoring, truth
     val va = base.select(col("vec_id").as("a"), col("embedding").as("va"))
     val vb = base.select(col("vec_id").as("b"), col("embedding").as("vb"))
@@ -1123,6 +1122,34 @@ object Similarity extends QueryModule {
       .unionByName(u).distinct()
       .localCheckpoint(eager = false)
     val nn1 = topk(cand1)
+    KnnParts(base, cand0, nn0, cand1, nn1)
+  }
+
+  /** NN-descent k-NN-graph construction — ONE refinement round of the
+    * standard distributed ANN-graph builder (Dong et al.'s neighbor-of-
+    * neighbor principle: my neighbor's neighbor is probably my neighbor),
+    * with a recall certificate against exact ground truth on a sampled
+    * query set. Round 0 seeds a top-4 graph from 8-bit LSH bucket
+    * collisions (cheap, low-recall); round 1 rescores each node against
+    * its CURRENT neighbors' neighbors (symmetrized) and re-takes the
+    * top 4. The output row per round — candidate pairs scored, graph
+    * edges, recall@4 — is the measured claim that one NoN round buys a
+    * large recall step at bucket-join cost, no all-pairs anywhere.
+    *
+    * Scale shape: round 0 is an equi-join on the 8-bit code (bucket sizes
+    * ~n/256, candidate volume ~n²/256 — the LSH contract); round 1's
+    * candidates are ≤ (2k)² per node from joining the 4-edge graph with
+    * itself on the shared endpoint; ground truth is sample×corpus with the
+    * codegen'd [[graft.functions.CosineSimilarity]], never corpus². Each
+    * top-k is a rank window partitioned by node. */
+  def qAnnNndescent(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    graft.functions.CosineSimilarity.register(spark)
+    val parts = knnGraphParts(Tables.embeddings(spark, dir)
+      .filter(size(col("embedding")) === 64 && expr(normSqExpr) > 0)
+      .select(col("vec_id"), col("embedding")))
+    val KnnParts(base, cand0, nn0, cand1, nn1) = parts
+    val vb = base.select(col("vec_id").as("b"), col("embedding").as("vb"))
     // exact ground truth on a CONSTANT-size query batch (first
     // ServingBatchCap stride-50 vec_ids — the q_ann_ivf_batch serving
     // discipline). A proportional sample (`vec_id % 50` alone) made the
@@ -1151,6 +1178,111 @@ object Similarity extends QueryModule {
           expr("div(1000000 * hits, n_truth)").as("recall_ppm"))
     }
     report(0, cand0, nn0).unionByName(report(1, cand1, nn1)).orderBy(col("round"))
+  }
+
+  /** Greedy best-first beam search over a kNN graph — the HNSW-shaped
+    * serving walk (layer-0 ef-search with a fixed beam), derandomized the
+    * repo's way: entry points are the 4 corpus vec_ids minimizing
+    * md5("gs:" + vec_id) (a seedless uniform draw both engines replay),
+    * ranks break ties (cos DESC, vec_id ASC). Per hop: the current
+    * top-`beam` visited nodes per query expand one graph edge, NEW
+    * (qid, node) pairs are scored, and the visited set grows — after
+    * `hops` rounds the visited set IS the search certificate the caller
+    * ranks into a result page. Returns (qid, node, cos), self included
+    * (callers filter at final ranking, matching the oracle).
+    *
+    * Scale shape: queries are a bounded serving page (broadcast), so each
+    * hop is two broadcast equi-joins against corpus-partitioned tables —
+    * frontier⋈graph on the source node, then candidates⋈vectors on the
+    * target — plus an anti-join against the visited page. NOTHING
+    * corpus-sized ever shuffles: per-hop cost is |page|·beam·k lookups
+    * against however many partitions hold them, the property that makes
+    * graph ANN the lowest-latency serving tier at 100 TB (IVF probes read
+    * nprobe/k of the corpus; the graph walk reads O(beam·hops) rows). */
+  private[ops] def beamSearch(graph: DataFrame, vectors: DataFrame,
+      queries: DataFrame, hops: Int = 3, beam: Int = 8,
+      checkpoint: Boolean = true): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // per-hop localCheckpoint: each visited generation feeds BOTH the next
+    // hop (frontier + anti-join) and the final rank — without it Catalyst
+    // re-derives hop h from scratch 2^(hops-h) times. `checkpoint = false`
+    // only for the PlanSpec pin, which must SEE the hop joins the
+    // checkpoints would otherwise hide behind scan nodes.
+    def cp(df: DataFrame): DataFrame =
+      if (checkpoint) df.localCheckpoint(eager = false) else df
+    val entries = vectors.select(col("vec_id"))
+      .withColumn("h", md5(concat(lit("gs:"), col("vec_id").cast("string"))))
+      .orderBy(col("h"), col("vec_id")).limit(4)
+      .select(col("vec_id").as("node"))
+    val vecs = vectors.select(col("vec_id").as("node"), col("embedding"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("node"))
+    var visited = cp(vecs.join(broadcast(queries.crossJoin(entries)), "node")
+      .withColumn("cos", expr("cosine_sim(embedding, qvec)"))
+      .select(col("qid"), col("qvec"), col("node"), col("cos")))
+    for (_ <- 1 to hops) {
+      val frontier = visited.withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= beam).select(col("qid"), col("qvec"), col("node"))
+      val cand = graph.join(broadcast(frontier), graph("a") === frontier("node"))
+        .select(col("qid"), col("qvec"), col("b").as("node")).distinct()
+        .join(broadcast(visited.select(col("qid"), col("node"))),
+          Seq("qid", "node"), "left_anti")
+      val scored = vecs.join(broadcast(cand), "node")
+        .withColumn("cos", expr("cosine_sim(embedding, qvec)"))
+        .select(col("qid"), col("qvec"), col("node"), col("cos"))
+      visited = cp(visited.unionByName(scored))
+    }
+    visited.select(col("qid"), col("node"), col("cos"))
+  }
+
+  /** [[qAnnGraphServe]] with plan-visible hops (no checkpoints) — the
+    * PlanSpec seam; identical logical shape to the production key. */
+  private[graft] def graphServeUncheckpointed(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    graft.functions.CosineSimilarity.register(spark)
+    val parts = knnGraphParts(Tables.embeddings(spark, dir)
+      .filter(size(col("embedding")) === 64 && expr(normSqExpr) > 0)
+      .select(col("vec_id"), col("embedding")))
+    val queries = parts.base.filter(servingBatchPred)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val visited = beamSearch(parts.nn1,
+      parts.base.select(col("vec_id"), col("embedding")), queries,
+      checkpoint = false)
+    visited.filter(col("node") =!= col("qid"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("node"))))
+      .filter(col("rk") <= 5)
+      .select(col("qid"), col("node").as("vec_id"),
+        round(col("cos"), 6).as("cosine"), col("rk"))
+      .orderBy(col("qid"), col("rk"))
+  }
+
+  /** Graph-ANN serving page — the composition of [[qAnnNndescent]]'s
+    * one-round NN-descent top-4 graph with [[beamSearch]]: the standard
+    * serving batch walks the graph 3 hops at beam 8 and reports its
+    * top-5 per query. This is the in-query twin of the durable
+    * [[KnnGraphIndex]] (same builder, same walk — KnnGraphIndexSpec pins
+    * served-from-disk ≡ this), and the third ANN serving tier next to
+    * brute-force rerank (q_knn_join) and IVF lists (q_ann_ivf_batch):
+    * the oracle unrolls the identical hops in SQL, so every visited-set
+    * expansion — not just the final page — is hash-checked. */
+  def qAnnGraphServe(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    graft.functions.CosineSimilarity.register(spark)
+    val parts = knnGraphParts(Tables.embeddings(spark, dir)
+      .filter(size(col("embedding")) === 64 && expr(normSqExpr) > 0)
+      .select(col("vec_id"), col("embedding")))
+    val graph = parts.nn1.localCheckpoint(eager = false) // one edge set, 3 hop consumers
+    val queries = parts.base.filter(servingBatchPred)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val visited = beamSearch(graph, parts.base.select(col("vec_id"), col("embedding")),
+      queries)
+    visited.filter(col("node") =!= col("qid"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("node"))))
+      .filter(col("rk") <= 5)
+      .select(col("qid"), col("node").as("vec_id"),
+        round(col("cos"), 6).as("cosine"), col("rk"))
+      .orderBy(col("qid"), col("rk"))
   }
 
   /** The 64×16 Johnson–Lindenstrauss ±1 sign matrix, keyed by
@@ -1344,6 +1476,7 @@ object Similarity extends QueryModule {
     "q_kcenter"            -> (qKcenter _),
     "q_jl_projection"      -> (qJlProjection _),
     "q_ann_nndescent"      -> (qAnnNndescent _),
+    "q_ann_graph_serve"    -> (qAnnGraphServe _),
     "q_hard_negatives"     -> (qHardNegatives _),
     "q_confusion"          -> (qConfusion _),
     "q_embed_drift"        -> (qEmbedDrift _),
@@ -1628,7 +1761,94 @@ object Similarity extends QueryModule {
        |ORDER BY a.cid""".stripMargin
   }
 
+  /** Shared oracle CTE block: the NN-descent chain e → coded → cand0 →
+    * nn0 → u → cand1 → nn1, used by both q_ann_nndescent and
+    * q_ann_graph_serve (identical integer plane weights + left-to-right
+    * accumulation as the Spark [[signCode6]] — shared [[planeWeights]]
+    * source of truth). MATERIALIZED throughout: DuckDB re-inlines plain
+    * CTEs per reference (the round-9 lesson). */
+  private def knnGraphSqlCtes: String = {
+    def codeSqlOf(planes0: Int): String = (0 until 6).map { h =>
+      val dot = planeWeights(planes0 + h).zipWithIndex
+        .map { case (w, j) => s"v[${j + 1}] * ($w)" }.mkString(" + ")
+      s"(CASE WHEN $dot > 0 THEN ${1 << h} ELSE 0 END)"
+    }.mkString("(", " + ", ")")
+    s"""e AS MATERIALIZED (
+      |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+      |  WHERE LEN(embedding) = 64
+      |    AND LIST_AGGREGATE(LIST_TRANSFORM(CAST(embedding AS DOUBLE[]),
+      |          x -> x * x), 'sum') > 0),
+      |coded AS MATERIALIZED (SELECT vec_id, v, ${codeSqlOf(0)} AS code_a,
+      |                 ${codeSqlOf(8)} AS code_b FROM e),
+      |cand0 AS MATERIALIZED (
+      |  SELECT DISTINCT a, b FROM (
+      |    SELECT c1.vec_id AS a, c2.vec_id AS b
+      |    FROM coded c1 JOIN coded c2 ON c1.code_a = c2.code_a
+      |    WHERE c1.vec_id <> c2.vec_id
+      |    UNION ALL
+      |    SELECT c1.vec_id, c2.vec_id
+      |    FROM coded c1 JOIN coded c2 ON c1.code_b = c2.code_b
+      |    WHERE c1.vec_id <> c2.vec_id)),
+      |nn0 AS MATERIALIZED (SELECT a, b FROM (
+      |  SELECT cand0.a, cand0.b,
+      |         ROW_NUMBER() OVER (PARTITION BY cand0.a
+      |           ORDER BY LIST_COSINE_SIMILARITY(ea.v, eb.v) DESC, cand0.b) AS rk
+      |  FROM cand0 JOIN e ea ON ea.vec_id = cand0.a
+      |             JOIN e eb ON eb.vec_id = cand0.b) WHERE rk <= 4),
+      |u AS MATERIALIZED (SELECT DISTINCT a, b FROM (
+      |  SELECT a, b FROM nn0 UNION ALL SELECT b, a FROM nn0)),
+      |cand1 AS MATERIALIZED (SELECT DISTINCT a, b FROM (
+      |  SELECT u1.a, u2.b FROM u u1 JOIN u u2 ON u1.b = u2.a
+      |  WHERE u1.a <> u2.b
+      |  UNION ALL SELECT a, b FROM u)),
+      |nn1 AS MATERIALIZED (SELECT a, b FROM (
+      |  SELECT cand1.a, cand1.b,
+      |         ROW_NUMBER() OVER (PARTITION BY cand1.a
+      |           ORDER BY LIST_COSINE_SIMILARITY(ea.v, eb.v) DESC, cand1.b) AS rk
+      |  FROM cand1 JOIN e ea ON ea.vec_id = cand1.a
+      |             JOIN e eb ON eb.vec_id = cand1.b) WHERE rk <= 4)""".stripMargin
+  }
+
+  /** Unrolled beam-search oracle for q_ann_graph_serve: the [[beamSearch]]
+    * walk as hop-indexed CTEs on top of [[knnGraphSqlCtes]]. */
+  private def graphServeSql: String = {
+    def hop(h: Int) =
+      s"""f$h AS (SELECT qid, qv, node FROM (
+         |  SELECT qid, qv, node,
+         |         ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, node) AS rn
+         |  FROM vis${h - 1}) WHERE rn <= 8),
+         |x$h AS (SELECT DISTINCT f.qid, f.qv, g.b AS node
+         |        FROM f$h f JOIN nn1 g ON g.a = f.node),
+         |n$h AS (SELECT x.qid, x.qv, x.node,
+         |               LIST_COSINE_SIMILARITY(ev.v, x.qv) AS cos
+         |        FROM x$h x JOIN e ev ON ev.vec_id = x.node
+         |        WHERE NOT EXISTS (SELECT 1 FROM vis${h - 1} v
+         |                          WHERE v.qid = x.qid AND v.node = x.node)),
+         |vis$h AS MATERIALIZED (
+         |  SELECT qid, qv, node, cos FROM vis${h - 1}
+         |  UNION ALL SELECT qid, qv, node, cos FROM n$h)""".stripMargin
+    s"""WITH $knnGraphSqlCtes,
+      |entries AS MATERIALIZED (SELECT vec_id AS node FROM e
+      |  ORDER BY MD5('gs:' || CAST(vec_id AS VARCHAR)), vec_id LIMIT 4),
+      |q AS MATERIALIZED (SELECT vec_id AS qid, v AS qv FROM e
+      |  WHERE $servingBatchSql),
+      |vis0 AS MATERIALIZED (
+      |  SELECT q.qid, q.qv, en.node, LIST_COSINE_SIMILARITY(ev.v, q.qv) AS cos
+      |  FROM q CROSS JOIN entries en JOIN e ev ON ev.vec_id = en.node),
+      |${hop(1)},
+      |${hop(2)},
+      |${hop(3)}
+      |SELECT qid, node AS vec_id, ROUND(cos, 6) AS cosine, rk FROM (
+      |  SELECT qid, node, cos,
+      |         CAST(ROW_NUMBER() OVER (PARTITION BY qid
+      |           ORDER BY cos DESC, node) AS BIGINT) AS rk
+      |  FROM vis3 WHERE node <> qid)
+      |WHERE rk <= 5
+      |ORDER BY qid, rk""".stripMargin
+  }
+
   val oracle: Map[String, String] = Map(
+    "q_ann_graph_serve" -> graphServeSql,
     "q_kmeans" -> kmeansSql,
     "q_kcenter" -> kcenterSql,
     "q_jl_projection" ->
@@ -1667,47 +1887,7 @@ object Similarity extends QueryModule {
         |FROM pairs WHERE d_orig > 0
         |ORDER BY vec_a, vec_b""".stripMargin,
     "q_ann_nndescent" -> {
-      // identical integer plane weights + left-to-right accumulation as
-      // the Spark code8 (shared planeWeights source of truth)
-      def codeSqlOf(planes0: Int): String = (0 until 6).map { h =>
-        val dot = planeWeights(planes0 + h).zipWithIndex
-          .map { case (w, j) => s"v[${j + 1}] * ($w)" }.mkString(" + ")
-        s"(CASE WHEN $dot > 0 THEN ${1 << h} ELSE 0 END)"
-      }.mkString("(", " + ", ")")
-      s"""WITH e AS MATERIALIZED (
-        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
-        |  WHERE LEN(embedding) = 64
-        |    AND LIST_AGGREGATE(LIST_TRANSFORM(CAST(embedding AS DOUBLE[]),
-        |          x -> x * x), 'sum') > 0),
-        |coded AS MATERIALIZED (SELECT vec_id, v, ${codeSqlOf(0)} AS code_a,
-        |                 ${codeSqlOf(8)} AS code_b FROM e),
-        |cand0 AS MATERIALIZED (
-        |  SELECT DISTINCT a, b FROM (
-        |    SELECT c1.vec_id AS a, c2.vec_id AS b
-        |    FROM coded c1 JOIN coded c2 ON c1.code_a = c2.code_a
-        |    WHERE c1.vec_id <> c2.vec_id
-        |    UNION ALL
-        |    SELECT c1.vec_id, c2.vec_id
-        |    FROM coded c1 JOIN coded c2 ON c1.code_b = c2.code_b
-        |    WHERE c1.vec_id <> c2.vec_id)),
-        |nn0 AS MATERIALIZED (SELECT a, b FROM (
-        |  SELECT cand0.a, cand0.b,
-        |         ROW_NUMBER() OVER (PARTITION BY cand0.a
-        |           ORDER BY LIST_COSINE_SIMILARITY(ea.v, eb.v) DESC, cand0.b) AS rk
-        |  FROM cand0 JOIN e ea ON ea.vec_id = cand0.a
-        |             JOIN e eb ON eb.vec_id = cand0.b) WHERE rk <= 4),
-        |u AS MATERIALIZED (SELECT DISTINCT a, b FROM (
-        |  SELECT a, b FROM nn0 UNION ALL SELECT b, a FROM nn0)),
-        |cand1 AS MATERIALIZED (SELECT DISTINCT a, b FROM (
-        |  SELECT u1.a, u2.b FROM u u1 JOIN u u2 ON u1.b = u2.a
-        |  WHERE u1.a <> u2.b
-        |  UNION ALL SELECT a, b FROM u)),
-        |nn1 AS MATERIALIZED (SELECT a, b FROM (
-        |  SELECT cand1.a, cand1.b,
-        |         ROW_NUMBER() OVER (PARTITION BY cand1.a
-        |           ORDER BY LIST_COSINE_SIMILARITY(ea.v, eb.v) DESC, cand1.b) AS rk
-        |  FROM cand1 JOIN e ea ON ea.vec_id = cand1.a
-        |             JOIN e eb ON eb.vec_id = cand1.b) WHERE rk <= 4),
+      s"""WITH $knnGraphSqlCtes,
         |sample AS MATERIALIZED (SELECT vec_id AS a, v FROM e
         |           WHERE vec_id % 50 = 0 AND vec_id < ${50L * ServingBatchCap}),
         |exact AS MATERIALIZED (SELECT a, b FROM (

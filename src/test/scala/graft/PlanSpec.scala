@@ -331,6 +331,22 @@ class PlanSpec extends SparkSpec {
       s"q_ann_nndescent: exact-truth batch must carry the vec_id < $truthCap cap")
   }
 
+  test("q_ann_graph_serve walks with broadcast hops — no cartesian, no corpus shuffle joins") {
+    // the production key localCheckpoints each hop (hiding its joins
+    // behind scan nodes); the uncheckpointed twin has the same logical
+    // shape with every hop join visible
+    val plan = planOf(graft.ops.Similarity.graphServeUncheckpointed(spark, sf))
+    // every hop joins the bounded frontier/candidate page INTO the
+    // corpus-partitioned edge/vector tables as a broadcast; a sort-merge
+    // or shuffled-hash join there would shuffle the corpus per hop
+    assert(plan.contains("BroadcastHashJoin"),
+      "hop joins must broadcast the bounded page side")
+    assert(!plan.contains("CartesianProduct"),
+      "the only cross is queries x 4 entries, which must stay a broadcast NLJ")
+    assert(!plan.contains("SortMergeJoin"),
+      "no hop may shuffle the corpus-sized side")
+  }
+
   test("q_vocab_coverage broadcasts the capped vocab and take-orders the cut") {
     val plan = planOf(graft.ops.Evaluation.qVocabCoverage(spark, sf))
     assert(plan.contains("TakeOrderedAndProject"),

@@ -76,10 +76,13 @@ object TxnLog {
   /** Highest committed version, or -1 for an empty log. */
   def headVersion(path: String): Long = resolveHead(path)._1
 
-  /** Live data files (absolute paths) at `version`. */
+  /** Live data files (absolute paths) at `version`. Lines starting with
+    * `#` are metadata (the `#app:` idempotence markers of [[appendOnce]]),
+    * not paths. */
   def liveFiles(path: String, version: Long): Seq[String] =
     java.nio.file.Files.readAllLines(vFile(path, version))
-      .toArray(Array.empty[String]).toSeq.filter(_.nonEmpty)
+      .toArray(Array.empty[String]).toSeq
+      .filter(l => l.nonEmpty && !l.startsWith("#"))
 
   /** Snapshot read pinned at `version` — time travel. */
   def read(spark: SparkSession, path: String, version: Long): DataFrame =
@@ -141,6 +144,53 @@ object TxnLog {
       v = headVersion(path) + 1
     }
     throw new IllegalStateException("unreachable")
+  }
+
+  /** Exactly-once append for at-least-once writers (a streaming
+    * foreachBatch sink replaying a micro-batch after a crash between sink
+    * write and checkpoint commit — the Delta `txnAppId`/`txnVersion`
+    * idempotence pattern): the committing version file carries a
+    * `#app:<appId>:<batchId>` marker line, and a second submission of the
+    * same (appId, batchId) finds the marker and SKIPS — so at-least-once
+    * delivery lands exactly-once table state. Returns (version, true) on
+    * a fresh commit or (-1, false) on a detected duplicate. The duplicate
+    * check re-runs under every head the commit loop observes, closing the
+    * race where a twin of this batch commits while this writer stages
+    * data. Retention caveat (same as Delta's): vacuum drops log entries
+    * below its boundary, and markers go with them — a writer must not
+    * replay batches older than the table's retention horizon.
+    *
+    * 100 TB shape: the marker scan here reads the O(retained-versions)
+    * log tail; a production format folds the (appId → last batchId) map
+    * into the periodic checkpoint (Delta's SetTransaction actions), making
+    * the probe O(1). The data/commit split is unchanged from [[append]]:
+    * kilobytes move at commit, never rows. */
+  def appendOnce(df: DataFrame, path: String, appId: String,
+      batchId: Long): (Long, Boolean) = {
+    if (committedBatches(path, appId).contains(batchId)) return (-1L, false)
+    val files = writeData(df, path, "append", 1)
+    var v = headVersion(path) + 1
+    while (true) {
+      if (committedBatches(path, appId).contains(batchId)) return (-1L, false)
+      val prior = if (v == 0) Seq.empty[String] else liveFiles(path, v - 1)
+      if (tryCommit(path, v, prior ++ files :+ s"#app:$appId:$batchId"))
+        return (v, true)
+      v = headVersion(path) + 1
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
+  /** Batch ids `appId` has committed among the RETAINED log entries. */
+  def committedBatches(path: String, appId: String): Set[Long] = {
+    val head = headVersion(path)
+    val prefix = s"#app:$appId:"
+    (0L to head).flatMap { v =>
+      val f = vFile(path, v)
+      if (!java.nio.file.Files.exists(f)) Seq.empty // vacuumed prefix
+      else java.nio.file.Files.readAllLines(f)
+        .toArray(Array.empty[String]).toSeq
+        .filter(_.startsWith(prefix)).map(_.stripPrefix(prefix).toLong)
+    }.toSet
   }
 
   /** Compact the files that were live at `baseVersion` into one file and

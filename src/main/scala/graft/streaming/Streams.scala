@@ -340,6 +340,25 @@ object Streams {
       .foreachBatch { (batch: DataFrame, _: Long) => upsert(batch) }
       .start()
 
+  /** Stream micro-batches into a [[graft.ops.TxnLog]] table with
+    * exactly-once semantics — the streaming→lakehouse closing piece: each
+    * micro-batch commits through [[graft.ops.TxnLog.appendOnce]] keyed by
+    * (appId, batchId), so the at-least-once replay a crash between sink
+    * write and checkpoint commit causes finds its idempotence marker in
+    * the log and skips, and concurrent BATCH writers (append/compact/
+    * merge) interleave safely through the same optimistic commit
+    * protocol. This is the scalable dual of the reference's replace-mode
+    * load run continuously: ACID versions instead of truncate+reload. */
+  def startTxnAppend(stream: DataFrame, tablePath: String, appId: String,
+      checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.ops.TxnLog.appendOnce(batch, tablePath, appId, batchId); ()
+      }
+      .start()
+
   /** Stream documents (doc_id, text, …) into a durable MinHash band index
     * — the live dedup-ingest twin of [[graft.ops.MinhashIndex.upsert]]. */
   def startMinhashIngest(docs: DataFrame, indexPath: String,

@@ -243,6 +243,51 @@ class StreamingE2ESpec extends SparkSpec {
     assert(out.select("event_id").distinct().count() == 150)
   }
 
+  test("live stream into a TxnLog table: versioned exactly-once across restart and replay") {
+    val src = java.nio.file.Files.createTempDirectory("txn-src")
+    val tbl = java.nio.file.Files.createTempDirectory("txn-tbl").toString + "/tbl"
+    val ckpt = java.nio.file.Files.createTempDirectory("txn-ckpt").toString
+    import spark.implicits._
+    def writeBatch(name: String, ids: Range): Unit = {
+      val stage = java.nio.file.Files.createTempDirectory("txn-stage")
+      ids.map(i => (i.toLong, i.toDouble)).toDF("event_id", "value")
+        .coalesce(1).write.mode("overwrite").parquet(stage.toString)
+      val listing = java.nio.file.Files.list(stage)
+      val part = try listing.iterator().asScala
+        .find(_.getFileName.toString.endsWith(".parquet")).get
+      finally listing.close()
+      java.nio.file.Files.move(part, src.resolve(s"$name.parquet"))
+    }
+    writeBatch("b1", 0 until 100)
+    def startQuery() = graft.streaming.Streams.startTxnAppend(
+      spark.readStream.schema(spark.read.parquet(src.toString).schema)
+        .parquet(src.toString),
+      tbl, appId = "stream-e2e", checkpointDir = ckpt)
+    val q1 = startQuery()
+    try q1.processAllAvailable() finally q1.stop()
+    val v1 = graft.ops.TxnLog.headVersion(tbl)
+    assert(graft.ops.TxnLog.read(spark, tbl, v1).count() == 100)
+    // restart from the same checkpoint: only the new file lands, as a
+    // NEW table version — the old version still reads as it was (ACID
+    // versions, not truncate+reload)
+    writeBatch("b2", 100 until 150)
+    val q2 = startQuery()
+    try q2.processAllAvailable() finally q2.stop()
+    val v2 = graft.ops.TxnLog.headVersion(tbl)
+    assert(v2 > v1)
+    assert(graft.ops.TxnLog.read(spark, tbl, v2).count() == 150)
+    assert(graft.ops.TxnLog.read(spark, tbl, v1).count() == 100,
+      "time travel to the pre-restart version must still work")
+    // the crash-replay: re-submit micro-batch 0 (at-least-once delivery)
+    // — the idempotence marker in the log must reject it
+    val replay = spark.read.parquet(src.resolve("b1.parquet").toString)
+    val (v, fresh) = graft.ops.TxnLog.appendOnce(replay, tbl, "stream-e2e", 0L)
+    assert(v == -1L && !fresh, "a replayed micro-batch must be skipped")
+    assert(graft.ops.TxnLog.headVersion(tbl) == v2 &&
+      graft.ops.TxnLog.read(spark, tbl, v2).count() == 150,
+      "replay must leave the table untouched")
+  }
+
   test("Trigger.AvailableNow drains, self-terminates, and resumes incrementally") {
     // the scheduled-incremental-batch pattern — the streaming twin of the
     // reference's re-run-to-refresh model: each invocation drains exactly

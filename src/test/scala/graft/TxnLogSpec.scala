@@ -145,6 +145,27 @@ class TxnLogSpec extends SparkSpec {
         "overlapping %12 keys carry the LATER merge's value")
   }
 
+  test("appendOnce: a replayed (app, batch) pair commits exactly once") {
+    val path = freshPath("txn_once")
+    val b0 = evs.filter(col("event_id") % 2 === 0)
+    val b1 = evs.filter(col("event_id") % 2 =!= 0)
+    val (v0, fresh0) = TxnLog.appendOnce(b0, path, "ingestA", 0L)
+    assert(v0 == 0L && fresh0, "first batch creates the table at v0")
+    val (v1, fresh1) = TxnLog.appendOnce(b1, path, "ingestA", 1L)
+    assert(v1 == 1L && fresh1)
+    // the at-least-once replay: same app, same batch id, same data
+    val (vr, freshR) = TxnLog.appendOnce(b0, path, "ingestA", 0L)
+    assert(vr == -1L && !freshR, "replayed batch must be detected and skipped")
+    assert(TxnLog.headVersion(path) == 1L, "a skip commits nothing")
+    assert(TxnLog.read(spark, path, 1L).count() == evs.count(),
+      "table holds each batch exactly once")
+    // a DIFFERENT app replaying batch id 0 is a distinct transaction
+    val (v2, fresh2) = TxnLog.appendOnce(b0, path, "ingestB", 0L)
+    assert(v2 == 2L && fresh2, "idempotence is scoped per appId")
+    assert(TxnLog.committedBatches(path, "ingestA") == Set(0L, 1L))
+    assert(TxnLog.committedBatches(path, "ingestB") == Set(0L))
+  }
+
   test("checkpointed head resolution probes the tail, not the whole log") {
     val path = freshPath("txn_ckpt")
     val one = evs.select(col("event_id"), col("user_id")).limit(5)

@@ -560,6 +560,27 @@ object Dedup extends QueryModule {
         coalesce(sum((col("d1") * 31L + col("d2")) % 1000000007L), lit(0L))
           .as("chk"))
 
+  /** Prefix extension depth for [[ppjoinPairs]]'s candidate filter: each
+    * document indexes its K rarest bigrams beyond the minimum 1-prefix,
+    * and a candidate pair must share ≥ K of them. Completeness lemma
+    * (the k-prefix extension of Chaudhuri et al.'s filter; both lists are
+    * sorted by the same global (df, token) order): for a qualifying pair,
+    * the K globally-smallest SHARED tokens each lie inside BOTH K-extended
+    * prefixes — if the m-th smallest shared token (m ≤ K) fell outside
+    * doc i's prefix of length nᵢ − ⌈t·nᵢ⌉ + K, the shared tokens after it
+    * would number ≤ ⌈t·nᵢ⌉ − K, giving o ≤ (m−1) + (⌈t·nᵢ⌉ − K) + 1 <
+    * ⌈t·nᵢ⌉ ≤ o. So counting join rows per pair and keeping cnt ≥ K loses
+    * no true pair (asserted against brute force in LlmOpsSpec, and the
+    * unchanged 1-prefix DuckDB oracle is the independent completeness
+    * gate). Chosen by measurement at sf0.1 (round 10): the regenerated
+    * corpus draws every document from one small vocabulary, so the
+    * 1-prefix filter passed 667,400 candidates for 256 true pairs —
+    * 2,600:1 false positives, 14.8 s total, nearly all in the verify
+    * joins; K = 8 passes 438 candidates (1.7:1) for a ~60% larger prefix
+    * join, the classic PPJoin trade of linear candidate-generation work
+    * for quadratic-ish verify work. */
+  private val PrefixExt = 8
+
   /** Shared core of [[qSetsimJoin]]/[[qSetsimCert]]: the exact
     * threshold-0.8 bigram-set similarity join over an arbitrary document
     * frame, as (d1, d2, o, n1, n2, jaccard). */
@@ -576,18 +597,37 @@ object Dedup extends QueryModule {
     val dfreq = toks.groupBy(col("token")).agg(count(lit(1)).as("df"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("doc_id")).orderBy(col("df"), col("token"))
+    val K = PrefixExt
+    // checkpointed: BOTH sides of the candidate self-join consume the
+    // prefix table, and Catalyst has no cross-branch reuse — uncheckpointed
+    // the (dfreq ⋈ sizes ⋈ window) derivation ran twice (round-10 plan)
     val prefix = toks.join(dfreq, "token").join(sizes, "doc_id")
       .withColumn("rn", row_number().over(w))
-      // prefix length n − ceil(0.8·n) + 1; ceil(8n/10) = (8n+9) div 10
-      .filter(col("rn") <= col("n") - expr("(8 * n + 9) div 10") + 1)
+      // K-extended prefix: n − ceil(0.8·n) + K; ceil(8n/10) = (8n+9) div 10
+      .filter(col("rn") <= col("n") - expr("(8 * n + 9) div 10") + lit(K))
       .select(col("doc_id"), col("token"), col("n"), col("rn"))
+      .localCheckpoint(eager = false)
+    // positional overlap upper bound per occurrence: a shared token at
+    // rarity positions (i, j) admits o ≤ m − 1 + 1 + min(n1−i, n2−j) when
+    // it is the pair's m-th smallest shared token, so rows needed by the
+    // cnt ≥ K test (m ≤ K) all satisfy the K-RELAXED bound below, and the
+    // pair's single SMALLEST shared token (m = 1) always satisfies the
+    // STRICT bound — candidates must pass both, false pairs fail early.
+    val alphaPair = expr("(4 * (pa.n + pb.n) + 8) div 9") // α = ceil(t/(1+t)·(n1+n2))
+    val ub = lit(1) + least(col("pa.n") - col("pa.rn"), col("pb.n") - col("pb.rn"))
     val cand = prefix.as("pa").join(prefix.as("pb"), Seq("token"))
-      .filter(col("pa.doc_id") < col("pb.doc_id"))
-      // positional filter: α = ceil(4(n1+n2)/9) for t = 0.8
-      .filter(lit(1) + least(col("pa.n") - col("pa.rn"), col("pb.n") - col("pb.rn"))
-        >= expr("(4 * (pa.n + pb.n) + 8) div 9"))
-      .select(col("pa.doc_id").as("d1"), col("pb.doc_id").as("d2"))
-      .distinct()
+      .filter(col("pa.doc_id") < col("pb.doc_id") && ub >= alphaPair - lit(K - 1))
+      .select(col("pa.doc_id").as("d1"), col("pb.doc_id").as("d2"),
+        when(ub >= alphaPair, 1L).otherwise(0L).as("strict"),
+        // α again, post-join: the cnt gate is min(K, α) — a qualifying
+        // TINY pair can have o < K shared tokens in total (all of which
+        // land in both prefixes), so demanding K outright would drop it
+        expr("(4 * (pa.n + pb.n) + 8) div 9").as("alpha"))
+      .groupBy(col("d1"), col("d2"))
+      .agg(count(lit(1)).as("cnt"), max(col("strict")).as("pos_ok"),
+        max(col("alpha")).as("alpha"))
+      .filter(col("cnt") >= least(lit(K.toLong), col("alpha")) && col("pos_ok") === 1L)
+      .select(col("d1"), col("d2"))
     val dict = toks.groupBy(col("doc_id")).agg(collect_set(col("token")).as("set"))
     cand
       .join(dict.select(col("doc_id").as("d1"), col("set").as("s1"))
@@ -1001,36 +1041,52 @@ object Dedup extends QueryModule {
         """CASE WHEN size(toks) < 3 THEN array()
           |ELSE transform(sequence(0, size(toks) - 3), i -> concat_ws(' ', slice(toks, i + 1, 3)))
           |END""".stripMargin)).as("shingle"))
-      .localCheckpoint(eager = false) // feeds the sketch AND the exact census
-    // distinct membership FIRST: per-source minima over the distinct set
-    // equal the multiset minima, and hashing only DISTINCT shingles makes
-    // the 32-way md5 fan-out vocabulary-bounded instead of corpus-bounded
-    // (measured 4.7 s -> the md5 pass was 80M calls over the raw stream)
-    val ss = sh.distinct().localCheckpoint(eager = false)
+    // ONE corpus-sized exchange for the whole key (round-10 replan; the
+    // former chain paid five — distinct membership, distinct vocabulary,
+    // a membership⋈hashes join, the per-source rollup, and an exact
+    // membership self-join): group the raw shingle stream by shingle with
+    // a collect_set of sources — map-side partials dedup BEFORE the
+    // shuffle, and the per-shingle set is bounded by |sources|, a small
+    // constant, so no buffer ever scales with the corpus. Everything else
+    // derives from this vocabulary-sized table: per-source minima and
+    // sizes from one exploded-membership rollup (the 32-way md5 fan-out
+    // stays vocabulary-bounded — computed below the explode, once per
+    // DISTINCT shingle), and the exact pairwise intersection census from
+    // PAIR ARITHMETIC over each shingle's sorted source set (the
+    // qDupCrossSource cluster-arithmetic discipline) instead of the
+    // former corpus-sized equi-self-join.
+    val byShingle = sh.groupBy(col("shingle"))
+      .agg(array_sort(collect_set(col("source"))).as("srcs"))
+      .localCheckpoint(eager = false) // feeds the membership rollup AND the census
     val hashCols = (0 until K).map(i =>
       md5(concat(lit(s"$i:"), col("shingle"))).as(s"h$i"))
-    val hashes = ss.select(col("shingle")).distinct()
-      .select(col("shingle") +: hashCols: _*)
+    val member = byShingle.select(col("srcs") +: hashCols: _*)
+      .select(explode(col("srcs")).as("source") +:
+        (0 until K).map(i => col(s"h$i")): _*)
     val minCols = (0 until K).map(i => min(col(s"h$i")).as(s"h$i"))
-    val mins = ss.join(hashes, "shingle")
-      .groupBy(col("source")).agg(minCols.head, minCols.tail: _*)
+    // sketch minima AND distinct-shingle sizes in one rollup, checkpointed:
+    // |sources| rows feeding four consumers below
+    val perSrc = member.groupBy(col("source"))
+      .agg(count(lit(1)).as("n"), minCols: _*)
+      .localCheckpoint(eager = false)
     val matchExpr = (0 until K)
       .map(i => s"CASE WHEN a.h$i = b.h$i THEN 1 ELSE 0 END").mkString(" + ")
-    val est = mins.as("a").join(broadcast(mins.as("b")),
+    val est = perSrc.as("a").join(broadcast(perSrc.as("b")),
         col("a.source") < col("b.source"))
       .select(col("a.source").as("source_a"), col("b.source").as("source_b"),
-        expr(s"CAST($matchExpr AS BIGINT)").as("n_match"))
-    val sizes = ss.groupBy(col("source")).agg(count(lit(1)).as("n"))
-    val inter = ss.as("x").join(ss.as("y"),
-        col("x.shingle") === col("y.shingle") && col("x.source") < col("y.source"))
-      .groupBy(col("x.source").as("source_a"), col("y.source").as("source_b"))
+        expr(s"CAST($matchExpr AS BIGINT)").as("n_match"),
+        col("a.n").as("n_a"), col("b.n").as("n_b"))
+    val inter = byShingle
+      .select(explode(expr(
+        """CASE WHEN size(srcs) < 2 THEN array()
+          |ELSE flatten(transform(sequence(1, size(srcs) - 1),
+          |  i -> transform(slice(srcs, i + 1, size(srcs) - i),
+          |    x -> struct(element_at(srcs, i) AS source_a, x AS source_b))))
+          |END""".stripMargin)).as("p"))
+      .groupBy(col("p.source_a").as("source_a"), col("p.source_b").as("source_b"))
       .agg(count(lit(1)).as("inter"))
     est
       .join(inter, Seq("source_a", "source_b"), "left")
-      .join(broadcast(sizes.select(col("source").as("source_a"), col("n").as("n_a"))),
-        "source_a")
-      .join(broadcast(sizes.select(col("source").as("source_b"), col("n").as("n_b"))),
-        "source_b")
       .withColumn("inter", coalesce(col("inter"), lit(0L)))
       .withColumn("uni", col("n_a") + col("n_b") - col("inter"))
       .select(col("source_a"), col("source_b"), col("n_match"),

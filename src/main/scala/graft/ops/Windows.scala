@@ -272,10 +272,15 @@ object Windows extends QueryModule {
       .orderBy(col("ts"), col("event_id"))
     val wOffsets = Window.partitionBy(col("event_type")).orderBy(col("bucket"))
       .rowsBetween(Window.unboundedPreceding, -1)
+    // checkpointed: the offsets rollup AND the final join both consume this
+    // two-window frame, and Catalyst has no cross-branch reuse — the
+    // round-10 plan showed the whole scan→window→window subtree planted
+    // twice (once under the broadcast side), doubling the stage work
     val inBucket = Tables.events(spark, dir)
       .withColumn("is_first", when(row_number().over(wUser) === 1, 1L).otherwise(0L))
       .withColumn("bucket", date_trunc("day", col("ts")))
       .withColumn("run_in_bucket", sum(col("is_first")).over(wBucket))
+      .localCheckpoint(eager = false)
     val offsets = inBucket
       .groupBy(col("event_type"), col("bucket"))
       .agg(max(col("run_in_bucket")).as("bucket_total"))

@@ -469,9 +469,13 @@ object Aggregations extends QueryModule {
     * offsets bounds every task by the chunk width instead. */
   def qWinsorize(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // checkpointed: the chunked-rank bounds pass (offsets + rank join) and
+    // the final clamp join each consume this frame — uncheckpointed the
+    // events scan was planted 3× (round-10 plan)
     val cents = Tables.events(spark, dir)
       .select(col("event_type"), col("event_id"),
         expr("CAST(round(value * 100) AS BIGINT)").as("c"))
+      .localCheckpoint(eager = false)
     val chunked = cents.withColumn("chunk", floor(col("c") / lit(1000L)))
     val byChunk = Window.partitionBy(col("event_type")).orderBy(col("chunk"))
     val offs = chunked.groupBy(col("event_type"), col("chunk"))

@@ -33,9 +33,13 @@ object Behavior extends QueryModule {
     * for the final single division (IEEE round-to-nearest, deterministic
     * in both engines), rounded to 6 dp. */
   def qBasketLift(spark: SparkSession, dir: String): DataFrame = {
+    // checkpointed: four consumers (basket census, item counts, both pair
+    // sides) re-derived the scan+distinct otherwise — round-10 plan showed
+    // 5 lineitem scans for this one key
     val items = Tables.lineitem(spark, dir)
       .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
       .distinct()
+      .localCheckpoint(eager = false)
     val n = items.select(countDistinct(col("ok")).as("n_baskets"))
     val itemCnt = items.groupBy(col("pk")).agg(count(lit(1)).as("c"))
     val pairs = items.as("a")

@@ -101,7 +101,6 @@ object Corpus extends QueryModule {
       .filter(col("rk") <= 3)
       .select(col("doc_id"), col("token"),
         (floor(col("s") * 1000000 + 0.5) / 1000000).as("tfidf"))
-      .orderBy(col("doc_id"), col("tfidf").desc, col("token"))
   }
 
   /** Misra-Gries heavy hitters over a token column: single-pass candidates

@@ -975,7 +975,6 @@ object Dedup extends QueryModule {
         expr("div(bal_enc, 1000000000000L)").as("bal_prio"),
         expr("CAST(substring(seg_enc, 1, 1) AS BIGINT)").as("seg_prio"),
         col("n_feeds"))
-      .orderBy(col("c_custkey"))
   }
 
   /** Cross-source duplication matrix — the "which crawls duplicate which"

@@ -124,7 +124,6 @@ object EventAnalytics extends QueryModule {
         .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("tus")),
       keyCol = "user_id", timeCol = "tus", tieCol = "event_id",
       gap = 30L * 60 * 1000000)
-      .orderBy(col("user_id"), col("sess_id"))
 
   /** Library form of gaps-and-islands sessionization over any keyed event
     * table: rows sort per key on `timeCol` (ties broken on `tieCol`), a new
@@ -174,7 +173,6 @@ object EventAnalytics extends QueryModule {
       .agg(count(lit(1)).as("n_day"), sum(col("vc")).as("vc_day"))
     gapfillDaily(daily, keyCol = "user_id", dateCol = "d",
       countCol = "n_day", valueCol = "vc_day")
-      .orderBy(col("user_id"), col("d"))
   }
 
   /** Library form of the calendar densify + forward fill over any
@@ -248,7 +246,6 @@ object EventAnalytics extends QueryModule {
             "CAST(vp * datediff(dn, d) + vn * datediff(d, dp) AS DOUBLE)" +
               " / CAST(datediff(dn, dp) * 100 AS DOUBLE)")).as("value"),
         col("vc_day").isNull.cast("int").as("interp"))
-      .orderBy(col("user_id"), col("d"))
   }
 
   /** Path analysis: the most common within-session event-type journeys
@@ -305,7 +302,6 @@ object EventAnalytics extends QueryModule {
         count(lit(1)).as("n_events"))
       .withColumn("valid_to", lead(col("valid_from"), 1).over(wVer))
       .withColumn("is_current", col("valid_to").isNull)
-      .orderBy(col("user_id"), col("version"))
   }
 
   /** Point-in-time snapshot from the SCD2 history: every user's state as
@@ -346,7 +342,6 @@ object EventAnalytics extends QueryModule {
         .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("tus")),
       keyCol = "user_id", timeCol = "tus", tieCol = "event_id",
       gap = 10L * 60 * 1000000)
-      .orderBy(col("user_id"), col("event_id"))
 
   /** Library form of the chained throttle over any (key, id, time) table:
     * per key, keep a row iff more than `gap` has passed since the last

@@ -55,7 +55,6 @@ object FeaturePrep extends QueryModule {
       .select(col("event_id"), col("event_type"), col("value"),
         round((col("vc").cast("double") - col("mean_c")) / col("std_c"), 6).as("z_score"),
         round(expr("CAST(vc - mn AS DOUBLE) / CAST(mx - mn AS DOUBLE)"), 6).as("minmax"))
-      .orderBy(col("event_id"))
   }
 
   /** Recency-decayed engagement score per user: each event contributes its
@@ -185,7 +184,6 @@ object FeaturePrep extends QueryModule {
         (col("offset") + col("r_in") - 1).cast("double") / (col("n") - 1).cast("double")
           * 1000000 + 0.5) / 1000000)
       .select(col("event_id"), col("event_type"), col("value"), col("q"))
-      .orderBy(col("event_id"))
   }
 
   /** Leave-one-out target encoding of a categorical feature — the
@@ -231,7 +229,6 @@ object FeaturePrep extends QueryModule {
           """CAST((s_seg - cents) * n_all + 100 * s_all AS DOUBLE)
             | / CAST((CAST(n_seg - 1 + 100 AS DECIMAL(38,0))) * n_all AS DOUBLE) / 100.0"""
             .stripMargin), 6).as("smooth_enc"))
-      .orderBy(col("o_orderkey"))
   }
 
   /** Weight-of-evidence encoding + information value — [[qTargetEncode]]'s
@@ -319,7 +316,6 @@ object FeaturePrep extends QueryModule {
         Window.partitionBy(col("u")).orderBy(col("k"))))
       .filter(col("rk") <= 8)
       .select(col("u"), col("rk"), col("k"), col("item").as("neg_item"))
-      .orderBy(col("u"), col("rk"))
   }
 
   /** Distributed GBDT split finder — ONE boosting round's histogram pass,

@@ -38,7 +38,6 @@ object Functions extends QueryModule {
         translate(col("c_mktsegment"), "AEIOU", "aeiou").as("vowels_low"),
         reverse(col("c_mktsegment")).as("seg_rev"),
         repeat(lit("-"), (col("c_custkey") % 5).cast("int")).as("dashes"))
-      .orderBy(col("c_custkey"))
 
   /** Date/time family on the engine-agreeing subset. */
   def qFnDate(spark: SparkSession, dir: String): DataFrame =
@@ -53,7 +52,6 @@ object Functions extends QueryModule {
         date_add(to_date(col("o_orderdate")), 30).as("due_date"),
         datediff(lit("1998-12-31").cast("date"), to_date(col("o_orderdate")))
           .as("days_to_eoy"))
-      .orderBy(col("o_orderkey"))
 
   /** Math family: rounding, powers, logs, clamps. */
   def qFnMath(spark: SparkSession, dir: String): DataFrame =
@@ -68,7 +66,6 @@ object Functions extends QueryModule {
         round(log(col("l_extendedprice") + 1), 6).as("price_ln"),
         greatest(col("l_tax"), col("l_discount")).as("max_rate"),
         least(col("l_tax"), col("l_discount")).as("min_rate"))
-      .orderBy(col("l_orderkey"), col("l_linenumber"))
 
   /** Bitwise family over the event ids: masks, flags, xor-mixing, shifts,
     * popcount, hex rendering — the ID-manipulation toolkit (shard routing,
@@ -84,7 +81,6 @@ object Functions extends QueryModule {
         shiftright(col("event_id"), 2).as("shifted_r"),
         bit_count(col("event_id")).as("popcount"),
         lower(hex(col("event_id"))).as("id_hex"))
-      .orderBy(col("event_id"))
 
   /** Hash family over document text: the content-addressing toolkit —
     * md5 / sha256 hex digests (partition keys, dedup ids, cache keys) and
@@ -143,7 +139,6 @@ object Functions extends QueryModule {
         element_at(
           expr("str_to_map(regexp_replace(props, '[{}\" ]', ''), ',', ':')"),
           "k").cast("int").as("k_map"))
-      .orderBy(col("event_id"))
 
   /** R3 flatten: build the 4-level nested struct shape (municipio →
     * microrregiao → mesorregiao → UF analog) then flatten to dot-named
@@ -162,7 +157,6 @@ object Functions extends QueryModule {
         col("municipio.sub.id").as("municipio.sub.id"),
         col("municipio.sub.detalhe.valor").as("municipio.sub.detalhe.valor"),
         col("municipio.sub.detalhe.k").as("municipio.sub.detalhe.k"))
-      .orderBy(col("event_id"))
 
   /** R4 stamp: the batch-constant ingestion timestamp (literal for oracle
     * determinism; production path uses current_timestamp()). */
@@ -205,7 +199,6 @@ object Functions extends QueryModule {
       .select(col("doc_id"), posexplode(split(lower(trim(col("text"))), " ")))
       .select(col("doc_id"), (col("pos") + 1).cast("long").as("pos"),
         col("col").as("token"))
-      .orderBy(col("doc_id"), col("pos"))
 
   /** MapType family: parse the props payload into a real MAP column, grow
     * it (map_concat), look up (element_at), prune (map_filter), rewrite
@@ -226,7 +219,6 @@ object Functions extends QueryModule {
         expr("array_join(array_sort(map_keys(map_filter(m, (k, v) -> k <> 'k'))), ',')")
           .as("keys_no_k"),
         expr("element_at(transform_values(m, (k, v) -> upper(v)), 'type')").as("type_upper"))
-      .orderBy(col("event_id"))
 
   /** Morton (Z-order) clustering key over two dimensions — the integer
     * arithmetic behind [[Scale.zorderBy]]'s multi-dimensional data-skipping
@@ -283,7 +275,6 @@ object Functions extends QueryModule {
         // wrong-type extraction NULLs under try_, never throws
         try_variant_get(col("var"), "$.et", "int").as("et_as_int"),
         variant_get(col("var"), "$.missing", "string").as("absent"))
-      .orderBy(col("event_id"))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_fn_variant" -> (qFnVariant _),

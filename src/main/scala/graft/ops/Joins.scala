@@ -48,7 +48,6 @@ object Joins extends QueryModule {
       .groupBy(col("c_custkey"), col("c_name"))
       .agg(count(col("o_orderkey")).as("n_orders"),
         round(coalesce(sum(col("o_totalprice")), lit(0.0)), 2).as("total_spent"))
-      .orderBy(col("c_custkey"))
   }
 
   /** Fact ⋈ broadcast(dim chain): nation and region ship to every executor —
@@ -134,7 +133,6 @@ object Joins extends QueryModule {
       .filter(col("rn") === 1)
       .select(col("l_orderkey"), col("l_linenumber"),
         to_date(col("l_shipdate")).as("asof_date"), col("l_quantity"))
-      .orderBy(col("l_orderkey"))
   }
 
   /** Full outer join of two filtered per-nation aggregates: nations rich in
@@ -236,7 +234,6 @@ object Joins extends QueryModule {
       .filter(col("rn") === 1)
       .select(col("l_orderkey"), col("l_linenumber"),
         to_date(col("l_shipdate")).as("nearest_ship"), col("days_off"))
-      .orderBy(col("l_orderkey"))
   }
 
   /** Interval-overlap self-join WITHOUT a cartesian: pairs of same-supplier
@@ -254,6 +251,11 @@ object Joins extends QueryModule {
     * pairs. */
   def qJoinInterval(spark: SparkSession, dir: String): DataFrame = {
     val epoch = lit("1970-01-01").cast("date")
+    // NOT checkpointed (round-10 A/B): both self-join sides re-derive the
+    // scan + 3× explode, but materializing the replicated frame measured
+    // neutral-to-worse isolated (3.02 s old vs 3.05–3.66 s checkpointed) —
+    // the cheap scan+explode re-run beats writing 1.8M rows to the
+    // checkpoint store and reading them back twice
     val rep = Tables.lineitem(spark, dir)
       .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
         datediff(to_date(col("l_shipdate")), epoch).as("sd"))

@@ -313,7 +313,6 @@ object Multimodal extends QueryModule {
         when(col("da") < col("db"), col("ha")).otherwise(col("hb")).as("h1"),
         when(col("da") < col("db"), col("hb")).otherwise(col("ha")).as("h2"),
         col("hamming"))
-      .orderBy(col("d1"), col("d2"))
   }
 
   final case class DocHist16(doc_id: Long, hist: Array[Long], total: Long)

@@ -417,12 +417,17 @@ object Profiling extends QueryModule {
         .agg(max(when(expr("rn = CAST(ceil(n * 0.5) AS BIGINT)"), col(valueCol)))
           .as(s"med_$valueCol"))
     }
+    // checkpointed: each discMedian pass consumes its input twice (chunk
+    // offsets + rank join) and `cents` additionally feeds the deviation
+    // join — uncheckpointed the events scan was planted 9× (round-10 plan)
     val cents = Tables.events(spark, dir)
       .select(col("event_type"), col("event_id"),
         expr("CAST(round(value * 100) AS BIGINT)").as("c"))
+      .localCheckpoint(eager = false)
     val med = discMedian(cents, "c")
     val devs = cents.join(broadcast(med), "event_type")
       .withColumn("dev", abs(col("c") - col("med_c")))
+      .localCheckpoint(eager = false) // feeds the MAD pass AND the final census
     val mad = discMedian(devs.select(col("event_type"), col("event_id"), col("dev")),
       "dev")
     devs.join(broadcast(mad), "event_type")

@@ -55,7 +55,6 @@ object Relational extends QueryModule {
   def qScan(spark: SparkSession, dir: String): DataFrame =
     Tables.lineitem(spark, dir)
       .withColumn("l_shipdate", to_date(col("l_shipdate")))
-      .orderBy(col("l_orderkey"), col("l_linenumber"))
 
   /** Projection + rename + derived column. */
   def qProject(spark: SparkSession, dir: String): DataFrame =
@@ -66,7 +65,6 @@ object Relational extends QueryModule {
       .select(col("l_orderkey"), col("l_linenumber"),
         (col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"),
         col("l_returnflag").as("flag"))
-      .orderBy(col("l_orderkey"), col("l_linenumber"))
 
   /** Predicate family: comparison, BETWEEN, IN, LIKE, AND/OR. */
   def qFilter(spark: SparkSession, dir: String): DataFrame =
@@ -77,7 +75,6 @@ object Relational extends QueryModule {
         && (col("l_linestatus").like("O%") || col("l_discount") > 0.05))
       .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
         col("l_returnflag"), col("l_discount"))
-      .orderBy(col("l_orderkey"), col("l_linenumber"))
 
   /** R5: drop rows where ANY of the subset columns is null
     * (reference dags/create-data-lake.py:73 — dropna(subset=[city, code])).
@@ -88,7 +85,6 @@ object Relational extends QueryModule {
       .withColumn("code_like", expr("nullif(l_partkey % 7, 0)"))
       .na.drop("any", Seq("city_like", "code_like"))
       .select(col("l_orderkey"), col("l_linenumber"), col("city_like"), col("code_like"))
-      .orderBy(col("l_orderkey"), col("l_linenumber"))
 
   /** R6: '', ' ', NULL → 0.0 on a rate column
     * (reference dags/create-data-lake.py:74-79). */
@@ -103,7 +99,6 @@ object Relational extends QueryModule {
         when(col("raw_rate").isNull || trim(col("raw_rate")) === "", lit(0.0))
           .otherwise(col("raw_rate").cast("double")))
       .select(col("l_orderkey"), col("l_linenumber"), col("rate_filled"))
-      .orderBy(col("l_orderkey"), col("l_linenumber"))
 
   /** CASE WHEN bucketing + grouped rollup. */
   def qCase(spark: SparkSession, dir: String): DataFrame =
@@ -144,7 +139,6 @@ object Relational extends QueryModule {
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1)
       .select(col("l_orderkey"), col("l_partkey"), col("l_quantity"))
-      .orderBy(col("l_orderkey"))
   }
 
   /** Global multi-key sort, mixed direction. Spark plans a range-partitioned
@@ -185,7 +179,6 @@ object Relational extends QueryModule {
       .select((col("o_orderkey") + lit(100000000L)).as("o_orderkey"),
         lit("N").as("o_orderstatus"), col("o_totalprice"))
     mergeByKey(base, updates.unionByName(inserts), "o_orderkey")
-      .orderBy(col("o_orderkey"))
   }
 
   /** Library form of MERGE INTO: `changes` rows replace same-key `base`

@@ -247,7 +247,13 @@ object Similarity extends QueryModule {
     * comparison joins two ≤ cap×5-row pages on (qid, vec_id). Nothing
     * new shuffles at corpus size. */
   def qAnnRecall(spark: SparkSession, dir: String): DataFrame = {
+    // checkpointed: `exact` feeds the hits join AND the per-query census —
+    // uncheckpointed, the ENTIRE brute-force serving chain (qKnnJoin's
+    // corpus scan + rank) was planted twice (round-10 plan: 12 embeddings
+    // scans, 58 exchanges for this one key). Both checkpoints are
+    // page-sized (≤ 64·5 rows / ≤ 64 rows).
     val exact = qKnnJoin(spark, dir).select(col("qid"), col("vec_id"))
+      .localCheckpoint(eager = false)
     val served = qAnnIvfBatch(spark, dir)
       .select(col("qid").as("q2"), col("vec_id").as("v2"))
     val hits = exact
@@ -257,6 +263,7 @@ object Similarity extends QueryModule {
       .join(hits, Seq("qid"), "left")
       .na.fill(0L, Seq("n_hit"))
       .withColumn("recall_ppm", expr("div(1000000 * n_hit, n_exact)"))
+      .localCheckpoint(eager = false) // feeds the mean AND the output join
     val mean = per.agg(
       expr("CAST(div(sum(recall_ppm), count(1)) AS BIGINT)").as("mean_recall_ppm"))
     per.crossJoin(broadcast(mean))
@@ -839,7 +846,6 @@ object Similarity extends QueryModule {
           * 1000000 + 0.5) / 1000000)
       .filter(col("cos") >= 0.35)
       .select(col("doc_a"), col("doc_b"), col("cos"))
-      .orderBy(col("doc_a"), col("doc_b"))
   }
 
   /** k-NN majority-vote classification — the serving-side op on top of
@@ -1091,9 +1097,17 @@ object Similarity extends QueryModule {
     * pre-filtered to 64-dim nonzero): LSH-bucket seed top-4, then
     * neighbor-of-neighbor rescore, the [[qAnnNndescent]] chain verbatim.
     * `nn1` is NOT checkpointed here — single-consumer callers stream it,
-    * multi-consumer callers (beam serving) checkpoint it themselves. */
-  private[ops] def knnGraphParts(vectors: DataFrame): KnnParts = {
+    * multi-consumer callers (beam serving) checkpoint it themselves.
+    * `report = true` (the nndescent certificate) ADDITIONALLY checkpoints
+    * the candidate frames, which that key both counts and scores; serving
+    * callers ([[qAnnGraphServe]], [[KnnGraphIndex]]) consume each
+    * candidate frame exactly once, so for them the checkpoint was a pure
+    * extra materialization pass (round-10 measurement). */
+  private[ops] def knnGraphParts(vectors: DataFrame,
+      report: Boolean = false): KnnParts = {
     import org.apache.spark.sql.expressions.Window
+    def cpIfReport(df: DataFrame): DataFrame =
+      if (report) df.localCheckpoint(eager = false) else df
     val base = vectors
       .select(col("vec_id"), col("embedding"),
         expr(signCode6(0)).as("code_a"), expr(signCode6(8)).as("code_b"))
@@ -1110,17 +1124,17 @@ object Similarity extends QueryModule {
       base.select(col("vec_id").as("a"), col(c).as("code"))
         .join(base.select(col("vec_id").as("b"), col(c).as("code")), "code")
         .filter(col("a") =!= col("b")).select(col("a"), col("b"))
-    val cand0 = bucketPairs("code_a").unionByName(bucketPairs("code_b")).distinct()
-      .localCheckpoint(eager = false) // counted AND scored
+    val cand0 = cpIfReport(
+      bucketPairs("code_a").unionByName(bucketPairs("code_b")).distinct())
     val nn0 = topk(cand0).localCheckpoint(eager = false) // graph + next round
     // symmetrize, then neighbors-of-neighbors through the shared endpoint
     val u = nn0.unionByName(nn0.select(col("b").as("a"), col("a").as("b")))
       .distinct().localCheckpoint(eager = false)
-    val cand1 = u.select(col("a"), col("b").as("m"))
-      .join(u.select(col("a").as("m"), col("b")), "m")
-      .filter(col("a") =!= col("b")).select(col("a"), col("b"))
-      .unionByName(u).distinct()
-      .localCheckpoint(eager = false)
+    val cand1 = cpIfReport(
+      u.select(col("a"), col("b").as("m"))
+        .join(u.select(col("a").as("m"), col("b")), "m")
+        .filter(col("a") =!= col("b")).select(col("a"), col("b"))
+        .unionByName(u).distinct())
     val nn1 = topk(cand1)
     KnnParts(base, cand0, nn0, cand1, nn1)
   }
@@ -1147,7 +1161,7 @@ object Similarity extends QueryModule {
     graft.functions.CosineSimilarity.register(spark)
     val parts = knnGraphParts(Tables.embeddings(spark, dir)
       .filter(size(col("embedding")) === 64 && expr(normSqExpr) > 0)
-      .select(col("vec_id"), col("embedding")))
+      .select(col("vec_id"), col("embedding")), report = true)
     val KnnParts(base, cand0, nn0, cand1, nn1) = parts
     val vb = base.select(col("vec_id").as("b"), col("embedding").as("vb"))
     // exact ground truth on a CONSTANT-size query batch (first
@@ -1239,9 +1253,13 @@ object Similarity extends QueryModule {
   private[graft] def graphServeUncheckpointed(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     graft.functions.CosineSimilarity.register(spark)
+    // report = true: the twin pins the HOP joins' shape, so the BUILD
+    // half stays behind its checkpoints exactly as it did before the
+    // round-10 serving-path change (PlanSpec reads this plan; the
+    // production key below runs the cheaper non-report build)
     val parts = knnGraphParts(Tables.embeddings(spark, dir)
       .filter(size(col("embedding")) === 64 && expr(normSqExpr) > 0)
-      .select(col("vec_id"), col("embedding")))
+      .select(col("vec_id"), col("embedding")), report = true)
     val queries = parts.base.filter(servingBatchPred)
       .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
     val visited = beamSearch(parts.nn1,

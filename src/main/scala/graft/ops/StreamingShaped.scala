@@ -25,7 +25,6 @@ object StreamingShaped extends QueryModule {
       .groupBy(window(col("ts"), "10 minutes").as("w"), col("event_type"))
       .agg(count(lit(1)).as("n"), round(sum(col("value")), 4).as("sum_value"))
       .select(col("w.start").as("wstart"), col("event_type"), col("n"), col("sum_value"))
-      .orderBy(col("wstart"), col("event_type"))
 
   /** Sliding window: 10-minute width, 5-minute slide — every event lands in
     * exactly two windows. */
@@ -34,7 +33,6 @@ object StreamingShaped extends QueryModule {
       .groupBy(window(col("ts"), "10 minutes", "5 minutes").as("w"), col("event_type"))
       .agg(count(lit(1)).as("n"))
       .select(col("w.start").as("wstart"), col("event_type"), col("n"))
-      .orderBy(col("wstart"), col("event_type"))
 
   /** Session windows per user, 5-minute inactivity gap. Output bounds follow
     * Spark's session semantics: end = last event + gap. */
@@ -44,7 +42,6 @@ object StreamingShaped extends QueryModule {
       .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 4).as("sum_value"))
       .select(col("user_id"), col("w.start").as("session_start"),
         col("w.end").as("session_end"), col("n_events"), col("sum_value"))
-      .orderBy(col("user_id"), col("session_start"))
 
   /** Stream-stream interval join, batch twin: every view matched to the
     * same user's purchases within [0, 10 min] after it — the

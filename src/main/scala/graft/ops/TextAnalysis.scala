@@ -558,6 +558,9 @@ object TextAnalysis extends QueryModule {
       .withColumn("run", sum(when(col("stop"), 1L).otherwise(0L)).over(byDoc))
       .filter(!col("stop"))
       .withColumn("plen", count(lit(1)).over(byRun))
+      // feeds the word-score rollup AND the scoring join — uncheckpointed
+      // the posexplode + two windows ran twice (round-10 plan: 2 scans)
+      .localCheckpoint(eager = false)
     val wstats = members.groupBy(col("w"))
       .agg(count(lit(1)).as("freq"), sum(col("plen")).as("deg"))
       .withColumn("wscore_ppm", expr("div(1000000 * deg, freq)"))
@@ -599,7 +602,6 @@ object TextAnalysis extends QueryModule {
       .select(col("doc_id"), col("chunk_idx"), col("start_pos"),
         size(col("_ctoks")).cast("bigint").as("n_tokens"),
         array_join(col("_ctoks"), " ").as("chunk"))
-      .orderBy(col("doc_id"), col("chunk_idx"))
 
   /** Winnowing document fingerprints (Schleimer, Wilkerson & Aiken 2003,
     * the MOSS algorithm) — the guarantee-carrying fingerprint selector:

@@ -66,7 +66,6 @@ object Windows extends QueryModule {
       .select(col("user_id"), col("event_id"),
         round(col("value") - coalesce(lag(col("value"), 1).over(w), lit(0.0)), 4)
           .as("delta"))
-      .orderBy(col("user_id"), col("event_id"))
   }
 
   /** Running total per user (last_available_confirmed shape). */
@@ -76,7 +75,6 @@ object Windows extends QueryModule {
     Tables.events(spark, dir)
       .select(col("user_id"), col("event_id"),
         round(sum(col("value")).over(w), 4).as("running_total"))
-      .orderBy(col("user_id"), col("event_id"))
   }
 
   /** 7-row moving average per user (7-day epidemiological smoothing shape). */
@@ -86,7 +84,6 @@ object Windows extends QueryModule {
     Tables.events(spark, dir)
       .select(col("user_id"), col("event_id"),
         round(avg(col("value")).over(w), 4).as("movavg7"))
-      .orderBy(col("user_id"), col("event_id"))
   }
 
   /** Time-RANGE frame: per user, the trailing-1-hour event count and value
@@ -105,7 +102,6 @@ object Windows extends QueryModule {
       .select(col("user_id"), col("event_id"),
         count(lit(1)).over(w).as("n_trail"),
         (sum(col("vc")).over(w).cast("double") / 100.0).as("sum_trail"))
-      .orderBy(col("user_id"), col("event_id"))
   }
 
   /** Latest row per key (is_last snapshot semantics; core of q_asof). */
@@ -126,7 +122,6 @@ object Windows extends QueryModule {
       .select(col("c_mktsegment"), col("c_custkey"),
         ntile(4).over(w).as("quartile"),
         round(percent_rank().over(w), 6).as("pct_rank"))
-      .orderBy(col("c_mktsegment"), col("c_custkey"))
   }
 
   /** Top-3 customers by balance per nation: the scalable top-k-per-group —
@@ -290,7 +285,6 @@ object Windows extends QueryModule {
       .join(broadcast(offsets), Seq("event_type", "bucket"))
       .select(col("event_id"), col("event_type"),
         (col("offset") + col("run_in_bucket")).as("distinct_users_so_far"))
-      .orderBy(col("event_type"), col("event_id"))
   }
 
   /** Trailing-15-row exact rolling median per user: the frame's values as a
@@ -308,7 +302,6 @@ object Windows extends QueryModule {
         // rounds half-even, so only explicit floor division agrees
         round(expr("element_at(arr, CAST((size(arr) + 1) div 2 AS INT))"), 4)
           .as("rolling_median"))
-      .orderBy(col("user_id"), col("event_id"))
   }
 
   /** Trailing-16 exponentially weighted moving average in EXACT dyadic
@@ -331,7 +324,6 @@ object Windows extends QueryModule {
             |  transform(arr, (x, i) -> CAST(x AS DOUBLE) * pow(2.0, -(size(arr) - i))),
             |  CAST(0.0 AS DOUBLE), (acc, v) -> acc + v) / 100.0""".stripMargin)
           .as("ewma"))
-      .orderBy(col("user_id"), col("event_id"))
   }
 
   /** Rolling 7-day OLS trend slope of each event type's daily value total —

@@ -11,6 +11,20 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The bench/verify drivers parse ONE JSON line from this process's stdout.
+// sbt's default LoggedOutput relays the forked JVM's stdout through its
+// logger, prefixing every line with "[info] " — which is NOT valid JSON and
+// is the prime suspect for three rounds of BENCH_rXX "parsed": null (r10's
+// tail shows the complete JSON line present, prefixed, unparsed).
+// StdoutOutput passes the forked process's stdout through verbatim.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+// ...and the trailing "[success] Total time: …" line lands AFTER the JSON
+// (the other suspect: a parser that reads the LAST line gets sbt's banner,
+// not the contract line). Suppress it so the JSON is the final stdout line.
+Global / showSuccess := false
+// showSuccess is consumed by sbt's command layer, which the lintUnused
+// check cannot see — exclude it so startup stays free of [warn] noise.
+Global / excludeLintKeys += showSuccess
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -4,14 +4,24 @@ import java.lang.management.ManagementFactory
 import java.nio.file.{Files, Paths}
 
 /** Headline benchmark. Stdout contract (driver-parsed): ONE JSON line
-  * `{"metric":"total","value":N,"unit":"sec","total_sec":N,"n":…,
-  * "n_errors":…,"errors":[…≤8…],"sf":…}` — TOTALS ONLY, <200 bytes,
-  * because the driver retains just the last 2000 bytes of stdout and a
-  * 314-key per-query map (~7 KB) truncates mid-line and parses as null
-  * (the BENCH_r08/r09 failure). Every per-query number — both timing
-  * samples, GC-time deltas, JVM counters, and the optional
-  * concurrent-families pass — goes to `bench_full.json` in the working
-  * directory, so no measurement is ever lost to stdout truncation.
+  * `{"metric":"total","value":N,"unit":"sec","queries":{"name":sec,…},
+  * "sf":…,"total_sec":N,"n":…,"n_errors":…,"errors":[…≤8…]}` — the FULL
+  * per-query map, printed as the ABSOLUTE LAST stdout act (after
+  * spark.stop(), log level ERROR, flushed). History of the three
+  * "parsed": null rounds and why this shape: r08/r09 printed the map and
+  * parsed null; r09's ask shrank the line to totals-only (<200 bytes,
+  * provably complete inside the driver's recorded 2000-byte tail) and r10
+  * STILL parsed null — so truncation was never the cause. What every
+  * failed round shared: sbt's LoggedOutput prefixed the line with
+  * "[info] " (not valid JSON) and sbt's "[success] Total time…" banner
+  * landed after it. build.sbt now passes forked stdout through verbatim
+  * (StdoutOutput) and suppresses the banner (showSuccess := false), and
+  * the per-query map — which the driver's round-over-round differ and
+  * scaling table need — is restored. Every per-query number (both timing
+  * samples, GC-time deltas, JVM counters, the optional concurrent pass)
+  * ALSO goes to `bench_full.json` plus a core-count-stamped copy
+  * (`bench_full_c<cpus>.json`), so the driver's 8-core rerun can no
+  * longer clobber its 32-core per-query data.
   *
   * Env knobs: SPARK_GRAFT_SF_DIR (data), SPARK_GRAFT_CPUS (local[N] +
   * shuffle partitions), SPARK_GRAFT_BENCH_THREADS (>1 enables the
@@ -50,7 +60,11 @@ object Bench {
       else SparkEntry.queries.filter { case (k, _) => only(k) }
     val spark = GraftSession.buildLocal(cpus, "graft-bench",
       extraConf = Map("spark.scheduler.mode" -> "FAIR"))
-    spark.sparkContext.setLogLevel("WARN")
+    // ERROR, not WARN: the driver's stdout capture is a bounded tail, and
+    // benign per-query WARNs (WindowExec on audited vocabulary-bounded
+    // frames, see SURVEY §6.4) flooded the r10 tails with thousands of
+    // lines. The contract line must be the last thing stdout sees.
+    spark.sparkContext.setLogLevel("ERROR")
     // noop sink: forces full evaluation of every column (count() would let
     // Catalyst prune the whole projection and measure only the scan).
     def run(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Unit =
@@ -146,12 +160,6 @@ object Bench {
         import scala.jdk.CollectionConverters._
         Some((wall, famTimes.asScala.toSeq.sortBy(_._1)))
       }
-    // The driver keeps only the LAST 2000 BYTES of stdout (BENCH_r09's
-    // "tail" is exactly 2000 chars starting mid-line — which is why two
-    // rounds of per-query stdout maps parsed as null even after the
-    // ms-precision shrink: 314 keys × ~20 bytes ≈ 7 KB). The stdout line
-    // is therefore TOTALS-ONLY (<200 bytes, can never truncate); every
-    // per-query number lives in bench_full.json.
     val errors = results.collect { case s if s.min < 0 => "\"" + s.name + "\"" }
       .take(8).mkString("[", ",", "]")
     val nErrors = results.count(_.min < 0)
@@ -176,6 +184,16 @@ object Bench {
          |"concurrent":$concJson}""".stripMargin
     Files.writeString(
       Paths.get(if (only.isEmpty) "bench_full.json" else "bench_only.json"), full)
+    // Core-count-stamped copy (full runs only): the driver benches the same
+    // tree at 32 and then 8 cores, and the second run used to overwrite the
+    // first's per-query data in bench_full.json — the r10 scaling-evidence
+    // loss. SPARK_GRAFT_BENCH_OUT additionally names an arbitrary durable
+    // path (round-stamped baseline/final copies) the driver never touches.
+    if (only.isEmpty)
+      Files.writeString(Paths.get(s"bench_full_c$cpus.json"), full)
+    sys.env.get("SPARK_GRAFT_BENCH_OUT").foreach { out =>
+      Files.writeString(Paths.get(out), full)
+    }
     // Durable home for the concurrent-families evidence: the driver's own
     // sequential rerun OVERWRITES bench_full.json each round (the round-7
     // lesson — the builder's 4-thread pass vanished under it), so when
@@ -188,7 +206,18 @@ object Bench {
           s"""{"sf":"$sfDir","cpus":$cpus,"sequential_total_sec":${jsonNum(total)},
              |"concurrent":$concJson}""".stripMargin)
     }
-    println(s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","total_sec":${f"$total%.3f"},"n":${results.size},"n_errors":$nErrors,"errors":$errors,"sf":"$sfDir"}""")
+    // Contract line LAST: stop Spark first so no shutdown log can land
+    // after the JSON, then print and flush. "queries" is the per-query map
+    // (min-of-two seconds, ms precision; a failed query reports -1 and is
+    // named in "errors") — the driver's differ and scaling table read it.
+    // "sf" is the numeric scale factor when the dir name carries one
+    // (sf0.1 → 0.1), else the dir string.
     spark.stop()
+    val qmap = results
+      .map(s => s""""${s.name}":${f"${s.min}%.3f"}""").mkString("{", ",", "}")
+    val sfJson = "sf([0-9.]+)/*$".r.findFirstMatchIn(sfDir)
+      .map(_.group(1)).getOrElse("\"" + sfDir + "\"")
+    println(s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":$qmap,"sf":$sfJson,"total_sec":${f"$total%.3f"},"n":${results.size},"n_errors":$nErrors,"errors":$errors}""")
+    System.out.flush()
   }
 }

@@ -18,7 +18,10 @@ object Verify {
     }
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = GraftSession.buildLocal(cpus, "graft-verify")
-    spark.sparkContext.setLogLevel("WARN")
+    // ERROR, not WARN: the audited-but-chatty WindowExec warnings (SURVEY
+    // §6.5) flooded driver tails; [verify]-prefixed diagnostics below are
+    // explicit stderr prints and unaffected.
+    spark.sparkContext.setLogLevel("ERROR")
     new java.io.File(outDir).mkdirs()
     val failed = scala.collection.mutable.ListBuffer.empty[(String, String)]
     val selected = SparkEntry.queries

@@ -120,6 +120,14 @@ object Dedup extends QueryModule {
     * table. */
   def nearDupPairsRaw(docs: DataFrame): DataFrame = {
     val sh = shingleTable(docs).localCheckpoint(eager = false)
+    // postings deliberately NOT checkpointed (r11 A/B): both self-join
+    // sides replay the df rollup + stop-shingle join from the shingle
+    // cache, but the two replays run as parallel sibling branches and
+    // measured CHEAPER than materializing the postings frame — isolated
+    // min-of-6 at sf0.1: q_dedup_near flat (2.26 → 2.22 s) while the
+    // downstream consumers regressed (q_dedup_survivors 2.18 → 2.50 s,
+    // q_corpus_filter 2.12 → 2.30 s) under the extra block-manager
+    // traffic. Same verdict class as the r10 q_join_interval rejection.
     val postings = rarePostings(sh)
     val a = postings.select(col("shingle"), col("doc_id").as("d1"))
     val b = postings.select(col("shingle"), col("doc_id").as("d2"))
@@ -363,8 +371,16 @@ object Dedup extends QueryModule {
     // (the per-round neighbor-lookup key) via PartitionedCheckpoint, so —
     // as in qPagerank — each round's join starts from two pre-placed,
     // pre-sorted sides instead of re-exchanging the edge list every time.
+    // Symmetrized by EXPLODE, not union-of-two-selects: the union planted
+    // the WHOLE near-dup pipeline (shingle checkpoint + df filter +
+    // posting self-join + Jaccard) once per orientation inside the
+    // checkpoint's materialization job — the r11 Graph-family fix applied
+    // here (row set identical: union all ≡ explode of both orientations).
     val edges = graft.plans.PartitionedCheckpoint.byKey(
-      pairs.union(pairs.select(col("d2").as("d1"), col("d1").as("d2"))), "d2", parts)
+      pairs.select(explode(array(
+        struct(col("d1"), col("d2")),
+        struct(col("d2").as("d1"), col("d1").as("d2")))).as("e"))
+        .select(col("e.d1").as("d1"), col("e.d2").as("d2")), "d2", parts)
     var labels = graft.plans.PartitionedCheckpoint.byKey(
       edges.select(col("d1").as("doc_id")).distinct()
         .withColumn("cluster_id", col("doc_id")),
@@ -1022,11 +1038,16 @@ object Dedup extends QueryModule {
     * multiset (a map-side-combinable MIN rollup — the same mergeability
     * as [[Profiling.qHllSketch]]'s MAX registers), and for any pair the
     * match fraction of the 32 minima is an unbiased Jaccard estimate —
-    * computed WITHOUT touching the corpus again. The exact side
-    * (distinct-membership shingle equi-join, per-key fanout bounded by
-    * |sources|²) exists because this is a certificate; at 100 TB only the
-    * sketch tier runs, and "which sources duplicate each other" costs
-    * |sources|·k cells instead of a cross-source shingle join. This is
+    * computed WITHOUT touching the corpus again. Everything — minima,
+    * set sizes, AND the exact tier — derives from ONE corpus-sized
+    * exchange: `groupBy(shingle).agg(array_sort(collect_set(source)))`
+    * (the round-10 replan); per-source minima and sizes come from an
+    * exploded rollup of that vocabulary-sized table, and the exact
+    * pairwise intersection census from PAIR ARITHMETIC over each
+    * shingle's sorted source set (|srcs| ≤ |sources|, a small constant).
+    * The exact tier exists because this is a certificate; at 100 TB only
+    * the sketch tier runs, and "which sources duplicate each other"
+    * costs |sources|·k cells instead of any cross-source join. This is
     * the source-level SKETCH tier above [[qDupCrossSource]]'s exact
     * cluster arithmetic.
     *

@@ -162,7 +162,14 @@ object Graph extends QueryModule {
     val parts = spark.sessionState.conf.numShufflePartitions
     // degree folded INTO the edge table once, before the loop — each
     // iteration then runs exactly one join + one aggregation instead of two
-    // joins (measured ~1/3 of the per-iteration time at sf0.1)
+    // joins (measured ~1/3 of the per-iteration time at sf0.1). The e0
+    // double-plant below (degree rollup + join probe, no cross-branch
+    // reuse) was A/B'd in round 11 and KEPT: localCheckpoint(eager=false)
+    // on e0 measured 3.30 s vs 3.11 s (the second build is cheaper than
+    // a corpus-sized materialization here), and folding the degree via
+    // count().over(Window.partitionBy(src)) measured 3.64 s (the window
+    // pays an extra hash+sort pass the join form does not) — isolated
+    // min-of-6 probes each; the join form stands.
     val e0 = edges(spark, dir)
     val deg = e0.groupBy(col("src")).agg(count(lit(1)).as("d"))
     val e = graft.plans.PartitionedCheckpoint.byKey(e0.join(deg, "src"), "src", parts)
@@ -454,7 +461,13 @@ object Graph extends QueryModule {
     * algorithm: every node links its LARGER neighbors to the minimum of its
     * closed neighborhood. One symmetrize + one min-aggregation + one join. */
   private def largeStar(cur: DataFrame): DataFrame = {
-    val sym = cur.union(cur.select(col("v").as("u"), col("u").as("v")))
+    // explode, not union-of-two-selects: cur is a checkpoint, but sym is
+    // consumed twice below (min rollup + join probe) — the union form
+    // scanned the checkpoint cache 4× per round, the explode form 2×.
+    val sym = cur.select(explode(array(
+        struct(col("u"), col("v")),
+        struct(col("v").as("u"), col("u").as("v")))).as("e"))
+      .select(col("e.u").as("u"), col("e.v").as("v"))
     val m = sym.groupBy(col("u"))
       .agg(least(col("u"), min(col("v"))).as("m"))
     sym.join(m, "u")
@@ -552,10 +565,22 @@ object Graph extends QueryModule {
   def qShortestPath(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val parts = spark.sessionState.conf.numShufflePartitions
-    val sym0 = strongEdges(spark, dir)
-    val sym = sym0.select(col("u"), col("v"), col("c"))
-      .union(sym0.select(col("v").as("u"), col("u").as("v"), col("c")))
+    // Symmetrize by EXPLODE, not union-of-two-selects: the union planted
+    // the whole strongEdges pipeline (cappedLines window + self-join +
+    // per-pair count) once per orientation, and the two downstream
+    // consumers (pruned top-8 window, degree rollup) doubled that again —
+    // FOUR corpus-sized pair builds per invocation. The explode emits both
+    // orientations in one pass and the lazy checkpoint makes the two
+    // consumers share it: ONE strongEdges build total (plan pair in
+    // plans/r11/). The row set is identical (union all ≡ explode of both
+    // orientations); sym is the thresholded sparse edge set, cheap to hold.
+    val sym = strongEdges(spark, dir)
+      .select(explode(array(
+        struct(col("u"), col("v"), col("c")),
+        struct(col("v").as("u"), col("u").as("v"), col("c")))).as("e"))
+      .select(col("e.u").as("u"), col("e.v").as("v"), col("e.c").as("c"))
       .withColumn("w", expr("div(1000000L, c) + 1"))
+      .localCheckpoint(eager = false)
     val byW = Window.partitionBy(col("u")).orderBy(col("w"), col("v"))
     val pruned = sym.withColumn("rk", row_number().over(byW))
       .filter(col("rk") <= 8).select(col("u"), col("v"), col("w"))
@@ -600,12 +625,24 @@ object Graph extends QueryModule {
     * independent of the corpus (planted-hub case in GraphSpec); and
     * [[MaxBasketLines]] already caps how much degree any one ORDER can
     * mint, so D itself grows only with genuinely distinct co-purchases. */
-  def qCommunityLpa(spark: SparkSession, dir: String): DataFrame = {
+  /** Symmetrized (directed-double) strong-edge set, hash-placed on `v` for
+    * the LPA join — shared by [[qCommunityLpa]] and [[qGraphModularity]].
+    * Symmetrized by EXPLODE, not union-of-two-selects: the union planted
+    * the whole strongEdges pipeline (cappedLines window + self-join +
+    * per-pair count) once per orientation inside the checkpoint's
+    * materialization job; the explode emits both orientations in one pass —
+    * the row set is identical (union all ≡ explode of both orientations). */
+  private def symStrongByV(spark: SparkSession, dir: String): DataFrame = {
     val parts = spark.sessionState.conf.numShufflePartitions
-    val e0 = strongEdges(spark, dir)
-    val sym = graft.plans.PartitionedCheckpoint.byKey(
-      e0.select(col("u"), col("v"))
-        .union(e0.select(col("v").as("u"), col("u").as("v"))), "v", parts)
+    graft.plans.PartitionedCheckpoint.byKey(
+      strongEdges(spark, dir).select(explode(array(
+        struct(col("u"), col("v")),
+        struct(col("v").as("u"), col("u").as("v")))).as("e"))
+        .select(col("e.u").as("u"), col("e.v").as("v")), "v", parts)
+  }
+
+  def qCommunityLpa(spark: SparkSession, dir: String): DataFrame = {
+    val sym = symStrongByV(spark, dir)
     lpaFromSym(sym, 3).groupBy(col("lbl").as("community"))
       .agg(count(lit(1)).as("n_nodes"), min(col("node")).as("min_node"))
       .orderBy(col("community"))
@@ -673,7 +710,9 @@ object Graph extends QueryModule {
     val eSrc = graft.plans.PartitionedCheckpoint.byKey(
       edges(spark, dir), "src", parts)
     val eDst = graft.plans.PartitionedCheckpoint.byKey(eSrc, "dst", parts)
-    val nodes = eSrc.select(col("src").as("node")).union(eSrc.select(col("dst")))
+    // explode, not union-of-two-selects: one scan of the eSrc checkpoint
+    // instead of two feeding the node-set distinct (same row multiset)
+    val nodes = eSrc.select(explode(array(col("src"), col("dst"))).as("node"))
       .distinct()
     var h = graft.plans.PartitionedCheckpoint.byKey(
       nodes.withColumn("h", lit(1024L)), "node", parts)
@@ -837,11 +876,7 @@ object Graph extends QueryModule {
     * number of communities. Top-10 is a TakeOrdered, the global Q a
     * 1-row broadcast. */
   def qGraphModularity(spark: SparkSession, dir: String): DataFrame = {
-    val parts = spark.sessionState.conf.numShufflePartitions
-    val e0 = strongEdges(spark, dir)
-    val sym = graft.plans.PartitionedCheckpoint.byKey(
-      e0.select(col("u"), col("v"))
-        .union(e0.select(col("v").as("u"), col("u").as("v"))), "v", parts)
+    val sym = symStrongByV(spark, dir)
     val labels = lpaFromSym(sym, 3).localCheckpoint(eager = false)
     val m = sym.agg(count(lit(1)).as("m"))
     val intra = sym

@@ -709,16 +709,33 @@ object Relational extends QueryModule {
     val (v2, compactAttempts) = TxnLog.compactFrom(spark, path, baseVersion = 0L)
     val meta = Map(0L -> ("init", 1), 1L -> ("append", appendAttempts),
       2L -> ("compact", compactAttempts))
-    (0L to v2).map { v =>
+    // Census in ONE pass over the DISTINCT live files (guide §2.4): v0's
+    // four files are all live at v1 too, so the per-version pinned scans
+    // re-read 11 file-scans where only 6 distinct files exist (~2.8 vs
+    // ~2.0 corpus passes). The file→version membership is driver-side
+    // metadata the log already moves (kilobytes of file lists, the
+    // sanctioned scalar use); each row is tagged with every version its
+    // file is live at and aggregated per version — identical censuses.
+    import spark.implicits._
+    val fileVers: Seq[(String, Long)] = (0L to v2)
+      .flatMap(v => TxnLog.liveFiles(path, v).map(f => (f, v)))
+    val distinctFiles = fileVers.map(_._1).distinct.sorted
+    val fv = broadcast(fileVers.toDF("_file", "version"))
+    val metaDf = broadcast((0L to v2).map { v =>
       val (action, attempts) = meta(v)
-      TxnLog.read(spark, path, v)
-        .agg(count(lit(1)).as("n_rows"),
-          coalesce(sum(col("event_id")), lit(0L)).as("chk"))
-        .select(lit(v).as("version"), lit(action).as("action"),
-          lit(attempts.toLong).as("attempts"),
-          lit(TxnLog.liveFiles(path, v).size.toLong).as("n_files"),
-          col("n_rows"), col("chk"))
-    }.reduce(_ unionByName _).orderBy(col("version"))
+      (v, action, attempts.toLong, TxnLog.liveFiles(path, v).size.toLong)
+    }.toDF("version", "action", "attempts", "n_files"))
+    spark.read.parquet(distinctFiles: _*)
+      .select(col("event_id"),
+        regexp_replace(input_file_name(), "^file:(//)?", "").as("_file"))
+      .join(fv, "_file")
+      .groupBy(col("version"))
+      .agg(count(lit(1)).as("n_rows"),
+        coalesce(sum(col("event_id")), lit(0L)).as("chk"))
+      .join(metaDf, "version")
+      .select(col("version"), col("action"), col("attempts"), col("n_files"),
+        col("n_rows"), col("chk"))
+      .orderBy(col("version"))
   }
 
   /** Row-level MERGE through the transaction log — the certificate for

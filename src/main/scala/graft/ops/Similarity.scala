@@ -1248,8 +1248,14 @@ object Similarity extends QueryModule {
     visited.select(col("qid"), col("node"), col("cos"))
   }
 
-  /** [[qAnnGraphServe]] with plan-visible hops (no checkpoints) — the
-    * PlanSpec seam; identical logical shape to the production key. */
+  /** [[qAnnGraphServe]] with plan-visible HOPS (the beam-search joins run
+    * uncheckpointed) — the PlanSpec seam. The twin intentionally DIVERGES
+    * from the production key on the BUILD half: it builds with
+    * report = true (cand0/cand1 checkpointed, as q_ann_nndescent's
+    * reporting path does), so the graph-build subtree stays behind
+    * checkpoints and PlanSpec pins exactly the hop-join shape; production
+    * qAnnGraphServe builds report = false (the cheaper streaming build,
+    * round-10 change) — its build plan is NOT what this twin pins. */
   private[graft] def graphServeUncheckpointed(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     graft.functions.CosineSimilarity.register(spark)
@@ -1553,9 +1559,17 @@ object Similarity extends QueryModule {
     * computed identically in both engines — RRF's rank-only design is
     * precisely what makes hybrid fusion engine-portable (score-based
     * fusion would inherit every float divergence of both retrievers).
-    * Two global window ranks over the eligible slice (driver-sized here;
-    * at scale each ranking is its own top-k retrieval and fusion runs on
-    * the union of two k-sized lists, never the corpus). */
+    * Both global ranks are CHUNK-ROLLED (the discThresholds two-phase
+    * shape): rank = per-chunk offset + in-chunk row_number, where the
+    * dense chunks bucket cos_raw (≤ 2·1024 buckets on [−1, 1]) and the
+    * lex chunks bucket n_chars (value-range-bounded) — so no window ever
+    * moves the corpus into one partition (the r10 driver tails' "No
+    * Partition Defined" WARN on this key was the only corpus-sized
+    * instance; every in-chunk partition is bounded by its bucket's
+    * population and the offset spine by the bucket count). The composed
+    * rank is IDENTICAL to the global row_number: chunks partition the
+    * ordering key's range in order, and the in-chunk tie-break is the
+    * same (ordering-key, doc_id). */
   def qRankFusion(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val docs = Tables.documents(spark, dir)
@@ -1565,11 +1579,27 @@ object Similarity extends QueryModule {
       .filter(col("vec_id") =!= 0 && size(col("embedding")) === 64 && expr(normSqExpr) > 0)
       .withColumn("cos_raw", expr(cosineExpr))
       .join(docs, col("vec_id") === col("doc_id"))
-    val dense = Window.orderBy(col("cos_raw").desc, col("doc_id"))
-    val lex = Window.orderBy(col("n_chars").desc, col("doc_id"))
+      // ascending chunk ≡ descending ordering key; floor is monotone so
+      // equal cos_raw values land in one chunk and the in-chunk sort
+      // restores the exact (cos_raw desc, doc_id) order
+      .withColumn("dchunk", floor(-col("cos_raw") * 1024))
+      .withColumn("lchunk", -floor(col("n_chars") / 64))
+      .localCheckpoint(eager = false) // feeds both offset spines + ranks
+    def offsets(chunkCol: String, off: String): DataFrame =
+      scored.groupBy(col(chunkCol)).agg(count(lit(1)).as("cn"))
+        .withColumn(off, coalesce(sum(col("cn")).over(
+          Window.orderBy(col(chunkCol))
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        .drop("cn")
+    val dense = Window.partitionBy(col("dchunk"))
+      .orderBy(col("cos_raw").desc, col("doc_id"))
+    val lex = Window.partitionBy(col("lchunk"))
+      .orderBy(col("n_chars").desc, col("doc_id"))
     scored
-      .withColumn("r_dense", row_number().over(dense))
-      .withColumn("r_lex", row_number().over(lex))
+      .join(broadcast(offsets("dchunk", "doff")), "dchunk")
+      .join(broadcast(offsets("lchunk", "loff")), "lchunk")
+      .withColumn("r_dense", (col("doff") + row_number().over(dense)).cast("int"))
+      .withColumn("r_lex", (col("loff") + row_number().over(lex)).cast("int"))
       .withColumn("rrf_raw", expr(
         "1.0 / (60.0 + CAST(r_dense AS DOUBLE)) + 1.0 / (60.0 + CAST(r_lex AS DOUBLE))"))
       .orderBy(col("rrf_raw").desc, col("doc_id"))

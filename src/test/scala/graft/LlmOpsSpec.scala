@@ -137,6 +137,12 @@ class LlmOpsSpec extends SparkSpec {
       (4L, "alpha beta gamma delta nu xi omicron pi rho sigma tau"), // jacc < 0.8 vs 1
       (5L, "omega psi chi phi upsilon one two three four five six"), // disjoint
       (6L, "five six seven eight nine ten eleven twelve thirteen fourteen fifteen"),
+      // tiny qualifying pair: 5 tokens → 4 bigrams, identical → jacc 1.0
+      // with α = 4 shared bigrams < K = 8, so the cnt ≥ least(K, α) gate
+      // takes its tiny-pair branch — the guard against dropping qualifying
+      // pairs with fewer than K shared bigrams (ADVICE r10)
+      (7L, "ua ub uc ud ue"),
+      (8L, "ua ub uc ud ue"),
     )
     docs.map { case (id, t) => (id, t, "en", "web", t.length.toLong) }
       .toDF("doc_id", "text", "lang", "source", "n_chars")
@@ -150,8 +156,8 @@ class LlmOpsSpec extends SparkSpec {
       o = (sets(a) & sets(b)).size
       if o * 10 >= (sets(a).size + sets(b).size - o) * 8
     } yield (a, b)).toSet
-    assert(expected == Set((1L, 2L), (1L, 3L), (2L, 3L)),
-      s"fixture should plant exactly the 1-2-3 cluster, got $expected")
+    assert(expected == Set((1L, 2L), (1L, 3L), (2L, 3L), (7L, 8L)),
+      s"fixture should plant the 1-2-3 cluster + the tiny 7-8 pair, got $expected")
     val got = graft.ops.Dedup.qSetsimJoin(spark, d).collect()
       .map(r => (r.getAs[Long]("d1"), r.getAs[Long]("d2"))).toSet
     assert(got == expected, s"got $got expected $expected")
